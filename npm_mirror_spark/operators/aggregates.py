@@ -1,0 +1,98 @@
+"""Aggregations / grouping / windows (SURVEY.md §2.4, A1-A8).
+
+Scale notes:
+- ``argmax_latest`` / ``retention_topn`` shuffle once on the group key, then
+  sort within partitions — the canonical top-N-per-group plan. At 100 TB the
+  win is that ONLY the group key shuffles the fat rows once; no driver-side
+  loops (the reference iterates directories one by one,
+  organize-NAS.py:74-78).
+- Window + ``row_number`` is preferred over ``max_by`` where a deterministic
+  tiebreak matters (oracle hashing): ties broken by explicit secondary keys.
+- Singleton aggregates (max_seq, lag's global max) reduce map-side to one
+  row per partition before the final single-partition exchange — cheap at
+  any scale; the scalar is then broadcast-joined, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def argmax_latest(
+    df: DataFrame, group: list[str], order: list[Column], keep_rank_col: bool = False
+) -> DataFrame:
+    """A1: per group, the row with the max ordering key — the reference's
+    'latest JSON file per package dir' (organize-NAS.py:20-28,40).
+
+    ``order`` columns must form a deterministic total order within a group.
+    """
+    w = Window.partitionBy(*group).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return out if keep_rank_col else out.drop("__rn")
+
+
+def retention_topn(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    n: int = 5,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """A2 (keep side): newest-N-per-group — the reference's
+    OLD_PACKAGE_VERSIONS_LIMIT=5 zip retention (changes_consumer.py:25,
+    220-243), declaratively: rank desc by recency, keep rank <= n.
+    """
+    w = Window.partitionBy(*group).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def retention_gc(
+    df: DataFrame,
+    group: list[str],
+    order: list[Column],
+    n: int = 5,
+) -> DataFrame:
+    """A2 (delete side): the rows the retention rule evicts (rank > n) —
+    these feed the deletion-log sink (K4, changes_consumer.py:209-216).
+    """
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") > n).drop("__rn")
+
+
+def count_by(df: DataFrame, *group: str, alias: str = "n") -> DataFrame:
+    """A3/A8: event counters as groupBy counts (map-side partial agg —
+    Spark's HashAggregate does the combine before the shuffle)."""
+    return df.groupBy(*group).agg(F.count(F.lit(1)).alias(alias))
+
+
+def max_seq(df: DataFrame, seq_col: str, floor: int | None = None, alias: str = "start_seq") -> DataFrame:
+    """A4/J3: running-max seq + the producer's start-seq reconciliation
+    (max over kafka last msg / file store / config, producer.ts:61-97) —
+    ``greatest()`` over a singleton aggregate.
+    """
+    agg = F.max(F.col(seq_col))
+    if floor is not None:
+        agg = F.greatest(agg, F.lit(floor))
+    return df.agg(agg.alias(alias))
+
+
+def lag_per_group(
+    df: DataFrame, group: str, seq_col: str, alias: str = "lag"
+) -> DataFrame:
+    """A5: newest_seq - last_seq (producer.ts:206-243) generalized per
+    group: global max minus per-group max. The singleton global aggregate is
+    broadcast into the per-group result — no second shuffle of the big side.
+    """
+    per_group = df.groupBy(group).agg(F.max(seq_col).alias("__grp_max"))
+    global_max = df.agg(F.max(seq_col).alias("__glob_max"))
+    return (
+        per_group.join(F.broadcast(global_max))
+        .select(
+            F.col(group),
+            (F.col("__glob_max") - F.col("__grp_max")).alias(alias),
+        )
+    )

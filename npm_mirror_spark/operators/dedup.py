@@ -1,0 +1,332 @@
+"""Deduplication operators — exact through fuzzy.
+
+The reference's only dedup is a per-row file-existence probe
+(mirror.ts:114-126) and its CouchDB sink happily writes duplicates on
+redelivery (changes_consumer.py:325). Here dedup is first-class, designed
+for 100 TB training-data pipelines:
+
+- exact: hash-groupBy on the key (one shuffle; map-side partial agg).
+- normalized: canonicalize text (lower, collapse whitespace) -> sha2 ->
+  groupBy. Same single shuffle, but keyed on a 64-hex string instead of a
+  multi-KB document — the shuffle moves hashes, not bodies.
+- MinHash + LSH banding: shingle -> per-seed min-hash -> band hashes ->
+  bucket join. The ONLY all-pairs-free near-dup strategy that scales: cost
+  is O(docs x seeds) map-side plus a shuffle keyed on (band, band_hash);
+  candidate verification touches only colliding buckets. All built-in
+  higher-order functions (transform/array_min) — zero Python UDFs, the
+  signature computation stays inside whole-stage codegen.
+- SimHash: 16-bit locality-sensitive bit signature via per-token hashing,
+  folded per row with ``aggregate`` (no explode, no shuffle).
+- n-gram Jaccard: exact verification for candidate pairs.
+
+MinHash here uses lexicographic min over md5 hex digests (a permutation of
+the shingle space per seed) — deterministic, engine-portable (the DuckDB
+oracle computes the identical signature), and needs no fitted model, unlike
+MLlib's MinHashLSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- text canonicalization ----------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + collapse runs of whitespace to single spaces + trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def text_hash(col: Column | str) -> Column:
+    """sha2-256 of the normalized text — the normalized-dedup key."""
+    return F.sha2(normalize_text(col), 256)
+
+
+# -- exact / normalized dedup -------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Exact dedup on a key set. ``dropDuplicates`` compiles to a
+    hash-aggregate on the keys — one shuffle, arbitrary survivor."""
+    return df.dropDuplicates(keys)
+
+
+def dedup_normalized(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Group by normalized-text hash; keep the smallest id as the canonical
+    survivor (deterministic, unlike dropDuplicates). Returns
+    (text_hash, keep_id, dup_count)."""
+    return (
+        df.select(text_hash(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# -- shingling ----------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles over normalized text, as an array<string>.
+
+    Linear construction: n shifted ``slice``s of the word array folded
+    pairwise with ``zip_with``. (The tempting alternative — ``transform``
+    over an offset sequence with ``element_at(words, i+j)`` — embeds the
+    whole split expression INSIDE the lambda, so Spark re-splits the text
+    once per shingle: quadratic per document.) Documents shorter than n
+    words yield a single whole-text shingle (never an empty set, so
+    downstream min-hash is total).
+    """
+    words = F.split(normalize_text(col), " ")
+    k = F.size(words)
+    m = k - F.lit(n - 1)  # number of shingles
+    shifted = [F.slice(words, F.lit(j + 1), m) for j in range(n)]
+    grams = shifted[0]
+    for s in shifted[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k >= n, grams).otherwise(F.array(normalize_text(col)))
+
+
+# -- MinHash ------------------------------------------------------------------
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """array<string> of length ``num_hashes``: for seed s, the
+    lexicographic min of md5(s || '|' || shingle) over the doc's shingles.
+
+    md5-per-(seed, shingle) is O(shingles x seeds) pure JVM work — no
+    shuffle; the whole signature is computed in one codegen stage.
+    """
+    shingles = word_shingles(col, shingle_n)
+
+    def seed_hasher(seed: int):
+        prefix = f"{seed}|"
+        # NB: keep this a ONE-arg lambda — PySpark treats two-arg transform
+        # lambdas as (element, index).
+        return lambda sh: F.md5(F.concat(F.lit(prefix), sh))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, seed_hasher(s)))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Fold a signature into ``bands`` bucket keys: md5 of the concatenated
+    rows of each band. Docs agreeing on ANY band land in the same bucket."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) — one row per (doc, band). This is the LSH
+    index; a groupBy/self-join on (band, band_hash) yields candidates.
+
+    Staged as three separate projections (shingles -> signature -> band
+    hashes) ON PURPOSE: each stage's output is referenced many times by the
+    next, which stops Catalyst's CollapseProject from inlining the expensive
+    subtree into every consumer. Collapsed into one expression, the
+    split+normalize would re-execute per shingle per seed — quadratic per
+    document (observed 126s for 500 docs; staged: sub-second).
+    """
+    rows_per_band = num_hashes // bands
+
+    def seed_hasher(seed: int):
+        prefix = f"{seed}|"
+        return lambda sh: F.md5(F.concat(F.lit(prefix), sh))
+
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__shingles")
+    )
+    sig = shingled.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("__shingles"), seed_hasher(s))).alias(
+                f"__mh{s}"
+            )
+            for s in range(num_hashes)
+        ],
+    )
+    band_cols = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_cols).alias("band", "band_hash"),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) that collide in >=1 band.
+
+    The self-join is keyed on (band, band_hash) — shuffle moves only
+    (id, hash) pairs. At 100 TB this is the standard fuzzy-dedup plan:
+    bucket sizes are small by construction (hash collisions), so the join
+    explodes only within real near-duplicate clusters. Skewed buckets
+    (e.g. boilerplate docs) are handled by AQE skew-join splitting.
+    """
+    b = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    left = b.withColumnRenamed(id_col, "id_a")
+    right = b.withColumnRenamed(id_col, "id_b")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard verification ----------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two string arrays (distinct semantics), as double."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return (inter.cast("double") / union.cast("double"))
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    ``pairs`` has (id_a, id_b); docs' shingle arrays are joined in — only
+    candidate rows pay the set arithmetic. Returns (id_a, id_b, jaccard).
+    """
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over whitespace tokens, entirely with higher-order
+    functions — per row, no explode/shuffle.
+
+    Each token hashes to 16 bits (first 4 hex chars of md5); each bit
+    contributes +1/-1; the signature bit is the sign of the sum. Near-dup
+    docs differ in few bits (compare with ``bit_count(a ^ b)``).
+    """
+    tokens = F.split(normalize_text(col), " ")
+    # stage 1: one 16-bit hash per token (md5 evaluated once per token —
+    # keeping it out of the per-bit lambda below)
+    tok_vals = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    bit_contrib = lambda v: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.when(
+            (F.floor(v / F.pow(F.lit(2.0), j.cast("double"))).cast("int") % 2) == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    sums = F.aggregate(
+        tok_vals,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, v: F.zip_with(acc, bit_contrib(v), lambda a, b: a + b),
+    )
+    # fold sign bits into one int: sum(2^j for j where sums[j] > 0)
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j.cast("double")).cast("int")).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on the top byte of the signature (pigeonhole — for
+    16-bit sigs and distance <=3, near-dups almost always share one half),
+    so the self-join is bucketed, not all-pairs.
+    """
+    sigs = df.select(F.col(id_col), simhash16(text_col).alias("__sig"))
+    lo = (F.col("__sig") % 256).alias("__blk")
+    hi = F.floor(F.col("__sig") / 256).cast("int").alias("__blk")
+    half_pairs = []
+    for blk in (lo, hi):
+        a = sigs.select(
+            F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"), blk
+        )
+        b = sigs.select(
+            F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), blk
+        )
+        half_pairs.append(
+            a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b")).drop("__blk")
+        )
+    pairs = half_pairs[0].unionByName(half_pairs[1]).distinct()
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,234 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Two tiers, per the standard ANN playbook:
+
+- brute-force cosine top-k: probes x corpus. Probes are broadcast (they are
+  the small side by construction), so the corpus is scanned ONCE with no
+  shuffle; top-k is a window per probe. This is the exactness baseline and
+  is the right plan whenever |probes| x |corpus| fits compute budget.
+- IVF (inverted-file) ANN: corpus is clustered to centroids once
+  (one broadcast-join pass), then each probe searches only its ``nprobe``
+  nearest clusters — at 100 TB this turns a full-corpus scan per probe into
+  a ~(nprobe/K) fraction, and the cluster assignment doubles as a physical
+  layout (write partitionBy(cluster) -> partition pruning on read).
+
+All dot products run as ``zip_with``/``aggregate`` over double-cast arrays
+— JVM higher-order functions, deterministic summation order (index order),
+which keeps results bit-identical to the DuckDB oracle computing the same
+expression. No Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum-of-products in index order — deterministic across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _to_double(a), _to_double(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "__norm") -> DataFrame:
+    """Precompute norms once — at scale you never recompute norms inside the
+    join; they're a column of the corpus table."""
+    return df.withColumn(out, l2_norm(_to_double(F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (excluding self-matches).
+
+    Plan: broadcast(probes) x corpus -> single corpus scan, no shuffle for
+    the join; one shuffle on probe_id for the per-probe top-k window.
+    Returns (probe_id, neighbor_id, cos_sim, rank).
+    """
+    c = with_norm(corpus, vec_col, "__cn").select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+        "__cn",
+    )
+    p = with_norm(probes, vec_col, "__pn").select(
+        F.col(probe_id_col),
+        _to_double(F.col(vec_col)).alias("__pv"),
+        "__pn",
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            "neighbor_id",
+            (dot(F.col("__cv"), F.col("__pv")) / (F.col("__cn") * F.col("__pn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Brute-force all-pairs — correct baseline; the scale path is
+    ``ivf_assign`` first and joining within clusters only (near-dups land in
+    the same cluster with high probability), which divides the pair count
+    by ~K.
+    """
+    a = with_norm(df, vec_col, "__na").select(
+        F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("__va"), "__na"
+    )
+    b = with_norm(df, vec_col, "__nb").select(
+        F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("__vb"), "__nb"
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# -- IVF ----------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine).
+
+    One broadcast join + one window — the centroid table is tiny (K rows).
+    Output: corpus columns + ``cluster`` — the IVF index, and at scale the
+    write-partition key.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("__cid"),
+            _to_double(F.col(centroid_vec_col)).alias("__cvec"),
+        ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    )
+    c = with_norm(corpus, vec_col, "__n")
+    scored = c.join(cent).withColumn(
+        "__sim",
+        dot(_to_double(F.col(vec_col)), F.col("__cvec")) / (F.col("__n") * F.col("__cnorm")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumnRenamed("__cid", "cluster")
+        .drop("__cvec", "__cnorm", "__sim", "__rn", "__n")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k: search only each probe's ``nprobe`` nearest
+    clusters. Join key is the cluster id, so the corpus side can be
+    pre-partitioned/bucketed by cluster and the probe fan-out is a cheap
+    broadcast — no corpus shuffle.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    probe_clusters = (
+        ivf_topk_probe_clusters(probes, centroids, nprobe, vec_col, probe_id_col)
+    )
+    c = with_norm(assigned, vec_col, "__cn").select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+        "__cn",
+        "cluster",
+    )
+    p = with_norm(probes, vec_col, "__pn").select(
+        probe_id_col, _to_double(F.col(vec_col)).alias("__pv"), "__pn"
+    )
+    scored = (
+        c.join(F.broadcast(probe_clusters), "cluster")
+        .join(F.broadcast(p), probe_id_col)
+        .filter(F.col("neighbor_id") != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            "neighbor_id",
+            (dot(F.col("__cv"), F.col("__pv")) / (F.col("__cn") * F.col("__pn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_probe_clusters(
+    probes: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """(probe_id, cluster) — each probe's nprobe nearest centroids."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("cluster"),
+            _to_double(F.col("centroid_vec")).alias("__cvec"),
+        ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    )
+    p = with_norm(probes, vec_col, "__pn")
+    scored = p.join(cent).withColumn(
+        "__sim",
+        dot(_to_double(F.col(vec_col)), F.col("__cvec")) / (F.col("__pn") * F.col("__cnorm")),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("__sim"), F.asc("cluster"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(probe_id_col, "cluster")
+    )

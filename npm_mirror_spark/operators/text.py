@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting.
+
+All pure built-in expressions (split / regexp_extract_all / higher-order
+functions) — per-row, no shuffle, fully inside whole-stage codegen. At
+100 TB these run at parquet-scan speed; the only shuffles are the final
+per-language/per-source aggregations, keyed on low-cardinality columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.dedup import normalize_text
+
+# A small multilingual stopword sample for the heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist"],
+}
+
+# Whitespace tokens vs "BPE-ish" tokens: runs of letters, runs of digits,
+# or single non-alphanumeric marks — a rough pre-tokenizer split.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def ws_token_count(col: Column | str) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def stopword_count(col: Column | str, stopwords: list[str]) -> Column:
+    toks = ws_tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    stopword ratio, punctuation ratio — the classic cheap quality filters a
+    pretraining pipeline applies before anything expensive."""
+    toks = ws_tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_chars_calc": n_char,
+            "n_tokens": n_tok,
+            "mean_token_len": F.when(
+                n_tok > 0,
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, t: acc + F.length(t)
+                ).cast("double")
+                / n_tok.cast("double"),
+            ),
+            "stopword_ratio": stopword_count(text_col, STOPWORDS["en"]).cast("double")
+            / n_tok.cast("double"),
+            "punct_ratio": punct_count(text_col).cast("double") / n_char.cast("double"),
+        }
+    )
+
+
+def language_scores(col: Column | str) -> Column:
+    """map<lang, stopword-hit-count> — the n-gram-heuristic language scorer.
+    Real lang-ID models would run as a pandas UDF; the heuristic keeps the
+    hot path JVM-side."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in STOPWORDS]),
+        F.array(*[stopword_count(col, sw) for lang, sw in STOPWORDS.items()]),
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """argmax over language_scores, ties broken alphabetically; 'und' when
+    nothing matches."""
+    scores = language_scores(col)
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(0).alias("value")),
+        lambda acc, e: F.when(
+            (e["value"] > acc["value"])
+            | ((e["value"] == acc["value"]) & (e["key"] < acc["key"]) & (acc["value"] > 0)),
+            e,
+        ).otherwise(acc),
+    )
+    return best["key"]
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (the classic 'fingerprint' clustering key — robust to word
+    order and duplication)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(col)))))
+
+
+def text_stats_by(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Corpus stats per group (e.g. per lang / per source): doc count,
+    total chars, total tokens, mean tokens-per-doc. Exact integer sums —
+    deterministic under any aggregation order."""
+    n_tok = ws_token_count(text_col)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+            F.sum(n_tok).alias("total_tokens"),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )

@@ -1,0 +1,752 @@
+"""Driver-contract query registry: one (spark, sf_dir) -> DataFrame callable
+per operator from SURVEY.md §2, plus the matching DuckDB oracle SQL.
+
+Determinism rules (the driver hash-compares values against DuckDB):
+- every computed column is aliased identically in Spark and SQL;
+- double SUMs go through DECIMAL(18,4) (exact, order-independent) and are
+  cast back to double; averages divide two exact values;
+- dot products / norms evaluate in index order on double-cast arrays in
+  both engines, so floats are bit-identical;
+- top-N windows always carry a total-order tiebreak.
+
+The qname -> reference-operator mapping rationale is FIXTURES.md §C; each
+function cites the reference behavior it models.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators import aggregates as agg_ops
+from npm_mirror_spark.operators import dedup as dedup_ops
+from npm_mirror_spark.operators import joins as join_ops
+from npm_mirror_spark.operators import projections as proj
+from npm_mirror_spark.operators import similarity as sim_ops
+from npm_mirror_spark.operators import text as text_ops
+from npm_mirror_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: str, alias: str) -> F.Column:
+    """Order-independent double sum: exact DECIMAL accumulation, double out."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Projections / scan (P5-P11, P10, S2-S3)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_project(spark, sf_dir):
+    """P10/S4: key-subset projection (organize-NAS.py:56) — column pruning
+    reaches the parquet scan (ReadSchema shows only 3 columns)."""
+    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_json_decode(spark, sf_dir):
+    """S3: json.loads-per-line (changes_consumer.py:391) as from_json."""
+    ev = _t(spark, sf_dir, "events")
+    decoded = proj.json_decode(ev, "props", "k INT")
+    return decoded.select("event_id", F.col("decoded.k").alias("prop_k"))
+
+
+def q_regex_clean(spark, sf_dir):
+    """P6: special-char scrub (changes_consumer.py:89-92)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", proj.scrub_special_chars("c_name").alias("clean_name"))
+
+
+def q_split_last(spark, sf_dir):
+    """P5: scoped-name tail split (changes_consumer.py:345-349)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", proj.split_last("p_name", " ").alias("last_token"))
+
+
+def q_prefix_bucket(spark, sf_dir):
+    """P7/P11/A8: 3-char prefix-hash bucket (changes_consumer.py:102-107)
+    surfaced as a groupBy count — the oracle-checkable face of the layout."""
+    p = _t(spark, sf_dir, "part")
+    return agg_ops.count_by(
+        p.select(proj.prefix_bucket("p_name").alias("bucket")), "bucket"
+    )
+
+
+def q_ts_parse(spark, sf_dir):
+    """P9: ISO-microsecond filename timestamps (organize-NAS.py:24):
+    format -> reparse round trip."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        proj.ts_to_iso("ts").alias("ts_iso"),
+        proj.iso_to_ts(proj.ts_to_iso("ts")).alias("ts_rt"),
+    )
+
+
+def q_flag_route(spark, sf_dir):
+    """F6/F8/P8: deleted-flag routing (changes_consumer.py:256-264) —
+    per-route counts over the orders status flag."""
+    o = _t(spark, sf_dir, "orders")
+    routed = o.withColumn(
+        "route",
+        F.when(F.col("o_orderstatus") == "F", F.lit("deleted"))
+        .when(F.col("o_orderstatus") == "O", F.lit("update"))
+        .otherwise(F.lit("processing")),
+    )
+    return agg_ops.count_by(routed, "route")
+
+
+# ---------------------------------------------------------------------------
+# Filters (F1-F5)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_notnull(spark, sf_dir):
+    """F1/F5: null-doc skip (changes_consumer.py:129-130)."""
+    ev = _t(spark, sf_dir, "events")
+    from npm_mirror_spark.operators.filters import filter_not_null
+
+    return filter_not_null(ev, "props", "value").select("event_id", "event_type", "value")
+
+
+def q_filter_size(spark, sf_dir):
+    """F2/F3/F4: MAX_SIZE threshold (changes_consumer.py:20,149-199) with
+    per-flag aggregates; the filter is pushed down to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    from npm_mirror_spark.operators.filters import filter_max_size
+
+    kept = filter_max_size(li, "l_extendedprice", 10_000)
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum("l_quantity", "sum_qty"),
+        _dec_sum("l_extendedprice", "sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows (A1-A5)
+# ---------------------------------------------------------------------------
+
+def _LATEST_ORDER():
+    return [F.desc("o_orderdate"), F.desc("o_orderkey")]
+
+
+def _LINE_RECENCY():
+    return [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")]
+
+
+def q_argmax_latest(spark, sf_dir):
+    """A1/P2: arg-max-per-group — latest order per customer
+    (organize-NAS.py:20-28)."""
+    o = _t(spark, sf_dir, "orders")
+    latest = agg_ops.argmax_latest(o, ["o_custkey"], _LATEST_ORDER())
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_order_key"),
+        F.col("o_orderdate").alias("latest_order_date"),
+    )
+
+
+def q_mirror_record(spark, sf_dir):
+    """P1/P3/P4/K3 — THE flagship: the 13-field mirror-record projection
+    (changes_consumer.py:283-329) re-expressed over the driver's star
+    schema: per customer, latest-order fields + counts + routed save path.
+
+    Plan shape: one shuffle of orders on o_custkey feeds BOTH the window
+    and the aggregate; customer joins in on the same key. At 100 TB the
+    orders side shuffles once, the 13-field output never materializes the
+    unused order columns.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    latest = agg_ops.argmax_latest(o, ["o_custkey"], _LATEST_ORDER()).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_order_key"),
+        F.col("o_orderstatus").alias("latest_status"),
+        F.col("o_orderdate").alias("latest_order_date"),
+    )
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        _dec_sum("o_totalprice", "total_spend"),
+    )
+    deleted = F.col("latest_status") == "F"
+    return (
+        c.join(latest, c.c_custkey == latest.o_custkey)
+        .join(counts, "o_custkey")
+        .select(
+            F.col("c_custkey").alias("package_key"),
+            F.col("c_name").alias("package_name"),
+            "latest_order_key",
+            "latest_status",
+            "latest_order_date",
+            "order_count",
+            "total_spend",
+            deleted.alias("package_deleted"),
+            F.concat(
+                F.when(deleted, F.lit("Deleted-")).otherwise(F.lit("")),
+                F.col("c_name"),
+                F.lit("_"),
+                F.col("latest_order_key").cast("string"),
+                F.lit(".zip"),
+            ).alias("change_save_path"),
+        )
+    )
+
+
+def q_retention_topn(spark, sf_dir):
+    """A2 keep-side: newest-5-per-group retention
+    (changes_consumer.py:25,220-243)."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept = agg_ops.retention_topn(
+        li, ["l_partkey"], _LINE_RECENCY(), n=5, rank_col="keep_rank"
+    )
+    return kept.select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", "keep_rank")
+
+
+def q_retention_gc(spark, sf_dir):
+    """A2 delete-side + F7 eligibility gate (changes_consumer.py:249-254):
+    evict rank>5 rows, but only for groups passing the eligibility
+    predicate (the reference's |time|-|versions|==2 analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    elig = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.countDistinct("l_orderkey").alias("__d"),
+        )
+        .filter((F.col("__c") > 5) & ((F.col("__c") - F.col("__d")) <= 2))
+        .select("l_partkey")
+    )
+    gated = join_ops.semi_join(li, elig, "l_partkey")
+    dropped = agg_ops.retention_gc(gated, ["l_partkey"], _LINE_RECENCY(), n=5)
+    return dropped.select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+
+
+def q_count_events(spark, sf_dir):
+    """A3: event counters as groupBy counts (changes_consumer.py:39,370)."""
+    return agg_ops.count_by(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_max_seq(spark, sf_dir):
+    """A4/J3/S5: start-seq reconciliation — max over the stream vs a
+    configured floor (producer.ts:61-97)."""
+    return agg_ops.max_seq(_t(spark, sf_dir, "events"), "event_id", floor=5000)
+
+
+def q_lag(spark, sf_dir):
+    """A5: lag = newest_seq - last_seq (producer.ts:206-243), per user."""
+    return agg_ops.lag_per_group(
+        _t(spark, sf_dir, "events"), "user_id", "event_id", alias="seq_lag"
+    )
+
+
+def q_union_logs(spark, sf_dir):
+    """K2: the 5-topic stage fan-out (changes_consumer.py:53-59,332-370) —
+    five routed branches unioned back, counted per stage."""
+    ev = _t(spark, sf_dir, "events")
+    stage_map = {
+        "click": "downloaded_in_local",
+        "view": "moved_to_remote",
+        "purchase": "added_to_db",
+        "error": "skipped_changes",
+        "signup": "run_logs",
+    }
+    branches = [
+        ev.filter(F.col("event_type") == k).withColumn("stage", F.lit(v))
+        for k, v in stage_map.items()
+    ]
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    return agg_ops.count_by(unioned, "stage")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J2)
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join(spark, sf_dir):
+    """J1/F10: existence-probe dedup (mirror.ts:114-126) — orders whose
+    customer produced no events."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("o_custkey"))
+    return join_ops.anti_join(o, ev, "o_custkey", broadcast_inventory=True).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_enrich_join(spark, sf_dir):
+    """J2: per-row enrichment (changes_consumer.py:160-169) as a broadcast
+    equi-join against the customer dimension."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return join_ops.enrich_join(
+        ev, c, on=[ev.user_id == c.c_custkey], broadcast_dim=True
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+
+# ---------------------------------------------------------------------------
+# Extension: dedup (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup under redelivery: re-deliver every 10th event, then
+    dropDuplicates — the seq-keyed dedup upgrade over the reference's
+    duplicate-happy sink (changes_consumer.py:325)."""
+    ev = _t(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return dedup_ops.dedup_exact(redelivered, ["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents + injected exact dups (id%7, +100000) and near-dups
+    (id%11, +200000, one word appended) — deterministic fuzz corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzextra")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_norm(spark, sf_dir):
+    """Normalized-text dedup: sha2(canonical text) grouping; shuffle moves
+    64-hex keys, not document bodies."""
+    return dedup_ops.dedup_normalized(_docs_with_dups(spark, sf_dir), "text", "doc_id")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (shingle -> 8 minhashes -> 4 bands
+    -> bucket join) over the dup-injected corpus."""
+    return dedup_ops.minhash_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard verification over blocked pairs (same lang,
+    id within 20) — the verify stage behind MinHash candidates."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("__lang_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("__lang_b"))
+    pairs = a.join(
+        b,
+        (F.col("__lang_a") == F.col("__lang_b"))
+        & (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") - F.col("id_a") <= 20),
+    ).select("id_a", "id_b")
+    sh = d.select(
+        "doc_id", F.array_distinct(dedup_ops.word_shingles("text", 3)).alias("__sh")
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    union = F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - inter
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check: bit-level hashing is not
+    portable to the oracle's SQL dialect 1:1)."""
+    return dedup_ops.simhash_pairs(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: probes (vec_id<10) broadcast against the
+    corpus; exact baseline for ANN."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return sim_ops.cosine_topk(e, probes, k=5).select(
+        "probe_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs above 0.4 (the corpus max pairwise
+    sim is ~0.51, so the threshold yields a small real set)."""
+    return sim_ops.cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (rows-only check): deterministic centroids (vec_id%50==0),
+    probes vec_id<5 search their 2 nearest clusters only."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return sim_ops.ivf_topk(e, probes, centroids, k=3, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Extension: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    """Corpus stats per language — exact integer sums, derived average."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.text_stats_by(d, "text", "lang")
+
+
+def q_quality_score(spark, sf_dir):
+    """Per-doc quality features: token counts, mean token length, stopword
+    and punctuation ratios."""
+    d = _t(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(d, "text")
+    return feats.select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic stopword-scoring language ID with deterministic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.language_id("text").alias("lang_guess"))
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.ws_token_count("text").alias("ws_tokens"),
+        text_ops.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Order-insensitive token-set fingerprint per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.fingerprint("text").alias("fp"))
+
+
+def q_approx_stats(spark, sf_dir):
+    """100 TB ops: sketch aggregates (approx_count_distinct, approximate
+    percentiles). Approximate by nature -> rows-only driver check."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_scan_project": q_scan_project,
+    "q_json_decode": q_json_decode,
+    "q_regex_clean": q_regex_clean,
+    "q_split_last": q_split_last,
+    "q_prefix_bucket": q_prefix_bucket,
+    "q_ts_parse": q_ts_parse,
+    "q_flag_route": q_flag_route,
+    "q_filter_notnull": q_filter_notnull,
+    "q_filter_size": q_filter_size,
+    "q_argmax_latest": q_argmax_latest,
+    "q_mirror_record": q_mirror_record,
+    "q_retention_topn": q_retention_topn,
+    "q_retention_gc": q_retention_gc,
+    "q_count_events": q_count_events,
+    "q_max_seq": q_max_seq,
+    "q_lag": q_lag,
+    "q_union_logs": q_union_logs,
+    "q_anti_join": q_anti_join,
+    "q_enrich_join": q_enrich_join,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_norm": q_dedup_norm,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_cosine_topk": q_cosine_topk,
+    "q_cosine_dup_pairs": q_cosine_dup_pairs,
+    "q_ann_ivf": q_ann_ivf,
+    "q_text_stats": q_text_stats,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_token_count": q_token_count,
+    "q_fingerprint": q_fingerprint,
+    "q_approx_stats": q_approx_stats,
+}
+
+# Shared SQL fragments for the DuckDB oracles ------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM {{src}}),
+w AS (SELECT doc_id, str_split(t, ' ') AS w, t FROM norm),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= 3
+    THEN list_transform(generate_series(1, len(w)-2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [t] END AS shingles
+  FROM w)
+"""
+
+_DOCS_WITH_DUPS = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 200000, text || ' zzzextra' FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+_EMB_NORMED = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+  sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e)
+"""
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+)
+
+ORACLES: dict[str, str] = {
+    "q_scan_project": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q_json_decode": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k "
+        "FROM events"
+    ),
+    "q_regex_clean": (
+        "SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9/]', '', 'g') AS clean_name "
+        "FROM customer"
+    ),
+    "q_split_last": (
+        "SELECT p_partkey, (str_split(p_name, ' '))[-1] AS last_token FROM part"
+    ),
+    "q_prefix_bucket": (
+        "SELECT upper(substring(p_name, 1, 3)) AS bucket, count(*) AS n "
+        "FROM part GROUP BY 1"
+    ),
+    "q_ts_parse": (
+        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_iso, "
+        "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'), '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_rt "
+        "FROM events"
+    ),
+    "q_flag_route": (
+        "SELECT CASE WHEN o_orderstatus = 'F' THEN 'deleted' "
+        "WHEN o_orderstatus = 'O' THEN 'update' ELSE 'processing' END AS route, "
+        "count(*) AS n FROM orders GROUP BY 1"
+    ),
+    "q_filter_notnull": (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE props IS NOT NULL AND value IS NOT NULL"
+    ),
+    "q_filter_size": (
+        "SELECT l_returnflag, count(*) AS n_items, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price "
+        "FROM lineitem WHERE l_extendedprice <= 10000 GROUP BY 1"
+    ),
+    "q_argmax_latest": (
+        "SELECT o_custkey, o_orderkey AS latest_order_key, o_orderdate AS latest_order_date "
+        "FROM (SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+        "WHERE rn = 1"
+    ),
+    "q_mirror_record": """
+WITH latest AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+agg AS (
+  SELECT o_custkey, count(*) AS order_count,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY 1)
+SELECT c.c_custkey AS package_key, c.c_name AS package_name,
+       l.o_orderkey AS latest_order_key, l.o_orderstatus AS latest_status,
+       l.o_orderdate AS latest_order_date,
+       a.order_count AS order_count, a.total_spend AS total_spend,
+       (l.o_orderstatus = 'F') AS package_deleted,
+       (CASE WHEN l.o_orderstatus = 'F' THEN 'Deleted-' ELSE '' END
+        || c.c_name || '_' || CAST(l.o_orderkey AS VARCHAR) || '.zip') AS change_save_path
+FROM customer c
+JOIN latest l ON l.o_custkey = c.c_custkey AND l.rn = 1
+JOIN agg a ON a.o_custkey = c.c_custkey
+""",
+    "q_retention_topn": (
+        "SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate, rn AS keep_rank FROM "
+        "(SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate, row_number() OVER "
+        "(PARTITION BY l_partkey ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn "
+        "FROM lineitem) WHERE rn <= 5"
+    ),
+    "q_retention_gc": """
+WITH elig AS (
+  SELECT l_partkey FROM lineitem GROUP BY 1
+  HAVING count(*) > 5 AND count(*) - count(DISTINCT l_orderkey) <= 2),
+r AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM elig))
+SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM r WHERE rn > 5
+""",
+    "q_count_events": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "q_max_seq": (
+        "SELECT greatest(CAST(max(event_id) AS BIGINT), 5000) AS start_seq FROM events"
+    ),
+    "q_lag": (
+        "SELECT user_id, (SELECT max(event_id) FROM events) - max(event_id) AS seq_lag "
+        "FROM events GROUP BY user_id"
+    ),
+    "q_union_logs": (
+        "SELECT CASE event_type WHEN 'click' THEN 'downloaded_in_local' "
+        "WHEN 'view' THEN 'moved_to_remote' WHEN 'purchase' THEN 'added_to_db' "
+        "WHEN 'error' THEN 'skipped_changes' ELSE 'run_logs' END AS stage, "
+        "count(*) AS n FROM events GROUP BY 1"
+    ),
+    "q_anti_join": (
+        "SELECT o_orderkey, o_custkey FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)"
+    ),
+    "q_enrich_join": (
+        "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "q_dedup_exact": (
+        "SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM "
+        "(SELECT * FROM events UNION ALL SELECT * FROM events WHERE event_id % 10 = 0)"
+    ),
+    "q_dedup_norm": f"""
+WITH {_DOCS_WITH_DUPS}
+SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM docs2 GROUP BY 1
+""",
+    "q_minhash_pairs": f"""
+WITH {_DOCS_WITH_DUPS},
+{_SHINGLES.format(src="docs2")},
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+           s -> list_min(list_transform(shingles,
+                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, t.b AS band,
+         md5(sig[t.b*2+1] || '|' || sig[t.b*2+2]) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+""",
+    "q_ngram_jaccard": f"""
+WITH {_SHINGLES.format(src="documents")},
+shd AS (
+  SELECT s.doc_id, d.lang, list_distinct(s.shingles) AS sh
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         len(a.sh) + len(b.sh)
+           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+  FROM shd a JOIN shd b
+    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM pairs WHERE inter > 0
+""",
+    "q_cosine_topk": f"""
+WITH {_EMB_NORMED},
+p AS (SELECT vec_id AS probe_id, v AS pv, nm AS pn FROM n WHERE vec_id < 10),
+s AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a="c.v", b="p.pv")} / (c.nm * p.pn) AS cos_sim
+  FROM n c CROSS JOIN p WHERE c.vec_id != p.probe_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM s)
+SELECT probe_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+""",
+    "q_cosine_dup_pairs": f"""
+WITH {_EMB_NORMED}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a="a.v", b="b.v")} / (a.nm * b.nm) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a="a.v", b="b.v")} / (a.nm * b.nm) >= 0.4
+""",
+    "q_text_stats": f"""
+WITH w AS (SELECT lang, text, str_split({_NORM}, ' ') AS toks FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_tokens
+FROM w GROUP BY lang
+""",
+    "q_quality_score": f"""
+WITH w AS (SELECT doc_id, text, str_split({_NORM}, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         / len(toks) AS mean_token_len,
+       CAST(len(list_filter(toks, x -> list_contains(
+            ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         / length(text) AS punct_ratio
+FROM w
+""",
+    "q_lang_id": f"""
+WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+  len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','es'], x))) AS s_es,
+  len(list_filter(toks, x -> list_contains(['le','la','de','et','que','en','est'], x))) AS s_fr,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','ist'], x))) AS s_de
+  FROM w)
+SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+  ELSE 'fr' END AS lang_guess
+FROM s
+""",
+    "q_token_count": f"""
+SELECT doc_id, len(str_split({_NORM}, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+""",
+    "q_fingerprint": f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(str_split({_NORM}, ' '))), ' ')) AS fp
+FROM documents
+""",
+    # q_simhash_pairs, q_ann_ivf, q_approx_stats: intentionally no oracle —
+    # bit-twiddling hash / approximate sketches; driver records rows-only.
+}

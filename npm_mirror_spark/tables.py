@@ -1,0 +1,72 @@
+"""Loaders for the driver's synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an ``sf_dir``.
+
+Every loader is a plain ``spark.read.parquet`` so Catalyst sees a native
+file scan: predicate pushdown, column pruning and (if the layout had
+partition dirs) partition pruning all apply with zero custom code.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively (PARQUET_TYPE_ILLEGAL). One driver-side footer read."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        # read nanos as long, then truncate to microsecond timestamps —
+        # integer division keeps full precision (a double round-trip would
+        # lose bits at 1.7e18 ns epochs). DuckDB's TIMESTAMP_NS -> python
+        # datetime truncates the same way, so oracle values agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so operators can also be exercised
+    through ``spark.sql`` — same Catalyst plan either way."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB-oracle comparison: row count +
+column names + order-insensitive value comparison. Stricter than the
+driver can possibly be (exact value strings), so passing here should imply
+passing CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Returns a list of mismatch descriptions; empty == match."""
+    problems: list[str] = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.execute(sql)
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+    sc = _rows_canonical(s_cols, s_rows)
+    dc = _rows_canonical(d_cols, d_rows)
+    if sc != dc:
+        diff_s = [r for r in sc if r not in set(dc)]
+        diff_d = [r for r in dc if r not in set(sc)]
+        problems.append(
+            f"values differ: {len(diff_s)} spark-only rows, {len(diff_d)} duckdb-only; "
+            f"spark sample={diff_s[:3]} duckdb sample={diff_d[:3]}"
+        )
+    return problems
