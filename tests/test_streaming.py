@@ -1,0 +1,160 @@
+"""Streaming-semantics tests (SURVEY.md §5.2): stream/batch parity,
+dedup-on-redelivery, malformed routing, retention invariant, metrics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.sources import changes as ch
+from npm_mirror_spark.streaming.pipeline import (
+    MetricsListener,
+    MirrorPipeline,
+    route_changes,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_jsonl(tmp_path_factory):
+    # a DIRECTORY of jsonl files: the streaming file source requires a dir
+    d = tmp_path_factory.mktemp("changes")
+    events = ch.generate_changes(n=300, seed=7, redelivery_rate=0.05)
+    # inject malformed lines (F9)
+    path = d / "changes.jsonl"
+    with open(path, "w") as f:
+        for i, c in enumerate(events):
+            f.write(json.dumps(c) + "\n")
+            if i % 97 == 0:
+                f.write("{this is not json\n")
+    return str(d)
+
+
+def test_generator_determinism():
+    a = ch.generate_changes(n=50, seed=1)
+    b = ch.generate_changes(n=50, seed=1)
+    assert a == b
+    assert any(c["doc"] is None for c in ch.generate_changes(n=500, seed=2))
+
+
+def test_parse_and_route_batch(spark, fixture_jsonl):
+    routed = route_changes(ch.read_changes_batch(spark, fixture_jsonl))
+    stages = {r["stage"] for r in routed.select("stage").distinct().collect()}
+    assert stages == {"added_to_db", "skipped_changes"}
+    reasons = {
+        r["skip_reason"]
+        for r in routed.filter(F.col("skip_reason").isNotNull())
+        .select("skip_reason")
+        .distinct()
+        .collect()
+    }
+    # every skip path of the reference consumer is exercised
+    assert {"malformed", "missing_doc", "fetch_failed", "oversize"} <= reasons
+
+
+def test_stream_batch_parity_and_dedup(spark, fixture_jsonl, tmp_path):
+    stream_out = str(tmp_path / "stream_out")
+    batch_out = str(tmp_path / "batch_out")
+
+    listener = MetricsListener().attach(spark)
+    try:
+        sp = MirrorPipeline(spark, stream_out)
+        sp.run_available_now(fixture_jsonl)
+        bp = MirrorPipeline(spark, batch_out)
+        bp.run_batch(fixture_jsonl)
+
+        def canon(df):
+            return sorted(
+                json.dumps(r.asDict(recursive=True), default=str, sort_keys=True)
+                for r in df.collect()
+            )
+
+        assert canon(sp.mirror_table()) == canon(bp.mirror_table()), (
+            "stream and batch runs must agree"
+        )
+
+        # dedup-on-redelivery: seqs unique despite duplicated input lines
+        seqs = [r["change_seq_id"] for r in sp.mirror_table().collect()]
+        assert len(seqs) == len(set(seqs))
+
+        # re-running the SAME stream over the same checkpoint is a no-op
+        before = sp.mirror_table().count()
+        sp.run_available_now(fixture_jsonl)
+        assert sp.mirror_table().count() == before
+    finally:
+        listener.detach(spark)
+
+    # observe() metrics reached the listener
+    assert listener.n_changes > 0
+    assert listener.n_skipped > 0
+    assert listener.last_seq is not None
+    assert listener.lag(listener.last_seq + 200) == 200
+
+
+def test_redelivered_lines_via_new_file_dedup(spark, fixture_jsonl, tmp_path):
+    """Cross-restart redelivery: same seqs arriving in a NEW file are
+    anti-joined away against the committed mirror table."""
+    out = str(tmp_path / "out")
+    p = MirrorPipeline(spark, out)
+    p.run_available_now(fixture_jsonl)
+    n1 = p.mirror_table().count()
+
+    dup_dir = tmp_path / "changes_dup"
+    dup_dir.mkdir()
+    with open(fixture_jsonl + "/changes.jsonl") as src, open(
+        dup_dir / "changes.jsonl", "w"
+    ) as dst:
+        dst.write(src.read())
+    p2 = MirrorPipeline(spark, out)  # same sink, fresh checkpoint
+    p2.checkpoint = out + "/_checkpoint2"
+    p2.run_available_now(str(dup_dir))
+    assert p2.mirror_table().count() == n1
+
+
+def test_skipped_stage_log_contents(spark, fixture_jsonl, tmp_path):
+    out = str(tmp_path / "out")
+    p = MirrorPipeline(spark, out)
+    p.run_available_now(fixture_jsonl)
+    skipped = p.stage_log("skipped_changes")
+    assert skipped.filter(F.col("skip_reason") == "malformed").count() > 0
+    added = p.stage_log("added_to_db")
+    assert added.count() == p.mirror_table().count() + (
+        # added_to_db log keeps redelivered rows; mirror table dedups them
+        added.count() - added.select("seq").distinct().count()
+    )
+
+
+def test_mirror_schema_matches_contract(spark, fixture_jsonl):
+    from npm_mirror_spark.schema import MIRROR_SCHEMA
+    from npm_mirror_spark.streaming.pipeline import processed_mirror_records
+
+    routed = route_changes(ch.read_changes_batch(spark, fixture_jsonl))
+    rec = processed_mirror_records(routed)
+    assert [f.name for f in rec.schema.fields] == [f.name for f in MIRROR_SCHEMA.fields]
+    # value-keyed map lookup: missing dist_tags.latest -> NULL, not error (P2/P4)
+    assert rec.filter(F.col("package_latest_version").isNull()).count() >= 0
+    rows = rec.limit(5).collect()
+    assert all(r["change_save_path"].endswith(".zip") for r in rows)
+
+
+def test_retention_invariant(spark, sf_dir):
+    """Property: after retention_topn(n=5), no group exceeds 5 rows and the
+    kept rows are exactly the most recent ones (SURVEY.md §5.3)."""
+    from npm_mirror_spark.operators.aggregates import retention_gc, retention_topn
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    order = [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")]
+    kept = retention_topn(li, ["l_partkey"], order, n=5)
+    sizes = kept.groupBy("l_partkey").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 5
+    dropped = retention_gc(li, ["l_partkey"], order, n=5)
+    assert kept.count() + dropped.count() == li.count()
+    # dropped rows are never newer than the oldest kept row of their group
+    oldest_kept = kept.groupBy("l_partkey").agg(F.min("l_shipdate").alias("min_kept"))
+    viol = (
+        dropped.join(oldest_kept, "l_partkey")
+        .filter(F.col("l_shipdate") > F.col("min_kept"))
+        .count()
+    )
+    assert viol == 0
