@@ -39,6 +39,32 @@ HEADLINE = [
 ]
 
 
+def _bench_pipeline(spark, n_changes: int) -> float:
+    """End-to-end mirror-pipeline throughput (the reference's actual job):
+    parse -> route -> project -> dedup -> multi-sink, changes/sec."""
+    import shutil
+    import tempfile
+
+    from npm_mirror_spark.sources.changes import generate_changes, write_jsonl
+    from npm_mirror_spark.streaming.pipeline import MirrorPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        feed = os.path.join(work, "feed")
+        os.makedirs(feed)
+        write_jsonl(
+            generate_changes(n=n_changes, seed=42, redelivery_rate=0.02),
+            os.path.join(feed, "changes.jsonl"),
+        )
+        p = MirrorPipeline(spark, os.path.join(work, "out"))
+        t0 = time.perf_counter()
+        p.run_batch(feed)
+        dt = time.perf_counter() - t0
+        return round(n_changes / dt, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -59,6 +85,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    pipeline_rate = _bench_pipeline(spark, n_changes=int(20_000 * max(sf, 0.01) / 0.1))
     print(
         json.dumps(
             {
@@ -66,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_changes_per_sec": pipeline_rate,
                 "sf": sf,
             }
         )

@@ -467,6 +467,99 @@ def q_approx_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Extension: event-time windows + classic analytics shapes
+# ---------------------------------------------------------------------------
+
+
+def q_window_counts(spark, sf_dir):
+    """Tumbling event-time windows (the monitoring-counts variant of A3;
+    SURVEY.md §2.7 'late/stale data'): per-day per-type counts + sums.
+    In streaming the same expression runs under a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum("value", "sum_value"),
+    )
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the canonical scan->agg plan
+    (map-side partial agg, 4-group shuffle). Exercises the standard
+    aggregate repertoire the reference never needed but an analytics
+    engine must have."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty"),
+        _dec_sum("l_extendedprice", "sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_revenue_by_customer(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join: lineitem x orders shuffle join on the
+    orderkey, customer joined on the custkey — revenue per customer+segment."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.join(c, rev.o_custkey == c.c_custkey).select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment"), F.col("revenue")
+    )
+
+
+_CENTROID_SCALE = float(1 << 24)  # binary scaling: power-of-two multiply is
+# exact on doubles and floor has no rounding ties — unlike a decimal cast,
+# where dyadic floats landing exactly on .5 decimal boundaries round
+# differently across engines (Spark HALF_UP vs DuckDB HALF_EVEN).
+
+
+def q_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the k-means/IVF training step):
+    posexplode -> order-independent per-dimension mean (components
+    quantized to 2^-24 — below float32 noise — so the sum is exact integer
+    arithmetic). At 100 TB this is THE pattern for centroid updates — one
+    shuffle keyed on (label, dim), no driver collection."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "component")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("component").cast("double") * F.lit(_CENTROID_SCALE))
+        .cast("long")
+        .alias("scaled"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        (
+            F.sum("scaled").cast("double")
+            / F.lit(_CENTROID_SCALE)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("centroid_val")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -504,6 +597,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
     "q_approx_stats": q_approx_stats,
+    "q_window_counts": q_window_counts,
+    "q_tpch_pricing": q_tpch_pricing,
+    "q_revenue_by_customer": q_revenue_by_customer,
+    "q_centroids": q_centroids,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -746,6 +843,38 @@ FROM documents
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(str_split({_NORM}, ' '))), ' ')) AS fp
 FROM documents
+""",
+    "q_window_counts": (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "q_tpch_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+        " AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
+        "GROUP BY 1, 2"
+    ),
+    "q_revenue_by_customer": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, rev.revenue
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+""",
+    "q_centroids": """
+SELECT label, t.i AS pos,
+       CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 16777216.0) AS BIGINT))
+            AS DOUBLE) / 16777216.0 / count(*) AS centroid_val
+FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+GROUP BY label, t.i
 """,
     # q_simhash_pairs, q_ann_ivf, q_approx_stats: intentionally no oracle —
     # bit-twiddling hash / approximate sketches; driver records rows-only.

@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: scale properties the row-count tests can't
+see. A failure here means the query still answers correctly but would fall
+over at 100 TB (lost pushdown, lost broadcast, surprise shuffle, codegen
+fallback)."""
+
+from __future__ import annotations
+
+import pytest
+
+from npm_mirror_spark import plans
+from npm_mirror_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return run
+
+
+def test_projection_prunes_scan(q):
+    cols = plans.read_schema_columns(q("q_scan_project"))
+    assert cols == [["l_orderkey", "l_linenumber", "l_quantity"]]
+
+
+def test_filter_pushdown_reaches_scan(q):
+    pushed = " ".join(plans.pushed_filters(q("q_filter_size")))
+    assert "LessThanOrEqual(l_extendedprice" in pushed
+
+
+def test_mirror_record_prunes_both_sides(q):
+    df = q("q_mirror_record")
+    # customer scan: only the 2 projected columns; orders scans: no fat cols
+    schemas = plans.read_schema_columns(df)
+    assert ["c_custkey", "c_name"] in schemas
+    for s in schemas:
+        assert "o_orderpriority" not in s, "unused order columns must be pruned"
+
+
+def test_enrich_join_broadcasts_dimension(q):
+    assert plans.has_broadcast_join(q("q_enrich_join"))
+    assert plans.shuffle_count(q("q_enrich_join")) <= 1
+
+
+def test_anti_join_broadcasts_inventory(q):
+    assert plans.has_broadcast_join(q("q_anti_join"))
+
+
+def test_cosine_topk_single_corpus_pass(q):
+    df = q("q_cosine_topk")
+    # probes broadcast; the only shuffles are the top-k window (+ AQE reads)
+    assert plans.shuffle_count(df) <= 2
+    assert plans.has_broadcast_join(df)
+
+
+def test_hot_paths_are_codegen(spark, sf_dir):
+    from npm_mirror_spark.plans.inspect import no_aqe
+
+    with no_aqe(spark):
+        for name in ("q_filter_size", "q_mirror_record", "q_retention_topn"):
+            df = QUERIES[name](spark, sf_dir)
+            assert plans.wholestage_codegen_spans(df) > 0, name
+
+
+def test_mirror_record_single_orders_shuffle_key(q):
+    """Both the window and the count agg consume the same o_custkey
+    partitioning; the plan must not shuffle orders on any other key."""
+    text = plans.explain_str(q("q_mirror_record"), "simple")
+    import re
+
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", text))
+    assert keys <= {"o_custkey", "c_custkey"}, keys
