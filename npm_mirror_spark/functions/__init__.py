@@ -1,0 +1,76 @@
+"""Curated column-expression library — the engine's scalar/array surface.
+
+Everything here is a pure ``Column -> Column`` built from JVM-side
+``pyspark.sql.functions`` (whole-stage-codegen friendly, no Python UDFs).
+Grouped by family; the DataFrame-level operators live in
+``npm_mirror_spark.operators``.
+"""
+
+# string / path projections (reference P5-P11)
+from npm_mirror_spark.operators.projections import (  # noqa: F401
+    artifact_filename,
+    iso_to_ts,
+    prefix_bucket,
+    scrub_special_chars,
+    split_last,
+    ts_to_iso,
+)
+
+# text canonicalization / hashing / fuzzy-dedup primitives
+from npm_mirror_spark.operators.dedup import (  # noqa: F401
+    jaccard,
+    lsh_band_hashes,
+    minhash_signature,
+    normalize_text,
+    simhash16,
+    text_hash,
+    word_shingles,
+)
+
+# vector math
+from npm_mirror_spark.operators.similarity import (  # noqa: F401
+    cosine,
+    dot,
+    l2_norm,
+)
+
+# text analytics
+from npm_mirror_spark.operators.text import (  # noqa: F401
+    bpe_ish_token_count,
+    bpe_ish_tokens,
+    fingerprint,
+    language_id,
+    language_scores,
+    punct_count,
+    stopword_count,
+    ws_token_count,
+    ws_tokens,
+)
+
+__all__ = [
+    "artifact_filename",
+    "iso_to_ts",
+    "prefix_bucket",
+    "scrub_special_chars",
+    "split_last",
+    "ts_to_iso",
+    "jaccard",
+    "lsh_band_hashes",
+    "minhash_signature",
+    "normalize_text",
+    "simhash16",
+    "text_hash",
+    "word_shingles",
+    "cosine",
+    "dot",
+    "l2_norm",
+    "bpe_ish_token_count",
+    "bpe_ish_tokens",
+    "fingerprint",
+    "language_id",
+    "language_scores",
+    "punct_count",
+    "stopword_count",
+    "ws_token_count",
+    "ws_tokens",
+]

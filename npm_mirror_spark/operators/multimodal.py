@@ -81,7 +81,7 @@ def decode_image_stub(content: bytes) -> tuple[int, int]:
 
 def extract_image_features(
     media: DataFrame,
-    decode: Callable[[bytes], tuple[int, int]] = decode_image_stub,
+    decode: Callable[[bytes], tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over the blob column.
 
@@ -89,7 +89,20 @@ def extract_image_features(
     maxRecordsPerBatch rows at a time); per batch we hash + decode and emit
     ONLY typed features — the binary column dies here, so every downstream
     exchange moves small rows.
+
+    Default decoder is defined inside (cloudpickle-by-value) so the kernel
+    runs on executors without this package on sys.path; a passed-in decoder
+    must be worker-importable or dynamically defined.
     """
+    if decode is None:
+
+        def decode(content: bytes):  # mirrors decode_image_stub, by value
+            import hashlib as _hashlib
+
+            if content is None:
+                return (0, 0)
+            h = _hashlib.sha256(content).digest()
+            return (64 + h[0] % 192, 64 + h[1] % 192)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

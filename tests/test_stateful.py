@@ -1,0 +1,91 @@
+"""Stateful watchdog + enrichment seam tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.sources import changes as ch
+from npm_mirror_spark.streaming.enrichment import fetch_artifacts, latest_tarball_urls
+from npm_mirror_spark.streaming.stateful import seq_watchdog
+
+
+@pytest.fixture()
+def feed_dir(tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    evs = ch.generate_changes(n=60, seed=3)
+    third = len(evs) // 3
+    # three files -> with maxFilesPerTrigger=1, three micro-batches
+    for i, chunk in enumerate([evs[:third], evs[third : 2 * third], evs[2 * third :]]):
+        ch.write_jsonl(chunk, str(d / f"part{i}.jsonl"))
+    # a fourth file with NO new seqs (stall: redelivery of old data)
+    ch.write_jsonl(evs[:5], str(d / "part3_stale.jsonl"))
+    return str(d), evs
+
+
+def test_seq_watchdog_state_across_batches(spark, feed_dir, tmp_path):
+    path, evs = feed_dir
+    parsed = ch.read_changes_stream(spark, path, max_files_per_trigger=1)
+    wd = seq_watchdog(parsed, seq_col="seq", stall_batches=1)
+    out_rows = []
+
+    def sink(df, bid):
+        out_rows.extend(df.collect())
+
+    q = (
+        wd.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(out_rows) >= 2, "one state update per micro-batch"
+    max_seqs = [r["max_seq"] for r in out_rows]
+    assert max_seqs == sorted(max_seqs), "running max must be monotone"
+    assert max_seqs[-1] == max(e["seq"] for e in evs)
+    # the stale batch advanced nothing -> quiet_batches>0 and stalled fires
+    assert out_rows[-1]["new_changes"] >= 0
+    assert any(r["stalled"] for r in out_rows), "stall detection must fire on the stale batch"
+
+
+def test_enrichment_fetch_batched(spark, feed_dir):
+    path, _ = feed_dir
+    parsed = ch.read_changes_batch(spark, path).filter(F.col("doc").isNotNull())
+    urls = latest_tarball_urls(parsed)
+    enriched = fetch_artifacts(urls)
+    rows = enriched.collect()
+    assert len(rows) == urls.count()
+    ok = [r for r in rows if r["status"] == 200]
+    assert ok and all(r["content_sha256"] and r["content_len"] > 0 for r in ok)
+    bad = [r for r in rows if r["status"] in (404, 500)]
+    for r in bad:
+        assert r["content_sha256"] is None and r["content_len"] == 0
+    # determinism: same URL -> same digest (idempotent re-fetch)
+    again = {r["seq"]: r["content_sha256"] for r in fetch_artifacts(urls).collect()}
+    assert all(again[r["seq"]] == r["content_sha256"] for r in rows)
+
+
+def test_enrichment_placement_after_filter(spark, feed_dir):
+    """The size/status filters must run BEFORE the fetch stage (the
+    mirror.ts pushdown, F3): here by construction — the mapInPandas input
+    is already filtered, which the plan shows as Filter under the Python
+    evaluator node."""
+    path, _ = feed_dir
+    parsed = ch.read_changes_batch(spark, path)
+    small = parsed.filter(
+        (F.col("doc").isNotNull()) & (F.col("artifact_size") <= 5_000_000)
+    )
+    enriched = fetch_artifacts(latest_tarball_urls(small))
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pos_py = plan.find("MapInPandas")
+    pos_filter = plan.find("Filter")
+    assert pos_py != -1 and pos_filter != -1 and pos_py < pos_filter, (
+        "filter must sit below (after in text order) the Python stage"
+    )
