@@ -63,6 +63,36 @@ def retention_gc(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") > n).drop("__rn")
 
 
+def retention_gc_tombstone_guard(
+    df: DataFrame,
+    group: list[str],
+    asc_order: list[Column],
+    tombstone: Column,
+    n: int = 5,
+) -> DataFrame:
+    """A2 with the reference's exact nuance (changes_consumer.py:230-243):
+    deleting the oldest artifacts, SKIP any whose immediate successor (next
+    newer file) is a Deleted- tombstone — the tombstone marks the end of a
+    package generation and the predecessor is kept as its last good state.
+
+    Declaratively: rank ascending by age, candidates are ranks <= count-n,
+    minus rows whose ``lead()`` is a tombstone. One shuffle + one sorted
+    window pass, same cost as plain retention.
+    """
+    w = Window.partitionBy(*group).orderBy(*asc_order)
+    wall = Window.partitionBy(*group)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+        .withColumn("__next_tomb", F.lead(tombstone).over(w))
+        .filter(
+            (F.col("__rn") <= F.col("__cnt") - n)
+            & ~F.coalesce(F.col("__next_tomb"), F.lit(False))
+        )
+        .drop("__rn", "__cnt", "__next_tomb")
+    )
+
+
 def count_by(df: DataFrame, *group: str, alias: str = "n") -> DataFrame:
     """A3/A8: event counters as groupBy counts (map-side partial agg —
     Spark's HashAggregate does the combine before the shuffle)."""

@@ -227,6 +227,21 @@ def q_retention_gc(spark, sf_dir):
     return dropped.select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
 
 
+def q_retention_tombstone(spark, sf_dir):
+    """A2 exact semantics: GC the oldest orders beyond the newest-5 per
+    customer, skipping any order whose successor is a tombstone (status
+    'F' plays the Deleted- zip, changes_consumer.py:230-243)."""
+    o = _t(spark, sf_dir, "orders")
+    dropped = agg_ops.retention_gc_tombstone_guard(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        tombstone=(F.col("o_orderstatus") == "F"),
+        n=5,
+    )
+    return dropped.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+
+
 def q_count_events(spark, sf_dir):
     """A3: event counters as groupBy counts (changes_consumer.py:39,370)."""
     return agg_ops.count_by(_t(spark, sf_dir, "events"), "event_type")
@@ -577,6 +592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mirror_record": q_mirror_record,
     "q_retention_topn": q_retention_topn,
     "q_retention_gc": q_retention_gc,
+    "q_retention_tombstone": q_retention_tombstone,
     "q_count_events": q_count_events,
     "q_max_seq": q_max_seq,
     "q_lag": q_lag,
@@ -716,6 +732,17 @@ r AS (
                             ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
   FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM elig))
 SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM r WHERE rn > 5
+""",
+    "q_retention_tombstone": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS cnt,
+         lead(o_orderstatus = 'F') OVER w AS next_tomb
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
+SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+FROM r WHERE rn <= cnt - 5 AND NOT coalesce(next_tomb, false)
 """,
     "q_count_events": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "q_max_seq": (

@@ -87,7 +87,12 @@ class MirrorPipeline:
         return self.spark.read.parquet(self.mirror_path)
 
     def stage_log(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.stages_path, stage))
+        # partition-pruned read of one stage "topic"
+        return (
+            self.spark.read.parquet(self.stages_path)
+            .filter(F.col("stage") == stage)
+            .drop("stage")
+        )
 
     def _existing_seqs(self) -> DataFrame | None:
         try:
@@ -103,15 +108,18 @@ class MirrorPipeline:
         stream-specific code in the pipeline."""
         routed = routed.persist()
         try:
-            # stage logs (the 5 Kafka topics, K2) — per-stage parquet dirs
-            stage_counts = routed.groupBy("stage").count()
-            for row in stage_counts.collect():
-                (
-                    routed.filter(F.col("stage") == row["stage"])
-                    .select("seq", "id", "skip_reason", F.lit(batch_id).alias("batch_id"))
-                    .write.mode("append")
-                    .parquet(os.path.join(self.stages_path, row["stage"]))
+            # stage logs (the 5 Kafka topics, K2): ONE partitioned write —
+            # each stage becomes a partition dir, no per-stage job, no
+            # driver-side stage enumeration (was: collect + N filtered
+            # writes = N extra passes over the batch)
+            (
+                routed.select(
+                    "seq", "id", "skip_reason", F.lit(batch_id).alias("batch_id"), "stage"
                 )
+                .write.mode("append")
+                .partitionBy("stage")
+                .parquet(self.stages_path)
+            )
 
             # mirror records: in-batch dedup on seq (redelivery inside a
             # batch) + anti-join against already-committed seqs (redelivery
@@ -156,6 +164,30 @@ class MirrorPipeline:
 
         routed = route_changes(read_changes_batch(self.spark, source_path))
         self._write_batch(routed, batch_id=-1)
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "seq",
+):
+    """K1 parity: keyed, compressed Kafka producer
+    (producer.ts:172-199 — key=seq, gzip). Not exercisable in this
+    container (no broker); the serialization plan is the production path.
+    Returns the started StreamingQuery."""
+    out = df.selectExpr(
+        f"CAST({key_col} AS STRING) AS key", "to_json(struct(*)) AS value"
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("kafka.compression.type", "gzip")
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 class MetricsListener:
