@@ -211,6 +211,10 @@ def minhash_candidate_pairs(
     (e.g. boilerplate docs) are handled by AQE skew-join splitting.
     """
     b = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # Pre-partition the LSH index on the join key: both self-join sides then
+    # share ONE identical exchange subtree, which Spark's ReuseExchange
+    # dedupes — the md5 signature pass over the corpus runs once, not twice.
+    b = b.repartition("band", "band_hash")
     left = b.withColumnRenamed(id_col, "id_a")
     right = b.withColumnRenamed(id_col, "id_b")
     return (
