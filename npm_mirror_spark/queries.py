@@ -574,6 +574,70 @@ def q_centroids(spark, sf_dir):
     )
 
 
+def q_salted_counts(spark, sf_dir):
+    """Skew-safe counting: salted two-stage aggregation — answer identical
+    to q_count_events, exchange topology skew-proof (operators/skew.py)."""
+    from npm_mirror_spark.operators.skew import salted_count_by
+
+    return salted_count_by(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_region_rollup(spark, sf_dir):
+    """Star-schema rollup over the full dimension chain: lineitem ->
+    supplier -> nation -> region, revenue per (region, nation). All three
+    dims broadcast (classic small-dimension star join: the fact table never
+    shuffles for the joins, only for the final rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """The pretraining quality gate as one declarative filter: keep docs
+    with sane token counts and enough stopword signal, count survivors per
+    (lang, source) — the filter expressions all run inside the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(d, "text")
+    kept = feats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0)
+    )
+    return kept.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_tf_df(spark, sf_dir):
+    """Term/document frequencies (the exact half of tf-idf; the log() is
+    left out of the oracle contract because libm rounding is not portable
+    across engines): per term, total occurrences and document count."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(text_ops.ws_tokens("text")).alias("term")
+    )
+    return terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -617,6 +681,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_pricing": q_tpch_pricing,
     "q_revenue_by_customer": q_revenue_by_customer,
     "q_centroids": q_centroids,
+    "q_salted_counts": q_salted_counts,
+    "q_region_rollup": q_region_rollup,
+    "q_quality_filter": q_quality_filter,
+    "q_tf_df": q_tf_df,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -902,6 +970,37 @@ SELECT label, t.i AS pos,
             AS DOUBLE) / 16777216.0 / count(*) AS centroid_val
 FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
 GROUP BY label, t.i
+""",
+    "q_salted_counts": (
+        # salting is plan-topology only; the oracle is the plain count
+        "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+    ),
+    "q_region_rollup": """
+SELECT r.r_name, n.n_name, count(*) AS n_lines,
+       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    "q_quality_filter": f"""
+WITH w AS (SELECT lang, source, str_split({_NORM}, ' ') AS toks FROM documents),
+f AS (SELECT lang, source, len(toks) AS n_tokens,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+          AS mean_token_len
+      FROM w)
+SELECT lang, source, count(*) AS n_kept
+FROM f
+WHERE n_tokens >= 10 AND n_tokens <= 1000
+  AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+GROUP BY lang, source
+""",
+    "q_tf_df": f"""
+SELECT t.term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS term FROM documents) t
+GROUP BY t.term
 """,
     # q_simhash_pairs, q_ann_ivf, q_approx_stats: intentionally no oracle —
     # bit-twiddling hash / approximate sketches; driver records rows-only.

@@ -1,0 +1,77 @@
+"""Event-time windowed aggregation under a watermark (SURVEY.md §2.7:
+the reference processes everything regardless of event time; we add the
+late-data story Spark gives for free)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+
+def _write_batchfile(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_windowed_counts_with_watermark_drop_late(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes):
+        return {"event_id": i, "ts": (t0 + timedelta(minutes=minutes)).isoformat(), "event_type": "click"}
+
+    # batch 1: events up to minute 25 -> watermark (after propagation) 15
+    _write_batchfile(feed / "b1.jsonl", [ev(1, 1), ev(2, 5), ev(3, 12), ev(4, 25)])
+    # batch 2: spacer — watermark updates take effect one micro-batch after
+    # the data that establishes them (MicroBatchExecution updates the value
+    # from the previous batch's stats)
+    _write_batchfile(feed / "b2.jsonl", [ev(6, 26)])
+    # batch 3: a LATE event for window [0,10) (ts=2 << watermark 16) must be
+    # dropped; an in-time event for [30,40) must be counted
+    _write_batchfile(feed / "b3.jsonl", [ev(5, 2), ev(7, 35)])
+    # the file source orders batches by modification time — make it explicit
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(["b1.jsonl", "b2.jsonl", "b3.jsonl"]):
+        os.utime(feed / name, (now - 120 + 60 * i, now - 120 + 60 * i))
+
+    schema = "event_id long, ts string, event_type string"
+    parsed = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(feed))
+        .select(F.from_json("value", schema).alias("c"))
+        .select(F.col("c.event_id"), F.to_timestamp("c.ts").alias("ts"), "c.event_type")
+    )
+    windowed = (
+        parsed.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = []
+    q = (
+        windowed.writeStream.foreachBatch(
+            lambda df, bid: out.extend(
+                (r["w"]["start"].isoformat(), r["n"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = {}
+    for start, n in out:
+        counts[start] = n  # update mode: last write per window wins
+    # late event 5 must NOT have bumped window 00:00 beyond its batch-1 count
+    assert counts["2024-01-01T00:00:00"] == 2, counts
+    assert counts["2024-01-01T00:10:00"] == 1, counts
+    assert counts["2024-01-01T00:20:00"] == 2, counts
+    assert counts["2024-01-01T00:30:00"] == 1, counts
