@@ -1,0 +1,87 @@
+"""Artifact store: the reference's zip-per-version NAS (K5) as a bucketed
+binary-column table, with retention GC (A2) and a deletion log (K4).
+
+The reference stores one zip per package version in 3-char-prefix dirs and
+GCs the oldest zips beyond 5 per package, logging deletions to a
+``deleted-zips`` db (changes_consumer.py:209-280). File-per-artifact
+does not survive 100 TB (small-file death); the Spark-native store is a
+parquet table with a ``binary`` content column:
+
+- partitioned by the same prefix bucket -> partition-pruned point lookups;
+- content column pruned away for metadata queries (tested in
+  test_multimodal.py);
+- GC is a declarative top-N-per-group + a compacting rewrite, with the
+  evicted rows appended to the deletion log FIRST (log-then-delete, the
+  same ordering the reference uses at changes_consumer.py:209-216).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.aggregates import retention_gc, retention_topn
+from npm_mirror_spark.operators.projections import prefix_bucket
+
+VERSION_RETENTION_LIMIT = 5  # changes_consumer.py:25
+
+
+class ArtifactStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.store_path = os.path.join(root, "artifacts")
+        self.deletion_log_path = os.path.join(root, "deleted")
+
+    def append(self, artifacts: DataFrame) -> None:
+        """artifacts: (package, version_seq, save_path, content, created_ts).
+        Bucketed by package prefix like the reference's dir scheme."""
+        out = artifacts.withColumn("bucket", prefix_bucket("package"))
+        out.write.mode("append").partitionBy("bucket").parquet(self.store_path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.store_path)
+
+    def deletion_log(self) -> DataFrame:
+        return self.spark.read.parquet(self.deletion_log_path)
+
+    def gc(self, limit: int = VERSION_RETENTION_LIMIT) -> tuple[int, int]:
+        """Retention pass: keep the newest ``limit`` versions per package,
+        append evicted save_paths to the deletion log, rewrite the store
+        compacted. Returns (kept, evicted) counts.
+
+        The rewrite goes through a temp dir then replaces the store —
+        the batch-job equivalent of a transactional overwrite (a real
+        deployment would use a table format's atomic commit here).
+        """
+        current = self.read().cache()
+        try:
+            order = [F.desc("created_ts"), F.desc("version_seq")]
+            kept = retention_topn(current, ["package"], order, n=limit)
+            evicted = retention_gc(current, ["package"], order, n=limit)
+
+            n_evicted = evicted.count()
+            if n_evicted:
+                (
+                    evicted.select(
+                        F.col("save_path").alias("deleted_zip_path"),
+                        F.current_timestamp().alias("deleted_at"),
+                    )
+                    .write.mode("append")
+                    .parquet(self.deletion_log_path)
+                )
+            tmp = self.store_path + "__compact"
+            kept.drop("bucket").withColumn(
+                "bucket", prefix_bucket("package")
+            ).write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            n_kept = kept.count()
+        finally:
+            current.unpersist()
+
+        import shutil
+
+        shutil.rmtree(self.store_path)
+        os.rename(tmp, self.store_path)
+        return n_kept, n_evicted
