@@ -638,6 +638,73 @@ def q_tf_df(spark, sf_dir):
     )
 
 
+def q_semi_join(spark, sf_dir):
+    """Left-semi probe (the complement of q_anti_join's F10 dedup): orders
+    whose customer DID produce events."""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("o_custkey"))
+    return join_ops.semi_join(o, F.broadcast(ev), "o_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_grouping_rollup(spark, sf_dir):
+    """ROLLUP grouping sets: doc counts per (lang, source), per lang, and
+    grand total — one pass, Spark expands the grouping sets internally."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization — THE event-pipeline operator: a new session starts
+    after a >30-minute gap per user; session ids via a cumulative sum over
+    the gap indicator. One shuffle on user_id; both windows share it."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # microsecond arithmetic: a cast to long truncates to seconds and
+    # misclassifies gaps within one second of the threshold
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(cum).alias("session_id"),
+    )
+
+
+def q_running_total(spark, sf_dir):
+    """Per-user running spend: cumulative DECIMAL sum over a deterministic
+    order (exact at any accumulation depth), cast back to double."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns. Spark's pivot needs
+    the value list pinned for a deterministic schema (also what you do at
+    scale — an unpinned pivot scans twice to discover values)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = ev.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -685,6 +752,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_region_rollup": q_region_rollup,
     "q_quality_filter": q_quality_filter,
     "q_tf_df": q_tf_df,
+    "q_semi_join": q_semi_join,
+    "q_grouping_rollup": q_grouping_rollup,
+    "q_sessionize": q_sessionize,
+    "q_running_total": q_running_total,
+    "q_pivot_counts": q_pivot_counts,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -1001,6 +1073,43 @@ GROUP BY lang, source
 SELECT t.term, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM (SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS term FROM documents) t
 GROUP BY t.term
+""",
+    "q_semi_join": (
+        "SELECT o_orderkey, o_custkey FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)"
+    ),
+    "q_grouping_rollup": (
+        "SELECT lang, source, count(*) AS n_docs FROM documents "
+        "GROUP BY ROLLUP(lang, source)"
+    ),
+    "q_sessionize": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT event_id, user_id,
+       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g
+""",
+    "q_running_total": """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM events
+""",
+    "q_pivot_counts": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
 """,
     # q_simhash_pairs, q_ann_ivf, q_approx_stats: intentionally no oracle —
     # bit-twiddling hash / approximate sketches; driver records rows-only.
