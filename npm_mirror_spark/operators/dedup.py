@@ -96,30 +96,49 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 # -- MinHash ------------------------------------------------------------------
 
+# Affine hash family over a 32-bit base hash: h_s(x) = (A_s*base + B_s) mod P.
+# ONE md5 per shingle (the base), then seeds are two integer ops each —
+# 8x less hashing than md5-per-(seed, shingle). Constants are mirrored
+# verbatim in the DuckDB oracle; products stay < 2^48 (ANSI-safe).
+MINHASH_PRIME = 1_000_000_007
+
+
+def _minhash_a(s: int) -> int:
+    return 10_007 + 2 * s
+
+
+def _minhash_b(s: int) -> int:
+    return 7_919 * s + 12_345
+
+
+def shingle_base_hash(sh: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit integer — the per-shingle base
+    all seed hashes derive from."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+
 
 def minhash_signature(
     col: Column | str, num_hashes: int = 8, shingle_n: int = 3
 ) -> Column:
-    """array<string> of length ``num_hashes``: for seed s, the
-    lexicographic min of md5(s || '|' || shingle) over the doc's shingles.
-
-    md5-per-(seed, shingle) is O(shingles x seeds) pure JVM work — no
-    shuffle; the whole signature is computed in one codegen stage.
-    """
+    """array<long> of length ``num_hashes``: per seed, the min affine hash
+    over the doc's shingles. (Column-expression form; for DataFrame-scale
+    work use ``minhash_bands``, which stages the base-hash pass so it is
+    computed once, not once per seed.)"""
     shingles = word_shingles(col, shingle_n)
-
-    def seed_hasher(seed: int):
-        prefix = f"{seed}|"
-        # NB: keep this a ONE-arg lambda — PySpark treats two-arg transform
-        # lambdas as (element, index).
-        return lambda sh: F.md5(F.concat(F.lit(prefix), sh))
-
+    bases = F.transform(shingles, shingle_base_hash)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, seed_hasher(s)))
+            F.array_min(F.transform(bases, _affine_hasher(s)))
             for s in range(num_hashes)
         ]
     )
+
+
+def _affine_hasher(s: int):
+    a, c = _minhash_a(s), _minhash_b(s)
+    # one-arg lambda on purpose: PySpark binds extra lambda params to the
+    # array index
+    return lambda b: (F.lit(a) * b + F.lit(c)) % F.lit(MINHASH_PRIME)
 
 
 def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -161,17 +180,18 @@ def minhash_bands(
     """
     rows_per_band = num_hashes // bands
 
-    def seed_hasher(seed: int):
-        prefix = f"{seed}|"
-        return lambda sh: F.md5(F.concat(F.lit(prefix), sh))
-
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__shingles")
     )
-    sig = shingled.select(
+    # one md5 per shingle, staged so the seed loop below reuses it
+    based = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("__shingles"), shingle_base_hash).alias("__bases"),
+    )
+    sig = based.select(
         F.col(id_col),
         *[
-            F.array_min(F.transform(F.col("__shingles"), seed_hasher(s))).alias(
+            F.array_min(F.transform(F.col("__bases"), _affine_hasher(s))).alias(
                 f"__mh{s}"
             )
             for s in range(num_hashes)
@@ -182,7 +202,10 @@ def minhash_bands(
             F.md5(
                 F.concat_ws(
                     "|",
-                    *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    *[
+                        F.col(f"__mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)

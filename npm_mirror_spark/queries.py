@@ -382,8 +382,8 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check: bit-level hashing is not
-    portable to the oracle's SQL dialect 1:1)."""
+    """SimHash near-dup pairs via half-signature blocking (pigeonhole);
+    oracle computes the identical 16-bit signatures with DuckDB bit ops."""
     return dedup_ops.simhash_pairs(
         _docs_with_dups(spark, sf_dir), "doc_id", "text", max_hamming=3
     )
@@ -919,15 +919,19 @@ FROM docs2 GROUP BY 1
     "q_minhash_pairs": f"""
 WITH {_DOCS_WITH_DUPS},
 {_SHINGLES.format(src="docs2")},
+based AS (
+  SELECT doc_id,
+         list_transform(shingles, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS bases
+  FROM sh),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 7),
-           s -> list_min(list_transform(shingles,
-                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
-  FROM sh),
+           s -> list_min(list_transform(bases,
+                  b -> ((10007 + 2*s) * b + (7919*s + 12345)) % 1000000007))) AS sig
+  FROM based),
 bands AS (
   SELECT doc_id, t.b AS band,
-         md5(sig[t.b*2+1] || '|' || sig[t.b*2+2]) AS band_hash
+         md5(CAST(sig[t.b*2+1] AS VARCHAR) || '|' || CAST(sig[t.b*2+2] AS VARCHAR)) AS band_hash
   FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
@@ -1111,6 +1115,26 @@ SELECT user_id,
        count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY user_id
 """,
-    # q_simhash_pairs, q_ann_ivf, q_approx_stats: intentionally no oracle —
-    # bit-twiddling hash / approximate sketches; driver records rows-only.
+    "q_simhash_pairs": f"""
+WITH {_DOCS_WITH_DUPS},
+w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM docs2),
+v AS (SELECT doc_id,
+        list_transform(toks, t -> ('0x' || substr(md5(t),1,4))::INTEGER) AS vals
+      FROM w),
+sig AS (
+  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15),
+           j -> CASE WHEN 2 * len(list_filter(vals, x -> ((x >> j) & 1) = 1))
+                        - len(vals) > 0
+                THEN (1 << j) ELSE 0 END)) AS INTEGER) AS sig
+  FROM v)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
+    # q_ann_ivf, q_approx_stats: intentionally no oracle — IVF's cluster
+    # pruning is an approximation choice, sketches are approximate by
+    # nature; driver records rows-only.
 }
