@@ -415,8 +415,9 @@ def q_cosine_dup_pairs(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (rows-only check): deterministic centroids (vec_id%50==0),
-    probes vec_id<5 search their 2 nearest clusters only."""
+    """IVF ANN, oracle-checked end-to-end: deterministic centroids
+    (vec_id%50==0), every corpus vector assigned to its max-cosine
+    centroid, probes (vec_id<5) search only their 2 nearest clusters."""
     e = _t(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
@@ -1134,7 +1135,39 @@ FROM sig a JOIN sig b
  AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """,
-    # q_ann_ivf, q_approx_stats: intentionally no oracle — IVF's cluster
-    # pruning is an approximation choice, sketches are approximate by
-    # nature; driver records rows-only.
+    "q_ann_ivf": f"""
+WITH {_EMB_NORMED},
+cent AS (SELECT vec_id AS cid, v AS cv, nm AS cnm FROM n WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, v, nm, cid AS cluster FROM (
+    SELECT nn.vec_id, nn.v, nn.nm, c.cid,
+           row_number() OVER (PARTITION BY nn.vec_id
+             ORDER BY {_DOT.format(a="nn.v", b="c.cv")} / (nn.nm * c.cnm) DESC,
+                      c.cid ASC) AS rn
+    FROM n nn CROSS JOIN cent c)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, v AS pv, nm AS pn FROM n WHERE vec_id < 5),
+pc AS (
+  SELECT probe_id, cluster FROM (
+    SELECT p.probe_id, c.cid AS cluster,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY {_DOT.format(a="p.pv", b="c.cv")} / (p.pn * c.cnm) DESC,
+                      c.cid ASC) AS rn
+    FROM probes p CROSS JOIN cent c)
+  WHERE rn <= 2),
+cand AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+         {_DOT.format(a="a.v", b="p.pv")} / (a.nm * p.pn) AS cos_sim
+  FROM assigned a
+  JOIN pc ON a.cluster = pc.cluster
+  JOIN probes p ON p.probe_id = pc.probe_id
+  WHERE a.vec_id != pc.probe_id)
+SELECT probe_id, neighbor_id, cos_sim, "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+  FROM cand)
+WHERE "rank" <= 3
+""",
+    # q_approx_stats: intentionally no oracle — sketches are approximate
+    # by nature; driver records rows-only.
 }
