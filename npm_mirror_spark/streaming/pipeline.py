@@ -74,12 +74,17 @@ class MirrorPipeline:
     """Streaming shell with injectable output root, drivable by tests via
     availableNow and by production via continuous triggers."""
 
-    def __init__(self, spark: SparkSession, out_dir: str):
+    def __init__(self, spark: SparkSession, out_dir: str, with_artifacts: bool = False):
         self.spark = spark
         self.out_dir = out_dir
         self.mirror_path = os.path.join(out_dir, "mirror")
         self.stages_path = os.path.join(out_dir, "stages")
         self.checkpoint = os.path.join(out_dir, "_checkpoint")
+        self.artifact_store = None
+        if with_artifacts:
+            from npm_mirror_spark.artifact_store import ArtifactStore
+
+            self.artifact_store = ArtifactStore(spark, os.path.join(out_dir, "store"))
 
     # -- batch-visible state --------------------------------------------
 
@@ -130,7 +135,25 @@ class MirrorPipeline:
                 records = records.join(
                     F.broadcast(existing), "change_seq_id", "left_anti"
                 )
+            if self.artifact_store is not None:
+                records = records.persist()
             records.write.mode("append").parquet(self.mirror_path)
+
+            # K5: artifact rows ride into the bucketed store (content here
+            # is the change's own digest surrogate — the enrichment seam
+            # supplies real bytes in production)
+            if self.artifact_store is not None:
+                artifacts = records.select(
+                    F.col("package_name").alias("package"),
+                    F.col("change_seq_id").alias("version_seq"),
+                    F.col("change_save_path").alias("save_path"),
+                    F.sha2(F.col("change_save_path"), 256).cast("binary").alias("content"),
+                    F.coalesce(
+                        F.col("package_latest_change_time"), F.current_timestamp()
+                    ).alias("created_ts"),
+                )
+                self.artifact_store.append(artifacts)
+                records.unpersist()
         finally:
             routed.unpersist()
 
@@ -156,6 +179,11 @@ class MirrorPipeline:
             .start()
         )
         q.awaitTermination()
+        # retention maintenance after the drain (the reference GCs inline
+        # per change; batched GC after the micro-batch run is the
+        # amortized equivalent — same invariant, one compaction)
+        if self.artifact_store is not None:
+            self.artifact_store.gc()
 
     def run_batch(self, source_path: str) -> None:
         """The same plan under spark.read — stream/batch parity by
