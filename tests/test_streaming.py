@@ -125,6 +125,57 @@ def test_skipped_stage_log_contents(spark, fixture_jsonl, tmp_path):
     )
 
 
+def test_streaming_drop_duplicates_operator(spark, fixture_jsonl, tmp_path):
+    """Spark-native stateful stream dedup: dropDuplicates on the stream
+    itself (state store holds seen seqs) — the declarative alternative to
+    the pipeline's anti-join, same answer."""
+    parsed = ch.read_changes_stream(spark, fixture_jsonl)
+    deduped = parsed.filter(F.col("seq").isNotNull()).dropDuplicates(["seq"])
+    out = []
+    q = (
+        deduped.select("seq")
+        .writeStream.foreachBatch(lambda df, bid: out.extend(r["seq"] for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(out) == len(set(out)) > 0
+
+
+def test_crash_recovery_resumes_from_checkpoint(spark, fixture_jsonl, tmp_path):
+    """Kill the sink mid-run; restarting over the SAME checkpoint must
+    deliver exactly the rows a clean run delivers — no loss, no dupes
+    (the reference's crash story is 'duplicates on redelivery';
+    checkpoint + idempotent sink upgrades it)."""
+    out = str(tmp_path / "out")
+    crashed = {"yes": False}
+
+    p = MirrorPipeline(spark, out)
+    original = p._write_batch
+
+    def flaky(df, batch_id):
+        if not crashed["yes"]:
+            crashed["yes"] = True
+            raise RuntimeError("injected sink crash")
+        original(df, batch_id)
+
+    p._write_batch = flaky
+    with pytest.raises(Exception, match="injected sink crash"):
+        p.run_available_now(fixture_jsonl)
+    assert crashed["yes"]
+
+    # restart: same checkpoint, healthy sink
+    p2 = MirrorPipeline(spark, out)
+    p2.run_available_now(fixture_jsonl)
+
+    clean = MirrorPipeline(spark, str(tmp_path / "clean"))
+    clean.run_available_now(fixture_jsonl)
+    got = sorted(r["change_seq_id"] for r in p2.mirror_table().collect())
+    want = sorted(r["change_seq_id"] for r in clean.mirror_table().collect())
+    assert got == want
+
+
 def test_mirror_schema_matches_contract(spark, fixture_jsonl):
     from npm_mirror_spark.schema import MIRROR_SCHEMA
     from npm_mirror_spark.streaming.pipeline import processed_mirror_records
