@@ -125,6 +125,43 @@ def cosine_dup_pairs(
     )
 
 
+def grouped_centroids_pandas(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group centroid via ``applyInPandas`` — the Arrow grouped-kernel
+    path (numpy mean per group), for when the per-group math outgrows SQL
+    expressions (covariances, PCA steps, medoids...).
+
+    The declarative twin (queries.q_centroids) is preferred when
+    expressible: it shuffles (group, dim) pairs instead of whole vectors
+    and stays JVM-side. This kernel exists to pin the applyInPandas seam:
+    schema contract, Arrow batching, self-contained (cloudpickle-by-value)
+    kernel.
+    """
+    import numpy as np  # noqa: F401  (imported for the driver; kernel re-imports)
+
+    out_schema = "label int, centroid array<double>, n_vectors long"
+
+    def kernel(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        mat = _np.stack(pdf[vec_col].to_numpy())
+        return _pd.DataFrame(
+            {
+                "label": [int(pdf[group_col].iloc[0])],
+                "centroid": [mat.mean(axis=0).tolist()],
+                "n_vectors": [len(pdf)],
+            }
+        )
+
+    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(
+        kernel, out_schema
+    )
+
+
 # -- IVF ----------------------------------------------------------------------
 
 
