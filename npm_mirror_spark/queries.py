@@ -706,6 +706,60 @@ def q_pivot_counts(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (no native Spark operator): for each event, the latest
+    order of the same customer at-or-before the event time —
+    operators/temporal.py composition form with pinned tiebreak."""
+    from npm_mirror_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_date"),
+            F.col("o_orderkey").alias("last_order_key"),
+        )
+    )
+    return asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="last_order_date",
+        right_cols=["last_order_date", "last_order_key"],
+        tiebreak=["last_order_key"],
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval) join: pairs of same-user events within 10 minutes
+    forward — operators/temporal.py equi+range composition."""
+    from npm_mirror_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_id", "user_id", "ts")
+    b = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("ts2"),
+        F.col("event_id").alias("next_event_id"),
+    )
+    pairs = range_join(
+        a,
+        b,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts2",
+        lower=F.expr("INTERVAL 0 SECONDS"),
+        upper=F.expr("INTERVAL 10 MINUTES"),
+    ).filter(F.col("next_event_id") != F.col("event_id"))
+    return pairs.select(
+        "event_id",
+        "next_event_id",
+        (F.unix_micros(F.col("ts2")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -758,6 +812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_running_total": q_running_total,
     "q_pivot_counts": q_pivot_counts,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -1167,6 +1223,25 @@ SELECT probe_id, neighbor_id, cos_sim, "rank" FROM (
             ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
   FROM cand)
 WHERE "rank" <= 3
+""",
+    "q_asof_join": """
+SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderdate AS last_order_date, o.o_orderkey AS last_order_key,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST,
+                    o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1
+""",
+    "q_range_join": """
+SELECT a.event_id, b.event_id AS next_event_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES
+ AND b.event_id != a.event_id
 """,
     # q_approx_stats: intentionally no oracle — sketches are approximate
     # by nature; driver records rows-only.
