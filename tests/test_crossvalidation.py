@@ -1,0 +1,44 @@
+"""Cross-validation: independent implementations must agree.
+
+- Spark's native session_window vs our lag+cumsum sessionization
+- approximate sketches vs exact answers (bounded relative error)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.queries import q_approx_stats, q_sessionize
+from npm_mirror_spark.tables import load_table
+
+
+def test_session_window_agrees_with_lag_cumsum(spark, sf_dir):
+    """Sessions-per-user from F.session_window (gap 30 min) must equal
+    max(session_id) from the explicit lag+cumsum form — two independent
+    formulations of the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    ours = (
+        q_sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    n = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+    o = {r["user_id"]: r["n_sessions"] for r in ours.collect()}
+    assert n == o
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = q_approx_stats(spark, sf_dir).collect()[0]
+    exact_users = ev.select("user_id").distinct().count()
+    assert abs(row["approx_users"] - exact_users) / exact_users < 0.05
+    exact_p50 = ev.selectExpr("percentile(value, 0.5) AS p").collect()[0]["p"]
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    assert lo <= row["p50_value"] <= hi
+    assert abs(row["p50_value"] - exact_p50) <= (hi - lo) * 0.05
