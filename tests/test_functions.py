@@ -1,0 +1,92 @@
+"""Edge-case unit tests for the scalar function library (the reference's
+quirky inputs: scoped names, short names, special chars, deletions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import npm_mirror_spark.functions as nf
+
+
+def _one(spark, expr, **cols):
+    df = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} string" for k in cols)
+    )
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+def test_split_last_scoped_and_plain(spark):
+    assert _one(spark, nf.split_last("s"), s="@scope/pkg") == "pkg"
+    assert _one(spark, nf.split_last("s"), s="plain") == "plain"
+    assert _one(spark, nf.split_last("s"), s="a/b/c") == "c"
+
+
+def test_scrub_special_chars(spark):
+    assert _one(spark, nf.scrub_special_chars("s"), s="a.b-c_d~e/f") == "abcd" + "e/f"
+    assert _one(spark, nf.scrub_special_chars("s"), s="...") == ""
+
+
+def test_prefix_bucket_short_names(spark):
+    # names shorter than the bucket width use what's there (reference
+    # fallback, changes_consumer.py:102-107)
+    assert _one(spark, nf.prefix_bucket("s"), s="ab") == "AB"
+    assert _one(spark, nf.prefix_bucket("s"), s="a") == "A"
+    assert _one(spark, nf.prefix_bucket("s"), s="abcdef") == "ABC"
+
+
+def test_artifact_filename_deleted_prefix(spark):
+    df = spark.createDataFrame([("p", "1-a", True), ("p", "1-a", False)],
+                               "n string, r string, d boolean")
+    out = [r["f"] for r in df.select(
+        nf.artifact_filename("n", "r", "d").alias("f")).collect()]
+    assert out == ["Deleted-p_1-a.zip", "p_1-a.zip"]
+
+
+def test_iso_roundtrip_preserves_micros(spark):
+    df = spark.sql("SELECT TIMESTAMP '2024-02-29 23:59:59.000001' AS ts")
+    rt = df.select(nf.iso_to_ts(nf.ts_to_iso("ts")).alias("rt"),
+                   F.col("ts")).collect()[0]
+    assert rt["rt"] == rt["ts"]
+
+
+def test_normalize_text_collapses_whitespace(spark):
+    assert _one(spark, nf.normalize_text("s"), s="  A\t b\n\nC ") == "a b c"
+
+
+def test_word_shingles_short_doc(spark):
+    out = _one(spark, nf.word_shingles("s", 3), s="one two")
+    assert out == ["one two"]  # whole-text fallback, never empty
+    out3 = _one(spark, nf.word_shingles("s", 3), s="a b c d")
+    assert out3 == ["a b c", "b c d"]
+
+
+def test_jaccard_bounds(spark):
+    df = spark.sql("SELECT array('a','b') AS x, array('a','b') AS y, array('c') AS z")
+    r = df.select(nf.jaccard(F.col("x"), F.col("y")).alias("same"),
+                  nf.jaccard(F.col("x"), F.col("z")).alias("disj")).collect()[0]
+    assert r["same"] == 1.0 and r["disj"] == 0.0
+
+
+def test_simhash_duplicate_invariance(spark):
+    a = _one(spark, nf.simhash16("s"), s="the quick brown fox")
+    b = _one(spark, nf.simhash16("s"), s="the  quick   brown fox")  # ws noise
+    assert a == b
+    assert 0 <= a < 2**16
+
+
+def test_language_id_stopword_signals(spark):
+    assert _one(spark, nf.language_id("s"), s="the cat and the dog is here") == "en"
+    assert _one(spark, nf.language_id("s"), s="der hund und die katze ist") == "de"
+    assert _one(spark, nf.language_id("s"), s="xyzzy plugh") == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = _one(spark, nf.fingerprint("s"), s="alpha beta gamma")
+    b = _one(spark, nf.fingerprint("s"), s="gamma alpha beta alpha")
+    assert a == b
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    a = _one(spark, nf.minhash_signature("s", 8), s="w1 w2 w3 w4 w5")
+    b = _one(spark, nf.minhash_signature("s", 8), s="w1 w2 w3 w4 w5")
+    assert a == b and len(a) == 8 and all(v >= 0 for v in a)
