@@ -96,6 +96,98 @@ def asof_join_pandas(
     return left.groupBy(on).cogroup(rsel.groupBy(on)).applyInPandas(kernel, out_schema)
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreak: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """Exact as-of join with BOUNDED fan-out — the 100 TB form.
+
+    The plain composition joins every left row to its key's whole right
+    history. Here each left row meets only (a) rights in its own time
+    bucket and (b) ONE pre-aggregated 'latest right before this bucket'
+    row, so the fan-out is O(bucket density), independent of history
+    length. The prev-latest is computed by threading marker rows for the
+    left buckets through a running ``max(struct)`` window per key —
+    markers sort before same-bucket rights, so each marker sees exactly
+    the strictly-earlier history. Results are identical to ``asof_join``
+    (asserted in tests); only the join topology changes.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    B = int(bucket_seconds) * 1_000_000
+    pay_cols = list(dict.fromkeys([right_ts, *tiebreak, *right_cols]))
+    r = right.select(on, *pay_cols)
+    pay_schema = StructType(
+        [StructField(c, r.schema[c].dataType) for c in pay_cols]
+    )
+    pay = F.struct(*pay_cols)  # ordered: ts, tiebreaks, payload -> max = argmax
+
+    l = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        .withColumn("__lb", F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / B))
+    )
+    rr = r.withColumn(
+        "__rb", F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / B)
+    ).select(
+        F.col(on).alias("__rk"), F.col("__rb"), pay.alias("__pay")
+    )
+
+    # (a) same-bucket candidates, fan-out bounded by bucket occupancy
+    same = (
+        l.join(
+            rr,
+            (l[on] == rr["__rk"]) & (l["__lb"] == rr["__rb"]),
+            "left",
+        )
+        .withColumn(
+            "__cand",
+            F.when(F.col("__pay")[right_ts] <= F.col(left_ts), F.col("__pay")),
+        )
+        .select("__lid", "__cand")
+    )
+
+    # (b) latest right strictly before each needed bucket: markers (flag 0)
+    # sort before same-bucket rights (flag 1) in the running-max window
+    markers = (
+        l.select(F.col(on).alias("__rk"), F.col("__lb").alias("__rb"))
+        .distinct()
+        .withColumn("__flag", F.lit(0))
+        .withColumn("__pay", F.lit(None).cast(pay_schema))
+    )
+    rights_flagged = rr.withColumn("__flag", F.lit(1))
+    w = (
+        Window.partitionBy("__rk")
+        .orderBy("__rb", "__flag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = (
+        markers.unionByName(rights_flagged)
+        .withColumn("__run", F.max("__pay").over(w))
+        .filter(F.col("__flag") == 0)
+        .select("__rk", "__rb", F.col("__run").alias("__cand"))
+    )
+    via_prev = l.join(
+        prev, (l[on] == prev["__rk"]) & (l["__lb"] == prev["__rb"]), "left"
+    ).select("__lid", "__cand")
+
+    best = (
+        same.unionByName(via_prev)
+        .groupBy("__lid")
+        .agg(F.max("__cand").alias("__best"))
+    )
+    out = l.join(best, "__lid", "left")
+    for c in pay_cols:
+        if c in right_cols:
+            out = out.withColumn(c, F.col("__best")[c])
+    return out.drop("__lid", "__lb", "__best")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -760,6 +760,14 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot (melt): the per-user pivoted counts back to long form —
+    the reshaping inverse of q_pivot_counts, via Spark's native unpivot."""
+    p = q_pivot_counts(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return p.unpivot("user_id", types, "event_type", "n").filter(F.col("n") > 0)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -814,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_unpivot": q_unpivot,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -1243,6 +1252,11 @@ FROM events a JOIN events b
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES
  AND b.event_id != a.event_id
 """,
+    "q_unpivot": (
+        # unpivot of per-user counts == plain long-form counts
+        "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY user_id, event_type"
+    ),
     # q_approx_stats: intentionally no oracle — sketches are approximate
     # by nature; driver records rows-only.
 }
