@@ -46,6 +46,10 @@ def _nanos_ts_columns(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # timestamps must collect as UTC-naive to match the DuckDB oracle —
+    # pin the session TZ here so a driver-created session with a local TZ
+    # gets identical values (runtime-settable, like nanosAsLong below)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
