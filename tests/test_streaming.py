@@ -176,6 +176,38 @@ def test_crash_recovery_resumes_from_checkpoint(spark, fixture_jsonl, tmp_path):
     assert got == want
 
 
+def test_stream_static_broadcast_join(spark, fixture_jsonl, tmp_path):
+    """Stream-static join: the streaming changes enriched against a static
+    dimension (the J2 shape under a streaming source) — the static side is
+    re-broadcast per micro-batch, no stream state."""
+    dim = spark.createDataFrame(
+        [(s, f"registry-{s % 3}") for s in range(0, 2000)], "seq long, shard string"
+    )
+    parsed = ch.read_changes_stream(spark, fixture_jsonl).filter(
+        F.col("seq").isNotNull()
+    )
+    joined = parsed.join(F.broadcast(dim), "seq", "left").select(
+        "seq", "id", "shard"
+    )
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert rows and all(r["shard"] is not None for r in rows if r["seq"] < 2000)
+    # batch form of the same plan agrees
+    batch = (
+        ch.read_changes_batch(spark, fixture_jsonl)
+        .filter(F.col("seq").isNotNull())
+        .join(F.broadcast(dim), "seq", "left")
+        .count()
+    )
+    assert batch == len(rows)
+
+
 def test_mirror_schema_matches_contract(spark, fixture_jsonl):
     from npm_mirror_spark.schema import MIRROR_SCHEMA
     from npm_mirror_spark.streaming.pipeline import processed_mirror_records
