@@ -760,6 +760,19 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_exact_percentiles(spark, sf_dir):
+    """Exact (sort-based) percentiles per group — the precise counterpart
+    of q_approx_stats' sketches. Both engines use type-7 linear
+    interpolation, so values are bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_value"),
+        F.expr("percentile(value, 0.9)").alias("p90_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def q_unpivot(spark, sf_dir):
     """Unpivot (melt): the per-user pivoted counts back to long form —
     the reshaping inverse of q_pivot_counts, via Spark's native unpivot."""
@@ -823,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_unpivot": q_unpivot,
+    "q_exact_percentiles": q_exact_percentiles,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -1256,6 +1270,12 @@ FROM events a JOIN events b
         # unpivot of per-user counts == plain long-form counts
         "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
         "FROM events GROUP BY user_id, event_type"
+    ),
+    "q_exact_percentiles": (
+        "SELECT event_type, quantile_cont(value, 0.5) AS p50_value, "
+        "quantile_cont(value, 0.9) AS p90_value, "
+        "min(value) AS min_value, max(value) AS max_value "
+        "FROM events GROUP BY 1"
     ),
     # q_approx_stats: intentionally no oracle — sketches are approximate
     # by nature; driver records rows-only.
