@@ -36,6 +36,11 @@ HEADLINE = [
     "q_text_stats",
     "q_union_logs",
     "q_json_decode",
+    "q_asof_join",
+    "q_sessionize",
+    "q_exact_percentiles",
+    "q_region_rollup",
+    "q_tpch_pricing",
 ]
 
 
