@@ -1175,8 +1175,11 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
 SELECT event_id, user_id,
-       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+       -- DuckDB's windowed SUM(INT) yields HUGEINT, which arrow/pandas
+       -- coerces to float64 and breaks the driver's value hash vs Spark's
+       -- BIGINT even when values are identical; the cast pins the type.
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
 """,
     "q_running_total": """

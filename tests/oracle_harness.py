@@ -1,7 +1,16 @@
 """Local replica of the driver's DuckDB-oracle comparison: row count +
-column names + order-insensitive value comparison. Stricter than the
-driver can possibly be (exact value strings), so passing here should imply
-passing CORRECTNESS_r{N}.json."""
+column names + order-insensitive value comparison.
+
+The oracle side is fetched through DuckDB's arrow path — NOT
+``fetchall()`` — because that is how the driver materializes results, and
+the two paths coerce types differently: e.g. a windowed ``SUM(INTEGER)``
+returns HUGEINT, which arrow exports as decimal128 (and pandas as float64)
+while ``fetchall()`` hands back Python ints. The r1 ``q_sessionize`` hash
+failure was exactly this class of bug, invisible to a fetchall-based
+harness: ``_canon`` renders Decimal/float as ``1.0`` vs BIGINT ``1``, so
+the type leak now fails locally too. Arrow (unlike the pandas fetch) keeps
+DATE columns as ``datetime.date``, matching what Spark's collect returns
+for DateType, so date-returning queries stay comparable."""
 
 from __future__ import annotations
 
@@ -57,7 +66,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
-    d_rows = rel.fetchall()
+    # arrow fetch path — replicates the driver's type coercions
+    # (fetchall() would hide e.g. HUGEINT->Decimal); see module docstring.
+    d_tab = rel.arrow()
+    d_rows = [tuple(row[c] for c in d_cols) for row in d_tab.to_pylist()]
 
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
