@@ -708,8 +708,41 @@ def q_pivot_counts(spark, sf_dir):
 
 def q_asof_join(spark, sf_dir):
     """As-of join (no native Spark operator): for each event, the latest
-    order of the same customer at-or-before the event time —
-    operators/temporal.py composition form with pinned tiebreak."""
+    order of the same customer at-or-before the event time.
+
+    Registered as the BUCKETED form (operators/temporal.py:asof_join_bucketed):
+    each event meets only same-(customer, month-bucket) orders plus one
+    pre-aggregated latest-before-bucket row, so join fan-out is O(bucket
+    occupancy) instead of O(order history) — the form that survives 100 TB.
+    q_asof_plain registers the composition form against the same oracle as
+    the cross-validation twin."""
+    from npm_mirror_spark.operators.temporal import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_date"),
+            F.col("o_orderkey").alias("last_order_key"),
+        )
+    )
+    return asof_join_bucketed(
+        ev,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="last_order_date",
+        right_cols=["last_order_date", "last_order_key"],
+        tiebreak=["last_order_key"],
+        bucket_seconds=30 * 86_400,
+    )
+
+
+def q_asof_plain(spark, sf_dir):
+    """The composition form of the as-of join (equi-join + argmax window):
+    exactness baseline for q_asof_join's bucketed plan. Fan-out is
+    O(history) per event — fine at validation scale, not the 100 TB plan."""
     from npm_mirror_spark.operators.temporal import asof_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -834,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_running_total": q_running_total,
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
+    "q_asof_plain": q_asof_plain,
     "q_range_join": q_range_join,
     "q_unpivot": q_unpivot,
     "q_exact_percentiles": q_exact_percentiles,
@@ -1251,6 +1285,19 @@ SELECT probe_id, neighbor_id, cos_sim, "rank" FROM (
 WHERE "rank" <= 3
 """,
     "q_asof_join": """
+SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderdate AS last_order_date, o.o_orderkey AS last_order_key,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST,
+                    o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1
+""",
+    # same semantics, same oracle — the two registered Spark forms differ
+    # only in join topology (bucketed vs composition)
+    "q_asof_plain": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
   SELECT e.event_id, e.user_id, e.ts,
          o.o_orderdate AS last_order_date, o.o_orderkey AS last_order_key,

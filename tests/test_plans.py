@@ -63,6 +63,15 @@ def test_hot_paths_are_codegen(spark, sf_dir):
             assert plans.wholestage_codegen_spans(df) > 0, name
 
 
+def test_asof_join_bounded_fanout(q):
+    """The REGISTERED as-of join must be the bucketed form: no per-left-row
+    row_number window pruning an O(history) joined fan-out, and the history
+    joins must carry the time-bucket equi key alongside the user key."""
+    text = plans.explain_str(q("q_asof_join"), "simple")
+    assert "row_number" not in text, "composition-form window leaked back in"
+    assert "__lb" in text and "__rb" in text, "bucket equi keys missing"
+
+
 def test_mirror_record_single_orders_shuffle_key(q):
     """Both the window and the count agg consume the same o_custkey
     partitioning; the plan must not shuffle orders on any other key."""
