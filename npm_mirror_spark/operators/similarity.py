@@ -125,6 +125,54 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_dup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Intra-cluster embedding near-dup pairs — the 100 TB form of
+    ``cosine_dup_pairs``.
+
+    IVF-assign both sides, then pair ONLY within a cluster: near-identical
+    vectors share a nearest centroid with overwhelming probability at
+    dup-grade thresholds, so recall stays ~1 while the candidate count
+    drops from O(n^2) to sum_c O(n_c^2). Crucially the cluster id is an
+    EQUI join key — the pairing co-partitions both sides by cluster (one
+    bounded shuffle each) instead of materializing an all-pairs join.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b and cos_sim >= t.
+    """
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    base = with_norm(assigned, vec_col, "__n").select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v"), "__n", "cluster"
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cluster",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def grouped_centroids_pandas(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -414,18 +414,32 @@ def q_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def _ivf_centroids(e):
+    """Deterministic centroid pick shared by the IVF queries (vec_id%50==0
+    — reproducible in the DuckDB oracle, unlike a trained k-means)."""
+    return e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN, oracle-checked end-to-end: deterministic centroids
     (vec_id%50==0), every corpus vector assigned to its max-cosine
     centroid, probes (vec_id<5) search only their 2 nearest clusters."""
     e = _t(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
-    )
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return sim_ops.ivf_topk(e, probes, centroids, k=3, nprobe=2)
+    return sim_ops.ivf_topk(e, probes, _ivf_centroids(e), k=3, nprobe=2)
+
+
+def q_ivf_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs at scale: IVF-assign, then pair only
+    WITHIN a cluster (equi join on cluster id — no all-pairs join).
+    q_cosine_dup_pairs stays registered as the brute-force exactness
+    baseline; this is the plan that survives 100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_dup_pairs(e, _ivf_centroids(e), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -847,6 +861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_dup_pairs": q_cosine_dup_pairs,
     "q_ann_ivf": q_ann_ivf,
+    "q_ivf_dup_pairs": q_ivf_dup_pairs,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -905,6 +920,21 @@ n AS (SELECT vec_id, v,
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
+
+# IVF cluster assignment (centroids = vec_id%50==0, max-cosine, cid tiebreak)
+# — shared by the q_ann_ivf and q_ivf_dup_pairs oracles; mirrors
+# operators/similarity.py:ivf_assign exactly.
+_IVF_ASSIGNED = f"""
+cent AS (SELECT vec_id AS cid, v AS cv, nm AS cnm FROM n WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, v, nm, cid AS cluster FROM (
+    SELECT nn.vec_id, nn.v, nn.nm, c.cid,
+           row_number() OVER (PARTITION BY nn.vec_id
+             ORDER BY {_DOT.format(a="nn.v", b="c.cv")} / (nn.nm * c.cnm) DESC,
+                      c.cid ASC) AS rn
+    FROM n nn CROSS JOIN cent c)
+  WHERE rn = 1)
+"""
 
 ORACLES: dict[str, str] = {
     "q_scan_project": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -1253,15 +1283,7 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """,
     "q_ann_ivf": f"""
 WITH {_EMB_NORMED},
-cent AS (SELECT vec_id AS cid, v AS cv, nm AS cnm FROM n WHERE vec_id % 50 = 0),
-assigned AS (
-  SELECT vec_id, v, nm, cid AS cluster FROM (
-    SELECT nn.vec_id, nn.v, nn.nm, c.cid,
-           row_number() OVER (PARTITION BY nn.vec_id
-             ORDER BY {_DOT.format(a="nn.v", b="c.cv")} / (nn.nm * c.cnm) DESC,
-                      c.cid ASC) AS rn
-    FROM n nn CROSS JOIN cent c)
-  WHERE rn = 1),
+{_IVF_ASSIGNED},
 probes AS (SELECT vec_id AS probe_id, v AS pv, nm AS pn FROM n WHERE vec_id < 5),
 pc AS (
   SELECT probe_id, cluster FROM (
@@ -1283,6 +1305,16 @@ SELECT probe_id, neighbor_id, cos_sim, "rank" FROM (
             ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
   FROM cand)
 WHERE "rank" <= 3
+""",
+    "q_ivf_dup_pairs": f"""
+WITH {_EMB_NORMED},
+{_IVF_ASSIGNED}
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a="a.v", b="b.v")} / (a.nm * b.nm) AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.4
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (

@@ -72,6 +72,17 @@ def test_asof_join_bounded_fanout(q):
     assert "__lb" in text and "__rb" in text, "bucket equi keys missing"
 
 
+def test_ivf_dup_pairs_intra_cluster_only(q):
+    """The scale-path near-dup pairing must co-partition by cluster (equi
+    join), never materialize an all-pairs product: the only nested-loop
+    joins allowed are the bounded corpus x K-centroid broadcasts."""
+    import re
+
+    text = plans.explain_str(q("q_ivf_dup_pairs"), "simple")
+    assert re.search(r"hashpartitioning\(cluster#", text), "pairing not cluster-keyed"
+    assert "CartesianProduct" not in text
+
+
 def test_mirror_record_single_orders_shuffle_key(q):
     """Both the window and the count agg consume the same o_custkey
     partitioning; the plan must not shuffle orders on any other key."""
