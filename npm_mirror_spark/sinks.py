@@ -39,12 +39,26 @@ def append_log(df: DataFrame, path: str) -> None:
 
 
 def write_deduped(
-    df: DataFrame, existing: DataFrame | None, key: str, path: str
+    df: DataFrame,
+    existing: DataFrame | None,
+    key: str,
+    path: str,
+    min_key=None,
 ) -> None:
     """Effectively-once append: in-batch dropDuplicates + anti-join against
     the already-committed keys (K3 upgrade over the reference's
-    duplicate-happy db.save, changes_consumer.py:325)."""
+    duplicate-happy db.save, changes_consumer.py:325).
+
+    Pass ``min_key`` (the batch's smallest key — exact, since a redelivered
+    row keeps its original key) to bound the committed side: the filter
+    pushes into the committed-keys scan so the anti-join input tracks the
+    redelivery window, not the sink's whole history. No broadcast hint —
+    AQE broadcasts small committed sets itself and a large one must be
+    allowed to shuffle instead of exhausting the driver."""
     out = df.dropDuplicates([key])
     if existing is not None:
-        out = out.join(F.broadcast(existing.select(key)), key, "left_anti")
+        committed = existing.select(key)
+        if min_key is not None:
+            committed = committed.filter(F.col(key) >= F.lit(min_key))
+        out = out.join(committed, key, "left_anti")
     out.write.mode("append").parquet(path)

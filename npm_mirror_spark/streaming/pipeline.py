@@ -99,11 +99,33 @@ class MirrorPipeline:
             .drop("stage")
         )
 
-    def _existing_seqs(self) -> DataFrame | None:
-        try:
-            return self.mirror_table().select("change_seq_id")
-        except Exception:
-            return None  # first batch: sink doesn't exist yet
+    def _mirror_exists(self) -> bool:
+        """Explicit existence probe for the first-batch case. A catch-all
+        except around the read would silently DISABLE dedup on any
+        transient read failure (committing duplicates instead of failing
+        the batch) — so only genuine absence returns False; real read
+        errors propagate and fail the micro-batch, which Spark retries
+        from the checkpoint."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.mirror_path)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+
+    def _committed_seqs_from(self, min_seq: int) -> DataFrame:
+        """Committed seqs that could possibly collide with a batch whose
+        smallest seq is ``min_seq``.
+
+        A redelivered change carries its original seq, so a committed seq
+        below the current batch's minimum can never match the anti-join —
+        filtering it out is exact, not heuristic. The predicate pushes to
+        the parquet scan (row-group stats skip old files), so the dedup
+        input is bounded by the source's redelivery window instead of
+        growing with the sink's whole history."""
+        return (
+            self.mirror_table()
+            .select("change_seq_id")
+            .filter(F.col("change_seq_id") >= F.lit(min_seq))
+        )
 
     # -- the foreachBatch writer -----------------------------------------
 
@@ -112,6 +134,7 @@ class MirrorPipeline:
         every operator above is stream/batch pure, so this is the ONLY
         stream-specific code in the pipeline."""
         routed = routed.persist()
+        fresh = None
         try:
             # stage logs (the 5 Kafka topics, K2): ONE partitioned write —
             # each stage becomes a partition dir, no per-stage job, no
@@ -128,15 +151,28 @@ class MirrorPipeline:
 
             # mirror records: in-batch dedup on seq (redelivery inside a
             # batch) + anti-join against already-committed seqs (redelivery
-            # across restarts) -> effectively-once rows.
-            records = processed_mirror_records(routed).dropDuplicates(["change_seq_id"])
-            existing = self._existing_seqs()
-            if existing is not None:
-                records = records.join(
-                    F.broadcast(existing), "change_seq_id", "left_anti"
-                )
-            if self.artifact_store is not None:
-                records = records.persist()
+            # across restarts) -> effectively-once rows. The committed side
+            # is seq-bounded (see _committed_seqs_from) and carries NO
+            # broadcast hint: small windows broadcast via AQE on their own,
+            # and a wide redelivery window legitimately falls back to a
+            # shuffled anti-join instead of blowing driver memory.
+            records = processed_mirror_records(routed).dropDuplicates(
+                ["change_seq_id"]
+            )
+            mirror_exists = self._mirror_exists()
+            if mirror_exists or self.artifact_store is not None:
+                # cache only when a second consumer exists (min-agg below
+                # and/or the artifact projection) — an unconditional persist
+                # taxes the common fresh-sink fast path for nothing
+                fresh = records = records.persist()
+            if mirror_exists:
+                batch_min_seq = records.agg(F.min("change_seq_id")).first()[0]
+                if batch_min_seq is not None:
+                    records = records.join(
+                        self._committed_seqs_from(batch_min_seq),
+                        "change_seq_id",
+                        "left_anti",
+                    )
             records.write.mode("append").parquet(self.mirror_path)
 
             # K5: artifact rows ride into the bucketed store (content here
@@ -153,8 +189,9 @@ class MirrorPipeline:
                     ).alias("created_ts"),
                 )
                 self.artifact_store.append(artifacts)
-                records.unpersist()
         finally:
+            if fresh is not None:
+                fresh.unpersist()
             routed.unpersist()
 
     # -- drive ------------------------------------------------------------

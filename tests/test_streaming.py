@@ -112,6 +112,37 @@ def test_redelivered_lines_via_new_file_dedup(spark, fixture_jsonl, tmp_path):
     assert p2.mirror_table().count() == n1
 
 
+def test_dedup_antijoin_is_seq_bounded(spark, fixture_jsonl, tmp_path):
+    """The committed side of the cross-restart dedup must be bounded below
+    by the batch's min seq — pushed into the parquet scan, so the anti-join
+    input tracks the redelivery window, not the sink's whole history — and
+    the bound must be exact (a full re-drain still adds zero rows)."""
+    from npm_mirror_spark import plans
+
+    out = str(tmp_path / "out")
+    p = MirrorPipeline(spark, out)
+    p.run_batch(fixture_jsonl)
+
+    pushed = " ".join(plans.pushed_filters(p._committed_seqs_from(12345)))
+    assert "GreaterThanOrEqual(change_seq_id,12345" in pushed
+
+    before = p.mirror_table().count()
+    p.run_batch(fixture_jsonl)  # 100% redelivery: min-seq bound keeps all
+    assert p.mirror_table().count() == before
+
+
+def test_mirror_read_failure_fails_batch_not_dedup(spark, fixture_jsonl, tmp_path):
+    """A present-but-unreadable mirror table must FAIL the micro-batch (the
+    checkpoint retries it) — never silently disable dedup and commit
+    duplicates, which is what a catch-all around the read used to do."""
+    out = tmp_path / "out"
+    (out / "mirror").mkdir(parents=True)
+    (out / "mirror" / "part-00000.parquet").write_bytes(b"garbage not parquet")
+    p = MirrorPipeline(spark, str(out))
+    with pytest.raises(Exception):
+        p.run_batch(fixture_jsonl)
+
+
 def test_skipped_stage_log_contents(spark, fixture_jsonl, tmp_path):
     out = str(tmp_path / "out")
     p = MirrorPipeline(spark, out)
