@@ -692,6 +692,26 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-user session stats via Spark's NATIVE session_window aggregation
+    — the streaming-capable sessionization operator (the identical groupBy
+    runs under readStream + withWatermark; pinned by
+    tests/test_watermark.py::test_session_window_streaming_with_watermark).
+    Oracle: the lag+cumsum formulation — an independent implementation of
+    the same semantics, equivalence also cross-validated in
+    tests/test_crossvalidation.py. One shuffle on user_id; the per-user
+    rollup reuses the session-window partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+        F.sum("n").alias("n_events"),
+    )
+
+
 def q_running_total(spark, sf_dir):
     """Per-user running spend: cumulative DECIMAL sum over a deterministic
     order (exact at any accumulation depth), cast back to double."""
@@ -879,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semi_join": q_semi_join,
     "q_grouping_rollup": q_grouping_rollup,
     "q_sessionize": q_sessionize,
+    "q_session_stats": q_session_stats,
     "q_running_total": q_running_total,
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
@@ -1245,6 +1266,27 @@ SELECT event_id, user_id,
        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
+""",
+    # independent formulation: lag+cumsum session ids (native session_window
+    # has no SQL equivalent in DuckDB) -> per-session counts -> per-user stats
+    "q_session_stats": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+s AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g),
+per AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per GROUP BY user_id
 """,
     "q_running_total": """
 SELECT event_id, user_id,

@@ -75,3 +75,70 @@ def test_windowed_counts_with_watermark_drop_late(spark, tmp_path):
     assert counts["2024-01-01T00:10:00"] == 1, counts
     assert counts["2024-01-01T00:20:00"] == 2, counts
     assert counts["2024-01-01T00:30:00"] == 1, counts
+
+
+def test_session_window_streaming_with_watermark(spark, tmp_path):
+    """The q_session_stats groupBy runs UNCHANGED as a watermarked stream:
+    session_window merges events within the gap, the watermark finalizes a
+    session once event time passes its close, and a later-batch event
+    within the gap EXTENDS the open session rather than opening a new one
+    (the stateful merge a batch engine can't express)."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, user=1):
+        return {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).isoformat(),
+            "user_id": user,
+        }
+
+    # batch 1: two bursts for user 1 separated by > gap (10 min): sessions
+    # A {0,2} and B {20}; user 2 one event
+    _write_batchfile(feed / "b1.jsonl", [ev(1, 0), ev(2, 2), ev(3, 20), ev(4, 1, user=2)])
+    # batch 2: minute 25 is within gap of session B's last event (20) ->
+    # must MERGE into B, not start a new session; minute 60 advances the
+    # watermark far enough to close everything
+    _write_batchfile(feed / "b2.jsonl", [ev(5, 25), ev(6, 60)])
+
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(["b1.jsonl", "b2.jsonl"]):
+        os.utime(feed / name, (now - 120 + 60 * i, now - 120 + 60 * i))
+
+    schema = "event_id long, ts string, user_id long"
+    parsed = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(feed))
+        .select(F.from_json("value", schema).alias("c"))
+        .select("c.event_id", F.to_timestamp("c.ts").alias("ts"), "c.user_id")
+    )
+    sessions = (
+        parsed.withWatermark("ts", "5 minutes")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    rows = []
+    q = (
+        sessions.writeStream.foreachBatch(
+            lambda df, bid: rows.extend(
+                (r["user_id"], r["w"]["start"].isoformat(), r["n_events"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .outputMode("append")  # append: only watermark-finalized sessions
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(u, s): n for u, s, n in rows}
+    assert got[(1, "2024-01-01T00:00:00")] == 2  # session A finalized intact
+    # session B spans batches: the minute-25 event merged into the
+    # minute-20 session instead of opening a new one
+    assert got[(1, "2024-01-01T00:20:00")] == 2
+    assert got[(2, "2024-01-01T00:01:00")] == 1
