@@ -87,6 +87,54 @@ def json_decode(df: DataFrame, json_col: str, schema, out_col: str = "decoded") 
     )
 
 
+# -- P12: registry-metadata normalization -------------------------------------
+
+
+def normalize_metadata(parsed: DataFrame) -> DataFrame:
+    """P12 — native re-expression of the ``normalize-registry-metadata``
+    npm library's observable effect (producer.ts:6,145; mirror.ts:6,55):
+    registry docs arrive with ``_id``/``name``/dist-tags inconsistently
+    populated, and the downstream 13-field projection needs them canonical.
+
+    Rules (the subset of the library's behavior observable through the
+    reference pipeline):
+
+    - canonical package name = ``lower(trim(coalesce(name, _id)))``
+      (registry names are lowercase; legacy feeds carry mixed case)
+    - ``doc._id`` mirrors the canonical name (registry invariant
+      ``_id == name``)
+    - the change-level ``id`` falls back to the canonical name
+    - ``dist_tags['latest']`` defaults to the greatest version key when
+      absent (existing tags are preserved; the default is merged in)
+
+    Pure column expressions: per-row, no shuffle, whole-stage codegen.
+    A null ``doc`` stays null (``withField`` is null-propagating), matching
+    the library's no-op on empty changes.
+    """
+    doc = F.col("doc")
+    canon = F.lower(F.trim(F.coalesce(doc["name"], doc["_id"])))
+    existing_latest = F.element_at(doc["dist_tags"], F.lit("latest"))
+    default_latest = F.array_max(F.map_keys(doc["versions"]))
+    empty = F.expr("cast(map() as map<string,string>)")
+    dist_tags = F.when(existing_latest.isNotNull(), doc["dist_tags"]).otherwise(
+        F.map_concat(
+            F.coalesce(doc["dist_tags"], empty),
+            F.when(
+                default_latest.isNotNull(),
+                F.create_map(F.lit("latest"), default_latest),
+            ).otherwise(empty),
+        )
+    )
+    normalized = (
+        doc.withField("name", canon)
+        .withField("_id", canon)
+        .withField("dist_tags", dist_tags)
+    )
+    return parsed.withColumn("doc", normalized).withColumn(
+        "id", F.coalesce(F.col("id"), canon)
+    )
+
+
 # -- P1-P4: the 13-field mirror-record projection -----------------------------
 
 

@@ -88,6 +88,40 @@ def q_ts_parse(spark, sf_dir):
     )
 
 
+def q_normalize(spark, sf_dir):
+    """P12 metadata normalize (normalize-registry-metadata's observable
+    effect, producer.ts:145), oracle-checked on deterministically degraded
+    docs built from customer: name/_id/dist-tags dropped or case-mangled by
+    key modulus, then operators/projections.py:normalize_metadata restores
+    the canonical form. Output is flattened so the DuckDB oracle states the
+    same rules as plain CASE/coalesce/lower/greatest expressions."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    parsed = c.select(
+        k.cast("long").alias("seq"),
+        F.when(k % 11 != 0, F.col("c_name")).alias("id"),
+        F.struct(
+            F.when(k % 5 != 0, F.col("c_name")).alias("_id"),
+            F.when(k % 3 != 0, F.upper(F.col("c_name"))).alias("name"),
+            F.when(k % 2 != 0, F.create_map(F.lit("latest"), F.lit("2.0.0")))
+            .when(k % 4 == 0, F.create_map(F.lit("beta"), F.lit("9.9.9")))
+            .alias("dist_tags"),
+            F.create_map(
+                (k % 13).cast("string"), F.lit("a"), F.lit("3a"), F.lit("b")
+            ).alias("versions"),
+        ).alias("doc"),
+    )
+    out = proj.normalize_metadata(parsed)
+    return out.select(
+        "seq",
+        F.col("id").alias("norm_id"),
+        F.col("doc._id").alias("norm_doc_id"),
+        F.col("doc.name").alias("norm_name"),
+        F.element_at(F.col("doc.dist_tags"), F.lit("latest")).alias("latest_tag"),
+        F.size(F.col("doc.dist_tags")).alias("n_tags"),
+    )
+
+
 def q_flag_route(spark, sf_dir):
     """F6/F8/P8: deleted-flag routing (changes_consumer.py:256-264) —
     per-route counts over the orders status flag."""
@@ -859,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_last": q_split_last,
     "q_prefix_bucket": q_prefix_bucket,
     "q_ts_parse": q_ts_parse,
+    "q_normalize": q_normalize,
     "q_flag_route": q_flag_route,
     "q_filter_notnull": q_filter_notnull,
     "q_filter_size": q_filter_size,
@@ -979,6 +1014,23 @@ ORACLES: dict[str, str] = {
         "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'), '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_rt "
         "FROM events"
     ),
+    "q_normalize": """
+WITH raw AS (
+  SELECT CAST(c_custkey AS BIGINT) AS seq, c_name,
+         CASE WHEN c_custkey % 5 <> 0 THEN c_name END AS rid,
+         CASE WHEN c_custkey % 3 <> 0 THEN upper(c_name) END AS rname
+  FROM customer),
+n AS (
+  SELECT seq, c_name, lower(trim(coalesce(rname, rid))) AS canon FROM raw)
+SELECT seq,
+       CASE WHEN seq % 11 <> 0 THEN c_name ELSE canon END AS norm_id,
+       canon AS norm_doc_id,
+       canon AS norm_name,
+       CASE WHEN seq % 2 <> 0 THEN '2.0.0'
+            ELSE greatest(CAST(seq % 13 AS VARCHAR), '3a') END AS latest_tag,
+       CASE WHEN seq % 2 <> 0 THEN 1 WHEN seq % 4 = 0 THEN 2 ELSE 1 END AS n_tags
+FROM n
+""",
     "q_flag_route": (
         "SELECT CASE WHEN o_orderstatus = 'F' THEN 'deleted' "
         "WHEN o_orderstatus = 'O' THEN 'update' ELSE 'processing' END AS route, "

@@ -112,6 +112,33 @@ def test_redelivered_lines_via_new_file_dedup(spark, fixture_jsonl, tmp_path):
     assert p2.mirror_table().count() == n1
 
 
+def test_normalize_metadata_on_change_feed(spark, fixture_jsonl):
+    """P12 on the real CHANGE_SCHEMA shape: _id==name==lowercase after
+    normalization, dist-tags gain a 'latest' default when versions exist,
+    and null docs pass through untouched."""
+    from npm_mirror_spark.operators.projections import normalize_metadata
+
+    parsed = ch.read_changes_batch(spark, fixture_jsonl)
+    norm = normalize_metadata(parsed)
+    rows = norm.filter(F.col("doc").isNotNull()).select(
+        F.col("doc._id").alias("i"),
+        F.col("doc.name").alias("n"),
+        F.element_at(F.col("doc.dist_tags"), F.lit("latest")).alias("latest"),
+        F.size(F.col("doc.versions")).alias("nv"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["i"] == r["n"]
+        if r["n"] is not None:
+            assert r["n"] == r["n"].lower()
+        if (r["nv"] or 0) > 0:
+            assert r["latest"] is not None
+    assert (
+        norm.filter(F.col("doc").isNull()).count()
+        == parsed.filter(F.col("doc").isNull()).count()
+    )
+
+
 def test_dedup_antijoin_is_seq_bounded(spark, fixture_jsonl, tmp_path):
     """The committed side of the cross-restart dedup must be bounded below
     by the batch's min seq — pushed into the parquet scan, so the anti-join
