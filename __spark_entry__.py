@@ -31,7 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. Keys absent here
-    (q_simhash_pairs, q_ann_ivf, q_approx_stats) are non-portable by nature
-    (bit-twiddling hashes / approximate sketches) -> rows-only check."""
+    """DuckDB-runnable ANSI SQL per query. The only key absent here is
+    q_approx_stats — approximate sketches have no exact oracle by nature
+    -> rows-only check. Every other registered query is oracle-backed
+    (including the hash-heavy q_simhash_pairs and q_ann_ivf, whose oracles
+    recompute the identical signatures with DuckDB bit ops)."""
     return dict(ORACLES)

@@ -52,10 +52,21 @@ class ArtifactStore:
         append evicted save_paths to the deletion log, rewrite the store
         compacted. Returns (kept, evicted) counts.
 
-        The rewrite goes through a temp dir then replaces the store —
-        the batch-job equivalent of a transactional overwrite (a real
-        deployment would use a table format's atomic commit here).
+        Crash-safe swap: the rewrite lands in a temp dir, the live store is
+        renamed ASIDE (never deleted first), the temp renamed into place,
+        and only then is the old copy dropped — every crash point leaves a
+        full recoverable copy on disk (``__old`` if between the renames;
+        :meth:`gc` restores it on the next run). A real deployment swaps
+        this for a table format's atomic commit. No-op on an absent store.
         """
+        old = self.store_path + "__old"
+        if not os.path.exists(self.store_path):
+            if os.path.exists(old):
+                # crashed between the two renames last time: the aside copy
+                # IS the store — restore it and continue the pass
+                os.rename(old, self.store_path)
+            else:
+                return 0, 0  # nothing stored yet
         current = self.read().cache()
         try:
             order = [F.desc("created_ts"), F.desc("version_seq")]
@@ -82,6 +93,9 @@ class ArtifactStore:
 
         import shutil
 
-        shutil.rmtree(self.store_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover aside copy from a prior crash
+        os.rename(self.store_path, old)
         os.rename(tmp, self.store_path)
+        shutil.rmtree(old)
         return n_kept, n_evicted

@@ -50,6 +50,13 @@ DOC_SCHEMA = StructType(
         StructField("_id", StringType()),
         StructField("_rev", StringType()),
         StructField("name", StringType()),
+        # NB: the REAL npm _changes feed spells this key "dist-tags"
+        # (changes_consumer.py:288, mirror.ts:100); the underscore form is
+        # this project's fixture contract (FIXTURES.md §A). Against the live
+        # registry, map the hyphenated key at parse time (from_json field
+        # names can't contain '-' in dotted access, but `doc`['dist-tags']
+        # works) or rename during ingestion — otherwise from_json nulls the
+        # field and blanks 5 of the 13 mirror-record columns.
         StructField("dist_tags", MapType(StringType(), StringType())),
         StructField("versions", MapType(StringType(), VERSION_SCHEMA)),
         StructField("time", MapType(StringType(), TimestampType())),

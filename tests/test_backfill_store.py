@@ -64,6 +64,28 @@ def test_artifact_store_gc_and_deletion_log(spark, tmp_path):
     assert (kept2, evicted2) == (kept, 0)
 
 
+def test_gc_noop_on_absent_store(spark, tmp_path):
+    store = ArtifactStore(spark, str(tmp_path / "never_written"))
+    assert store.gc() == (0, 0)
+
+
+def test_gc_recovers_from_crash_between_renames(spark, tmp_path):
+    """Crash window: the live dir was renamed aside but the compacted tmp
+    never made it into place. The next gc() must restore the aside copy
+    and complete the pass — no data loss at any crash point."""
+    import os
+
+    store = ArtifactStore(spark, str(tmp_path / "store"))
+    store.append(_fake_artifacts(spark))
+    # simulate the mid-swap crash state
+    os.rename(store.store_path, store.store_path + "__old")
+    kept, evicted = store.gc(limit=5)
+    assert kept == 6 * 5 and evicted == 6 * 4
+    assert not os.path.exists(store.store_path + "__old")
+    maxv = store.read().groupBy("package").count().agg(F.max("count")).collect()[0][0]
+    assert maxv <= 5
+
+
 # -- hypothesis property tests ------------------------------------------------
 
 
