@@ -568,6 +568,91 @@ def q_tpch_pricing(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): revenue of not-yet-shipped
+    lineitems for orders placed before the cutoff by one market segment.
+    Plan: the filtered customer keys BROADCAST into the orders join (the
+    segment filter makes them the small side), lineitem shuffles once on
+    l_orderkey; top-10 with a total-order tiebreak, TakeOrderedAndProject
+    keeps the sort partial (no global sort materialization)."""
+    cutoff = "1998-06-01"
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where
+    the supplier and the ordering customer share the nation, one region,
+    one year. Plan: region/nation/supplier/customer all broadcast (dims),
+    the fact tables shuffle once on the orderkey; the nation equality
+    between supplier and customer rides as a join predicate, not a second
+    shuffle."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q_window_funcs(spark, sf_dir):
+    """Ranking-function repertoire over one shared shuffle: quartile
+    (ntile), percent_rank, cume_dist per event_type ordered by value with
+    a total-order tiebreak (both engines compute the same rank-based
+    formulas -> bit-identical doubles)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
 def q_revenue_by_customer(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join: lineitem x orders shuffle join on the
     orderkey, customer joined on the custkey — revenue per customer+segment."""
@@ -925,6 +1010,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
+    "q_shipping_priority": q_shipping_priority,
+    "q_local_supplier_volume": q_local_supplier_volume,
+    "q_window_funcs": q_window_funcs,
     "q_revenue_by_customer": q_revenue_by_customer,
     "q_centroids": q_centroids,
     "q_salted_counts": q_salted_counts,
@@ -1247,6 +1335,45 @@ FROM documents
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
         "GROUP BY 1, 2"
     ),
+    "q_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1, 2, 3)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "q_local_supplier_volume": """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    "q_window_funcs": """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+""",
     "q_revenue_by_customer": """
 WITH rev AS (
   SELECT o.o_custkey,

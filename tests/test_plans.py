@@ -83,6 +83,25 @@ def test_ivf_dup_pairs_intra_cluster_only(q):
     assert "CartesianProduct" not in text
 
 
+def test_shipping_priority_broadcasts_and_partial_topn(q):
+    """Q3 shape: segment-filtered customers broadcast; the top-10 runs as
+    TakeOrderedAndProject (per-partition partial top-N), never a global
+    sort exchange."""
+    text = plans.explain_str(q("q_shipping_priority"), "simple")
+    assert "BroadcastHashJoin" in text
+    assert "TakeOrderedAndProject" in text
+
+
+def test_local_supplier_volume_single_fact_shuffle(q):
+    """Q5 shape: every dimension broadcasts — the only hash shuffles are
+    the fact-side orderkey join and the final n_name rollup."""
+    import re
+
+    text = plans.explain_str(q("q_local_supplier_volume"), "simple")
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", text))
+    assert keys <= {"l_orderkey", "o_orderkey", "n_name"}, keys
+
+
 def test_mirror_record_single_orders_shuffle_key(q):
     """Both the window and the count agg consume the same o_custkey
     partitioning; the plan must not shuffle orders on any other key."""
