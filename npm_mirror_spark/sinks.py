@@ -38,6 +38,54 @@ def append_log(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def upsert_latest(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    order_cols: list[str],
+    bucket_source_col: str | None = None,
+    width: int = 3,
+) -> None:
+    """CouchDB-style upsert: the latest row per key WINS, replacing any
+    previously-stored row (the reference's ``db.save`` overwrites by
+    ``_id``, changes_consumer.py:325 — this is the true K3 semantics,
+    where ``write_deduped`` is the append-log upgrade).
+
+    100 TB shape: rewriting the whole table per batch is a non-starter, so
+    rows live under the prefix-bucket partition layout and the merge uses
+    DYNAMIC partition overwrite — only the buckets the batch touches are
+    read (partition-pruned via an IN filter on the bucket values), merged
+    (argmax per key over ``order_cols``), and atomically replaced. Cost
+    per batch is O(touched buckets), not O(table).
+    """
+    from pyspark.sql import Window
+
+    src = bucket_source_col or key
+    b = batch.withColumn("bucket", prefix_bucket(src, width))
+    touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
+    merged = b
+    try:
+        existing = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+        merged = b.unionByName(existing)
+    except Exception as e:  # noqa: BLE001 — absence only; re-raise the rest
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+    order = [F.desc(c) for c in order_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    mode_was = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        latest.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode_was)
+
+
 def write_deduped(
     df: DataFrame,
     existing: DataFrame | None,

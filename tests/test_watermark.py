@@ -77,6 +77,96 @@ def test_windowed_counts_with_watermark_drop_late(spark, tmp_path):
     assert counts["2024-01-01T00:30:00"] == 1, counts
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks: same-user event pairs
+    within a forward 10-minute bound — the streaming twin of
+    operators/temporal.py:range_join. Both sides carry watermarks so the
+    join state is bounded (Spark evicts rows older than watermark+bound);
+    the drained result must equal the batch range_join on the same data."""
+    from npm_mirror_spark.operators.temporal import range_join
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (t0 + timedelta(minutes=i * 3 % 47)).isoformat(),
+                "user_id": i % 5,
+            }
+        )
+    _write_batchfile(feed / "a.jsonl", rows)
+
+    schema = "event_id long, ts string, user_id long"
+
+    def src():
+        return (
+            spark.readStream.text(str(feed))
+            .select(F.from_json("value", schema).alias("c"))
+            .select("c.event_id", F.to_timestamp("c.ts").alias("ts"), "c.user_id")
+        )
+
+    a = src().withWatermark("ts", "30 minutes").alias("a")
+    b = (
+        src()
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("ts2"),
+            F.col("event_id").alias("next_event_id"),
+        )
+        .withWatermark("ts2", "30 minutes")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("ts2") >= F.col("ts"))
+        & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("next_event_id") != F.col("event_id")),
+        "inner",
+    ).select("event_id", "next_event_id")
+
+    got = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: got.extend(
+                (r["event_id"], r["next_event_id"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "cp_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], datetime.fromisoformat(r["ts"]), r["user_id"]) for r in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    expected = (
+        range_join(
+            batch_df,
+            batch_df.select(
+                F.col("user_id"),
+                F.col("ts").alias("ts2"),
+                F.col("event_id").alias("next_event_id"),
+            ),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts2",
+            lower=F.expr("INTERVAL 0 SECONDS"),
+            upper=F.expr("INTERVAL 10 MINUTES"),
+        )
+        .filter(F.col("next_event_id") != F.col("event_id"))
+        .select("event_id", "next_event_id")
+        .collect()
+    )
+    assert sorted(got) == sorted((r[0], r[1]) for r in expected)
+    assert got, "join produced no pairs — fixture degenerate"
+
+
 def test_session_window_streaming_with_watermark(spark, tmp_path):
     """The q_session_stats groupBy runs UNCHANGED as a watermarked stream:
     session_window merges events within the gap, the watermark finalizes a
