@@ -357,3 +357,81 @@ def simhash_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# -- pairs -> clusters -> keep-set --------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over undirected dup-pair edges by minimum-label
+    propagation: every node's label converges to the smallest node id in
+    its component. Returns (node, label).
+
+    Scale shape: each round is two bounded shuffles (edge join + per-node
+    min), volume O(|edges|); rounds needed = component diameter, and LSH
+    dup clusters are near-cliques (diameter 2-3), so the loop exits after a
+    handful of rounds via the convergence check. ``localCheckpoint``
+    truncates the growing lineage each round — without it the plan doubles
+    per iteration. Alternating large/small-star halves round counts on
+    high-diameter graphs; for dedup graphs plain propagation is already
+    round-optimal.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new = (
+                labels.join(nbr, labels["node"] == nbr["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.withColumnRenamed("label", "label_new")
+                .join(labels, "node")
+                .filter(F.col("label_new") != F.col("label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
+def dedup_keepset(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The terminal step of fuzzy dedup: collapse pair edges into clusters
+    and keep ONE canonical doc per cluster (the min id — swap the label
+    choice for a quality-argmax to keep the best copy instead).
+
+    Docs outside any pair pass through; cluster non-representatives are
+    anti-joined away. The anti-join side is (node, label) pairs — key-only
+    columns, never document bodies.
+    """
+    comp = connected_components(pairs, max_iter=25)
+    drop = comp.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

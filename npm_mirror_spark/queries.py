@@ -384,6 +384,19 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_keepset(spark, sf_dir):
+    """END-TO-END fuzzy dedup — the training-data terminal step: MinHash/
+    LSH candidate pairs -> connected components (min-label propagation,
+    operators/dedup.py:connected_components) -> one canonical min-id doc
+    per duplicate cluster, unpaired docs passing through. Oracle computes
+    the same components via a recursive reachability closure."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_ops.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return dedup_ops.dedup_keepset(docs.select("doc_id"), pairs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification over blocked pairs (same lang,
     id within 20) — the verify stage behind MinHash candidates."""
@@ -996,6 +1009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_norm": q_dedup_norm,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_dedup_keepset": q_dedup_keepset,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash_pairs": q_simhash_pairs,
     "q_cosine_topk": q_cosine_topk,
@@ -1064,6 +1078,32 @@ n AS (SELECT vec_id, v,
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
+
+# MinHash/LSH candidate edges over the dup-injected corpus — shared by the
+# q_minhash_pairs and q_dedup_keepset oracles; mirrors
+# operators/dedup.py:minhash_candidate_pairs exactly.
+_MINHASH_EDGES = f"""
+{_DOCS_WITH_DUPS},
+{_SHINGLES.format(src="docs2")},
+based AS (
+  SELECT doc_id,
+         list_transform(shingles, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS bases
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+           s -> list_min(list_transform(bases,
+                  b -> ((10007 + 2*s) * b + (7919*s + 12345)) % 1000000007))) AS sig
+  FROM based),
+bands AS (
+  SELECT doc_id, t.b AS band,
+         md5(CAST(sig[t.b*2+1] AS VARCHAR) || '|' || CAST(sig[t.b*2+2] AS VARCHAR)) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)),
+edges AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+"""
 
 # IVF cluster assignment (centroids = vec_id%50==0, max-cosine, cid tiebreak)
 # — shared by the q_ann_ivf and q_ivf_dup_pairs oracles; mirrors
@@ -1222,25 +1262,23 @@ SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS keep_id,
 FROM docs2 GROUP BY 1
 """,
     "q_minhash_pairs": f"""
-WITH {_DOCS_WITH_DUPS},
-{_SHINGLES.format(src="docs2")},
-based AS (
-  SELECT doc_id,
-         list_transform(shingles, x -> ('0x' || substr(md5(x),1,8))::BIGINT) AS bases
-  FROM sh),
-sig AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, 7),
-           s -> list_min(list_transform(bases,
-                  b -> ((10007 + 2*s) * b + (7919*s + 12345)) % 1000000007))) AS sig
-  FROM based),
-bands AS (
-  SELECT doc_id, t.b AS band,
-         md5(CAST(sig[t.b*2+1] AS VARCHAR) || '|' || CAST(sig[t.b*2+2] AS VARCHAR)) AS band_hash
-  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b))
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+WITH {_MINHASH_EDGES}
+SELECT id_a, id_b FROM edges
+""",
+    # pairs -> connected components (recursive reachability closure; the
+    # dup clusters are tiny so the closure is small) -> min-id keep-set
+    "q_dedup_keepset": f"""
+WITH RECURSIVE {_MINHASH_EDGES},
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+rep AS (SELECT src AS node, least(src, min(dst)) AS label
+        FROM reach GROUP BY src)
+SELECT d.doc_id FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node
+WHERE rep.node IS NULL OR rep.label = d.doc_id
 """,
     "q_ngram_jaccard": f"""
 WITH {_SHINGLES.format(src="documents")},

@@ -1,0 +1,40 @@
+"""Connected components + keep-set: the pairs->clusters->canonical-doc
+terminal step of fuzzy dedup (min-label propagation; convergence needs
+multiple rounds on chain graphs, which near-clique LSH clusters never do —
+the chain here exercises the iteration+convergence logic)."""
+
+from __future__ import annotations
+
+from npm_mirror_spark.operators.dedup import connected_components, dedup_keepset
+
+
+def test_components_on_chain_and_clique(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long",
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_keepset_keeps_representative_and_unpaired(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keepset(docs, pairs).collect())
+    # 2,3 collapse into 1; 11 into 10; everything unpaired survives
+    assert kept == [1, 4, 5, 6, 7, 8, 9, 10, 12]
+
+
+def test_components_converge_on_long_chain(spark):
+    """Diameter 9: label 0 must propagate the full length (pins the
+    fixpoint loop + convergence check, not just one round)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges).collect()
+    assert all(r["label"] == 0 for r in labels)
+    assert len(labels) == 10
