@@ -49,6 +49,8 @@ HEADLINE = [
     "q_local_supplier_volume",
     "q_window_funcs",
     "q_normalize",
+    "q_cosine_topk_arrow",
+    "q_heavy_hitters",
 ]
 
 

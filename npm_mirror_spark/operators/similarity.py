@@ -125,6 +125,70 @@ def cosine_dup_pairs(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Arrow/BLAS fast path of :func:`cosine_topk` — same plan shape
+    (probes ship to every corpus partition, corpus scanned once), but the
+    scoring runs as ONE numpy matmul per Arrow batch instead of
+    interpreted per-element HOF lambdas, and each batch emits only its
+    LOCAL top-k per probe, so the final window shuffles k rows per
+    (probe, batch) instead of the full |corpus| x |probes| score matrix.
+
+    Results equal the HOF form up to float summation order (BLAS blocked
+    sums vs sequential aggregate) — cross-validated with tolerance in
+    tests; the HOF form remains the bit-exact oracle face. Use this one
+    when throughput matters, that one when the DuckDB-matching value is
+    the contract.
+    """
+    import numpy as np
+
+    probe_rows = probes.select(probe_id_col, vec_col).collect()  # small by contract
+    pids = [r[probe_id_col] for r in probe_rows]
+    P = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in probe_rows])
+    Pn = np.linalg.norm(P, axis=1)
+    out_schema = f"{probe_id_col} long, neighbor_id long, cos_sim double"
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy()
+            Cn = _np.linalg.norm(C, axis=1)
+            S = (C @ P.T) / _np.outer(Cn, Pn)
+            out_p, out_n, out_s = [], [], []
+            for j, pid in enumerate(pids):
+                mask = ids != pid
+                col, nid = S[:, j][mask], ids[mask]
+                # local top-k: sort by (-cos, neighbor_id) for determinism
+                order = _np.lexsort((nid, -col))[:k]
+                out_p.extend([pid] * len(order))
+                out_n.extend(nid[order])
+                out_s.extend(col[order])
+            yield _pd.DataFrame(
+                {probe_id_col: out_p, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_dup_pairs(
     df: DataFrame,
     centroids: DataFrame,

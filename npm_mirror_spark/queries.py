@@ -453,6 +453,21 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_cosine_topk_arrow(spark, sf_dir):
+    """Arrow/BLAS fast path of q_cosine_topk (numpy matmul per batch,
+    local top-k before the shuffle). No oracle by design: BLAS summation
+    order differs from the sequential HOF sums at the last float bits —
+    equivalence is cross-validated against the oracle-exact twin in
+    tests/test_crossvalidation.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return sim_ops.cosine_topk_pandas(e, probes, k=5).select(
+        "probe_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
 def q_cosine_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs above 0.4 (the corpus max pairwise
     sim is ~0.51, so the threshold yields a small real set)."""
@@ -785,6 +800,37 @@ def q_tf_df(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Frequent items, exact: top-20 corpus terms by occurrence count with
+    a total-order tiebreak — the exact counterpart to approx_top_k-style
+    sketches, and the shape Spark executes as partial map-side counts +
+    TakeOrderedAndProject (no global sort)."""
+    terms = q_tf_df(spark, sf_dir)
+    return (
+        terms.select("term", "tf")
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_blob_stats(spark, sf_dir):
+    """Multimodal plumbing with an oracle-checked face: document text
+    re-encoded as a real BINARY content column (the same shape image/audio
+    bytes take in operators/multimodal.py), then JVM-side blob ops — byte
+    length, sha-256 digest, digest-prefix shard (the artifact-store
+    partition key). Only the codec decode is stubbed in this container;
+    the binary column path itself is value-verified here."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    digest = F.sha2(blob, 256)
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        digest.alias("digest"),
+        F.upper(F.substring(digest, 1, 2)).alias("shard"),
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """Left-semi probe (the complement of q_anti_join's F10 dedup): orders
     whose customer DID produce events."""
@@ -1013,6 +1059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash_pairs": q_simhash_pairs,
     "q_cosine_topk": q_cosine_topk,
+    "q_cosine_topk_arrow": q_cosine_topk_arrow,
     "q_cosine_dup_pairs": q_cosine_dup_pairs,
     "q_ann_ivf": q_ann_ivf,
     "q_ivf_dup_pairs": q_ivf_dup_pairs,
@@ -1033,6 +1080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_region_rollup": q_region_rollup,
     "q_quality_filter": q_quality_filter,
     "q_tf_df": q_tf_df,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_blob_stats": q_blob_stats,
     "q_semi_join": q_semi_join,
     "q_grouping_rollup": q_grouping_rollup,
     "q_sessionize": q_sessionize,
@@ -1459,6 +1508,23 @@ GROUP BY lang, source
 SELECT t.term, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM (SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS term FROM documents) t
 GROUP BY t.term
+""",
+    "q_heavy_hitters": f"""
+SELECT term, tf FROM (
+  SELECT t.term, count(*) AS tf
+  FROM (SELECT unnest(str_split({_NORM}, ' ')) AS term FROM documents) t
+  GROUP BY t.term)
+ORDER BY tf DESC, term ASC
+LIMIT 20
+""",
+    # DuckDB's sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly
+    # Spark's sha2(encode(text,'UTF-8')); octet_length via BLOB cast
+    "q_blob_stats": """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       sha256(text) AS digest,
+       upper(substring(sha256(text), 1, 2)) AS shard
+FROM documents
 """,
     "q_semi_join": (
         "SELECT o_orderkey, o_custkey FROM orders o "

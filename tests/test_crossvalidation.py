@@ -33,6 +33,25 @@ def test_session_window_agrees_with_lag_cumsum(spark, sf_dir):
     assert n == o
 
 
+def test_cosine_topk_arrow_agrees_with_hof(spark, sf_dir):
+    """The BLAS fast path must return the same neighbor sets as the
+    bit-exact HOF form, with cosines equal to float-summation-order
+    tolerance (BLAS blocked sums vs sequential aggregate)."""
+    from npm_mirror_spark.queries import q_cosine_topk, q_cosine_topk_arrow
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in q_cosine_topk(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["probe_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in q_cosine_topk_arrow(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, v in exact.items():
+        assert abs(v - fast[key]) < 1e-9, key
+
+
 def test_approx_sketches_within_tolerance(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     row = q_approx_stats(spark, sf_dir).collect()[0]
