@@ -80,6 +80,48 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/RefinedWeb-style document quality gate: each rule is its own
+    boolean column (auditable — a pipeline wants to know WHICH rule fired,
+    not just that the doc died), plus the within-document repetition
+    signal: the fraction of duplicated word trigrams (classic boilerplate
+    / spam detector). All JVM expressions; one pass, no shuffle.
+
+    Thresholds are calibrated to this corpus's synthetic documents — at
+    production scale they're config, not code.
+    """
+    from npm_mirror_spark.operators.dedup import word_shingles
+
+    feats = quality_features(df, text_col)
+    sh = word_shingles(text_col, 3)
+    n_sh = F.size(sh)
+    dup3 = (n_sh - F.size(F.array_distinct(sh))).cast("double") / n_sh.cast(
+        "double"
+    )
+    with_rep = feats.withColumn("dup3_ratio", dup3)
+    ok_length = F.col("n_tokens").between(10, 1000)
+    ok_token_len = (F.col("mean_token_len") >= 2.0) & (
+        F.col("mean_token_len") <= 12.0
+    )
+    ok_punct = F.col("punct_ratio") <= 0.3
+    ok_stopwords = F.col("stopword_ratio") >= 0.01
+    low_repetition = F.col("dup3_ratio") <= 0.3
+    return with_rep.withColumns(
+        {
+            "ok_length": ok_length,
+            "ok_token_len": ok_token_len,
+            "ok_punct": ok_punct,
+            "ok_stopwords": ok_stopwords,
+            "low_repetition": low_repetition,
+            "keep": ok_length
+            & ok_token_len
+            & ok_punct
+            & ok_stopwords
+            & low_repetition,
+        }
+    )
+
+
 def language_scores(col: Column | str) -> Column:
     """map<lang, stopword-hit-count> — the n-gram-heuristic language scorer.
     Real lang-ID models would run as a pandas UDF; the heuristic keeps the

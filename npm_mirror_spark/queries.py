@@ -547,6 +547,25 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", text_ops.fingerprint("text").alias("fp"))
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/RefinedWeb-style quality gate with per-rule audit flags and
+    within-doc repetition (duplicated-trigram fraction) — the rule set a
+    pretraining pipeline runs before anything expensive
+    (operators/text.py:gopher_rules)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.gopher_rules(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "dup3_ratio",
+        "ok_length",
+        "ok_token_len",
+        "ok_punct",
+        "ok_stopwords",
+        "low_repetition",
+        "keep",
+    )
+
+
 def q_approx_stats(spark, sf_dir):
     """100 TB ops: sketch aggregates (approx_count_distinct, approximate
     percentiles). Approximate by nature -> rows-only driver check."""
@@ -1068,6 +1087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
+    "q_gopher_rules": q_gopher_rules,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1381,6 +1401,34 @@ SELECT doc_id, len(toks) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
          / length(text) AS punct_ratio
 FROM w
+""",
+    "q_gopher_rules": f"""
+WITH {_SHINGLES.format(src="documents")},
+f AS (
+  SELECT d.doc_id,
+         CAST(len(w.w) AS INTEGER) AS n_tokens,
+         CAST(list_sum(list_transform(w.w, x -> length(x))) AS DOUBLE)
+           / len(w.w) AS mean_token_len,
+         CAST(len(list_filter(w.w, x -> list_contains(
+              ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+           / len(w.w) AS stopword_ratio,
+         CAST(len(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)
+           / length(d.text) AS punct_ratio,
+         CAST(len(s.shingles) - len(list_distinct(s.shingles)) AS DOUBLE)
+           / len(s.shingles) AS dup3_ratio
+  FROM documents d
+  JOIN w ON w.doc_id = d.doc_id
+  JOIN sh s ON s.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, dup3_ratio,
+       n_tokens BETWEEN 10 AND 1000 AS ok_length,
+       (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AS ok_token_len,
+       punct_ratio <= 0.3 AS ok_punct,
+       stopword_ratio >= 0.01 AS ok_stopwords,
+       dup3_ratio <= 0.3 AS low_repetition,
+       ((n_tokens BETWEEN 10 AND 1000) AND mean_token_len >= 2.0
+        AND mean_token_len <= 12.0 AND punct_ratio <= 0.3
+        AND stopword_ratio >= 0.01 AND dup3_ratio <= 0.3) AS keep
+FROM f
 """,
     "q_lang_id": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),

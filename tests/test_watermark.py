@@ -77,6 +77,64 @@ def test_windowed_counts_with_watermark_drop_late(spark, tmp_path):
     assert counts["2024-01-01T00:30:00"] == 1, counts
 
 
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark = the BOUNDED-state streaming dedup:
+    duplicates inside the watermark window collapse, but state for a key
+    is dropped once the watermark passes it — a later re-arrival is
+    emitted again. (Plain dropDuplicates would hold every key forever;
+    this is the knob that makes stream dedup survive an unbounded feed,
+    complementing the pipeline's seq-bounded sink anti-join.)"""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes):
+        return {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).isoformat(),
+        }
+
+    # batch 1: id 1 twice within the window -> one survivor
+    _write_batchfile(feed / "b1.jsonl", [ev(1, 0), ev(1, 1), ev(2, 2)])
+    # batch 2: advance the watermark far past id 1's state lifetime
+    _write_batchfile(feed / "b2.jsonl", [ev(3, 120)])
+    # batch 3: spacer — eviction runs with the watermark ESTABLISHED by
+    # batch 2 (watermark updates lag one micro-batch)
+    _write_batchfile(feed / "b3.jsonl", [ev(4, 125)])
+    # batch 4: id 1 re-arrives with a fresh ts after its state expired ->
+    # emitted AGAIN (bounded state traded exactly-once for survivability)
+    _write_batchfile(feed / "b4.jsonl", [ev(1, 126)])
+
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(["b1.jsonl", "b2.jsonl", "b3.jsonl", "b4.jsonl"]):
+        os.utime(feed / name, (now - 180 + 45 * i, now - 180 + 45 * i))
+
+    schema = "event_id long, ts string"
+    parsed = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(feed))
+        .select(F.from_json("value", schema).alias("c"))
+        .select("c.event_id", F.to_timestamp("c.ts").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = []
+    q = (
+        parsed.writeStream.foreachBatch(
+            lambda df, bid: out.extend(r["event_id"] for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "cp_ddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(out) == [1, 1, 2, 3, 4], out  # id 1 once per state lifetime
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Stream-stream inner join with watermarks: same-user event pairs
     within a forward 10-minute bound — the streaming twin of
