@@ -1,0 +1,195 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, PII redaction, sequence packing, stratified sampling.
+
+The reference has no analogue (it mirrors artifacts verbatim;
+changes_consumer.py stores whatever the feed hands it) — these are the
+operations a pretraining pipeline runs between "mirrored corpus" and
+"training shards", implemented Spark-first:
+
+- decontamination: membership of any document n-gram in a benchmark
+  suite's n-gram set. The benchmark side is SMALL by construction (eval
+  suites are MBs, the corpus is TBs) -> distinct benchmark shingles are
+  broadcast; the corpus side explodes shingles map-side and probes the
+  broadcast hash set; the only shuffle is the per-doc hit count keyed on
+  doc_id (hits only — typically a sliver of the corpus).
+- PII redaction: chained ``regexp_replace`` entirely inside whole-stage
+  codegen. Patterns are written in the common Java-regex/RE2 subset so
+  the DuckDB oracle applies the identical automaton.
+- sequence packing: the concat-and-chunk layout (GPT-style): documents
+  are concatenated in deterministic order within a shard and cut into
+  fixed-capacity token blocks. Per-shard prefix sums via a window — the
+  partition key IS the shard, so no global ordering bottleneck: each
+  shard packs independently, exactly how a production writer shards
+  output files.
+- stratified sampling: deterministic per-stratum rate thresholding on a
+  multiplicative id hash (Knuth 2654435761). Hash-threshold sampling is
+  reproducible across engines and re-runs (no RNG state), and at 100 TB
+  it is a pure map-side filter — zero shuffle, prunable columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.dedup import word_shingles
+
+# -- decontamination ---------------------------------------------------------
+
+
+def benchmark_shingles(bench: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-grams of the benchmark suite, one per row.
+
+    The distinct() here is load-bearing at scale: it collapses the
+    benchmark to its shingle vocabulary BEFORE the broadcast, so the
+    broadcast payload is bounded by vocabulary size, not suite size.
+    """
+    return (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-overlap: (id, n_hits, contaminated).
+
+    Plan shape (the one you'd want at 100 TB): corpus shingles explode
+    map-side -> broadcast-hash-join against the benchmark shingle
+    vocabulary (no corpus shuffle) -> count distinct hit shingles per doc
+    (one shuffle of the HIT rows only) -> right-broadcast... no: the
+    final left join back onto the corpus ids is a plain shuffle-free
+    map-side null-fill only if hits are broadcast; hits are small
+    (contamination is rare), so broadcast them.
+    """
+    sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    bench_sh = benchmark_shingles(bench, text_col, n)
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+# Java-regex / RE2 common subset (no lookaround, no backrefs) so the
+# DuckDB oracle runs the same patterns verbatim.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+# Order matters: emails contain dots/digits that could partially match
+# later patterns; replace the most specific first. Phone before ipv4 is
+# irrelevant (disjoint shapes), email first is not.
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Replace PII spans with [TYPE] tokens and count matches per type.
+
+    One projection, all ``regexp_replace``/``regexp_count`` — stays in
+    whole-stage codegen; at scale this is a free rider on whatever scan
+    already touches the text column.
+    """
+    red = F.col(text_col)
+    counts = {}
+    for name in _PII_ORDER:
+        pat = PII_PATTERNS[name]
+        counts[f"n_{name}"] = F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return df.withColumns({**counts, "redacted": red})
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    shard_col: str,
+    order_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Concat-and-chunk block assignment: within each shard, documents are
+    laid end-to-end in ``order_col`` order and cut into ``capacity``-token
+    blocks; emit each document's byte, er, token offset and the block
+    range it lands in.
+
+    ``first_block == last_block`` means the doc fits one training
+    sequence; docs spanning blocks are the chunk-boundary crossers a
+    loader either splits or re-buckets. The window partitions on the
+    shard key, so prefix sums never serialize the corpus through one
+    partition — shards pack independently (that is also the file-writer
+    parallelism at production scale).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(token_count_col).over(w).cast("long")
+    start = (end - F.col(token_count_col)).cast("long")
+    return df.withColumns(
+        {
+            "offset": start,
+            "first_block": F.floor(start / capacity).cast("long"),
+            "last_block": F.floor((end - 1) / capacity).cast("long"),
+        }
+    )
+
+
+# -- stratified sampling -----------------------------------------------------
+
+KNUTH = 2654435761  # golden-ratio multiplicative hash constant
+
+
+def sample_bucket(id_col: str, buckets: int = 1000) -> F.Column:
+    """Deterministic engine-portable bucket in [0, buckets): Knuth
+    multiplicative hash on the id. BIGINT-exact in both Spark and DuckDB
+    (id * KNUTH stays under 2^63 for ids < ~3.5e9; production would use
+    xxhash64, which DuckDB cannot replay — portability is the point of
+    the oracle, determinism is the point of the operator)."""
+    return F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Keep each row iff its id-hash bucket falls under its stratum's
+    rate threshold. Pure map-side filter — no shuffle, no RNG, stable
+    under re-runs and engine swaps; this is how a 100 TB pipeline takes
+    a reproducible 3%-of-web / 20%-of-books mix."""
+    bucket = sample_bucket(id_col, buckets)
+    thresh = F.lit(int(default_rate * buckets))
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        val = F.lit(int(rate * buckets))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.where(bucket < thresh)

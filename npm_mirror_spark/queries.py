@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from npm_mirror_spark.operators import aggregates as agg_ops
+from npm_mirror_spark.operators import curation as cur_ops
 from npm_mirror_spark.operators import dedup as dedup_ops
 from npm_mirror_spark.operators import joins as join_ops
 from npm_mirror_spark.operators import projections as proj
@@ -566,6 +567,68 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    trigram with the held-out benchmark suite (here: every 20th doc plays
+    the benchmark). The benchmark shingle vocabulary broadcasts; the
+    corpus never shuffles except for the per-doc hit counts
+    (operators/curation.py:decontaminate)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    # 5-grams, not the dedup trigrams: contamination wants a LOW-collision
+    # n-gram (the classic pipelines use 8-13); trigrams on a shared vocab
+    # flag most of the corpus, 5-grams isolate true benchmark overlap.
+    return cur_ops.decontaminate(corpus, bench, "text", "doc_id", 5)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction: emails / IPv4s / phone numbers replaced with typed
+    tokens, with per-type match counts. PII is injected deterministically
+    (every 3rd doc) so the redaction path is exercised for real; patterns
+    live in the Java-regex/RE2 common subset so the oracle replays them
+    verbatim (operators/curation.py:redact_pii)."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 tel 555-867-530"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+    )
+    injected = d.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.col("text"))
+    )
+    return cur_ops.redact_pii(injected, "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted"
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): documents laid end-to-end per
+    source shard and cut into 512-token blocks; emits each doc's token
+    offset and block range. Prefix sums partition on the shard key, so no
+    global-order bottleneck (operators/curation.py:pack_sequences)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", text_ops.ws_token_count("text").alias("n_tokens")
+    )
+    packed = cur_ops.pack_sequences(d, "n_tokens", "source", "doc_id", 512)
+    return packed.select(
+        "source", "doc_id", "n_tokens", "offset", "first_block", "last_block"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-source keep rates applied by
+    thresholding a multiplicative id hash — reproducible across engines
+    and re-runs, zero shuffle (operators/curation.py:stratified_sample)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+    return cur_ops.stratified_sample(d, "source", rates, "doc_id", 0.05)
+
+
 def q_approx_stats(spark, sf_dir):
     """100 TB ops: sketch aggregates (approx_count_distinct, approximate
     percentiles). Approximate by nature -> rows-only driver check."""
@@ -1088,6 +1151,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
     "q_gopher_rules": q_gopher_rules,
+    "q_decontaminate": q_decontaminate,
+    "q_redact_pii": q_redact_pii,
+    "q_pack_sequences": q_pack_sequences,
+    "q_stratified_sample": q_stratified_sample,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1129,6 +1196,21 @@ sh AS (SELECT doc_id,
     ELSE [t] END AS shingles
   FROM w)
 """
+
+def _shingles_sql(src: str, n: int) -> str:
+    """norm/w/sh CTEs for arbitrary word n-gram size (the trigram
+    _SHINGLES above predates this and is kept verbatim — its oracles'
+    values must not move)."""
+    return f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM {src}),
+w AS (SELECT doc_id, str_split(t, ' ') AS w, t FROM norm),
+sh AS (SELECT doc_id,
+  CASE WHEN len(w) >= {n}
+    THEN list_transform(generate_series(1, len(w)-{n - 1}),
+         i -> array_to_string(list_slice(w, i, i+{n - 1}), ' '))
+    ELSE [t] END AS shingles
+  FROM w)"""
+
 
 _DOCS_WITH_DUPS = """
 docs2 AS (
@@ -1429,6 +1511,68 @@ SELECT doc_id, n_tokens, dup3_ratio,
         AND mean_token_len <= 12.0 AND punct_ratio <= 0.3
         AND stopword_ratio >= 0.01 AND dup3_ratio <= 0.3) AS keep
 FROM f
+""",
+    "q_decontaminate": f"""
+WITH {_shingles_sql("documents", 5)},
+bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0),
+corp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 0),
+hits AS (SELECT corp.doc_id, count(DISTINCT corp.shingle) AS n_hits
+         FROM corp JOIN bench USING (shingle) GROUP BY corp.doc_id)
+SELECT s.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.doc_id % 20 <> 0
+""",
+    "q_redact_pii": """
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+      || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-867-530'
+      || CAST(doc_id % 10 AS VARCHAR)
+    ELSE text END AS text
+  FROM documents),
+s1 AS (SELECT doc_id, text,
+  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS t1 FROM inj),
+s2 AS (SELECT *,
+  regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '[IPV4]', 'g') AS t2 FROM s1),
+s3 AS (SELECT *,
+  regexp_replace(t2, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                 '[PHONE]', 'g') AS t3 FROM s2)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(t1,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2,
+    '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INTEGER) AS n_phone,
+  t3 AS redacted
+FROM s3
+""",
+    "q_pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(str_split({_NORM}, ' ')) AS INTEGER) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM toks)
+SELECT source, doc_id, n_tokens,
+       cum_end - n_tokens AS offset,
+       CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS first_block,
+       CAST(floor((cum_end - 1) / 512.0) AS BIGINT) AS last_block
+FROM cum
+""",
+    "q_stratified_sample": """
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 1000 <
+  CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+              WHEN 'src2' THEN 250 ELSE 50 END
 """,
     "q_lang_id": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),

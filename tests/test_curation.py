@@ -1,0 +1,102 @@
+"""Edge-case unit tests for the curation operators. The oracle-parity
+suite value-checks the registered queries against DuckDB; these pin the
+operator SEMANTICS on constructed corpora (boundary docs, zero-PII
+round-trips, exact block math, exact sample membership)."""
+
+from __future__ import annotations
+
+from npm_mirror_spark.operators import curation as cur
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "quick brown fox treats")], "id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in cur.decontaminate(corpus, bench, "text", "id", 3).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1  # 'quick brown fox'
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+
+
+def test_decontaminate_short_doc_whole_text_shingle(spark):
+    # docs below n words collapse to a single whole-text shingle — a short
+    # benchmark string only hits on EXACT normalized equality
+    corpus = spark.createDataFrame(
+        [(1, "Tiny  Doc"), (2, "tiny dog")], "id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "tiny doc")], "id long, text string")
+    out = {
+        r["id"]: r["contaminated"]
+        for r in cur.decontaminate(corpus, bench, "text", "id", 3).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_redact_pii_all_three_types(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@c.io or 10.0.0.1 call 555-123-4567 end")],
+        "id long, text string",
+    )
+    r = cur.redact_pii(df, "text").collect()[0]
+    assert r["redacted"] == "mail [EMAIL] or [IPV4] call [PHONE] end"
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 1, 1)
+
+
+def test_redact_pii_clean_text_roundtrips(spark):
+    txt = "no personal information in this sentence at all"
+    r = cur.redact_pii(
+        spark.createDataFrame([(1, txt)], "id long, text string"), "text"
+    ).collect()[0]
+    assert r["redacted"] == txt
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 0, 0)
+
+
+def test_pack_sequences_block_math_and_shard_independence(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 4),
+            ("a", 2, 4),
+            ("a", 3, 4),  # tokens 8..11 straddle the capacity-10 boundary
+            ("b", 4, 25),  # own shard: offset restarts at 0, spans 3 blocks
+        ],
+        "shard string, id long, n_tokens int",
+    )
+    out = {
+        r["id"]: r
+        for r in cur.pack_sequences(df, "n_tokens", "shard", "id", 10).collect()
+    }
+    assert [out[1][k] for k in ("offset", "first_block", "last_block")] == [0, 0, 0]
+    assert [out[2][k] for k in ("offset", "first_block", "last_block")] == [4, 0, 0]
+    assert [out[3][k] for k in ("offset", "first_block", "last_block")] == [8, 0, 1]
+    assert [out[4][k] for k in ("offset", "first_block", "last_block")] == [0, 0, 2]
+
+
+def test_stratified_sample_exact_membership(spark):
+    # KNUTH % 1000 = 761, gcd(761, 1000) = 1 -> bucket is a PERMUTATION of
+    # 0..999 over ids 0..999: a 0.5 rate keeps exactly 500 rows, and the
+    # same 500 on every run (the whole point: reproducible sampling).
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    full = cur.stratified_sample(df, "s", {"a": 0.5, "b": 0.5}, "id")
+    assert full.count() == 500
+    got1 = sorted(r["id"] for r in full.collect())
+    got2 = sorted(
+        r["id"]
+        for r in cur.stratified_sample(
+            df, "s", {"a": 0.5, "b": 0.5}, "id"
+        ).collect()
+    )
+    assert got1 == got2
+
+    only_a = cur.stratified_sample(df, "s", {"a": 1.0}, "id", default_rate=0.0)
+    ids = [r["id"] for r in only_a.collect()]
+    assert len(ids) == 500 and all(i % 2 == 0 for i in ids)
