@@ -237,6 +237,29 @@ def ivf_dup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, find near-duplicate pairs WITHIN each cluster, keep
+    the lowest-id member of every dup relation and drop the rest.
+
+    Survivor rule: drop v iff some u with u.id < v.id sits in v's cluster
+    at cos(u, v) >= threshold — i.e. anti-join the corpus against the
+    distinct right sides of ``ivf_dup_pairs``. The dropped-id set is tiny
+    relative to the corpus (dups are the exception), so Spark broadcasts
+    the anti-join side; the corpus itself never reshuffles beyond the
+    cluster equi-join inside the pairing.
+    """
+    pairs = ivf_dup_pairs(df, centroids, threshold, vec_col, id_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(dropped), id_col, "left_anti")
+
+
 def grouped_centroids_pandas(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -505,6 +505,66 @@ def q_ivf_dup_pairs(spark, sf_dir):
     return sim_ops.ivf_dup_pairs(e, _ivf_centroids(e), threshold=0.4)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-cluster the embeddings, drop
+    every vector that has a lower-id near-duplicate (cos >= 0.4) in its
+    cluster, return the survivors. The 100 TB shape: intra-cluster
+    pairing only, dropped-id set broadcast into a left-anti join
+    (operators/similarity.py:semdedup)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.semdedup(e, _ivf_centroids(e), threshold=0.4).select(
+        "vec_id", "label"
+    )
+
+
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelation): orders in one quarter that
+    have at least one RETURNED lineitem (this corpus's lineitem carries no
+    commit/receipt dates, so returnflag plays the violated-promise
+    predicate), counted per priority. The EXISTS compiles to a left-semi
+    join — lineitem is pre-filtered and only its join key survives the
+    scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The correlated avg decorrelates to one aggregate over
+    lineitem re-joined on partkey — Spark computes it as a shuffle agg
+    plus an equi join, never a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    # qty < 0.2 * avg restated exactly: 5 * qty * n < sum (decimal, no
+    # float division -> no order-dependent boundary flips vs the oracle)
+    return (
+        li.join(stats, li.l_partkey == stats.p_key)
+        .filter(
+            F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("n_q")
+            < F.col("sum_qty")
+        )
+        .agg(
+            _dec_sum("l_extendedprice", "total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -1145,6 +1205,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_dup_pairs": q_cosine_dup_pairs,
     "q_ann_ivf": q_ann_ivf,
     "q_ivf_dup_pairs": q_ivf_dup_pairs,
+    "q_semdedup": q_semdedup,
+    "q_order_priority_check": q_order_priority_check,
+    "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -1832,6 +1895,39 @@ SELECT id_a, id_b, cos_sim FROM (
   FROM assigned a JOIN assigned b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
 WHERE cos_sim >= 0.4
+""",
+    "q_semdedup": f"""
+WITH {_EMB_NORMED},
+{_IVF_ASSIGNED},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a="a.v", b="b.v")} / (a.nm * b.nm) AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= 0.4)
+SELECT e.vec_id, e.label
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+WHERE d.id_b IS NULL
+""",
+    "q_order_priority_check": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1
+""",
+    "q_small_quantity_revenue": """
+WITH s AS (
+  SELECT l_partkey AS p_key,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         count(*) AS n_q
+  FROM lineitem GROUP BY 1)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN s ON l.l_partkey = s.p_key
+WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * n_q < sum_qty
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
