@@ -31,9 +31,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. The only key absent here is
-    q_approx_stats — approximate sketches have no exact oracle by nature
-    -> rows-only check. Every other registered query is oracle-backed
-    (including the hash-heavy q_simhash_pairs and q_ann_ivf, whose oracles
-    recompute the identical signatures with DuckDB bit ops)."""
+    """DuckDB-runnable ANSI SQL per query. Absent keys (rows-only check):
+    q_approx_stats — approximate sketches have no exact oracle by nature;
+    q_cosine_topk_arrow — the Arrow/BLAS kernel sums in SIMD order, so its
+    floats differ in the last ulp from any SQL re-execution (its exact
+    twin q_cosine_topk IS oracle-backed and result-equality between the
+    two is pinned by pytest). Every other registered query is
+    oracle-backed (including the hash-heavy q_simhash_pairs and q_ann_ivf,
+    whose oracles recompute the identical signatures with DuckDB bit
+    ops)."""
     return dict(ORACLES)

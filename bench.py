@@ -51,6 +51,13 @@ HEADLINE = [
     "q_normalize",
     "q_cosine_topk_arrow",
     "q_heavy_hitters",
+    # round 2: corpus-curation + semantic-dedup + subquery-decorrelation
+    "q_gopher_rules",
+    "q_decontaminate",
+    "q_redact_pii",
+    "q_pack_sequences",
+    "q_semdedup",
+    "q_order_priority_check",
 ]
 
 

@@ -110,3 +110,45 @@ def test_mirror_record_single_orders_shuffle_key(q):
 
     keys = set(re.findall(r"hashpartitioning\((\w+)#", text))
     assert keys <= {"o_custkey", "c_custkey"}, keys
+
+
+def test_decontaminate_broadcasts_benchmark_vocab(q):
+    """The corpus side must never shuffle its shingles: the benchmark
+    vocabulary and the per-doc hit counts both arrive by broadcast; the
+    only hash shuffles are the two doc_id/shingle aggregations."""
+    import re
+
+    text = plans.explain_str(q("q_decontaminate"), "simple")
+    assert text.count("BroadcastHashJoin") >= 2, "vocab or hits not broadcast"
+    assert "CartesianProduct" not in text
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", text))
+    assert keys <= {"doc_id", "shingle"}, keys
+
+
+def test_pack_sequences_windows_on_shard_key(q):
+    """Prefix sums must partition on the shard column — a global (empty
+    partitionBy) window would serialize the corpus through one task."""
+    text = plans.explain_str(q("q_pack_sequences"), "simple")
+    assert "Window" in text
+    assert "hashpartitioning(source#" in text
+    assert "SinglePartition" not in text
+
+
+def test_semdedup_broadcast_anti_join(q):
+    """The dropped-id set rides a broadcast left-anti join; pairing stays
+    cluster-keyed (no all-pairs)."""
+    import re
+
+    text = plans.explain_str(q("q_semdedup"), "simple")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", text), "anti join not broadcast"
+    assert "CartesianProduct" not in text
+
+
+def test_stratified_sample_no_shuffle(q):
+    """Hash-threshold sampling is a pure map-side filter."""
+    assert plans.shuffle_count(q("q_stratified_sample")) == 0
+
+
+def test_gopher_rules_no_shuffle(q):
+    """Every rule is a projection expression — zero exchanges."""
+    assert plans.shuffle_count(q("q_gopher_rules")) == 0
