@@ -310,27 +310,41 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine).
 
-    One broadcast join + one window — the centroid table is tiny (K rows).
-    Output: corpus columns + ``cluster`` — the IVF index, and at scale the
-    write-partition key.
+    Broadcast fan-out + hash-aggregate argmax: each corpus vector scores
+    the K broadcast centroids (flat codegen-friendly per-row expressions),
+    then ``max(struct(sim, -cid))`` picks the winner as a plain aggregate
+    — ties resolve to the lowest cid, the same total order a row_number
+    window would use, but with map-side partial aggregation the shuffle
+    carries ~|corpus| pre-collapsed rows instead of the corpus x K fan-out
+    that a window (which must sort every scored row) would move. The
+    per-pair double arithmetic is unchanged, so assignments stay
+    bit-for-bit identical to the window form. (A zero-shuffle variant —
+    all K centroids in one array column, HOF argmax per row — was
+    measured ~2x SLOWER here: interpreted struct-array lambdas lose to
+    codegen'd flat columns; see git history.)
     """
     cent = F.broadcast(
         centroids.select(
-            F.col(centroid_id_col).alias("__cid"),
+            F.col(centroid_id_col).cast("long").alias("__cid"),
             _to_double(F.col(centroid_vec_col)).alias("__cvec"),
         ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
     )
     c = with_norm(corpus, vec_col, "__n")
-    scored = c.join(cent).withColumn(
-        "__sim",
-        dot(_to_double(F.col(vec_col)), F.col("__cvec")) / (F.col("__n") * F.col("__cnorm")),
+    sim = dot(_to_double(F.col(vec_col)), F.col("__cvec")) / (
+        F.col("__n") * F.col("__cnorm")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("__cid"))
+    scored = c.join(cent).withColumn(
+        "__sc", F.struct(sim.alias("s"), (-F.col("__cid")).alias("nc"))
+    )
+    others = [x for x in corpus.columns if x != id_col]
+    agged = scored.groupBy(id_col).agg(
+        F.max("__sc").alias("__m"),
+        *[F.first(x).alias(x) for x in others],
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumnRenamed("__cid", "cluster")
-        .drop("__cvec", "__cnorm", "__sim", "__rn", "__n")
+        agged.withColumn("cluster", -F.col("__m")["nc"])
+        .drop("__m")
+        .select(*corpus.columns, "cluster")
     )
 
 
