@@ -126,3 +126,62 @@ def lag_per_group(
             (F.col("__glob_max") - F.col("__grp_max")).alias(alias),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_minutes: int | None = None,
+) -> DataFrame:
+    """Sequential-pattern (funnel) analysis: per user, how far through the
+    ordered ``steps`` sequence they progressed, where each step must occur
+    STRICTLY after the previous step's matched event (and, when
+    ``within_minutes`` is set, no later than that deadline after it —
+    the conversion-window form every funnel report actually uses).
+
+    Spark-first single-shuffle form: one groupBy(user) collects the
+    (ts, type) pairs, ``array_sort`` orders them, and an ``aggregate``
+    lambda runs the state machine — no per-step self-joins, no O(steps)
+    repeated shuffles of the event table. Strict ts guards make the
+    result independent of how same-timestamp events tie-break in the
+    sort, so a min()-per-step SQL restatement is value-identical (the
+    oracle relies on this).
+
+    Returns (user_col, stage): stage in [0, len(steps)].
+    """
+    evs = df.where(F.col(type_col).isin(list(steps)))
+    per_user = evs.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+            )
+        ).alias("__evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("ts")
+    )
+
+    def advance(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            cond = (acc["stage"] == i) & (e["et"] == s)
+            if i > 0:
+                cond = cond & (e["ts"] > acc["ts"])
+                if within_minutes is not None:
+                    cond = cond & (
+                        e["ts"]
+                        <= acc["ts"] + F.expr(f"INTERVAL {within_minutes} MINUTES")
+                    )
+            out = F.when(
+                cond,
+                F.struct(F.lit(i + 1).alias("stage"), e["ts"].alias("ts")),
+            ).otherwise(out)
+        return out
+
+    return per_user.select(
+        F.col(user_col),
+        F.aggregate("__evs", init, advance)["stage"].alias("stage"),
+    )

@@ -689,6 +689,37 @@ def q_stratified_sample(spark, sf_dir):
     return cur_ops.stratified_sample(d, "source", rates, "doc_id", 0.05)
 
 
+def q_funnel(spark, sf_dir):
+    """Sequential-pattern funnel: per user the furthest stage reached in
+    view -> click -> purchase (each strictly after, and within 24 hours
+    of, the previous match), then users-per-stage. One shuffle: the state machine runs as an
+    aggregate HOF over each user's ts-sorted events, not as per-step
+    self-joins (operators/aggregates.py:funnel_stages)."""
+    ev = _t(spark, sf_dir, "events")
+    stages = agg_ops.funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        within_minutes=1440,
+    )
+    return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def q_length_histogram(spark, sf_dir):
+    """Corpus shape diagnostics: token-count histogram (width-50 buckets)
+    per source — the chart a data-mix owner reads before setting packing
+    capacity and length filters."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.floor(text_ops.ws_token_count("text") / F.lit(50))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_approx_stats(spark, sf_dir):
     """100 TB ops: sketch aggregates (approx_count_distinct, approximate
     percentiles). Approximate by nature -> rows-only driver check."""
@@ -1218,6 +1249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_redact_pii": q_redact_pii,
     "q_pack_sequences": q_pack_sequences,
     "q_stratified_sample": q_stratified_sample,
+    "q_funnel": q_funnel,
+    "q_length_histogram": q_length_histogram,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1636,6 +1669,40 @@ SELECT doc_id, source FROM documents
 WHERE (doc_id * 2654435761) % 1000 <
   CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
               WHEN 'src2' THEN 250 ELSE 50 END
+""",
+    "q_funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 1440 MINUTE GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 1440 MINUTE GROUP BY e.user_id),
+u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+st AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id))
+SELECT stage, count(*) AS n_users FROM st GROUP BY stage
+""",
+    "q_length_histogram": f"""
+WITH toks AS (
+  SELECT source,
+         CAST(len(str_split({_NORM}, ' ')) AS INTEGER) AS n_tokens
+  FROM documents)
+SELECT source, CAST(floor(n_tokens / 50.0) AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM toks GROUP BY 1, 2
 """,
     "q_lang_id": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
