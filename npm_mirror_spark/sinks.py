@@ -110,3 +110,35 @@ def write_deduped(
             committed = committed.filter(F.col(key) >= F.lit(min_key))
         out = out.join(committed, key, "left_anti")
     out.write.mode("append").parquet(path)
+
+
+def write_bucketed_table(
+    spark,
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 32,
+    sorted_by_key: bool = True,
+) -> DataFrame:
+    """Persistent HASH bucketing (``bucketBy`` + ``saveAsTable``): the
+    co-located-join layout for 100 TB fact tables.
+
+    ``partitionBy`` (above) prunes directories by VALUE; ``bucketBy``
+    pre-shuffles rows into a fixed number of hash buckets ON WRITE and
+    records that layout in the catalog, so every later join or aggregate
+    keyed on ``key`` between tables bucketed the same way runs with ZERO
+    exchanges — the shuffle is paid once at ingest instead of per query
+    (pinned by tests/test_bucketing.py). ``sortBy`` additionally lets
+    sort-merge joins skip their per-task sort.
+
+    Registered as an EXTERNAL table at ``path`` (data outlives the
+    catalog entry); returns the catalog-backed DataFrame, which carries
+    the bucket spec — reading the bare path does not.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    writer = writer.bucketBy(n_buckets, key)
+    if sorted_by_key:
+        writer = writer.sortBy(key)
+    writer.option("path", path).saveAsTable(name)
+    return spark.table(name)
