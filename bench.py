@@ -58,6 +58,7 @@ HEADLINE = [
     "q_pack_sequences",
     "q_semdedup",
     "q_order_priority_check",
+    "q_funnel",
 ]
 
 
