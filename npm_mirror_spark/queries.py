@@ -398,6 +398,38 @@ def q_dedup_keepset(spark, sf_dir):
     return dedup_ops.dedup_keepset(docs.select("doc_id"), pairs)
 
 
+def q_edit_distance(spark, sf_dir):
+    """Levenshtein verification over blocked candidate pairs (same lang,
+    id within 20) — the character-level twin of q_ngram_jaccard's
+    token-level verify; both engines evaluate the same built-in exactly.
+    Emitted as (pair, distance, within-10%-of-longer-doc flag)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("__ta"),
+        F.col("lang").alias("__la"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("__tb"),
+        F.col("lang").alias("__lb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__la") == F.col("__lb"))
+        & (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") - F.col("id_a") <= 20),
+    )
+    dist = F.levenshtein("__ta", "__tb")
+    longer = F.greatest(F.length("__ta"), F.length("__tb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        dist.alias("edit_dist"),
+        (dist * 10 <= longer).alias("near_dup"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification over blocked pairs (same lang,
     id within 20) — the verify stage behind MinHash candidates."""
@@ -1251,6 +1283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stratified_sample": q_stratified_sample,
     "q_funnel": q_funnel,
     "q_length_histogram": q_length_histogram,
+    "q_edit_distance": q_edit_distance,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1703,6 +1736,14 @@ WITH toks AS (
 SELECT source, CAST(floor(n_tokens / 50.0) AS BIGINT) AS bucket,
        count(*) AS n_docs
 FROM toks GROUP BY 1, 2
+""",
+    "q_edit_distance": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+       levenshtein(a.text, b.text) * 10
+         <= greatest(length(a.text), length(b.text)) AS near_dup
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
 """,
     "q_lang_id": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
