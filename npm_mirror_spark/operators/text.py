@@ -175,3 +175,38 @@ def text_stats_by(
             F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window document chunking: token windows of ``size`` every
+    ``stride`` tokens (overlap = size - stride), the preprocessing step in
+    front of embedding models and long-context training. Windows are
+    k = 0 .. ceil(max(n - size, 0) / stride), so every token is covered
+    and only the last chunk may run short.
+
+    All array expressions over one tokenization — the explode multiplies
+    rows by ~n/stride but carries only (id, idx, text-slice); no shuffle.
+    """
+    toks = ws_tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    m = F.greatest(n - F.lit(size), F.lit(0))
+    k_max = F.floor((m + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    d = d.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx"),
+    )
+    chunk = F.slice("__toks", F.col("chunk_idx") * stride + 1, size)
+    return d.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

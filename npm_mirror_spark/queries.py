@@ -752,6 +752,14 @@ def q_length_histogram(spark, sf_dir):
     )
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Sliding-window chunking (size 64, stride 48): the document ->
+    embedding-input explosion, every token covered, last chunk short
+    (operators/text.py:chunk_tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_tokens(d, "text", "doc_id", size=64, stride=48)
+
+
 def q_approx_stats(spark, sf_dir):
     """100 TB ops: sketch aggregates (approx_count_distinct, approximate
     percentiles). Approximate by nature -> rows-only driver check."""
@@ -1284,6 +1292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_funnel": q_funnel,
     "q_length_histogram": q_length_histogram,
     "q_edit_distance": q_edit_distance,
+    "q_chunk_tokens": q_chunk_tokens,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1736,6 +1745,20 @@ WITH toks AS (
 SELECT source, CAST(floor(n_tokens / 50.0) AS BIGINT) AS bucket,
        count(*) AS n_docs
 FROM toks GROUP BY 1, 2
+""",
+    "q_chunk_tokens": f"""
+WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents),
+k AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n,
+             CAST(floor((greatest(CAST(len(w) AS INTEGER) - 64, 0) + 47) / 48.0)
+                  AS INTEGER) AS k_max
+      FROM w),
+e AS (SELECT doc_id, w, unnest(generate_series(0, k_max)) AS chunk_idx FROM k)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+         AS chunk_text
+FROM e
 """,
     "q_edit_distance": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
