@@ -430,6 +430,22 @@ def q_edit_distance(spark, sf_dir):
     )
 
 
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Dedup diagnostics: the duplicate-cluster size histogram (how many
+    pairs, triples, ... of near-identical docs exist) — the number a
+    corpus owner checks before deciding how aggressive dedup should be.
+    Reuses the connected components of the MinHash pair graph."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_ops.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    comp = dedup_ops.connected_components(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification over blocked pairs (same lang,
     id within 20) — the verify stage behind MinHash candidates."""
@@ -1293,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_length_histogram": q_length_histogram,
     "q_edit_distance": q_edit_distance,
     "q_chunk_tokens": q_chunk_tokens,
+    "q_dup_cluster_sizes": q_dup_cluster_sizes,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1568,6 +1585,19 @@ rep AS (SELECT src AS node, least(src, min(dst)) AS label
         FROM reach GROUP BY src)
 SELECT d.doc_id FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node
 WHERE rep.node IS NULL OR rep.label = d.doc_id
+""",
+    "q_dup_cluster_sizes": f"""
+WITH RECURSIVE {_MINHASH_EDGES},
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+rep AS (SELECT src AS node, least(src, min(dst)) AS label
+        FROM reach GROUP BY src),
+sizes AS (SELECT label, count(*) AS cluster_size FROM rep GROUP BY label)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
 """,
     "q_ngram_jaccard": f"""
 WITH {_SHINGLES.format(src="documents")},
