@@ -728,6 +728,37 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pack_blocks(spark, sf_dir):
+    """The shard manifest a training loader actually reads: per (shard,
+    block), how many documents land in it and how full it is. Derived
+    from q_pack_sequences by exploding each doc's block range and
+    clipping its token interval to the block; fill divides by the
+    power-of-two capacity, so the double is exact."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", text_ops.ws_token_count("text").alias("n_tokens")
+    )
+    cap = 512
+    packed = cur_ops.pack_sequences(d, "n_tokens", "source", "doc_id", cap)
+    blocks = packed.select(
+        "source",
+        "n_tokens",
+        "offset",
+        F.explode(F.sequence("first_block", "last_block")).alias("block"),
+    )
+    contrib = F.least(
+        F.col("offset") + F.col("n_tokens"), (F.col("block") + 1) * cap
+    ) - F.greatest(F.col("offset"), F.col("block") * cap)
+    return (
+        blocks.withColumn("contrib", contrib)
+        .groupBy("source", "block")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("contrib").alias("n_block_tokens"),
+        )
+        .withColumn("fill", F.col("n_block_tokens") / F.lit(float(cap)))
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: per-source keep rates applied by
     thresholding a multiplicative id hash — reproducible across engines
@@ -1304,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,
     "q_redact_pii": q_redact_pii,
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_blocks": q_pack_blocks,
     "q_stratified_sample": q_stratified_sample,
     "q_funnel": q_funnel,
     "q_length_histogram": q_length_histogram,
@@ -1735,6 +1767,31 @@ SELECT source, doc_id, n_tokens,
        CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS first_block,
        CAST(floor((cum_end - 1) / 512.0) AS BIGINT) AS last_block
 FROM cum
+""",
+    "q_pack_blocks": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(str_split({_NORM}, ' ')) AS INTEGER) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM toks),
+spans AS (
+  SELECT source, n_tokens, cum_end - n_tokens AS off,
+         CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS fb,
+         CAST(floor((cum_end - 1) / 512.0) AS BIGINT) AS lb
+  FROM cum),
+blocks AS (
+  SELECT source, n_tokens, off, unnest(generate_series(fb, lb)) AS block
+  FROM spans)
+SELECT source, block, count(*) AS n_docs,
+       CAST(sum(least(off + n_tokens, (block + 1) * 512)
+                - greatest(off, block * 512)) AS BIGINT) AS n_block_tokens,
+       CAST(sum(least(off + n_tokens, (block + 1) * 512)
+                - greatest(off, block * 512)) AS BIGINT) / 512.0 AS fill
+FROM blocks GROUP BY source, block
 """,
     "q_stratified_sample": """
 SELECT doc_id, source FROM documents
