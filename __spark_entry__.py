@@ -36,8 +36,9 @@ def oracle_sql() -> dict[str, str]:
     q_cosine_topk_arrow — the Arrow/BLAS kernel sums in SIMD order, so its
     floats differ in the last ulp from any SQL re-execution (its exact
     twin q_cosine_topk IS oracle-backed and result-equality between the
-    two is pinned by pytest). Every other registered query is
-    oracle-backed (including the hash-heavy q_simhash_pairs and q_ann_ivf,
-    whose oracles recompute the identical signatures with DuckDB bit
-    ops)."""
+    two is pinned by pytest); q_compress_ratio — zlib is deterministic but
+    not SQL-expressible (determinism pinned by pytest). Every other
+    registered query is oracle-backed (including the hash-heavy
+    q_simhash_pairs and q_ann_ivf, whose oracles recompute the identical
+    signatures with DuckDB bit ops)."""
     return dict(ORACLES)

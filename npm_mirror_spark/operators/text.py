@@ -210,3 +210,35 @@ def chunk_tokens(
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str, out: str = "zratio") -> DataFrame:
+    """Deflate-compressibility quality signal: compressed_len / raw_len
+    over UTF-8 bytes. Repetitive boilerplate compresses far below ~0.4;
+    natural prose sits higher — a one-number repetition detector used
+    alongside the Gopher rules.
+
+    No JVM builtin compresses per-row, so this is the honest Arrow
+    boundary: a vectorized pandas UDF over stdlib zlib (deterministic for
+    a fixed level, batch-at-a-time, no Python-per-row loop in Spark —
+    the per-row loop lives inside the Arrow batch, which is as good as it
+    gets for a C-backed kernel). Not SQL-expressible -> rows-only driver
+    check; determinism is pinned by pytest instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _zratio(texts):  # pd.Series -> pd.Series
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn(out, _zratio(F.col(text_col)))

@@ -799,6 +799,31 @@ def q_length_histogram(spark, sf_dir):
     )
 
 
+def q_compress_ratio(spark, sf_dir):
+    """Deflate-compressibility per document (repetition/boilerplate
+    signal). Arrow pandas UDF over stdlib zlib — deterministic but not
+    SQL-expressible, so rows-only driver check; determinism across runs
+    is pinned by tests/test_curation.py."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.compression_ratio(d, "text").select("doc_id", "zratio")
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diffing with set operators: old corpus vs a simulated
+    next release (every 17th doc retired, every 13th re-ingested under a
+    new id) — EXCEPT ALL in both directions, labeled and unioned; the
+    audit a corpus release publishes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s2 = d.where(F.col("doc_id") % 17 != 0).unionByName(
+        d.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id")
+        )
+    )
+    removed = d.exceptAll(s2).withColumn("change", F.lit("removed"))
+    added = s2.exceptAll(d).withColumn("change", F.lit("added"))
+    return removed.unionByName(added)
+
+
 def q_chunk_tokens(spark, sf_dir):
     """Sliding-window chunking (size 64, stride 48): the document ->
     embedding-input explosion, every token covered, last chunk short
@@ -1342,6 +1367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_edit_distance": q_edit_distance,
     "q_chunk_tokens": q_chunk_tokens,
     "q_dup_cluster_sizes": q_dup_cluster_sizes,
+    "q_compress_ratio": q_compress_ratio,
+    "q_corpus_diff": q_corpus_diff,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1832,6 +1859,14 @@ WITH toks AS (
 SELECT source, CAST(floor(n_tokens / 50.0) AS BIGINT) AS bucket,
        count(*) AS n_docs
 FROM toks GROUP BY 1, 2
+""",
+    "q_corpus_diff": """
+WITH d AS (SELECT doc_id FROM documents),
+s2 AS (SELECT doc_id FROM d WHERE doc_id % 17 <> 0
+       UNION ALL SELECT doc_id + 300000 FROM d WHERE doc_id % 13 = 0)
+SELECT doc_id, 'removed' AS change FROM (SELECT doc_id FROM d EXCEPT ALL SELECT doc_id FROM s2)
+UNION ALL
+SELECT doc_id, 'added' AS change FROM (SELECT doc_id FROM s2 EXCEPT ALL SELECT doc_id FROM d)
 """,
     "q_chunk_tokens": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents),

@@ -100,3 +100,17 @@ def test_stratified_sample_exact_membership(spark):
     only_a = cur.stratified_sample(df, "s", {"a": 1.0}, "id", default_rate=0.0)
     ids = [r["id"] for r in only_a.collect()]
     assert len(ids) == 500 and all(i % 2 == 0 for i in ids)
+
+
+def test_compression_ratio_deterministic_and_sane(spark):
+    from npm_mirror_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "ab " * 500), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    r1 = {r["doc_id"]: r["zratio"] for r in compression_ratio(df, "text").collect()}
+    r2 = {r["doc_id"]: r["zratio"] for r in compression_ratio(df, "text").collect()}
+    assert r1 == r2  # bit-identical across runs (fixed zlib level)
+    assert r1[1] < 0.1  # pure repetition compresses into nothing
+    assert r1[2] is None and r1[3] == 1.0
