@@ -587,6 +587,76 @@ def q_order_priority_check(spark, sf_dir):
     )
 
 
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. Customer and nation broadcast; lineitem+orders
+    shuffle once on the orderkey; top-20 rides TakeOrderedAndProject with
+    a total-order tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (bidirectional trade): revenue shipped between two
+    nations per direction per year — supplier nation and customer nation
+    both resolve through broadcast dims; the only fact shuffle is the
+    lineitem/orders orderkey join."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
 def q_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape (correlated scalar subquery): revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -1351,6 +1421,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup": q_semdedup,
     "q_order_priority_check": q_order_priority_check,
     "q_small_quantity_revenue": q_small_quantity_revenue,
+    "q_returned_item_revenue": q_returned_item_revenue,
+    "q_nation_volume": q_nation_volume,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -2170,6 +2242,36 @@ WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_returnflag = 'R')
 GROUP BY 1
+""",
+    "q_returned_item_revenue": """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1997-07-01' AND o.o_orderdate < DATE '1997-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q_nation_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+  AND sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+GROUP BY 1, 2, 3
 """,
     "q_small_quantity_revenue": """
 WITH s AS (
