@@ -142,3 +142,33 @@ def write_bucketed_table(
         writer = writer.sortBy(key)
     writer.option("path", path).saveAsTable(name)
     return spark.table(name)
+
+
+def compact_partitions(spark, path: str, partition_col: str) -> None:
+    """Small-file compaction for an append-heavy partitioned store: every
+    micro-batch append leaves another file per partition dir, and a
+    year of 1-minute batches is half a million tiny files — scan-planning
+    death at 100 TB. This rewrites each partition's files into one
+    (`repartition(partition_col)` co-locates every partition value in a
+    single task, so each dir is written by exactly one writer) using
+    DYNAMIC partition overwrite: only partitions present in the data are
+    replaced, each swap is atomic per partition, and values are untouched
+    (tests/test_compaction.py asserts file count collapses while the
+    rowset is identical).
+
+    At cluster scale you'd run this per cold partition on a schedule;
+    hot partitions keep appending meanwhile — dynamic overwrite means
+    compacting old partitions never races the writer appending new ones.
+    """
+    df = spark.read.parquet(path)
+    mode_was = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode_was)
