@@ -902,6 +902,26 @@ def q_chunk_tokens(spark, sf_dir):
     return text_ops.chunk_tokens(d, "text", "doc_id", size=64, stride=48)
 
 
+def q_quality_percentile_filter(spark, sf_dir):
+    """Relative quality filtering: keep documents at or above the corpus
+    25th percentile of stopword ratio (absolute thresholds drift per
+    corpus; percentile cuts self-calibrate). The cutoff is ONE exact
+    type-7 percentile aggregate broadcast back over the corpus — a
+    single-row join, not a global sort or rank window."""
+    d = _t(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(d, "text").select(
+        "doc_id", "stopword_ratio"
+    )
+    cut = feats.agg(
+        F.expr("percentile(stopword_ratio, 0.25)").alias("__p25")
+    )
+    return (
+        feats.join(F.broadcast(cut))
+        .filter(F.col("stopword_ratio") >= F.col("__p25"))
+        .select("doc_id", "stopword_ratio")
+    )
+
+
 def q_approx_stats(spark, sf_dir):
     """100 TB ops: sketch aggregates (approx_count_distinct, approximate
     percentiles). Approximate by nature -> rows-only driver check."""
@@ -1441,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_cluster_sizes": q_dup_cluster_sizes,
     "q_compress_ratio": q_compress_ratio,
     "q_corpus_diff": q_corpus_diff,
+    "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1782,6 +1803,16 @@ SELECT doc_id, len(toks) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
          / length(text) AS punct_ratio
 FROM w
+""",
+    "q_quality_percentile_filter": f"""
+WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+f AS (SELECT doc_id,
+        CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+          / len(toks) AS stopword_ratio
+      FROM w),
+p AS (SELECT quantile_cont(stopword_ratio, 0.25) AS p25 FROM f)
+SELECT doc_id, stopword_ratio FROM f, p WHERE stopword_ratio >= p25
 """,
     "q_gopher_rules": f"""
 WITH {_SHINGLES.format(src="documents")},
