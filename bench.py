@@ -59,6 +59,9 @@ HEADLINE = [
     "q_semdedup",
     "q_order_priority_check",
     "q_funnel",
+    "q_chunk_tokens",
+    "q_pack_blocks",
+    "q_returned_item_revenue",
 ]
 
 
