@@ -441,3 +441,40 @@ def dedup_keepset(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_keepset_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep-set: within each duplicate cluster keep the
+    HIGHEST-``score_col`` member (ties -> lowest id) instead of the
+    blanket min-id — what a curation pipeline actually wants when dup
+    copies differ in OCR quality, truncation, or boilerplate.
+
+    Same shuffle shape as ``dedup_keepset``: components over key-only
+    edges, plus one hash-agg argmax per cluster label carrying
+    (label, score, id) triples — document bodies still never shuffle.
+    """
+    comp = connected_components(pairs, max_iter=25)
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col)), "node"
+    )
+    # max(struct(score, -id)) = max score, min id on ties — one aggregate,
+    # no per-cluster window sort (same trick as similarity.ivf_assign)
+    best = (
+        scored.groupBy("label")
+        .agg(
+            F.max(
+                F.struct(F.col(score_col).alias("s"), (-F.col("node")).alias("ni"))
+            ).alias("__m")
+        )
+        .select((-F.col("__m")["ni"]).alias("__keep_id"))
+    )
+    in_cluster = comp.select(F.col("node").alias(id_col))
+    losers = in_cluster.join(
+        best.select(F.col("__keep_id").alias(id_col)), id_col, "left_anti"
+    )
+    return docs.join(losers, id_col, "left_anti")

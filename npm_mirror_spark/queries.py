@@ -430,6 +430,21 @@ def q_edit_distance(spark, sf_dir):
     )
 
 
+def q_dedup_keepbest(spark, sf_dir):
+    """Quality-aware keep-set: per duplicate cluster keep the LONGEST
+    copy (ties -> lowest id) — here the '... zzzextra' variants beat
+    their originals, which distinguishes this from q_dedup_keepset's
+    min-id rule (operators/dedup.py:dedup_keepset_best)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_ops.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    scored = docs.withColumn("__len", F.length("text"))
+    return dedup_ops.dedup_keepset_best(
+        scored, pairs, "__len"
+    ).select("doc_id")
+
+
 def q_dup_cluster_sizes(spark, sf_dir):
     """Dedup diagnostics: the duplicate-cluster size histogram (how many
     pairs, triples, ... of near-identical docs exist) — the number a
@@ -1459,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_edit_distance": q_edit_distance,
     "q_chunk_tokens": q_chunk_tokens,
     "q_dup_cluster_sizes": q_dup_cluster_sizes,
+    "q_dedup_keepbest": q_dedup_keepbest,
     "q_compress_ratio": q_compress_ratio,
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
@@ -1737,6 +1753,24 @@ rep AS (SELECT src AS node, least(src, min(dst)) AS label
         FROM reach GROUP BY src)
 SELECT d.doc_id FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node
 WHERE rep.node IS NULL OR rep.label = d.doc_id
+""",
+    "q_dedup_keepbest": f"""
+WITH RECURSIVE {_MINHASH_EDGES},
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+rep AS (SELECT src AS node, least(src, min(dst)) AS label
+        FROM reach GROUP BY src),
+sc AS (SELECT rep.node, rep.label, length(d.text) AS s
+       FROM rep JOIN docs2 d ON d.doc_id = rep.node),
+best AS (SELECT node FROM (
+  SELECT node, row_number() OVER (PARTITION BY label
+           ORDER BY s DESC, node ASC) AS rn FROM sc) WHERE rn = 1)
+SELECT d.doc_id FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node
+WHERE rep.node IS NULL OR d.doc_id IN (SELECT node FROM best)
 """,
     "q_dup_cluster_sizes": f"""
 WITH RECURSIVE {_MINHASH_EDGES},
