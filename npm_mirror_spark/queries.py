@@ -1408,6 +1408,25 @@ def q_exact_percentiles(spark, sf_dir):
     )
 
 
+def q_rolling_hour(spark, sf_dir):
+    """Rolling (range-frame) window: for every event, how many events its
+    user produced in the trailing hour — the physical RANGE frame over
+    event-time, distinct from tumbling windows (q_window_counts) and
+    row frames (q_running_total). Epoch-seconds ordering makes the frame
+    arithmetic integer-exact in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+    )
+
+
 def q_unpivot(spark, sf_dir):
     """Unpivot (melt): the per-user pivoted counts back to long form —
     the reshaping inverse of q_pivot_counts, via Spark's native unpivot."""
@@ -1478,6 +1497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_compress_ratio": q_compress_ratio,
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
+    "q_rolling_hour": q_rolling_hour,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1837,6 +1857,14 @@ SELECT doc_id, len(toks) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
          / length(text) AS punct_ratio
 FROM w
+""",
+    "q_rolling_hour": """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS n_trailing_hour
+FROM events
 """,
     "q_quality_percentile_filter": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
