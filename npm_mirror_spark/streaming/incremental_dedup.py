@@ -74,6 +74,17 @@ class IncrementalDeduper:
     def index(self) -> DataFrame:
         return self.spark.read.parquet(self.index_path)
 
+    def bootstrap(self, corpus: DataFrame) -> None:
+        """Seed the accepted store + LSH index from an EXISTING corpus in
+        one batch pass (the migration path: bulk-index history once, then
+        stream increments against it). Overwrites any prior state."""
+        corpus.write.mode("overwrite").parquet(self.accepted_path)
+        (
+            minhash_bands(corpus, self.text_col, self.id_col, **self.lsh_args)
+            .write.mode("overwrite")
+            .parquet(self.index_path)
+        )
+
     # -- one micro-batch --------------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:

@@ -63,3 +63,24 @@ def test_intra_batch_cross_batch_and_replay_dedup(spark, tmp_path):
     d2 = _drain(spark, feed, out)
     accepted2 = {r["doc_id"] for r in d2.accepted().collect()}
     assert accepted2 == {1, 3, 5, 8}
+
+
+def test_bootstrap_then_stream(spark, tmp_path):
+    """Bulk-index an existing corpus, then stream increments against it:
+    history dups reject, novel docs accept."""
+    corpus = spark.createDataFrame(
+        [(100, A), (101, B)], "doc_id long, text string"
+    )
+    out = tmp_path / "out"
+    d = IncrementalDeduper(spark, str(out))
+    d.bootstrap(corpus)
+    assert {r["doc_id"] for r in d.accepted().collect()} == {100, 101}
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write(feed / "b1.jsonl", [
+        {"doc_id": 200, "text": A},   # dup of bootstrapped history
+        {"doc_id": 201, "text": C},   # novel
+    ])
+    d2 = _drain(spark, feed, out)
+    assert {r["doc_id"] for r in d2.accepted().collect()} == {100, 101, 201}
