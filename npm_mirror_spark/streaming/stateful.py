@@ -78,3 +78,57 @@ def seq_watchdog(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = "user_id long, stage int"
+_FUNNEL_STATE = "stage int, last_ts long"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The streaming face of ``aggregates.funnel_stages``: per-user funnel
+    stage maintained INCREMENTALLY across micro-batches in the state
+    store — (stage, ts-of-last-match) per user, O(users) state, emitted
+    as an update row per user per batch.
+
+    Within a batch events are sorted by event time and run through the
+    same strict-after state machine as the batch operator, so replaying
+    the whole feed through this operator equals the batch answer (pinned
+    by tests/test_stateful.py). Cross-batch LATE events (arriving after a
+    later step already matched) cannot retro-advance — the documented
+    trade of incremental monitoring; run the batch form for the exact
+    retrospective number.
+    """
+    keyed = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    )
+    step_list = list(steps)
+
+    def update(key, pdfs, state: GroupState):
+        stage, last_us = state.get if state.exists else (0, None)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            ev = pd.concat(frames)
+            ev = ev.assign(__us=ev["__ts"].astype("int64")).sort_values("__us")
+            for us, et in zip(ev["__us"], ev["__et"]):
+                if stage < len(step_list) and et == step_list[stage] and (
+                    stage == 0 or (last_us is not None and us > last_us)
+                ):
+                    stage, last_us = stage + 1, int(us)
+        state.update((stage, last_us if last_us is not None else 0))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -89,3 +89,63 @@ def test_enrichment_placement_after_filter(spark, feed_dir):
     assert pos_py != -1 and pos_filter != -1 and pos_py < pos_filter, (
         "filter must sit below (after in text order) the Python stage"
     )
+
+
+def test_streaming_funnel_matches_batch_replay(spark, tmp_path):
+    """Per-user funnel stage accumulates across micro-batches, and a full
+    replay through the stateful operator equals the batch funnel."""
+    from datetime import datetime
+
+    from npm_mirror_spark.operators.aggregates import funnel_stages
+    from npm_mirror_spark.streaming.stateful import streaming_funnel
+
+    def ev(u, minute, et):
+        return {
+            "user_id": u,
+            "ts": datetime(2024, 1, 1, 9, minute).isoformat(),
+            "event_type": et,
+        }
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b1 = [ev(1, 0, "view"), ev(2, 0, "view"), ev(2, 1, "click")]
+    b2 = [ev(1, 5, "click"), ev(1, 10, "purchase"), ev(2, 2, "view")]
+    for name, rows in (("b1.jsonl", b1), ("b2.jsonl", b2)):
+        (feed / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    schema = "user_id long, ts string, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    )
+    steps = ["view", "click", "purchase"]
+    out = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            out[r["user_id"]] = r["stage"]  # update mode: last write wins
+
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp_funnel"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_type"]) for r in
+         spark.read.schema(schema).json(str(feed))
+         .select("user_id", F.to_timestamp("ts").alias("ts"), "event_type")
+         .collect()],
+        "user_id long, ts timestamp, event_type string",
+    )
+    expected = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(batch_df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert out == expected == {1: 3, 2: 2}
