@@ -1408,6 +1408,62 @@ def q_exact_percentiles(spark, sf_dir):
     )
 
 
+def q_profile(spark, sf_dir):
+    """Column profiling (the first query anyone runs on a new table):
+    null count, distinct count, min/max per column, one row per column —
+    computed in a single pass over the scan (all aggregates in one
+    projection, then unpivoted), not one job per column."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    per_col = [
+        one.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape (GROUP BY + HAVING on an aggregate): orders whose
+    total lineitem quantity exceeds a threshold, joined back to their
+    customers. The HAVING filter runs on the aggregated side BEFORE the
+    broadcast customer join — the post-agg row count is tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150.0)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
 def q_rolling_hour(spark, sf_dir):
     """Rolling (range-frame) window: for every event, how many events its
     user produced in the trailing hour — the physical RANGE frame over
@@ -1498,6 +1554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_rolling_hour": q_rolling_hour,
+    "q_profile": q_profile,
+    "q_large_order_customers": q_large_order_customers,
     "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
@@ -1857,6 +1915,27 @@ SELECT doc_id, len(toks) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
          / length(text) AS punct_ratio
 FROM w
+""",
+    "q_profile": " UNION ALL ".join(
+        f"""
+SELECT '{c}' AS "column",
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in ("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    ),
+    "q_large_order_customers": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150.0)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
 """,
     "q_rolling_hour": """
 SELECT event_id, user_id,
