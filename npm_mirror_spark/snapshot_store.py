@@ -1,0 +1,122 @@
+"""Versioned snapshot store: a minimal manifest-based table format over
+immutable parquet files — atomic commits, consistent reads while writers
+append, time travel by version.
+
+The reference's stores (CouchDB mirror db, filesystem artifact tree)
+expose readers to half-written state; docs/SCALE.md flags the same gap in
+plain parquet-dir sinks (a reader listing a directory mid-append sees a
+torn table). Real deployments reach for Delta/Iceberg/Hudi; this is the
+load-bearing 20% of that idea with zero dependencies:
+
+- Data files are IMMUTABLE: each commit writes its rows under a fresh
+  ``data/b<nnnnn>/`` subdir and never touches prior files.
+- A manifest (``_manifests/v<nnnnn>.json``) lists every file of a
+  version: the new files plus everything the previous manifest held.
+- ``_LATEST`` is a one-line pointer swapped with ``os.replace`` — the
+  POSIX-atomic rename, same guarantee the artifact store's GC swap uses.
+  A reader resolves the pointer ONCE, then reads only files that
+  manifest names: commits landing meanwhile are simply invisible, never
+  torn. Any crash before the pointer swap leaves at worst orphaned data
+  files that no manifest references (harmless; vacuum() removes them).
+
+At 100 TB the manifest would hold file-level stats (min/max per column)
+for pruning and live on an object store with a CAS swap — the layout and
+commit protocol here are exactly that shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        self.latest_ptr = os.path.join(root, "_LATEST")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- versions ---------------------------------------------------------
+
+    def latest_version(self) -> int:
+        """0 = empty store; versions are 1-based."""
+        if not os.path.exists(self.latest_ptr):
+            return 0
+        with open(self.latest_ptr) as f:
+            return int(f.read().strip())
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:05d}.json")
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    # -- write ------------------------------------------------------------
+
+    def commit(self, df: DataFrame) -> int:
+        """Append ``df`` as a new atomic version; returns the version."""
+        prev = self.latest_version()
+        batch_dir = os.path.join(
+            self.data_dir, f"b{prev + 1:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("error").parquet(batch_dir)
+        new_files = sorted(
+            os.path.join(batch_dir, f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        files = (self._manifest(prev)["files"] if prev else []) + new_files
+        version = prev + 1
+        mpath = self._manifest_path(version)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        os.replace(tmp, mpath)
+        # the commit point: readers see the new version only after this
+        ptmp = self.latest_ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptmp, self.latest_ptr)
+        return version
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). The file list is
+        resolved from the manifest NOW; later commits don't affect the
+        returned DataFrame."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"snapshot store {self.root} is empty")
+        files = self._manifest(v)["files"]
+        return self.spark.read.parquet(*files)
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete orphaned data files no manifest references (crashed
+        commits); returns what was removed."""
+        referenced: set[str] = set()
+        for name in os.listdir(self.manifest_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    referenced.update(json.load(f)["files"])
+        removed = []
+        for sub in os.listdir(self.data_dir):
+            subdir = os.path.join(self.data_dir, sub)
+            for fname in os.listdir(subdir):
+                p = os.path.join(subdir, fname)
+                if fname.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    removed.append(p)
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+        return removed

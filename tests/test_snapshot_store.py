@@ -1,0 +1,46 @@
+"""SnapshotStore: atomic versioned commits — readers pinned to a version
+never see later appends, time travel works, crashed commits leave only
+orphans that vacuum() clears."""
+
+from __future__ import annotations
+
+import os
+
+from npm_mirror_spark.snapshot_store import SnapshotStore
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_versioned_commits_and_time_travel(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    assert s.latest_version() == 0
+    v1 = s.commit(spark.range(0, 3).selectExpr("id"))
+    v2 = s.commit(spark.range(10, 13).selectExpr("id"))
+    assert (v1, v2) == (1, 2)
+    assert _ids(s.read()) == [0, 1, 2, 10, 11, 12]
+    assert _ids(s.read(version=1)) == [0, 1, 2]
+
+
+def test_reader_isolated_from_concurrent_commit(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    s.commit(spark.range(0, 3).selectExpr("id"))
+    snapshot = s.read()  # resolves the manifest NOW
+    s.commit(spark.range(100, 103).selectExpr("id"))
+    # the pinned reader still sees only version 1's rows
+    assert _ids(snapshot) == [0, 1, 2]
+    assert _ids(s.read()) == [0, 1, 2, 100, 101, 102]
+
+
+def test_crashed_commit_invisible_and_vacuumable(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    s.commit(spark.range(0, 3).selectExpr("id"))
+    # simulate a crash AFTER data write, BEFORE manifest/pointer swap:
+    # data files exist but nothing references them
+    orphan_dir = os.path.join(s.data_dir, "b99999-deadbeef")
+    spark.range(500, 503).selectExpr("id").write.parquet(orphan_dir)
+    assert _ids(s.read()) == [0, 1, 2]  # reader never sees the orphans
+    removed = s.vacuum()
+    assert removed and all("b99999" in p for p in removed)
+    assert _ids(s.read()) == [0, 1, 2]  # referenced files untouched
