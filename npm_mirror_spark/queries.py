@@ -568,6 +568,39 @@ def q_ivf_dup_pairs(spark, sf_dir):
     return sim_ops.ivf_dup_pairs(e, _ivf_centroids(e), threshold=0.4)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Measure, don't guess: per-probe recall of the IVF ANN against the
+    exact top-k on the SAME probes/k — the number that justifies (or
+    vetoes) nprobe at scale. Semi-join of exact neighbors against ANN
+    neighbors, counted per probe."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = sim_ops.cosine_topk(e, probes, k=3).select(
+        "probe_id", "neighbor_id"
+    )
+    ann = sim_ops.ivf_topk(e, probes, _ivf_centroids(e), k=3, nprobe=2).select(
+        F.col("probe_id").alias("__p"), F.col("neighbor_id").alias("__n")
+    )
+    hit = exact.join(
+        ann,
+        (exact.probe_id == ann.__p) & (exact.neighbor_id == ann.__n),
+        "left_semi",
+    )
+    found = hit.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        exact.groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(found, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            (F.coalesce("n_found", F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: IVF-cluster the embeddings, drop
     every vector that has a lower-id near-duplicate (cos >= 0.4) in its
@@ -1464,6 +1497,20 @@ def q_large_order_customers(spark, sf_dir):
     )
 
 
+def q_top_events_page(spark, sf_dir):
+    """Sorted pagination (ORDER BY + OFFSET + LIMIT, page 2 of 10): the
+    API-result shape. Total order via the (value, event_id) tiebreak;
+    Spark executes offset+limit as a single partial top-(offset+limit)
+    without a global sort materialization."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .offset(10)
+        .limit(10)
+    )
+
+
 def q_rolling_hour(spark, sf_dir):
     """Rolling (range-frame) window: for every event, how many events its
     user produced in the trailing hour — the physical RANGE frame over
@@ -1529,6 +1576,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf": q_ann_ivf,
     "q_ivf_dup_pairs": q_ivf_dup_pairs,
     "q_semdedup": q_semdedup,
+    "q_ann_recall": q_ann_recall,
+    "q_top_events_page": q_top_events_page,
     "q_order_priority_check": q_order_priority_check,
     "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_returned_item_revenue": q_returned_item_revenue,
@@ -1936,6 +1985,11 @@ SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    "q_top_events_page": """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC
+LIMIT 10 OFFSET 10
 """,
     "q_rolling_hour": """
 SELECT event_id, user_id,
@@ -2502,3 +2556,21 @@ FROM events a JOIN events b
     # q_approx_stats: intentionally no oracle — sketches are approximate
     # by nature; driver records rows-only.
 }
+
+# Composed oracle: ANN recall = exact top-k (restricted to the ANN's
+# probes/k) semi-matched against the ANN result — both sides reuse the
+# already-verified oracle texts verbatim as derived tables.
+ORACLES["q_ann_recall"] = f"""
+WITH exact AS (
+  SELECT probe_id, neighbor_id
+  FROM ({ORACLES["q_cosine_topk"]}) WHERE probe_id < 5 AND rank <= 3),
+ann AS (SELECT probe_id, neighbor_id FROM ({ORACLES["q_ann_ivf"]})),
+hits AS (
+  SELECT e.probe_id, count(a.neighbor_id) AS n_found, count(*) AS k
+  FROM exact e LEFT JOIN ann a
+    ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.probe_id)
+SELECT probe_id, CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_found AS BIGINT) / CAST(k AS BIGINT) AS recall
+FROM hits
+"""
