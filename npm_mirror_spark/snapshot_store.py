@@ -61,9 +61,19 @@ class SnapshotStore:
 
     # -- write ------------------------------------------------------------
 
-    def commit(self, df: DataFrame) -> int:
-        """Append ``df`` as a new atomic version; returns the version."""
+    def commit(self, df: DataFrame, token: str | int | None = None) -> int:
+        """Append ``df`` as a new atomic version; returns the version.
+
+        ``token`` makes the commit IDEMPOTENT for streaming foreachBatch:
+        pass the micro-batch id, and a checkpoint-replayed batch whose
+        token matches the last committed one is skipped instead of
+        double-appended — the standard transactional-sink contract
+        (exactly-once on top of Spark's at-least-once replay).
+        """
         prev = self.latest_version()
+        if token is not None and prev:
+            if self._manifest(prev).get("token") == str(token):
+                return prev
         batch_dir = os.path.join(
             self.data_dir, f"b{prev + 1:05d}-{uuid.uuid4().hex[:8]}"
         )
@@ -78,7 +88,14 @@ class SnapshotStore:
         mpath = self._manifest_path(version)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "files": files}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "files": files,
+                    "token": None if token is None else str(token),
+                },
+                f,
+            )
         os.replace(tmp, mpath)
         # the commit point: readers see the new version only after this
         ptmp = self.latest_ptr + f".tmp-{uuid.uuid4().hex[:8]}"

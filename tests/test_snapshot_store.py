@@ -44,3 +44,40 @@ def test_crashed_commit_invisible_and_vacuumable(spark, tmp_path):
     removed = s.vacuum()
     assert removed and all("b99999" in p for p in removed)
     assert _ids(s.read()) == [0, 1, 2]  # referenced files untouched
+
+
+def test_token_makes_commit_idempotent(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    v1 = s.commit(spark.range(0, 3).selectExpr("id"), token=0)
+    v_replay = s.commit(spark.range(0, 3).selectExpr("id"), token=0)
+    assert v1 == v_replay == 1  # replayed batch skipped, not re-appended
+    assert _ids(s.read()) == [0, 1, 2]
+    v2 = s.commit(spark.range(10, 12).selectExpr("id"), token=1)
+    assert v2 == 2
+    assert _ids(s.read()) == [0, 1, 2, 10, 11]
+
+
+def test_streaming_foreachbatch_exactly_once_sink(spark, tmp_path):
+    """SnapshotStore as a transactional streaming sink: one atomic
+    version per micro-batch, keyed by batch id."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.jsonl").write_text('{"id": 1}\n{"id": 2}\n')
+    (feed / "b.jsonl").write_text('{"id": 3}\n')
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: s.commit(df, token=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert s.latest_version() == 2
+    assert _ids(s.read()) == [1, 2, 3]
