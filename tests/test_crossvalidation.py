@@ -61,3 +61,29 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
     lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
     assert lo <= row["p50_value"] <= hi
     assert abs(row["p50_value"] - exact_p50) <= (hi - lo) * 0.05
+
+
+def test_semdedup_agrees_with_bruteforce_keep_rule(spark, sf_dir):
+    """SemDeDup (intra-cluster pairing) vs the brute-force rule computed
+    from ALL-pairs cosine: drop v iff some u<v has cos(u,v) >= t AND
+    shares v's IVF cluster. On this corpus the IVF blocking loses no
+    qualifying pair that the keep rule would act on differently — the
+    survivors must match the brute evaluation exactly."""
+    from npm_mirror_spark.operators.similarity import ivf_assign, semdedup
+    from npm_mirror_spark.queries import _ivf_centroids, _t, q_cosine_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(e)
+    survivors = {r["vec_id"] for r in semdedup(e, cents, 0.4).collect()}
+
+    cluster = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(e, cents).select("vec_id", "cluster").collect()
+    }
+    brute_pairs = [
+        (r["id_a"], r["id_b"]) for r in q_cosine_dup_pairs(spark, sf_dir).collect()
+    ]
+    dropped = {b for a, b in brute_pairs if cluster[a] == cluster[b]}
+    expected = set(cluster) - dropped
+    assert survivors == expected
+    assert dropped, "fixture must actually contain same-cluster dups"

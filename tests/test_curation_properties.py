@@ -1,0 +1,110 @@
+"""Property-based tests for the curation/funnel operators: invariants
+that must hold on ARBITRARY inputs, checked against brute-force Python
+reference implementations on small random corpora."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.aggregates import funnel_stages
+from npm_mirror_spark.operators.curation import pack_sequences, stratified_sample
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=40),
+    cap=st.integers(min_value=5, max_value=50),
+)
+def test_pack_sequences_covers_exactly(spark, toks, cap):
+    """Offsets tile the shard contiguously (no gaps, no overlap) and every
+    block range is consistent with the offset arithmetic."""
+    df = spark.createDataFrame(
+        [("s", i, n) for i, n in enumerate(toks)], "shard string, id long, n int"
+    )
+    rows = sorted(
+        pack_sequences(df, "n", "shard", "id", cap).collect(),
+        key=lambda r: r["id"],
+    )
+    expected_offset = 0
+    for r in rows:
+        assert r["offset"] == expected_offset
+        assert r["first_block"] == r["offset"] // cap
+        assert r["last_block"] == (r["offset"] + r["n"] - 1) // cap
+        expected_offset += r["n"]
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True
+    ),
+    rate=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_stratified_sample_matches_reference_hash(spark, ids, rate):
+    """The kept set equals the brute-force Python evaluation of the same
+    threshold rule — sampling is a pure deterministic function of id."""
+    df = spark.createDataFrame([(i, "x") for i in ids], "id long, s string")
+    kept = {
+        r["id"] for r in stratified_sample(df, "s", {"x": rate}, "id").collect()
+    }
+    expected = {i for i in ids if (i * 2654435761) % 1000 < int(rate * 1000)}
+    assert kept == expected
+
+
+_STEPS = ["a", "b", "c"]
+
+
+def _ref_funnel(events):
+    """Brute-force reference: sort by (ts, type), run the strict-after
+    machine per user."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for u, ts, et in events:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        stage, last = 0, None
+        for ts, et in sorted(evs):
+            if stage < len(_STEPS) and et == _STEPS[stage] and (
+                stage == 0 or ts > last
+            ):
+                stage, last = stage + 1, ts
+        out[u] = stage
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=30),  # minute
+            st.sampled_from(_STEPS + ["noise"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_funnel_matches_bruteforce(spark, events):
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, t0 + timedelta(minutes=m), et) for (u, m, et) in events],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(df, "user_id", "ts", "event_type", _STEPS).collect()
+    }
+    ref = _ref_funnel(
+        [(u, t0 + timedelta(minutes=m), et) for (u, m, et) in events if et in _STEPS]
+    )
+    assert got == ref
