@@ -1497,6 +1497,37 @@ def q_large_order_customers(spark, sf_dir):
     )
 
 
+def q_mode_per_user(spark, sf_dir):
+    """Deterministic mode per group: each user's most frequent event type
+    (ties -> lexicographically smallest type). Built-in mode() breaks
+    ties arbitrarily, so this is count + max(struct) argmax — two hash
+    aggregates, no window sort, engine-portable tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # max over (n, reversed-type) = highest count, then smallest type:
+    # negate the type by comparing on its "inverted" sort via a struct of
+    # (n, -rank)... strings can't negate, so invert the comparison by
+    # taking min over (-n, type) instead.
+    best = (
+        counts.withColumn("__neg_n", -F.col("n"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__neg_n"), F.col("event_type").alias("et")
+                )
+            ).alias("__m")
+        )
+    )
+    return best.select(
+        "user_id",
+        F.col("__m")["et"].alias("top_event_type"),
+        (-F.col("__m")["__neg_n"]).alias("n"),
+    )
+
+
 def q_top_events_page(spark, sf_dir):
     """Sorted pagination (ORDER BY + OFFSET + LIMIT, page 2 of 10): the
     API-result shape. Total order via the (value, event_id) tiebreak;
@@ -1578,6 +1609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup": q_semdedup,
     "q_ann_recall": q_ann_recall,
     "q_top_events_page": q_top_events_page,
+    "q_mode_per_user": q_mode_per_user,
     "q_order_priority_check": q_order_priority_check,
     "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_returned_item_revenue": q_returned_item_revenue,
@@ -1990,6 +2022,16 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 SELECT event_id, user_id, value FROM events
 ORDER BY value DESC, event_id ASC
 LIMIT 10 OFFSET 10
+""",
+    "q_mode_per_user": """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type AS top_event_type, n FROM (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY n DESC, event_type ASC) AS rn
+  FROM counts) WHERE rn = 1
 """,
     "q_rolling_hour": """
 SELECT event_id, user_id,
