@@ -42,3 +42,50 @@ def test_frame_sampling_stub(spark):
     expect = sum(-(-int(v["duration_ms"]) // 500) for v in videos)
     assert len(got) == expect
     assert all(f["frame"] is None for f in got)  # stub: no codec in container
+
+
+def test_raw_rgb_roundtrip_and_exact_resize(spark):
+    """RAW1 kernels are REAL byte transforms: encode/decode round-trips,
+    and nearest-neighbor resize picks exactly the expected pixels."""
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import (
+        decode_raw_rgb,
+        encode_raw_rgb,
+        resize_raw_images,
+    )
+
+    # 4x4 image whose pixel (y,x) = (y*10+x, 0, 255-y*10-x)
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            arr[y, x] = (y * 10 + x, 0, 255 - y * 10 - x)
+    blob = encode_raw_rgb(arr)
+    assert (decode_raw_rgb(blob) == arr).all()
+
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    out = resize_raw_images(df, 2, 2).collect()[0]
+    assert (out["width"], out["height"]) == (2, 2)
+    got = decode_raw_rgb(bytes(out["content"]))
+    # nearest-neighbor with ys=xs=[0,2]: rows/cols 0 and 2 of the source
+    expected = arr[[0, 2]][:, [0, 2]]
+    assert (got == expected).all()
+
+
+def test_raw_brightness_exact(spark):
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import (
+        encode_raw_rgb,
+        raw_image_brightness,
+    )
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    arr[..., 0] = 10  # R constant
+    arr[..., 1] = [[0, 100], [200, 100]]  # G mean = 100
+    arr[..., 2] = 255
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_raw_rgb(arr)))], "media_id long, content binary"
+    )
+    r = raw_image_brightness(df).collect()[0]
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (10.0, 100.0, 255.0)
