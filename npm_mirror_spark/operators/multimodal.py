@@ -288,3 +288,59 @@ def raw_image_brightness(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(kernel, BRIGHTNESS_SCHEMA)
+
+
+# -- PCM16: the audio analog of RAW1 -----------------------------------------
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def encode_pcm16(samples) -> bytes:
+    """int16 numpy array -> little-endian PCM bytes."""
+    import numpy as np
+
+    return np.asarray(samples, dtype="<i2").tobytes()
+
+
+def decode_pcm16(content: bytes):
+    import numpy as np
+
+    return np.frombuffer(content, dtype="<i2")
+
+
+def pcm_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features over raw PCM16 blobs: sample count, RMS
+    energy, zero-crossing count — real numpy signal math, Arrow-batched,
+    deterministic. (Compressed audio decode would slot in front exactly
+    like PIL would for RAW1.)"""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as _pd
+
+        def one(b):
+            s = np.frombuffer(bytes(b), dtype="<i2").astype(np.float64)
+            n = len(s)
+            rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+            zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1]))) if n > 1 else 0
+            return n, rms, zc
+
+        for pdf in batches:
+            feats = pdf["content"].map(one)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": feats.map(lambda t: t[0]),
+                    "rms": feats.map(lambda t: t[1]),
+                    "zero_crossings": feats.map(lambda t: t[2]),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)

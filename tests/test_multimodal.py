@@ -89,3 +89,19 @@ def test_raw_brightness_exact(spark):
     )
     r = raw_image_brightness(df).collect()[0]
     assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (10.0, 100.0, 255.0)
+
+
+def test_pcm16_features_exact(spark):
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import encode_pcm16, pcm_features
+
+    # square wave +100/-100: rms exactly 100, one crossing per flip
+    samples = np.array([100, 100, -100, -100, 100, 100], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(3, bytearray(encode_pcm16(samples)))], "media_id long, content binary"
+    )
+    r = pcm_features(df).collect()[0]
+    assert r["n_samples"] == 6
+    assert r["rms"] == 100.0
+    assert r["zero_crossings"] == 2
