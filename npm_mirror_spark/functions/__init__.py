@@ -47,6 +47,12 @@ from npm_mirror_spark.operators.text import (  # noqa: F401
     ws_tokens,
 )
 
+# curation primitives (round 2)
+from npm_mirror_spark.operators.curation import (  # noqa: F401
+    PII_PATTERNS,
+    sample_bucket,
+)
+
 __all__ = [
     "artifact_filename",
     "iso_to_ts",
@@ -68,6 +74,8 @@ __all__ = [
     "bpe_ish_tokens",
     "fingerprint",
     "language_id",
+    "PII_PATTERNS",
+    "sample_bucket",
     "language_scores",
     "punct_count",
     "stopword_count",
