@@ -1,0 +1,91 @@
+"""Corpus release builder: the whole training-data curation story as one
+call — quality gate -> benchmark decontamination -> fuzzy dedup ->
+PII redaction -> sequence packing -> atomic snapshot commit.
+
+Every stage is an existing operator (operators/{text,curation,dedup}.py),
+so this module adds NO new computation — it fixes the canonical order and
+returns the attrition audit a release publishes:
+
+- gate first: it is zero-shuffle and kills the most rows, so everything
+  downstream (shingling, pairing) runs on fewer documents;
+- decontaminate before dedup: a contaminated doc must not survive as a
+  cluster's canonical representative;
+- redact last-but-one: no point redacting rows that die earlier;
+- pack as the final shape, committed atomically through SnapshotStore so
+  consumers only ever see whole releases (and can time-travel across
+  them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    redact_pii,
+)
+from npm_mirror_spark.operators.dedup import (
+    dedup_keepset,
+    minhash_candidate_pairs,
+)
+from npm_mirror_spark.operators.text import gopher_rules, ws_token_count
+from npm_mirror_spark.snapshot_store import SnapshotStore
+
+
+def build_release(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame,
+    store_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    capacity: int = 512,
+    decontam_ngram: int = 5,
+    token: str | int | None = None,
+) -> dict:
+    """Run the five-stage curation pipeline and commit the packed corpus
+    as one snapshot version. Returns the attrition audit."""
+    n_input = docs.count()
+
+    gated = gopher_rules(docs, text_col).where(F.col("keep"))
+    kept_quality = gated.select(*docs.columns)
+    n_quality = kept_quality.count()
+
+    flags = decontaminate(
+        kept_quality, bench, text_col, id_col, decontam_ngram
+    ).where(~F.col("contaminated")).select(id_col)
+    clean = kept_quality.join(flags, id_col, "left_semi")
+    n_clean = clean.count()
+
+    pairs = minhash_candidate_pairs(clean, text_col, id_col)
+    unique = dedup_keepset(clean, pairs, id_col)
+    n_unique = unique.count()
+
+    redacted = redact_pii(unique, text_col).withColumn(
+        text_col, F.col("redacted")
+    )
+    final = pack_sequences(
+        redacted.withColumn("n_tokens", ws_token_count(text_col)),
+        "n_tokens",
+        shard_col,
+        id_col,
+        capacity,
+    ).select(
+        id_col, shard_col, text_col, "n_tokens",
+        "offset", "first_block", "last_block",
+    )
+
+    store = SnapshotStore(spark, store_root)
+    version = store.commit(final, token=token)
+
+    return {
+        "version": version,
+        "n_input": n_input,
+        "n_after_quality": n_quality,
+        "n_after_decontamination": n_clean,
+        "n_after_dedup": n_unique,
+        "n_released": n_unique,
+    }
