@@ -30,6 +30,14 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             s.add_argument("-n", "--rows", type=int, default=20)
 
+    rel = sub.add_parser(
+        "release", help="run the 5-stage curation pipeline, commit a snapshot"
+    )
+    rel.add_argument("out_dir")
+    rel.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rel.add_argument("--cpus", type=int, default=8)
+    rel.add_argument("--capacity", type=int, default=512)
+
     args = p.parse_args(argv)
 
     from npm_mirror_spark.queries import ORACLES, QUERIES
@@ -37,6 +45,26 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for q in sorted(QUERIES):
             print(f"{q}  [{'oracle' if q in ORACLES else 'rows-only'}]")
+        return 0
+
+    if args.cmd == "release":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from npm_mirror_spark.release import build_release
+        from npm_mirror_spark.session import get_spark
+        from npm_mirror_spark.tables import load_table
+
+        spark = get_spark(master=f"local[{args.cpus}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = load_table(spark, args.sf_dir, "documents")
+        bench = docs.where(F.col("doc_id") % 20 == 0)
+        corpus = docs.where(F.col("doc_id") % 20 != 0)
+        audit = build_release(
+            spark, corpus, bench, args.out_dir, capacity=args.capacity
+        )
+        print(json.dumps(audit))
         return 0
 
     if args.query not in QUERIES:
