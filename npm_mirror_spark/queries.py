@@ -1497,6 +1497,21 @@ def q_large_order_customers(spark, sf_dir):
     )
 
 
+def q_user_event_history(spark, sf_dir):
+    """Array aggregation: each user's full event history collapsed to one
+    sorted array of 'epoch|type' strings — the collect-and-carry shape
+    (feature vectors, session replays) with a deterministic element
+    order both engines reproduce."""
+    ev = _t(spark, sf_dir, "events")
+    item = F.concat(
+        F.unix_timestamp("ts").cast("string"), F.lit("|"), F.col("event_type")
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(item)).alias("history"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_mode_per_user(spark, sf_dir):
     """Deterministic mode per group: each user's most frequent event type
     (ties -> lexicographically smallest type). Built-in mode() breaks
@@ -1610,6 +1625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_recall": q_ann_recall,
     "q_top_events_page": q_top_events_page,
     "q_mode_per_user": q_mode_per_user,
+    "q_user_event_history": q_user_event_history,
     "q_order_priority_check": q_order_priority_check,
     "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_returned_item_revenue": q_returned_item_revenue,
@@ -2022,6 +2038,13 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 SELECT event_id, user_id, value FROM events
 ORDER BY value DESC, event_id ASC
 LIMIT 10 OFFSET 10
+""",
+    "q_user_event_history": """
+SELECT user_id,
+       list_sort(list(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+                      || '|' || event_type)) AS history,
+       count(*) AS n_events
+FROM events GROUP BY user_id
 """,
     "q_mode_per_user": """
 WITH counts AS (
