@@ -1521,10 +1521,8 @@ def q_mode_per_user(spark, sf_dir):
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # max over (n, reversed-type) = highest count, then smallest type:
-    # negate the type by comparing on its "inverted" sort via a struct of
-    # (n, -rank)... strings can't negate, so invert the comparison by
-    # taking min over (-n, type) instead.
+    # min over (-n, type): highest count first, then smallest type —
+    # strings can't be negated, so the count carries the sign flip
     best = (
         counts.withColumn("__neg_n", -F.col("n"))
         .groupBy("user_id")
