@@ -731,6 +731,187 @@ def q_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (market share): NATION_3's share of PROMO-part
+    revenue sold to EUROPE customers, per order year. All four dims
+    (part-filter keys, supplier nation, customer nation+region) broadcast;
+    the only fact-fact shuffle is lineitem/orders on the orderkey. The
+    share divides two exact DECIMAL sums, so the double ratio is
+    bit-identical to the oracle."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    yearly = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("nat"),
+        F.sum(vol).alias("tot"),
+    )
+    return yearly.select(
+        "o_year",
+        (F.col("nat").cast("double") / F.col("tot").cast("double")).alias("mkt_share"),
+    )
+
+
+def q_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (conditional counts after a fact-fact join): for
+    1997 shipments, per returnflag, how many lineitems belong to
+    high-priority vs low-priority orders. The CASE collapses to a
+    map-side partial count; the only shuffle is the orderkey join (the
+    date filter is pushed to the lineitem scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (conditional-revenue ratio): percent of one
+    quarter's revenue that came from PROMO-type parts. Part broadcasts
+    (its two join columns are a few MB even at 100x part cardinality);
+    both sums accumulate exactly in DECIMAL so the final double ratio has
+    a single deterministic rounding."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo"),
+        F.sum(vol).alias("tot"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo").cast("double") / F.col("tot").cast("double")).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+def q_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape (distinct-count with an exclusion subquery):
+    distinct suppliers per (brand, type, size bucket), using lineitem as
+    the part-supplier bridge (this schema has no partsupp), excluding
+    Brand#9, PROMO parts, and suppliers in arrears (s_acctbal < 0 — the
+    complaints-list stand-in). The exclusion list broadcasts as an
+    anti-join; count(distinct) is a two-phase hash agg on (dims, supp)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (OR-of-ANDs across two tables): revenue from
+    three disjoint brand/size/quantity envelopes. The join stays a plain
+    partkey equi-join; the disjunction is a post-join filter whose
+    single-sided conjuncts Catalyst still pushes to each scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (scalar subquery + anti-join): customers whose
+    balance is above the positive-balance average yet placed no order in
+    the feed's final year — per market segment, how many and how much
+    capital. The scalar average broadcasts as a 1-row cross join; orders
+    participates only as a date-pruned distinct key set for the
+    anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-06-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dec_sum("c_acctbal", "total_bal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -1628,6 +1809,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_returned_item_revenue": q_returned_item_revenue,
     "q_nation_volume": q_nation_volume,
+    "q_market_share": q_market_share,
+    "q_priority_lines": q_priority_lines,
+    "q_promo_revenue": q_promo_revenue,
+    "q_supplier_part_count": q_supplier_part_count,
+    "q_disjunctive_revenue": q_disjunctive_revenue,
+    "q_idle_rich_customers": q_idle_rich_customers,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -2572,6 +2759,72 @@ SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_re
        count(*) AS n_items
 FROM lineitem l JOIN s ON l.l_partkey = s.p_key
 WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * n_q < sum_qty
+""",
+    "q_market_share": """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)) AS v,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(v) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY 1
+""",
+    "q_priority_lines": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1
+""",
+    "q_promo_revenue": """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+""",
+    "q_supplier_part_count": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "q_disjunctive_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)
+""",
+    "q_idle_rich_customers": """
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DOUBLE) >
+      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= '2000-06-01')
+GROUP BY 1
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
