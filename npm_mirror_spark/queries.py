@@ -912,6 +912,60 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_cube_counts(spark, sf_dir):
+    """CUBE aggregation: counts and exact revenue sums over every subset
+    of (returnflag, linestatus), with grouping_id disambiguating real
+    NULLs from subtotal rows. One shuffle: Spark expands the grouping
+    sets map-side and aggregates all four granularities in a single
+    hash-agg pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("l_extendedprice", "sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_price")
+    )
+
+
+def q_rank_family(spark, sf_dir):
+    """Ranking-function family in one window: quartile (ntile),
+    percent_rank and cume_dist per market segment ordered by balance.
+    All three share one shuffle+sort; the two ratio functions divide
+    exact integer ranks, so the doubles are bit-identical to the
+    oracle's."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT): customers segmented by which
+    order statuses they have — 'both' (open and finished), 'only_open',
+    'only_finished'. Each leg is a distinct-aggregated key set; Spark
+    compiles intersect/except to the same hash joins the oracle's set
+    operators use."""
+    o = _t(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_k = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_k.intersect(fin_k).select(F.lit("both").alias("tag"), "o_custkey")
+    only_open = open_k.exceptAll(fin_k).select(
+        F.lit("only_open").alias("tag"), "o_custkey"
+    )
+    only_fin = fin_k.exceptAll(open_k).select(
+        F.lit("only_finished").alias("tag"), "o_custkey"
+    )
+    return both.unionByName(only_open).unionByName(only_fin)
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -1815,6 +1869,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_supplier_part_count": q_supplier_part_count,
     "q_disjunctive_revenue": q_disjunctive_revenue,
     "q_idle_rich_customers": q_idle_rich_customers,
+    "q_cube_counts": q_cube_counts,
+    "q_rank_family": q_rank_family,
+    "q_set_ops": q_set_ops,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -2825,6 +2882,31 @@ WHERE CAST(c_acctbal AS DOUBLE) >
   AND c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderdate >= '2000-06-01')
 GROUP BY 1
+""",
+    "q_cube_counts": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q_rank_family": """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    "q_set_ops": """
+WITH open_k AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+fin_k AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM open_k INTERSECT SELECT o_custkey FROM fin_k)
+UNION ALL
+SELECT 'only_open' AS tag, o_custkey FROM (SELECT o_custkey FROM open_k EXCEPT SELECT o_custkey FROM fin_k)
+UNION ALL
+SELECT 'only_finished' AS tag, o_custkey FROM (SELECT o_custkey FROM fin_k EXCEPT SELECT o_custkey FROM open_k)
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
