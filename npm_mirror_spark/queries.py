@@ -966,6 +966,75 @@ def q_set_ops(spark, sf_dir):
     return both.unionByName(only_open).unionByName(only_fin)
 
 
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling: dense per-event-type hourly counts with
+    zeros for silent hours. The dense hour axis is generated with
+    sequence()+explode from a broadcast 1-row bounds aggregate — the
+    grid is dims x hours, never a per-row expansion of the fact table,
+    and the count side arrives pre-aggregated so the left join is
+    grid-sized. Hours are epoch-hour integers (exact in both engines)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("hmin", "hmax")).alias("h")
+        )
+    )
+    return grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-seen week
+    (fixed 604800-second epoch weeks, not calendar weeks — integer-exact
+    in both engines), counted per (cohort week, weeks-since-cohort).
+    Two shuffles: the per-user min, then the distinct-count on the
+    cohort cell; the first-seen table joins back on the same user key."""
+    u = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("w"),
+    )
+    first = u.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        u.join(first, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_new_users_daily(spark, sf_dir):
+    """Daily active users, new-user arrivals, and cumulative users per
+    epoch-day. DAU is a distinct-count per day; arrivals come from the
+    per-user min-day aggregate joined back onto the day axis; the
+    cumulative window runs over the tiny per-day aggregate (one
+    partition of #days rows), not the fact table."""
+    u = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+    )
+    dau = u.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    first = u.groupBy("user_id").agg(F.min("d").alias("d"))
+    arrivals = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    daily = dau.join(arrivals, "d", "left").select(
+        "d", "dau", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w).alias("cume_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -1872,6 +1941,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube_counts": q_cube_counts,
     "q_rank_family": q_rank_family,
     "q_set_ops": q_set_ops,
+    "q_gap_fill": q_gap_fill,
+    "q_cohort_retention": q_cohort_retention,
+    "q_new_users_daily": q_new_users_daily,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -2907,6 +2979,40 @@ UNION ALL
 SELECT 'only_open' AS tag, o_custkey FROM (SELECT o_custkey FROM open_k EXCEPT SELECT o_custkey FROM fin_k)
 UNION ALL
 SELECT 'only_finished' AS tag, o_custkey FROM (SELECT o_custkey FROM fin_k EXCEPT SELECT o_custkey FROM open_k)
+""",
+    "q_gap_fill": """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events),
+b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM ev),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(b.hmin, b.hmax)) AS h
+  FROM (SELECT DISTINCT event_type FROM ev) t, b),
+c AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2)
+SELECT g.event_type, g.h, coalesce(c.n, 0) AS n_events
+FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+""",
+    "q_cohort_retention": """
+WITH u AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events),
+f AS (SELECT user_id, min(w) AS cohort_w FROM u GROUP BY 1)
+SELECT f.cohort_w, u.w - f.cohort_w AS week_offset,
+       count(DISTINCT u.user_id) AS n_users
+FROM u JOIN f ON u.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    "q_new_users_daily": """
+WITH u AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events),
+dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM u GROUP BY 1),
+f AS (SELECT user_id, min(d) AS d FROM u GROUP BY 1),
+arr AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1),
+daily AS (
+  SELECT dau.d, dau.dau, coalesce(arr.new_users, 0) AS new_users
+  FROM dau LEFT JOIN arr ON dau.d = arr.d)
+SELECT d, dau, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
+FROM daily
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
