@@ -1035,6 +1035,69 @@ def q_new_users_daily(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~10% corpus sample: keep rows whose md5(key) prefix
+    falls under a fixed hex threshold. Unlike rand()-based sampling this
+    is reproducible across engines, scans, and retries — the property a
+    100 TB pipeline needs for resumable sampling — and it is a pure
+    map-side filter (no shuffle, pushdown-friendly)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "1999"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outliers: events more than 2 standard deviations
+    from their event type's mean. Mean/variance derive from EXACT decimal
+    moments (sum, sum-of-squares — 2-dp inputs make the 4-dp squares
+    exact), so the doubles are bit-identical to the oracle and
+    order-independent; the built-in stddev agg would be neither. The
+    5-row stats table broadcasts back onto the stream."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+    )
+
+
+def q_group_percentiles(spark, sf_dir):
+    """Per-language exact discrete percentiles (p50/p90 of document
+    length) via rank selection: one shuffle+sort per language partition,
+    then a conditional argpick — percentile_disc semantics restated so
+    both engines pick the identical element (no interpolation floats)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    pick50 = F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))
+    pick90 = F.col("rn") == F.ceil(F.lit(0.9) * F.col("n"))
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.max(F.when(pick50, F.col("n_chars"))).alias("p50_chars"),
+        F.max(F.when(pick90, F.col("n_chars"))).alias("p90_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -1944,6 +2007,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gap_fill": q_gap_fill,
     "q_cohort_retention": q_cohort_retention,
     "q_new_users_daily": q_new_users_daily,
+    "q_hash_sample": q_hash_sample,
+    "q_zscore_outliers": q_zscore_outliers,
+    "q_group_percentiles": q_group_percentiles,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3013,6 +3079,37 @@ SELECT d, dau, new_users,
        CAST(sum(new_users) OVER (ORDER BY d
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
 FROM daily
+""",
+    "q_hash_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+""",
+    "q_zscore_outliers": """
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS s2
+  FROM ev GROUP BY 1),
+s AS (
+  SELECT event_type, s1 / n AS mean,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+  FROM m)
+SELECT ev.event_id, ev.event_type, ev.value,
+       (ev.value - s.mean) / s.sd AS z
+FROM ev JOIN s ON ev.event_type = s.event_type
+WHERE abs((ev.value - s.mean) / s.sd) > 2
+""",
+    "q_group_percentiles": """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, max(n) AS n_docs,
+       max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS p50_chars,
+       max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS p90_chars
+FROM ranked GROUP BY 1
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
