@@ -1098,6 +1098,83 @@ def q_group_percentiles(spark, sf_dir):
     )
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: which event-type pairs happen for
+    the same user within the same hour. The (user, hour) cell is
+    DISTINCT-ed to its type set BEFORE the self-join, so fan-out per
+    cell is bounded by (#types choose 2) — never quadratic in events —
+    and the self-join is a co-partitioned equi-join on the same key both
+    sides (one shuffle, reused)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .distinct()
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def q_extract_mentions(spark, sf_dir):
+    """Regex extraction (the engine-keyword miner): per document, all
+    matches of a keyword alternation — count and first hit. Pure
+    map-side JVM regex (regexp_extract_all), no Python, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"\b(scan|join|merge|sort)\b"
+    matches = F.regexp_extract_all("text", F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(matches).cast("bigint").alias("n_mentions"),
+        F.get(matches, 0).alias("first_mention"),
+    )
+
+
+def q_corr_moments(spark, sf_dir):
+    """Pearson correlation (quantity vs price per returnflag) from EXACT
+    integer moments: 2-dp inputs are scaled x100 to integers
+    (floor(x*100+0.5) — exact, tie-free), per-row products stay within
+    BIGINT, and the five sums accumulate in DECIMAL(38,0) — fully
+    order-independent, unlike the built-in corr() float aggregate. The
+    final corr formula runs on exact-cast doubles, bit-identical to the
+    oracle. One map-side-combined shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    q100 = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
+    p100 = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    m = li.select(
+        "l_returnflag", q100.alias("x"), p100.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d38(F.col("x")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("x") * F.col("x")).alias("sxx"),
+        d38(F.col("y") * F.col("y")).alias("syy"),
+        d38(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", (num / den).alias("qty_price_corr"))
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2010,6 +2087,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hash_sample": q_hash_sample,
     "q_zscore_outliers": q_zscore_outliers,
     "q_group_percentiles": q_group_percentiles,
+    "q_event_cooccurrence": q_event_cooccurrence,
+    "q_extract_mentions": q_extract_mentions,
+    "q_corr_moments": q_corr_moments,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3110,6 +3190,42 @@ SELECT lang, max(n) AS n_docs,
        max(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS p50_chars,
        max(CASE WHEN rn = ceil(0.9 * n) THEN n_chars END) AS p90_chars
 FROM ranked GROUP BY 1
+""",
+    "q_event_cooccurrence": """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, event_type
+  FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_cells
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id AND a.h = b.h AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+    "q_extract_mentions": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(scan|join|merge|sort)\b')) AS BIGINT) AS n_mentions,
+       CASE WHEN len(regexp_extract_all(text, '\b(scan|join|merge|sort)\b')) > 0
+            THEN regexp_extract_all(text, '\b(scan|join|merge|sort)\b')[1] END AS first_mention
+FROM documents
+""",
+    "q_corr_moments": """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM s GROUP BY 1)
+SELECT l_returnflag,
+       (n * sxy - sx * sy)
+       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS qty_price_corr
+FROM m
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
