@@ -62,6 +62,17 @@ HEADLINE = [
     "q_chunk_tokens",
     "q_pack_blocks",
     "q_returned_item_revenue",
+    # round 2b: wider TPC-H surface, grouping sets, time series, stats
+    "q_market_share",
+    "q_supplier_part_count",
+    "q_cube_counts",
+    "q_set_ops",
+    "q_gap_fill",
+    "q_cohort_retention",
+    "q_event_cooccurrence",
+    "q_zscore_outliers",
+    "q_group_percentiles",
+    "q_corr_moments",
 ]
 
 

@@ -152,3 +152,49 @@ def test_stratified_sample_no_shuffle(q):
 def test_gopher_rules_no_shuffle(q):
     """Every rule is a projection expression — zero exchanges."""
     assert plans.shuffle_count(q("q_gopher_rules")) == 0
+
+
+def test_market_share_broadcasts_all_dims(q):
+    """Q8 shape: part filter, supplier nation, customer nation+region all
+    broadcast; the only fact-side hash shuffle key is the orderkey join."""
+    import re
+
+    text = plans.explain_str(q("q_market_share"), "simple")
+    assert text.count("BroadcastHashJoin") >= 4
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", text))
+    # fact side may shuffle only for the orderkey join (large-SF) and the
+    # final per-year rollup (Catalyst names the year expr _groupingexpression)
+    assert keys <= {"l_orderkey", "o_orderkey", "o_year", "_groupingexpression"}, keys
+
+
+def test_hash_sample_no_shuffle(q):
+    """md5-threshold sampling is a pure map-side filter."""
+    assert plans.shuffle_count(q("q_hash_sample")) == 0
+
+
+def test_extract_mentions_no_shuffle_no_python(q):
+    """Regex extraction stays a JVM projection: no exchange, no Python
+    eval in the plan."""
+    df = q("q_extract_mentions")
+    assert plans.shuffle_count(df) == 0
+    assert "Python" not in plans.explain_str(df, "simple")
+
+
+def test_cooccurrence_equi_join_not_cartesian(q):
+    """The type-pair self-join must stay an equi hash join on the
+    (user, hour) cell key — never a nested-loop product."""
+    text = plans.explain_str(q("q_event_cooccurrence"), "simple")
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_zscore_broadcasts_stats(q):
+    """The 5-row stats aggregate must broadcast back onto the fact scan."""
+    assert plans.has_broadcast_join(q("q_zscore_outliers"))
+
+
+def test_gap_fill_grid_is_broadcast_built(q):
+    """The dense axis comes from a broadcast 1-row bounds aggregate; the
+    fact table must never cross-join the grid."""
+    text = plans.explain_str(q("q_gap_fill"), "simple")
+    assert "CartesianProduct" not in text
