@@ -1175,6 +1175,27 @@ def q_corr_moments(spark, sf_dir):
     return m.select("l_returnflag", (num / den).alias("qty_price_corr"))
 
 
+def q_best_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated argmin decorrelated): for every part,
+    the richest supplier that has actually shipped it (ties to the
+    smallest suppkey). The lineitem bridge is DISTINCT-ed before the
+    supplier attributes broadcast on, and the per-part argmax is a
+    max(struct) partial aggregate — map-side combined, no window sort,
+    one shuffle on the part key."""
+    bridge = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    best = (
+        bridge.join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.max(F.struct(F.col("s_acctbal"), (-F.col("s_suppkey")).alias("neg"))).alias("b"))
+    )
+    return best.select(
+        "partkey",
+        (-F.col("b.neg")).alias("best_suppkey"),
+        F.col("b.s_acctbal").alias("best_acctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2090,6 +2111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_cooccurrence": q_event_cooccurrence,
     "q_extract_mentions": q_extract_mentions,
     "q_corr_moments": q_corr_moments,
+    "q_best_supplier": q_best_supplier,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3226,6 +3248,16 @@ SELECT l_returnflag,
        (n * sxy - sx * sy)
        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS qty_price_corr
 FROM m
+""",
+    "q_best_supplier": """
+WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+  SELECT b.l_partkey AS partkey, s.s_suppkey, s.s_acctbal,
+         row_number() OVER (PARTITION BY b.l_partkey
+                            ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS rn
+  FROM bridge b JOIN supplier s ON b.l_suppkey = s.s_suppkey)
+SELECT partkey, s_suppkey AS best_suppkey, s_acctbal AS best_acctbal
+FROM ranked WHERE rn = 1
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (

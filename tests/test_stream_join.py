@@ -1,0 +1,96 @@
+"""Stream-stream interval join: the streaming result must equal the batch
+join of the same data, late rows beyond the interval must not match, and
+the state store must actually be exercised (two independent file streams)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+from npm_mirror_spark.streaming.stream_join import interval_join
+
+BASE = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _feeds(tmp_path):
+    imp_dir = tmp_path / "impressions"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    imps = [
+        {"imp_id": i, "user_id": i % 3, "imp_ts": (BASE + timedelta(minutes=i)).isoformat()}
+        for i in range(12)
+    ]
+    # one click inside the 10-minute window, one outside, one wrong user
+    clks = [
+        {"click_id": 100, "user_id": 0, "click_ts": (BASE + timedelta(minutes=2)).isoformat()},
+        {"click_id": 101, "user_id": 1, "click_ts": (BASE + timedelta(minutes=30)).isoformat()},
+        {"click_id": 102, "user_id": 2, "click_ts": (BASE + timedelta(hours=5)).isoformat()},
+    ]
+    _write(imp_dir / "b1.jsonl", imps[:6])
+    _write(imp_dir / "b2.jsonl", imps[6:])
+    _write(clk_dir / "b1.jsonl", clks)
+    return imp_dir, clk_dir
+
+
+IMP_SCHEMA = "imp_id long, user_id long, imp_ts timestamp"
+CLK_SCHEMA = "click_id long, user_id long, click_ts timestamp"
+
+
+def _run_stream(spark, tmp_path, imp_dir, clk_dir):
+    imps = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(imp_dir))
+    )
+    clks = spark.readStream.schema(CLK_SCHEMA).json(str(clk_dir))
+    joined = interval_join(imps, clks, "user_id", "imp_ts", "click_ts")
+    out = tmp_path / "out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(str(out))
+
+
+def test_stream_join_matches_batch(spark, tmp_path):
+    imp_dir, clk_dir = _feeds(tmp_path)
+    got = _run_stream(spark, tmp_path, imp_dir, clk_dir)
+
+    imps_b = spark.read.schema(IMP_SCHEMA).json(str(imp_dir))
+    clks_b = spark.read.schema(CLK_SCHEMA).json(str(clk_dir))
+    want = interval_join(imps_b, clks_b, "user_id", "imp_ts", "click_ts")
+
+    got_rows = {tuple(r) for r in got.select("imp_id", "click_id").collect()}
+    want_rows = {tuple(r) for r in want.select("imp_id", "click_id").collect()}
+    assert got_rows == want_rows
+    assert got_rows, "join produced nothing — window/key logic broken"
+    # the 5-hours-late click must never match any impression
+    assert not any(c == 102 for _, c in got_rows)
+
+
+def test_interval_bounds_are_inclusive_exclusive_correct(spark):
+    """Boundary semantics: click exactly at imp_ts and exactly at
+    imp_ts + max_delay both match (closed interval); one second past
+    does not."""
+    rows_i = [(1, 7, BASE)]
+    rows_c = [
+        (10, 7, BASE),
+        (11, 7, BASE + timedelta(minutes=10)),
+        (12, 7, BASE + timedelta(minutes=10, seconds=1)),
+    ]
+    imps = spark.createDataFrame(rows_i, "imp_id long, user_id long, imp_ts timestamp")
+    clks = spark.createDataFrame(rows_c, "click_id long, user_id long, click_ts timestamp")
+    got = {
+        r.click_id
+        for r in interval_join(imps, clks, "user_id", "imp_ts", "click_ts").collect()
+    }
+    assert got == {10, 11}
