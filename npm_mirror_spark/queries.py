@@ -1196,6 +1196,52 @@ def q_best_supplier(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding (hopping) event-time windows: 1-hour windows every 15
+    minutes, per event type. Each event lands in exactly window/slide = 4
+    windows — Spark's native window() expands map-side (a bounded 4x,
+    not a join); the oracle restates the expansion arithmetically.
+    Window starts are emitted as epoch seconds (integer-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").cast("bigint").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_last_touch(spark, sf_dir):
+    """Last-touch attribution: for every purchase, the user's most recent
+    preceding non-purchase event. A single per-user window with an
+    IGNORE NULLS last() over rows [..., -1] — one shuffle shared with any
+    other per-user window, no self-join, no fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_event_id", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "touch_event_id"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2112,6 +2158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_extract_mentions": q_extract_mentions,
     "q_corr_moments": q_corr_moments,
     "q_best_supplier": q_best_supplier,
+    "q_sliding_window": q_sliding_window,
+    "q_last_touch": q_last_touch,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3258,6 +3306,25 @@ ranked AS (
   FROM bridge b JOIN supplier s ON b.l_suppkey = s.s_suppkey)
 SELECT partkey, s_suppkey AS best_suppkey, s_acctbal AS best_acctbal
 FROM ranked WHERE rn = 1
+""",
+    "q_sliding_window": """
+WITH e AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+x AS (
+  SELECT event_type, value, es, unnest([0, 1, 2, 3]) AS j FROM e)
+SELECT ((es // 900) - j) * 900 AS w_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2
+""",
+    "q_last_touch": """
+SELECT event_id AS purchase_id, user_id, touch_event_id FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_event_id
+  FROM events)
+WHERE event_type = 'purchase'
 """,
     "q_asof_join": """
 SELECT event_id, user_id, ts, last_order_date, last_order_key FROM (
