@@ -1242,6 +1242,80 @@ def q_last_touch(spark, sf_dir):
     )
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (the standard hybrid-retrieval combiner):
+    per probe, rank the corpus by cosine AND by raw dot product, fuse
+    with 1/(60+rank) + 1/(60+rank), return the fused top-10. Probes
+    broadcast; the corpus is scanned once; both rank windows and the
+    final top-k share ONE probe_id shuffle (three sorts, no extra
+    exchanges). Ranks are exact integers, so the fused doubles are
+    bit-identical to the oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = sim_ops.with_norm(e, "embedding", "__cn").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__cv"),
+        "__cn",
+    )
+    p = sim_ops.with_norm(e.filter(F.col("vec_id") < 5), "embedding", "__pn").select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__pv"),
+        "__pn",
+    )
+    dp = sim_ops.dot(F.col("__cv"), F.col("__pv"))
+    scored = c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id")).select(
+        "probe_id",
+        "neighbor_id",
+        (dp / (F.col("__cn") * F.col("__pn"))).alias("cos_sim"),
+        dp.alias("dp"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    wd = Window.partitionBy("probe_id").orderBy(F.desc("dp"), F.asc("neighbor_id"))
+    fused = scored.select(
+        "probe_id",
+        "neighbor_id",
+        F.row_number().over(wc).alias("r_cos"),
+        F.row_number().over(wd).alias("r_dot"),
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("r_cos"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_dot"))
+        ).alias("rrf_score"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("rrf_score"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wr))
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+def q_doc_rarity(spark, sf_dir):
+    """Document rarity score (a lexical quality signal): mean corpus
+    frequency-rank of each document's tokens. The rank table is the
+    AGGREGATED vocabulary — orders of magnitude smaller than the corpus —
+    so its global sort is cheap and the per-doc scoring is a broadcast
+    join + one doc_id aggregation. Integer ranks keep the mean exact
+    (no libm, unlike tf-idf's log)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text_ops.ws_tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    rk = tf.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+        .alias("rank"),
+    )
+    return (
+        tok.join(F.broadcast(rk), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("rank").cast("double") / F.count(F.lit(1))).alias("avg_rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2160,6 +2234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_best_supplier": q_best_supplier,
     "q_sliding_window": q_sliding_window,
     "q_last_touch": q_last_touch,
+    "q_rrf_fusion": q_rrf_fusion,
+    "q_doc_rarity": q_doc_rarity,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -2515,6 +2591,40 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
         ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM s)
 SELECT probe_id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 5
+""",
+    "q_rrf_fusion": f"""
+WITH {_EMB_NORMED},
+p AS (SELECT vec_id AS probe_id, v AS pv, nm AS pn FROM n WHERE vec_id < 5),
+s AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a="c.v", b="p.pv")} / (c.nm * p.pn) AS cos_sim,
+         {_DOT.format(a="c.v", b="p.pv")} AS dp
+  FROM n c CROSS JOIN p WHERE c.vec_id != p.probe_id),
+r AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS r_cos,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dp DESC, neighbor_id ASC) AS r_dot
+  FROM s),
+f AS (
+  SELECT probe_id, neighbor_id,
+         (1.0 / (60 + r_cos)) + (1.0 / (60 + r_dot)) AS rrf_score FROM r),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
+  FROM f)
+SELECT probe_id, neighbor_id, rrf_score, fused_rank FROM rk WHERE fused_rank <= 10
+""",
+    "q_doc_rarity": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS term FROM documents),
+tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+rk AS (SELECT term, row_number() OVER (ORDER BY freq DESC, term ASC) AS "rank" FROM tf)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       CAST(sum("rank") AS DOUBLE) / count(*) AS avg_rank
+FROM tok JOIN rk ON tok.term = rk.term
+GROUP BY 1
 """,
     "q_cosine_dup_pairs": f"""
 WITH {_EMB_NORMED}
