@@ -73,6 +73,11 @@ HEADLINE = [
     "q_zscore_outliers",
     "q_group_percentiles",
     "q_corr_moments",
+    "q_best_supplier",
+    "q_sliding_window",
+    "q_last_touch",
+    "q_rrf_fusion",
+    "q_doc_rarity",
 ]
 
 
