@@ -1316,6 +1316,66 @@ def q_doc_rarity(spark, sf_dir):
     )
 
 
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit rollup): per supplier nation per year,
+    revenue minus cost for parts whose name carries a marker token (cost
+    proxied by p_retailprice x quantity — this schema has no partsupp).
+    Part and supplier-nation dims broadcast; the one fact-fact shuffle is
+    the orderkey join; profit terms stay in DECIMAL until the final cast."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        - (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+def q_revenue_share(spark, sf_dir):
+    """Percent-of-total window: each customer nation's revenue and its
+    share of the grand total. The share window runs over the 25-row
+    aggregate (a deliberate SinglePartition over dimension-sized data),
+    never the fact table; both sums are exact DECIMAL so the ratio is
+    deterministic."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("rev_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2236,6 +2296,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_last_touch": q_last_touch,
     "q_rrf_fusion": q_rrf_fusion,
     "q_doc_rarity": q_doc_rarity,
+    "q_nation_profit": q_nation_profit,
+    "q_revenue_share": q_revenue_share,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3416,6 +3478,29 @@ ranked AS (
   FROM bridge b JOIN supplier s ON b.l_suppkey = s.s_suppkey)
 SELECT partkey, s_suppkey AS best_suppkey, s_acctbal AS best_acctbal
 FROM ranked WHERE rn = 1
+""",
+    "q_nation_profit": """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))
+                - CAST(p.p_retailprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+       AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+    "q_revenue_share": """
+WITH per_nation AS (
+  SELECT n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1)
+SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS rev_share
+FROM per_nation
 """,
     "q_sliding_window": """
 WITH e AS (
