@@ -1376,6 +1376,54 @@ def q_revenue_share(spark, sf_dir):
     )
 
 
+def q_mad(spark, sf_dir):
+    """Robust statistics: per-event-type median and median absolute
+    deviation, both as exact rank selections (no interpolation, no libm).
+    Two windowed passes over the same event_type partitioning plus a
+    broadcast of the 5-row median table — deviations are IEEE-identical
+    doubles in both engines, so the second rank selection picks the same
+    element."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))).select(
+        "event_type", F.col("value").alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("dev"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    ranked2 = dev.select(
+        "event_type",
+        "median_value",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked2.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))).select(
+        "event_type", "median_value", F.col("dev").alias("mad")
+    )
+
+
+def q_order_size_dist(spark, sf_dir):
+    """Two-level aggregation (distribution of group sizes): how many
+    orders have k lineitems, for each k. The classic shuffle-then-tiny-
+    shuffle shape — the second aggregate runs over one row per order,
+    already a reduction of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return sizes.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2298,6 +2346,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_rarity": q_doc_rarity,
     "q_nation_profit": q_nation_profit,
     "q_revenue_share": q_revenue_share,
+    "q_mad": q_mad,
+    "q_order_size_dist": q_order_size_dist,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3501,6 +3551,31 @@ WITH per_nation AS (
 SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
        CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS rev_share
 FROM per_nation
+""",
+    "q_mad": """
+WITH ev AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+r1 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev),
+med AS (
+  SELECT event_type, value AS median_value FROM r1 WHERE rn = ceil(0.5 * n)),
+dev AS (
+  SELECT ev.event_type, med.median_value,
+         abs(ev.value - med.median_value) AS dev, ev.event_id
+  FROM ev JOIN med ON ev.event_type = med.event_type),
+r2 AS (
+  SELECT event_type, median_value, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev)
+SELECT event_type, median_value, dev AS mad FROM r2 WHERE rn = ceil(0.5 * n)
+""",
+    "q_order_size_dist": """
+SELECT n_items, count(*) AS n_orders FROM (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+GROUP BY 1
 """,
     "q_sliding_window": """
 WITH e AS (
