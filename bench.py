@@ -78,6 +78,8 @@ HEADLINE = [
     "q_last_touch",
     "q_rrf_fusion",
     "q_doc_rarity",
+    "q_nation_profit",
+    "q_mad",
 ]
 
 
