@@ -1424,6 +1424,25 @@ def q_order_size_dist(spark, sf_dir):
     return sizes.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+def q_weekly_growth(spark, sf_dir):
+    """Week-over-week growth: distinct purchasers per epoch-week and the
+    relative change vs the prior week. The lag window runs over the
+    #weeks-row aggregate, not the fact table; the growth ratio divides
+    two exact integers so the double is deterministic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    weekly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("w")
+    ).agg(F.countDistinct("user_id").alias("buyers"))
+    lagged = F.lag("buyers").over(Window.orderBy("w"))
+    return weekly.select(
+        "w",
+        "buyers",
+        (
+            (F.col("buyers") - lagged).cast("double") / lagged.cast("double")
+        ).alias("wow_growth"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2348,6 +2367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_share": q_revenue_share,
     "q_mad": q_mad,
     "q_order_size_dist": q_order_size_dist,
+    "q_weekly_growth": q_weekly_growth,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3576,6 +3596,16 @@ SELECT event_type, median_value, dev AS mad FROM r2 WHERE rn = ceil(0.5 * n)
 SELECT n_items, count(*) AS n_orders FROM (
   SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
 GROUP BY 1
+""",
+    "q_weekly_growth": """
+WITH weekly AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w,
+         count(DISTINCT user_id) AS buyers
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT w, buyers,
+       CAST(buyers - lag(buyers) OVER (ORDER BY w) AS DOUBLE)
+       / CAST(lag(buyers) OVER (ORDER BY w) AS DOUBLE) AS wow_growth
+FROM weekly
 """,
     "q_sliding_window": """
 WITH e AS (

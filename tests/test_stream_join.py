@@ -77,6 +77,37 @@ def test_stream_join_matches_batch(spark, tmp_path):
     assert not any(c == 102 for _, c in got_rows)
 
 
+def test_stream_join_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Restart semantics: drain, then add new click files and restart with
+    the SAME checkpoint — the second run must emit only the new matches
+    (no reprocessing of already-joined pairs)."""
+    imp_dir, clk_dir = _feeds(tmp_path)
+    first = _run_stream(spark, tmp_path, imp_dir, clk_dir)
+    n_first = first.count()
+    assert n_first > 0
+
+    _write(
+        clk_dir / "b2.jsonl",
+        [
+            {
+                "click_id": 103,
+                "user_id": 2,
+                "click_ts": (BASE + timedelta(minutes=3)).isoformat(),
+            }
+        ],
+    )
+    second = _run_stream(spark, tmp_path, imp_dir, clk_dir)
+    got = [
+        tuple(r)
+        for r in second.select("imp_id", "click_id").collect()
+    ]
+    # the run must grow by exactly the new click's matches (user-2
+    # impressions whose 10-min window covers 12:03) — nothing replayed
+    new_pairs = [p for p in got if p[1] == 103]
+    assert len(got) == n_first + len(new_pairs)
+    assert len(new_pairs) == len(set(new_pairs)) > 0
+
+
 def test_interval_bounds_are_inclusive_exclusive_correct(spark):
     """Boundary semantics: click exactly at imp_ts and exactly at
     imp_ts + max_delay both match (closed interval); one second past
