@@ -1100,33 +1100,35 @@ def q_group_percentiles(spark, sf_dir):
 
 def q_event_cooccurrence(spark, sf_dir):
     """Market-basket co-occurrence: which event-type pairs happen for
-    the same user within the same hour. The (user, hour) cell is
-    DISTINCT-ed to its type set BEFORE the self-join, so fan-out per
-    cell is bounded by (#types choose 2) — never quadratic in events —
-    and the self-join is a co-partitioned equi-join on the same key both
-    sides (one shuffle, reused)."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
-            "event_type",
-        )
-        .distinct()
+    the same user within the same hour. Each (user, hour) cell is
+    reduced to its sorted distinct type set, and the ordered pairs are
+    generated IN-ROW with array HOFs — fan-out per cell is bounded by
+    (#types choose 2), never quadratic in events, and there is no
+    self-join at all: two shuffles (cell agg, pair count), both
+    map-side combined."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        "event_type",
     )
-    a = ev.alias("a")
-    b = ev.alias("b")
+    cells = ev.groupBy("user_id", "h").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    # all ordered pairs from the sorted per-cell type set, generated
+    # in-row (two shuffles total: the cell agg and the pair count — no
+    # self-join at all); the two-arg transform lambda is (element, index)
+    pairs = F.flatten(
+        F.transform(
+            "types",
+            lambda x, i: F.transform(
+                F.slice("types", i + F.lit(2), F.size("types")),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        cells.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("n_cells"))
     )
 
@@ -1383,7 +1385,16 @@ def q_mad(spark, sf_dir):
     broadcast of the 5-row median table — deviations are IEEE-identical
     doubles in both engines, so the second rank selection picks the same
     element."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # pinned 3-column projection before the repartition: both passes
+    # shuffle only (event_id, event_type, value) — MAD is inherently
+    # two-pass (the second sort key depends on the first pass's median),
+    # so the floor is two pruned shuffles, and this is that floor
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .repartition("event_type")
+    )
     w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     ranked = ev.select(

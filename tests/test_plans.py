@@ -180,12 +180,13 @@ def test_extract_mentions_no_shuffle_no_python(q):
     assert "Python" not in plans.explain_str(df, "simple")
 
 
-def test_cooccurrence_equi_join_not_cartesian(q):
-    """The type-pair self-join must stay an equi hash join on the
-    (user, hour) cell key — never a nested-loop product."""
+def test_cooccurrence_joinless_two_shuffles(q):
+    """Pairs are generated in-row from the per-cell sorted type set —
+    the plan must contain NO join of any kind and exactly the two
+    aggregation shuffles (cells, pair counts)."""
     text = plans.explain_str(q("q_event_cooccurrence"), "simple")
-    assert "CartesianProduct" not in text
-    assert "BroadcastNestedLoopJoin" not in text
+    assert "Join" not in text
+    assert text.count("Exchange hashpartitioning") <= 2
 
 
 def test_zscore_broadcasts_stats(q):
