@@ -1454,6 +1454,121 @@ def q_weekly_growth(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (pure scan-side aggregate): potential revenue from
+    discount changes — one filtered sum, zero joins, every predicate
+    pushed to the parquet scan, fully map-side until the single-row
+    final combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (argmax over an aggregate): the supplier(s) whose
+    one-quarter revenue equals the maximum. The per-supplier aggregate is
+    one shuffle; the max is a broadcast 1-row join back (no window, no
+    second pass over lineitem); supplier names broadcast on at the end.
+    Exact DECIMAL revenue makes the max comparison tie-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )
+
+
+def q_overstock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested semi-join chain): suppliers of red parts
+    who shipped more than 40 units of some red part — candidates for
+    excess stock. Red parts broadcast into the bridge aggregate; the
+    qualifying (supp, part) pairs collapse to a distinct supplier set
+    that semi-joins supplier. Two shuffles: the bridge agg and the
+    distinct; supplier itself never shuffles."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
+def q_customer_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape (left-join count distribution): how many customers
+    placed k orders, INCLUDING the zero-order bucket the inner join would
+    drop. One orders-side aggregate first (so the left join is
+    customer x per-customer-count, not customer x orders), then the tiny
+    second-level distribution aggregate."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    counts = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+    return counts.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+def q_valuable_parts(spark, sf_dir):
+    """TPC-H Q11 shape (HAVING against a scalar-subquery threshold):
+    parts whose shipped value exceeds a fixed fraction of total shipped
+    value (partsupp stands in as the lineitem bridge) — here, 1.5x the
+    mean per-part value, which keeps selectivity scale-invariant. Both
+    the per-part aggregate and the 1-row total reduce before anything
+    joins; the threshold comparison cross-multiplies exact DECIMALs and
+    integers (no division) so the cut is tie-exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("part_value")
+    per_part = li.groupBy("l_partkey").agg(val)
+    total = per_part.agg(
+        F.sum("part_value").cast("decimal(38,4)").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    # part_value > 1.5 * mean  <=>  part_value * n_parts * 2 > total_value * 3
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.col("n_parts") * 2 > F.col("total_value") * 3
+        )
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2379,6 +2494,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mad": q_mad,
     "q_order_size_dist": q_order_size_dist,
     "q_weekly_growth": q_weekly_growth,
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_top_supplier_revenue": q_top_supplier_revenue,
+    "q_overstock_suppliers": q_overstock_suppliers,
+    "q_customer_order_dist": q_customer_order_dist,
+    "q_valuable_parts": q_valuable_parts,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3607,6 +3727,49 @@ SELECT event_type, median_value, dev AS mad FROM r2 WHERE rn = ceil(0.5 * n)
 SELECT n_items, count(*) AS n_orders FROM (
   SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
 GROUP BY 1
+""",
+    "q_forecast_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+    "q_top_supplier_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    "q_overstock_suppliers": """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 40)
+""",
+    "q_customer_order_dist": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT coalesce(p.n_orders, 0) AS n_orders, count(*) AS n_custs
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY 1
+""",
+    "q_valuable_parts": """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS part_value
+  FROM lineitem GROUP BY 1),
+total AS (SELECT CAST(sum(part_value) AS DECIMAL(38,4)) AS total_value,
+                 count(*) AS n_parts FROM per_part)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM per_part, total
+WHERE part_value * n_parts * 2 > total_value * 3
 """,
     "q_weekly_growth": """
 WITH weekly AS (
