@@ -80,6 +80,8 @@ HEADLINE = [
     "q_doc_rarity",
     "q_nation_profit",
     "q_mad",
+    "q_forecast_revenue",
+    "q_customer_order_dist",
 ]
 
 
