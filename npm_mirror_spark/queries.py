@@ -1569,6 +1569,48 @@ def q_valuable_parts(spark, sf_dir):
     )
 
 
+def q_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS, decorrelated):
+    suppliers who were the SOLE late shipper on a multi-supplier order
+    (late = shipped >60 days after the order date). The exists/not-exists
+    pair decorrelates to per-order supplier counts over one (order,
+    supplier) aggregate; both window counts ride the same orderkey
+    partitioning, and the final per-supplier count is a 20-row
+    TakeOrdered. Two fact shuffles total (orderkey join, orderkey agg)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("was_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "was_late",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum("was_late").over(w).alias("n_late"),
+    )
+    culprit = flagged.filter(
+        (F.col("was_late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counted = (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return counted.orderBy(F.desc("numwait"), F.asc("s_suppkey")).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2499,6 +2541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_overstock_suppliers": q_overstock_suppliers,
     "q_customer_order_dist": q_customer_order_dist,
     "q_valuable_parts": q_valuable_parts,
+    "q_waiting_orders": q_waiting_orders,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -3753,6 +3796,25 @@ WHERE s_suppkey IN (
   JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
   GROUP BY l_suppkey, l_partkey
   HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 40)
+""",
+    "q_waiting_orders": """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT l_orderkey, l_suppkey, was_late,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+         CAST(sum(was_late) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_late
+  FROM per_os)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM flagged f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.was_late = 1 AND f.n_supps > 1 AND f.n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey ASC
+LIMIT 20
 """,
     "q_customer_order_dist": """
 WITH per_cust AS (
