@@ -1574,13 +1574,18 @@ def q_waiting_orders(spark, sf_dir):
     suppliers who were the SOLE late shipper on a multi-supplier order
     (late = shipped >60 days after the order date). The exists/not-exists
     pair decorrelates to per-order supplier counts over one (order,
-    supplier) aggregate; both window counts ride the same orderkey
-    partitioning, and the final per-supplier count is a 20-row
-    TakeOrdered. Two fact shuffles total (orderkey join, orderkey agg)."""
+    supplier) aggregate; a single orderkey fact shuffle feeds that
+    aggregate AND both order-level windows, and the final per-supplier
+    count is a 20-row TakeOrdered."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # one explicit orderkey partition serves the whole chain: clustering
+    # on l_orderkey satisfies the (orderkey, suppkey) aggregate AND both
+    # order-level windows — without it the agg hashes on the composite
+    # key and the window re-shuffles the fact rows a second time
     per_os = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
