@@ -108,6 +108,72 @@ def test_stream_join_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     assert len(new_pairs) == len(set(new_pairs)) > 0
 
 
+def test_late_click_beyond_watermark_is_dropped(spark, tmp_path):
+    """The 30-minute watermark must actually bound state: a click whose
+    event time is hours behind the already-advanced global watermark is
+    DROPPED even though a matching impression exists — the documented
+    trade that keeps stream-stream join state finite. (The batch run of
+    the same data, where watermarks are a no-op, finds the match.)"""
+    import time
+
+    imp_dir = tmp_path / "imps"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    far = BASE + timedelta(hours=3)
+    _write(
+        imp_dir / "imps.jsonl",
+        [
+            {"imp_id": 1, "user_id": 7, "imp_ts": BASE.isoformat()},
+            {"imp_id": 2, "user_id": 8, "imp_ts": far.isoformat()},
+        ],
+    )
+    # batch 1 advances the watermark to ~2.5h; batch 2 lets end-of-batch
+    # state cleanup evict the stale impression under that watermark;
+    # batch 3's click (event time BASE+2min, matching imp 1) then finds
+    # no state — dropped. (Eviction runs at batch END, so the advanced
+    # watermark needs one intermediate batch to take effect.)
+    _write(
+        clk_dir / "a.jsonl",
+        [{"click_id": 50, "user_id": 9, "click_ts": far.isoformat()}],
+    )
+    time.sleep(1.1)
+    _write(
+        clk_dir / "b.jsonl",
+        [{"click_id": 52, "user_id": 9, "click_ts": (far + timedelta(minutes=1)).isoformat()}],
+    )
+    time.sleep(1.1)
+    _write(
+        clk_dir / "c.jsonl",
+        [{"click_id": 51, "user_id": 7, "click_ts": (BASE + timedelta(minutes=2)).isoformat()}],
+    )
+
+    imps = spark.readStream.schema(IMP_SCHEMA).json(str(imp_dir))
+    clks = (
+        spark.readStream.schema(CLK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(clk_dir))
+    )
+    joined = interval_join(imps, clks, "user_id", "imp_ts", "click_ts")
+    out = tmp_path / "out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.click_id for r in spark.read.parquet(str(out)).collect()}
+    assert 51 not in got, "late click joined — watermark did not bound state"
+
+    # same data in batch mode (watermark no-op) DOES contain the match
+    imps_b = spark.read.schema(IMP_SCHEMA).json(str(imp_dir))
+    clks_b = spark.read.schema(CLK_SCHEMA).json(str(clk_dir))
+    batch = interval_join(imps_b, clks_b, "user_id", "imp_ts", "click_ts")
+    assert 51 in {r.click_id for r in batch.collect()}
+
+
 def test_interval_bounds_are_inclusive_exclusive_correct(spark):
     """Boundary semantics: click exactly at imp_ts and exactly at
     imp_ts + max_delay both match (closed interval); one second past
