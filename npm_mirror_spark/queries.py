@@ -1616,6 +1616,57 @@ def q_waiting_orders(spark, sf_dir):
     return counted.orderBy(F.desc("numwait"), F.asc("s_suppkey")).limit(20)
 
 
+def q_order_gap_stats(spark, sf_dir):
+    """Inter-arrival statistics: per customer, the median gap in days
+    between consecutive orders. The lag pass and the rank-selection
+    median share one o_custkey partitioning (one shuffle, two in-
+    partition sorts); gaps are integer epoch-day differences so the
+    median pick is exact."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("d") - F.lag("d").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    wg = Window.partitionBy("o_custkey").orderBy("gap", "o_orderkey")
+    wn = Window.partitionBy("o_custkey")
+    ranked = gaps.select(
+        "o_custkey",
+        "gap",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))).select(
+        "o_custkey", F.col("n").alias("n_gaps"), F.col("gap").alias("median_gap_days")
+    )
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Curation analytics: duplicate rate per ingest source (the metric a
+    corpus pipeline alerts on), over the deterministic dup-injected
+    corpus. Normalized-hash distinct counts — the shuffle carries 64-hex
+    keys + source, never document bodies; the rate divides two exact
+    counts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = d.unionByName(dups)
+    h = corpus.select("source", dedup_ops.text_hash("text").alias("text_hash"))
+    n = F.count(F.lit(1))
+    uniq = F.countDistinct("text_hash")
+    return h.groupBy("source").agg(
+        n.alias("n_docs"),
+        uniq.alias("n_uniq"),
+        ((n - uniq).cast("double") / n).alias("dup_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis
 # ---------------------------------------------------------------------------
@@ -2547,6 +2598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_customer_order_dist": q_customer_order_dist,
     "q_valuable_parts": q_valuable_parts,
     "q_waiting_orders": q_waiting_orders,
+    "q_order_gap_stats": q_order_gap_stats,
+    "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -2821,6 +2874,34 @@ FROM r WHERE rn <= cnt - 5 AND NOT coalesce(next_tomb, false)
         "SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM "
         "(SELECT * FROM events UNION ALL SELECT * FROM events WHERE event_id % 10 = 0)"
     ),
+    "q_order_gap_stats": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d
+  FROM orders),
+gaps AS (
+  SELECT o_custkey, o_orderkey,
+         d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+  FROM o),
+g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+ranked AS (
+  SELECT o_custkey, gap,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY gap, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM g)
+SELECT o_custkey, n AS n_gaps, gap AS median_gap_days
+FROM ranked WHERE rn = ceil(0.5 * n)
+""",
+    "q_dup_rate_by_source": f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 7 = 0),
+h AS (SELECT source, sha256({_NORM}) AS text_hash FROM corpus)
+SELECT source, count(*) AS n_docs, count(DISTINCT text_hash) AS n_uniq,
+       CAST(count(*) - count(DISTINCT text_hash) AS DOUBLE) / count(*) AS dup_rate
+FROM h GROUP BY 1
+""",
     "q_dedup_norm": f"""
 WITH {_DOCS_WITH_DUPS}
 SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS keep_id,
