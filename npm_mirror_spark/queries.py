@@ -398,11 +398,37 @@ def q_dedup_keepset(spark, sf_dir):
     return dedup_ops.dedup_keepset(docs.select("doc_id"), pairs)
 
 
+def _banded_pairs(a, b, id_a="id_a", id_b="id_b", width=20, extra_keys=()):
+    """Equi-keyed candidate pairs with ``0 < id_b - id_a <= width``.
+
+    The naive formulation equi-joins only on low-cardinality keys (e.g.
+    ``lang``, ~5 values) and leaves the id band as a non-equi post-filter:
+    at 100 TB that hashes the whole corpus onto a handful of reducers and
+    enumerates near-quadratic within-key pairs. Instead the id band joins
+    as an EQUI key: band = floor(id/width); a qualifying pair lands either
+    in the same band or the next one, so side ``a`` is emitted twice (own
+    band + neighbor band) and each pair matches exactly once. Shuffle key
+    cardinality becomes O(n/width) — uniform, skew-free, linear pair count.
+    """
+    band_a = F.floor(F.col(id_a) / width)
+    band_b = F.floor(F.col(id_b) / width)
+    a2 = a.withColumn("__band", band_a).unionByName(
+        a.withColumn("__band", band_a + 1)
+    )
+    b2 = b.withColumn("__band", band_b)
+    cond = (F.col(id_b) > F.col(id_a)) & (F.col(id_b) - F.col(id_a) <= width)
+    for ka, kb in extra_keys:
+        cond = cond & (F.col(ka) == F.col(kb))
+    return a2.join(b2, ["__band"]).filter(cond).drop("__band")
+
+
 def q_edit_distance(spark, sf_dir):
     """Levenshtein verification over blocked candidate pairs (same lang,
     id within 20) — the character-level twin of q_ngram_jaccard's
     token-level verify; both engines evaluate the same built-in exactly.
-    Emitted as (pair, distance, within-10%-of-longer-doc flag)."""
+    Emitted as (pair, distance, within-10%-of-longer-doc flag). The pair
+    join is equi-keyed on (id-band, lang) via _banded_pairs — not
+    lang-only — so the shuffle stays skew-free at scale."""
     d = _t(spark, sf_dir, "documents")
     a = d.select(
         F.col("doc_id").alias("id_a"),
@@ -414,12 +440,7 @@ def q_edit_distance(spark, sf_dir):
         F.col("text").alias("__tb"),
         F.col("lang").alias("__lb"),
     )
-    pairs = a.join(
-        b,
-        (F.col("__la") == F.col("__lb"))
-        & (F.col("id_b") > F.col("id_a"))
-        & (F.col("id_b") - F.col("id_a") <= 20),
-    )
+    pairs = _banded_pairs(a, b, extra_keys=[("__la", "__lb")])
     dist = F.levenshtein("__ta", "__tb")
     longer = F.greatest(F.length("__ta"), F.length("__tb"))
     return pairs.select(
@@ -463,16 +484,14 @@ def q_dup_cluster_sizes(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification over blocked pairs (same lang,
-    id within 20) — the verify stage behind MinHash candidates."""
+    id within 20) — the verify stage behind MinHash candidates. Pair join
+    equi-keyed on (id-band, lang) via _banded_pairs, not lang-only."""
     d = _t(spark, sf_dir, "documents")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("__lang_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("__lang_b"))
-    pairs = a.join(
-        b,
-        (F.col("__lang_a") == F.col("__lang_b"))
-        & (F.col("id_b") > F.col("id_a"))
-        & (F.col("id_b") - F.col("id_a") <= 20),
-    ).select("id_a", "id_b")
+    pairs = _banded_pairs(a, b, extra_keys=[("__lang_a", "__lang_b")]).select(
+        "id_a", "id_b"
+    )
     sh = d.select(
         "doc_id", F.array_distinct(dedup_ops.word_shingles("text", 3)).alias("__sh")
     )
@@ -2435,15 +2454,16 @@ def q_large_order_customers(spark, sf_dir):
 
 def q_user_event_history(spark, sf_dir):
     """Array aggregation: each user's full event history collapsed to one
-    sorted array of 'epoch|type' strings — the collect-and-carry shape
-    (feature vectors, session replays) with a deterministic element
-    order both engines reproduce."""
+    sorted, comma-joined string of 'epoch|type' entries — the
+    collect-and-carry shape (feature vectors, session replays) with a
+    deterministic element order both engines reproduce. String-rendered
+    (not array<string>) so the driver's pandas canonicalizer can hash it."""
     ev = _t(spark, sf_dir, "events")
     item = F.concat(
         F.unix_timestamp("ts").cast("string"), F.lit("|"), F.col("event_type")
     )
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(item)).alias("history"),
+        F.array_join(F.array_sort(F.collect_list(item)), ",").alias("history"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -2523,6 +2543,8 @@ def q_unpivot(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- driver window: the driver checks the FIRST 50 entries ---------
+    # slots 1-27: pinned §2-mapped operators (driver-green since r01/r02)
     "q_scan_project": q_scan_project,
     "q_json_decode": q_json_decode,
     "q_regex_clean": q_regex_clean,
@@ -2547,10 +2569,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_norm": q_dedup_norm,
     "q_minhash_pairs": q_minhash_pairs,
+    "q_cosine_topk": q_cosine_topk,
+    "q_text_stats": q_text_stats,
+    "q_approx_stats": q_approx_stats,
+    # slots 28-30: fixed in r4 (NTZ cast / array_join) — need fresh rows
+    "q_user_event_history": q_user_event_history,
+    "q_sessionize": q_sessionize,
+    "q_range_join": q_range_join,
+    # slots 31-50: first-ever driver rows (never checked in r01/r02)
+    "q_gopher_rules": q_gopher_rules,
+    "q_decontaminate": q_decontaminate,
+    "q_redact_pii": q_redact_pii,
+    "q_pack_sequences": q_pack_sequences,
+    "q_gap_fill": q_gap_fill,
+    "q_cohort_retention": q_cohort_retention,
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_rrf_fusion": q_rrf_fusion,
+    "q_best_supplier": q_best_supplier,
+    "q_dedup_keepbest": q_dedup_keepbest,
+    "q_edit_distance": q_edit_distance,
+    "q_blob_stats": q_blob_stats,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_stratified_sample": q_stratified_sample,
+    "q_funnel": q_funnel,
+    "q_hash_sample": q_hash_sample,
+    "q_zscore_outliers": q_zscore_outliers,
+    "q_mad": q_mad,
+    "q_weekly_growth": q_weekly_growth,
+    "q_exact_percentiles": q_exact_percentiles,
+    # --- below the driver window: covered by tests/test_oracle_parity ---
     "q_dedup_keepset": q_dedup_keepset,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash_pairs": q_simhash_pairs,
-    "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_arrow": q_cosine_topk_arrow,
     "q_cosine_dup_pairs": q_cosine_dup_pairs,
     "q_ann_ivf": q_ann_ivf,
@@ -2559,7 +2609,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_recall": q_ann_recall,
     "q_top_events_page": q_top_events_page,
     "q_mode_per_user": q_mode_per_user,
-    "q_user_event_history": q_user_event_history,
     "q_order_priority_check": q_order_priority_check,
     "q_small_quantity_revenue": q_small_quantity_revenue,
     "q_returned_item_revenue": q_returned_item_revenue,
@@ -2573,26 +2622,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube_counts": q_cube_counts,
     "q_rank_family": q_rank_family,
     "q_set_ops": q_set_ops,
-    "q_gap_fill": q_gap_fill,
-    "q_cohort_retention": q_cohort_retention,
     "q_new_users_daily": q_new_users_daily,
-    "q_hash_sample": q_hash_sample,
-    "q_zscore_outliers": q_zscore_outliers,
     "q_group_percentiles": q_group_percentiles,
     "q_event_cooccurrence": q_event_cooccurrence,
     "q_extract_mentions": q_extract_mentions,
     "q_corr_moments": q_corr_moments,
-    "q_best_supplier": q_best_supplier,
     "q_sliding_window": q_sliding_window,
     "q_last_touch": q_last_touch,
-    "q_rrf_fusion": q_rrf_fusion,
     "q_doc_rarity": q_doc_rarity,
     "q_nation_profit": q_nation_profit,
     "q_revenue_share": q_revenue_share,
-    "q_mad": q_mad,
     "q_order_size_dist": q_order_size_dist,
-    "q_weekly_growth": q_weekly_growth,
-    "q_forecast_revenue": q_forecast_revenue,
     "q_top_supplier_revenue": q_top_supplier_revenue,
     "q_overstock_suppliers": q_overstock_suppliers,
     "q_customer_order_dist": q_customer_order_dist,
@@ -2600,30 +2640,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_waiting_orders": q_waiting_orders,
     "q_order_gap_stats": q_order_gap_stats,
     "q_dup_rate_by_source": q_dup_rate_by_source,
-    "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
-    "q_gopher_rules": q_gopher_rules,
-    "q_decontaminate": q_decontaminate,
-    "q_redact_pii": q_redact_pii,
-    "q_pack_sequences": q_pack_sequences,
     "q_pack_blocks": q_pack_blocks,
-    "q_stratified_sample": q_stratified_sample,
-    "q_funnel": q_funnel,
     "q_length_histogram": q_length_histogram,
-    "q_edit_distance": q_edit_distance,
     "q_chunk_tokens": q_chunk_tokens,
     "q_dup_cluster_sizes": q_dup_cluster_sizes,
-    "q_dedup_keepbest": q_dedup_keepbest,
     "q_compress_ratio": q_compress_ratio,
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_rolling_hour": q_rolling_hour,
     "q_profile": q_profile,
     "q_large_order_customers": q_large_order_customers,
-    "q_approx_stats": q_approx_stats,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
     "q_shipping_priority": q_shipping_priority,
@@ -2635,19 +2665,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_region_rollup": q_region_rollup,
     "q_quality_filter": q_quality_filter,
     "q_tf_df": q_tf_df,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_blob_stats": q_blob_stats,
     "q_semi_join": q_semi_join,
     "q_grouping_rollup": q_grouping_rollup,
-    "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
     "q_running_total": q_running_total,
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
     "q_asof_plain": q_asof_plain,
-    "q_range_join": q_range_join,
     "q_unpivot": q_unpivot,
-    "q_exact_percentiles": q_exact_percentiles,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -2963,13 +2988,20 @@ WITH {_SHINGLES.format(src="documents")},
 shd AS (
   SELECT s.doc_id, d.lang, list_distinct(s.shingles) AS sh
   FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+-- mirrors the Spark _banded_pairs equi-key: side a emitted in its own
+-- band and the neighbor band, then equi-joined on (band, lang)
+a2 AS (
+  SELECT doc_id, lang, sh, (doc_id // 20) AS band FROM shd
+  UNION ALL
+  SELECT doc_id, lang, sh, (doc_id // 20) + 1 AS band FROM shd),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
          len(a.sh) + len(b.sh)
            - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
-  FROM shd a JOIN shd b
-    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
+  FROM a2 a JOIN shd b
+    ON a.band = (b.doc_id // 20) AND a.lang = b.lang
+   AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20)
 SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
 FROM pairs WHERE inter > 0
 """,
@@ -3073,8 +3105,9 @@ LIMIT 10 OFFSET 10
 """,
     "q_user_event_history": """
 SELECT user_id,
-       list_sort(list(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
-                      || '|' || event_type)) AS history,
+       array_to_string(
+         list_sort(list(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+                        || '|' || event_type)), ',') AS history,
        count(*) AS n_events
 FROM events GROUP BY user_id
 """,
@@ -3278,12 +3311,19 @@ SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
 FROM e
 """,
     "q_edit_distance": """
+-- mirrors the Spark _banded_pairs equi-key: side a emitted in its own
+-- band and the neighbor band, then equi-joined on (band, lang)
+WITH a2 AS (
+  SELECT doc_id, text, lang, (doc_id // 20) AS band FROM documents
+  UNION ALL
+  SELECT doc_id, text, lang, (doc_id // 20) + 1 AS band FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
        levenshtein(a.text, b.text) * 10
          <= greatest(length(a.text), length(b.text)) AS near_dup
-FROM documents a JOIN documents b
-  ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+FROM a2 a JOIN documents b
+  ON a.band = (b.doc_id // 20) AND a.lang = b.lang
+ AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
 """,
     "q_lang_id": f"""
 WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),

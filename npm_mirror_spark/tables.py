@@ -43,6 +43,22 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+def _as_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to plain ``timestamp`` (LTZ).
+
+    Spark 4.x infers parquet timestamp columns written without the UTC flag
+    as TIMESTAMP_NTZ, which functions like ``unix_micros`` reject. The
+    session TZ is pinned UTC (below), so the cast is value-preserving and
+    oracle hashes stay valid.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -61,8 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _as_ltz(df)
+    return _as_ltz(spark.read.parquet(path))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -62,6 +62,21 @@ def _rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Returns a list of mismatch descriptions; empty == match."""
     problems: list[str] = []
+    # The driver's pandas canonicalizer sort_values()-crashes on unhashable
+    # cells (lists/dicts), so array/map-typed output columns can never go
+    # driver-green — reject them here so the leak fails locally first.
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    if bad:
+        return [
+            f"array/map-typed output columns {bad} are not driver-comparable; "
+            "string-render them (array_join / to_json) in both engines"
+        ]
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)

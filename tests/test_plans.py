@@ -199,3 +199,20 @@ def test_gap_fill_grid_is_broadcast_built(q):
     fact table must never cross-join the grid."""
     text = plans.explain_str(q("q_gap_fill"), "simple")
     assert "CartesianProduct" not in text
+
+
+@pytest.mark.parametrize("name", ["q_edit_distance", "q_ngram_jaccard"])
+def test_pair_queries_join_on_id_band(q, name):
+    """The blocked-pair joins must equi-key on the id band (__band), never
+    lang alone: a lang-only key hashes the corpus onto ~5 reducers and
+    enumerates near-quadratic within-lang pairs at scale."""
+    import re
+
+    text = plans.explain_str(q(name), "simple")
+    assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text
+    # equi-key list of the pair join must carry __band (broadcast form at
+    # tiny SF: `BroadcastHashJoin [__la#7, __band#12L], ...`; shuffle form
+    # at scale: `hashpartitioning(__la#7, __band#12L, ...)`)
+    assert re.search(r"HashJoin \[[^\]]*__band#", text) or re.search(
+        r"hashpartitioning\([^)]*__band#", text
+    ), f"{name}: pair join not keyed on __band"
