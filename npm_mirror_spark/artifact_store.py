@@ -41,6 +41,25 @@ class ArtifactStore:
         out = artifacts.withColumn("bucket", prefix_bucket("package"))
         out.write.mode("append").partitionBy("bucket").parquet(self.store_path)
 
+    def exists(self) -> bool:
+        """Genuine-absence probe (first-batch case); real read errors
+        propagate so a transient failure can't silently disable dedup."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.store_path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def committed_seqs_from(self, min_seq: int) -> DataFrame:
+        """Committed version_seqs >= ``min_seq`` — the bounded anti-join
+        side that makes :meth:`append` callers replay-idempotent (same
+        seq-bounded pattern as pipeline.py's mirror dedup: the predicate
+        pushes to the scan, so row-group stats skip old files)."""
+        return (
+            self.read()
+            .select("version_seq")
+            .filter(F.col("version_seq") >= F.lit(min_seq))
+        )
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.store_path)
 

@@ -363,7 +363,11 @@ def simhash_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over undirected dup-pair edges by minimum-label
     propagation: every node's label converges to the smallest node id in
@@ -377,6 +381,16 @@ def connected_components(
     per iteration. Alternating large/small-star halves round counts on
     high-diameter graphs; for dedup graphs plain propagation is already
     round-optimal.
+
+    The convergence witness (sum of labels, strictly decreasing until the
+    fixpoint) is folded INTO each round's job: the checkpoint is lazy and
+    the sum aggregate is the action that materializes it, so each round is
+    exactly one job — no separate driver-side probe pass. Raises
+    ``RuntimeError`` if ``max_iter`` rounds pass without convergence
+    (labels at that point are NOT a valid partition into components —
+    silently returning them would merge or split clusters downstream).
+
+    ``stats``, if given, receives ``{"rounds": n}`` for observability.
     """
     # materialize the raw edge list FIRST, via localCheckpoint rather than
     # persist: the upstream pair pipeline must run exactly once, and it
@@ -390,14 +404,18 @@ def connected_components(
     # seed labels with round 1 fused in: label0 = min(self, direct
     # neighbors) via ONE groupBy — replaces distinct-then-propagate and
     # saves a full round on near-clique graphs (they converge immediately)
+    # lazy checkpoint + sum-aggregate action = ONE job that both
+    # materializes the round's labels and yields the convergence witness
     labels = (
         sym.select(F.col("a").alias("node"), F.col("b").alias("label"))
         .unionByName(sym.select(F.col("a").alias("node"), F.col("a").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -412,16 +430,26 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # labels only ever DECREASE, so the label sum is a strictly
-        # monotone convergence witness: one cheap aggregate over the
-        # just-checkpointed blocks instead of a join-per-round diff
+        # monotone convergence witness — and this aggregate is the action
+        # that materializes the lazy checkpoint, so witness + round share
+        # one job
         new_sum = new.agg(F.sum("label")).first()[0]
         labels = new
+        rounds += 1
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed = largest component diameter)"
+        )
     return labels
 
 

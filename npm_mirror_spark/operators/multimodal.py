@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are stubbed
-(deterministic fake or NotImplementedError) — but everything Spark-side is
-real and tested: schemas, batch shapes, partition sizing, and the UDF
-seams. Swapping the stub for PIL/torchaudio changes one function.
+The container has no codec LIBRARIES, but three formats get REAL codecs
+here with zero extra deps: PNG (pure stdlib zlib/struct, all five scanline
+filters — see encode_png/decode_png), RAW1 RGB, and PCM16 audio. Only
+JPEG/video decode remains a stub (deterministic fake); everything
+Spark-side — schemas, batch shapes, partition sizing, UDF seams — is real
+and tested either way. Swapping a stub for PIL/torchaudio changes one
+function.
 
 Design rules for 100 TB of blobs:
 - blobs ride as ``binary`` columns next to typed metadata structs; readers
@@ -344,3 +347,199 @@ def pcm_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+# -- PNG: a REAL compressed-image codec, pure stdlib --------------------------
+#
+# The container has no PIL/libpng, but PNG's container + DEFLATE + scanline
+# filters need nothing beyond zlib/struct/numpy. This retires the "decode
+# is stubbed" caveat for images: decode_png handles 8-bit truecolor
+# (RGB/RGBA, the overwhelming training-data case) with ALL five scanline
+# filter types; encode_png writes spec-valid files (cycling filters so the
+# decoder's unfilter paths are genuinely exercised). Grayscale/palette/
+# 16-bit/interlaced PNGs raise ValueError — a real corpus routes those to
+# the error path exactly like malformed rows (F9).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr) -> bytes:
+    """(H, W, 3|4) uint8 array -> PNG bytes (8-bit truecolor, non-interlaced).
+
+    Scanline filters cycle 0..4 per row — spec-valid output that forces a
+    decoder through None/Sub/Up/Average/Paeth, not just the trivial path.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    assert ch in (3, 4)
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.astype(np.int16)
+    prior = np.zeros((w, ch), dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.vstack([np.zeros((1, ch), np.int16), cur[:-1]])
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            up_left = np.vstack([np.zeros((1, ch), np.int16), prior[:-1]])
+            p = left + prior - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = cur - pred
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes):
+    """PNG bytes -> (H, W, 3|4) uint8 numpy array.
+
+    Pure stdlib: chunk walk, zlib inflate, per-scanline unfilter (all five
+    filter types, vectorized along the row). Supports 8-bit truecolor
+    (color types 2/6), non-interlaced — anything else raises ValueError.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(content)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp or filt_method or interlace:
+        raise ValueError(
+            "unsupported PNG (need 8-bit truecolor RGB/RGBA, non-interlaced)"
+        )
+    ch = 3 if color_type == 2 else 4
+    data = zlib.decompress(b"".join(idat))
+    stride = 1 + w * ch
+    if len(data) != h * stride:
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, w, ch), dtype=np.int16)
+    prior = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        line = data[y * stride : (y + 1) * stride]
+        ftype = line[0]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).reshape(w, ch).astype(np.int16)
+        if ftype == 0:
+            recon = cur
+        elif ftype == 2:
+            recon = (cur + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters recur along the row
+            recon = np.zeros((w, ch), dtype=np.int16)
+            up_left = np.vstack([np.zeros((1, ch), np.int16), prior[:-1]])
+            for x in range(w):
+                left = recon[x - 1] if x else np.zeros(ch, np.int16)
+                if ftype == 1:
+                    recon[x] = (cur[x] + left) % 256
+                elif ftype == 3:
+                    recon[x] = (cur[x] + (left + prior[x]) // 2) % 256
+                else:
+                    p = left + prior[x] - up_left[x]
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - prior[x]),
+                        np.abs(p - up_left[x]),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prior[x], up_left[x]),
+                    )
+                    recon[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG bad filter type {ftype}")
+        out[y] = recon
+        prior = recon
+    return out.astype(np.uint8)
+
+
+def png_image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction over PNG blobs: decode (stdlib codec
+    above) -> (sha256, byte_len, true width/height) via the same Arrow
+    mapInPandas seam as extract_image_features. The kernel imports the
+    codec from this package — importable on workers in local mode and
+    wherever the wheel ships; the inline-by-value pattern stays available
+    for environments without it."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        from npm_mirror_spark.operators.multimodal import decode_png as _dec
+
+        for pdf in batches:
+            dims = pdf["content"].map(
+                lambda b: _dec(bytes(b)).shape[:2] if b is not None else (0, 0)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": pdf["content"].map(
+                        lambda b: _hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "byte_len": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "width": dims.map(lambda d: int(d[1])),
+                    "height": dims.map(lambda d: int(d[0])),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, IMAGE_FEATURE_SCHEMA
+    )

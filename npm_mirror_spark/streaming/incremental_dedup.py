@@ -131,11 +131,26 @@ class IncrementalDeduper:
             # cache miss silently recomputes through the stale-read plan.)
             survivors = survivors.localCheckpoint(eager=True)
             survivors.write.mode("append").parquet(self.accepted_path)
-            (
-                bands.join(survivors.select(id_col), id_col, "left_semi")
-                .write.mode("append")
-                .parquet(self.index_path)
+
+            # Index append is INDEPENDENTLY idempotent: index whatever is
+            # accepted-but-not-yet-indexed among this batch's ids, not just
+            # this run's survivors. A crash between the two appends leaves
+            # accepted docs invisible to future probes forever if the retry
+            # derives from survivors (the replay guard above empties them);
+            # deriving from the accepted/index difference self-heals that
+            # gap on replay. Bounded: the diff is batch-id-sized.
+            batch_ids = bands.select(id_col).distinct()
+            to_index = self.accepted().join(batch_ids, id_col, "left_semi").select(
+                id_col
             )
+            if self._exists(self.index_path):
+                to_index = to_index.join(
+                    self.index().select(id_col).distinct(), id_col, "left_anti"
+                )
+            index_rows = bands.join(
+                to_index, id_col, "left_semi"
+            ).localCheckpoint(eager=True)
+            index_rows.write.mode("append").parquet(self.index_path)
         finally:
             bands.unpersist()
 

@@ -177,9 +177,17 @@ class MirrorPipeline:
 
             # K5: artifact rows ride into the bucketed store (content here
             # is the change's own digest surrogate — the enrichment seam
-            # supplies real bytes in production)
+            # supplies real bytes in production).
+            #
+            # Independently idempotent: artifacts derive from ``fresh`` (the
+            # in-batch-deduped rows BEFORE the mirror anti-join) and anti-join
+            # the artifact store's OWN committed seqs. Deriving from the
+            # mirror-anti-joined ``records`` instead would lose rows on
+            # replay: a crash after the mirror write but before this append
+            # leaves the rows committed to the mirror, so the retried batch
+            # anti-joins them away and their artifacts are never written.
             if self.artifact_store is not None:
-                artifacts = records.select(
+                artifacts = fresh.select(
                     F.col("package_name").alias("package"),
                     F.col("change_seq_id").alias("version_seq"),
                     F.col("change_save_path").alias("save_path"),
@@ -188,6 +196,14 @@ class MirrorPipeline:
                         F.col("package_latest_change_time"), F.current_timestamp()
                     ).alias("created_ts"),
                 )
+                if self.artifact_store.exists():
+                    amin = artifacts.agg(F.min("version_seq")).first()[0]
+                    if amin is not None:
+                        artifacts = artifacts.join(
+                            self.artifact_store.committed_seqs_from(amin),
+                            "version_seq",
+                            "left_anti",
+                        )
                 self.artifact_store.append(artifacts)
         finally:
             if fresh is not None:

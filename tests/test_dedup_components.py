@@ -38,3 +38,23 @@ def test_components_converge_on_long_chain(spark):
     labels = connected_components(edges).collect()
     assert all(r["label"] == 0 for r in labels)
     assert len(labels) == 10
+
+
+def test_components_round_count_and_exhaustion(spark):
+    """Chain of diameter 9: the seed fuses round 1 (label = min of self +
+    direct neighbors), then each round moves labels one hop further, plus
+    one witness round to observe the fixpoint — so rounds is bounded by
+    ~diameter and far below max_iter. Exhausting max_iter must raise, not
+    return a half-propagated labeling (it is not a valid partition)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = connected_components(edges, stats=stats).collect()
+    assert all(r["label"] == 0 for r in labels)
+    assert 2 <= stats["rounds"] <= 10
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -105,3 +105,66 @@ def test_pcm16_features_exact(spark):
     assert r["n_samples"] == 6
     assert r["rms"] == 100.0
     assert r["zero_crossings"] == 2
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-stdlib PNG: encode cycles filter types 0-4 per scanline, so a
+    byte-exact roundtrip proves every unfilter path (None/Sub/Up/Average/
+    Paeth), RGB and RGBA alike."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for ch in (3, 4):
+        arr = rng.integers(0, 256, size=(11, 13, ch), dtype=np.uint8)
+        blob = mm.encode_png(arr)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        back = mm.decode_png(blob)
+        assert back.shape == arr.shape
+        assert (back == arr).all()
+
+
+def test_png_codec_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="bad signature"):
+        mm.decode_png(b"JFIF not a png")
+    # 16-bit-depth IHDR must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        mm.decode_png(blob)
+    # corrupt CRC must be caught by the chunk walk
+    good = mm.encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+
+
+def test_png_feature_extraction_true_dims(spark):
+    """The mapInPandas seam with the REAL codec: widths/heights come from
+    decoded pixels, not metadata — a lying meta column cannot leak
+    through."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, (h, w) in enumerate([(5, 9), (16, 4), (7, 7)]):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, bytearray(mm.encode_png(arr)), None))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["byte_len"])
+        for r in mm.png_image_features(media).collect()
+    }
+    assert got[0][:2] == (9, 5) and got[1][:2] == (4, 16) and got[2][:2] == (7, 7)
+    assert all(v[2] > 0 for v in got.values())
