@@ -139,6 +139,13 @@ def pack_sequences(
     shard key, so prefix sums never serialize the corpus through one
     partition — shards pack independently (that is also the file-writer
     parallelism at production scale).
+
+    Zero-token docs (empty after cleaning) occupy the empty interval
+    [start, start): ``floor((end-1)/capacity)`` would land one block LEFT
+    of ``first_block`` whenever start sits exactly on a block boundary —
+    an inverted range that breaks downstream ``sequence(first, last)``
+    explodes (Spark generates a DESCENDING sequence, not an empty one).
+    ``last_block`` is therefore clamped to ``first_block``.
     """
     from pyspark.sql.window import Window
 
@@ -149,11 +156,14 @@ def pack_sequences(
     )
     end = F.sum(token_count_col).over(w).cast("long")
     start = (end - F.col(token_count_col)).cast("long")
+    first_block = F.floor(start / capacity).cast("long")
     return df.withColumns(
         {
             "offset": start,
-            "first_block": F.floor(start / capacity).cast("long"),
-            "last_block": F.floor((end - 1) / capacity).cast("long"),
+            "first_block": first_block,
+            "last_block": F.greatest(
+                first_block, F.floor((end - 1) / capacity).cast("long")
+            ),
         }
     )
 

@@ -3220,7 +3220,10 @@ cum AS (
 SELECT source, doc_id, n_tokens,
        cum_end - n_tokens AS offset,
        CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS first_block,
-       CAST(floor((cum_end - 1) / 512.0) AS BIGINT) AS last_block
+       -- clamped like the Spark side: a zero-token doc on a block boundary
+       -- must not produce last_block < first_block
+       greatest(CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT),
+                CAST(floor((cum_end - 1) / 512.0) AS BIGINT)) AS last_block
 FROM cum
 """,
     "q_pack_blocks": f"""
@@ -3236,7 +3239,8 @@ cum AS (
 spans AS (
   SELECT source, n_tokens, cum_end - n_tokens AS off,
          CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS fb,
-         CAST(floor((cum_end - 1) / 512.0) AS BIGINT) AS lb
+         greatest(CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT),
+                  CAST(floor((cum_end - 1) / 512.0) AS BIGINT)) AS lb
   FROM cum),
 blocks AS (
   SELECT source, n_tokens, off, unnest(generate_series(fb, lb)) AS block

@@ -118,20 +118,38 @@ class SnapshotStore:
 
     # -- maintenance ------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 24 * 3600.0) -> list[str]:
         """Delete orphaned data files no manifest references (crashed
-        commits); returns what was removed."""
+        commits); returns what was removed.
+
+        An unreferenced file is NOT necessarily garbage: a concurrent
+        writer mid-:meth:`commit` has written its ``data/`` files but not
+        yet its manifest — deleting them here would corrupt the version it
+        is about to publish. Instead of assuming a single writer, vacuum
+        keeps any unreferenced file younger than ``min_age_seconds``
+        (default 24 h, the same retention idea as Delta's ``VACUUM ...
+        RETAIN``): an in-flight commit's files are always recent, while a
+        crashed commit's files age past any plausible write duration.
+        Pass ``0`` only when no writer can be active.
+        """
+        import time
+
         referenced: set[str] = set()
         for name in os.listdir(self.manifest_dir):
             if name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     referenced.update(json.load(f)["files"])
+        now = time.time()
         removed = []
         for sub in os.listdir(self.data_dir):
             subdir = os.path.join(self.data_dir, sub)
             for fname in os.listdir(subdir):
                 p = os.path.join(subdir, fname)
-                if fname.endswith(".parquet") and p not in referenced:
+                if (
+                    fname.endswith(".parquet")
+                    and p not in referenced
+                    and now - os.path.getmtime(p) >= min_age_seconds
+                ):
                     os.remove(p)
                     removed.append(p)
             if not os.listdir(subdir):

@@ -114,3 +114,32 @@ def test_compression_ratio_deterministic_and_sane(spark):
     assert r1 == r2  # bit-identical across runs (fixed zlib level)
     assert r1[1] < 0.1  # pure repetition compresses into nothing
     assert r1[2] is None and r1[3] == 1.0
+
+
+def test_pack_sequences_zero_token_boundary(spark):
+    """A zero-token doc whose offset lands EXACTLY on a block boundary:
+    last_block must clamp to first_block, never invert (an inverted range
+    makes sequence(first,last) explode a descending — i.e. phantom —
+    block list downstream)."""
+    import npm_mirror_spark.operators.curation as cur
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 0), (3, "s", 3)], "id long, shard string, n_tokens int"
+    )
+    rows = {
+        r["id"]: r
+        for r in cur.pack_sequences(df, "n_tokens", "shard", "id", 10).collect()
+    }
+    # doc 2 sits at offset 10 == capacity: boundary case
+    assert rows[2]["offset"] == 10
+    assert rows[2]["first_block"] == 1
+    assert rows[2]["last_block"] == 1, "zero-token boundary doc inverted its range"
+    assert rows[3]["first_block"] == 1
+    # every row satisfies the invariant
+    bad = (
+        cur.pack_sequences(df, "n_tokens", "shard", "id", 10)
+        .filter(F.col("last_block") < F.col("first_block"))
+        .count()
+    )
+    assert bad == 0

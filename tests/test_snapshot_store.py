@@ -41,9 +41,37 @@ def test_crashed_commit_invisible_and_vacuumable(spark, tmp_path):
     orphan_dir = os.path.join(s.data_dir, "b99999-deadbeef")
     spark.range(500, 503).selectExpr("id").write.parquet(orphan_dir)
     assert _ids(s.read()) == [0, 1, 2]  # reader never sees the orphans
-    removed = s.vacuum()
+    # default retention protects the fresh orphans: they could be an
+    # in-flight writer's not-yet-published files, not a crashed commit
+    assert s.vacuum() == []
+    assert _ids(s.read()) == [0, 1, 2]
+    # with retention waived (caller asserts no writer is active) they go
+    removed = s.vacuum(min_age_seconds=0)
     assert removed and all("b99999" in p for p in removed)
     assert _ids(s.read()) == [0, 1, 2]  # referenced files untouched
+
+
+def test_vacuum_retention_spares_inflight_commit_files(spark, tmp_path):
+    """Race pinned: data files written by a commit whose manifest hasn't
+    landed yet must survive a concurrent vacuum — age, not reference,
+    decides. Aged-out orphans (backdated mtime) are still collected."""
+    import time
+
+    s = SnapshotStore(spark, str(tmp_path / "store"))
+    s.commit(spark.range(0, 3).selectExpr("id"))
+    inflight = os.path.join(s.data_dir, "b00002-aaaaaaaa")
+    spark.range(7, 9).selectExpr("id").write.parquet(inflight)
+    crashed = os.path.join(s.data_dir, "b00002-bbbbbbbb")
+    spark.range(9, 11).selectExpr("id").write.parquet(crashed)
+    old = time.time() - 48 * 3600
+    for f in os.listdir(crashed):
+        os.utime(os.path.join(crashed, f), (old, old))
+    removed = s.vacuum(min_age_seconds=24 * 3600)
+    assert removed and all("bbbbbbbb" in p for p in removed)
+    # the in-flight files survived and their commit can still publish
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(inflight)
+    ), "vacuum deleted an in-flight commit's data files"
 
 
 def test_token_makes_commit_idempotent(spark, tmp_path):
