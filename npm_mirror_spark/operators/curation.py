@@ -182,6 +182,34 @@ def sample_bucket(id_col: str, buckets: int = 1000) -> F.Column:
     return F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(buckets))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic exact-k cap per group: keep at most ``k`` rows of
+    each group, chosen by Knuth-hash order on the id — the uniform-ish,
+    seed-free, engine-portable version of per-group reservoir sampling.
+
+    The 100 TB use case is bounding any one source's contribution to a
+    training mix (rate-based ``stratified_sample`` cannot promise an
+    exact cap when strata sizes are unknown). One shuffle on the group
+    key; the rank is a WindowGroupLimit-optimized row_number, so each
+    partition retains only k rows before the exchange at top-N sizes
+    Spark recognizes.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(2**31))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

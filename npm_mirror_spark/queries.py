@@ -2538,6 +2538,16 @@ def q_unpivot(spark, sf_dir):
     return p.unpivot("user_id", types, "event_type", "n").filter(F.col("n") > 0)
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Deterministic exact-k cap per source: at most 25 docs per source,
+    chosen by Knuth-hash order — the seed-free reservoir-sample analog a
+    training mix uses to bound any one source's contribution
+    (operators/curation.py:cap_per_group). One shuffle on the source key;
+    WindowGroupLimit prunes per-partition before the exchange."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cur_ops.cap_per_group(d, "source", "doc_id", 25)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2673,6 +2683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_asof_plain": q_asof_plain,
     "q_unpivot": q_unpivot,
+    "q_cap_per_source": q_cap_per_source,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4042,6 +4053,15 @@ FROM events a JOIN events b
 # Composed oracle: ANN recall = exact top-k (restricted to the ANN's
 # probes/k) semi-matched against the ANN result — both sides reuse the
 # already-verified oracle texts verbatim as derived tables.
+ORACLES["q_cap_per_source"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 25
+"""
+
 ORACLES["q_ann_recall"] = f"""
 WITH exact AS (
   SELECT probe_id, neighbor_id

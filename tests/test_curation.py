@@ -143,3 +143,21 @@ def test_pack_sequences_zero_token_boundary(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_cap_per_group_exact_k_and_deterministic(spark):
+    """At most k rows per group, exact when the group is larger; smaller
+    groups pass through whole; two runs pick the identical subset (hash
+    order, no RNG)."""
+    import npm_mirror_spark.operators.curation as cur
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    take1 = cur.cap_per_group(df, "src", "id", 10).collect()
+    by_src = {}
+    for r in take1:
+        by_src.setdefault(r["src"], set()).add(r["id"])
+    assert len(by_src["big"]) == 10
+    assert by_src["small"] == {100, 101, 102}
+    take2 = cur.cap_per_group(df, "src", "id", 10).collect()
+    assert {(r["id"], r["src"]) for r in take2} == {(r["id"], r["src"]) for r in take1}
