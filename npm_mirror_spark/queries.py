@@ -2548,6 +2548,55 @@ def q_cap_per_source(spark, sf_dir):
     return cur_ops.cap_per_group(d, "source", "doc_id", 25)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for each source pair, how many
+    distinct document fingerprints appear in BOTH — the diagnostic a
+    corpus owner reads before merging feeds (high overlap = one feed
+    mirrors another; dedup before mixing). A deterministic 'mirror' feed
+    (every 7th doc re-published) is injected so the matrix is non-trivial
+    on the synthetic corpus. Scale shape: distinct (fp, source) pairs =
+    one shuffle on the 32-byte fingerprint; the self-join is equi-keyed on
+    fp (co-partitioned, both sides share the exchange), output is
+    |sources|^2-bounded."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    docs = d.unionByName(mirror)
+    fp = docs.select(text_ops.fingerprint("text").alias("fp"), "source").distinct()
+    a = fp.select("fp", F.col("source").alias("source_a"))
+    b = fp.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("fp").alias("n_shared_fps"))
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order event-transition matrix: counts of consecutive
+    (prev_type -> next_type) pairs within each user's event sequence —
+    the Markov-chain summary behind next-action models and funnel
+    diagnostics. Order is (ts, event_id) so ties break deterministically.
+    One shuffle for the per-user sequence window, one for the |types|^2
+    count rollup; only (user_id, type, ts) columns ever move."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2684,6 +2733,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_plain": q_asof_plain,
     "q_unpivot": q_unpivot,
     "q_cap_per_source": q_cap_per_source,
+    "q_source_overlap": q_source_overlap,
+    "q_event_transitions": q_event_transitions,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4053,6 +4104,34 @@ FROM events a JOIN events b
 # Composed oracle: ANN recall = exact top-k (restricted to the ANN's
 # probes/k) semi-matched against the ANN result — both sides reuse the
 # already-verified oracle texts verbatim as derived tables.
+ORACLES["q_event_transitions"] = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events)
+SELECT prev_type, next_type, count(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+ORACLES["q_source_overlap"] = f"""
+WITH docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 7 = 0),
+fp AS (
+  SELECT DISTINCT
+    md5(array_to_string(list_sort(list_distinct(str_split({_NORM}, ' '))), ' ')) AS fp,
+    source
+  FROM docs)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(DISTINCT a.fp) AS n_shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
 ORACLES["q_cap_per_source"] = """
 WITH r AS (
   SELECT doc_id, source,
