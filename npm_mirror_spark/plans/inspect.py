@@ -19,6 +19,22 @@ from contextlib import contextmanager
 
 
 @contextmanager
+def large_scale_plan(spark):
+    """Plan as a 1000-executor run would see it: AQE off (static plan) and
+    broadcast disabled (no side fits in memory). Build the DataFrame
+    INSIDE this context — Datasets cache their plans."""
+    was_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    was_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was_bc)
+
+
+@contextmanager
 def no_aqe(spark):
     """Plan without AdaptiveSparkPlan wrapping (static-plan assertions).
     Build the DataFrame INSIDE this context — Datasets cache their plans."""

@@ -216,3 +216,29 @@ def test_pair_queries_join_on_id_band(q, name):
     assert re.search(r"HashJoin \[[^\]]*__band#", text) or re.search(
         r"hashpartitioning\([^)]*__band#", text
     ), f"{name}: pair join not keyed on __band"
+
+
+def test_source_overlap_reuses_fingerprint_exchange(spark, sf_dir):
+    """At scale (no broadcast) the fingerprint self-join's right side must
+    be a ReusedExchange of the left — the md5-over-sorted-tokens
+    projection runs ONCE, not once per join side."""
+    from npm_mirror_spark.plans.inspect import large_scale_plan
+
+    with large_scale_plan(spark):
+        df = QUERIES["q_source_overlap"](spark, sf_dir)
+        text = plans.explain_str(df, "simple")
+    assert "ReusedExchange" in text, "fingerprint subtree computed twice"
+    assert "SortMergeJoin [fp#" in text.replace("  ", " ") or "fp#" in text
+
+
+def test_cap_per_group_partial_window_limit(spark, sf_dir):
+    """The per-group cap must run a PARTIAL WindowGroupLimit before the
+    exchange: each map task forwards at most k rows per group, so the
+    shuffle moves O(groups x k), not the corpus."""
+    from npm_mirror_spark.plans.inspect import no_aqe
+
+    with no_aqe(spark):
+        df = QUERIES["q_cap_per_source"](spark, sf_dir)
+        text = plans.explain_str(df, "simple")
+    assert "WindowGroupLimit" in text
+    assert "Partial" in text, "map-side partial top-k missing"
