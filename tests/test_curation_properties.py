@@ -108,3 +108,47 @@ def test_funnel_matches_bruteforce(spark, events):
         [(u, t0 + timedelta(minutes=m), et) for (u, m, et) in events if et in _STEPS]
     )
     assert got == ref
+
+
+def test_banded_pairs_equals_naive_enumeration(spark):
+    """The (band, key) equi-join trick must yield EXACTLY the naive
+    pair set {(a,b): key match, 0 < b-a <= w} — no pair lost at band
+    boundaries, none double-counted by the own+neighbor emission."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.queries import _banded_pairs
+
+    rng = random.Random(42)
+    rows = [
+        (i, rng.choice(["en", "de", "fr"]))
+        for i in sorted(rng.sample(range(300), 120))
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    a = df.select(F.col("id").alias("id_a"), F.col("lang").alias("__la"))
+    b = df.select(F.col("id").alias("id_b"), F.col("lang").alias("__lb"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _banded_pairs(a, b, width=20, extra_keys=[("__la", "__lb")])
+        .select("id_a", "id_b")
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, li in rows
+        for j, lj in rows
+        if li == lj and 0 < j - i <= 20
+    }
+    assert got == want
+    # and once more at a width that divides ids exactly (boundary stress)
+    got10 = {
+        (r["id_a"], r["id_b"])
+        for r in _banded_pairs(a, b, width=10, extra_keys=[("__la", "__lb")])
+        .select("id_a", "id_b")
+        .collect()
+    }
+    want10 = {
+        (i, j) for i, li in rows for j, lj in rows if li == lj and 0 < j - i <= 10
+    }
+    assert got10 == want10
