@@ -2597,6 +2597,23 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_variant_decode(spark, sf_dir):
+    """Semi-structured decode via Spark 4's VARIANT type: parse_json once,
+    then path access with variant_get — the schema-on-read path for
+    evolving event payloads (no fixed struct schema to maintain, unlike
+    q_json_decode's from_json). try_variant_get on an absent path yields
+    NULL instead of failing, which is the contract a drifting producer
+    needs. Pure projection — no shuffle, binary VARIANT never leaves the
+    scan stage."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("prop_k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_prop"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2735,6 +2752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cap_per_source": q_cap_per_source,
     "q_source_overlap": q_source_overlap,
     "q_event_transitions": q_event_transitions,
+    "q_variant_decode": q_variant_decode,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4104,6 +4122,13 @@ FROM events a JOIN events b
 # Composed oracle: ANN recall = exact top-k (restricted to the ANN's
 # probes/k) semi-matched against the ANN result — both sides reuse the
 # already-verified oracle texts verbatim as derived tables.
+ORACLES["q_variant_decode"] = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k,
+       json_extract_string(props, '$.missing') AS missing_prop
+FROM events
+"""
+
 ORACLES["q_event_transitions"] = """
 WITH seq AS (
   SELECT user_id,

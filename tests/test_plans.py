@@ -242,3 +242,11 @@ def test_cap_per_group_partial_window_limit(spark, sf_dir):
         text = plans.explain_str(df, "simple")
     assert "WindowGroupLimit" in text
     assert "Partial" in text, "map-side partial top-k missing"
+
+
+def test_variant_decode_pure_projection(q):
+    """VARIANT parse + path access stays a map-side projection: no
+    exchange, no Python eval; binary variants never shuffle."""
+    df = q("q_variant_decode")
+    assert plans.shuffle_count(df) == 0
+    assert "Python" not in plans.explain_str(df, "simple")
