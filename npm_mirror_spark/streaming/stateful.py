@@ -132,3 +132,90 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_SCHEMA = "bucket int, item string, est_count long, max_err long"
+_HH_STATE = "items array<string>, counts array<long>, errs array<long>"
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    capacity: int = 64,
+    buckets: int = 1,
+) -> DataFrame:
+    """Space-saving top-k maintained in the state store: which items
+    dominate the stream RIGHT NOW — the feed-skew monitor an ingest
+    pipeline runs next to the batch `q_heavy_hitters` (which gives the
+    exact retrospective answer).
+
+    Space-saving invariants (Metwally et al.): with summary capacity m,
+    any item whose true count exceeds N/m is guaranteed present, and
+    ``est_count - max_err <= true_count <= est_count``. State is
+    O(buckets x capacity) triples — independent of stream length.
+    ``buckets`` shards the stream by item hash for parallelism (each
+    item maps to exactly one bucket, so per-bucket summaries are
+    mergeable by concatenation; one bucket = one global summary).
+
+    Per micro-batch the Arrow kernel pre-aggregates batch counts
+    (value_counts) before touching the summary, so update cost is
+    O(distinct-items-in-batch), not rows.
+    """
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                i: [c, e] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch_counts = pd.concat(frames)["__item"].value_counts()
+            # deterministic merge order: by descending batch count then item
+            for item, c in sorted(
+                batch_counts.items(), key=lambda kv: (-kv[1], kv[0])
+            ):
+                c = int(c)
+                if item in summary:
+                    summary[item][0] += c
+                elif len(summary) < capacity:
+                    summary[item] = [c, 0]
+                else:
+                    evict, (m0, _) = min(
+                        summary.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
+                    del summary[evict]
+                    # inherit the evicted min count as overestimation error
+                    summary[item] = [c + m0, m0]
+        items = sorted(summary, key=lambda i: (-summary[i][0], i))
+        state.update(
+            (
+                items,
+                [summary[i][0] for i in items],
+                [summary[i][1] for i in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(items),
+                "item": items,
+                "est_count": [summary[i][0] for i in items],
+                "max_err": [summary[i][1] for i in items],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

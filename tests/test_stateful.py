@@ -149,3 +149,54 @@ def test_streaming_funnel_matches_batch_replay(spark, tmp_path):
         for r in funnel_stages(batch_df, "user_id", "ts", "event_type", steps).collect()
     }
     assert out == expected == {1: 3, 2: 2}
+
+
+def test_streaming_heavy_hitters_space_saving_bounds(spark, tmp_path):
+    """Space-saving invariants across micro-batches: the dominant item is
+    present with est_count >= true count >= est_count - max_err, and the
+    summary never exceeds its capacity even when the stream's distinct
+    count does."""
+    from collections import Counter
+
+    from npm_mirror_spark.streaming.stateful import streaming_heavy_hitters
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # batch 1: 'hot' dominates among filler items; batch 2: more hot +
+    # enough fresh distinct items to force evictions at capacity 8
+    b1 = ["hot"] * 30 + [f"cold{i}" for i in range(10)]
+    b2 = ["hot"] * 25 + ["warm"] * 12 + [f"x{i}" for i in range(10)]
+    for name, rows in (("b1.jsonl", b1), ("b2.jsonl", b2)):
+        (feed / name).write_text("\n".join(json.dumps({"pkg": r}) for r in rows))
+    true = Counter(b1 + b2)
+
+    stream = (
+        spark.readStream.schema("pkg string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    last = {}
+
+    def sink(df, bid):
+        rows = df.collect()
+        if rows:
+            last.clear()
+            last.update({r["item"]: (r["est_count"], r["max_err"]) for r in rows})
+
+    q = (
+        streaming_heavy_hitters(stream, "pkg", capacity=8)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp_hh"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(last) <= 8, "summary exceeded capacity"
+    for item in ("hot", "warm"):
+        assert item in last, f"dominant item {item} evicted"
+        est, err = last[item]
+        assert est - err <= true[item] <= est, (item, est, err, true[item])
+    # exact count for the never-evicted top item
+    assert last["hot"] == (55, 0)
