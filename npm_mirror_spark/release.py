@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from npm_mirror_spark.operators.curation import (
+    cap_per_group,
     decontaminate,
     pack_sequences,
     redact_pii,
@@ -44,10 +45,14 @@ def build_release(
     shard_col: str = "source",
     capacity: int = 512,
     decontam_ngram: int = 5,
+    max_per_shard: int | None = None,
     token: str | int | None = None,
 ) -> dict:
-    """Run the five-stage curation pipeline and commit the packed corpus
-    as one snapshot version. Returns the attrition audit."""
+    """Run the curation pipeline and commit the packed corpus as one
+    snapshot version. Returns the attrition audit. ``max_per_shard``
+    optionally caps any one shard's contribution after dedup
+    (cap_per_group — deterministic, seed-free), so a dominant source
+    cannot swamp the mix no matter what the upstream feed looks like."""
     n_input = docs.count()
 
     gated = gopher_rules(docs, text_col).where(F.col("keep"))
@@ -63,6 +68,12 @@ def build_release(
     pairs = minhash_candidate_pairs(clean, text_col, id_col)
     unique = dedup_keepset(clean, pairs, id_col)
     n_unique = unique.count()
+
+    if max_per_shard is not None:
+        unique = cap_per_group(unique, shard_col, id_col, max_per_shard)
+        n_capped = unique.count()
+    else:
+        n_capped = n_unique
 
     redacted = redact_pii(unique, text_col).withColumn(
         text_col, F.col("redacted")
@@ -87,5 +98,6 @@ def build_release(
         "n_after_quality": n_quality,
         "n_after_decontamination": n_clean,
         "n_after_dedup": n_unique,
-        "n_released": n_unique,
+        "n_after_cap": n_capped,
+        "n_released": n_capped,
     }

@@ -32,6 +32,7 @@ def test_release_pipeline_end_to_end(spark, sf_dir, tmp_path):
         >= audit["n_after_quality"]
         >= audit["n_after_decontamination"]
         >= audit["n_after_dedup"]
+        == audit["n_after_cap"]  # no cap requested -> pass-through
         == audit["n_released"]
     )
     # every stage dropped something on this corpus
@@ -51,3 +52,23 @@ def test_release_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     assert audit2["version"] == 1
     assert store.latest_version() == 1
+
+
+def test_release_cap_bounds_dominant_shard(spark, sf_dir, tmp_path):
+    """max_per_shard caps every source's post-dedup contribution exactly;
+    smaller sources pass through whole and the audit records the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+
+    audit = build_release(
+        spark, corpus, bench, str(tmp_path / "capped"),
+        max_per_shard=10, token="r1",
+    )
+    assert audit["n_after_cap"] <= audit["n_after_dedup"]
+    assert audit["n_released"] == audit["n_after_cap"]
+    released = SnapshotStore(spark, str(tmp_path / "capped")).read(version=1)
+    worst = (
+        released.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert worst <= 10
