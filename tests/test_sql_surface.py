@@ -56,3 +56,28 @@ def test_sql_window_matches_registered_query(spark, sf_dir):
         """
     )
     assert _rows(sql) == _rows(QUERIES["q_argmax_latest"](spark, sf_dir))
+
+
+def test_driver_window_composition_pinned():
+    """The driver checks the FIRST 50 registry entries; an accidental
+    reorder silently changes what gets driver-verified. Pin the §2 core
+    in slots 1-27 and the r4 window tail (see docs/DRIVER_WINDOW.md)."""
+    from npm_mirror_spark.queries import ORACLES, QUERIES
+
+    names = list(QUERIES)
+    pinned_27 = [
+        "q_scan_project", "q_json_decode", "q_regex_clean", "q_split_last",
+        "q_prefix_bucket", "q_ts_parse", "q_normalize", "q_flag_route",
+        "q_filter_notnull", "q_filter_size", "q_argmax_latest",
+        "q_mirror_record", "q_retention_topn", "q_retention_gc",
+        "q_retention_tombstone", "q_count_events", "q_max_seq", "q_lag",
+        "q_union_logs", "q_anti_join", "q_enrich_join", "q_dedup_exact",
+        "q_dedup_norm", "q_minhash_pairs", "q_cosine_topk", "q_text_stats",
+        "q_approx_stats",
+    ]
+    assert names[:27] == pinned_27
+    assert names[49] == "q_exact_percentiles"
+    # every window entry except the documented rows-only ones has an oracle
+    rows_only = {"q_approx_stats"}
+    missing = [n for n in names[:50] if n not in ORACLES and n not in rows_only]
+    assert missing == [], f"window entries without oracles: {missing}"
