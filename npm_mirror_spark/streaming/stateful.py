@@ -219,3 +219,72 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE = "start_us long, end_us long, n long"
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: per-user sessions merge ACROSS
+    micro-batches in the state store, and a session is emitted exactly
+    once — when a later event proves the idle gap exceeded
+    ``gap_seconds``. The batch q_sessionize (lag+cumsum) is the exact
+    retrospective twin; this is the monitoring face.
+
+    State per user is one (start_us, end_us, n) triple — O(users), no
+    event buffering. Still-open sessions stay in state at stream end (a
+    real deployment closes them with a timer/timeout; availableNow test
+    drains leave them pending by design).
+
+    Implementation note: written on ``applyInPandasWithState``. Spark 4's
+    successor API (``transformWithStateInPandas``) is the drop-in upgrade
+    — same grouped-Arrow kernel, typed ValueState instead of the tuple —
+    but its driver worker needs the ``protobuf`` package, which this
+    container does not ship.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        frames = [p for p in pdfs if len(p)]
+        cur = list(state.get) if state.exists else None
+        closed = []
+        if frames:
+            ev = pd.concat(frames)
+            for us in sorted(int(t) for t in ev["__us"]):
+                if cur is None:
+                    cur = [us, us, 0]
+                elif us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = [us, us, 0]
+                cur[1] = max(cur[1], us)
+                cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    keyed = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -200,3 +200,65 @@ def test_streaming_heavy_hitters_space_saving_bounds(spark, tmp_path):
         assert est - err <= true[item] <= est, (item, est, err, true[item])
     # exact count for the never-evicted top item
     assert last["hot"] == (55, 0)
+
+
+def test_streaming_sessionize_closes_across_batches(spark, tmp_path):
+    """transformWithStateInPandas sessionizer: a session spanning two
+    micro-batches merges in state; a later event past the idle gap closes
+    it with the exact (start, end, count); the still-open trailing session
+    is NOT emitted (pending by design under availableNow)."""
+    from datetime import datetime
+
+    from npm_mirror_spark.streaming.stateful import streaming_sessionize
+
+    def ev(u, minute):
+        return {"user_id": u, "ts": datetime(2024, 1, 1, 9, minute).isoformat()}
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # user 1: events at 9:00, 9:10 (batch 1) and 9:20 (batch 2) — one
+    # session; then 10:20 (gap 60 min > 30) closes it and opens another.
+    # user 2: single event, never closed.
+    b1 = [ev(1, 0), ev(1, 10), ev(2, 5)]
+    b2 = [ev(1, 20)]
+    b3 = [{"user_id": 1, "ts": datetime(2024, 1, 1, 10, 20).isoformat()}]
+    # distinct mtimes: the file source orders batches by modification
+    # time, and same-second writes would drain out of order
+    import os
+    import time
+
+    base = time.time() - 100
+    for i, (name, rows) in enumerate(
+        (("b1.jsonl", b1), ("b2.jsonl", b2), ("b3.jsonl", b3))
+    ):
+        path = feed / name
+        path.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .select("user_id", F.to_timestamp("ts").alias("ts"))
+    )
+    out = []
+
+    def sink(df, bid):
+        out.extend(df.collect())
+
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(out) == 1, f"expected exactly one closed session, got {out}"
+    r = out[0]
+    assert r["user_id"] == 1
+    assert r["n_events"] == 3
+    assert r["session_start"] == datetime(2024, 1, 1, 9, 0)
+    assert r["session_end"] == datetime(2024, 1, 1, 9, 20)
