@@ -87,3 +87,88 @@ def test_semdedup_agrees_with_bruteforce_keep_rule(spark, sf_dir):
     expected = set(cluster) - dropped
     assert survivors == expected
     assert dropped, "fixture must actually contain same-cluster dups"
+
+
+def test_streaming_sessionize_replay_equals_batch(spark, sf_dir, tmp_path):
+    """Replay real event data (in ts order, split across micro-batches)
+    through the streaming sessionizer: the CLOSED sessions must equal the
+    batch gap-rule answer exactly — same boundaries, same event counts —
+    with each user's final (still-open) session pending in state."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.streaming.stateful import streaming_sessionize
+    from npm_mirror_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 8)
+        .select("user_id", "ts")
+        .orderBy("ts")
+    )
+    rows = ev.collect()
+    assert len(rows) > 30
+    # 3 in-order micro-batches with distinct mtimes (file-source ordering)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    thirds = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
+              rows[2 * len(rows) // 3 :]]
+    base = time.time() - 100
+    for i, chunk in enumerate(thirds):
+        path = feed / f"b{i}.jsonl"
+        path.write_text(
+            "\n".join(
+                json.dumps({"user_id": r["user_id"], "ts": r["ts"].isoformat()})
+                for r in chunk
+            )
+        )
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .select("user_id", F.to_timestamp("ts").alias("ts"))
+    )
+    got = []
+
+    def sink(df, bid):
+        got.extend(df.collect())
+
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # batch truth: gap-rule sessions per user; drop each user's LAST
+    # session (still open in the stream)
+    import itertools
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    want = []
+    for uid, times in by_user.items():
+        times.sort()
+        sessions = []
+        for t in times:
+            if not sessions or (t - sessions[-1][-1]).total_seconds() > 1800:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        for sess in sessions[:-1]:  # closed ones only
+            want.append((uid, sess[0], sess[-1], len(sess)))
+
+    got_t = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    )
+    assert got_t == sorted(want)
