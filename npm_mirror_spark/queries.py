@@ -2614,6 +2614,31 @@ def q_variant_decode(spark, sf_dir):
     )
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-free train/validation split: the split is decided by
+    hashing the duplicate-CLUSTER label, not the document id, so
+    near-duplicates can never straddle train and val (the classic eval
+    contamination bug). ~90/10 via Knuth-hash threshold on the connected
+    component representative; unpaired docs are their own cluster."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_ops.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    comp = dedup_ops.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    split = F.when(
+        F.pmod(F.col("cluster") * F.lit(2654435761), F.lit(100)) < 90, "train"
+    ).otherwise("val")
+    return labeled.select("doc_id", "cluster", split.alias("split"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2753,6 +2778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_overlap": q_source_overlap,
     "q_event_transitions": q_event_transitions,
     "q_variant_decode": q_variant_decode,
+    "q_cluster_split": q_cluster_split,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4122,6 +4148,25 @@ FROM events a JOIN events b
 # Composed oracle: ANN recall = exact top-k (restricted to the ANN's
 # probes/k) semi-matched against the ANN result — both sides reuse the
 # already-verified oracle texts verbatim as derived tables.
+ORACLES["q_cluster_split"] = f"""
+WITH RECURSIVE {_MINHASH_EDGES},
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+rep AS (SELECT src AS node, least(src, min(dst)) AS label
+        FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, coalesce(rep.label, d.doc_id) AS cluster
+  FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node)
+SELECT doc_id, cluster,
+       CASE WHEN (cluster * 2654435761) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM lab
+"""
+
 ORACLES["q_variant_decode"] = """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k,

@@ -58,3 +58,23 @@ def test_components_round_count_and_exhaustion(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_cluster_split_no_leakage(spark, sf_dir):
+    """No duplicate cluster may straddle train/val, and both sides must be
+    non-empty at the default 90/10 threshold."""
+    from npm_mirror_spark.queries import QUERIES
+
+    df = QUERIES["q_cluster_split"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    straddling = (
+        df.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0, "a dup cluster crosses the train/val boundary"
+    sides = {r["split"]: r["n"] for r in
+             df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sides.get("train", 0) > 0 and sides.get("val", 0) > 0
