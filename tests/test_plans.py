@@ -250,3 +250,16 @@ def test_variant_decode_pure_projection(q):
     df = q("q_variant_decode")
     assert plans.shuffle_count(df) == 0
     assert "Python" not in plans.explain_str(df, "simple")
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
+    """Registry-wide scale lint: NO query may plan a CartesianProduct —
+    an all-pairs product is never the right answer at 100 TB. (Bounded
+    BroadcastNestedLoopJoins are allowed: the ANN/probe queries broadcast
+    a small-by-contract side; their shapes are pinned individually.)"""
+    offenders = []
+    for name, fn in QUERIES.items():
+        text = plans.explain_str(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in text:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
