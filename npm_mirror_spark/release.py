@@ -90,7 +90,9 @@ def build_release(
     )
 
     store = SnapshotStore(spark, store_root)
-    version = store.commit(final, token=token)
+    # replace: each release version IS the whole corpus (older versions
+    # stay readable via time travel); appending would duplicate docs
+    version = store.commit(final, token=token, replace=True)
 
     return {
         "version": version,
@@ -101,3 +103,36 @@ def build_release(
         "n_after_cap": n_capped,
         "n_released": n_capped,
     }
+
+
+def release_diff(
+    store: SnapshotStore,
+    old_version: int,
+    new_version: int,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """What changed between two committed releases: per shard, how many
+    documents were added and how many removed — the audit a consumer
+    reads before switching training to a new corpus version.
+
+    Time travel makes this a pure query: both sides come from immutable
+    manifests, so the diff is reproducible forever. Two broadcast-friendly
+    anti-joins on the id column; only (id, shard) pairs move.
+    """
+    old = store.read(old_version).select(id_col, shard_col)
+    new = store.read(new_version).select(id_col, shard_col)
+    added = new.join(old.select(id_col), id_col, "left_anti").select(
+        shard_col, F.lit(1).alias("added"), F.lit(0).alias("removed")
+    )
+    removed = old.join(new.select(id_col), id_col, "left_anti").select(
+        shard_col, F.lit(0).alias("added"), F.lit(1).alias("removed")
+    )
+    return (
+        added.unionByName(removed)
+        .groupBy(shard_col)
+        .agg(
+            F.sum("added").alias("n_added"),
+            F.sum("removed").alias("n_removed"),
+        )
+    )

@@ -61,13 +61,26 @@ class SnapshotStore:
 
     # -- write ------------------------------------------------------------
 
-    def commit(self, df: DataFrame, token: str | int | None = None) -> int:
-        """Append ``df`` as a new atomic version; returns the version.
+    def commit(
+        self,
+        df: DataFrame,
+        token: str | int | None = None,
+        replace: bool = False,
+    ) -> int:
+        """Commit ``df`` as a new atomic version; returns the version.
+
+        ``replace=False`` (default) APPENDS: the new manifest lists the
+        previous version's files plus the new ones — the table grows, the
+        sink contract for incremental pipelines. ``replace=True`` makes
+        the version a FULL REPLACEMENT: the manifest lists only the new
+        files, while every older version stays readable via time travel —
+        the contract for corpus releases, where each version IS the whole
+        corpus and appending would duplicate unchanged documents.
 
         ``token`` makes the commit IDEMPOTENT for streaming foreachBatch:
         pass the micro-batch id, and a checkpoint-replayed batch whose
         token matches the last committed one is skipped instead of
-        double-appended — the standard transactional-sink contract
+        double-committed — the standard transactional-sink contract
         (exactly-once on top of Spark's at-least-once replay).
         """
         prev = self.latest_version()
@@ -83,7 +96,8 @@ class SnapshotStore:
             for f in os.listdir(batch_dir)
             if f.endswith(".parquet")
         )
-        files = (self._manifest(prev)["files"] if prev else []) + new_files
+        carried = [] if replace else (self._manifest(prev)["files"] if prev else [])
+        files = carried + new_files
         version = prev + 1
         mpath = self._manifest_path(version)
         tmp = mpath + ".tmp"

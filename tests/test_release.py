@@ -72,3 +72,31 @@ def test_release_cap_bounds_dominant_shard(spark, sf_dir, tmp_path):
         released.groupBy("source").count().agg(F.max("count")).collect()[0][0]
     )
     assert worst <= 10
+
+
+def test_release_diff_between_versions(spark, sf_dir, tmp_path):
+    """Two releases with different caps: the diff reports per-source
+    removals for the tightened cap and no additions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    root = str(tmp_path / "store")
+
+    a1 = build_release(spark, corpus, bench, root, max_per_shard=10, token="r1")
+    a2 = build_release(spark, corpus, bench, root, max_per_shard=5, token="r2")
+    assert (a1["version"], a2["version"]) == (1, 2)
+
+    from npm_mirror_spark.release import release_diff
+
+    store = SnapshotStore(spark, root)
+    diff = {r["source"]: (r["n_added"], r["n_removed"])
+            for r in release_diff(store, 1, 2).collect()}
+    assert diff, "diff must be non-empty when the cap tightened"
+    for src, (added, removed) in diff.items():
+        assert added == 0, f"{src}: tightening the cap cannot add docs"
+        assert removed > 0
+    # v2 appends the capped corpus on top of v1's rows (append-only store),
+    # so removals per source equal v1's shard count minus v2's NEW rows;
+    # with deterministic hash order the kept 5 are a subset of the kept 10
+    v1 = SnapshotStore(spark, root).read(1)
+    assert v1.count() == a1["n_released"]
