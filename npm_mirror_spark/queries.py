@@ -2673,11 +2673,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_text_stats": q_text_stats,
     "q_approx_stats": q_approx_stats,
-    # slots 28-30: fixed in r4 (NTZ cast / array_join) — need fresh rows
+    # slots 28-50 (r5 rotation): the 23 oldest entries of the
+    # never-driver-checked queue in docs/DRIVER_WINDOW.md — first-ever
+    # driver rows for each.  q_compress_ratio records rows-only (zlib is
+    # not expressible in DuckDB).
+    "q_new_users_daily": q_new_users_daily,
+    "q_group_percentiles": q_group_percentiles,
+    "q_event_cooccurrence": q_event_cooccurrence,
+    "q_extract_mentions": q_extract_mentions,
+    "q_corr_moments": q_corr_moments,
+    "q_sliding_window": q_sliding_window,
+    "q_last_touch": q_last_touch,
+    "q_doc_rarity": q_doc_rarity,
+    "q_nation_profit": q_nation_profit,
+    "q_revenue_share": q_revenue_share,
+    "q_order_size_dist": q_order_size_dist,
+    "q_top_supplier_revenue": q_top_supplier_revenue,
+    "q_overstock_suppliers": q_overstock_suppliers,
+    "q_customer_order_dist": q_customer_order_dist,
+    "q_valuable_parts": q_valuable_parts,
+    "q_waiting_orders": q_waiting_orders,
+    "q_order_gap_stats": q_order_gap_stats,
+    "q_dup_rate_by_source": q_dup_rate_by_source,
+    "q_pack_blocks": q_pack_blocks,
+    "q_length_histogram": q_length_histogram,
+    "q_chunk_tokens": q_chunk_tokens,
+    "q_dup_cluster_sizes": q_dup_cluster_sizes,
+    "q_compress_ratio": q_compress_ratio,
+    # --- below the driver window: covered by tests/test_oracle_parity ---
+    # r4 window occupants (driver-green in CORRECTNESS_r04) rotate down:
     "q_user_event_history": q_user_event_history,
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
-    # slots 31-50: first-ever driver rows (never checked in r01/r02)
     "q_gopher_rules": q_gopher_rules,
     "q_decontaminate": q_decontaminate,
     "q_redact_pii": q_redact_pii,
@@ -2698,7 +2725,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mad": q_mad,
     "q_weekly_growth": q_weekly_growth,
     "q_exact_percentiles": q_exact_percentiles,
-    # --- below the driver window: covered by tests/test_oracle_parity ---
     "q_dedup_keepset": q_dedup_keepset,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash_pairs": q_simhash_pairs,
@@ -2723,33 +2749,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube_counts": q_cube_counts,
     "q_rank_family": q_rank_family,
     "q_set_ops": q_set_ops,
-    "q_new_users_daily": q_new_users_daily,
-    "q_group_percentiles": q_group_percentiles,
-    "q_event_cooccurrence": q_event_cooccurrence,
-    "q_extract_mentions": q_extract_mentions,
-    "q_corr_moments": q_corr_moments,
-    "q_sliding_window": q_sliding_window,
-    "q_last_touch": q_last_touch,
-    "q_doc_rarity": q_doc_rarity,
-    "q_nation_profit": q_nation_profit,
-    "q_revenue_share": q_revenue_share,
-    "q_order_size_dist": q_order_size_dist,
-    "q_top_supplier_revenue": q_top_supplier_revenue,
-    "q_overstock_suppliers": q_overstock_suppliers,
-    "q_customer_order_dist": q_customer_order_dist,
-    "q_valuable_parts": q_valuable_parts,
-    "q_waiting_orders": q_waiting_orders,
-    "q_order_gap_stats": q_order_gap_stats,
-    "q_dup_rate_by_source": q_dup_rate_by_source,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
-    "q_pack_blocks": q_pack_blocks,
-    "q_length_histogram": q_length_histogram,
-    "q_chunk_tokens": q_chunk_tokens,
-    "q_dup_cluster_sizes": q_dup_cluster_sizes,
-    "q_compress_ratio": q_compress_ratio,
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_rolling_hour": q_rolling_hour,
