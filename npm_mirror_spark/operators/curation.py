@@ -198,10 +198,16 @@ def cap_per_group(
     key; the rank is a WindowGroupLimit-optimized row_number, so each
     partition retains only k rows before the exchange at top-N sizes
     Spark recognizes.
+
+    The id is reduced mod 2^31 BEFORE the Knuth multiply so the product
+    stays under 2^63 for every int64 id: the naive ``id * KNUTH`` wraps
+    silently in Spark but raises an overflow error in DuckDB for ids
+    >= ~3.5e9 — exactly the id range a 100 TB corpus reaches. Ids that
+    collide mod 2^31 fall back to the deterministic id tiebreak.
     """
     from pyspark.sql.window import Window
 
-    h = F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(2**31))
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(2**31)) * F.lit(KNUTH), F.lit(2**31))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -440,21 +440,31 @@ def decode_png(content: bytes):
     b = bytes(content)
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
+    # Every slice below is bounds-checked BEFORE struct parsing so a
+    # truncated file raises ValueError, never struct.error/IndexError —
+    # the F9 error-routing contract callers rely on.
     pos, ihdr, idat = 8, None, []
     while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("PNG truncated chunk header")
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         tag = b[pos + 4 : pos + 8]
-        payload = b[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        end = pos + 8 + length
+        if end + 4 > len(b):
+            raise ValueError(f"PNG truncated chunk {tag!r}")
+        payload = b[pos + 8 : end]
+        (crc,) = struct.unpack(">I", b[end : end + 4])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("PNG bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
-        pos += 12 + length
+        pos = end + 4
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
@@ -463,7 +473,10 @@ def decode_png(content: bytes):
             "unsupported PNG (need 8-bit truecolor RGB/RGBA, non-interlaced)"
         )
     ch = 3 if color_type == 2 else 4
-    data = zlib.decompress(b"".join(idat))
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = 1 + w * ch
     if len(data) != h * stride:
         raise ValueError("PNG IDAT length mismatch")

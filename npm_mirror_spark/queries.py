@@ -4209,7 +4209,8 @@ ORACLES["q_cap_per_source"] = """
 WITH r AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-           ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rk
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648,
+                    doc_id) AS rk
   FROM documents)
 SELECT doc_id, source FROM r WHERE rk <= 25
 """

@@ -139,17 +139,26 @@ class IncrementalDeduper:
             # derives from survivors (the replay guard above empties them);
             # deriving from the accepted/index difference self-heals that
             # gap on replay. Bounded: the diff is batch-id-sized.
+            # The diff key is (doc_id, band), NOT doc_id alone: a parquet
+            # append has no job-level rollback, so a crashed append can
+            # commit SOME of a doc's band rows — an id-only diff would see
+            # the survivor row and skip the doc forever, leaving it
+            # partially probe-visible. Per-band the heal is exact (each
+            # (doc_id, band) is one row, re-derived deterministically).
             batch_ids = bands.select(id_col).distinct()
-            to_index = self.accepted().join(batch_ids, id_col, "left_semi").select(
-                id_col
+            accepted_bands = bands.join(
+                self.accepted().join(batch_ids, id_col, "left_semi").select(id_col),
+                id_col,
+                "left_semi",
             )
+            to_index = accepted_bands
             if self._exists(self.index_path):
                 to_index = to_index.join(
-                    self.index().select(id_col).distinct(), id_col, "left_anti"
+                    self.index().select(id_col, "band").distinct(),
+                    [id_col, "band"],
+                    "left_anti",
                 )
-            index_rows = bands.join(
-                to_index, id_col, "left_semi"
-            ).localCheckpoint(eager=True)
+            index_rows = to_index.localCheckpoint(eager=True)
             index_rows.write.mode("append").parquet(self.index_path)
         finally:
             bands.unpersist()

@@ -232,12 +232,30 @@ def streaming_sessionize(
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming sessionization: per-user sessions merge ACROSS
     micro-batches in the state store, and a session is emitted exactly
     once — when a later event proves the idle gap exceeded
     ``gap_seconds``. The batch q_sessionize (lag+cumsum) is the exact
     retrospective twin; this is the monitoring face.
+
+    The per-batch kernel is an INTERVAL MERGE, not an append-only fold:
+    the carried open session and every in-batch event are sorted by start
+    time and coalesced under the gap rule, so an out-of-order event that
+    precedes the stored session start correctly LOWERS ``session_start``
+    (or, if it is more than the gap before the start, forms its own —
+    provably closed — earlier session). All merged sessions except the
+    last are emitted closed; the last stays open in state.
+
+    Ordering contract (matches the batch twin, pinned by
+    tests/test_stateful.py): arbitrary disorder WITHIN and ACROSS batches
+    is handled as long as every event of a session arrives before any
+    event that closes it (i.e. before an event > ``gap_seconds`` later
+    has been seen in a later batch). Events later than that are genuinely
+    late data; pass ``watermark_delay`` (e.g. ``"30 minutes"``) to set an
+    event-time watermark so Spark drops them deterministically instead of
+    them resurfacing as spurious singleton sessions.
 
     State per user is one (start_us, end_us, n) triple — O(users), no
     event buffering. Still-open sessions stay in state at stream end (a
@@ -254,20 +272,22 @@ def streaming_sessionize(
 
     def update(key, pdfs, state: GroupState):
         frames = [p for p in pdfs if len(p)]
-        cur = list(state.get) if state.exists else None
-        closed = []
+        sessions = [list(state.get)] if state.exists else []
         if frames:
             ev = pd.concat(frames)
-            for us in sorted(int(t) for t in ev["__us"]):
-                if cur is None:
-                    cur = [us, us, 0]
-                elif us - cur[1] > gap_us:
-                    closed.append(cur)
-                    cur = [us, us, 0]
-                cur[1] = max(cur[1], us)
-                cur[2] += 1
-        if cur is not None:
-            state.update(tuple(cur))
+            items = sessions + [[int(t), int(t), 1] for t in ev["__us"].dropna()]
+            items.sort(key=lambda s: (s[0], s[1]))
+            merged: list[list[int]] = []
+            for it in items:
+                if merged and it[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], it[1])
+                    merged[-1][2] += it[2]
+                else:
+                    merged.append(it)
+            sessions = merged
+        closed = sessions[:-1]
+        if sessions:
+            state.update(tuple(sessions[-1]))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(closed),
@@ -279,8 +299,11 @@ def streaming_sessionize(
 
     keyed = events.select(
         F.col(user_col).cast("long").alias("user_id"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
     )
+    if watermark_delay is not None:
+        keyed = keyed.withWatermark("__ts", watermark_delay)
+    keyed = keyed.withColumn("__us", F.unix_micros(F.col("__ts")))
     return keyed.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_OUT_SCHEMA,

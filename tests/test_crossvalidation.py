@@ -90,12 +90,15 @@ def test_semdedup_agrees_with_bruteforce_keep_rule(spark, sf_dir):
 
 
 def test_streaming_sessionize_replay_equals_batch(spark, sf_dir, tmp_path):
-    """Replay real event data (in ts order, split across micro-batches)
-    through the streaming sessionizer: the CLOSED sessions must equal the
-    batch gap-rule answer exactly — same boundaries, same event counts —
-    with each user's final (still-open) session pending in state."""
+    """Replay real event data (split across micro-batches in ts order,
+    but SHUFFLED within each batch) through the streaming sessionizer:
+    the CLOSED sessions must equal the batch gap-rule answer exactly —
+    same boundaries, same event counts — with each user's final
+    (still-open) session pending in state. The within-batch shuffle pins
+    the interval-merge kernel's order-insensitivity on real data."""
     import json
     import os
+    import random
     import time
 
     from pyspark.sql import functions as F
@@ -117,7 +120,10 @@ def test_streaming_sessionize_replay_equals_batch(spark, sf_dir, tmp_path):
     thirds = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
               rows[2 * len(rows) // 3 :]]
     base = time.time() - 100
+    rng = random.Random(7)
     for i, chunk in enumerate(thirds):
+        chunk = list(chunk)
+        rng.shuffle(chunk)
         path = feed / f"b{i}.jsonl"
         path.write_text(
             "\n".join(

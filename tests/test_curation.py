@@ -161,3 +161,15 @@ def test_cap_per_group_exact_k_and_deterministic(spark):
     assert by_src["small"] == {100, 101, 102}
     take2 = cur.cap_per_group(df, "src", "id", 10).collect()
     assert {(r["id"], r["src"]) for r in take2} == {(r["id"], r["src"]) for r in take1}
+
+
+def test_cap_per_group_large_ids_no_overflow(spark):
+    """Ids >= ~3.5e9 (the 100 TB corpus range): the Knuth-hash ordering
+    must be computed mod-2^31 BEFORE the multiply — the naive id*KNUTH
+    wraps int64 silently in Spark and raises in DuckDB. Pin the Spark
+    selection against the same arithmetic done in exact Python ints."""
+    ids = [3_500_000_000 + i * 977 for i in range(40)] + [2**62 + 5, 2**31, 7]
+    df = spark.createDataFrame([(i, "s") for i in ids], "id long, src string")
+    got = sorted(r["id"] for r in cur.cap_per_group(df, "src", "id", 10).collect())
+    want = sorted(sorted(ids, key=lambda i: ((i % 2**31) * cur.KNUTH % 2**31, i))[:10])
+    assert got == want

@@ -150,6 +150,42 @@ def test_png_codec_rejects_unsupported():
         mm.decode_png(bytes(bad))
 
 
+def test_png_codec_truncation_raises_valueerror_only():
+    """The F9 error-routing contract: EVERY malformed byte string raises
+    ValueError — truncating a valid PNG at any byte must never leak
+    struct.error/IndexError, and corrupting the DEFLATE stream must not
+    leak zlib.error."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    arr = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    good = mm.encode_png(arr)
+    for cut in range(len(good)):
+        # a cut that only loses IEND still decodes fully — the contract
+        # is that every FAILURE is a ValueError, never struct/Index/zlib
+        try:
+            out = mm.decode_png(good[:cut])
+        except ValueError:
+            continue
+        assert (out == arr).all(), f"cut at {cut} mis-decoded silently"
+    # declared IHDR payload length larger than the file
+    hacked = bytearray(good)
+    hacked[8:12] = (2**16).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(bytes(hacked))
+    # valid chunk walk, garbage DEFLATE payload inside IDAT
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", good[16:29])
+        + mm._png_chunk(b"IDAT", b"\x00not deflate\xff")
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        mm.decode_png(bad_idat)
+
+
 def test_png_feature_extraction_true_dims(spark):
     """The mapInPandas seam with the REAL codec: widths/heights come from
     decoded pixels, not metadata — a lying meta column cannot leak

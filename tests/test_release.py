@@ -95,8 +95,9 @@ def test_release_diff_between_versions(spark, sf_dir, tmp_path):
     for src, (added, removed) in diff.items():
         assert added == 0, f"{src}: tightening the cap cannot add docs"
         assert removed > 0
-    # v2 appends the capped corpus on top of v1's rows (append-only store),
-    # so removals per source equal v1's shard count minus v2's NEW rows;
-    # with deterministic hash order the kept 5 are a subset of the kept 10
+    # v2 is a full-replacement snapshot (build_release commits with
+    # replace=True): its manifest holds ONLY the newly capped rows, so
+    # removals per source equal v1's count minus v2's count; with
+    # deterministic hash order the kept 5 are a subset of the kept 10
     v1 = SnapshotStore(spark, root).read(1)
     assert v1.count() == a1["n_released"]

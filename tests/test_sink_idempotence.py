@@ -103,3 +103,34 @@ def test_lsh_index_append_self_heals_on_replay(spark, tmp_path):
     batch2 = spark.createDataFrame([(9, B)], "doc_id long, text string")
     d.process_batch(batch2, 1)
     assert 9 not in {r["doc_id"] for r in d.accepted().collect()}
+
+
+def test_lsh_index_partial_band_append_self_heals(spark, tmp_path):
+    """Crash DURING the index append (parquet append has no job-level
+    rollback): some of a doc's band rows commit, the rest are lost. The
+    heal diff runs on (doc_id, band) — an id-only diff would see the
+    surviving row and skip the doc forever, leaving it only partially
+    probe-visible."""
+    d = IncrementalDeduper(spark, str(tmp_path / "out"))
+    batch = spark.createDataFrame([(1, A), (3, B)], "doc_id long, text string")
+    d.process_batch(batch, 0)
+    full = d.index().filter(F.col("doc_id") == 3)
+    n_bands = full.count()
+    assert n_bands > 1, "fixture needs multiple bands per doc"
+
+    # keep exactly one of doc 3's band rows; lose the rest
+    pruned = (
+        d.index()
+        .filter((F.col("doc_id") != 3) | (F.col("band") == 0))
+        .localCheckpoint(eager=True)
+    )
+    pruned.write.mode("overwrite").parquet(d.index_path)
+    assert d.index().filter(F.col("doc_id") == 3).count() == 1
+
+    d.process_batch(batch, 0)  # replay
+    healed = d.index().filter(F.col("doc_id") == 3)
+    assert healed.count() == n_bands, "missing band rows not restored"
+    assert (
+        d.index().count()
+        == d.index().dropDuplicates(["doc_id", "band", "band_hash"]).count()
+    ), "heal duplicated surviving band rows"

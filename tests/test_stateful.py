@@ -262,3 +262,69 @@ def test_streaming_sessionize_closes_across_batches(spark, tmp_path):
     assert r["n_events"] == 3
     assert r["session_start"] == datetime(2024, 1, 1, 9, 0)
     assert r["session_end"] == datetime(2024, 1, 1, 9, 20)
+
+
+def test_streaming_sessionize_out_of_order_replay(spark, tmp_path):
+    """Out-of-order events ACROSS a micro-batch boundary, under a
+    watermark. The interval-merge kernel must (a) lower session_start
+    when a late event precedes the stored start within the gap, (b) emit
+    a late event more than the gap BEFORE the stored start as its own
+    closed earlier session, and (c) drop events older than the watermark
+    instead of surfacing them as spurious sessions — the three paths the
+    old max-merge fold got wrong."""
+    import os
+    import time
+    from datetime import datetime
+
+    from npm_mirror_spark.streaming.stateful import streaming_sessionize
+
+    def ev(u, h, m):
+        return {"user_id": u, "ts": datetime(2024, 1, 1, h, m).isoformat()}
+
+    # user 1: b1 has 9:00, 9:20; b2 delivers LATE 8:50 (within gap before
+    #   stored start -> start lowers), then 10:30 closes -> (8:50-9:20, 3).
+    # user 2: b1 has 12:00; b2 delivers LATE 10:00 (> gap before stored
+    #   start -> separate, provably-closed earlier singleton).
+    # user 3: b1 unsorted (9:30 before 9:00); b2 extends with 9:45; b3's
+    #   11:00 closes -> (9:00-9:45, 3).
+    # user 4: b3 delivers 7:00 after b2's max event time 12:00 advanced
+    #   the watermark to 12:00 - 4h = 8:00 -> dropped, never emitted.
+    b1 = [ev(1, 9, 0), ev(1, 9, 20), ev(3, 9, 30), ev(3, 9, 0)]
+    b2 = [ev(1, 8, 50), ev(2, 12, 0), ev(3, 9, 45)]
+    b3 = [ev(1, 10, 30), ev(2, 10, 0), ev(4, 7, 0), ev(3, 11, 0)]
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base = time.time() - 100
+    for i, rows in enumerate((b1, b2, b3)):
+        path = feed / f"b{i}.jsonl"
+        path.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .select("user_id", F.to_timestamp("ts").alias("ts"))
+    )
+    got = []
+
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, watermark_delay="4 hours")
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp_ooo"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got_t = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    )
+    assert got_t == [
+        (1, datetime(2024, 1, 1, 8, 50), datetime(2024, 1, 1, 9, 20), 3),
+        (2, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 0), 1),
+        (3, datetime(2024, 1, 1, 9, 0), datetime(2024, 1, 1, 9, 45), 3),
+    ], got_t
