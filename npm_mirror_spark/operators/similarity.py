@@ -98,14 +98,31 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
-    Brute-force all-pairs — correct baseline; the scale path is
-    ``ivf_assign`` first and joining within clusters only (near-dups land in
-    the same cluster with high probability), which divides the pair count
-    by ~K.
+    Brute-force all-pairs — the EXACTNESS BASELINE, and deliberately
+    SIZE-GATED: the n^2/2 pair join is a scale-killer, so the operator
+    counts the input and refuses anything above ``max_rows`` (default
+    100k rows ≈ 5e9 candidate pairs, the outer edge of a deliberate
+    baseline run) with a pointer to :func:`ivf_dup_pairs`. The gate is
+    why the registered query stays honest at 100 TB: nobody can run the
+    all-pairs plan on a corpus by accident.
+
+    The IVF form cannot simply replace this one: below dup-grade
+    thresholds (this corpus maxes at cos ~0.51) qualifying pairs DO
+    split across IVF clusters, so the blocked plan under-recalls the
+    exact answer — measured and characterized in
+    tests/test_crossvalidation.py::test_ivf_dup_pairs_subset_of_bruteforce.
     """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_dup_pairs is the all-pairs exactness baseline, gated at "
+            f"{max_rows} rows (got {n}): the candidate-pair count would be "
+            f"~{n * n // 2:.2e}. Use ivf_dup_pairs (cluster-blocked) at scale."
+        )
     a = with_norm(df, vec_col, "__na").select(
         F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("__va"), "__na"
     )

@@ -553,7 +553,18 @@ def q_cosine_topk_arrow(spark, sf_dir):
 
 def q_cosine_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs above 0.4 (the corpus max pairwise
-    sim is ~0.51, so the threshold yields a small real set)."""
+    sim is ~0.51, so the threshold yields a small real set).
+
+    This is the brute all-pairs EXACTNESS BASELINE and it is SIZE-GATED:
+    the operator refuses inputs above 100k rows with a pointer to the
+    cluster-blocked q_ivf_dup_pairs, so the O(n^2) plan cannot run on a
+    real corpus by accident. It stays registered (rather than flipping
+    the name onto the IVF plan) because at this sub-dup-grade threshold
+    the IVF blocking measurably under-recalls the exact answer — pairs
+    at cos 0.4 split across clusters; see
+    tests/test_crossvalidation.py::test_ivf_dup_pairs_subset_of_bruteforce
+    — so swapping implementations would silently change the query's
+    semantics from exact to approximate."""
     return sim_ops.cosine_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
@@ -581,8 +592,10 @@ def q_ann_ivf(spark, sf_dir):
 def q_ivf_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs at scale: IVF-assign, then pair only
     WITHIN a cluster (equi join on cluster id — no all-pairs join).
-    q_cosine_dup_pairs stays registered as the brute-force exactness
-    baseline; this is the plan that survives 100 TB."""
+    q_cosine_dup_pairs is the size-gated brute-force exactness baseline;
+    this is the plan that survives 100 TB, and the cross-validation test
+    characterizes exactly what the blocking trades away
+    (intra-cluster-only recall)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim_ops.ivf_dup_pairs(e, _ivf_centroids(e), threshold=0.4)
 

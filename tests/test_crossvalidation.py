@@ -69,8 +69,12 @@ def test_semdedup_agrees_with_bruteforce_keep_rule(spark, sf_dir):
     shares v's IVF cluster. On this corpus the IVF blocking loses no
     qualifying pair that the keep rule would act on differently — the
     survivors must match the brute evaluation exactly."""
-    from npm_mirror_spark.operators.similarity import ivf_assign, semdedup
-    from npm_mirror_spark.queries import _ivf_centroids, _t, q_cosine_dup_pairs
+    from npm_mirror_spark.operators.similarity import (
+        cosine_dup_pairs,
+        ivf_assign,
+        semdedup,
+    )
+    from npm_mirror_spark.queries import _ivf_centroids, _t
 
     e = _t(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(e)
@@ -81,12 +85,57 @@ def test_semdedup_agrees_with_bruteforce_keep_rule(spark, sf_dir):
         for r in ivf_assign(e, cents).select("vec_id", "cluster").collect()
     }
     brute_pairs = [
-        (r["id_a"], r["id_b"]) for r in q_cosine_dup_pairs(spark, sf_dir).collect()
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(e, threshold=0.4).collect()
     ]
     dropped = {b for a, b in brute_pairs if cluster[a] == cluster[b]}
     expected = set(cluster) - dropped
     assert survivors == expected
     assert dropped, "fixture must actually contain same-cluster dups"
+
+
+def test_ivf_dup_pairs_subset_of_bruteforce(spark, sf_dir):
+    """Characterize EXACTLY what the IVF blocking trades away: its pair
+    set must equal the brute all-pairs answer RESTRICTED to same-cluster
+    pairs — no false positives, no intra-cluster misses, and cosines
+    bit-equal on the intersection (same HOF dot product, same summation
+    order). At this sub-dup-grade threshold (0.4; corpus max ~0.51) some
+    qualifying pairs genuinely split across clusters, which is why the
+    brute form stays registered as the size-gated exactness baseline
+    instead of being face-swapped onto the IVF plan."""
+    from npm_mirror_spark.operators.similarity import cosine_dup_pairs, ivf_assign
+    from npm_mirror_spark.queries import _ivf_centroids, _t, q_ivf_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_dup_pairs(e, threshold=0.4).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in q_ivf_dup_pairs(spark, sf_dir).collect()
+    }
+    cluster = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(e, _ivf_centroids(e)).select("vec_id", "cluster").collect()
+    }
+    want_ivf = {k: v for k, v in brute.items() if cluster[k[0]] == cluster[k[1]]}
+    assert ivf == want_ivf
+    assert want_ivf, "fixture must contain same-cluster qualifying pairs"
+
+
+def test_cosine_dup_pairs_size_gate(spark):
+    """The all-pairs baseline must REFUSE corpus-sized inputs — the gate
+    is what keeps the registered exact form scale-honest."""
+    import pytest
+
+    from npm_mirror_spark.operators.similarity import cosine_dup_pairs
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(double(id), 1.0d) AS embedding"
+    )
+    with pytest.raises(ValueError, match="gated at 5 rows"):
+        cosine_dup_pairs(df, threshold=0.4, max_rows=5)
 
 
 def test_streaming_sessionize_replay_equals_batch(spark, sf_dir, tmp_path):

@@ -252,14 +252,43 @@ def test_variant_decode_pure_projection(q):
     assert "Python" not in plans.explain_str(df, "simple")
 
 
-def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
+# Queries allowed to plan a BroadcastNestedLoopJoin, each with the reason
+# the plan stays BOUNDED at scale (broadcast side small by contract, or
+# an explicit size gate). Any registry query planning a BNLJ outside this
+# list fails the lint below — the reviewer must either fix the plan or
+# justify a new entry here.
+ALLOWED_BNLJ = {
+    "q_lag": "single-row max-date scalar broadcast to the fact side",
+    "q_cosine_topk": "probes (vec_id<5, contract-small) broadcast to corpus",
+    "q_valuable_parts": "scalar avg-price subquery broadcast",
+    "q_gap_fill": "per-user (min,max)-day bounds vs a generated day axis",
+    "q_rrf_fusion": "probe set (vec_id<5) broadcast; corpus scanned once",
+    "q_cosine_dup_pairs": (
+        "deliberate all-pairs exactness baseline, SIZE-GATED: the operator "
+        "refuses inputs > 100k rows (test_cosine_dup_pairs_size_gate)"
+    ),
+    "q_ann_ivf": "centroids + probes broadcast; corpus equi-joins on cluster",
+    "q_ivf_dup_pairs": "IVF centroid table broadcast for assignment",
+    "q_semdedup": "IVF centroid table broadcast for assignment",
+    "q_ann_recall": "exact+ANN probe sets (vec_id<5) broadcast",
+    "q_idle_rich_customers": "scalar avg-balance subquery broadcast",
+    "q_quality_percentile_filter": "single-row percentile threshold broadcast",
+}
+
+
+def test_no_unbounded_loop_join_anywhere_in_registry(spark, sf_dir):
     """Registry-wide scale lint: NO query may plan a CartesianProduct —
-    an all-pairs product is never the right answer at 100 TB. (Bounded
-    BroadcastNestedLoopJoins are allowed: the ANN/probe queries broadcast
-    a small-by-contract side; their shapes are pinned individually.)"""
-    offenders = []
+    an all-pairs product is never the right answer at 100 TB — and a
+    BroadcastNestedLoopJoin is legal ONLY for the allowlisted queries
+    whose broadcast side is bounded by contract (scalar subqueries,
+    probe sets, centroid tables). A new BNLJ anywhere else is treated as
+    an accidental all-pairs plan until justified."""
+    cart, bnlj = [], []
     for name, fn in QUERIES.items():
         text = plans.explain_str(fn(spark, sf_dir), "simple")
         if "CartesianProduct" in text:
-            offenders.append(name)
-    assert offenders == [], f"cartesian products in: {offenders}"
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in text and name not in ALLOWED_BNLJ:
+            bnlj.append(name)
+    assert cart == [], f"cartesian products in: {cart}"
+    assert bnlj == [], f"unjustified BroadcastNestedLoopJoin in: {bnlj}"
