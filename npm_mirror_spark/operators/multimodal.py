@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no codec LIBRARIES, but three formats get REAL codecs
+The container has no codec LIBRARIES, but four formats get REAL codecs
 here with zero extra deps: PNG (pure stdlib zlib/struct, all five scanline
-filters — see encode_png/decode_png), RAW1 RGB, and PCM16 audio. Only
-JPEG/video decode remains a stub (deterministic fake); everything
-Spark-side — schemas, batch shapes, partition sizing, UDF seams — is real
-and tested either way. Swapping a stub for PIL/torchaudio changes one
-function.
+filters — see encode_png/decode_png), baseline grayscale JPEG (stream-
+defined Huffman tables + matrix IDCT — see encode_jpeg/decode_jpeg),
+RAW1 RGB, and PCM16 audio. Only VIDEO decode remains a stub
+(deterministic fake); everything Spark-side — schemas, batch shapes,
+partition sizing, UDF seams — is real and tested either way. Swapping
+the remaining stub for a real decoder changes one function.
 
 Design rules for 100 TB of blobs:
 - blobs ride as ``binary`` columns next to typed metadata structs; readers
@@ -532,6 +533,473 @@ def png_image_features(media: DataFrame) -> DataFrame:
         import hashlib as _hashlib
 
         from npm_mirror_spark.operators.multimodal import decode_png as _dec
+
+        for pdf in batches:
+            dims = pdf["content"].map(
+                lambda b: _dec(bytes(b)).shape[:2] if b is not None else (0, 0)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": pdf["content"].map(
+                        lambda b: _hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    "byte_len": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "width": dims.map(lambda d: int(d[1])),
+                    "height": dims.map(lambda d: int(d[0])),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, IMAGE_FEATURE_SCHEMA
+    )
+
+
+# -- JPEG: baseline sequential grayscale, pure stdlib+numpy -------------------
+#
+# Second REAL compressed-image codec (after PNG), zero extra deps: the
+# decoder implements the baseline-sequential Huffman + dequant + IDCT path
+# of the public JPEG spec (ITU-T T.81) for single-component (grayscale)
+# JFIF files, reading quant/Huffman tables from the stream; the encoder
+# emits spec-valid baseline files using the public Annex K example tables
+# (so tests can build REAL fixtures without PIL). Color, progressive,
+# 12-bit, and arithmetic-coded JPEGs raise ValueError — the F9 error
+# route, same contract as decode_png. With this, only VIDEO decode
+# remains a stub in this module.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K Table K.1 (luminance quantization), in natural (row-major) order.
+_QTBL_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K example Huffman tables: (BITS counts for code lengths 1..16, values)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis: JPEG's F = C f C^T exactly."""
+    import numpy as np
+
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    C[0, :] = 1.0 / np.sqrt(8.0)
+    return C
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 Annex C."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size category, appended bits)."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
+    """(H, W) uint8 grayscale array -> baseline sequential JFIF bytes.
+
+    Annex K quant + Huffman tables, 8x8 DCT blocks, edge-replicated
+    padding to MCU multiples. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (exercises the decoder's
+    restart path — real encoders emit these for error resilience)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("encode_jpeg takes a non-empty 2-D grayscale array")
+    h, w = a.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+
+    C = _dct_matrix()
+    q = np.array(_QTBL_LUM, dtype=np.float64).reshape(8, 8)
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    mcu_count = 0
+    rst_idx = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                prev_dc = 0
+            mcu_count += 1
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = C @ block @ C.T
+            quant = np.round(coef / q).astype(np.int64)
+            zz = quant.reshape(-1)[_ZIGZAG]
+            # DC
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s, mb = _mag_bits(diff)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(mb, s)
+            # AC
+            run = 0
+            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    bw.write(zc, zl)
+                    run -= 16
+                s, mb = _mag_bits(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(mb, s)
+                run = 0
+            if last_nz < 63:
+                ec, el = ac_codes[0x00]  # EOB
+                bw.write(ec, el)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = bytes(int(q.reshape(-1)[i]) for i in _ZIGZAG)
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += bytes(bw.out) + b"\xff\xd9"  # entropy data + EOI
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, surfaces RSTn
+    markers, raises ValueError (never IndexError) on exhaustion."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.d):
+            raise ValueError("JPEG entropy data exhausted")
+        byte = self.d[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy data ends inside a marker")
+            nxt = self.d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed literal 0xFF
+            else:
+                # a real marker (RST/EOI) — rewind; caller handles it
+                self.pos -= 1
+                raise ValueError("JPEG entropy data hit an unexpected marker")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def at_restart(self) -> bool:
+        """True iff positioned at an RSTn marker (byte-aligned check)."""
+        return (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        )
+
+    def skip_restart(self) -> None:
+        self.pos += 2
+        self.acc = 0
+        self.nbits = 0
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes):
+    """Baseline sequential grayscale JFIF bytes -> (H, W) uint8 array.
+
+    Pure stdlib+numpy: marker walk, stream-defined quant/Huffman tables,
+    per-block Huffman decode, dequant, inverse zigzag, matrix IDCT.
+    Supports single-component (grayscale) baseline sequential (SOF0)
+    with optional restart intervals; anything else — color, progressive
+    (SOF2), 12-bit, arithmetic coding, truncation — raises ValueError.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    frame = None
+    restart_interval = 0
+    scan_comp = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(b):
+            raise ValueError("JPEG truncated segment")
+        payload = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG (16-bit quant table)")
+                if off + 65 > len(payload):
+                    raise ValueError("JPEG truncated DQT")
+                zz = np.frombuffer(payload, dtype=np.uint8, count=64, offset=off + 1)
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                if off + 17 > len(payload):
+                    raise ValueError("JPEG truncated DHT")
+                bits = list(payload[off + 1 : off + 17])
+                n = sum(bits)
+                if off + 17 + n > len(payload):
+                    raise ValueError("JPEG truncated DHT values")
+                vals = list(payload[off + 17 : off + 17 + n])
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG (12-bit precision)")
+            if ncomp != 1:
+                raise ValueError(
+                    "unsupported JPEG (color; this codec is grayscale-only)"
+                )
+            cid, hv, tq = payload[6], payload[7], payload[8]
+            if hv != 0x11:
+                raise ValueError("unsupported JPEG (subsampled grayscale)")
+            frame = (fh, fw, cid, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "unsupported JPEG (only baseline sequential SOF0 is handled)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            if payload[0] != 1:
+                raise ValueError("unsupported JPEG (multi-component scan)")
+            scan_comp = (payload[1], payload[2] >> 4, payload[2] & 0x0F)
+            break  # entropy data follows
+        # APPn/COM/etc: skipped
+    if frame is None or scan_comp is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    fh, fw, cid, tq = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("JPEG empty frame")
+    _, td, ta = scan_comp
+    if tq not in qtables or (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("JPEG scan references undefined tables")
+    q = qtables[tq]
+    dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+
+    C = _dct_matrix()
+    bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    br = _BitReader(b, pos)
+    prev_dc = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not br.at_restart():
+                    raise ValueError("JPEG missing expected RST marker")
+                br.skip_restart()
+                prev_dc = 0
+            mcu += 1
+            zz = np.zeros(64, dtype=np.float64)
+            s = _huff_decode(br, dc_tbl)
+            if s > 11:
+                raise ValueError("JPEG invalid DC size category")
+            diff = _extend(br.read_bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _huff_decode(br, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("JPEG invalid AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("JPEG AC coefficient index overflow")
+                zz[i] = _extend(br.read_bits(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz
+            block = C.T @ (coef.reshape(8, 8) * q) @ C
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:fh, :fw]
+
+
+_JPEG_SIG = b"\xff\xd8"
+
+
+def decode_image(content: bytes):
+    """Format-sniffing image decode: PNG -> (H, W, 3|4), baseline
+    grayscale JPEG -> (H, W). Anything else raises ValueError (F9
+    error route). This replaces decode_image_stub as the REAL default
+    for environments with no codec libraries — video frames remain the
+    only stubbed decode in this module."""
+    b = bytes(content)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    if b[:2] == _JPEG_SIG:
+        return decode_jpeg(b)
+    raise ValueError("unsupported image format (PNG and baseline JPEG only)")
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction over mixed PNG/JPEG blobs — the
+    format-sniffing upgrade of png_image_features, same Arrow mapInPandas
+    seam and output schema (sha256, byte_len, true width/height)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        from npm_mirror_spark.operators.multimodal import decode_image as _dec
 
         for pdf in batches:
             dims = pdf["content"].map(

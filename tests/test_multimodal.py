@@ -204,3 +204,96 @@ def test_png_feature_extraction_true_dims(spark):
     }
     assert got[0][:2] == (9, 5) and got[1][:2] == (4, 16) and got[2][:2] == (7, 7)
     assert all(v[2] > 0 for v in got.values())
+
+
+# -- JPEG codec ---------------------------------------------------------------
+
+
+def test_jpeg_codec_constant_image_exact():
+    """A constant image's DCT is a lone DC coefficient that the Annex K
+    table quantizes losslessly (576 = 36*16) — so the roundtrip must be
+    BIT-exact, proving DC coding, level shift, and IDCT scaling."""
+    import numpy as np
+
+    a = np.full((16, 24), 200, dtype=np.uint8)
+    blob = mm.encode_jpeg(a)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    back = mm.decode_jpeg(blob)
+    assert back.shape == a.shape
+    assert (back == a).all()
+
+
+def test_jpeg_codec_gradient_roundtrip_tolerance():
+    """Smooth gradient, dims NOT multiples of 8 (33x41): padding must
+    trim back to true size, and quantization error stays tiny because a
+    gradient's energy sits in the lowest DCT frequencies."""
+    import numpy as np
+
+    g = np.add.outer(np.arange(33) * 3, np.arange(41) * 2).astype(np.uint8)
+    back = mm.decode_jpeg(mm.encode_jpeg(g))
+    assert back.shape == g.shape
+    err = np.abs(back.astype(int) - g.astype(int))
+    assert err.max() <= 6, int(err.max())
+
+
+def test_jpeg_codec_restart_interval():
+    """DRI + RSTn markers: the decoder must resync and reset the DC
+    predictor at every restart, reproducing the unrestarted output."""
+    import numpy as np
+
+    g = np.add.outer(np.arange(24) * 5, np.arange(40) * 3).astype(np.uint8)
+    plain = mm.decode_jpeg(mm.encode_jpeg(g))
+    restarted = mm.decode_jpeg(mm.encode_jpeg(g, restart_interval=2))
+    assert (plain == restarted).all()
+
+
+def test_jpeg_codec_rejects_unsupported_and_truncation():
+    """F9 error-routing contract: color/progressive/non-JPEG inputs and
+    EVERY truncation raise ValueError — never struct/Index/KeyError."""
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="bad SOI"):
+        mm.decode_jpeg(b"\x89PNG not a jpeg")
+    good = mm.encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    # flip SOF0 -> SOF2 (progressive): find the FFC0 marker
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg(prog)
+    # claim 3 components in SOF0 (color)
+    colorish = bytearray(good)
+    colorish[i + 9] = 3
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(bytes(colorish))
+    for cut in range(2, len(good)):
+        try:
+            out = mm.decode_jpeg(good[:cut])
+        except ValueError:
+            continue
+        # a cut that only loses EOI can still decode fully
+        assert out.shape == (8, 8), f"cut at {cut} mis-decoded"
+
+
+def test_decode_image_dispatch_and_features_seam(spark):
+    """Format-sniffing decode_image + the mapInPandas feature seam over a
+    MIXED PNG/JPEG blob column: true dimensions come back per format."""
+    import numpy as np
+
+    png_blob = mm.encode_png(np.zeros((5, 9, 3), dtype=np.uint8))
+    jpg_blob = mm.encode_jpeg(np.full((12, 7), 80, dtype=np.uint8))
+    assert mm.decode_image(png_blob).shape == (5, 9, 3)
+    assert mm.decode_image(jpg_blob).shape == (12, 7)
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported image format"):
+        mm.decode_image(b"GIF89a...")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png_blob)), (2, bytearray(jpg_blob))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in mm.image_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (9, 5)
+    assert (rows[2]["width"], rows[2]["height"]) == (7, 12)
+    assert rows[1]["byte_len"] == len(png_blob)
