@@ -84,6 +84,21 @@ HEADLINE = [
     "q_customer_order_dist",
 ]
 
+# r5 growth: the r4/r5 additions benched on top of the r2 58-query set.
+# The JSON line carries BOTH totals — "value" covers everything, and
+# "common58_sec" sums only the r2 set so round-over-round comparison
+# stays apples-to-apples (docs/BENCH_NOTES.md).
+HEADLINE_R5 = [
+    "q_cap_per_source",
+    "q_source_overlap",
+    "q_event_transitions",
+    "q_variant_decode",
+    "q_cluster_split",
+    "q_edit_distance",
+]
+COMMON_58 = list(HEADLINE)
+HEADLINE = HEADLINE + HEADLINE_R5
+
 
 def _bench_pipeline(spark, n_changes: int) -> float:
     """End-to-end mirror-pipeline throughput (the reference's actual job):
@@ -131,6 +146,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    common58 = round(sum(timings[n] for n in COMMON_58), 3)
     pipeline_rate = _bench_pipeline(spark, n_changes=int(20_000 * max(sf, 0.01) / 0.1))
     print(
         json.dumps(
@@ -139,6 +155,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common58_sec": common58,
                 "pipeline_changes_per_sec": pipeline_rate,
                 "sf": sf,
             }
