@@ -3,8 +3,9 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The container has no codec LIBRARIES, but four formats get REAL codecs
 here with zero extra deps: PNG (pure stdlib zlib/struct, all five scanline
-filters — see encode_png/decode_png), baseline grayscale JPEG (stream-
-defined Huffman tables + matrix IDCT — see encode_jpeg/decode_jpeg),
+filters — see encode_png/decode_png), baseline JPEG — grayscale AND
+interleaved YCbCr color at 4:4:4/4:2:0/4:2:2 (stream-defined Huffman
+tables + matrix IDCT — see encode_jpeg/decode_jpeg),
 RAW1 RGB, and PCM16 audio. Only VIDEO decode remains a stub
 (deterministic fake); everything Spark-side — schemas, batch shapes,
 partition sizing, UDF seams — is real and tested either way. Swapping
@@ -559,17 +560,18 @@ def png_image_features(media: DataFrame) -> DataFrame:
     )
 
 
-# -- JPEG: baseline sequential grayscale, pure stdlib+numpy -------------------
+# -- JPEG: baseline sequential, pure stdlib+numpy -----------------------------
 #
 # Second REAL compressed-image codec (after PNG), zero extra deps: the
 # decoder implements the baseline-sequential Huffman + dequant + IDCT path
-# of the public JPEG spec (ITU-T T.81) for single-component (grayscale)
-# JFIF files, reading quant/Huffman tables from the stream; the encoder
-# emits spec-valid baseline files using the public Annex K example tables
-# (so tests can build REAL fixtures without PIL). Color, progressive,
-# 12-bit, and arithmetic-coded JPEGs raise ValueError — the F9 error
-# route, same contract as decode_png. With this, only VIDEO decode
-# remains a stub in this module.
+# of the public JPEG spec (ITU-T T.81) for grayscale AND interleaved color
+# JFIF (any sampling whose factors divide the maxima — 4:4:4, 4:2:0,
+# 4:2:2), reading quant/Huffman tables from the stream; the encoder emits
+# spec-valid grayscale, 4:4:4, and 4:2:0 color files using the public
+# Annex K example tables (so tests can build REAL fixtures without PIL).
+# Progressive, 12-bit, arithmetic-coded, and non-interleaved multi-scan
+# JPEGs raise ValueError — the F9 error route, same contract as
+# decode_png. With this, only VIDEO decode remains a stub in this module.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -582,7 +584,7 @@ _ZIGZAG = [
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-# Annex K Table K.1 (luminance quantization), in natural (row-major) order.
+# Annex K Table K.1/K.2 (luminance/chrominance quantization), natural order.
 _QTBL_LUM = [
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -592,6 +594,16 @@ _QTBL_LUM = [
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QTBL_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
 ]
 
 # Annex K example Huffman tables: (BITS counts for code lengths 1..16, values)
@@ -621,6 +633,32 @@ _AC_LUM_VALS = [
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
 
 
 def _dct_matrix():
@@ -643,6 +681,31 @@ def _canonical_codes(bits, vals):
             k += 1
         code <<= 1
     return codes
+
+
+def _rgb_to_ycbcr(rgb):
+    """JFIF color transform, float planes (no rounding until the DCT)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 class _BitWriter:
@@ -674,11 +737,51 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
-    """(H, W) uint8 grayscale array -> baseline sequential JFIF bytes.
+def _encode_block(bw, C, block, q, dc_codes, ac_codes, prev_dc: int) -> int:
+    """DCT + quantize + Huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    import numpy as np
 
-    Annex K quant + Huffman tables, 8x8 DCT blocks, edge-replicated
-    padding to MCU multiples. ``restart_interval`` > 0 emits a DRI
+    coef = C @ block @ C.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    s, mb = _mag_bits(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(mb, s)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        s, mb = _mag_bits(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(mb, s)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]  # EOB
+        bw.write(ec, el)
+    return int(zz[0])
+
+
+def encode_jpeg(arr, restart_interval: int = 0, subsampling: str = "444") -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 -> baseline sequential
+    JFIF bytes.
+
+    Annex K quant + Huffman tables (luminance pair for Y/grayscale,
+    chrominance pair for Cb/Cr), 8x8 DCT blocks, edge-replicated padding
+    to MCU multiples. Color is YCbCr, interleaved, with ``subsampling``
+    "444" (no chroma subsampling) or "420" (2x2 box-mean chroma, the
+    dominant real-world layout). ``restart_interval`` > 0 emits a DRI
     segment and RSTn markers every N MCUs (exercises the decoder's
     restart path — real encoders emit these for error resilience)."""
     import struct
@@ -686,76 +789,102 @@ def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 2 or a.size == 0:
-        raise ValueError("encode_jpeg takes a non-empty 2-D grayscale array")
-    h, w = a.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
-
+    color = a.ndim == 3
+    if a.size == 0 or a.ndim not in (2, 3) or (color and a.shape[2] != 3):
+        raise ValueError("encode_jpeg takes (H, W) grayscale or (H, W, 3) RGB")
+    h, w = a.shape[:2]
     C = _dct_matrix()
-    q = np.array(_QTBL_LUM, dtype=np.float64).reshape(8, 8)
-    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    qlum = np.array(_QTBL_LUM, dtype=np.float64).reshape(8, 8)
+    qchr = np.array(_QTBL_CHROM, dtype=np.float64).reshape(8, 8)
+    dc_l = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    if not color:
+        comps = [(a.astype(np.float64), 1, 1, qlum, dc_l, ac_l)]
+    else:
+        if subsampling not in ("444", "420"):
+            raise ValueError("subsampling must be '444' or '420'")
+        dc_c = _canonical_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+        ac_c = _canonical_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+        y, cb, cr = _rgb_to_ycbcr(a.astype(np.float64))
+        if subsampling == "420":
+            ph2, pw2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            cb = cbp.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+            y_hv = (2, 2)
+        else:
+            y_hv = (1, 1)
+        comps = [
+            (y, y_hv[0], y_hv[1], qlum, dc_l, ac_l),
+            (cb, 1, 1, qchr, dc_c, ac_c),
+            (cr, 1, 1, qchr, dc_c, ac_c),
+        ]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for plane, hi, vi, q, dcc, acc in comps:
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        padded.append((p, hi, vi, q, dcc, acc))
 
     bw = _BitWriter()
-    prev_dc = 0
-    mcu_count = 0
+    prev = [0] * len(padded)
     rst_idx = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst_idx])
-                rst_idx = (rst_idx + 1) % 8
-                prev_dc = 0
-            mcu_count += 1
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = C @ block @ C.T
-            quant = np.round(coef / q).astype(np.int64)
-            zz = quant.reshape(-1)[_ZIGZAG]
-            # DC
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s, mb = _mag_bits(diff)
-            code, length = dc_codes[s]
-            bw.write(code, length)
-            if s:
-                bw.write(mb, s)
-            # AC
-            run = 0
-            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                s, mb = _mag_bits(v)
-                code, length = ac_codes[(run << 4) | s]
-                bw.write(code, length)
-                bw.write(mb, s)
-                run = 0
-            if last_nz < 63:
-                ec, el = ac_codes[0x00]  # EOB
-                bw.write(ec, el)
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst_idx])
+            rst_idx = (rst_idx + 1) % 8
+            prev = [0] * len(padded)
+        my, mx = divmod(m, mcux)
+        for ci, (p, hi, vi, q, dcc, acc) in enumerate(padded):
+            for v in range(vi):
+                for hb in range(hi):
+                    by = (my * vi + v) * 8
+                    bx = (mx * hi + hb) * 8
+                    block = p[by : by + 8, bx : bx + 8] - 128.0
+                    prev[ci] = _encode_block(bw, C, block, q, dcc, acc, prev[ci])
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    zz_q = bytes(int(q.reshape(-1)[i]) for i in _ZIGZAG)
+    def zz_bytes(q) -> bytes:
+        flat = q.reshape(-1)
+        return bytes(int(flat[i]) for i in _ZIGZAG)
+
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_q)
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFDB, b"\x00" + zz_bytes(qlum))
+    if color:
+        out += seg(0xFFDB, b"\x01" + zz_bytes(qchr))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, (_, hi, vi, _, _, _) in enumerate(padded):
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
+    out += seg(0xFFC0, sof)
     out += seg(0xFFC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    if color:
+        out += seg(0xFFC4, b"\x01" + bytes(_DC_CHR_BITS) + bytes(_DC_CHR_VALS))
+        out += seg(0xFFC4, b"\x11" + bytes(_AC_CHR_BITS) + bytes(_AC_CHR_VALS))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        tt = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, tt])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
     out += bytes(bw.out) + b"\xff\xd9"  # entropy data + EOI
     return out
 
@@ -829,14 +958,51 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_block(br, dc_tbl, ac_tbl, q, C, prev_dc: int):
+    """Huffman-decode + dequantize + IDCT one block; returns
+    (spatial block around 0, new DC predictor)."""
+    import numpy as np
+
+    zz = np.zeros(64, dtype=np.float64)
+    s = _huff_decode(br, dc_tbl)
+    if s > 11:
+        raise ValueError("JPEG invalid DC size category")
+    diff = _extend(br.read_bits(s), s) if s else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        sym = _huff_decode(br, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("JPEG invalid AC symbol")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        zz[i] = _extend(br.read_bits(size), size)
+        i += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz
+    return C.T @ (coef.reshape(8, 8) * q) @ C, dc
+
+
 def decode_jpeg(content: bytes):
-    """Baseline sequential grayscale JFIF bytes -> (H, W) uint8 array.
+    """Baseline sequential JFIF bytes -> (H, W) uint8 grayscale or
+    (H, W, 3) uint8 RGB array.
 
     Pure stdlib+numpy: marker walk, stream-defined quant/Huffman tables,
-    per-block Huffman decode, dequant, inverse zigzag, matrix IDCT.
-    Supports single-component (grayscale) baseline sequential (SOF0)
-    with optional restart intervals; anything else — color, progressive
-    (SOF2), 12-bit, arithmetic coding, truncation — raises ValueError.
+    interleaved-MCU Huffman decode, dequant, inverse zigzag, matrix
+    IDCT, nearest-neighbor chroma upsampling, JFIF YCbCr -> RGB.
+    Supports 1- and 3-component baseline sequential (SOF0) with any
+    sampling factors dividing the maxima (4:4:4, 4:2:0, 4:2:2) and
+    optional restart intervals; anything else — progressive (SOF2),
+    12-bit, arithmetic coding, CMYK, non-interleaved scans, truncation —
+    raises ValueError.
     """
     import struct
 
@@ -850,7 +1016,7 @@ def decode_jpeg(content: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
     frame = None
     restart_interval = 0
-    scan_comp = None
+    scan = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -896,82 +1062,99 @@ def decode_jpeg(content: bytes):
                 huff[(tc, th)] = table
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline sequential
+            if len(payload) < 6:
+                raise ValueError("JPEG truncated SOF0")
             prec, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("unsupported JPEG (12-bit precision)")
-            if ncomp != 1:
-                raise ValueError(
-                    "unsupported JPEG (color; this codec is grayscale-only)"
-                )
-            cid, hv, tq = payload[6], payload[7], payload[8]
-            if hv != 0x11:
-                raise ValueError("unsupported JPEG (subsampled grayscale)")
-            frame = (fh, fw, cid, tq)
+            if ncomp not in (1, 3):
+                raise ValueError("unsupported JPEG (CMYK/unknown component count)")
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("JPEG truncated SOF0 components")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 "unsupported JPEG (only baseline sequential SOF0 is handled)"
             )
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("JPEG truncated DRI")
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
-            if payload[0] != 1:
-                raise ValueError("unsupported JPEG (multi-component scan)")
-            scan_comp = (payload[1], payload[2] >> 4, payload[2] & 0x0F)
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = payload[0] if payload else 0
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "unsupported JPEG (non-interleaved multi-scan)"
+                )
+            if len(payload) < 1 + 2 * ns:
+                raise ValueError("JPEG truncated SOS")
+            scan = []
+            for i in range(ns):
+                cid, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan.append((cid, tt >> 4, tt & 0x0F))
             break  # entropy data follows
         # APPn/COM/etc: skipped
-    if frame is None or scan_comp is None:
+    if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    fh, fw, cid, tq = frame
+    fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError("JPEG empty frame")
-    _, td, ta = scan_comp
-    if tq not in qtables or (0, td) not in huff or (1, ta) not in huff:
-        raise ValueError("JPEG scan references undefined tables")
-    q = qtables[tq]
-    dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        # single-component scans are never interleaved: one block per MCU
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+        hmax = vmax = 1
+    scan_by_cid = {s[0]: s for s in scan}
+    plan = []  # (plane index, hi, vi, quant, dc table, ac table)
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            raise ValueError("unsupported JPEG (non-dividing sampling factors)")
+        if cid not in scan_by_cid:
+            raise ValueError("JPEG scan/frame component mismatch")
+        _, td, ta = scan_by_cid[cid]
+        if tq not in qtables or (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references undefined tables")
+        plan.append((ci, hi, vi, qtables[tq], huff[(0, td)], huff[(1, ta)]))
 
     C = _dct_matrix()
-    bh, bw_ = (fh + 7) // 8, (fw + 7) // 8
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for _, hi, vi, _, _, _ in plan
+    ]
     br = _BitReader(b, pos)
-    prev_dc = 0
-    mcu = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                if not br.at_restart():
-                    raise ValueError("JPEG missing expected RST marker")
-                br.skip_restart()
-                prev_dc = 0
-            mcu += 1
-            zz = np.zeros(64, dtype=np.float64)
-            s = _huff_decode(br, dc_tbl)
-            if s > 11:
-                raise ValueError("JPEG invalid DC size category")
-            diff = _extend(br.read_bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _huff_decode(br, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("JPEG invalid AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("JPEG AC coefficient index overflow")
-                zz[i] = _extend(br.read_bits(size), size)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz
-            block = C.T @ (coef.reshape(8, 8) * q) @ C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:fh, :fw]
+    prev = [0] * len(plan)
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            if not br.at_restart():
+                raise ValueError("JPEG missing expected RST marker")
+            br.skip_restart()
+            prev = [0] * len(plan)
+        my, mx = divmod(m, mcux)
+        for pi, (ci, hi, vi, q, dc_tbl, ac_tbl) in enumerate(plan):
+            for v in range(vi):
+                for hb in range(hi):
+                    block, prev[pi] = _decode_block(
+                        br, dc_tbl, ac_tbl, q, C, prev[pi]
+                    )
+                    by = (my * vi + v) * 8
+                    bx = (mx * hi + hb) * 8
+                    planes[pi][by : by + 8, bx : bx + 8] = block
+    full = []
+    for (ci, hi, vi, _, _, _), plane in zip(plan, planes):
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(up[:fh, :fw] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 _JPEG_SIG = b"\xff\xd8"

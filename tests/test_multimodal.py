@@ -297,3 +297,57 @@ def test_decode_image_dispatch_and_features_seam(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (9, 5)
     assert (rows[2]["width"], rows[2]["height"]) == (7, 12)
     assert rows[1]["byte_len"] == len(png_blob)
+
+
+def test_jpeg_codec_color_roundtrips():
+    """Baseline COLOR JPEG: 4:4:4 and 4:2:0 interleaved YCbCr.
+    A gray-valued color image (chroma exactly 128 -> zero chroma DCT) on
+    a quant-exact luma roundtrips bit-exact; saturated/gradient images
+    stay within quantization tolerance; 4:2:0 halves chroma blocks and
+    must resync across restart markers with odd (non-MCU-multiple)
+    dims."""
+    import numpy as np
+
+    gray3 = np.full((10, 14, 3), 200, dtype=np.uint8)
+    assert (mm.decode_jpeg(mm.encode_jpeg(gray3)) == gray3).all()
+
+    flat = np.zeros((12, 12, 3), dtype=np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 180, 60, 40
+    back = mm.decode_jpeg(mm.encode_jpeg(flat))
+    assert np.abs(back.astype(int) - flat.astype(int)).max() <= 3
+
+    g = np.zeros((19, 27, 3), dtype=np.uint8)
+    g[..., 0] = np.add.outer(np.arange(19) * 4, np.arange(27) * 2) % 256
+    g[..., 1] = 128
+    g[..., 2] = np.arange(27)[None, :] * 5 % 256
+    for mode, tol in (("444", 14), ("420", 16)):
+        out = mm.decode_jpeg(mm.encode_jpeg(g, subsampling=mode))
+        assert out.shape == g.shape
+        err = int(np.abs(out.astype(int) - g.astype(int)).max())
+        assert err <= tol, (mode, err)
+    with_rst = mm.decode_jpeg(mm.encode_jpeg(g, restart_interval=2, subsampling="420"))
+    assert (with_rst == mm.decode_jpeg(mm.encode_jpeg(g, subsampling="420"))).all()
+
+
+def test_jpeg_color_truncation_and_dispatch(spark):
+    """Color files obey the same ValueError-only contract, and the
+    feature seam reports true dims for color JPEG blobs."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    good = mm.encode_jpeg(arr, subsampling="420")
+    assert mm.decode_image(good).shape == (9, 13, 3)
+    for cut in range(2, len(good), 7):
+        try:
+            out = mm.decode_jpeg(good[:cut])
+        except ValueError:
+            continue
+        assert out.shape == (9, 13, 3), f"cut at {cut} mis-decoded"
+
+    df = spark.createDataFrame(
+        [(5, bytearray(good))], "media_id long, content binary"
+    )
+    r = mm.image_features(df).collect()[0]
+    assert (r["width"], r["height"]) == (13, 9)
