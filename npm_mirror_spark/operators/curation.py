@@ -237,3 +237,42 @@ def stratified_sample(
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.where(bucket < thresh)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Per-source temperature-scaled mixture weights: the knob a
+    pretraining mix uses to up-weight small sources without letting any
+    one source dominate — w_s ∝ (n_s/N)^(1/T), T=1 keeps natural
+    proportions, T→∞ approaches uniform.
+
+    One count aggregation, then two windowed normalizations over the
+    per-source aggregate (|sources| rows — the empty-partition window is
+    bounded, same pattern as q_new_users_daily's day axis). For T=2 the
+    scaling runs through sqrt(), which is IEEE-correctly-rounded and
+    therefore bit-reproducible across engines (the DuckDB oracle path);
+    other temperatures use pow(), whose last-ulp behavior is
+    libm-specific — fine for production, not for value-hash parity.
+    Returns (source, n_docs, share, temp_weight).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    share = (F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)).alias(
+        "share"
+    )
+    staged = counts.select(source_col, "n_docs", share)
+    if temperature == 2.0:
+        scaled = F.sqrt(F.col("share"))
+    else:
+        scaled = F.pow(F.col("share"), F.lit(1.0 / float(temperature)))
+    return staged.select(
+        source_col,
+        "n_docs",
+        "share",
+        (scaled / F.sum(scaled).over(wall)).alias("temp_weight"),
+    )

@@ -506,3 +506,46 @@ def dedup_keepset_best(
         best.select(F.col("__keep_id").alias(id_col)), id_col, "left_anti"
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document duplicate n-gram fraction: what share of the doc's
+    DISTINCT shingles also appear in at least one OTHER document — the
+    corpus-level memorization diagnostic behind substring-dedup decisions
+    (docs with a high fraction are near-boilerplate even when no single
+    pair-level dup fires).
+
+    Scale shape: explode to DISTINCT (doc, shingle-hash) pairs — bodies
+    never shuffle, each shingle rides as one xxhash64 long — then one
+    shuffle keyed on the shingle hash counts carrier docs, and the join
+    back + per-doc aggregate reuse that same hash partitioning. A 64-bit
+    hash collision merges two shingles' counts (overcounts dup_frac by
+    at most 1/n_shingles per affected doc) — the classic space/exactness
+    trade, negligible below ~1e9 distinct shingles per job.
+    Returns (doc_id, n_shingles, dup_frac).
+    """
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+        )
+        .select(id_col, F.xxhash64("__sh").alias("__h"))
+        .distinct()
+    )
+    carriers = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    return (
+        ex.join(carriers, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            (
+                F.sum((F.col("__nd") >= 2).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )

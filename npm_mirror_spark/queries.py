@@ -2652,6 +2652,30 @@ def q_cluster_split(spark, sf_dir):
     return labeled.select("doc_id", "cluster", split.alias("split"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Per-source temperature-scaled mixture weights (T=2): how a
+    pretraining mix up-weights small sources — w_s ∝ sqrt(n_s/N),
+    renormalized (operators/curation.py:temperature_mix). T=2 is the
+    registered face because sqrt is IEEE-correctly-rounded and therefore
+    bit-equal across Spark and DuckDB; the final weight is rounded to 9
+    decimals in BOTH engines because its denominator is a cross-row
+    float SUM, whose last-ulp value depends on summation order."""
+    m = cur_ops.temperature_mix(_t(spark, sf_dir, "documents"), "source", 2.0)
+    return m.select(
+        "source", "n_docs", "share", F.round("temp_weight", 9).alias("temp_weight")
+    )
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-doc duplicate n-gram fraction: the share of each document's
+    DISTINCT trigram shingles that appear in >= 2 documents — the
+    corpus-memorization diagnostic behind substring-dedup decisions
+    (operators/dedup.py:dup_ngram_fraction). Shingles ride the shuffle
+    as xxhash64 longs; the oracle groups on the raw shingle string, so
+    parity also certifies collision-freeness on this corpus."""
+    return dedup_ops.dup_ngram_fraction(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2795,6 +2819,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "q_variant_decode": q_variant_decode,
     "q_cluster_split": q_cluster_split,
+    # r5 additions — join the never-driver-checked queue for r6+ rotation
+    "q_temperature_mix": q_temperature_mix,
+    "q_dup_ngram_fraction": q_dup_ngram_fraction,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4241,4 +4268,26 @@ hits AS (
 SELECT probe_id, CAST(n_found AS BIGINT) AS n_found,
        CAST(n_found AS BIGINT) / CAST(k AS BIGINT) AS recall
 FROM hits
+"""
+
+ORACLES["q_temperature_mix"] = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+s AS (SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share
+      FROM c),
+t AS (SELECT source, n_docs, share, sqrt(share) AS sc FROM s)
+SELECT source, n_docs, share,
+       round(sc / sum(sc) OVER (), 9) AS temp_weight
+FROM t
+"""
+
+ORACLES["q_dup_ngram_fraction"] = f"""
+WITH {_SHINGLES.format(src="documents")},
+ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT s, count(*) AS nd FROM ex GROUP BY s)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_frac
+FROM ex JOIN c USING (s)
+GROUP BY doc_id
 """

@@ -173,3 +173,25 @@ def test_cap_per_group_large_ids_no_overflow(spark):
     got = sorted(r["id"] for r in cur.cap_per_group(df, "src", "id", 10).collect())
     want = sorted(sorted(ids, key=lambda i: ((i % 2**31) * cur.KNUTH % 2**31, i))[:10])
     assert got == want
+
+
+def test_temperature_mix_weights(spark):
+    """Skewed sources, generic temperatures: T=1 reproduces natural
+    shares, T=2 up-weights the small source (checked against exact
+    python math), T→∞ approaches uniform."""
+    import math
+
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, id long")
+
+    t1 = {r["src"]: r for r in cur.temperature_mix(df, "src", 1.0).collect()}
+    assert t1["big"]["share"] == 0.9 and t1["small"]["share"] == 0.1
+    assert abs(t1["big"]["temp_weight"] - 0.9) < 1e-12
+
+    t2 = {r["src"]: r for r in cur.temperature_mix(df, "src", 2.0).collect()}
+    denom = math.sqrt(0.9) + math.sqrt(0.1)
+    assert abs(t2["small"]["temp_weight"] - math.sqrt(0.1) / denom) < 1e-12
+    assert t2["small"]["temp_weight"] > 0.1  # up-weighted
+
+    t100 = {r["src"]: r for r in cur.temperature_mix(df, "src", 100.0).collect()}
+    assert abs(t100["small"]["temp_weight"] - 0.5) < 0.01  # near uniform

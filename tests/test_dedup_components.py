@@ -78,3 +78,24 @@ def test_cluster_split_no_leakage(spark, sf_dir):
     sides = {r["split"]: r["n"] for r in
              df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sides.get("train", 0) > 0 and sides.get("val", 0) > 0
+
+
+def test_dup_ngram_fraction_exact(spark):
+    """Hand-computable fixture: doc 1 and 2 share one trigram ('b c d'),
+    doc 3 shares nothing, doc 4 is a short-text singleton shingle."""
+    from npm_mirror_spark.operators.dedup import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: 'a b c', 'b c d'
+            (2, "b c d e"),          # shingles: 'b c d', 'c d e'
+            (3, "x y z w"),          # shingles: 'x y z', 'y z w'
+            (4, "q r"),              # short text -> whole text shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_fraction(df).collect()}
+    assert got[1]["n_shingles"] == 2 and got[1]["dup_frac"] == 0.5
+    assert got[2]["n_shingles"] == 2 and got[2]["dup_frac"] == 0.5
+    assert got[3]["dup_frac"] == 0.0
+    assert got[4]["n_shingles"] == 1 and got[4]["dup_frac"] == 0.0
