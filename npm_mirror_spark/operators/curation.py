@@ -175,11 +175,14 @@ KNUTH = 2654435761  # golden-ratio multiplicative hash constant
 
 def sample_bucket(id_col: str, buckets: int = 1000) -> F.Column:
     """Deterministic engine-portable bucket in [0, buckets): Knuth
-    multiplicative hash on the id. BIGINT-exact in both Spark and DuckDB
-    (id * KNUTH stays under 2^63 for ids < ~3.5e9; production would use
-    xxhash64, which DuckDB cannot replay — portability is the point of
-    the oracle, determinism is the point of the operator)."""
-    return F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(buckets))
+    multiplicative hash on the id, reduced mod 2^31 BEFORE the multiply
+    so the product stays under 2^63 for EVERY int64 id — the naive
+    id * KNUTH wraps silently in Spark but raises in DuckDB for ids
+    >= ~3.5e9, exactly the id range a 100 TB corpus reaches (same fix as
+    cap_per_group; production could use xxhash64, but DuckDB cannot
+    replay it — portability is the point of the oracle, determinism is
+    the point of the operator)."""
+    return F.pmod(F.pmod(F.col(id_col), F.lit(2**31)) * F.lit(KNUTH), F.lit(buckets))
 
 
 def cap_per_group(

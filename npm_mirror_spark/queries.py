@@ -2647,7 +2647,12 @@ def q_cluster_split(spark, sf_dir):
         )
     )
     split = F.when(
-        F.pmod(F.col("cluster") * F.lit(2654435761), F.lit(100)) < 90, "train"
+        F.pmod(
+            F.pmod(F.col("cluster"), F.lit(2**31)) * F.lit(2654435761),
+            F.lit(100),
+        )
+        < 90,
+        "train",
     ).otherwise("val")
     return labeled.select("doc_id", "cluster", split.alias("split"))
 
@@ -3403,7 +3408,7 @@ FROM blocks GROUP BY source, block
 """,
     "q_stratified_sample": """
 SELECT doc_id, source FROM documents
-WHERE (doc_id * 2654435761) % 1000 <
+WHERE ((doc_id % 2147483648) * 2654435761) % 1000 <
   CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
               WHEN 'src2' THEN 250 ELSE 50 END
 """,
@@ -4205,7 +4210,7 @@ lab AS (
   SELECT d.doc_id, coalesce(rep.label, d.doc_id) AS cluster
   FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node)
 SELECT doc_id, cluster,
-       CASE WHEN (cluster * 2654435761) % 100 < 90
+       CASE WHEN ((cluster % 2147483648) * 2654435761) % 100 < 90
             THEN 'train' ELSE 'val' END AS split
 FROM lab
 """
