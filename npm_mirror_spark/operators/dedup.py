@@ -520,15 +520,21 @@ def dup_ngram_fraction(
     (docs with a high fraction are near-boilerplate even when no single
     pair-level dup fires).
 
-    Scale shape: explode to DISTINCT (doc, shingle-hash) pairs — bodies
-    never shuffle, each shingle rides as one xxhash64 long — then one
-    shuffle keyed on the shingle hash counts carrier docs, and the join
-    back + per-doc aggregate reuse that same hash partitioning. A 64-bit
-    hash collision merges two shingles' counts (overcounts dup_frac by
-    at most 1/n_shingles per affected doc) — the classic space/exactness
-    trade, negligible below ~1e9 distinct shingles per job.
+    Scale shape: ONE corpus scan, zero joins. Explode to DISTINCT
+    (doc, shingle-hash) pairs — bodies never shuffle, each shingle rides
+    as one xxhash64 long — then the carrier count is a COUNT window
+    partitioned by the shingle hash (partitions are docs-per-shingle
+    sized, i.e. tiny), and the final per-doc aggregate shuffles doc
+    keys. Three key-only shuffles total; the groupBy+join-back
+    alternative scans the corpus twice and asks the planner to
+    materialize a corpus-derived side. A 64-bit hash collision merges
+    two shingles' counts (overcounts dup_frac by at most 1/n_shingles
+    per affected doc) — the classic space/exactness trade, negligible
+    below ~1e9 distinct shingles per job.
     Returns (doc_id, n_shingles, dup_frac).
     """
+    from pyspark.sql.window import Window
+
     ex = (
         df.select(
             F.col(id_col),
@@ -537,9 +543,9 @@ def dup_ngram_fraction(
         .select(id_col, F.xxhash64("__sh").alias("__h"))
         .distinct()
     )
-    carriers = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
     return (
-        ex.join(carriers, "__h")
+        ex.select(id_col, nd.alias("__nd"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -244,6 +244,18 @@ def test_cap_per_group_partial_window_limit(spark, sf_dir):
     assert "Partial" in text, "map-side partial top-k missing"
 
 
+def test_dup_ngram_fraction_single_scan_no_join(q):
+    """The carrier count must be a WINDOW over the shingle hash, not a
+    groupBy+join-back: one corpus scan, zero joins, three key-only
+    shuffles (distinct, window, per-doc agg). The join form scans the
+    corpus twice and materializes a corpus-derived build side."""
+    df = q("q_dup_ngram_fraction")
+    text = plans.explain_str(df, "simple")
+    assert text.count("FileScan") == 1, "corpus scanned more than once"
+    assert "Join" not in text, "carrier count regressed to a join"
+    assert plans.shuffle_count(df) <= 3
+
+
 def test_variant_decode_pure_projection(q):
     """VARIANT parse + path access stays a map-side projection: no
     exchange, no Python eval; binary variants never shuffle."""
