@@ -256,8 +256,11 @@ def write_kafka_stream(
 ):
     """K1 parity: keyed, compressed Kafka producer
     (producer.ts:172-199 — key=seq, gzip). Not exercisable in this
-    container (no broker); the serialization plan is the production path.
-    Returns the started StreamingQuery."""
+    container — no broker listens, and the spark-sql-kafka connector jar
+    is not in pyspark's jars/ (re-checked r5), so even a fake broker
+    could not load the sink. The serialization plan is the production
+    path; the key/value projection it wraps is exercised by the file
+    sinks. Returns the started StreamingQuery."""
     out = df.selectExpr(
         f"CAST({key_col} AS STRING) AS key", "to_json(struct(*)) AS value"
     )

@@ -351,3 +351,42 @@ def test_jpeg_color_truncation_and_dispatch(spark):
     )
     r = mm.image_features(df).collect()[0]
     assert (r["width"], r["height"]) == (13, 9)
+
+
+def test_jpeg_codec_constant_property():
+    """Property (hypothesis): for ANY dims and ANY constant fill, the
+    roundtrip error is bounded by the DC quantization step alone —
+    <= 1/channel grayscale, <= 4/channel color (chroma quant 17 + color
+    transform) — and encoding is deterministic byte-for-byte."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        rgb=st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+        mode=st.sampled_from(["gray", "444", "420"]),
+    )
+    def check(h, w, rgb, mode):
+        if mode == "gray":
+            a = np.full((h, w), rgb[0], dtype=np.uint8)
+            blob = mm.encode_jpeg(a)
+            tol = 1
+        else:
+            a = np.zeros((h, w, 3), dtype=np.uint8)
+            a[...] = rgb
+            blob = mm.encode_jpeg(a, subsampling=mode)
+            tol = 4
+        assert blob == (
+            mm.encode_jpeg(a) if mode == "gray" else mm.encode_jpeg(a, subsampling=mode)
+        )
+        back = mm.decode_jpeg(blob)
+        assert back.shape == a.shape
+        err = int(np.abs(back.astype(int) - a.astype(int)).max())
+        assert err <= tol, (h, w, rgb, mode, err)
+
+    check()
