@@ -263,6 +263,11 @@ def temperature_mix(
     """
     from pyspark.sql.window import Window
 
+    if not float(temperature) > 0.0:
+        raise ValueError(
+            f"temperature must be > 0 (got {temperature}): T<=0 has no "
+            "mixture-weight meaning (negative T would invert the weighting)"
+        )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
     wall = Window.partitionBy()
     share = (F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)).alias(

@@ -520,21 +520,22 @@ def dup_ngram_fraction(
     (docs with a high fraction are near-boilerplate even when no single
     pair-level dup fires).
 
-    Scale shape: ONE corpus scan, zero joins. Explode to DISTINCT
-    (doc, shingle-hash) pairs — bodies never shuffle, each shingle rides
-    as one xxhash64 long — then the carrier count is a COUNT window
-    partitioned by the shingle hash (partitions are docs-per-shingle
-    sized, i.e. tiny), and the final per-doc aggregate shuffles doc
-    keys. Three key-only shuffles total; the groupBy+join-back
-    alternative scans the corpus twice and asks the planner to
-    materialize a corpus-derived side. A 64-bit hash collision merges
-    two shingles' counts (overcounts dup_frac by at most 1/n_shingles
-    per affected doc) — the classic space/exactness trade, negligible
-    below ~1e9 distinct shingles per job.
-    Returns (doc_id, n_shingles, dup_frac).
+    Scale shape: explode to DISTINCT (doc, shingle-hash) pairs — bodies
+    never shuffle, each shingle rides as one xxhash64 long — then the
+    carrier count is groupBy(hash).count() JOINED back on the hash, NOT
+    a count-window: the groupBy gets map-side PARTIAL aggregation (a
+    boilerplate shingle carried by 1e8 docs contributes one partial row
+    per map task, not 1e8 rows in one window partition), and the attach
+    join is an equi sort-merge join that AQE's skew-join splitting can
+    subdivide — a window partition has no such mitigation. The corpus is
+    NOT scanned twice: both join inputs derive from the same distinct
+    exchange, which the planner dedupes (ReusedExchange — pinned by
+    tests/test_plans.py under the no-broadcast large-scale context).
+    A 64-bit hash collision merges two shingles' counts (overcounts
+    dup_frac by at most 1/n_shingles per affected doc) — the classic
+    space/exactness trade, negligible below ~1e9 distinct shingles per
+    job. Returns (doc_id, n_shingles, dup_frac).
     """
-    from pyspark.sql.window import Window
-
     ex = (
         df.select(
             F.col(id_col),
@@ -543,9 +544,9 @@ def dup_ngram_fraction(
         .select(id_col, F.xxhash64("__sh").alias("__h"))
         .distinct()
     )
-    nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    carriers = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
     return (
-        ex.select(id_col, nd.alias("__nd"))
+        ex.join(carriers, "__h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -522,19 +522,22 @@ def decode_png(content: bytes):
     return out.astype(np.uint8)
 
 
-def png_image_features(media: DataFrame) -> DataFrame:
-    """REAL image feature extraction over PNG blobs: decode (stdlib codec
-    above) -> (sha256, byte_len, true width/height) via the same Arrow
-    mapInPandas seam as extract_image_features. The kernel imports the
-    codec from this package — importable on workers in local mode and
-    wherever the wheel ships; the inline-by-value pattern stays available
+def _real_codec_features(media: DataFrame, decoder_name: str) -> DataFrame:
+    """Shared Arrow kernel behind png_image_features / image_features:
+    decode (real codec, resolved by name ON THE WORKER from this module)
+    -> (sha256, byte_len, true width/height). One definition so the
+    None-content conventions and hashing cannot diverge between the
+    per-format faces. The kernel imports the codec from this package —
+    importable on workers in local mode and wherever the wheel ships;
+    the inline-by-value pattern (extract_image_features) stays available
     for environments without it."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
-        from npm_mirror_spark.operators.multimodal import decode_png as _dec
+        import npm_mirror_spark.operators.multimodal as _mm
 
+        _dec = getattr(_mm, decoder_name)
         for pdf in batches:
             dims = pdf["content"].map(
                 lambda b: _dec(bytes(b)).shape[:2] if b is not None else (0, 0)
@@ -558,6 +561,13 @@ def png_image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         kernel, IMAGE_FEATURE_SCHEMA
     )
+
+
+def png_image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction over PNG blobs — strict face: any
+    non-PNG byte string raises (error route), where image_features would
+    sniff and dispatch."""
+    return _real_codec_features(media, "decode_png")
 
 
 # -- JPEG: baseline sequential, pure stdlib+numpy -----------------------------
@@ -1161,11 +1171,12 @@ _JPEG_SIG = b"\xff\xd8"
 
 
 def decode_image(content: bytes):
-    """Format-sniffing image decode: PNG -> (H, W, 3|4), baseline
-    grayscale JPEG -> (H, W). Anything else raises ValueError (F9
-    error route). This replaces decode_image_stub as the REAL default
-    for environments with no codec libraries — video frames remain the
-    only stubbed decode in this module."""
+    """Format-sniffing image decode: PNG -> (H, W, 3|4) RGB(A); baseline
+    JPEG -> (H, W) for grayscale files, (H, W, 3) RGB for color files.
+    Callers must branch on ndim, not assume 2-D. Anything else raises
+    ValueError (F9 error route). This replaces decode_image_stub as the
+    REAL default for environments with no codec libraries — video frames
+    remain the only stubbed decode in this module."""
     b = bytes(content)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
@@ -1176,34 +1187,6 @@ def decode_image(content: bytes):
 
 def image_features(media: DataFrame) -> DataFrame:
     """REAL image feature extraction over mixed PNG/JPEG blobs — the
-    format-sniffing upgrade of png_image_features, same Arrow mapInPandas
-    seam and output schema (sha256, byte_len, true width/height)."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
-        from npm_mirror_spark.operators.multimodal import decode_image as _dec
-
-        for pdf in batches:
-            dims = pdf["content"].map(
-                lambda b: _dec(bytes(b)).shape[:2] if b is not None else (0, 0)
-            )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "sha256": pdf["content"].map(
-                        lambda b: _hashlib.sha256(bytes(b)).hexdigest()
-                        if b is not None
-                        else None
-                    ),
-                    "byte_len": pdf["content"].map(
-                        lambda b: len(b) if b is not None else 0
-                    ),
-                    "width": dims.map(lambda d: int(d[1])),
-                    "height": dims.map(lambda d: int(d[0])),
-                }
-            )
-
-    return media.select("media_id", "content").mapInPandas(
-        kernel, IMAGE_FEATURE_SCHEMA
-    )
+    format-sniffing face of the shared _real_codec_features kernel, same
+    output schema (sha256, byte_len, true width/height)."""
+    return _real_codec_features(media, "decode_image")

@@ -115,13 +115,21 @@ def cosine_dup_pairs(
     split across IVF clusters, so the blocked plan under-recalls the
     exact answer — measured and characterized in
     tests/test_crossvalidation.py::test_ivf_dup_pairs_subset_of_bruteforce.
+
+    The gate is a BOUNDED probe, not a full count: limit(max_rows+1)
+    stops scanning the moment the bound is exceeded, so an over-size
+    input fails in O(max_rows) regardless of corpus size, and a
+    legitimate input pays one cheap bounded pre-scan (the gate is the
+    one eager step in an otherwise lazy plan builder — documented
+    trade for refusing accidental O(n^2) runs).
     """
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"cosine_dup_pairs is the all-pairs exactness baseline, gated at "
-            f"{max_rows} rows (got {n}): the candidate-pair count would be "
-            f"~{n * n // 2:.2e}. Use ivf_dup_pairs (cluster-blocked) at scale."
+            f"{max_rows} rows (input exceeds it): the candidate-pair count "
+            f"would be >~{max_rows * max_rows // 2:.1e}. Use ivf_dup_pairs "
+            f"(cluster-blocked) at scale."
         )
     a = with_norm(df, vec_col, "__na").select(
         F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("__va"), "__na"

@@ -195,3 +195,12 @@ def test_temperature_mix_weights(spark):
 
     t100 = {r["src"]: r for r in cur.temperature_mix(df, "src", 100.0).collect()}
     assert abs(t100["small"]["temp_weight"] - 0.5) < 0.01  # near uniform
+
+
+def test_temperature_mix_rejects_nonpositive_temperature(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "src string, id long")
+    for bad in (0.0, -2.0):
+        with pytest.raises(ValueError, match="temperature must be > 0"):
+            cur.temperature_mix(df, "src", bad)

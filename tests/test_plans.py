@@ -244,16 +244,24 @@ def test_cap_per_group_partial_window_limit(spark, sf_dir):
     assert "Partial" in text, "map-side partial top-k missing"
 
 
-def test_dup_ngram_fraction_single_scan_no_join(q):
-    """The carrier count must be a WINDOW over the shingle hash, not a
-    groupBy+join-back: one corpus scan, zero joins, three key-only
-    shuffles (distinct, window, per-doc agg). The join form scans the
-    corpus twice and materializes a corpus-derived build side."""
-    df = q("q_dup_ngram_fraction")
-    text = plans.explain_str(df, "simple")
-    assert text.count("FileScan") == 1, "corpus scanned more than once"
-    assert "Join" not in text, "carrier count regressed to a join"
-    assert plans.shuffle_count(df) <= 3
+def test_dup_ngram_fraction_partial_agg_and_reused_scan(spark, sf_dir):
+    """The carrier count must be groupBy+join, NOT a count-window: the
+    groupBy gets map-side partial aggregation and the attach join is an
+    AQE-splittable sort-merge join, so a boilerplate shingle carried by
+    1e8 docs cannot funnel into one task (a window partition has no skew
+    mitigation). The double-scan cost the join form would imply is paid
+    once: both join inputs share the distinct exchange (ReusedExchange)."""
+    import re
+
+    from npm_mirror_spark.plans.inspect import large_scale_plan
+
+    with large_scale_plan(spark):
+        df = QUERIES["q_dup_ngram_fraction"](spark, sf_dir)
+        text = plans.explain_str(df, "simple")
+    assert "Window" not in text, "carrier count regressed to a count-window"
+    assert "SortMergeJoin" in text
+    assert "ReusedExchange" in text, "distinct subtree computed twice"
+    assert re.search(r"partial_count", text), "carrier count lost partial agg"
 
 
 def test_variant_decode_pure_projection(q):
