@@ -2657,6 +2657,59 @@ def q_cluster_split(spark, sf_dir):
     return labeled.select("doc_id", "cluster", split.alias("split"))
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Measure, don't guess — for LSH: recall of the MinHash banded
+    candidate pairs against EXACT trigram-Jaccard ground truth (>= 0.5)
+    on the dup-injected corpus, the number that justifies (or vetoes)
+    the (num_hashes, bands) choice at scale — the lexical twin of
+    q_ann_recall. Ground truth avoids the all-pairs product via the
+    inverted-index route: docs sharing a shingle co-group on the shingle
+    hash (any pair with Jaccard > 0 shares one), intersections come from
+    the co-shingle pair counts, and Jaccard from the per-doc set sizes.
+    Diagnostic-grade cost (documented): the co-shingle join is the
+    expensive exact path the LSH plan exists to avoid — run it on
+    samples at 100 TB. Shingles ride as xxhash64 longs; the oracle
+    groups raw strings, so parity also certifies collision-freeness."""
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = dedup_ops.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(dedup_ops.word_shingles("text", 3))).alias(
+            "__sh"
+        ),
+    ).select("doc_id", F.xxhash64("__sh").alias("__h"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    co = (
+        ex.select(F.col("doc_id").alias("id_a"), "__h")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "__h"), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    truth = (
+        co.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .filter(
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    marked = truth.join(
+        cand.select("id_a", "id_b").withColumn("__c", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("__c").alias("n_hit"),
+        (F.count("__c").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Per-source temperature-scaled mixture weights (T=2): how a
     pretraining mix up-weights small sources — w_s ∝ sqrt(n_s/N),
@@ -2827,6 +2880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 additions — join the never-driver-checked queue for r6+ rotation
     "q_temperature_mix": q_temperature_mix,
     "q_dup_ngram_fraction": q_dup_ngram_fraction,
+    "q_minhash_recall": q_minhash_recall,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4295,4 +4349,23 @@ SELECT doc_id, count(*) AS n_shingles,
          AS dup_frac
 FROM ex JOIN c USING (s)
 GROUP BY doc_id
+"""
+
+ORACLES["q_minhash_recall"] = f"""
+WITH {_MINHASH_EDGES},
+ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+truth AS (
+  SELECT co.id_a, co.id_b
+  FROM co
+  JOIN sz sa ON sa.doc_id = co.id_a
+  JOIN sz sb ON sb.doc_id = co.id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+SELECT count(*) AS n_true_pairs,
+       count(e.id_a) AS n_hit,
+       CAST(count(e.id_a) AS DOUBLE) / count(*) AS recall
+FROM truth t LEFT JOIN edges e ON t.id_a = e.id_a AND t.id_b = e.id_b
 """
