@@ -2658,10 +2658,11 @@ def q_cluster_split(spark, sf_dir):
 
 
 def q_minhash_recall(spark, sf_dir):
-    """Measure, don't guess — for LSH: recall of the MinHash banded
-    candidate pairs against EXACT trigram-Jaccard ground truth (>= 0.5)
-    on the dup-injected corpus, the number that justifies (or vetoes)
-    the (num_hashes, bands) choice at scale — the lexical twin of
+    """Measure, don't guess — for LSH: recall AND precision of the
+    MinHash banded candidate pairs against EXACT trigram-Jaccard ground
+    truth (>= 0.5) on the dup-injected corpus — recall justifies (or
+    vetoes) the (num_hashes, bands) choice, precision prices the
+    verification stage the candidates feed; the lexical twin of
     q_ann_recall. Ground truth avoids the all-pairs product via the
     inverted-index route: docs sharing a shingle co-group on the shingle
     hash (any pair with Jaccard > 0 shares one), intersections come from
@@ -2698,15 +2699,18 @@ def q_minhash_recall(spark, sf_dir):
         )
         .select("id_a", "id_b")
     )
-    marked = truth.join(
+    marked = truth.withColumn("__t", F.lit(1)).join(
         cand.select("id_a", "id_b").withColumn("__c", F.lit(1)),
         ["id_a", "id_b"],
-        "left",
+        "full_outer",
     )
+    hit = F.count(F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1))
     return marked.agg(
-        F.count(F.lit(1)).alias("n_true_pairs"),
-        F.count("__c").alias("n_hit"),
-        (F.count("__c").cast("double") / F.count(F.lit(1))).alias("recall"),
+        F.count("__t").alias("n_true_pairs"),
+        F.count("__c").alias("n_candidates"),
+        hit.alias("n_hit"),
+        (hit.cast("double") / F.count("__t")).alias("recall"),
+        (hit.cast("double") / F.count("__c")).alias("precision"),
     )
 
 
@@ -4364,8 +4368,13 @@ truth AS (
   JOIN sz sa ON sa.doc_id = co.id_a
   JOIN sz sb ON sb.doc_id = co.id_b
   WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
-SELECT count(*) AS n_true_pairs,
-       count(e.id_a) AS n_hit,
-       CAST(count(e.id_a) AS DOUBLE) / count(*) AS recall
-FROM truth t LEFT JOIN edges e ON t.id_a = e.id_a AND t.id_b = e.id_b
+SELECT count(t.id_a) AS n_true_pairs,
+       count(e.id_a) AS n_candidates,
+       count(CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL
+                  THEN 1 END) AS n_hit,
+       CAST(count(CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL
+                       THEN 1 END) AS DOUBLE) / count(t.id_a) AS recall,
+       CAST(count(CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL
+                       THEN 1 END) AS DOUBLE) / count(e.id_a) AS precision
+FROM truth t FULL JOIN edges e ON t.id_a = e.id_a AND t.id_b = e.id_b
 """
