@@ -556,3 +556,93 @@ def dup_ngram_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs (J >= threshold) without the all-pairs
+    product OR the naive co-shingle join: PREFIX FILTERING (Bayardo et
+    al.'s AllPairs / Chaudhuri's SSJoin, public literature).
+
+    Every doc orders its distinct shingles by GLOBAL rarity (frequency
+    asc, hash asc — a total order) and indexes only its first
+    n - ceil(t*n) + 1 shingles. Lossless: for any pair with J >= t, the
+    globally-smallest shared shingle sits within both prefixes (if all
+    shared shingles hid in A's last ceil(t*|A|)-1 positions, then
+    |A∩B| < t*|A| <= |A∪B|*t — contradiction). The candidate join is
+    therefore keyed on the RAREST shingles of each doc — boilerplate
+    shingles (the skew killers of the naive inverted-index join) are
+    exactly the ones the prefix drops, so bucket sizes stay small by
+    construction. Exact intersections are then counted only for
+    candidate pairs (|cand| x doc-size rows), and Jaccard comes from the
+    per-doc set sizes.
+
+    Shuffles are all key-only: (doc, shingle-hash) distinct, frequency
+    count (partial-agg), per-doc rank window (doc-sized partitions),
+    prefix equi-join, candidate intersection count. Returns
+    (id_a, id_b, jaccard). A 64-bit shingle-hash collision can merge two
+    shingles (same caveat as dup_ngram_fraction).
+    """
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(text_col, shingle_n))
+            ).alias("__sh"),
+        )
+        .select(F.col(id_col).alias("__id"), F.xxhash64("__sh").alias("__h"))
+    )
+    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("__id").orderBy(F.asc("__cnt"), F.asc("__h"))
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    prefix = (
+        ex.join(freq, "__h")
+        .join(sizes, "__id")
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= prefix_len)
+        .select("__id", "__h")
+    )
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "__h")
+        .join(prefix.select(F.col("__id").alias("id_b"), "__h"), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(ex.select(F.col("__id").alias("id_a"), "__h"), "id_a")
+        .join(
+            ex.select(F.col("__id").alias("id_b"), "__h"),
+            ["id_b", "__h"],
+            "left_semi",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

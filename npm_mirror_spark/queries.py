@@ -2663,41 +2663,21 @@ def q_minhash_recall(spark, sf_dir):
     truth (>= 0.5) on the dup-injected corpus — recall justifies (or
     vetoes) the (num_hashes, bands) choice, precision prices the
     verification stage the candidates feed; the lexical twin of
-    q_ann_recall. Ground truth avoids the all-pairs product via the
-    inverted-index route: docs sharing a shingle co-group on the shingle
-    hash (any pair with Jaccard > 0 shares one), intersections come from
-    the co-shingle pair counts, and Jaccard from the per-doc set sizes.
-    Diagnostic-grade cost (documented): the co-shingle join is the
-    expensive exact path the LSH plan exists to avoid — run it on
-    samples at 100 TB. Shingles ride as xxhash64 longs; the oracle
-    groups raw strings, so parity also certifies collision-freeness."""
+    q_ann_recall. Ground truth is EXACT without an all-pairs product or
+    an every-shared-shingle co-group: dedup.jaccard_pairs_exact runs the
+    prefix-filter route (AllPairs) — each doc indexes only its rarest
+    n - ceil(t*n) + 1 shingles, provably lossless for J >= t, and the
+    candidate join keys on rare shingles so boilerplate shingles cannot
+    skew a bucket (losslessness cross-validated against the naive
+    inverted index in tests/test_crossvalidation.py). Shingles ride as
+    xxhash64 longs; the oracle recomputes the same truth set naively
+    over raw strings, so parity also certifies collision-freeness."""
     docs = _docs_with_dups(spark, sf_dir)
     cand = dedup_ops.minhash_candidate_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=4
     )
-    ex = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(dedup_ops.word_shingles("text", 3))).alias(
-            "__sh"
-        ),
-    ).select("doc_id", F.xxhash64("__sh").alias("__h"))
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    co = (
-        ex.select(F.col("doc_id").alias("id_a"), "__h")
-        .join(ex.select(F.col("doc_id").alias("id_b"), "__h"), "__h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    truth = (
-        co.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
-        .filter(
-            F.col("__inter").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("__inter"))
-            >= 0.5
-        )
-        .select("id_a", "id_b")
+    truth = dedup_ops.jaccard_pairs_exact(docs, threshold=0.5).select(
+        "id_a", "id_b"
     )
     marked = truth.withColumn("__t", F.lit(1)).join(
         cand.select("id_a", "id_b").withColumn("__c", F.lit(1)),

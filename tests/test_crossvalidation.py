@@ -227,3 +227,52 @@ def test_streaming_sessionize_replay_equals_batch(spark, sf_dir, tmp_path):
         for r in got
     )
     assert got_t == sorted(want)
+
+
+def test_jaccard_pairs_exact_equals_naive_inverted_index(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS: jaccard_pairs_exact (AllPairs
+    prefix-filter route) must produce exactly the pairs and values of
+    the naive every-shared-shingle co-group, at two thresholds."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        word_shingles,
+    )
+    from npm_mirror_spark.queries import _docs_with_dups
+
+    docs = _docs_with_dups(spark, sf_dir)
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("__sh"),
+    ).select("doc_id", F.xxhash64("__sh").alias("__h"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    co = (
+        ex.select(F.col("doc_id").alias("id_a"), "__h")
+        .join(ex.select(F.col("doc_id").alias("id_b"), "__h"), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+    )
+    for t in (0.5, 0.3):
+        naive = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in co.filter(F.col("jaccard") >= t).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs_exact(docs, threshold=t).collect()
+        }
+        assert fast == naive, (
+            t,
+            set(naive) - set(fast),
+            set(fast) - set(naive),
+        )
+        assert naive, f"fixture has no pairs at t={t}"
