@@ -390,3 +390,147 @@ def test_jpeg_codec_constant_property():
         assert err <= tol, (h, w, rgb, mode, err)
 
     check()
+
+
+# -- Y4M video codec ----------------------------------------------------------
+
+
+def _gradient_frames(n, w, h, color=True):
+    import numpy as np
+
+    out = []
+    for t in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 5 + yy * 9 + t * 17) % 256
+        if color:
+            out.append(
+                np.stack([base, (base + 80) % 256, (250 - base) % 256], axis=-1)
+                .astype(np.uint8)
+            )
+        else:
+            out.append(base.astype(np.uint8))
+    return out
+
+
+def test_y4m_info_and_mono_roundtrip_exact():
+    import numpy as np
+
+    frames = _gradient_frames(5, 16, 12, color=False)
+    blob = mm.encode_y4m(frames, fps_num=10, fps_den=1, colorspace="mono")
+    info = mm.y4m_info(blob)
+    assert (info["width"], info["height"]) == (16, 12)
+    assert info["n_frames"] == 5
+    assert info["colorspace"] == "mono"
+    assert info["duration_ms"] == 500
+    # mono carries the Y plane verbatim -> byte-exact roundtrip
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(mm.decode_y4m_frame(blob, i), f)
+
+
+def test_y4m_444_roundtrip_tight_tolerance():
+    import numpy as np
+
+    frames = _gradient_frames(3, 20, 14)
+    blob = mm.encode_y4m(frames, fps_num=25, fps_den=1, colorspace="444")
+    for i, f in enumerate(frames):
+        got = mm.decode_y4m_frame(blob, i)
+        assert got.shape == f.shape
+        # only RGB->YCbCr->RGB rounding, no subsampling: within 2 counts
+        assert int(np.abs(got.astype(int) - f.astype(int)).max()) <= 2
+
+
+def test_y4m_420_roundtrip_luma_exactish():
+    import numpy as np
+
+    frames = _gradient_frames(4, 32, 24)
+    blob = mm.encode_y4m(frames, fps_num=30, fps_den=1, colorspace="420jpeg")
+    f = frames[2]
+    got = mm.decode_y4m_frame(blob, 2)
+    # luma is full-res: the decoded image's luma must match the source's
+    y_src = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    y_got = 0.299 * got[..., 0] + 0.587 * got[..., 1] + 0.114 * got[..., 2]
+    assert float(np.abs(y_src - y_got).mean()) < 3.0
+    # chroma is 2x2 box-filtered: still bounded error on a smooth gradient
+    assert float(np.abs(got.astype(int) - f.astype(int)).mean()) < 12.0
+
+
+def test_y4m_malformed_raises_valueerror_only():
+    import numpy as np
+
+    import pytest
+
+    frames = _gradient_frames(2, 8, 8)
+    blob = mm.encode_y4m(frames, colorspace="420jpeg")
+    cases = [
+        b"NOTY4M    rest",
+        blob[: len(blob) - 7],  # truncated final frame
+        blob.replace(b"FRAME", b"FRAMX", 1),  # bad frame marker
+        mm.Y4M_MAGIC + b"W16 H12 F25:1\x0a" + b"garbage",  # bad frame section
+        mm.Y4M_MAGIC + b"W0 H12 F25:1\x0a",  # bad dims
+        mm.Y4M_MAGIC + b"W16 H12\x0a",  # missing rate
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            mm.y4m_info(bad)
+    with pytest.raises(ValueError):
+        mm.encode_y4m([np.zeros((7, 7, 3), dtype=np.uint8)], colorspace="420jpeg")
+    with pytest.raises(ValueError):
+        mm.decode_y4m_frame(blob, 99)
+
+
+def test_y4m_sample_frames_real_png_payload(spark):
+    import numpy as np
+
+    media = mm.synthetic_y4m_media(spark, n=4, frames=8, w=32, h=24)
+    out = mm.sample_frames(media, every_ms=250).toPandas()
+    # grid size per clip: duration_ms / 250 rows
+    metas = {
+        int(r["media_id"]): mm.y4m_info(bytes(r["content"]))
+        for r in media.select("media_id", "content").collect()
+    }
+    expect = sum(len(range(0, m["duration_ms"], 250)) for m in metas.values())
+    assert len(out) == expect
+    # every emitted frame is a real PNG of the clip geometry whose pixels
+    # equal the independently decoded source frame
+    row = out[out["media_id"] == 0].iloc[1]
+    png = bytes(row["frame"])
+    img = mm.decode_png(png)
+    info = metas[0]
+    assert img.shape[:2] == (info["height"], info["width"])
+    idx = min(
+        info["n_frames"] - 1,
+        int(row["frame_ts_ms"]) * info["fps_num"] // (1000 * info["fps_den"]),
+    )
+    src = mm.decode_y4m_frame(
+        bytes(media.filter(F.col("media_id") == 0).collect()[0]["content"]), idx
+    )
+    if src.ndim == 2:  # mono clips PNG-encode as grayscale
+        src = src if img.ndim == 2 else np.stack([src] * 3, axis=-1)
+    np.testing.assert_array_equal(img, src)
+
+
+def test_y4m_video_features(spark):
+    import numpy as np
+
+    media = mm.synthetic_y4m_media(spark, n=3, frames=6, w=16, h=12)
+    feats = {int(r["media_id"]): r for r in mm.video_features(media).collect()}
+    for r in media.select("media_id", "content").collect():
+        mid = int(r["media_id"])
+        b = bytes(r["content"])
+        info = mm.y4m_info(b)
+        got = feats[mid]
+        assert (got["width"], got["height"]) == (info["width"], info["height"])
+        assert got["n_frames"] == info["n_frames"]
+        assert got["duration_ms"] == info["duration_ms"]
+        lumas = [
+            float(
+                np.frombuffer(
+                    b,
+                    dtype=np.uint8,
+                    count=info["width"] * info["height"],
+                    offset=off,
+                ).mean()
+            )
+            for off in info["frame_offsets"]
+        ]
+        assert abs(got["mean_luma"] - sum(lumas) / len(lumas)) < 1e-9
