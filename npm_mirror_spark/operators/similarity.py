@@ -443,3 +443,267 @@ def ivf_topk_probe_clusters(
         .filter(F.col("__rn") <= nprobe)
         .select(probe_id_col, "cluster")
     )
+
+
+# -- PQ: product quantization (Jegou et al., TPAMI 2011) ----------------------
+#
+# The memory tier of the ANN stack. IVF (above) bounds how much of the
+# corpus a probe SCANS; PQ bounds how many BYTES each scanned vector
+# costs: a D-dim float32 vector (256 bytes at D=64) compresses to m
+# sub-codes (m bytes at ks<=256), and queries score codes through a
+# per-probe lookup table (ADC — asymmetric distance computation) without
+# ever reconstructing the vector. At 100 TB this is the difference
+# between embeddings that fit executor memory and embeddings that spill:
+# the codes table is ~1/64th the corpus, scans once, and never shuffles
+# anything wider than (id, m bytes).
+#
+# Design choices, made for determinism and Spark-shape:
+# - vectors are L2-normalized BEFORE splitting, so maximum-inner-product
+#   ADC ranks by (approximate) cosine — directly comparable with the
+#   exact cosine_topk above.
+# - training runs driver-side on a BOUNDED deterministic sample (the
+#   id-ordered head, like FAISS trains on a sample): codebooks are a few
+#   KB, broadcast by closure into the Arrow kernels. Fixed Lloyd
+#   iteration count + deterministic init (evenly spaced sample rows per
+#   subspace) => bit-identical codebooks run-to-run, no RNG.
+# - encode and ADC scoring are Arrow-batched numpy kernels (one argmin /
+#   one LUT-gather matmul per batch) emitting LOCAL top-k per batch —
+#   the same shuffle-k-rows-per-batch shape as cosine_topk_pandas.
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 10,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Train PQ codebooks on the id-ordered head of the corpus.
+
+    Returns {"m", "ks", "dim", "codebooks"} where codebooks is a
+    float64 ndarray of shape (m, ks, dim/m). The sample is bounded
+    (``limit(sample_rows)`` after an id sort), so training cost is
+    independent of corpus size; the returned object is a few KB and
+    travels to executors inside kernel closures, not as a join side.
+    Deterministic end-to-end: sorted sample, evenly-spaced init,
+    fixed-count Lloyd updates, ties broken by argmin's first-index rule.
+    """
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).select(vec_col).limit(sample_rows).collect()
+    )  # bounded by contract
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ks:
+        raise ValueError(f"sample of {n} rows cannot seed ks={ks} centroids")
+    dsub = dim // m
+    books = np.empty((m, ks, dsub))
+    for sub in range(m):
+        S = X[:, sub * dsub : (sub + 1) * dsub]
+        cent = S[(np.arange(ks) * n) // ks].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ks):
+                mask = assign == j
+                if mask.any():  # empty cluster keeps its previous centroid
+                    cent[j] = S[mask].mean(axis=0)
+        books[sub] = cent
+    return {"m": m, "ks": ks, "dim": dim, "codebooks": books}
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize every corpus vector to its m nearest-sub-centroid codes.
+
+    One Arrow-batched kernel pass: normalize, reshape (n, m, dsub),
+    argmin against each sub-codebook. Output (id, codes array<int>) —
+    the only thing downstream ANN ever shuffles or stores; at ks<=256
+    each code fits a byte in parquet's dictionary encoding."""
+    import numpy as np
+
+    books = np.ascontiguousarray(codebook["codebooks"])
+    m, dsub = books.shape[0], books.shape[2]
+    out_schema = f"{id_col} long, codes array<integer>"
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+            X /= _np.linalg.norm(X, axis=1, keepdims=True)
+            S = X.reshape(len(X), m, dsub)
+            codes = _np.empty((len(X), m), dtype=_np.int64)
+            for sub in range(m):
+                # ||x-c||^2 argmin == (||c||^2 - 2xc) argmin; one matmul
+                d = (books[sub] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    S[:, sub, :] @ books[sub].T
+                )
+                codes[:, sub] = d.argmin(axis=1)
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [c.tolist() for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    codebook: dict,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """ADC top-k: probes score the CODES table through per-probe lookup
+    tables — the corpus vectors are never touched. LUT[p, sub, j] =
+    <probe_p sub-vector, sub-centroid j>; a row's approximate cosine is
+    a pure m-way gather-sum, vectorized per Arrow batch, and each batch
+    emits only its local top-k per probe (shuffle = k rows/probe/batch).
+    Returns (probe_id, neighbor_id, approx_cos, rank)."""
+    import numpy as np
+
+    books = np.ascontiguousarray(codebook["codebooks"])
+    m, ks, dsub = books.shape
+    probe_rows = probes.select(probe_id_col, vec_col).collect()  # small by contract
+    pids = [r[probe_id_col] for r in probe_rows]
+    P = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in probe_rows])
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    # LUT: (n_probes, m, ks)
+    LUT = np.einsum("pmd,mkd->pmk", P.reshape(len(P), m, dsub), books)
+    out_schema = f"{probe_id_col} long, neighbor_id long, approx_cos double"
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        subs = _np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.stack([_np.asarray(c, dtype=_np.int64) for c in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            # S[i, p] = sum_sub LUT[p, sub, C[i, sub]]
+            S = LUT[:, subs[None, :], C].sum(axis=2).T
+            out_p, out_n, out_s = [], [], []
+            for j, pid in enumerate(pids):
+                mask = ids != pid
+                col, nid = S[:, j][mask], ids[mask]
+                order = _np.lexsort((nid, -col))[:k]
+                out_p.extend([pid] * len(order))
+                out_n.extend(nid[order])
+                out_s.extend(col[order])
+            yield _pd.DataFrame(
+                {probe_id_col: out_p, "neighbor_id": out_n, "approx_cos": out_s}
+            )
+
+    scored = codes.select(id_col, "codes").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_recall(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    codebook: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Measure, don't guess (the PQ face of q_ann_recall): per-probe
+    recall@k of ADC-over-codes against the exact cosine top-k on the same
+    probes — the number that justifies (m, ks) before anyone trusts the
+    compressed index. Returns (probe_id, n_found, recall)."""
+    exact = cosine_topk(corpus, probes, k, vec_col, id_col, probe_id_col).select(
+        probe_id_col, "neighbor_id"
+    )
+    codes = pq_encode(corpus, codebook, vec_col, id_col)
+    approx = pq_topk(codes, probes, codebook, k, vec_col, id_col, probe_id_col).select(
+        F.col(probe_id_col).alias("__p"), F.col("neighbor_id").alias("__n")
+    )
+    hit = exact.join(
+        approx,
+        (exact[probe_id_col] == approx.__p) & (exact.neighbor_id == approx.__n),
+        "left_semi",
+    )
+    found = hit.groupBy(probe_id_col).agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        exact.groupBy(probe_id_col)
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(found, probe_id_col, "left")
+        .select(
+            probe_id_col,
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            (F.coalesce("n_found", F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebook: dict,
+    k: int,
+    shortlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """The production PQ pattern: ADC over codes produces a cheap
+    ``shortlist`` of candidates per probe, then ONLY those rows are
+    re-scored with exact cosine against the full vectors. The expensive
+    exact math runs on |probes| x shortlist rows instead of |probes| x
+    |corpus|; the full-vector table is touched once, via a broadcast
+    semi-join of shortlist ids (shortlist*|probes| ids — trivially
+    broadcastable). Quantization error then only costs recall where the
+    true neighbor fell OUT of the shortlist, which widening `shortlist`
+    drives to zero — measured in tests/test_pq.py against exact top-k.
+    Returns (probe_id, neighbor_id, cos_sim, rank) like cosine_topk."""
+    codes = pq_encode(corpus, codebook, vec_col, id_col)
+    cand = pq_topk(
+        codes, probes, codebook, shortlist, vec_col, id_col, probe_id_col
+    ).select(probe_id_col, "neighbor_id")
+    c = with_norm(corpus, vec_col, "__cn").select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+        "__cn",
+    )
+    p = with_norm(probes, vec_col, "__pn").select(
+        probe_id_col, _to_double(F.col(vec_col)).alias("__pv"), "__pn"
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(p), probe_id_col)
+        .select(
+            probe_id_col,
+            "neighbor_id",
+            (dot(F.col("__cv"), F.col("__pv")) / (F.col("__cn") * F.col("__pn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

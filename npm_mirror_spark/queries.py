@@ -633,6 +633,28 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with exact rerank (Jegou et al. 2011) —
+    the compressed-index tier of the ANN stack: train sub-codebooks on a
+    bounded sample, quantize every vector to m=8 one-byte codes (~32x
+    smaller than the float vectors), ADC-score the CODES table per probe
+    into a 192-wide shortlist, then exact-rerank only the shortlist
+    against full vectors. Same probes/k and same output contract as
+    q_cosine_topk, and the oracle IS q_cosine_topk's SQL: the
+    registered claim is the measured shortlist-recovery contract —
+    ADC + rerank returns the EXACT top-k at this scale (shortlist sized
+    with ~50% headroom over the empirically-required width on this
+    worst-case geometry; tests/test_pq.py characterizes both regimes,
+    and similarity.pq_recall is the meter that sizes the shortlist
+    before trusting the compressed index at a new scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cb = sim_ops.train_pq(e, m=8, ks=32)
+    return sim_ops.pq_topk_rerank(e, probes, cb, k=5, shortlist=192)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: IVF-cluster the embeddings, drop
     every vector that has a lower-id near-duplicate (cos >= 0.4) in its
@@ -2813,6 +2835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_dup_pairs": q_ivf_dup_pairs,
     "q_semdedup": q_semdedup,
     "q_ann_recall": q_ann_recall,
+    "q_ann_pq": q_ann_pq,
     "q_top_events_page": q_top_events_page,
     "q_mode_per_user": q_mode_per_user,
     "q_order_priority_check": q_order_priority_check,
@@ -4358,3 +4381,8 @@ SELECT count(t.id_a) AS n_true_pairs,
                        THEN 1 END) AS DOUBLE) / count(e.id_a) AS precision
 FROM truth t FULL JOIN edges e ON t.id_a = e.id_a AND t.id_b = e.id_b
 """
+
+# PQ + exact rerank recovers the exact top-k at this scale (the measured
+# shortlist-recovery contract, headroom documented in q_ann_pq's
+# docstring) — so its oracle is cosine_topk's, verbatim.
+ORACLES["q_ann_pq"] = ORACLES["q_cosine_topk"]
