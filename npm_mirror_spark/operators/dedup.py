@@ -646,3 +646,89 @@ def jaccard_pairs_exact(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l: int = 4,
+) -> DataFrame:
+    """Maximal duplicated-span extraction — the exact-substring-dedup
+    signal (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better") re-expressed as set ops + windows instead of a
+    suffix array: a token position is "duplicated" when some l-gram
+    covering it also appears in ANOTHER document; maximal spans are the
+    merged islands of duplicated l-gram positions (two grams merge when
+    their token coverage overlaps, i.e. position gap <= l-1). Returns
+    one row per input doc: (doc_id, n_tokens, n_dup_spans, dup_tokens,
+    max_span_tokens, dup_frac) with zeros when nothing is duplicated —
+    the per-doc evidence behind cut-the-span curation decisions.
+
+    Scale shape: the cross-doc step shuffles DISTINCT (gram-hash,
+    doc_id) pairs — bodies never move, map-side partial aggregation
+    collapses boilerplate grams, and the carrier attach is an equi join
+    AQE can skew-split (same plan family as dup_ngram_fraction, which
+    documents the 64-bit collision trade). The island merge is a lag +
+    running-sum window partitioned BY DOCUMENT — state bounded by one
+    doc's gram count, never corpus-wide. A suffix array would find
+    duplicated substrings at ANY length; fixing the probe length l (the
+    dedup literature uses 50 tokens at web scale) is what makes the
+    computation a pair of hash shuffles instead of a global sort, and
+    spans shorter than l are simply not probed — the documented
+    resolution limit, not a bug.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.posexplode(word_shingles(text_col, l)).alias("pos", "__g"),
+    ).select(id_col, "n_tokens", "pos", F.xxhash64("__g").alias("__h"))
+    carriers = (
+        base.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+    )
+    dup_pos = base.join(carriers.select("__h"), "__h").select(
+        id_col, "n_tokens", "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > l - 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy(id_col, "n_tokens", "__island").agg(
+        F.least(
+            F.max("pos") - F.min("pos") + F.lit(l), F.col("n_tokens")
+        ).alias("__span_tokens")
+    )
+    per_doc = spans.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__span_tokens").alias("dup_tokens"),
+        F.max("__span_tokens").alias("max_span_tokens"),
+    )
+    all_docs = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
+    return all_docs.join(per_doc, [id_col, "n_tokens"], "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).alias("max_span_tokens"),
+        (
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_frac"),
+    )

@@ -2740,6 +2740,17 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return dedup_ops.dup_ngram_fraction(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Maximal duplicated-span extraction (exact-substring-dedup signal,
+    Lee et al. 2021 re-expressed Spark-first): positions covered by a
+    4-gram that appears in >= 2 documents merge into maximal spans via
+    a per-document gaps-and-islands window; output is the per-doc span
+    inventory (operators/dedup.py:dup_spans) — the evidence a curation
+    pass cuts spans by. Gram carriers shuffle as xxhash64 longs; the
+    oracle replays the identical island algebra on raw gram strings."""
+    return dedup_ops.dup_spans(_t(spark, sf_dir, "documents"), l=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2887,6 +2898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 additions — join the never-driver-checked queue for r6+ rotation
     "q_temperature_mix": q_temperature_mix,
     "q_dup_ngram_fraction": q_dup_ngram_fraction,
+    "q_dup_spans": q_dup_spans,
     "q_minhash_recall": q_minhash_recall,
 }
 
@@ -4386,3 +4398,37 @@ FROM truth t FULL JOIN edges e ON t.id_a = e.id_a AND t.id_b = e.id_b
 # shortlist-recovery contract, headroom documented in q_ann_pq's
 # docstring) — so its oracle is cosine_topk's, verbatim.
 ORACLES["q_ann_pq"] = ORACLES["q_cosine_topk"]
+
+ORACLES["q_dup_spans"] = f"""
+WITH {_shingles_sql("documents", 4).replace("sh AS", "g0 AS")},
+g AS (SELECT g0.doc_id, len(w.w) AS n_tokens, g0.shingles AS grams
+      FROM g0 JOIN w ON g0.doc_id = w.doc_id),
+ex AS (SELECT doc_id, n_tokens, generate_subscripts(grams, 1) - 1 AS pos,
+              unnest(grams) AS gram FROM g),
+car AS (SELECT gram FROM (
+          SELECT gram, count(DISTINCT doc_id) AS nd FROM ex GROUP BY gram)
+        WHERE nd >= 2),
+dp AS (SELECT doc_id, n_tokens, pos FROM ex JOIN car USING (gram)),
+isl AS (SELECT doc_id, n_tokens, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+             THEN 1 ELSE 0 END AS nw FROM dp),
+isl2 AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island FROM isl),
+sp AS (SELECT doc_id, n_tokens, island,
+              least(max(pos) - min(pos) + 4, n_tokens) AS span_tokens
+       FROM isl2 GROUP BY doc_id, n_tokens, island),
+pd AS (SELECT doc_id, n_tokens, count(*) AS n_dup_spans,
+              CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+              max(span_tokens) AS max_span_tokens
+       FROM sp GROUP BY doc_id, n_tokens),
+alld AS (SELECT doc_id, len(str_split({_NORM}, ' ')) AS n_tokens
+         FROM documents)
+SELECT a.doc_id, a.n_tokens,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       coalesce(p.max_span_tokens, 0) AS max_span_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / a.n_tokens AS dup_frac
+FROM alld a LEFT JOIN pd p ON a.doc_id = p.doc_id AND a.n_tokens = p.n_tokens
+"""

@@ -99,3 +99,40 @@ def test_dup_ngram_fraction_exact(spark):
     assert got[2]["n_shingles"] == 2 and got[2]["dup_frac"] == 0.5
     assert got[3]["dup_frac"] == 0.0
     assert got[4]["n_shingles"] == 1 and got[4]["dup_frac"] == 0.0
+
+
+def test_dup_spans_islands_exact(spark):
+    """Hand-computed span algebra for l=3.
+
+    Docs 1/2 share 'b c d e' (two overlapping shared trigrams at doc-1
+    positions 1,2 -> ONE merged span of 4 tokens); docs 1/3 share
+    'x y z' (one trigram at doc-1 position 6 -> a SECOND span of 3
+    tokens, disjoint because the position gap 6-2 exceeds l-1). Doc 4
+    duplicates nothing; doc 5 is a short-text whole-doc dup of doc 6
+    (span clamps to n_tokens, not l)."""
+    from npm_mirror_spark.operators.dedup import dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e q x y z"),  # 9 tokens; spans [1..4] and [6..8]
+            (2, "b c d e m n o"),      # shares 'b c d', 'c d e'
+            (3, "k x y z"),            # shares 'x y z'
+            (4, "p p2 p3 p4"),         # nothing shared
+            (5, "t u"),                # whole-text shingle, dup of 6
+            (6, "t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_spans(df, l=3).collect()}
+    assert got[1]["n_tokens"] == 9
+    assert got[1]["n_dup_spans"] == 2
+    # span A: grams at pos 1,2 -> 2-1+3 = 4 tokens; span B: pos 6 -> 3
+    assert got[1]["dup_tokens"] == 7
+    assert got[1]["max_span_tokens"] == 4
+    assert abs(got[1]["dup_frac"] - 7 / 9) < 1e-12
+    assert got[2]["n_dup_spans"] == 1 and got[2]["dup_tokens"] == 4
+    assert got[3]["n_dup_spans"] == 1 and got[3]["dup_tokens"] == 3
+    assert got[4]["n_dup_spans"] == 0 and got[4]["dup_frac"] == 0.0
+    # short docs: the whole-text shingle span clamps to n_tokens (2), not l
+    assert got[5]["dup_tokens"] == 2 and got[5]["dup_frac"] == 1.0
+    assert got[6]["dup_tokens"] == 2
