@@ -95,6 +95,9 @@ HEADLINE_R5 = [
     "q_variant_decode",
     "q_cluster_split",
     "q_edit_distance",
+    # late-r5 additions: compressed-index ANN and substring-dedup spans
+    "q_ann_pq",
+    "q_dup_spans",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5
