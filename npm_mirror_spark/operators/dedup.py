@@ -732,3 +732,85 @@ def dup_spans(
             / F.col("n_tokens")
         ).alias("dup_frac"),
     )
+
+
+def cut_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l: int = 4,
+) -> DataFrame:
+    """Span-cut curation — the REMOVAL half of :func:`dup_spans` (Lee et
+    al. 2021 cut the duplicated substring from all but one occurrence):
+    rebuild each document's text with its duplicated spans deleted,
+    keeping the FIRST carrier. A token position in doc D is cut iff some
+    l-gram covering it also occurs in a document with a SMALLER doc_id —
+    so exactly one copy of every duplicated substring survives the pass
+    corpus-wide (the lowest-id carrier, the same canonical-survivor
+    convention as dedup_keepset), and distinct docs never cut each
+    other symmetrically.
+
+    Scale shape: carrier minima shuffle (gram-hash, doc_id) pairs with
+    map-side partial min; islands merge per document (bounded window
+    state); the rebuild joins each doc to its OWN cut ranges on the
+    doc-id equi key and deletes tokens with one in-row higher-order
+    filter — no token-level shuffle, bodies move exactly once, and docs
+    with nothing to cut pass through the left join untouched. Returns
+    (doc_id, text, clean_text, n_tokens, kept_tokens).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.posexplode(word_shingles(text_col, l)).alias("pos", "__g"),
+    ).select(id_col, "n_tokens", "pos", F.xxhash64("__g").alias("__h"))
+    first_carrier = base.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    cut_pos = (
+        base.join(first_carrier, "__h")
+        .filter(F.col("__first") < F.col(id_col))
+        .select(id_col, "n_tokens", "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = cut_pos.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > l - 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranges = (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.least(
+                F.max("pos") + F.lit(l - 1), F.first("n_tokens") - F.lit(1)
+            ).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__ranges"))
+    )
+    kept = F.filter(
+        words,
+        lambda x, i: ~F.exists(
+            F.col("__ranges"), lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    return (
+        df.join(ranges, id_col, "left")
+        .withColumn("__ranges", F.coalesce("__ranges", F.array()))
+        .select(
+            id_col,
+            F.col(text_col).alias("text"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(words).alias("n_tokens"),
+            F.size(kept).alias("kept_tokens"),
+        )
+    )

@@ -2751,6 +2751,17 @@ def q_dup_spans(spark, sf_dir):
     return dedup_ops.dup_spans(_t(spark, sf_dir, "documents"), l=4)
 
 
+def q_cut_dup_spans(spark, sf_dir):
+    """Span-cut curation (the removal half of q_dup_spans): rebuild each
+    document with its duplicated spans deleted, keeping the FIRST
+    carrier (lowest doc_id) of every duplicated substring — exactly one
+    copy survives corpus-wide (operators/dedup.py:cut_dup_spans). The
+    rebuild is one in-row higher-order filter after a doc-id equi join
+    to the doc's own cut ranges; the oracle rebuilds via an ordered
+    string_agg over range-anti-joined token positions."""
+    return dedup_ops.cut_dup_spans(_t(spark, sf_dir, "documents"), l=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2899,6 +2910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_temperature_mix": q_temperature_mix,
     "q_dup_ngram_fraction": q_dup_ngram_fraction,
     "q_dup_spans": q_dup_spans,
+    "q_cut_dup_spans": q_cut_dup_spans,
     "q_minhash_recall": q_minhash_recall,
 }
 
@@ -4431,4 +4443,39 @@ SELECT a.doc_id, a.n_tokens,
        coalesce(p.max_span_tokens, 0) AS max_span_tokens,
        CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / a.n_tokens AS dup_frac
 FROM alld a LEFT JOIN pd p ON a.doc_id = p.doc_id AND a.n_tokens = p.n_tokens
+"""
+
+ORACLES["q_cut_dup_spans"] = f"""
+WITH {_shingles_sql("documents", 4).replace("sh AS", "g0 AS")},
+g AS (SELECT g0.doc_id, len(w.w) AS n_tokens, g0.shingles AS grams
+      FROM g0 JOIN w ON g0.doc_id = w.doc_id),
+ex AS (SELECT doc_id, n_tokens, generate_subscripts(grams, 1) - 1 AS pos,
+              unnest(grams) AS gram FROM g),
+fc AS (SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY gram),
+cp AS (SELECT e.doc_id, e.n_tokens, e.pos
+       FROM ex e JOIN fc USING (gram) WHERE fc.first_doc < e.doc_id),
+isl AS (SELECT doc_id, n_tokens, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+             THEN 1 ELSE 0 END AS nw FROM cp),
+isl2 AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island FROM isl),
+rg AS (SELECT doc_id, island, min(pos) AS s,
+              least(max(pos) + 3, any_value(n_tokens) - 1) AS e
+       FROM isl2 GROUP BY doc_id, island),
+tok AS (SELECT doc_id, len(w) AS n_tokens,
+               generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS token
+        FROM w),
+keptt AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+          WHERE NOT EXISTS (SELECT 1 FROM rg r
+                            WHERE r.doc_id = t.doc_id
+                              AND t.pos BETWEEN r.s AND r.e)),
+agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS kept FROM keptt GROUP BY doc_id)
+SELECT d.doc_id, d.text, coalesce(a.clean_text, '') AS clean_text,
+       t0.n_tokens, CAST(coalesce(a.kept, 0) AS INTEGER) AS kept_tokens
+FROM documents d
+JOIN (SELECT DISTINCT doc_id, n_tokens FROM tok) t0 ON d.doc_id = t0.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
 """

@@ -136,3 +136,34 @@ def test_dup_spans_islands_exact(spark):
     # short docs: the whole-text shingle span clamps to n_tokens (2), not l
     assert got[5]["dup_tokens"] == 2 and got[5]["dup_frac"] == 1.0
     assert got[6]["dup_tokens"] == 2
+
+
+def test_cut_dup_spans_keep_first_carrier(spark):
+    """The removal half: the FIRST carrier keeps its text; later carriers
+    lose exactly the duplicated coverage; a doc that is entirely a later
+    copy cuts to empty."""
+    from npm_mirror_spark.operators.dedup import cut_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e q x y z"),
+            (2, "b c d e m n o"),
+            (3, "k x y z"),
+            (4, "p p2 p3 p4"),
+            (5, "t u"),
+            (6, "t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cut_dup_spans(df, l=3).collect()}
+    assert got[1]["clean_text"] == "a b c d e q x y z"  # first carrier
+    assert got[2]["clean_text"] == "m n o" and got[2]["kept_tokens"] == 3
+    assert got[3]["clean_text"] == "k"
+    assert got[4]["clean_text"] == "p p2 p3 p4"  # nothing duplicated
+    assert got[5]["clean_text"] == "t u"  # first carrier of the short dup
+    assert got[6]["clean_text"] == "" and got[6]["kept_tokens"] == 0
+    # exactly one copy of every duplicated substring survives corpus-wide
+    all_clean = " ".join(r["clean_text"] for r in got.values())
+    assert all_clean.count("b c d e") == 1
+    assert all_clean.count("x y z") == 1
+    assert all_clean.count("t u") == 1
