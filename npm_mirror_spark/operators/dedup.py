@@ -660,7 +660,10 @@ def dup_spans(
     suffix array: a token position is "duplicated" when some l-gram
     covering it also appears in ANOTHER document; maximal spans are the
     merged islands of duplicated l-gram positions (two grams merge when
-    their token coverage overlaps, i.e. position gap <= l-1). Returns
+    their token coverage overlaps OR is contiguous, i.e. position gap
+    <= l — a span is a maximal contiguous RUN of duplicated tokens,
+    cross-validated against a direct coverage-union reference in
+    tests/test_curation_properties.py). Returns
     one row per input doc: (doc_id, n_tokens, n_dup_spans, dup_tokens,
     max_span_tokens, dup_frac) with zeros when nothing is duplicated —
     the per-doc evidence behind cut-the-span curation decisions.
@@ -701,7 +704,7 @@ def dup_spans(
         "__new",
         F.when(
             F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > l - 1),
+            | (F.col("pos") - F.lag("pos").over(w) > l),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
@@ -777,7 +780,7 @@ def cut_dup_spans(
         "__new",
         F.when(
             F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > l - 1),
+            | (F.col("pos") - F.lag("pos").over(w) > l),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(

@@ -4423,7 +4423,7 @@ car AS (SELECT gram FROM (
 dp AS (SELECT doc_id, n_tokens, pos FROM ex JOIN car USING (gram)),
 isl AS (SELECT doc_id, n_tokens, pos,
         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
              THEN 1 ELSE 0 END AS nw FROM dp),
 isl2 AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (
            PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
@@ -4456,7 +4456,7 @@ cp AS (SELECT e.doc_id, e.n_tokens, e.pos
        FROM ex e JOIN fc USING (gram) WHERE fc.first_doc < e.doc_id),
 isl AS (SELECT doc_id, n_tokens, pos,
         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
              THEN 1 ELSE 0 END AS nw FROM cp),
 isl2 AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (
            PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)

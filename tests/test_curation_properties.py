@@ -152,3 +152,85 @@ def test_banded_pairs_equals_naive_enumeration(spark):
         (i, j) for i, li in rows for j, lj in rows if li == lj and 0 < j - i <= 10
     }
     assert got10 == want10
+
+
+def _brute_span_analysis(docs: dict[int, str], l: int):
+    """Pure-Python reference for dup_spans/cut_dup_spans: direct coverage
+    unions instead of window algebra — an independent derivation of the
+    same semantics."""
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    grams = {}
+    for d, w in toks.items():
+        if len(w) >= l:
+            grams[d] = [" ".join(w[i : i + l]) for i in range(len(w) - l + 1)]
+        else:
+            grams[d] = [" ".join(w)]
+    carriers: dict[str, set[int]] = {}
+    for d, gs in grams.items():
+        for g in gs:
+            carriers.setdefault(g, set()).add(d)
+
+    def coverage(d, positions):
+        n = len(toks[d])
+        cov = set()
+        for p in positions:
+            cov.update(range(p, min(p + l - 1, n - 1) + 1))
+        return cov
+
+    def runs(cov):
+        out, cur = [], None
+        for i in sorted(cov):
+            if cur is None or i > cur[1] + 1:
+                cur = [i, i]
+                out.append(cur)
+            else:
+                cur[1] = i
+        return out
+
+    spans, cuts = {}, {}
+    for d, gs in grams.items():
+        dup_cov = coverage(
+            d, [p for p, g in enumerate(gs) if len(carriers[g]) >= 2]
+        )
+        rr = runs(dup_cov)
+        spans[d] = (
+            len(toks[d]),
+            len(rr),
+            len(dup_cov),
+            max((b - a + 1 for a, b in rr), default=0),
+        )
+        cut_cov = coverage(
+            d, [p for p, g in enumerate(gs) if min(carriers[g]) < d]
+        )
+        kept = [w for i, w in enumerate(toks[d]) if i not in cut_cov]
+        cuts[d] = " ".join(kept)
+    return spans, cuts
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_span_operators_match_bruteforce(spark, corpus):
+    from npm_mirror_spark.operators.dedup import cut_dup_spans, dup_spans
+
+    docs = {i: " ".join(ws) for i, ws in enumerate(corpus)}
+    spans_ref, cuts_ref = _brute_span_analysis(docs, l=3)
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got_spans = {r["doc_id"]: r for r in dup_spans(df, l=3).collect()}
+    for d, (n, n_spans, dup_toks, max_span) in spans_ref.items():
+        r = got_spans[d]
+        assert (
+            r["n_tokens"],
+            r["n_dup_spans"],
+            r["dup_tokens"],
+            r["max_span_tokens"],
+        ) == (n, n_spans, dup_toks, max_span), (d, docs)
+    got_cuts = {r["doc_id"]: r["clean_text"] for r in cut_dup_spans(df, l=3).collect()}
+    assert got_cuts == cuts_ref, docs
