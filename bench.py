@@ -95,9 +95,11 @@ HEADLINE_R5 = [
     "q_variant_decode",
     "q_cluster_split",
     "q_edit_distance",
-    # late-r5 additions: compressed-index ANN and substring-dedup spans
+    # late-r5 additions: compressed-index ANN, substring-dedup spans,
+    # and lexical ranked retrieval
     "q_ann_pq",
     "q_dup_spans",
+    "q_bm25",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

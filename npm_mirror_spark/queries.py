@@ -25,6 +25,7 @@ from npm_mirror_spark.operators import curation as cur_ops
 from npm_mirror_spark.operators import dedup as dedup_ops
 from npm_mirror_spark.operators import joins as join_ops
 from npm_mirror_spark.operators import projections as proj
+from npm_mirror_spark.operators import retrieval as ret_ops
 from npm_mirror_spark.operators import similarity as sim_ops
 from npm_mirror_spark.operators import text as text_ops
 from npm_mirror_spark.tables import load_table
@@ -2762,6 +2763,24 @@ def q_cut_dup_spans(spark, sf_dir):
     return dedup_ops.cut_dup_spans(_t(spark, sf_dir, "documents"), l=4)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (the lexical arm of hybrid search; the
+    vector arm is q_cosine_topk and q_rrf_fusion fuses ranks): top-20
+    documents for a 4-term query. Term filter runs on the exploded token
+    stream before any shuffle (posting-list-sized survivors at scale),
+    df/corpus stats broadcast, top-k via TakeOrderedAndProject. The
+    registered face uses the log-free rational idf with integer-scaled
+    weights so the per-doc sum is an order-free bigint (bit-stable
+    across engines); the standard Lucene ln-idf face is cross-validated
+    in tests/test_retrieval.py (operators/retrieval.py docstring has the
+    full determinism argument)."""
+    return ret_ops.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "join", "vector", "stream"],
+        k=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2912,6 +2931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_spans": q_dup_spans,
     "q_cut_dup_spans": q_cut_dup_spans,
     "q_minhash_recall": q_minhash_recall,
+    "q_bm25": q_bm25,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4478,4 +4498,32 @@ SELECT d.doc_id, d.text, coalesce(a.clean_text, '') AS clean_text,
 FROM documents d
 JOIN (SELECT DISTINCT doc_id, n_tokens FROM tok) t0 ON d.doc_id = t0.doc_id
 LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+ORACLES["q_bm25"] = f"""
+WITH d AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+tok AS (SELECT d.doc_id, dl.dl, unnest(d.toks) AS term
+        FROM d JOIN dl ON d.doc_id = dl.doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+       WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+wt AS (SELECT tf.doc_id,
+  CAST(floor(
+    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       / (CAST(df AS DOUBLE) + 0.5))
+    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       / (CAST(tf AS DOUBLE)
+          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                   / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+    * 1000000.0) AS BIGINT) AS w_scaled
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+sc AS (SELECT doc_id, count(*) AS n_terms,
+              CAST(sum(w_scaled) AS BIGINT) AS score_scaled
+       FROM wt GROUP BY 1)
+SELECT doc_id, n_terms, score_scaled,
+       CAST(score_scaled AS DOUBLE) / 1000000.0 AS score,
+       row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS "rank"
+FROM sc ORDER BY score_scaled DESC, doc_id ASC LIMIT 20
 """
