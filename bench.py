@@ -100,6 +100,7 @@ HEADLINE_R5 = [
     "q_ann_pq",
     "q_dup_spans",
     "q_bm25",
+    "q_bloom_new_customers",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -25,6 +25,7 @@ from npm_mirror_spark.operators import curation as cur_ops
 from npm_mirror_spark.operators import dedup as dedup_ops
 from npm_mirror_spark.operators import joins as join_ops
 from npm_mirror_spark.operators import projections as proj
+from npm_mirror_spark.operators import bloom as bloom_ops
 from npm_mirror_spark.operators import retrieval as ret_ops
 from npm_mirror_spark.operators import similarity as sim_ops
 from npm_mirror_spark.operators import text as text_ops
@@ -2781,6 +2782,23 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_bloom_new_customers(spark, sf_dir):
+    """Bloom-pre-filtered existence probe (the big-seen-side regime of
+    J1/F10's anti join, mirror.ts:114-126): customers that never produced
+    a purchase event. The seen-key bitmap is built with one bounded
+    word shuffle and travels as a literal; definitely-new probe rows are
+    eliminated map-side and never shuffle — only bitmap hits pay the
+    exact anti join, so the result (and the oracle) is the plain anti
+    join (operators/bloom.py has the sizing math)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    buyers = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"))
+    )
+    return bloom_ops.bloom_anti_join(c, buyers, "c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2932,6 +2950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cut_dup_spans": q_cut_dup_spans,
     "q_minhash_recall": q_minhash_recall,
     "q_bm25": q_bm25,
+    "q_bloom_new_customers": q_bloom_new_customers,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4526,4 +4545,12 @@ SELECT doc_id, n_terms, score_scaled,
        CAST(score_scaled AS DOUBLE) / 1000000.0 AS score,
        row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS "rank"
 FROM sc ORDER BY score_scaled DESC, doc_id ASC LIMIT 20
+"""
+
+ORACLES["q_bloom_new_customers"] = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.event_type = 'purchase'
+                    AND e.user_id = c.c_custkey)
 """
