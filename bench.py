@@ -101,6 +101,7 @@ HEADLINE_R5 = [
     "q_dup_spans",
     "q_bm25",
     "q_bloom_new_customers",
+    "q_ann_sq8",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -682,6 +682,21 @@ def pq_topk_rerank(
     cand = pq_topk(
         codes, probes, codebook, shortlist, vec_col, id_col, probe_id_col
     ).select(probe_id_col, "neighbor_id")
+    return _exact_rerank(corpus, cand, probes, k, vec_col, id_col, probe_id_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    cand: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    probe_id_col: str,
+) -> DataFrame:
+    """Shared rerank tail of the compressed-index tiers (PQ / SQ8): exact
+    cosine over ONLY the (probe, candidate) shortlist pairs, full-vector
+    table touched once via a broadcast semi-join of shortlist ids."""
     c = with_norm(corpus, vec_col, "__cn").select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("__cv"),
@@ -707,3 +722,152 @@ def pq_topk_rerank(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def train_sq8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Train the int8 scalar quantizer: per-dimension [min, max] of the
+    L2-NORMALIZED corpus, computed fully distributed (posexplode ->
+    per-dimension min/max agg) — unlike train_pq's bounded sample, this
+    pass sees every row, because the model is only 2*dim floats and the
+    agg is one dim-cardinality shuffle. Returns {"dim", "vmin", "scale"}
+    (scale = (max-min)/255, floored at 1e-12 so constant dimensions
+    encode to code 0 instead of dividing by zero)."""
+    import numpy as np
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    rows = (
+        df.select(
+            F.posexplode(F.transform(vec_col, lambda x: x.cast("double") / nrm))
+            .alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )  # bounded: one row per embedding dimension
+    dim = len(rows)
+    vmin = np.empty(dim)
+    scale = np.empty(dim)
+    for r in rows:
+        vmin[r["pos"]] = r["lo"]
+        scale[r["pos"]] = max((r["hi"] - r["lo"]) / 255.0, 1e-12)
+    return {"dim": dim, "vmin": vmin, "scale": scale}
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    params: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize every vector to dim one-byte codes (4x smaller than
+    float32, 8x smaller than the double math): one Arrow kernel pass,
+    code = round((x_normalized - vmin) / scale) clipped to [0, 255].
+    Output (id, codes array<int>) — parquet dictionary-encodes the bytes."""
+    import numpy as np
+
+    vmin, scale = params["vmin"], params["scale"]
+    out_schema = f"{id_col} long, codes array<integer>"
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+            X /= _np.linalg.norm(X, axis=1, keepdims=True)
+            codes = _np.clip(_np.round((X - vmin) / scale), 0, 255).astype(_np.int64)
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [c.tolist() for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def sq8_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    params: dict,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """ADC top-k over int8 codes: dequant(code) = vmin + code*scale, so
+    <probe, dequant(codes)> = const(probe) + codes . (probe * scale) —
+    the constant never reorders a probe's ranking, so each row's score is
+    a single int-matrix x weight-vector product. Per Arrow batch, local
+    top-k per probe (shuffle = k rows/probe/batch), exactly pq_topk's
+    window contract. Returns (probe_id, neighbor_id, approx_cos, rank)."""
+    import numpy as np
+
+    scale = np.ascontiguousarray(params["scale"])
+    probe_rows = probes.select(probe_id_col, vec_col).collect()  # small by contract
+    pids = [r[probe_id_col] for r in probe_rows]
+    P = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in probe_rows])
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    W = (P * scale[None, :]).T  # (dim, n_probes)
+    out_schema = f"{probe_id_col} long, neighbor_id long, approx_cos double"
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.stack([_np.asarray(c, dtype=_np.float64) for c in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            S = C @ W  # (n, n_probes)
+            out_p, out_n, out_s = [], [], []
+            for j, pid in enumerate(pids):
+                mask = ids != pid
+                col, nid = S[:, j][mask], ids[mask]
+                order = _np.lexsort((nid, -col))[:k]
+                out_p.extend([pid] * len(order))
+                out_n.extend(nid[order])
+                out_s.extend(col[order])
+            yield _pd.DataFrame(
+                {probe_id_col: out_p, "neighbor_id": out_n, "approx_cos": out_s}
+            )
+
+    scored = codes.select(id_col, "codes").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def sq8_topk_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    params: dict,
+    k: int,
+    shortlist: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """SQ8 shortlist + exact rerank — same production pattern and output
+    contract as pq_topk_rerank, with a milder quantization error (int8
+    per dimension vs one code per 8-dim subspace), so the shortlist
+    needed for exact-top-k recovery is far narrower than PQ's
+    (characterized in tests/test_sq8.py)."""
+    codes = sq8_encode(corpus, params, vec_col, id_col)
+    cand = sq8_topk(
+        codes, probes, params, shortlist, vec_col, id_col, probe_id_col
+    ).select(probe_id_col, "neighbor_id")
+    return _exact_rerank(corpus, cand, probes, k, vec_col, id_col, probe_id_col)

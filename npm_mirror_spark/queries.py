@@ -2782,6 +2782,24 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_ann_sq8(spark, sf_dir):
+    """Int8 scalar-quantization ANN with exact rerank — the third tier of
+    the ANN stack beside IVF (q_ann_ivf) and PQ (q_ann_pq): per-dimension
+    affine int8 codes (4x smaller than float32), ADC scoring via one
+    int-matrix x weight-vector product per batch, 64-wide shortlist,
+    exact rerank. Same probes/k/output contract as q_cosine_topk, whose
+    SQL IS the oracle — the registered claim is exact-top-k recovery
+    through the shortlist, like q_ann_pq, but SQ8's per-dim error is far
+    milder so the shortlist is 3x narrower (tests/test_sq8.py measures
+    both the raw-ADC recall and the recovery width)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    params = sim_ops.train_sq8(e)
+    return sim_ops.sq8_topk_rerank(e, probes, params, k=5, shortlist=64)
+
+
 def q_bloom_new_customers(spark, sf_dir):
     """Bloom-pre-filtered existence probe (the big-seen-side regime of
     J1/F10's anti join, mirror.ts:114-126): customers that never produced
@@ -2951,6 +2969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_recall": q_minhash_recall,
     "q_bm25": q_bm25,
     "q_bloom_new_customers": q_bloom_new_customers,
+    "q_ann_sq8": q_ann_sq8,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4554,3 +4573,8 @@ WHERE NOT EXISTS (SELECT 1 FROM events e
                   WHERE e.event_type = 'purchase'
                     AND e.user_id = c.c_custkey)
 """
+
+# q_ann_sq8 carries the same exact-top-k shortlist-recovery contract as
+# q_ann_pq (comment above ORACLES["q_ann_pq"]), with narrower headroom
+# needed: int8-per-dim error << one-code-per-subspace error.
+ORACLES["q_ann_sq8"] = ORACLES["q_cosine_topk"]
