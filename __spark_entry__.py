@@ -37,7 +37,10 @@ def oracle_sql() -> dict[str, str]:
     floats differ in the last ulp from any SQL re-execution (its exact
     twin q_cosine_topk IS oracle-backed and result-equality between the
     two is pinned by pytest); q_compress_ratio — zlib is deterministic but
-    not SQL-expressible (determinism pinned by pytest). Every other
+    not SQL-expressible (determinism pinned by pytest); q_lm_nll —
+    unigram-LM perplexity needs libm ln/exp, which are not IEEE-exact
+    across engines (value semantics cross-validated against a pure-Python
+    reference in tests/test_lm.py). Every other
     registered query is oracle-backed (including the hash-heavy
     q_simhash_pairs and q_ann_ivf, whose oracles recompute the identical
     signatures with DuckDB bit ops)."""

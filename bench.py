@@ -102,6 +102,7 @@ HEADLINE_R5 = [
     "q_bm25",
     "q_bloom_new_customers",
     "q_ann_sq8",
+    "q_lm_nll",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -242,3 +242,67 @@ def compression_ratio(df: DataFrame, text_col: str, out: str = "zratio") -> Data
         return texts.map(one)
 
     return df.withColumn(out, _zratio(F.col(text_col)))
+
+
+def unigram_nll(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Unigram language-model perplexity scoring (the CCNet-style quality
+    signal: score each document by how surprising its tokens are under a
+    reference LM). ``lm_docs`` is the corpus the LM is trained on —
+    typically a trusted reference corpus; defaults to ``docs`` itself
+    (self-perplexity, which flags outlier documents).
+
+    Model: add-k smoothed unigram, p(t) = (c_t + k) / (T + k*V) over the
+    LM corpus's token count T and vocab size V. Output per doc:
+    n_tokens, nll = mean -ln p(token) (nats), ppl = exp(nll).
+
+    The 100 TB shape: the LM is the AGGREGATED vocabulary (freq table),
+    orders of magnitude smaller than the corpus, broadcast into the
+    token stream; scoring is explode -> broadcast join -> one doc_id
+    re-aggregation — the same shape as q_doc_rarity. The ln runs
+    map-side inside codegen on the joined rows.
+
+    NOT oracle-backed: ln/exp are libm calls, not IEEE-exact ops, so
+    cross-engine bit-stability cannot be guaranteed (the repo-wide
+    no-libm rule, queries.py module docstring) and a parallel double SUM
+    is order-dependent besides. Registered as a rows-only query
+    (q_lm_nll); value semantics are cross-validated against a
+    pure-Python reference in tests/test_lm.py.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    lm_tok = lm.select(F.explode(ws_tokens(text_col)).alias("term"))
+    freq = lm_tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    stats = freq.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    toks = docs.select(id_col, F.explode(ws_tokens(text_col)).alias("term"))
+    lp = F.log(
+        (F.col("c").cast("double") + F.lit(k))
+        / (F.col("T").cast("double") + F.lit(k) * F.col("V").cast("double"))
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            # unseen tokens (only possible with lm_docs != docs) take the
+            # unsmoothed-count-0 probability k / (T + k*V)
+            F.coalesce(
+                lp,
+                F.log(
+                    F.lit(k)
+                    / (F.col("T").cast("double") + F.lit(k) * F.col("V").cast("double"))
+                ),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum("lp") / F.count(F.lit(1))).alias("nll"),
+        F.exp(-F.sum("lp") / F.count(F.lit(1))).alias("ppl"),
+    )

@@ -2800,6 +2800,17 @@ def q_ann_sq8(spark, sf_dir):
     return sim_ops.sq8_topk_rerank(e, probes, params, k=5, shortlist=64)
 
 
+def q_lm_nll(spark, sf_dir):
+    """Unigram-LM perplexity quality scoring (CCNet-style signal):
+    per-doc mean negative log-likelihood + perplexity under an add-1
+    unigram LM trained on the corpus itself (self-perplexity flags
+    outliers). Rows-only by nature — ln/exp are libm, not IEEE-exact,
+    so no cross-engine oracle exists (operators/text.py::unigram_nll
+    docstring); value semantics are pinned against a pure-Python
+    reference in tests/test_lm.py."""
+    return text_ops.unigram_nll(_t(spark, sf_dir, "documents"))
+
+
 def q_bloom_new_customers(spark, sf_dir):
     """Bloom-pre-filtered existence probe (the big-seen-side regime of
     J1/F10's anti join, mirror.ts:114-126): customers that never produced
@@ -2970,6 +2981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25": q_bm25,
     "q_bloom_new_customers": q_bloom_new_customers,
     "q_ann_sq8": q_ann_sq8,
+    "q_lm_nll": q_lm_nll,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
