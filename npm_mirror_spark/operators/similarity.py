@@ -738,17 +738,14 @@ def train_sq8(
     encode to code 0 instead of dividing by zero)."""
     import numpy as np
 
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
+    # stage the norm as its own projection — embedded in the transform
+    # lambda it would re-evaluate per element (minhash_bands rule)
     rows = (
-        df.select(
-            F.posexplode(F.transform(vec_col, lambda x: x.cast("double") / nrm))
-            .alias("pos", "val")
+        with_norm(df, vec_col, "__n")
+        .select(
+            F.posexplode(
+                F.transform(vec_col, lambda x: x.cast("double") / F.col("__n"))
+            ).alias("pos", "val")
         )
         .groupBy("pos")
         .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))

@@ -293,6 +293,8 @@ ALLOWED_BNLJ = {
     "q_ann_recall": "exact+ANN probe sets (vec_id<5) broadcast",
     "q_idle_rich_customers": "scalar avg-balance subquery broadcast",
     "q_quality_percentile_filter": "single-row percentile threshold broadcast",
+    "q_bm25": "single-row (n_docs, total_dl) corpus-stats broadcast",
+    "q_lm_nll": "single-row (T, V) LM-stats broadcast into the token stream",
 }
 
 
