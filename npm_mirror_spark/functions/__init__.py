@@ -53,6 +53,11 @@ from npm_mirror_spark.operators.curation import (  # noqa: F401
     sample_bucket,
 )
 
+# bloom-filter membership (round 5)
+from npm_mirror_spark.operators.bloom import (  # noqa: F401
+    bloom_might_contain,
+)
+
 __all__ = [
     "artifact_filename",
     "iso_to_ts",
@@ -81,4 +86,5 @@ __all__ = [
     "stopword_count",
     "ws_token_count",
     "ws_tokens",
+    "bloom_might_contain",
 ]
