@@ -103,6 +103,7 @@ HEADLINE_R5 = [
     "q_bloom_new_customers",
     "q_ann_sq8",
     "q_lm_nll",
+    "q_hybrid_search",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

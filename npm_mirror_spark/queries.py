@@ -2811,6 +2811,43 @@ def q_lm_nll(spark, sf_dir):
     return text_ops.unigram_nll(_t(spark, sf_dir, "documents"))
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval, the production composition of the two arms this
+    registry implements separately: BM25 (q_bm25's lexical ranking,
+    top-50) fused with vector similarity (cosine vs the vec_id=0 probe,
+    top-50; embeddings key the documents table) by reciprocal-rank
+    fusion over the UNION of the two lists — an arm a document misses
+    contributes 0, the standard RRF-over-top-N contract (q_rrf_fusion
+    fuses two VECTOR rankings; this is the lexical+vector face). At
+    scale each arm is already bounded (TakeOrderedAndProject / top-k
+    window), so the fusion is a full-outer join of two 50-row lists —
+    driver-trivial at any corpus size. Ranks are exact integers, so the
+    fused doubles are bit-identical to the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = ret_ops.bm25_topk(
+        docs, ["spark", "join", "vector", "stream"], k=50
+    ).select(F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank"))
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    vec = sim_ops.cosine_topk(e, probe, k=50).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("vec_rank")
+    )
+    fused = lex.join(vec, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(10)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return top.withColumn("fused_rank", F.row_number().over(w))
+
+
 def q_bloom_new_customers(spark, sf_dir):
     """Bloom-pre-filtered existence probe (the big-seen-side regime of
     J1/F10's anti join, mirror.ts:114-126): customers that never produced
@@ -2982,6 +3019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_new_customers": q_bloom_new_customers,
     "q_ann_sq8": q_ann_sq8,
     "q_lm_nll": q_lm_nll,
+    "q_hybrid_search": q_hybrid_search,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -4550,7 +4588,10 @@ JOIN (SELECT DISTINCT doc_id, n_tokens FROM tok) t0 ON d.doc_id = t0.doc_id
 LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
-ORACLES["q_bm25"] = f"""
+# Shared BM25 scoring pipeline (rational idf, integer-scaled weights —
+# operators/retrieval.py has the determinism argument). Ends at the
+# per-doc `sc` CTE so q_bm25 and q_hybrid_search stay one definition.
+_BM25_CORE = f"""
 WITH d AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM d),
 stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
@@ -4572,10 +4613,36 @@ wt AS (SELECT tf.doc_id,
 sc AS (SELECT doc_id, count(*) AS n_terms,
               CAST(sum(w_scaled) AS BIGINT) AS score_scaled
        FROM wt GROUP BY 1)
+"""
+
+ORACLES["q_bm25"] = _BM25_CORE + """
 SELECT doc_id, n_terms, score_scaled,
        CAST(score_scaled AS DOUBLE) / 1000000.0 AS score,
        row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS "rank"
 FROM sc ORDER BY score_scaled DESC, doc_id ASC LIMIT 20
+"""
+
+ORACLES["q_hybrid_search"] = _BM25_CORE + f""",
+lex AS (SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC)
+                 AS lex_rank
+        FROM sc ORDER BY score_scaled DESC, doc_id ASC LIMIT 50),
+{_EMB_NORMED.strip().lstrip()},
+p AS (SELECT v AS pv, nm AS pn FROM n WHERE vec_id = 0),
+s AS (SELECT c.vec_id AS id,
+             {_DOT.format(a="c.v", b="p.pv")} / (c.nm * p.pn) AS cos_sim
+      FROM n c CROSS JOIN p WHERE c.vec_id != 0),
+vec AS (SELECT id,
+               row_number() OVER (ORDER BY cos_sim DESC, id ASC) AS vec_rank
+        FROM s ORDER BY cos_sim DESC, id ASC LIMIT 50),
+fused AS (
+  SELECT coalesce(lex.id, vec.id) AS id, lex_rank, vec_rank,
+         coalesce(1.0 / (60 + lex_rank), 0.0)
+           + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+SELECT id, lex_rank, vec_rank, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, id ASC) AS fused_rank
+FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 ORACLES["q_bloom_new_customers"] = """
