@@ -294,6 +294,10 @@ ALLOWED_BNLJ = {
     "q_idle_rich_customers": "scalar avg-balance subquery broadcast",
     "q_quality_percentile_filter": "single-row percentile threshold broadcast",
     "q_bm25": "single-row (n_docs, total_dl) corpus-stats broadcast",
+    "q_hybrid_search": (
+        "BM25 arm's single-row stats broadcast + cosine arm's contract-small "
+        "probe (vec_id=0) broadcast; fusion joins two 50-row lists"
+    ),
     "q_lm_nll": "single-row (T, V) LM-stats broadcast into the token stream",
 }
 
