@@ -104,6 +104,7 @@ HEADLINE_R5 = [
     "q_ann_sq8",
     "q_lm_nll",
     "q_hybrid_search",
+    "q_srp_pairs",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

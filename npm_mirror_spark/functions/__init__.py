@@ -32,6 +32,7 @@ from npm_mirror_spark.operators.similarity import (  # noqa: F401
     cosine,
     dot,
     l2_norm,
+    srp_signature,
 )
 
 # text analytics
@@ -75,6 +76,7 @@ __all__ = [
     "cosine",
     "dot",
     "l2_norm",
+    "srp_signature",
     "bpe_ish_token_count",
     "bpe_ish_tokens",
     "fingerprint",

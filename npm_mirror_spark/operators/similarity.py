@@ -868,3 +868,142 @@ def sq8_topk_rerank(
         codes, probes, params, shortlist, vec_col, id_col, probe_id_col
     ).select(probe_id_col, "neighbor_id")
     return _exact_rerank(corpus, cand, probes, k, vec_col, id_col, probe_id_col)
+
+
+# -- Signed-random-projection (hyperplane) LSH --------------------------------
+#
+# Charikar's SimHash for real vectors (STOC'02): each of n_planes signed
+# "hyperplanes" s_p in {+1,-1}^dim turns a vector into one sign bit
+# bit_p = [<s_p, v> >= 0]; P[bits agree] = 1 - angle(a,b)/pi, so near-
+# cosine vectors collide on most bits and Hamming distance on the short
+# signature is a cheap blocking key.  This is the EMBEDDING twin of the
+# token-space simhash16 in operators/dedup.py, and the fourth ANN/near-dup
+# tier beside IVF (cluster blocking), PQ and SQ8 (compressed distance).
+#
+# Reference behavior anchor: the reference engine keeps one metadata row
+# per artifact and dedups by exact key only (app/changes_consumer.py
+# ~L100-140); every vector tier is extension surface mandated by the spec.
+#
+# Determinism contract: the caller passes the sign matrix (srp_signs()
+# derives one from md5, reproducible in any engine); components are
+# quantized to 1/2^24 (below float32 resolution, same scaling as the
+# centroid queries) so each plane dot is exact int64 arithmetic — the
+# sign bit can never flip between engines from float summation order.
+# At 100 TB: the signature is a pure map-side projection (whole-stage
+# codegen HOFs, no Python); the self-join shuffles (block, sig) pairs —
+# 12 bytes a row, never the vectors; pair verification re-joins the
+# corpus by id on an equi key.  Nothing is all-pairs.
+
+_SRP_SCALE = 1 << 24
+
+
+def srp_signs(n_planes: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic {+1,-1} hyperplane matrix from md5("srp:<p>:<d>") —
+    no RNG state to ship; any engine (DuckDB oracle included) can replay
+    it bit-for-bit.  Production would broadcast a seeded Gaussian matrix;
+    sign-only entries lose nothing for the sign-bit test (Achlioptas'01
+    sparse/sign projections)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"srp:{p}:{d}".encode()).digest()[0] % 2 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_signature(vec_col: Column | str, signs: list[list[int]]) -> Column:
+    """n_planes-bit SRP signature as an int column — one HOF expression
+    per row, no shuffle, no Python."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(_SRP_SCALE))).cast("long"),
+    )
+    sig = F.lit(0)
+    for p, row in enumerate(signs):
+        lits = F.array(*[F.lit(int(s)) for s in row])
+        plane_dot = F.aggregate(
+            F.zip_with(q, lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(plane_dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def srp_pairs(
+    df: DataFrame,
+    signs: list[list[int]],
+    max_hamming: int = 6,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-cosine candidate pairs by SRP signature, exact-verified.
+
+    Blocking = simhash_pairs' half-signature pigeonhole: candidates are
+    pairs agreeing on the low or high half of the signature (bucketed
+    self-join on an 8-bit-plus-sig key — never all-pairs).  Survivors
+    with Hamming(sig) <= max_hamming are re-joined to the corpus by id
+    and exact-cosine-verified, so every emitted pair is TRUE >= threshold;
+    blocking only costs recall, measured in tests/test_srp.py against the
+    brute-force baseline.
+
+    Regime note: SRP blocking is built for true near-duplicates (cos >=
+    ~0.9, per-bit collision ~0.97 -> half-block recall ~95%, measured in
+    tests/test_srp.py::test_near_dup_recall).  At weak thresholds (~0.4,
+    per-bit ~0.63) it under-recalls — the same weak-regime caveat
+    q_cosine_dup_pairs documents for IVF blocking; use the exact brute
+    baseline or IVF there."""
+    n_planes = len(signs)
+    half = 1 << (n_planes // 2)
+    sigs = df.select(
+        F.col(id_col), srp_signature(vec_col, signs).alias("__sig")
+    )
+    lo = (F.col("__sig") % half).alias("__blk")
+    hi = F.floor(F.col("__sig") / half).cast("int").alias("__blk")
+    half_pairs = []
+    for blk in (lo, hi):
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"), blk)
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), blk)
+        half_pairs.append(
+            a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b")).drop("__blk")
+        )
+    cand = (
+        half_pairs[0]
+        .unionByName(half_pairs[1])
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    na = with_norm(df, vec_col, "__na").select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "__na",
+    )
+    nb = with_norm(df, vec_col, "__nb").select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        "__nb",
+    )
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            (
+                dot(_to_double(F.col("__va")), _to_double(F.col("__vb")))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

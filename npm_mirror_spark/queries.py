@@ -2800,6 +2800,24 @@ def q_ann_sq8(spark, sf_dir):
     return sim_ops.sq8_topk_rerank(e, probes, params, k=5, shortlist=64)
 
 
+def q_srp_pairs(spark, sf_dir):
+    """Signed-random-projection (hyperplane LSH) near-cosine pairs — the
+    embedding twin of q_simhash_pairs and the fourth blocking tier beside
+    IVF/PQ/SQ8: 16 deterministic md5-derived sign planes -> 16-bit
+    signature (exact int arithmetic, quantized at 2^-24), half-signature
+    pigeonhole blocking, Hamming <= 6 gate, then exact cosine verify at
+    the same 0.4 threshold as the brute baseline q_cosine_dup_pairs —
+    every emitted pair is TRUE; blocking costs only recall, measured in
+    tests/test_srp.py. The oracle replays planes, signature, blocking and
+    verify bit-for-bit."""
+    return sim_ops.srp_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        sim_ops.srp_signs(16, 64),
+        max_hamming=6,
+        threshold=0.4,
+    )
+
+
 def q_lm_nll(spark, sf_dir):
     """Unigram-LM perplexity quality scoring (CCNet-style signal):
     per-doc mean negative log-likelihood + perplexity under an add-1
@@ -3018,6 +3036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25": q_bm25,
     "q_bloom_new_customers": q_bloom_new_customers,
     "q_ann_sq8": q_ann_sq8,
+    "q_srp_pairs": q_srp_pairs,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -4657,3 +4676,45 @@ WHERE NOT EXISTS (SELECT 1 FROM events e
 # q_ann_pq (comment above ORACLES["q_ann_pq"]), with narrower headroom
 # needed: int8-per-dim error << one-code-per-subspace error.
 ORACLES["q_ann_sq8"] = ORACLES["q_cosine_topk"]
+
+# q_srp_pairs: the oracle replays the whole SRP pipeline — the identical
+# md5-derived sign planes (md5('srp:<p>:<d>') first-byte parity, exactly
+# operators/similarity.py::srp_signs), the 2^-24-quantized exact-integer
+# plane dots (computed relationally — component x sign join + group-by,
+# the fast shape for DuckDB; a nested-lambda literal matrix re-evaluates
+# the 1024-entry literal per element and is ~1000x slower), the
+# half-signature blocking, the Hamming gate, and the exact cosine verify.
+ORACLES["q_srp_pairs"] = f"""
+WITH {_EMB_NORMED},
+comp AS (
+  SELECT e.vec_id, t.i,
+         CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 16777216.0) AS BIGINT) AS c
+  FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)),
+sgn AS (
+  SELECT pp.p, t.i,
+         CASE WHEN ('0x' || substr(md5('srp:' || pp.p || ':' || (t.i - 1)),
+                                   1, 2))::INTEGER % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 15) pp(p) CROSS JOIN generate_series(1, 64) t(i)),
+pd AS (
+  SELECT c.vec_id, g.p, sum(c.c * g.s) AS dt
+  FROM comp c JOIN sgn g ON g.i = c.i
+  GROUP BY c.vec_id, g.p),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dt >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS sig
+  FROM pd GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id
+   AND (a.sig % 256 = b.sig % 256 OR a.sig // 256 = b.sig // 256)
+  WHERE bit_count(xor(a.sig, b.sig)) <= 6)
+SELECT id_a, id_b, hamming,
+       {_DOT.format(a="na.v", b="nb.v")} / (na.nm * nb.nm) AS cos_sim
+FROM cand
+JOIN n na ON na.vec_id = cand.id_a
+JOIN n nb ON nb.vec_id = cand.id_b
+WHERE {_DOT.format(a="na.v", b="nb.v")} / (na.nm * nb.nm) >= 0.4
+"""
