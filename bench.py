@@ -105,6 +105,7 @@ HEADLINE_R5 = [
     "q_lm_nll",
     "q_hybrid_search",
     "q_srp_pairs",
+    "q_kmeans",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -1007,3 +1007,160 @@ def srp_pairs(
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+# -- Distributed k-means (Lloyd) ----------------------------------------------
+#
+# The unsupervised centroid trainer behind every IVF-style index (the
+# registered IVF queries use a deterministic id-mod centroid PICK so
+# their oracles stay one CTE; this is the real trainer).  Canonical
+# cluster shape per Lloyd round:
+#   1. assignment is MAP-SIDE: the k x dim centroid matrix is tiny and
+#      rides into the executors as literal arrays (same closure-broadcast
+#      pattern as train_pq's codebooks) — no shuffle, no Python;
+#   2. the update is ONE shuffle keyed (cluster, dim) of integer partial
+#      sums (posexplode -> partial agg), never of vectors;
+#   3. the driver touches only k x dim numbers per round (the centroids),
+#      the canonical parameter-server-free iteration.
+#
+# Determinism contract (what makes q_kmeans ORACLE-CHECKABLE, unusual
+# for an iterative algorithm): components quantize to 1/2^24 once, so
+# squared-L2 distances are EXACT int64 arithmetic (64 * (2^26)^2 < 2^63)
+# and argmin ties break on the lowest cluster id exactly; the mean's
+# double division and re-quantization floor((sum/2^24/cnt) * 2^24) are
+# the same two IEEE ops in Spark and DuckDB.  No float summation order
+# exists anywhere, so an engine replaying the same unrolled rounds gets
+# bit-identical assignments.
+#
+# Reference behavior anchor: none — the reference engine has no vector
+# surface (SURVEY §2.9 extension mandate); the IVF tier this trains is
+# cited at similarity.py::ivf_assign.
+
+
+def _quantize(vec_col: Column | str) -> Column:
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(_SRP_SCALE))).cast("long"),
+    )
+
+
+def _nearest_centroid(q: Column, centroids_q: list[list[int]]) -> Column:
+    """argmin cluster id by exact quantized squared-L2 over a quantized
+    vector column: per cluster one zip_with/aggregate HOF, argmin =
+    array_min over (dist, cid) structs — ties break to the lowest cid."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        q,
+                        F.array(*[F.lit(int(c)) for c in cq]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cq in enumerate(centroids_q)
+        ]
+    )
+    return F.array_min(dists).getField("cid")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids_q: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each row to its nearest centroid — pure map-side codegen.
+
+    ``centroids_q`` are 2^24-quantized integer centroids (index = cluster
+    id); see :func:`_nearest_centroid` for the exact-argmin contract.
+    """
+    return df.select(
+        F.col(id_col),
+        _nearest_centroid(_quantize(vec_col), centroids_q).alias("cluster"),
+    )
+
+
+def _requantize(total: int, cnt: int) -> int:
+    """floor((sum/2^24/cnt) * 2^24) — the shared Spark/DuckDB/driver
+    re-quantization of an exact integer mean (two IEEE double ops)."""
+    import math
+
+    return int(math.floor(total / float(_SRP_SCALE) / cnt * float(_SRP_SCALE)))
+
+
+def train_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    tol: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: list[list[float]] | None = None,
+) -> dict:
+    """Lloyd's algorithm to ``n_iter`` rounds (or centroid shift < tol).
+
+    Init defaults to the k lowest-id vectors (deterministic, SQL-trivial
+    for the oracle; k-means++ would need a sequential sampling pass).
+    Returns {"centroids_q": [[int]], "n_iter", "shifts"}; feed the final
+    centroids to kmeans_assign for the partition, or dequantize
+    (value / 2^24) for float centroids.
+
+    One Spark job per round: map-side assign -> posexplode -> one
+    (cluster, pos) integer-sum shuffle -> k x dim rows to the driver.
+    Empty clusters keep their previous centroid (both engines).
+    """
+    if init is None:
+        seed = (
+            df.orderBy(F.col(id_col))
+            .limit(k)
+            .select(_quantize(vec_col).alias("q"))
+            .collect()
+        )
+        cents = [list(r["q"]) for r in seed]
+    else:
+        import math
+
+        cents = [
+            [int(math.floor(x * _SRP_SCALE)) for x in c] for c in init
+        ]
+    shifts: list[float] = []
+    it = 0
+    for it in range(1, n_iter + 1):
+        # assignment + component explode in ONE projection of one scan —
+        # no self-join; the only exchange per round is the (cluster, pos)
+        # integer-sum shuffle below
+        # (two chained projections, still one scan: posexplode's Generate
+        # node strips struct-field names from sibling expressions, so the
+        # argmin struct must resolve in its own projection first)
+        comp = (
+            df.select(
+                _nearest_centroid(_quantize(vec_col), cents).alias("cluster"),
+                _quantize(vec_col).alias("__q"),
+            )
+            .select("cluster", F.posexplode("__q").alias("pos", "qc"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster -> keep old
+        for r in comp:
+            new_cents[r["cluster"]][r["pos"]] = _requantize(r["s"], r["cnt"])
+        shift = max(
+            (
+                sum((a - b) ** 2 for a, b in zip(nc, oc)) ** 0.5 / _SRP_SCALE
+                for nc, oc in zip(new_cents, cents)
+            ),
+            default=0.0,
+        )
+        cents = new_cents
+        shifts.append(shift)
+        if tol > 0.0 and shift < tol:
+            break
+    return {"centroids_q": cents, "n_iter": it, "shifts": shifts}
+

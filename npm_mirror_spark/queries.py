@@ -2818,6 +2818,23 @@ def q_srp_pairs(spark, sf_dir):
     )
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means (Lloyd), oracle-checked end-to-end — unusual
+    for an ITERATIVE algorithm: 3 full Lloyd rounds (map-side exact-int
+    argmin assignment, one (cluster, pos) integer-sum shuffle per round,
+    k x dim numbers to the driver) from the k=8 lowest-id seed vectors,
+    then the final partition of every vector. All arithmetic is exact
+    int64 (2^-24 quantization) except the centroid mean's two IEEE
+    double ops, replayed identically by the oracle's three UNROLLED
+    relational rounds — so the assignment is bit-deterministic and the
+    driver hash-compares it like any batch query. This is the real
+    trainer behind the IVF tier (whose registered queries use an id-mod
+    centroid PICK precisely to keep their oracles one CTE)."""
+    e = _t(spark, sf_dir, "embeddings")
+    model = sim_ops.train_kmeans(e, k=8, n_iter=3)
+    return sim_ops.kmeans_assign(e, model["centroids_q"])
+
+
 def q_lm_nll(spark, sf_dir):
     """Unigram-LM perplexity quality scoring (CCNet-style signal):
     per-doc mean negative log-likelihood + perplexity under an add-1
@@ -3037,6 +3054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_new_customers": q_bloom_new_customers,
     "q_ann_sq8": q_ann_sq8,
     "q_srp_pairs": q_srp_pairs,
+    "q_kmeans": q_kmeans,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -4718,3 +4736,64 @@ JOIN n na ON na.vec_id = cand.id_a
 JOIN n nb ON nb.vec_id = cand.id_b
 WHERE {_DOT.format(a="na.v", b="nb.v")} / (na.nm * nb.nm) >= 0.4
 """
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled relational Lloyd — the q_kmeans oracle. One (d, a, u, c)
+    CTE quartet per round replaying operators/similarity.py::train_kmeans
+    exactly: exact-int squared-L2 argmin (ties -> lowest cid), exact
+    integer component sums, and the identical two-IEEE-op requantized
+    mean floor(sum/2^24/cnt * 2^24). Iterative training is normally
+    beyond a SQL oracle; fixing the round count and keeping every
+    intermediate deterministic makes it expressible."""
+    parts = [
+        f"""
+WITH comp AS (
+  SELECT e.vec_id, t.i AS pos,
+         CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 16777216.0) AS BIGINT) AS qc
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) t(i)),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (
+  SELECT seed.cid, comp.pos, comp.qc AS q
+  FROM seed JOIN comp USING (vec_id))"""
+    ]
+    for t in range(n_iter):
+        parts.append(f""",
+d{t} AS (
+  SELECT comp.vec_id, c.cid,
+         sum((comp.qc - c.q) * (comp.qc - c.q)) AS dist
+  FROM comp JOIN c{t} c ON c.pos = comp.pos
+  GROUP BY comp.vec_id, c.cid),
+a{t} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{t})
+  WHERE rn = 1),
+u{t} AS (
+  SELECT a.cluster AS cid, comp.pos,
+         CAST(floor(CAST(sum(comp.qc) AS DOUBLE) / 16777216.0 / count(*)
+                    * 16777216.0) AS BIGINT) AS q
+  FROM comp JOIN a{t} a USING (vec_id)
+  GROUP BY a.cluster, comp.pos),
+c{t + 1} AS (
+  SELECT c.cid, c.pos, COALESCE(u.q, c.q) AS q
+  FROM c{t} c LEFT JOIN u{t} u ON u.cid = c.cid AND u.pos = c.pos)""")
+    t = n_iter
+    parts.append(f""",
+d{t} AS (
+  SELECT comp.vec_id, c.cid,
+         sum((comp.qc - c.q) * (comp.qc - c.q)) AS dist
+  FROM comp JOIN c{t} c ON c.pos = comp.pos
+  GROUP BY comp.vec_id, c.cid)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cid AS cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d{t})
+WHERE rn = 1""")
+    return "".join(parts)
+
+
+ORACLES["q_kmeans"] = _kmeans_oracle_sql(k=8, n_iter=3, dim=64)
