@@ -40,7 +40,12 @@ def oracle_sql() -> dict[str, str]:
     not SQL-expressible (determinism pinned by pytest); q_lm_nll —
     unigram-LM perplexity needs libm ln/exp, which are not IEEE-exact
     across engines (value semantics cross-validated against a pure-Python
-    reference in tests/test_lm.py). Every other
+    reference in tests/test_lm.py); q_quality_classifier — iterative GD
+    training: sigmoid is libm exp and float gradient sums shuffle-reduce
+    in nondeterministic order, so trained weights reproduce only to
+    tolerance (math pinned against an independent numpy GD twin in
+    tests/test_classifier.py; contrast q_kmeans, whose exact-int
+    arithmetic makes even ITERATIVE training oracle-backed). Every other
     registered query is oracle-backed (including the hash-heavy
     q_simhash_pairs and q_ann_ivf, whose oracles recompute the identical
     signatures with DuckDB bit ops)."""

@@ -106,6 +106,7 @@ HEADLINE_R5 = [
     "q_hybrid_search",
     "q_srp_pairs",
     "q_kmeans",
+    "q_quality_classifier",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -1,0 +1,198 @@
+"""Trained document-quality classifier — fastText/DCLM-style logistic
+regression over hashed bag-of-words features, trained DISTRIBUTED.
+
+The modern curation pattern (DCLM, FineWeb-Edu): distill a slow or
+small-sample quality signal (LLM judgments, a rule gate, human labels)
+into a linear model over cheap text features, then score the whole
+corpus map-side.  The reference engine has no model surface at all
+(it is a ~1.4 kLoC ETL, app/changes_consumer.py); this module is
+extension surface mandated by the spec's LLM-data-pipeline list.
+
+Architecture — the parameter-server-free distributed GD loop:
+
+- Features are a SPARSE relational table (doc_id, bucket, v): tokens
+  hash (xxhash64 pmod dim) into buckets, presence (default) or tf
+  weighted.  Built once, cached; at 100 TB this is an exploded token
+  table — the same shape every inverted-index operator here shuffles.
+- Each full-batch iteration is ONE Spark job over that table:
+  margin_i = sum_b w[b]*v_ib + bias   (broadcast weights joined in),
+  residual_i = sigmoid(margin_i) - y_i             (JVM F.exp),
+  grad[b] = sum_i v_ib * residual_i                ((bucket) shuffle),
+  and only dim+1 numbers ever reach the driver — weights live on the
+  driver, gradients are aggregated in the cluster, exactly the
+  treeAggregate pattern MLlib uses, expressed relationally.
+- Scoring is map-side: broadcast-join the weight table, one pass.
+
+Float sums shuffle-reduce in nondeterministic order, so trained weights
+are reproducible only to float tolerance — like q_lm_nll this is
+rows-only for the driver oracle; tests/test_classifier.py pins the math
+against an independent numpy GD twin and proves learnability on a
+planted-signal corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.text import ws_tokens
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    binary: bool = True,
+) -> DataFrame:
+    """Sparse hashed-BoW features: (id, bucket, v).  One explode + one
+    (id, bucket) aggregation.
+
+    ``binary=True`` (default): v = 1 if any token of the doc hashes to
+    the bucket — presence features, the right scaling for a linear
+    model whose signal is keyword-like (tf features shrink as 1/len and
+    need ~len-times more GD steps to move the same margin).
+    ``binary=False``: v = tf (count / doc token count).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    counts = toks.groupBy(
+        id_col, F.pmod(F.xxhash64("__tok"), F.lit(dim)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    if binary:
+        return counts.select(id_col, "bucket", F.lit(1.0).alias("v"))
+    totals = counts.groupBy(id_col).agg(F.sum("__cnt").alias("__tot"))
+    return counts.join(totals, id_col).select(
+        id_col,
+        "bucket",
+        (F.col("__cnt").cast("double") / F.col("__tot").cast("double")).alias("v"),
+    )
+
+
+BIAS_BUCKET = -1  # the always-on feature: bias-as-a-feature folds the
+# intercept gradient AND the mean loss into the same single groupBy that
+# produces the weight gradients — one job, one dim+1-row collect per round
+
+
+def _with_bias(feats: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    bias_rows = ids.select(
+        F.col(id_col), F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
+        F.lit(1.0).alias("v"),
+    )
+    return feats.select(id_col, "bucket", "v").unionByName(bias_rows)
+
+
+def _margins(
+    feats_b: DataFrame,
+    weights: list[float],
+    bias: float,
+    spark: SparkSession,
+    id_col: str,
+) -> DataFrame:
+    w = spark.createDataFrame(
+        [(BIAS_BUCKET, float(bias))]
+        + [(b, float(x)) for b, x in enumerate(weights)],
+        "bucket long, w double",
+    )
+    return (
+        feats_b.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("v") * F.col("w")).alias("margin"))
+    )
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int = 256,
+    iters: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> dict:
+    """Full-batch gradient descent; ONE Spark job per iteration.
+
+    ``labels``: (id, label in {0,1}).  Returns {"weights": [dim floats],
+    "bias": float, "losses": [per-iter mean log-loss]} — dim+1 numbers
+    per round cross the cluster/driver boundary, nothing else.
+    """
+    spark = feats.sparkSession
+    fb = _with_bias(feats, labels, id_col).persist()
+    try:
+        n = labels.count()
+        w = [0.0] * dim
+        b = 0.0
+        losses: list[float] = []
+        for _ in range(iters):
+            m = _margins(fb, w, b, spark, id_col)
+            r = m.join(labels, id_col).select(
+                id_col,
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+                 - F.col(label_col).cast("double")).alias("resid"),
+                # log-loss log(1 + exp(-(2y-1) * margin)), overflow-safe
+                (
+                    F.when(
+                        F.col("margin") * (F.col(label_col).cast("double") * 2 - 1) > 0,
+                        F.log1p(F.exp(-F.abs(F.col("margin")))),
+                    ).otherwise(
+                        F.abs(F.col("margin")) + F.log1p(F.exp(-F.abs(F.col("margin"))))
+                    )
+                ).alias("loss"),
+            )
+            # the bias rows have v=1 exactly once per doc, so the
+            # BIAS_BUCKET row of this one aggregation simultaneously
+            # carries the intercept gradient and the mean loss
+            rows = (
+                fb.join(r, id_col)
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.col("v") * F.col("resid")).alias("g"),
+                    F.avg("loss").alias("ml"),
+                )
+                .collect()
+            )
+            grad = [0.0] * dim
+            gb = 0.0
+            for row in rows:
+                if row["bucket"] == BIAS_BUCKET:
+                    gb = row["g"]
+                    losses.append(row["ml"])
+                else:
+                    grad[row["bucket"]] = row["g"]
+            w = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)]
+            b -= lr * (gb / n)
+        return {"weights": w, "bias": b, "losses": losses}
+    finally:
+        fb.unpersist()
+
+
+def score_logreg(
+    feats: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map-side corpus scoring: broadcast the dim-row weight table, one
+    aggregation keyed on the id — (id, score in (0,1), pred)."""
+    ids = feats.select(id_col).distinct()
+    m = _margins(
+        _with_bias(feats, ids, id_col),
+        model["weights"], model["bias"], feats.sparkSession, id_col,
+    )
+    return m.select(
+        id_col,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
+        (F.col("margin") > 0).cast("int").alias("pred"),
+    )
+
+
+def sigmoid(z: float) -> float:
+    """Driver-side twin of the JVM expression (tests/numpy parity)."""
+    if z >= 0:
+        return 1.0 / (1.0 + math.exp(-z))
+    e = math.exp(z)
+    return e / (1.0 + e)

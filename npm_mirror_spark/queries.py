@@ -2835,6 +2835,31 @@ def q_kmeans(spark, sf_dir):
     return sim_ops.kmeans_assign(e, model["centroids_q"])
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (fastText/DCLM distillation pattern):
+    logistic regression over 256-bucket hashed-BoW presence features,
+    trained by 5 full-batch GD rounds — each round ONE Spark job whose
+    only driver traffic is the 257-value gradient (bias-as-a-feature
+    folds intercept grad + mean loss into the same groupBy) — then the
+    whole corpus scored map-side with the broadcast weight row-table.
+    The weak label distilled here is a keyword signal (doc mentions
+    'spark'); production swaps in LLM judgments or a rule gate, same
+    plumbing. Rows-only by nature: sigmoid is libm exp AND float
+    gradient sums shuffle-reduce in nondeterministic order, so weights
+    reproduce only to tolerance (operators/classifier.py module doc);
+    the GD math is pinned against an independent numpy twin and a
+    planted-signal learnability floor in tests/test_classifier.py."""
+    from npm_mirror_spark.operators import classifier as clf_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", F.col("text").contains("spark").cast("int").alias("label")
+    )
+    feats = clf_ops.hashed_features(docs, dim=256)
+    model = clf_ops.train_logreg(feats, labels, dim=256, iters=5, lr=1.0)
+    return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
+
+
 def q_lm_nll(spark, sf_dir):
     """Unigram-LM perplexity quality scoring (CCNet-style signal):
     per-doc mean negative log-likelihood + perplexity under an add-1
@@ -3055,6 +3080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_sq8": q_ann_sq8,
     "q_srp_pairs": q_srp_pairs,
     "q_kmeans": q_kmeans,
+    "q_quality_classifier": q_quality_classifier,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }

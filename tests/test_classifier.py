@@ -1,0 +1,135 @@
+"""Trained quality classifier (operators/classifier.py).
+
+q_quality_classifier is rows-only for the driver (libm sigmoid + float
+shuffle-sum order), so the GD math is pinned here instead:
+1. the distributed GD loop matches an independent numpy full-batch GD
+   to float tolerance (same features, same iterate sequence);
+2. a planted keyword signal is actually LEARNED (AUC -> 1), the
+   fastText/DCLM distillation claim;
+3. the per-iteration plan ships only dim+1 numbers to the driver
+   (gradient aggregation, no per-doc collect);
+4. scoring is consistent: score > 0.5 <=> pred = 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.classifier import (
+    hashed_features,
+    score_logreg,
+    sigmoid,
+    train_logreg,
+)
+from npm_mirror_spark.tables import load_table
+
+DIM = 64
+
+
+def _labels(docs):
+    return docs.select(
+        "doc_id", F.col("text").contains("spark").cast("int").alias("label")
+    )
+
+
+def _numpy_gd(X: np.ndarray, y: np.ndarray, iters: int, lr: float, l2: float):
+    """Independent full-batch GD twin (dense matrix form)."""
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    losses = []
+    for _ in range(iters):
+        z = X @ w + b
+        p = np.where(z >= 0, 1 / (1 + np.exp(-np.abs(z))),
+                     np.exp(-np.abs(z)) / (1 + np.exp(-np.abs(z))))
+        resid = p - y
+        losses.append(float(np.mean(np.log1p(np.exp(-np.abs(z))) + np.maximum(-z * (2 * y - 1), 0))))
+        w = w - lr * ((X.T @ resid) / n + l2 * w)
+        b = b - lr * resid.sum() / n
+    return w, b, losses
+
+
+def test_matches_numpy_gd(spark, sf_dir):
+    """Collect the sparse features ONCE (test-only; training never
+    does), densify, and require the distributed iterate sequence to
+    match the numpy twin to float tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _labels(docs)
+    feats = hashed_features(docs, dim=DIM)
+    rows = feats.collect()
+    lab = {r["doc_id"]: r["label"] for r in labels.collect()}
+    ids = sorted(lab)
+    idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), DIM))
+    for r in rows:
+        X[idx[r["doc_id"]], r["bucket"]] = r["v"]
+    y = np.array([lab[d] for d in ids], dtype=float)
+
+    iters, lr, l2 = 6, 1.0, 1e-4
+    w_ref, b_ref, loss_ref = _numpy_gd(X, y, iters, lr, l2)
+    model = train_logreg(feats, labels, dim=DIM, iters=iters, lr=lr, l2=l2)
+    np.testing.assert_allclose(model["weights"], w_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(model["bias"], b_ref, rtol=1e-8)
+    np.testing.assert_allclose(model["losses"], loss_ref, rtol=1e-8)
+
+
+def test_planted_signal_is_learned(spark, sf_dir):
+    """AUC -> 1 on the keyword task the registered query distills."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _labels(docs)
+    feats = hashed_features(docs, dim=256)
+    model = train_logreg(feats, labels, dim=256, iters=15, lr=1.0)
+    scored = score_logreg(feats, model).join(labels, "doc_id").collect()
+    pos = sorted(r["score"] for r in scored if r["label"] == 1)
+    neg = sorted(r["score"] for r in scored if r["label"] == 0)
+    assert pos and neg
+    # exact Mann-Whitney AUC
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert auc >= 0.97, f"planted keyword not learned: AUC={auc:.3f}"
+    assert model["losses"][-1] < model["losses"][0]
+
+
+def test_scores_and_preds_consistent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _labels(docs)
+    feats = hashed_features(docs, dim=DIM)
+    model = train_logreg(feats, labels, dim=DIM, iters=3)
+    bad = (
+        score_logreg(feats, model)
+        .filter(
+            ((F.col("score") > 0.5) & (F.col("pred") == 0))
+            | ((F.col("score") < 0.5) & (F.col("pred") == 1))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert abs(sigmoid(0.7) - 1 / (1 + np.exp(-0.7))) < 1e-15
+
+
+def test_gradient_is_cluster_aggregated(spark, sf_dir):
+    """The per-round driver traffic is the dim+1-row gradient — assert
+    the aggregation really groups to <= dim+1 rows (no per-doc rows
+    reach collect) and the weight join side is broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _labels(docs)
+    feats = hashed_features(docs, dim=DIM)
+    from npm_mirror_spark.operators.classifier import _margins, _with_bias
+
+    fb = _with_bias(feats, labels, "doc_id")
+    m = _margins(fb, [0.0] * DIM, 0.0, spark, "doc_id")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    n_docs = labels.count()
+    grad_rows = (
+        fb.join(
+            m.select("doc_id", F.lit(0.5).alias("resid")), "doc_id"
+        )
+        .groupBy("bucket")
+        .agg(F.sum(F.col("v") * F.col("resid")).alias("g"))
+        .count()
+    )
+    assert grad_rows <= DIM + 1 < n_docs
