@@ -1,0 +1,217 @@
+"""WARC source — web-archive ingest, the on-disk format of web-scale
+training corpora (Common Crawl et al; ISO 28500 / WARC 1.1).
+
+The reference ingests a document feed plus artifact blobs
+(app/changes_consumer.py:64-70, 168-169); a training-data pipeline's
+equivalent bulk ingress is a directory of WARC files.  Spark-first
+topology:
+
+  binaryFile scan (one row per .warc/.warc.gz file, Spark's file index
+  partitions the listing) -> mapInPandas record splitter (pure-stdlib
+  parser, Arrow-batched) -> one row per WARC record with typed headers
+  and the raw payload as a binary column -> warc_to_documents projects
+  'response' records into the documents-table shape.
+
+Scale notes: a WARC file is the atomic unit of parallelism (the format
+is a concatenation of independently-gzipped members, but records
+reference each other only within a file, and CC shards are ~1 GB —
+one task each is the standard processing grain).  binaryFile
+materializes one file per row, so executor memory bounds the shard
+size, the same contract as the artifact backfill scan
+(sources/backfill.py).  The parser is Python, but it runs once per
+FILE, not per row/element — header splitting over a 1 GB shard is I/O
+bound, not interpreter bound.
+
+Error contract (F9, like operators/multimodal.py): malformed records
+raise ValueError naming the file; route with the same
+try/ValueError-to-side-output seam the media decoders use.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+RECORD_SCHEMA = (
+    "path string, offset long, warc_type string, record_id string, "
+    "target_uri string, warc_date string, content_type string, "
+    "payload binary, payload_length long, http_status int"
+)
+
+
+# -- writer (fixtures + egress twin) ------------------------------------------
+
+
+def _warc_record_bytes(
+    warc_type: str,
+    record_id: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/octet-stream",
+) -> bytes:
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + record_id.encode() + b">",
+        b"WARC-Date: " + warc_date.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if target_uri is not None:
+        head.insert(3, b"WARC-Target-URI: " + target_uri.encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def write_warc(path: str, records: list[dict], per_record_gzip: bool = True) -> None:
+    """Write records ({warc_type, record_id, payload, target_uri?, ...})
+    as a WARC file.  ``per_record_gzip=True`` emits the Common Crawl
+    layout: each record its own gzip member, concatenated — splittable
+    by member without decompressing the whole shard."""
+    with open(path, "wb") as f:
+        for r in records:
+            raw = _warc_record_bytes(**r)
+            f.write(gzip.compress(raw) if per_record_gzip else raw)
+
+
+def http_response(
+    body: bytes, status: int = 200, content_type: str = "text/plain"
+) -> bytes:
+    """An HTTP/1.1 response payload for a 'response' WARC record."""
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+# -- parser -------------------------------------------------------------------
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the CC layout) to one
+    stream; plain (uncompressed) input passes through."""
+    if not data.startswith(b"\x1f\x8b"):
+        return data
+    out, pos = [], 0
+    while pos < len(data):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data[pos:]))
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return b"".join(out)
+
+
+def parse_warc_bytes(path: str, data: bytes) -> Iterator[dict]:
+    """Split one WARC file into record dicts (RECORD_SCHEMA fields).
+    Malformed structure raises ValueError naming the file (F9 route)."""
+    data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 2] == b"\r\n":  # stray inter-record padding
+            pos += 2
+            continue
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"WARC truncated header in {path} @{pos}")
+        lines = data[pos:head_end].split(b"\r\n")
+        if lines[0] not in WARC_VERSIONS:
+            raise ValueError(
+                f"WARC bad version {lines[0][:20]!r} in {path} @{pos}"
+            )
+        hdr: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(b":")
+            if not sep:
+                raise ValueError(f"WARC bad header line in {path} @{pos}")
+            hdr[k.strip().decode().lower()] = v.strip().decode()
+        try:
+            length = int(hdr["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC missing Content-Length in {path} @{pos}")
+        body_start = head_end + 4
+        payload = data[body_start:body_start + length]
+        if len(payload) != length:
+            raise ValueError(f"WARC truncated payload in {path} @{pos}")
+        status = None
+        if payload[:5] == b"HTTP/":
+            first = payload.split(b"\r\n", 1)[0].split(b" ")
+            if len(first) >= 2 and first[1].isdigit():
+                status = int(first[1])
+        yield {
+            "path": path,
+            "offset": pos,
+            "warc_type": hdr.get("warc-type", ""),
+            "record_id": hdr.get("warc-record-id", ""),
+            "target_uri": hdr.get("warc-target-uri"),
+            "warc_date": hdr.get("warc-date"),
+            "content_type": hdr.get("content-type"),
+            "payload": payload,
+            "payload_length": length,
+            "http_status": status,
+        }
+        pos = body_start + length
+        if data[pos:pos + 4] == b"\r\n\r\n":
+            pos += 4
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record across every matching file.
+
+    The file listing is distributed by Spark's binaryFile index; each
+    file parses once inside an Arrow-batched kernel.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(p, bytes(content)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(kernel, RECORD_SCHEMA)
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """Project 'response' records into the documents-table shape:
+    (doc_id, url, fetched_at, text).  HTTP headers are stripped
+    JVM-side: the payload decodes to a string ONCE (lazy subexpression,
+    evaluated twice by locate+substring — both in the STRING domain, so
+    offsets agree; mixing binary instr offsets with string substring
+    would mis-slice multibyte text), which makes this projection for
+    TEXT corpora — binary payloads stay in the records frame untouched.
+    doc_id is the xxhash64 of the record id — deterministic,
+    collision-negligible at 2^64."""
+    resp = records.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    body = F.expr(
+        "substring(decode(payload, 'UTF-8'), "
+        "locate('\r\n\r\n', decode(payload, 'UTF-8')) + 4)"
+    )
+    return resp.select(
+        F.xxhash64("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "fetched_at"
+        ),
+        body.alias("text"),
+    )

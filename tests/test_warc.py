@@ -1,0 +1,118 @@
+"""WARC source (sources/warc.py): writer/reader round-trip, the
+Common Crawl per-record-gzip layout, HTTP splitting, document
+projection, and the F9 malformed-input contract.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from npm_mirror_spark.sources.warc import (
+    http_response,
+    parse_warc_bytes,
+    read_warc,
+    warc_to_documents,
+    write_warc,
+)
+
+
+def _records(n: int = 5):
+    recs = []
+    for i in range(n):
+        body = f"doc {i} text with unicode é中".encode()
+        recs.append(
+            {
+                "warc_type": "response",
+                "record_id": f"rec-{i}",
+                "target_uri": f"https://example.org/{i}",
+                "payload": http_response(body, status=200 if i % 4 else 404),
+                "content_type": "application/http; msgtype=response",
+            }
+        )
+    # non-response records must survive parsing and be filterable
+    recs.append(
+        {
+            "warc_type": "warcinfo",
+            "record_id": "info-0",
+            "payload": b"software: npm-mirror-spark-tests\r\n",
+        }
+    )
+    return recs
+
+
+@pytest.mark.parametrize("per_record_gzip", [True, False], ids=["gz", "plain"])
+def test_round_trip(spark, tmp_path, per_record_gzip):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    suffix = ".warc.gz" if per_record_gzip else ".warc"
+    for shard in range(2):
+        write_warc(str(d / f"shard{shard}{suffix}"), _records(), per_record_gzip)
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 2 * 6
+    by_type = {r["warc_type"] for r in rows}
+    assert by_type == {"response", "warcinfo"}
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert {r["http_status"] for r in resp} == {200, 404}
+    # payload bytes survive exactly (including the HTTP header)
+    one = next(r for r in resp if r["target_uri"] == "https://example.org/1")
+    assert bytes(one["payload"]).endswith("unicode é中".encode())
+    assert one["payload_length"] == len(bytes(one["payload"]))
+
+
+def test_documents_projection(spark, tmp_path):
+    f = tmp_path / "a.warc.gz"
+    write_warc(str(f), _records())
+    docs = warc_to_documents(read_warc(spark, str(tmp_path))).collect()
+    # 5 responses, i=0 and i=4 are 404 -> 3 documents
+    assert len(docs) == 3
+    d1 = next(d for d in docs if d["url"] == "https://example.org/1")
+    assert d1["text"] == "doc 1 text with unicode é中"
+    assert d1["fetched_at"] is not None
+    assert len({d["doc_id"] for d in docs}) == 3
+
+
+def test_mixed_member_and_plain_layouts_agree(spark, tmp_path):
+    (tmp_path / "x").mkdir()
+    write_warc(str(tmp_path / "x" / "a.warc.gz"), _records(3), True)
+    write_warc(str(tmp_path / "x" / "b.warc"), _records(3), False)
+    df = read_warc(spark, str(tmp_path / "x"))
+    assert df.count() == 8
+    # same records parsed identically from both layouts
+    a = {r["record_id"] for r in df.filter("path like '%a.warc.gz'").collect()}
+    b = {r["record_id"] for r in df.filter("path like '%b.warc'").collect()}
+    assert a == b
+
+
+def test_malformed_raises_valueerror_naming_file():
+    with pytest.raises(ValueError, match="bad version.*broken"):
+        list(parse_warc_bytes("broken", b"NOTWARC/9.9\r\nC: 1\r\n\r\nx"))
+    with pytest.raises(ValueError, match="truncated payload"):
+        list(
+            parse_warc_bytes(
+                "short",
+                b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nhi",
+            )
+        )
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        list(parse_warc_bytes("nolen", b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
+
+
+def test_gzip_member_stream_is_splittable_layout(tmp_path):
+    """The CC contract: every record is its own gzip member, so the file
+    is a valid multi-member gzip AND each member decompresses alone."""
+    f = tmp_path / "m.warc.gz"
+    write_warc(str(f), _records(3), per_record_gzip=True)
+    raw = f.read_bytes()
+    # whole-file gunzip sees all members
+    assert raw.startswith(b"\x1f\x8b")
+    full = gzip.decompress(raw)  # python gzip reads all members
+    assert full.count(b"WARC/1.0") == 4
+    # first member alone is exactly one record
+    import zlib
+
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    first = d.decompress(raw)
+    assert first.startswith(b"WARC/1.0") and first.count(b"WARC/1.0") == 1
