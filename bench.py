@@ -107,6 +107,7 @@ HEADLINE_R5 = [
     "q_srp_pairs",
     "q_kmeans",
     "q_quality_classifier",
+    "q_ann_ivf_trained",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

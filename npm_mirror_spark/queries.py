@@ -2835,6 +2835,30 @@ def q_kmeans(spark, sf_dir):
     return sim_ops.kmeans_assign(e, model["centroids_q"])
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN over TRAINED centroids — the production composition the
+    two pieces were built for: 3 oracle-replayable Lloyd rounds
+    (q_kmeans) produce the 8 centroids, the corpus IVF-assigns to them
+    by max cosine, and the vec_id<5 probes search their 2 nearest
+    clusters (same contract as q_ann_ivf, whose centroids are an id-mod
+    PICK kept for one-CTE oracles). Centroid doubles are q/2^24 —
+    integer-scaled by a power of two, so both engines see bit-identical
+    values and the whole train->index->search chain hash-matches."""
+    e = _t(spark, sf_dir, "embeddings")
+    model = sim_ops.train_kmeans(e, k=8, n_iter=3)
+    cents = [
+        [v / float(1 << 24) for v in c] for c in model["centroids_q"]
+    ]
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return sim_ops.ivf_topk(e, probes, cdf, k=3, nprobe=2)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trained quality classifier (fastText/DCLM distillation pattern):
     logistic regression over 256-bucket hashed-BoW presence features,
@@ -3080,6 +3104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_sq8": q_ann_sq8,
     "q_srp_pairs": q_srp_pairs,
     "q_kmeans": q_kmeans,
+    "q_ann_ivf_trained": q_ann_ivf_trained,
     "q_quality_classifier": q_quality_classifier,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
@@ -4764,9 +4789,11 @@ WHERE {_DOT.format(a="na.v", b="nb.v")} / (na.nm * nb.nm) >= 0.4
 """
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
-    """Unrolled relational Lloyd — the q_kmeans oracle. One (d, a, u, c)
-    CTE quartet per round replaying operators/similarity.py::train_kmeans
+def _kmeans_cte_body(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled relational Lloyd CTE chain (no WITH keyword) ending at
+    centroid table c{n_iter} — shared by the q_kmeans oracle and the
+    trained-IVF composition (q_ann_ivf_trained). One (d, a, u, c) CTE
+    quartet per round replays operators/similarity.py::train_kmeans
     exactly: exact-int squared-L2 argmin (ties -> lowest cid), exact
     integer component sums, and the identical two-IEEE-op requantized
     mean floor(sum/2^24/cnt * 2^24). Iterative training is normally
@@ -4774,7 +4801,7 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
     intermediate deterministic makes it expressible."""
     parts = [
         f"""
-WITH comp AS (
+comp AS (
   SELECT e.vec_id, t.i AS pos,
          CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 16777216.0) AS BIGINT) AS qc
   FROM embeddings e CROSS JOIN generate_series(1, {dim}) t(i)),
@@ -4807,9 +4834,14 @@ u{t} AS (
 c{t + 1} AS (
   SELECT c.cid, c.pos, COALESCE(u.q, c.q) AS q
   FROM c{t} c LEFT JOIN u{t} u ON u.cid = c.cid AND u.pos = c.pos)""")
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
     t = n_iter
-    parts.append(f""",
-d{t} AS (
+    return f"""
+WITH {_kmeans_cte_body(k, n_iter, dim)},
+dfin AS (
   SELECT comp.vec_id, c.cid,
          sum((comp.qc - c.q) * (comp.qc - c.q)) AS dist
   FROM comp JOIN c{t} c ON c.pos = comp.pos
@@ -4817,9 +4849,50 @@ d{t} AS (
 SELECT vec_id, cluster FROM (
   SELECT vec_id, cid AS cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM d{t})
-WHERE rn = 1""")
-    return "".join(parts)
+  FROM dfin)
+WHERE rn = 1"""
 
 
 ORACLES["q_kmeans"] = _kmeans_oracle_sql(k=8, n_iter=3, dim=64)
+
+# q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical
+# IVF assign/search SQL as q_ann_ivf. Centroid doubles are q/2^24
+# (power-of-two-scaled integers, bit-exact in both engines).
+ORACLES["q_ann_ivf_trained"] = f"""
+WITH {_kmeans_cte_body(8, 3, 64)},
+{_EMB_NORMED.strip()},
+centl AS (SELECT cid, list(q / 16777216.0 ORDER BY pos) AS cv
+          FROM c3 GROUP BY cid),
+tcent AS (SELECT cid, cv,
+            sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnm
+          FROM centl),
+assigned AS (
+  SELECT vec_id, v, nm, cid AS cluster FROM (
+    SELECT nn.vec_id, nn.v, nn.nm, c.cid,
+           row_number() OVER (PARTITION BY nn.vec_id
+             ORDER BY {_DOT.format(a="nn.v", b="c.cv")} / (nn.nm * c.cnm) DESC,
+                      c.cid ASC) AS rn
+    FROM n nn CROSS JOIN tcent c)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, v AS pv, nm AS pn FROM n WHERE vec_id < 5),
+pc AS (
+  SELECT probe_id, cluster FROM (
+    SELECT p.probe_id, c.cid AS cluster,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY {_DOT.format(a="p.pv", b="c.cv")} / (p.pn * c.cnm) DESC,
+                      c.cid ASC) AS rn
+    FROM probes p CROSS JOIN tcent c)
+  WHERE rn <= 2),
+cand AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+         {_DOT.format(a="a.v", b="p.pv")} / (a.nm * p.pn) AS cos_sim
+  FROM assigned a
+  JOIN pc ON a.cluster = pc.cluster
+  JOIN probes p ON p.probe_id = pc.probe_id
+  WHERE a.vec_id != pc.probe_id)
+SELECT probe_id, neighbor_id, cos_sim, "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+  FROM cand)
+WHERE "rank" <= 3
+"""
