@@ -45,7 +45,12 @@ def oracle_sql() -> dict[str, str]:
     in nondeterministic order, so trained weights reproduce only to
     tolerance (math pinned against an independent numpy GD twin in
     tests/test_classifier.py; contrast q_kmeans, whose exact-int
-    arithmetic makes even ITERATIVE training oracle-backed). Every other
+    arithmetic makes even ITERATIVE training oracle-backed);
+    q_bpe_encode — learned-BPE tokenization is bit-deterministic (exact
+    integer pair counts, lexicographic tie-breaks) but the merge loop is
+    not expressible as one SQL query (Sennrich worked example,
+    determinism, and decode round-trip pinned in
+    tests/test_tokenizer.py). Every other
     registered query is oracle-backed (including the hash-heavy
     q_simhash_pairs and q_ann_ivf, whose oracles recompute the identical
     signatures with DuckDB bit ops)."""

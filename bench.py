@@ -108,6 +108,7 @@ HEADLINE_R5 = [
     "q_kmeans",
     "q_quality_classifier",
     "q_ann_ivf_trained",
+    "q_bpe_encode",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -2884,6 +2884,25 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Learned-BPE tokenization of the corpus: 100 merges trained from
+    the word-type table (ONE corpus shuffle; the merge loop runs on the
+    bounded type table driver-side — the HF-trainer topology), then the
+    whole corpus encoded map-side by an Arrow kernel with the merge
+    ranks broadcast by closure. Training is bit-deterministic (exact
+    integer counts, lexicographic tie-breaks) but a merge LOOP is not
+    one SQL query, so this is rows-only; the Sennrich worked example,
+    determinism, and the decode round-trip are pinned in
+    tests/test_tokenizer.py."""
+    from npm_mirror_spark.operators import tokenizer as tok_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    model = tok_ops.train_bpe(docs, n_merges=100)
+    return tok_ops.encode_bpe(docs, model["merges"]).select(
+        "doc_id", "n_tokens"
+    )
+
+
 def q_lm_nll(spark, sf_dir):
     """Unigram-LM perplexity quality scoring (CCNet-style signal):
     per-doc mean negative log-likelihood + perplexity under an add-1
@@ -3106,6 +3125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans": q_kmeans,
     "q_ann_ivf_trained": q_ann_ivf_trained,
     "q_quality_classifier": q_quality_classifier,
+    "q_bpe_encode": q_bpe_encode,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
