@@ -284,3 +284,70 @@ def temperature_mix(
         "share",
         (scaled / F.sum(scaled).over(wall)).alias("temp_weight"),
     )
+
+
+# -- Domain-level filtering ----------------------------------------------------
+#
+# Web-corpus curation's first gate (C4/RefinedWeb/Dolma all start here):
+# drop documents from blocklisted hosts (UT1-style lists) before any
+# text-level work — it is the cheapest filter and removes whole-site
+# noise. Pure JVM regex + broadcast semi/anti join; the blocklist is
+# config-sized (UT1 ~4M hosts still broadcasts in tens of MB; beyond
+# that, flip the hint off and it becomes a plain shuffle semi join).
+# The reference filters its feed by per-record predicates only
+# (app/changes_consumer.py ~L100); host gating is extension surface for
+# the WARC ingest path (sources/warc.py::warc_to_documents's url).
+
+_HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased registrable host of a URL (scheme and userinfo
+    stripped, port excluded); '' when the value does not parse."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(F.lower(c), _HOST_PATTERN, 1)
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL host (or any parent domain, when
+    ``include_subdomains`` — blocklists name registrable domains, pages
+    live on subdomains) appears in ``blocked`` (one ``host_col``
+    column).
+
+    Every join is an EQUI join: without subdomains, one broadcast anti
+    join on the host. With subdomains each row first expands to its
+    <=depth domain suffixes (bounded fan-out ~3-5, JVM-side), the
+    exploded suffixes broadcast-SEMI-join the blocklist to an id list,
+    and the corpus anti-joins that id list — never a nested-loop
+    condition against the blocklist (an array_contains predicate would
+    be |corpus| x |blocklist| condition evals)."""
+    h = url_host(F.col(url_col))
+    bh = F.broadcast(blocked.select(F.col(host_col).alias("__bh")))
+    if not include_subdomains:
+        return df.join(bh, h == F.col("__bh"), "left_anti")
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    # suffixes of length >= 2 plus the full host: a.b.c.d -> [a.b.c.d,
+    # b.c.d, c.d]; non-parsing URLs ('' host, n=1) get no suffixes at
+    # all — sequence(0, n-2) would throw on a negative stop
+    suffixes = F.when(n >= 2, F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+        ),
+        lambda s: s != "",
+    )).otherwise(F.array().cast("array<string>"))
+    blocked_ids = (
+        df.select(F.col(id_col), F.explode(suffixes).alias("__sfx"))
+        .join(bh, F.col("__sfx") == F.col("__bh"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")
