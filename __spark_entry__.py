@@ -40,7 +40,9 @@ def oracle_sql() -> dict[str, str]:
     not SQL-expressible (determinism pinned by pytest); q_lm_nll —
     unigram-LM perplexity needs libm ln/exp, which are not IEEE-exact
     across engines (value semantics cross-validated against a pure-Python
-    reference in tests/test_lm.py); q_quality_classifier — iterative GD
+    reference in tests/test_lm.py); q_lm_bigram — same libm rationale as
+    q_lm_nll, pure-Python parity at 1e-12 plus the word-order separation
+    property in tests/test_lm.py; q_quality_classifier — iterative GD
     training: sigmoid is libm exp and float gradient sums shuffle-reduce
     in nondeterministic order, so trained weights reproduce only to
     tolerance (math pinned against an independent numpy GD twin in

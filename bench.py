@@ -109,6 +109,7 @@ HEADLINE_R5 = [
     "q_quality_classifier",
     "q_ann_ivf_trained",
     "q_bpe_encode",
+    "q_lm_bigram",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

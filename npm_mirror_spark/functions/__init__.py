@@ -52,6 +52,7 @@ from npm_mirror_spark.operators.text import (  # noqa: F401
 from npm_mirror_spark.operators.curation import (  # noqa: F401
     PII_PATTERNS,
     sample_bucket,
+    url_host,
 )
 
 # bloom-filter membership (round 5)
@@ -83,6 +84,7 @@ __all__ = [
     "language_id",
     "PII_PATTERNS",
     "sample_bucket",
+    "url_host",
     "language_scores",
     "punct_count",
     "stopword_count",

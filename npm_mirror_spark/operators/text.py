@@ -306,3 +306,84 @@ def unigram_nll(
         (-F.sum("lp") / F.count(F.lit(1))).alias("nll"),
         F.exp(-F.sum("lp") / F.count(F.lit(1))).alias("ppl"),
     )
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prev, cur) adjacent-token pairs, derived IN-ROW: zip the
+    token array with its own tail via HOFs — no posexplode + window, so
+    extracting bigrams costs no shuffle at all; only the downstream
+    aggregation/join does."""
+    toks = ws_tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+
+
+def bigram_nll(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM perplexity — the KenLM-lite upgrade of
+    :func:`unigram_nll` (a unigram LM cannot see word ORDER; shuffled
+    boilerplate and natural prose score identically — the bigram term is
+    what separates them).
+
+    Model: p(cur|prev) = lam * p_bi + (1-lam) * p_uni, with
+    p_bi = (c(prev,cur) + k) / (c(prev) + k*V) (add-k, per-history
+    normalized) and p_uni the same add-k unigram as unigram_nll.
+    Output per doc: n_bigrams, nll (mean -ln p in nats), ppl.
+
+    The 100 TB shape: bigram extraction is IN-ROW (array zip — no
+    shuffle); the LM tables are aggregates of the LM corpus (bigram
+    types ~ O(tokens^0.7), far smaller than the corpus). The bigram
+    table joins on the (prev, cur) equi key — hash-shuffle join when the
+    table outgrows broadcast, exactly like the document side; unigram
+    and history tables broadcast.  Same rows-only rationale as
+    unigram_nll (libm ln/exp + order-dependent double sums); pure-Python
+    parity is pinned in tests/test_lm.py.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    uni = (
+        lm.select(F.explode(ws_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    stats = uni.agg(F.sum("cu").alias("T"), F.count(F.lit(1)).alias("V"))
+    bi = (
+        _doc_bigrams(lm, text_col, id_col)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    hist = bi.groupBy("prev").agg(F.sum("cb").alias("ch"))
+
+    dbg = _doc_bigrams(docs, text_col, id_col)
+    kk = F.lit(float(k))
+    joined = (
+        dbg.join(bi, ["prev", "cur"], "left")
+        .join(F.broadcast(hist), "prev", "left")
+        .join(F.broadcast(uni.select(F.col("term").alias("cur"), "cu")), "cur", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    v = F.col("V").cast("double")
+    p_bi = (F.coalesce(F.col("cb").cast("double"), F.lit(0.0)) + kk) / (
+        F.coalesce(F.col("ch").cast("double"), F.lit(0.0)) + kk * v
+    )
+    p_uni = (F.coalesce(F.col("cu").cast("double"), F.lit(0.0)) + kk) / (
+        F.col("T").cast("double") + kk * v
+    )
+    lp = F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    scored = joined.select(id_col, lp.alias("lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("lp") / F.count(F.lit(1))).alias("nll"),
+        F.exp(-F.sum("lp") / F.count(F.lit(1))).alias("ppl"),
+    )

@@ -2884,6 +2884,19 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_lm_bigram(spark, sf_dir):
+    """Interpolated bigram-LM perplexity (KenLM-lite): the word-ORDER-
+    aware upgrade of q_lm_nll — a unigram LM scores shuffled boilerplate
+    and natural prose identically; the bigram term separates them
+    (proven in tests/test_lm.py::test_bigram_sees_word_order...).
+    Bigram extraction is IN-ROW (array zip, no shuffle); the LM tables
+    are corpus aggregates joined back on (prev, cur). Docs with < 2
+    tokens carry no bigram evidence and are absent (callers left-join
+    and treat NULL as unscored). Rows-only like q_lm_nll (libm ln/exp);
+    pure-Python value parity at 1e-12 in tests/test_lm.py."""
+    return text_ops.bigram_nll(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_encode(spark, sf_dir):
     """Learned-BPE tokenization of the corpus: 100 merges trained from
     the word-type table (ONE corpus shuffle; the merge loop runs on the
@@ -3126,6 +3139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf_trained": q_ann_ivf_trained,
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_encode": q_bpe_encode,
+    "q_lm_bigram": q_lm_bigram,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
