@@ -356,6 +356,126 @@ def pcm_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
+# -- WAV: the RIFF container around PCM16 -------------------------------------
+#
+# Raw PCM16 (above) has no self-describing header; real corpora carry WAV
+# (RIFF) files. Pure-stdlib container codec in the decode_png spirit:
+# canonical 44-byte header, PCM16 mono/stereo, fmt/data chunk walk that
+# tolerates extra chunks (LIST/fact) like real encoders emit. Anything
+# not uncompressed 16-bit PCM (format tag != 1, other depths) and any
+# structural damage raises ValueError — the F9 error route.
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """int16 array (frames,) or (frames, channels) -> WAV bytes."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, n_channels)
+    n_channels = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes):
+    """WAV bytes -> (samples int16 (frames, channels), sample_rate).
+
+    Chunk-walks the RIFF body (fmt may precede/follow unrelated chunks);
+    only format tag 1 (uncompressed PCM) at 16 bits is accepted.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, end = 12, len(content)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        payload = content[pos + 8:pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"WAV truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif tag == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"WAV unsupported encoding (format={audio_format}, bits={bits}); "
+            "only uncompressed PCM16 is decoded"
+        )
+    if n_channels < 1 or block_align != n_channels * 2:
+        raise ValueError("WAV inconsistent channel layout")
+    frames = len(data) // block_align
+    arr = np.frombuffer(data[: frames * block_align], dtype="<i2").reshape(
+        frames, n_channels
+    )
+    return arr, sample_rate
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Per-clip features over WAV blobs: rate, channels, frames,
+    duration, RMS over the channel mean — same Arrow shape as
+    pcm_features with the container parsed first."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as _pd
+
+        def one(b):
+            arr, rate = decode_wav(bytes(b))
+            mono = arr.astype(np.float64).mean(axis=1)
+            rms = float(np.sqrt(np.mean(mono * mono))) if len(mono) else 0.0
+            return rate, arr.shape[1], arr.shape[0], arr.shape[0] / rate, rms
+
+        for pdf in batches:
+            feats = pdf["content"].map(one)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": feats.map(lambda t: t[0]),
+                    "n_channels": feats.map(lambda t: t[1]),
+                    "n_frames": feats.map(lambda t: t[2]),
+                    "duration_s": feats.map(lambda t: t[3]),
+                    "rms": feats.map(lambda t: t[4]),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(kernel, WAV_FEATURE_SCHEMA)
+
+
 # -- PNG: a REAL compressed-image codec, pure stdlib --------------------------
 #
 # The container has no PIL/libpng, but PNG's container + DEFLATE + scanline

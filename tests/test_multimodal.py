@@ -534,3 +534,76 @@ def test_y4m_video_features(spark):
             for off in info["frame_offsets"]
         ]
         assert abs(got["mean_luma"] - sum(lumas) / len(lumas)) < 1e-9
+
+
+# -- WAV (RIFF container) -----------------------------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = (np.arange(500) % 200 - 100).astype("int16")
+    arr, rate = decode_wav(encode_wav(t, 8000))
+    assert rate == 8000 and arr.shape == (500, 1)
+    assert (arr[:, 0] == t).all()
+    st = np.stack([t, -t], axis=1)
+    arr2, r2 = decode_wav(encode_wav(st, 44100))
+    assert r2 == 44100 and arr2.shape == (500, 2) and (arr2 == st).all()
+
+
+def test_wav_tolerates_extra_chunks_and_word_alignment():
+    import struct
+
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = (np.arange(64) % 50).astype("int16")
+    raw = encode_wav(t, 16000)
+    # splice an odd-sized LIST chunk between WAVE and fmt (word-aligned
+    # with a pad byte, like real encoders write)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = raw[:12] + extra + raw[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    arr, rate = decode_wav(spliced)
+    assert rate == 16000 and (arr[:, 0] == t).all()
+
+
+def test_wav_malformed_raises_valueerror_only():
+    import struct
+
+    import numpy as np
+
+    import pytest as _pytest
+
+    from npm_mirror_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav((np.zeros(8)).astype("int16"), 8000)
+    for bad in [
+        b"",
+        b"RIFX" + good[4:],                        # bad magic
+        good[:30],                                 # truncated mid-chunk
+        good[:20] + struct.pack("<H", 7) + good[22:],   # format tag != 1
+        good[:34] + struct.pack("<H", 8) + good[36:],   # 8-bit depth
+    ]:
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_wav_features_kernel(spark):
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import encode_wav, wav_features
+
+    t = (np.ones(16000) * 1000).astype("int16")
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_wav(t, 16000)))], "media_id long, content binary"
+    )
+    r = wav_features(df).collect()[0]
+    assert r["sample_rate"] == 16000
+    assert r["n_channels"] == 1
+    assert r["n_frames"] == 16000
+    assert r["duration_s"] == 1.0
+    assert abs(r["rms"] - 1000.0) < 1e-9
