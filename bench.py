@@ -110,6 +110,7 @@ HEADLINE_R5 = [
     "q_ann_ivf_trained",
     "q_bpe_encode",
     "q_lm_bigram",
+    "q_url_filter",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

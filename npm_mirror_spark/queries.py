@@ -2884,6 +2884,33 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_url_filter(spark, sf_dir):
+    """Domain blocklist gate (the C4/RefinedWeb first filter), oracle-
+    checked: documents get a deterministic URL (docs.<source>.example.com
+    — subdomain on purpose, so registrable-domain matching is what's
+    under test), a two-domain blocklist is applied via
+    curation.filter_blocked_hosts (bounded suffix expansion -> broadcast
+    SEMI to an id list -> id ANTI; every join equi — see the operator
+    docstring for why array_contains-vs-blocklist would be a nested
+    loop), and survivors project (doc_id, url, host). The oracle replays
+    host extraction and suffix semantics in SQL."""
+    from npm_mirror_spark.operators.curation import filter_blocked_hosts, url_host
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://docs."), F.col("source"), F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("src1.example.com",), ("src3.example.com",)], "host string"
+    )
+    return filter_blocked_hosts(docs, blocked).select(
+        "doc_id", "url", url_host(F.col("url")).alias("host")
+    )
+
+
 def q_lm_bigram(spark, sf_dir):
     """Interpolated bigram-LM perplexity (KenLM-lite): the word-ORDER-
     aware upgrade of q_lm_nll — a unigram LM scores shuffled boilerplate
@@ -3140,6 +3167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_encode": q_bpe_encode,
     "q_lm_bigram": q_lm_bigram,
+    "q_url_filter": q_url_filter,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -4888,6 +4916,19 @@ WHERE rn = 1"""
 
 
 ORACLES["q_kmeans"] = _kmeans_oracle_sql(k=8, n_iter=3, dim=64)
+
+# q_url_filter: the oracle derives the keep-set INDEPENDENTLY — the
+# blocklist names registrable domains (srcN.example.com), the synthetic
+# hosts are docs.<source>.example.com, so suffix matching must reduce to
+# the source predicate below; value equality proves the suffix algebra.
+ORACLES["q_url_filter"] = """
+SELECT doc_id,
+       'https://docs.' || source || '.example.com/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       'docs.' || source || '.example.com' AS host
+FROM documents
+WHERE source NOT IN ('src1', 'src3')
+"""
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical
 # IVF assign/search SQL as q_ann_ivf. Centroid doubles are q/2^24
