@@ -111,6 +111,7 @@ HEADLINE_R5 = [
     "q_bpe_encode",
     "q_lm_bigram",
     "q_url_filter",
+    "q_embed_text",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -40,6 +40,7 @@ from npm_mirror_spark.operators.text import (  # noqa: F401
     bpe_ish_token_count,
     bpe_ish_tokens,
     fingerprint,
+    hashed_embedding,
     language_id,
     language_scores,
     punct_count,
@@ -81,6 +82,7 @@ __all__ = [
     "bpe_ish_token_count",
     "bpe_ish_tokens",
     "fingerprint",
+    "hashed_embedding",
     "language_id",
     "PII_PATTERNS",
     "sample_bucket",

@@ -387,3 +387,35 @@ def bigram_nll(
         (-F.sum("lp") / F.count(F.lit(1))).alias("nll"),
         F.exp(-F.sum("lp") / F.count(F.lit(1))).alias("ppl"),
     )
+
+
+def hashed_embedding(col: Column | str, dim: int = 16) -> Column:
+    """Deterministic text embedding by the hashing trick (random
+    indexing / signed feature hashing): each token contributes +-1 per
+    output dimension (sign = parity of byte d of md5(token)), and the
+    document embedding is the elementwise sum — the classic cheap
+    baseline for similarity/clustering when no learned encoder is in the
+    loop (and the plumbing twin for one: swap this Column for an
+    inference seam and every downstream consumer is unchanged).
+
+    Exact integer arithmetic end to end (sums of +-1) — no floats, so
+    the result is oracle-checkable bit-for-bit.  Entirely IN-ROW: one
+    md5 per token, HOF fold to the dim-array — NO shuffle, no explode;
+    at 100 TB this is a free map-side projection like simhash16.
+    ``dim`` <= 16 (one md5 digest = 16 sign bytes)."""
+    if not 1 <= dim <= 16:
+        raise ValueError("hashed_embedding: dim must be in [1, 16]")
+    toks = ws_tokens(col)
+    digests = F.transform(toks, lambda t: F.md5(t))
+    signs = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(
+            F.conv(h.substr(d * 2 + 1, F.lit(2)), 16, 10).cast("int") % 2 == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    return F.aggregate(
+        digests,
+        F.array_repeat(F.lit(0), dim),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, b: a + b),
+    )

@@ -2884,6 +2884,21 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_embed_text(spark, sf_dir):
+    """Deterministic text embeddings by the hashing trick (signed
+    feature hashing / random indexing) — the learned-encoder-free
+    baseline AND the plumbing twin for one: per token, one md5 digest
+    yields 16 sign bytes; the doc embedding is the elementwise +-1 sum.
+    Exact integer arithmetic, computed entirely IN-ROW (HOF fold, no
+    shuffle, no explode-join) then posexploded to (doc_id, pos, val)
+    rows; the oracle recomputes the identical digests relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(text_ops.hashed_embedding("text", 16)).alias("pos", "val"),
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """Domain blocklist gate (the C4/RefinedWeb first filter), oracle-
     checked: documents get a deterministic URL (docs.<source>.example.com
@@ -3168,6 +3183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_encode": q_bpe_encode,
     "q_lm_bigram": q_lm_bigram,
     "q_url_filter": q_url_filter,
+    "q_embed_text": q_embed_text,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -4928,6 +4944,21 @@ SELECT doc_id,
        'docs.' || source || '.example.com' AS host
 FROM documents
 WHERE source NOT IN ('src1', 'src3')
+"""
+
+# q_embed_text: the oracle recomputes the hashing-trick embedding
+# relationally — one md5 per token occurrence, sign = parity of byte d
+# of the digest, exact integer sums per (doc, dim).
+ORACLES["q_embed_text"] = f"""
+WITH w AS (
+  SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS tok FROM documents),
+s AS (
+  SELECT w.doc_id, d.d AS pos,
+         CASE WHEN ('0x' || substr(md5(w.tok), d.d * 2 + 1, 2))::INTEGER % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM w CROSS JOIN generate_series(0, 15) d(d))
+SELECT doc_id, pos, CAST(sum(sgn) AS INTEGER) AS val
+FROM s GROUP BY doc_id, pos
 """
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical
