@@ -299,6 +299,12 @@ ALLOWED_BNLJ = {
         "probe (vec_id=0) broadcast; fusion joins two 50-row lists"
     ),
     "q_lm_nll": "single-row (T, V) LM-stats broadcast into the token stream",
+    "q_lm_bigram": "single-row (T, V) LM-stats broadcast into the bigram stream",
+    "q_ann_ivf_trained": (
+        "k=8 trained-centroid table + probes (vec_id<5) broadcast for "
+        "assignment/search; corpus equi-joins on cluster (same contract "
+        "as q_ann_ivf)"
+    ),
 }
 
 
