@@ -2233,8 +2233,10 @@ def q_blob_stats(spark, sf_dir):
     re-encoded as a real BINARY content column (the same shape image/audio
     bytes take in operators/multimodal.py), then JVM-side blob ops — byte
     length, sha-256 digest, digest-prefix shard (the artifact-store
-    partition key). Only the codec decode is stubbed in this container;
-    the binary column path itself is value-verified here."""
+    partition key). The binary column path is value-verified here; the
+    codecs behind it (PNG, baseline JPEG, Y4M video, WAV/RIFF, RAW1,
+    PCM16 — all real, pure stdlib+numpy) are pinned in
+    tests/test_multimodal.py."""
     d = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
     digest = F.sha2(blob, 256)
@@ -2884,6 +2886,32 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth (Heaps-law) meter — the measurement behind the
+    BPE trainer's scale claim (docs/SCALE.md: word types grow
+    sublinearly, so the type table the merge loop consumes stays
+    bounded): ingest docs in doc_id order, bucket every 50 docs, and
+    report the cumulative distinct-token count at each bucket. Two
+    shuffles: token -> min(doc_id) (first occurrence), then bucket
+    counts + a running sum over the tiny bucket axis."""
+    docs = _t(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select(
+            "doc_id", F.explode(text_ops.ws_tokens("text")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = first_seen.groupBy(
+        F.floor(F.col("first_doc") / 50).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket", "new_types", F.sum("new_types").over(w).alias("vocab_size")
+    )
+
+
 def q_embed_text(spark, sf_dir):
     """Deterministic text embeddings by the hashing trick (signed
     feature hashing / random indexing) — the learned-encoder-free
@@ -3184,6 +3212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lm_bigram": q_lm_bigram,
     "q_url_filter": q_url_filter,
     "q_embed_text": q_embed_text,
+    "q_vocab_growth": q_vocab_growth,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -4959,6 +4988,24 @@ s AS (
   FROM w CROSS JOIN generate_series(0, 15) d(d))
 SELECT doc_id, pos, CAST(sum(sgn) AS INTEGER) AS val
 FROM s GROUP BY doc_id, pos
+"""
+
+# q_vocab_growth: first-occurrence bucketing + running sum, replayed
+# relationally (same normalization as the Spark tokenizer).
+ORACLES["q_vocab_growth"] = f"""
+WITH w AS (
+  SELECT doc_id, unnest(str_split({_NORM}, ' ')) AS tok FROM documents),
+fs AS (
+  SELECT tok, min(doc_id) AS first_doc FROM w WHERE tok != '' GROUP BY tok),
+pb AS (
+  SELECT CAST(floor(first_doc / 50) AS BIGINT) AS bucket,
+         count(*) AS new_types
+  FROM fs GROUP BY 1)
+SELECT bucket, new_types,
+       CAST(sum(new_types) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM pb
 """
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical

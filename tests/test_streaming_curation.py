@@ -69,3 +69,63 @@ def test_stream_gate_routes_and_redacts(spark, tmp_path):
         .collect()
     }
     assert reject_ids == {2}
+
+
+def test_stream_scores_with_batch_trained_classifier(spark, tmp_path):
+    """The trained-model deployment story: train the quality classifier
+    in BATCH (operators/classifier.py), freeze the weights, and score a
+    STREAM inside foreachBatch — the same sink seam every other sink in
+    streaming/pipeline.py uses (score_logreg aggregates per doc, which
+    append-mode streaming would reject without a watermark; per-batch
+    scoring is the standard model-deployment shape). Streamed scores
+    must equal batch scores for the same rows."""
+    import json as _json
+    import os
+
+    from npm_mirror_spark.operators.classifier import (
+        hashed_features,
+        score_logreg,
+        train_logreg,
+    )
+    from npm_mirror_spark.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    labels = docs.select(
+        "doc_id", F.col("text").contains("spark").cast("int").alias("label")
+    )
+    model = train_logreg(hashed_features(docs, dim=64), labels, dim=64, iters=4)
+
+    rows = docs.select("doc_id", "text").collect()
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) for r in rows
+        )
+    )
+    out_dir = str(tmp_path / "scored")
+
+    def score_batch(batch_df, _batch_id):
+        score_logreg(hashed_features(batch_df, dim=64), model).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(feed))
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (round(r["score"], 9), r["pred"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (round(r["score"], 9), r["pred"])
+        for r in score_logreg(hashed_features(docs, dim=64), model).collect()
+    }
+    assert got == want
