@@ -112,6 +112,7 @@ HEADLINE_R5 = [
     "q_lm_bigram",
     "q_url_filter",
     "q_embed_text",
+    "q_vocab_growth",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5
