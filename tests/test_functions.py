@@ -90,3 +90,45 @@ def test_minhash_signature_shape_and_determinism(spark):
     a = _one(spark, nf.minhash_signature("s", 8), s="w1 w2 w3 w4 w5")
     b = _one(spark, nf.minhash_signature("s", 8), s="w1 w2 w3 w4 w5")
     assert a == b and len(a) == 8 and all(v >= 0 for v in a)
+
+
+def test_hashed_embedding_exact_algebra(spark):
+    """The hashing-trick embedding is an exact integer SUM of per-token
+    sign vectors, so two algebraic identities hold bit-for-bit:
+    permutation invariance and concatenation additivity — the properties
+    that make it safe to compute distributively in any partition order."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 40))) for _ in range(25)]
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        rng.shuffle(toks)
+        rows.append((i, t, " ".join(toks), texts[(i + 1) % len(texts)]))
+    df = spark.createDataFrame(rows, "i long, a string, aperm string, b string")
+    out = df.select(
+        nf.hashed_embedding("a", 16).alias("ea"),
+        nf.hashed_embedding("aperm", 16).alias("eap"),
+        nf.hashed_embedding("b", 16).alias("eb"),
+        nf.hashed_embedding(F.concat_ws(" ", "a", "b"), 16).alias("eab"),
+    ).collect()
+    for r in out:
+        assert list(r["ea"]) == list(r["eap"]), "permutation must not change it"
+        assert [x + y for x, y in zip(r["ea"], r["eb"])] == list(r["eab"]), (
+            "concatenation must add exactly"
+        )
+
+
+def test_srp_signature_determinism_and_range(spark):
+    from npm_mirror_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(16, 4)
+    df = spark.createDataFrame(
+        [([0.5, -0.25, 0.125, 1.0],), ([0.5, -0.25, 0.125, 1.0],)],
+        "v array<double>",
+    )
+    vals = [r[0] for r in df.select(nf.srp_signature("v", signs)).collect()]
+    assert vals[0] == vals[1]
+    assert 0 <= vals[0] < 2**16
