@@ -113,6 +113,7 @@ HEADLINE_R5 = [
     "q_url_filter",
     "q_embed_text",
     "q_vocab_growth",
+    "q_pagerank",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

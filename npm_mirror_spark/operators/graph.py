@@ -1,0 +1,74 @@
+"""Graph algorithms over edge DataFrames.
+
+Connected components (min-label propagation) lives in operators/dedup.py
+where its consumer is; this module holds the general-purpose pieces,
+starting with PageRank — in a training-data pipeline, centrality over
+the DUPLICATION graph ranks template/boilerplate carriers (hub documents
+connected to many near-copies), a curation signal the pair lists alone
+don't expose.
+
+The reference engine has no graph surface (SURVEY §2.9 extension
+mandate); the design target is the same as every iterative operator
+here (kmeans, components): per round, shuffles bounded by |edges| of
+key-only columns, nothing corpus-sized on the driver.
+
+Determinism contract (what makes q_pagerank ORACLE-CHECKABLE like
+q_kmeans): ranks are scaled int64 (units of 10^-12) and every step is
+integer arithmetic — contribution = (rank * dampN) div (dampD * deg),
+teleport = (SCALE * (dampD - dampN)) div (dampD * n) — so float
+summation order never exists and an unrolled SQL replay is
+bit-identical.  The quantization error per round is < deg ulps of
+10^-12 — noise for ranking purposes, and BOTH engines make exactly the
+same error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # rank unit = 1e-12; n * SCALE and rank * 85 stay << 2^63
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (pass both directions for an
+    undirected graph).  Returns (id, rank) with rank in 1e-12 units
+    (long); ranks sum to ~PR_SCALE.
+
+    Nodes are those with at least one out-edge; on an undirected
+    expansion that is every connected node, so there is no dangling
+    mass.  Per round: one broadcast/hash join of ranks onto edges and
+    one (dst) integer-sum shuffle — |edges|-bounded, driver sees only
+    the node COUNT (one scalar).
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "id long, rank long")
+    teleport = (PR_SCALE * (damp_den - damp_num)) // (damp_den * n)
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit(PR_SCALE // n).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            und.join(ranks, und["src"] == ranks["id"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.sum("c") + F.lit(teleport)).alias("rank")
+        ).select(F.col("dst").alias("id"), "rank")
+    return ranks

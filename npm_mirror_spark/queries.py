@@ -2886,6 +2886,28 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the DUPLICATION graph (MinHash/LSH candidate pairs,
+    both directions): centrality ranks template/boilerplate carriers —
+    hub documents near-duplicating many others — a curation signal the
+    raw pair list doesn't expose. Third oracle-checked ITERATIVE
+    algorithm beside q_kmeans and q_dedup_keepset: ranks are scaled
+    int64 (1e-12 units) and every step is integer div/sum, so the
+    oracle's three unrolled relational rounds are bit-identical
+    (operators/graph.py determinism contract)."""
+    from npm_mirror_spark.operators.graph import pagerank
+
+    pairs = dedup_ops.minhash_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
+    ).select("id_a", "id_b")
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(und, n_iter=3)
+
+
 def q_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) meter — the measurement behind the
     BPE trainer's scale claim (docs/SCALE.md: word types grow
@@ -3213,6 +3235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_filter": q_url_filter,
     "q_embed_text": q_embed_text,
     "q_vocab_growth": q_vocab_growth,
+    "q_pagerank": q_pagerank,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -5007,6 +5030,39 @@ SELECT bucket, new_types,
          AS vocab_size
 FROM pb
 """
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled relational PageRank over the _MINHASH_EDGES dup graph —
+    replays operators/graph.py::pagerank exactly: scaled-int64 ranks,
+    integer contribution div, integer teleport, per-round (dst) sums.
+    Iterative like the q_kmeans oracle; exact ints make it expressible."""
+    head = f"""
+WITH {_MINHASH_EDGES},
+und AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+tp AS (SELECT CAST((1000000000000 * 15) // (100 * n) AS BIGINT) AS t,
+              CAST(1000000000000 // n AS BIGINT) AS r_init FROM nn),
+pr0 AS (SELECT deg.src AS id, tp.r_init AS rank FROM deg CROSS JOIN tp)"""
+    rounds = []
+    for t in range(1, n_iter + 1):
+        rounds.append(f""",
+pr{t} AS (
+  SELECT u.dst AS id,
+         CAST(sum((r.rank * 85) // (100 * d.deg)) + any_value(tp.t) AS BIGINT)
+           AS rank
+  FROM und u
+  JOIN pr{t - 1} r ON r.id = u.src
+  JOIN deg d ON d.src = u.src
+  CROSS JOIN tp
+  GROUP BY u.dst)""")
+    return head + "".join(rounds) + f"""
+SELECT id, rank FROM pr{n_iter}"""
+
+
+ORACLES["q_pagerank"] = _pagerank_oracle_sql(3)
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical
 # IVF assign/search SQL as q_ann_ivf. Centroid doubles are q/2^24
