@@ -114,6 +114,7 @@ HEADLINE_R5 = [
     "q_embed_text",
     "q_vocab_growth",
     "q_pagerank",
+    "q_corpus_report",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -2886,6 +2886,28 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card generator: the one-row corpus summary a release
+    ships with — doc/token/char totals, language and source breadth,
+    exact-dedup rate (distinct normalized hashes vs docs), and the
+    Gopher-gate pass count — in ONE pass over the corpus (every metric
+    is a partial-aggregable expression; the global agg reduces one row
+    per task). Exact integers only, so the oracle (which wraps the
+    q_gopher_rules SQL as a CTE) hash-matches."""
+    g = text_ops.gopher_rules(_t(spark, sf_dir, "documents"), "text")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct(dedup_ops.text_hash("text")).cast("long").alias(
+            "n_unique_texts"
+        ),
+        F.sum(F.col("keep").cast("long")).alias("n_gopher_pass"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over the DUPLICATION graph (MinHash/LSH candidate pairs,
     both directions): centrality ranks template/boilerplate carriers —
@@ -3236,6 +3258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_text": q_embed_text,
     "q_vocab_growth": q_vocab_growth,
     "q_pagerank": q_pagerank,
+    "q_corpus_report": q_corpus_report,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -5063,6 +5086,23 @@ SELECT id, rank FROM pr{n_iter}"""
 
 
 ORACLES["q_pagerank"] = _pagerank_oracle_sql(3)
+
+# q_corpus_report: wraps the q_gopher_rules oracle (nested WITH in a CTE
+# body) and aggregates; n_unique_texts is derived INDEPENDENTLY from
+# distinct normalized text (Spark counts distinct sha2 digests of the
+# same normalization — equal iff normalization parity holds).
+ORACLES["q_corpus_report"] = f"""
+WITH goph AS ({ORACLES["q_gopher_rules"]})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(g.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT {_NORM}) AS BIGINT) AS n_unique_texts,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_pass
+FROM documents d JOIN goph g USING (doc_id)
+"""
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical
 # IVF assign/search SQL as q_ann_ivf. Centroid doubles are q/2^24

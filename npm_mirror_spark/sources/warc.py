@@ -215,3 +215,19 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
         ),
         body.alias("text"),
     )
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """WET face of :func:`warc_to_documents` — Common Crawl's extracted-
+    text sibling: 'conversion' records whose payload IS the text (no
+    HTTP envelope to strip).  Same output shape, so the downstream
+    curation stack is source-agnostic."""
+    conv = records.filter(F.col("warc_type") == "conversion")
+    return conv.select(
+        F.xxhash64("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "fetched_at"
+        ),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )

@@ -116,3 +116,29 @@ def test_gzip_member_stream_is_splittable_layout(tmp_path):
     d = zlib.decompressobj(16 + zlib.MAX_WBITS)
     first = d.decompress(raw)
     assert first.startswith(b"WARC/1.0") and first.count(b"WARC/1.0") == 1
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET layout: 'conversion' records carry bare extracted text."""
+    from npm_mirror_spark.sources.warc import wet_to_documents
+
+    recs = [
+        {
+            "warc_type": "conversion",
+            "record_id": f"wet-{i}",
+            "target_uri": f"https://site/{i}",
+            "payload": f"extracted text {i} é".encode(),
+            "content_type": "text/plain",
+        }
+        for i in range(3)
+    ] + [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "inf",
+            "payload": b"x: y\r\n",
+        }
+    ]
+    write_warc(str(tmp_path / "s.warc.wet.gz"), recs)
+    docs = wet_to_documents(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 3
+    assert {d["text"] for d in docs} == {f"extracted text {i} é" for i in range(3)}
