@@ -53,3 +53,30 @@ def test_ranks_are_deterministic_across_runs(spark):
     a = sorted((r["id"], r["rank"]) for r in pagerank(edges, n_iter=3).collect())
     b = sorted((r["id"], r["rank"]) for r in pagerank(edges, n_iter=3).collect())
     assert a == b
+
+
+def test_matches_numpy_power_iteration(spark):
+    """Independent algorithmic check (the oracle REPLAYS the integer
+    steps; this verifies they implement PageRank): float power
+    iteration with the same teleport/damping must agree with the
+    scaled-int result to quantization tolerance."""
+    import numpy as np
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (4, 5)]
+    ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = 1.0
+        A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (A.T @ (r / deg))
+    got = {
+        row["id"]: row["rank"] / PR_SCALE
+        for row in pagerank(_und(spark, pairs), n_iter=3).collect()
+    }
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
