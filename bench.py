@@ -115,6 +115,7 @@ HEADLINE_R5 = [
     "q_vocab_growth",
     "q_pagerank",
     "q_corpus_report",
+    "q_classifier_eval",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -196,3 +196,67 @@ def sigmoid(z: float) -> float:
         return 1.0 / (1.0 + math.exp(-z))
     e = math.exp(z)
     return e / (1.0 + e)
+
+
+def binary_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str = "label",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact evaluation of a binary scorer in ONE pass: confusion counts
+    at ``threshold`` plus the exact tie-corrected Mann-Whitney AUC.
+
+    AUC algebra in pure integers (oracle-checkable even though scores
+    may be floats): group rows by score -> (cnt, cnt_pos) per distinct
+    score; a running count over the score axis gives cnt_less; each
+    positive in a group carries the doubled average rank
+    R2 = 2*cnt_less + cnt + 1, and
+        AUC = (sum_pos R2 - 2 * n1 * (n1 + 1) / 2) / (2 * n1 * n0)
+            = (auc_num) / (auc_den).
+    The shuffle carries (score, cnt, cnt_pos) — counts, never rows — so
+    the "sort" is over DISTINCT scores; quantize scores upstream if that
+    axis needs bounding at 100 TB.  Output one row: n_pos, n_neg, tp,
+    fp, tn, fn, auc_num, auc_den, auc.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col)
+    grouped = df.groupBy(s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(y).alias("__pos"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    with_less = grouped.withColumn(
+        "__less", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    )
+    pred_pos = F.col("__s") > F.lit(float(threshold))
+    agg = with_less.agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__pos")).alias("n_neg"),
+        F.sum(F.when(pred_pos, F.col("__pos")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(
+            F.when(pred_pos, F.col("__cnt") - F.col("__pos")).otherwise(F.lit(0))
+        ).alias("fp"),
+        F.sum(
+            F.when(~pred_pos, F.col("__cnt") - F.col("__pos")).otherwise(F.lit(0))
+        ).alias("tn"),
+        F.sum(F.when(~pred_pos, F.col("__pos")).otherwise(F.lit(0))).alias("fn"),
+        F.sum(
+            F.col("__pos") * (2 * F.col("__less") + F.col("__cnt") + 1)
+        ).alias("__sum_r2"),
+    )
+    return agg.select(
+        "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        (F.col("__sum_r2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias(
+            "auc_num"
+        ),
+        (2 * F.col("n_pos") * F.col("n_neg")).alias("auc_den"),
+        (
+            (F.col("__sum_r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

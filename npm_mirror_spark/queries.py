@@ -2886,6 +2886,25 @@ def q_quality_classifier(spark, sf_dir):
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
 
 
+def q_classifier_eval(spark, sf_dir):
+    """Exact distributed binary-classifier evaluation — confusion counts
+    at a threshold plus the tie-corrected Mann-Whitney AUC in pure
+    INTEGER algebra (operators/classifier.py::binary_metrics): rows
+    group by distinct score, a running count gives ranks, every positive
+    carries the doubled average rank — so even AUC, normally a float
+    affair, hash-matches an oracle. Face evaluates a deterministic
+    integer scorer (doc length in chars) against the keyword label the
+    trained classifier (q_quality_classifier) distills; swap in real
+    scores and the same plan evaluates the trained model."""
+    from npm_mirror_spark.operators.classifier import binary_metrics
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.col("text").contains("spark").cast("int").alias("label"),
+    )
+    return binary_metrics(docs, "score", "label", threshold=500.0)
+
+
 def q_corpus_report(spark, sf_dir):
     """Dataset-card generator: the one-row corpus summary a release
     ships with — doc/token/char totals, language and source breadth,
@@ -3259,6 +3278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_growth": q_vocab_growth,
     "q_pagerank": q_pagerank,
     "q_corpus_report": q_corpus_report,
+    "q_classifier_eval": q_classifier_eval,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -5102,6 +5122,38 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
          AS n_gopher_pass
 FROM documents d JOIN goph g USING (doc_id)
+"""
+
+# q_classifier_eval: the oracle replays the grouped-rank AUC algebra —
+# per distinct score (cnt, pos), running cnt_less, doubled average rank
+# per positive; all integers, one exact division at the end.
+ORACLES["q_classifier_eval"] = """
+WITH base AS (
+  SELECT n_chars AS score,
+         CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label
+  FROM documents),
+g AS (
+  SELECT score, count(*) AS cnt, sum(label) AS pos
+  FROM base GROUP BY score),
+wl AS (
+  SELECT *, COALESCE(sum(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+  FROM g),
+agg AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN score > 500.0 THEN pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score > 500.0 THEN cnt - pos ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT score > 500.0 THEN cnt - pos ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN NOT score > 500.0 THEN pos ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(pos * (2 * less + cnt + 1)) AS BIGINT) AS sum_r2
+  FROM wl)
+SELECT n_pos, n_neg, tp, fp, tn, fn,
+       CAST(sum_r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+       CAST(sum_r2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM agg
 """
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical

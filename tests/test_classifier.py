@@ -133,3 +133,30 @@ def test_gradient_is_cluster_aggregated(spark, sf_dir):
         .count()
     )
     assert grad_rows <= DIM + 1 < n_docs
+
+
+def test_binary_metrics_auc_matches_reference(spark, sf_dir):
+    """binary_metrics' grouped-rank integer AUC must equal the
+    pairwise-comparison definition (ties counted half) on the trained
+    model's FLOAT scores — the algebra is score-type agnostic."""
+    from npm_mirror_spark.operators.classifier import binary_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _labels(docs)
+    feats = hashed_features(docs, dim=DIM)
+    model = train_logreg(feats, labels, dim=DIM, iters=4)
+    scored = score_logreg(feats, model).join(labels, "doc_id")
+
+    row = binary_metrics(scored, "score", "label").first()
+    pairs = [(r["score"], r["label"]) for r in scored.collect()]
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc_den"] == 2 * len(pos) * len(neg)
+    assert row["auc_num"] == int(round(2 * wins))
+    assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+    assert row["tp"] + row["fn"] == row["n_pos"]
+    assert row["fp"] + row["tn"] == row["n_neg"]
