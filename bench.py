@@ -116,6 +116,7 @@ HEADLINE_R5 = [
     "q_pagerank",
     "q_corpus_report",
     "q_classifier_eval",
+    "q_pr_curve",
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5

@@ -260,3 +260,47 @@ def binary_metrics(
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact precision-recall curve: one row per DISTINCT score
+    threshold t (predict positive where score >= t), with integer
+    confusion counts and precision/recall as one exact division each.
+
+    Same grouped shape as binary_metrics: group to (score, cnt, pos),
+    then running sums DESCENDING over the distinct-score axis give the
+    cumulative tp/fp at each threshold — counts shuffle, rows never do.
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("long")
+    grouped = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(y).alias("__pos"),
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = df.agg(F.sum(y).alias("__n_pos"))
+    cum = grouped.select(
+        "threshold",
+        F.sum("__pos").over(w).alias("tp"),
+        (F.sum("__cnt").over(w) - F.sum("__pos").over(w)).alias("fp"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("__n_pos") - F.col("tp")).alias("fn"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        (F.col("tp").cast("double") / F.col("__n_pos").cast("double")).alias(
+            "recall"
+        ),
+    )

@@ -2905,6 +2905,23 @@ def q_classifier_eval(spark, sf_dir):
     return binary_metrics(docs, "score", "label", threshold=500.0)
 
 
+def q_pr_curve(spark, sf_dir):
+    """Exact precision-recall curve (one row per distinct threshold,
+    cumulative integer confusion via a descending running sum over the
+    grouped score axis — counts shuffle, rows never do;
+    operators/classifier.py::pr_curve). Same deterministic doc-length
+    scorer + keyword label as q_classifier_eval, so the whole curve
+    hash-matches: precision/recall are single exact divisions of
+    integers."""
+    from npm_mirror_spark.operators.classifier import pr_curve
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.col("text").contains("spark").cast("int").alias("label"),
+    )
+    return pr_curve(docs, "score", "label")
+
+
 def q_corpus_report(spark, sf_dir):
     """Dataset-card generator: the one-row corpus summary a release
     ships with — doc/token/char totals, language and source breadth,
@@ -3279,6 +3296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_corpus_report": q_corpus_report,
     "q_classifier_eval": q_classifier_eval,
+    "q_pr_curve": q_pr_curve,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
 }
@@ -5154,6 +5172,30 @@ SELECT n_pos, n_neg, tp, fp, tn, fn,
        CAST(sum_r2 - n_pos * (n_pos + 1) AS DOUBLE)
          / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
 FROM agg
+"""
+
+# q_pr_curve: cumulative descending-threshold confusion, replayed
+# relationally on the same integer scorer.
+ORACLES["q_pr_curve"] = """
+WITH base AS (
+  SELECT n_chars AS score,
+         CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label
+  FROM documents),
+g AS (SELECT score AS threshold, count(*) AS cnt, sum(label) AS pos
+      FROM base GROUP BY score),
+tot AS (SELECT sum(label) AS n_pos FROM base),
+cum AS (
+  SELECT threshold,
+         CAST(sum(pos) OVER (ORDER BY threshold DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(sum(cnt - pos) OVER (ORDER BY threshold DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM g)
+SELECT c.threshold, c.tp, c.fp,
+       CAST(t.n_pos - c.tp AS BIGINT) AS fn,
+       CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE) AS precision,
+       CAST(c.tp AS DOUBLE) / CAST(t.n_pos AS DOUBLE) AS recall
+FROM cum c CROSS JOIN tot t
 """
 
 # q_ann_ivf_trained: Lloyd CTEs -> trained centroids -> the identical
