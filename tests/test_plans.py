@@ -300,6 +300,7 @@ ALLOWED_BNLJ = {
     ),
     "q_lm_nll": "single-row (T, V) LM-stats broadcast into the token stream",
     "q_lm_bigram": "single-row (T, V) LM-stats broadcast into the bigram stream",
+    "q_pr_curve": "single-row positives-total broadcast onto the threshold axis",
     "q_ann_ivf_trained": (
         "k=8 trained-centroid table + probes (vec_id<5) broadcast for "
         "assignment/search; corpus equi-joins on cluster (same contract "
