@@ -121,51 +121,20 @@ def train_logreg(
     "bias": float, "losses": [per-iter mean log-loss]} — dim+1 numbers
     per round cross the cluster/driver boundary, nothing else.
     """
-    spark = feats.sparkSession
     fb = _with_bias(feats, labels, id_col).persist()
     try:
         n = labels.count()
         w = [0.0] * dim
         b = 0.0
         losses: list[float] = []
+        # (the bias rows have v=1 exactly once per doc, so gd_step's one
+        # aggregation simultaneously carries every weight gradient, the
+        # intercept gradient and the mean loss)
         for _ in range(iters):
-            m = _margins(fb, w, b, spark, id_col)
-            r = m.join(labels, id_col).select(
-                id_col,
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
-                 - F.col(label_col).cast("double")).alias("resid"),
-                # log-loss log(1 + exp(-(2y-1) * margin)), overflow-safe
-                (
-                    F.when(
-                        F.col("margin") * (F.col(label_col).cast("double") * 2 - 1) > 0,
-                        F.log1p(F.exp(-F.abs(F.col("margin")))),
-                    ).otherwise(
-                        F.abs(F.col("margin")) + F.log1p(F.exp(-F.abs(F.col("margin"))))
-                    )
-                ).alias("loss"),
+            w, b, ml = gd_step(
+                fb, labels, w, b, n, lr, l2, dim, id_col, label_col
             )
-            # the bias rows have v=1 exactly once per doc, so the
-            # BIAS_BUCKET row of this one aggregation simultaneously
-            # carries the intercept gradient and the mean loss
-            rows = (
-                fb.join(r, id_col)
-                .groupBy("bucket")
-                .agg(
-                    F.sum(F.col("v") * F.col("resid")).alias("g"),
-                    F.avg("loss").alias("ml"),
-                )
-                .collect()
-            )
-            grad = [0.0] * dim
-            gb = 0.0
-            for row in rows:
-                if row["bucket"] == BIAS_BUCKET:
-                    gb = row["g"]
-                    losses.append(row["ml"])
-                else:
-                    grad[row["bucket"]] = row["g"]
-            w = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)]
-            b -= lr * (gb / n)
+            losses.append(ml)
         return {"weights": w, "bias": b, "losses": losses}
     finally:
         fb.unpersist()
@@ -304,3 +273,56 @@ def pr_curve(
             "recall"
         ),
     )
+
+
+def gd_step(
+    fb: DataFrame,
+    labels: DataFrame,
+    w: list[float],
+    b: float,
+    n: int,
+    lr: float,
+    l2: float,
+    dim: int,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[list[float], float, float]:
+    """One full-batch gradient step over a bias-augmented feature table
+    — the round body of train_logreg, factored out so the streaming
+    trainer (streaming/incremental_logreg.py) can apply the identical
+    arithmetic per micro-batch.  Returns (w', b', mean_loss)."""
+    spark = fb.sparkSession
+    m = _margins(fb, w, b, spark, id_col)
+    r = m.join(labels, id_col).select(
+        id_col,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+         - F.col(label_col).cast("double")).alias("resid"),
+        (
+            F.when(
+                F.col("margin") * (F.col(label_col).cast("double") * 2 - 1) > 0,
+                F.log1p(F.exp(-F.abs(F.col("margin")))),
+            ).otherwise(
+                F.abs(F.col("margin")) + F.log1p(F.exp(-F.abs(F.col("margin"))))
+            )
+        ).alias("loss"),
+    )
+    rows = (
+        fb.join(r, id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("v") * F.col("resid")).alias("g"),
+            F.avg("loss").alias("ml"),
+        )
+        .collect()
+    )
+    grad = [0.0] * dim
+    gb = 0.0
+    ml = 0.0
+    for row in rows:
+        if row["bucket"] == BIAS_BUCKET:
+            gb = row["g"]
+            ml = row["ml"]
+        else:
+            grad[row["bucket"]] = row["g"]
+    w2 = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)]
+    return w2, b - lr * (gb / n), ml

@@ -1,0 +1,81 @@
+"""Streaming (online mini-batch SGD) quality classifier — the
+continuous-training face of operators/classifier.py::train_logreg.
+
+tests/test_streaming_curation.py already pins streaming SCORING with
+frozen weights; this is the other half: when the weak label arrives with
+the stream (a rule gate computed in-flight, user feedback, a judged
+sample), the model keeps learning — one gradient step per micro-batch
+over that batch's rows, the textbook mini-batch SGD regime (each batch
+is a sample of the stream).
+
+Per micro-batch: hashed features for the batch (one explode + one
+(id, bucket) aggregation), then operators/classifier.py::gd_step — the
+IDENTICAL arithmetic train_logreg runs per round, so one batch
+containing all data reproduces one full-batch iteration bit-for-bit
+(pinned in tests/test_incremental_logreg.py).  Driver state is dim+1
+floats; everything else aggregates in the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.classifier import (
+    _with_bias,
+    gd_step,
+    hashed_features,
+    score_logreg,
+)
+
+
+class StreamingLogReg:
+    """Mini-batch SGD over a stream of (id, text, label) rows."""
+
+    def __init__(
+        self,
+        dim: int = 256,
+        lr: float = 0.5,
+        l2: float = 1e-4,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        label_col: str = "label",
+    ):
+        self.dim, self.lr, self.l2 = dim, lr, l2
+        self.text_col, self.id_col, self.label_col = text_col, id_col, label_col
+        self.weights = [0.0] * dim
+        self.bias = 0.0
+        self.losses: list[float] = []
+
+    @property
+    def model(self) -> dict:
+        return {"weights": list(self.weights), "bias": self.bias}
+
+    def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        """One SGD step on this micro-batch (foreachBatch signature)."""
+        n = batch_df.count()
+        if n == 0:
+            return
+        labels = batch_df.select(self.id_col, self.label_col)
+        feats = hashed_features(
+            batch_df, self.text_col, self.id_col, self.dim
+        )
+        fb = _with_bias(feats, labels, self.id_col)
+        self.weights, self.bias, ml = gd_step(
+            fb, labels, self.weights, self.bias, n, self.lr, self.l2,
+            self.dim, self.id_col, self.label_col,
+        )
+        self.losses.append(ml)
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.update_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return score_logreg(
+            hashed_features(df, self.text_col, self.id_col, self.dim),
+            self.model,
+            self.id_col,
+        )
