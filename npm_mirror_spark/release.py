@@ -47,17 +47,41 @@ def build_release(
     decontam_ngram: int = 5,
     max_per_shard: int | None = None,
     token: str | int | None = None,
+    quality_model: dict | None = None,
+    min_model_score: float = 0.5,
 ) -> dict:
     """Run the curation pipeline and commit the packed corpus as one
     snapshot version. Returns the attrition audit. ``max_per_shard``
     optionally caps any one shard's contribution after dedup
     (cap_per_group — deterministic, seed-free), so a dominant source
-    cannot swamp the mix no matter what the upstream feed looks like."""
+    cannot swamp the mix no matter what the upstream feed looks like.
+
+    ``quality_model`` optionally adds the TRAINED gate after the rule
+    gate (the DCLM two-stage pattern: cheap rules first, then the
+    distilled classifier): a train_logreg model dict scored map-side
+    (operators/classifier.py::score_logreg); rows below
+    ``min_model_score`` die before any shuffle-heavy stage runs.
+    """
     n_input = docs.count()
 
     gated = gopher_rules(docs, text_col).where(F.col("keep"))
     kept_quality = gated.select(*docs.columns)
     n_quality = kept_quality.count()
+
+    if quality_model is not None:
+        from npm_mirror_spark.operators.classifier import (
+            hashed_features,
+            score_logreg,
+        )
+
+        dim = len(quality_model["weights"])
+        scores = score_logreg(
+            hashed_features(kept_quality, text_col, id_col, dim),
+            quality_model,
+            id_col,
+        ).where(F.col("score") >= F.lit(float(min_model_score))).select(id_col)
+        kept_quality = kept_quality.join(scores, id_col, "left_semi")
+        n_quality = kept_quality.count()
 
     flags = decontaminate(
         kept_quality, bench, text_col, id_col, decontam_ngram
