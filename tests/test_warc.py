@@ -142,3 +142,27 @@ def test_wet_conversion_records(spark, tmp_path):
     docs = wet_to_documents(read_warc(spark, str(tmp_path))).collect()
     assert len(docs) == 3
     assert {d["text"] for d in docs} == {f"extracted text {i} é" for i in range(3)}
+
+
+def test_python_datasource_format(spark, tmp_path):
+    """Spark 4 Python Data Source face: spark.read.format("warc") reads
+    the identical records the mapInPandas path produces, with one input
+    partition per shard file."""
+    from npm_mirror_spark.sources.warc import register_warc_datasource
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    for shard in range(3):
+        write_warc(str(d / f"s{shard}.warc.gz"), _records(3))
+    register_warc_datasource(spark)
+    df = spark.read.format("warc").load(str(d))
+    via_ds = sorted(
+        (r["record_id"], r["warc_type"], bytes(r["payload"]))
+        for r in df.collect()
+    )
+    via_kernel = sorted(
+        (r["record_id"], r["warc_type"], bytes(r["payload"]))
+        for r in read_warc(spark, str(d)).collect()
+    )
+    assert via_ds == via_kernel
+    assert df.rdd.getNumPartitions() == 3  # one task per shard
