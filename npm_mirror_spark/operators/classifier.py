@@ -144,10 +144,19 @@ def score_logreg(
     feats: DataFrame,
     model: dict,
     id_col: str = "doc_id",
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Map-side corpus scoring: broadcast the dim-row weight table, one
-    aggregation keyed on the id — (id, score in (0,1), pred)."""
-    ids = feats.select(id_col).distinct()
+    aggregation keyed on the id — (id, score in (0,1), pred).
+
+    Pass ``ids`` (the id universe) when documents may have ZERO feature
+    rows (empty/whitespace-only text): the feature table cannot name
+    them, so without it they would get no score at all; with it they
+    get the bias-only score sigmoid(bias) like any other doc."""
+    if ids is None:
+        ids = feats.select(id_col).distinct()
+    else:
+        ids = ids.select(id_col).distinct()
     m = _margins(
         _with_bias(feats, ids, id_col),
         model["weights"], model["bias"], feats.sparkSession, id_col,

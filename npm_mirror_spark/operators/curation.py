@@ -337,13 +337,18 @@ def filter_blocked_hosts(
     # suffixes of length >= 2 plus the full host: a.b.c.d -> [a.b.c.d,
     # b.c.d, c.d]; non-parsing URLs ('' host, n=1) get no suffixes at
     # all — sequence(0, n-2) would throw on a negative stop
+    # single-label hosts (n=1, e.g. 'localhost') still match exactly —
+    # the suffix list is just [host]; only a non-parsing URL ('') gets
+    # no suffixes (sequence(0, n-2) would throw on a negative stop)
     suffixes = F.when(n >= 2, F.filter(
         F.transform(
             F.sequence(F.lit(0), n - 2),
             lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
         ),
         lambda s: s != "",
-    )).otherwise(F.array().cast("array<string>"))
+    )).otherwise(
+        F.when(h != "", F.array(h)).otherwise(F.array().cast("array<string>"))
+    )
     blocked_ids = (
         df.select(F.col(id_col), F.explode(suffixes).alias("__sfx"))
         .join(bh, F.col("__sfx") == F.col("__bh"), "left_semi")

@@ -38,18 +38,29 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """PageRank over a DIRECTED edge list (pass both directions for an
-    undirected graph).  Returns (id, rank) with rank in 1e-12 units
-    (long); ranks sum to ~PR_SCALE.
+    """PageRank over an UNDIRECTED pair list: each input row (a, b) is
+    one edge, symmetrized INTERNALLY (do NOT pre-expand to both
+    directions — that would double every degree and shift the integer
+    floors).  Returns (id, rank) with rank in 1e-12 units (long); ranks
+    sum to ~PR_SCALE.
 
-    Nodes are those with at least one out-edge; on an undirected
-    expansion that is every connected node, so there is no dangling
-    mass.  Per round: one broadcast/hash join of ranks onto edges and
-    one (dst) integer-sum shuffle — |edges|-bounded, driver sees only
-    the node COUNT (one scalar).
+    Undirected-only is a real restriction, not laziness: after
+    symmetrization every connected node has an out-edge, so no dangling
+    mass exists and no per-round global redistribution scalar is needed
+    — the whole computation stays one lazy plan.  A directed variant
+    must handle dangling nodes (rank keyed by dst drops source-only
+    nodes and leaks sink mass), which costs one driver-visible
+    aggregate per round; that trade-off should be explicit, so directed
+    input is simply not accepted here.
+
+    Per round: one join of ranks onto edges and one (dst) integer-sum
+    shuffle — |edges|-bounded, driver sees only the node COUNT.
     """
-    und = edges.select(
+    pairs = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()

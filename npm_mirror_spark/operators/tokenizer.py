@@ -114,10 +114,20 @@ def train_bpe(
     }
 
 
-def bpe_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Apply the learned merges to one word, in training order."""
+def bpe_segment(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
+    """Apply the learned merges to one word, lowest training rank first.
+
+    Pass a precomputed ``ranks`` ({pair: index}) when segmenting many
+    words: rebuilding the dict per word costs O(|merges|) each — with
+    ~10k merges and ~100k word types per batch that is ~10^9 wasted
+    dict inserts (encode_bpe builds it once per kernel)."""
     syms: tuple[str, ...] = tuple(word) + (END,)
-    ranks = {p: i for i, p in enumerate(merges)}
+    if ranks is None:
+        ranks = {p: i for i, p in enumerate(merges)}
     while len(syms) > 1:
         ranked = [
             (ranks[p], p)
@@ -144,11 +154,12 @@ def encode_bpe(
         import pandas as pd
 
         cache: dict[str, list[str]] = {}
+        ranks = {p: i for i, p in enumerate(merges)}  # once per kernel
 
         def seg(word: str) -> list[str]:
             got = cache.get(word)
             if got is None:
-                got = cache[word] = bpe_segment(word, merges)
+                got = cache[word] = bpe_segment(word, merges, ranks)
             return got
 
         import re
@@ -157,9 +168,16 @@ def encode_bpe(
             out_id, out_tok, out_n = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                # same normalization as word_type_counts (dedup.normalize_text:
-                # lowercase, collapse whitespace)
-                for w in re.sub(r"\s+", " ", str(t).lower()).strip().split(" "):
+                # same normalization as word_type_counts (dedup.normalize_text
+                # = JVM lower + regexp_replace('\\s+')): Java \s is the ASCII
+                # class [ \t\n\x0B\f\r], Python's is unicode-aware — using
+                # Python \s here would split NBSP-joined words the trainer
+                # counted as ONE type, desyncing encode from the vocabulary
+                for w in (
+                    re.sub(r"[ \t\n\x0b\f\r]+", " ", str(t).lower())
+                    .strip(" \t\n\x0b\f\r")
+                    .split(" ")
+                ):
                     if w:
                         toks.extend(seg(w))
                 out_id.append(i)

@@ -2957,13 +2957,10 @@ def q_pagerank(spark, sf_dir):
 
     pairs = dedup_ops.minhash_candidate_pairs(
         _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
-    ).select("id_a", "id_b")
-    und = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    return pagerank(und, n_iter=3)
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # raw pairs: the operator symmetrizes internally (pre-expanding
+    # would double every degree and shift the integer floors)
+    return pagerank(pairs, n_iter=3)
 
 
 def q_vocab_growth(spark, sf_dir):

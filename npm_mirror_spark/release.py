@@ -79,6 +79,9 @@ def build_release(
             hashed_features(kept_quality, text_col, id_col, dim),
             quality_model,
             id_col,
+            # id universe: token-less docs must get the bias-only score,
+            # not silently vanish from the scored set
+            ids=kept_quality.select(id_col),
         ).where(F.col("score") >= F.lit(float(min_model_score))).select(id_col)
         kept_quality = kept_quality.join(scores, id_col, "left_semi")
         n_quality = kept_quality.count()

@@ -93,15 +93,21 @@ def http_response(
 # -- parser -------------------------------------------------------------------
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes, path: str = "<bytes>") -> bytes:
     """Decompress concatenated gzip members (the CC layout) to one
-    stream; plain (uncompressed) input passes through."""
+    stream; plain (uncompressed) input passes through.  Corrupt gzip
+    raises ValueError naming the file — zlib.error must not escape, or
+    the documented F9 ValueError routing misses it and one rotten shard
+    kills the whole scan."""
     if not data.startswith(b"\x1f\x8b"):
         return data
     out, pos = [], 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error as e:
+            raise ValueError(f"WARC corrupt gzip member in {path} @{pos}: {e}")
         tail = d.unused_data
         if not tail:
             break
@@ -112,7 +118,7 @@ def _gunzip_members(data: bytes) -> bytes:
 def parse_warc_bytes(path: str, data: bytes) -> Iterator[dict]:
     """Split one WARC file into record dicts (RECORD_SCHEMA fields).
     Malformed structure raises ValueError naming the file (F9 route)."""
-    data = _gunzip_members(data)
+    data = _gunzip_members(data, path)
     pos = 0
     n = len(data)
     while pos < n:
@@ -203,9 +209,20 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     resp = records.filter(
         (F.col("warc_type") == "response") & (F.col("http_status") == 200)
     )
+    # header/body split: CRLFCRLF per RFC, LFLF from tolerant servers;
+    # locate() returns 0 on a miss and substring(s, 0 + k) would leak the
+    # header block (minus k-1 chars) into the text, so a record with
+    # NEITHER separator yields NULL text instead of corrupt text
     body = F.expr(
-        "substring(decode(payload, 'UTF-8'), "
-        "locate('\r\n\r\n', decode(payload, 'UTF-8')) + 4)"
+        """CASE
+             WHEN locate('\r\n\r\n', decode(payload, 'UTF-8')) > 0
+               THEN substring(decode(payload, 'UTF-8'),
+                              locate('\r\n\r\n', decode(payload, 'UTF-8')) + 4)
+             WHEN locate('\n\n', decode(payload, 'UTF-8')) > 0
+               THEN substring(decode(payload, 'UTF-8'),
+                              locate('\n\n', decode(payload, 'UTF-8')) + 2)
+             ELSE NULL
+           END"""
     )
     return resp.select(
         F.xxhash64("record_id").alias("doc_id"),

@@ -78,10 +78,8 @@ class StreamingKMeans:
             .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
-        seen = set()
         for r in rows:
             self.sums[r["cluster"]][r["pos"]] += r["s"]
-            seen.add(r["cluster"])
         # cnt is identical across pos within a cluster: count once
         for r in rows:
             if r["pos"] == 0:

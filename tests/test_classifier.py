@@ -160,3 +160,26 @@ def test_binary_metrics_auc_matches_reference(spark, sf_dir):
     assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-12
     assert row["tp"] + row["fn"] == row["n_pos"]
     assert row["fp"] + row["tn"] == row["n_neg"]
+
+
+def test_tokenless_docs_get_bias_only_score(spark):
+    """Review finding: a doc with empty/whitespace text has no feature
+    rows; with the id universe passed, it must receive sigmoid(bias)
+    instead of silently vanishing from the scored set."""
+    docs = spark.createDataFrame(
+        [(1, "spark things here"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    model = {"weights": [0.5] * 16, "bias": -0.3}
+    feats = hashed_features(docs, dim=16)
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in score_logreg(feats, model, ids=docs).collect()
+    }
+    assert set(scored) == {1, 2, 3}
+    want = sigmoid(-0.3)
+    assert abs(scored[2] - want) < 1e-12 and abs(scored[3] - want) < 1e-12
+    # without the universe, token-less docs are absent (documented)
+    assert set(
+        r["doc_id"] for r in score_logreg(feats, model).collect()
+    ) == {1}

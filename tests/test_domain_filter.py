@@ -92,3 +92,15 @@ def test_warc_to_blocklist_pipeline(spark, tmp_path):
         "https://keep.org/a",
         "https://keep.org/c",
     }
+
+
+def test_single_label_host_blocks_exactly(spark):
+    """Review finding: include_subdomains=True must still exact-match a
+    single-label host like 'localhost' (n=1 generated no suffixes)."""
+    docs = spark.createDataFrame(
+        [(1, "http://localhost/admin"), (2, "https://ok.org/x"), (3, "bad url")],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("localhost",)], "host string")
+    kept = {r["doc_id"] for r in filter_blocked_hosts(docs, blocked).collect()}
+    assert kept == {2, 3}

@@ -10,10 +10,10 @@ from npm_mirror_spark.operators.graph import PR_SCALE, pagerank
 
 
 def _und(spark, pairs):
+    # RAW pairs: pagerank symmetrizes internally (pre-expanding would
+    # double every degree and shift the integer floors)
     df = spark.createDataFrame(pairs, "a long, b long")
-    return df.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        df.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    return df.select(F.col("a").alias("src"), F.col("b").alias("dst"))
 
 
 def test_hub_outranks_spokes(spark):

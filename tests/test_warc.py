@@ -166,3 +166,42 @@ def test_python_datasource_format(spark, tmp_path):
     )
     assert via_ds == via_kernel
     assert df.rdd.getNumPartitions() == 3  # one task per shard
+
+
+def test_lf_only_headers_and_missing_separator(spark, tmp_path):
+    """Review finding: LF-only HTTP headers (real tolerant servers) must
+    split cleanly, and a payload with NO separator must yield NULL text
+    — never header bytes leaking into the corpus."""
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": "lf",
+            "target_uri": "https://lf/only",
+            "payload": b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nlf body",
+        },
+        {
+            "warc_type": "response",
+            "record_id": "nosep",
+            "target_uri": "https://no/sep",
+            "payload": b"HTTP/1.1 200 OK no separator at all",
+        },
+    ]
+    write_warc(str(tmp_path / "lf.warc.gz"), recs)
+    docs = {
+        d["url"]: d["text"]
+        for d in warc_to_documents(read_warc(spark, str(tmp_path))).collect()
+    }
+    assert docs["https://lf/only"] == "lf body"
+    assert docs["https://no/sep"] is None
+
+
+def test_corrupt_gzip_raises_valueerror_naming_file():
+    """Review finding: zlib.error must not escape the F9 ValueError
+    contract."""
+    from npm_mirror_spark.sources.warc import _gunzip_members
+
+    with pytest.raises(ValueError, match="corrupt gzip.*shardX"):
+        _gunzip_members(b"\x1f\x8b" + b"garbage garbage", "shardX")
+    good = gzip.compress(b"WARC/1.0\r\n")
+    with pytest.raises(ValueError, match="corrupt gzip.*shardY"):
+        _gunzip_members(good + b"\x1f\x8b\xff\xff junk", "shardY")
