@@ -100,3 +100,20 @@ def test_training_scan_is_one_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_unicode_whitespace_parity_with_jvm(spark):
+    """Review finding: Java's \\s is ASCII-only, Python's is unicode-
+    aware. A non-breaking space joins two words into ONE type for the
+    JVM trainer; the encode kernel must treat it identically or encoded
+    tokens desync from the trained vocabulary."""
+    doc = spark.createDataFrame(
+        [(0, "foo bar foo bar baz")], "doc_id long, text string"
+    )
+    # trainer sees 2 types: 'foo\xa0bar' and 'baz'
+    types = {r["word"] for r in word_type_counts(doc).collect()}
+    assert types == {"foo bar", "baz"}
+    model = train_bpe(doc, n_merges=30)
+    enc = encode_bpe(doc, model["merges"]).first()
+    rebuilt = "".join(enc["tokens"]).replace(END, " ").strip()
+    assert rebuilt == "foo bar foo bar baz"
