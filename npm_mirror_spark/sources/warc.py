@@ -269,6 +269,7 @@ def _warc_datasource_classes():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class _WarcShard(InputPartition):
@@ -314,6 +315,66 @@ def _warc_datasource_classes():
                     rec["http_status"],
                 )
 
+    def _list_shards(path: str) -> list[str]:
+        import glob
+        import os
+
+        pattern = (
+            path
+            if any(ch in path for ch in "*?[")
+            else os.path.join(path, "**", "*.warc*")
+        )
+        return sorted(glob.glob(pattern, recursive=True))
+
+    class WarcStreamReader(SimpleDataSourceStreamReader):
+        """Continuous shard ingest: the offset is a lexicographic
+        HIGH-WATER MARK over shard paths ({"last": <path>}), so the
+        offset stays O(1) no matter how many shards have flowed through
+        — the contract is that new shards sort AFTER old ones
+        (Common Crawl naming does; date-prefixed names do).  read()
+        consumes every shard above the mark; readBetweenOffsets replays
+        a (start, end] range exactly, which is what makes restart
+        recovery exactly-once."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc datasource requires a path")
+
+        def initialOffset(self):
+            return {"last": ""}
+
+        def _rows(self, files):
+            # materialized list, not a generator: the Simple stream
+            # reader prefetches on the driver and PICKLES the batch to
+            # executors — acceptable because micro-batches are shard-
+            # sized by contract; a driver-unpicklable volume belongs on
+            # the batch reader's partition path instead
+            out = []
+            for fp in files:
+                with open(fp, "rb") as f:
+                    data = f.read()
+                for rec in parse_warc_bytes(fp, data):
+                    out.append((
+                        rec["path"], rec["offset"], rec["warc_type"],
+                        rec["record_id"], rec["target_uri"], rec["warc_date"],
+                        rec["content_type"], rec["payload"],
+                        rec["payload_length"], rec["http_status"],
+                    ))
+            return out
+
+        def read(self, start):
+            files = [p for p in _list_shards(self.path) if p > start["last"]]
+            end = {"last": files[-1] if files else start["last"]}
+            return iter(self._rows(files)), end
+
+        def readBetweenOffsets(self, start, end):
+            files = [
+                p for p in _list_shards(self.path)
+                if start["last"] < p <= end["last"]
+            ]
+            return self._rows(files)
+
     class WarcDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -325,11 +386,16 @@ def _warc_datasource_classes():
         def reader(self, schema):
             return WarcReader(self.options)
 
+        def simpleStreamReader(self, schema):
+            return WarcStreamReader(self.options)
+
     return WarcDataSource
 
 
 def register_warc_datasource(spark: SparkSession) -> None:
-    """spark.dataSource.register so ``spark.read.format("warc")`` works
-    session-wide (local paths; production would list via the object
-    store's SDK in partitions())."""
+    """spark.dataSource.register so ``spark.read.format("warc")`` AND
+    ``spark.readStream.format("warc")`` work session-wide (local paths;
+    production would list via the object store's SDK).  The streaming
+    face tracks a lexicographic shard high-water mark — new shards must
+    sort after old ones (date-prefixed names satisfy this)."""
     spark.dataSource.register(_warc_datasource_classes())

@@ -205,3 +205,43 @@ def test_corrupt_gzip_raises_valueerror_naming_file():
     good = gzip.compress(b"WARC/1.0\r\n")
     with pytest.raises(ValueError, match="corrupt gzip.*shardY"):
         _gunzip_members(good + b"\x1f\x8b\xff\xff junk", "shardY")
+
+
+def test_streaming_datasource_incremental_shards(spark, tmp_path):
+    """spark.readStream.format("warc"): the lexicographic shard
+    high-water mark consumes each shard exactly once across RESTARTS —
+    drain shard a, add shard b, re-drain from the same checkpoint, and
+    the union holds every record with no duplicates."""
+    from npm_mirror_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    d = tmp_path / "stream"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .load(str(d))
+            .selectExpr("path", "record_id", "warc_type")
+            .writeStream.format("parquet")
+            .option("checkpointLocation", cp)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_warc(str(d / "2026-01-01-a.warc.gz"), _records(3))
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == 4  # 3 responses + warcinfo
+
+    write_warc(str(d / "2026-01-02-b.warc.gz"), _records(2))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4 + 3  # second shard adds 2 responses + warcinfo
+    # no record consumed twice across the restart: (shard, record_id)
+    # is unique even though both shards reuse the same record ids
+    assert len(rows) == len({(r["path"], r["record_id"]) for r in rows})
