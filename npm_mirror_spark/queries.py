@@ -3162,10 +3162,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_text_stats": q_text_stats,
     "q_approx_stats": q_approx_stats,
-    # slots 28-50 (r5 rotation): the 23 oldest entries of the
-    # never-driver-checked queue in docs/DRIVER_WINDOW.md — first-ever
-    # driver rows for each.  q_compress_ratio records rows-only (zlib is
-    # not expressible in DuckDB).
+    # slots 28-50 (r6 rotation): first-ever driver rows — the 15 pre-r5
+    # never-checked queue entries plus the 8 highest-risk r5 operators the
+    # r5 verdict named (trained kmeans/IVF, PageRank, SRP-LSH, BM25,
+    # PQ/SQ8 ANN, minhash recall).  All 23 are oracle-backed; see
+    # docs/DRIVER_WINDOW.md for the rotation policy and remaining queue.
+    "q_corpus_diff": q_corpus_diff,
+    "q_quality_percentile_filter": q_quality_percentile_filter,
+    "q_rolling_hour": q_rolling_hour,
+    "q_profile": q_profile,
+    "q_large_order_customers": q_large_order_customers,
+    "q_shipping_priority": q_shipping_priority,
+    "q_local_supplier_volume": q_local_supplier_volume,
+    "q_window_funcs": q_window_funcs,
+    "q_session_stats": q_session_stats,
+    "q_asof_plain": q_asof_plain,
+    "q_cap_per_source": q_cap_per_source,
+    "q_source_overlap": q_source_overlap,
+    "q_event_transitions": q_event_transitions,
+    "q_variant_decode": q_variant_decode,
+    "q_cluster_split": q_cluster_split,
+    "q_kmeans": q_kmeans,
+    "q_pagerank": q_pagerank,
+    "q_ann_ivf_trained": q_ann_ivf_trained,
+    "q_srp_pairs": q_srp_pairs,
+    "q_bm25": q_bm25,
+    "q_ann_pq": q_ann_pq,
+    "q_ann_sq8": q_ann_sq8,
+    "q_minhash_recall": q_minhash_recall,
+    # --- below the driver window: covered by tests/test_oracle_parity ---
+    # r5 window occupants (driver-green in CORRECTNESS_r05) rotate down;
+    # then earlier-round occupants and the 16-entry never-checked queue
+    # (oldest last section) awaiting the r7 rotation.
     "q_new_users_daily": q_new_users_daily,
     "q_group_percentiles": q_group_percentiles,
     "q_event_cooccurrence": q_event_cooccurrence,
@@ -3189,8 +3217,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_tokens": q_chunk_tokens,
     "q_dup_cluster_sizes": q_dup_cluster_sizes,
     "q_compress_ratio": q_compress_ratio,
-    # --- below the driver window: covered by tests/test_oracle_parity ---
-    # r4 window occupants (driver-green in CORRECTNESS_r04) rotate down:
     "q_user_event_history": q_user_event_history,
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
@@ -3223,7 +3249,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_dup_pairs": q_ivf_dup_pairs,
     "q_semdedup": q_semdedup,
     "q_ann_recall": q_ann_recall,
-    "q_ann_pq": q_ann_pq,
     "q_top_events_page": q_top_events_page,
     "q_mode_per_user": q_mode_per_user,
     "q_order_priority_check": q_order_priority_check,
@@ -3243,16 +3268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_token_count": q_token_count,
     "q_fingerprint": q_fingerprint,
-    "q_corpus_diff": q_corpus_diff,
-    "q_quality_percentile_filter": q_quality_percentile_filter,
-    "q_rolling_hour": q_rolling_hour,
-    "q_profile": q_profile,
-    "q_large_order_customers": q_large_order_customers,
     "q_window_counts": q_window_counts,
     "q_tpch_pricing": q_tpch_pricing,
-    "q_shipping_priority": q_shipping_priority,
-    "q_local_supplier_volume": q_local_supplier_volume,
-    "q_window_funcs": q_window_funcs,
     "q_revenue_by_customer": q_revenue_by_customer,
     "q_centroids": q_centroids,
     "q_salted_counts": q_salted_counts,
@@ -3261,36 +3278,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tf_df": q_tf_df,
     "q_semi_join": q_semi_join,
     "q_grouping_rollup": q_grouping_rollup,
-    "q_session_stats": q_session_stats,
     "q_running_total": q_running_total,
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
-    "q_asof_plain": q_asof_plain,
     "q_unpivot": q_unpivot,
-    "q_cap_per_source": q_cap_per_source,
-    "q_source_overlap": q_source_overlap,
-    "q_event_transitions": q_event_transitions,
-    "q_variant_decode": q_variant_decode,
-    "q_cluster_split": q_cluster_split,
-    # r5 additions — join the never-driver-checked queue for r6+ rotation
     "q_temperature_mix": q_temperature_mix,
     "q_dup_ngram_fraction": q_dup_ngram_fraction,
     "q_dup_spans": q_dup_spans,
     "q_cut_dup_spans": q_cut_dup_spans,
-    "q_minhash_recall": q_minhash_recall,
-    "q_bm25": q_bm25,
     "q_bloom_new_customers": q_bloom_new_customers,
-    "q_ann_sq8": q_ann_sq8,
-    "q_srp_pairs": q_srp_pairs,
-    "q_kmeans": q_kmeans,
-    "q_ann_ivf_trained": q_ann_ivf_trained,
     "q_quality_classifier": q_quality_classifier,
     "q_bpe_encode": q_bpe_encode,
     "q_lm_bigram": q_lm_bigram,
     "q_url_filter": q_url_filter,
     "q_embed_text": q_embed_text,
     "q_vocab_growth": q_vocab_growth,
-    "q_pagerank": q_pagerank,
     "q_corpus_report": q_corpus_report,
     "q_classifier_eval": q_classifier_eval,
     "q_pr_curve": q_pr_curve,
