@@ -152,11 +152,18 @@ def score_logreg(
     Pass ``ids`` (the id universe) when documents may have ZERO feature
     rows (empty/whitespace-only text): the feature table cannot name
     them, so without it they would get no score at all; with it they
-    get the bias-only score sigmoid(bias) like any other doc."""
+    get the bias-only score sigmoid(bias) like any other doc.  ``ids``
+    DEFINES the scored set: feature rows for ids outside it are
+    dropped (semi-join) — otherwise a strict-subset ``ids`` would
+    silently score the extras WITHOUT their bias term (bias rows are
+    built from ``ids`` only), a margin missing the intercept."""
     if ids is None:
         ids = feats.select(id_col).distinct()
     else:
         ids = ids.select(id_col).distinct()
+        # corpus-sized universe: plain semi-join, let AQE pick the
+        # strategy (broadcasting ids here would ship the whole corpus)
+        feats = feats.join(ids, id_col, "left_semi")
     m = _margins(
         _with_bias(feats, ids, id_col),
         model["weights"], model["bias"], feats.sparkSession, id_col,
@@ -176,6 +183,87 @@ def sigmoid(z: float) -> float:
     return e / (1.0 + e)
 
 
+def _with_prior_sums(
+    grouped: DataFrame,
+    score_col: str,
+    sum_cols: tuple[str, ...],
+    descending: bool = False,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed prefix sums over the distinct-score axis — the
+    two-level cumulative that replaces an ungrouped ``Window.orderBy``
+    (a single-partition sort: with raw float scores distinct ≈ N and the
+    whole axis would land on one reducer at 100 TB).
+
+    Level 1: scores hash to an ORDER-PRESERVING value-range bucket
+    (min/max come from a broadcast 1-row aggregate, so the bucket
+    expression stays one lazy plan — no driver collect); per-bucket
+    totals (≤ ``n_buckets`` rows) take their own cumulative window —
+    single-partition but BOUNDED by construction, the same contract as
+    pack_sequences' per-shard prefix sums.  Level 2: a window
+    PARTITIONED BY bucket runs within each bucket in parallel, and the
+    broadcast bucket offset lifts it to a global prefix sum.
+
+    Adds ``__prior_<c>`` per ``c`` in ``sum_cols``: the sum of ``c``
+    over all strictly-prior distinct scores (prior = smaller when
+    ascending, larger when ``descending``).  A NULL score group (rows
+    whose score is NULL) gets bucket -1, matching Spark's nulls-first
+    ascending / nulls-last descending ordering of the ungrouped form.
+    Value-range bucketing can skew if distinct scores concentrate in a
+    narrow band, but the worst case degrades to the old single-window
+    shape, never below it.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    stats = grouped.agg(
+        F.min(s).cast("double").alias("__mn"),
+        F.max(s).cast("double").alias("__mx"),
+    )
+    span = F.col("__mx") - F.col("__mn")
+    bkt = (
+        F.when(s.isNull(), F.lit(-1))
+        .when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((s.cast("double") - F.col("__mn")) / span * n_buckets)
+                .cast("int"),
+            )
+        )
+    )
+    g = (
+        grouped.crossJoin(F.broadcast(stats))
+        .withColumn("__bkt", bkt)
+        .drop("__mn", "__mx")
+    )
+    per_bucket = g.groupBy("__bkt").agg(
+        *[F.sum(c).alias(f"__bt_{c}") for c in sum_cols]
+    )
+    border = F.col("__bkt").desc() if descending else F.col("__bkt").asc()
+    wb = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__bt_{c}").over(wb), F.lit(0)).alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    sorder = s.desc() if descending else s.asc()
+    ww = (
+        Window.partitionBy("__bkt")
+        .orderBy(sorder)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = g.join(F.broadcast(offsets), "__bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__prior_{c}",
+            F.col(f"__off_{c}") + F.coalesce(F.sum(c).over(ww), F.lit(0)),
+        )
+    return out.drop("__bkt", *[f"__off_{c}" for c in sum_cols])
+
+
 def binary_metrics(
     df: DataFrame,
     score_col: str,
@@ -192,22 +280,20 @@ def binary_metrics(
     R2 = 2*cnt_less + cnt + 1, and
         AUC = (sum_pos R2 - 2 * n1 * (n1 + 1) / 2) / (2 * n1 * n0)
             = (auc_num) / (auc_den).
-    The shuffle carries (score, cnt, cnt_pos) — counts, never rows — so
-    the "sort" is over DISTINCT scores; quantize scores upstream if that
-    axis needs bounding at 100 TB.  Output one row: n_pos, n_neg, tp,
-    fp, tn, fn, auc_num, auc_den, auc.
+    The shuffle carries (score, cnt, cnt_pos) — counts, never rows —
+    and the running count is the bucket-partitioned two-level prefix
+    sum of :func:`_with_prior_sums`, so the distinct-score axis (≈ N
+    for raw float scores) never lands on one reducer.  Output one row:
+    n_pos, n_neg, tp, fp, tn, fn, auc_num, auc_den, auc.
     """
-    from pyspark.sql import Window
-
     y = F.col(label_col).cast("long")
     s = F.col(score_col)
     grouped = df.groupBy(s.alias("__s")).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(y).alias("__pos"),
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    with_less = grouped.withColumn(
-        "__less", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    with_less = _with_prior_sums(grouped, "__s", ("__cnt",)).withColumnRenamed(
+        "__prior___cnt", "__less"
     )
     pred_pos = F.col("__s") > F.lit(float(threshold))
     agg = with_less.agg(
@@ -251,24 +337,33 @@ def pr_curve(
 
     Same grouped shape as binary_metrics: group to (score, cnt, pos),
     then running sums DESCENDING over the distinct-score axis give the
-    cumulative tp/fp at each threshold — counts shuffle, rows never do.
+    cumulative tp/fp at each threshold — counts shuffle, rows never do,
+    and the running sums are the two-level bucket-partitioned prefix
+    sums of :func:`_with_prior_sums` (inclusive = strict-prior + own),
+    so no single-partition sort over the distinct-score axis.
     """
-    from pyspark.sql import Window
-
     y = F.col(label_col).cast("long")
     grouped = df.groupBy(F.col(score_col).alias("threshold")).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(y).alias("__pos"),
     )
-    w = Window.orderBy(F.desc("threshold")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot = df.agg(F.sum(y).alias("__n_pos"))
-    cum = grouped.select(
-        "threshold",
-        F.sum("__pos").over(w).alias("tp"),
-        (F.sum("__cnt").over(w) - F.sum("__pos").over(w)).alias("fp"),
-    ).crossJoin(F.broadcast(tot))
+    cum = (
+        _with_prior_sums(
+            grouped, "threshold", ("__cnt", "__pos"), descending=True
+        )
+        .select(
+            "threshold",
+            (F.col("__prior___pos") + F.col("__pos")).alias("tp"),
+            (
+                F.col("__prior___cnt")
+                + F.col("__cnt")
+                - F.col("__prior___pos")
+                - F.col("__pos")
+            ).alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     return cum.select(
         "threshold",
         "tp",

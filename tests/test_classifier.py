@@ -162,6 +162,40 @@ def test_binary_metrics_auc_matches_reference(spark, sf_dir):
     assert row["fp"] + row["tn"] == row["n_neg"]
 
 
+def test_pr_curve_matches_reference_on_float_scores(spark, sf_dir):
+    """pr_curve's two-level bucketed prefix sums must reproduce the
+    naive sort-and-cumulate definition on the trained model's FLOAT
+    scores (distinct ≈ N — the regime the bucketing exists for)."""
+    from npm_mirror_spark.operators.classifier import pr_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _labels(docs)
+    feats = hashed_features(docs, dim=DIM)
+    model = train_logreg(feats, labels, dim=DIM, iters=4)
+    scored = score_logreg(feats, model).join(labels, "doc_id")
+
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"])
+        for r in pr_curve(scored, "score", "label").collect()
+    }
+    pairs = sorted(
+        ((r["score"], r["label"]) for r in scored.collect()), reverse=True
+    )
+    n_pos = sum(y for _, y in pairs)
+    want = {}
+    tp = fp = 0
+    for i, (s, y) in enumerate(pairs):
+        tp += y
+        fp += 1 - y
+        if i + 1 == len(pairs) or pairs[i + 1][0] != s:  # close the group
+            want[s] = (tp, fp, n_pos - tp, tp / (tp + fp), tp / n_pos)
+    assert set(got) == set(want)
+    for s, (wtp, wfp, wfn, wprec, wrec) in want.items():
+        gtp, gfp, gfn, gprec, grec = got[s]
+        assert (gtp, gfp, gfn) == (wtp, wfp, wfn), s
+        assert abs(gprec - wprec) < 1e-12 and abs(grec - wrec) < 1e-12, s
+
+
 def test_tokenless_docs_get_bias_only_score(spark):
     """Review finding: a doc with empty/whitespace text has no feature
     rows; with the id universe passed, it must receive sigmoid(bias)
@@ -183,3 +217,29 @@ def test_tokenless_docs_get_bias_only_score(spark):
     assert set(
         r["doc_id"] for r in score_logreg(feats, model).collect()
     ) == {1}
+
+
+def test_subset_ids_define_the_scored_set(spark):
+    """Advice finding: an ``ids`` that is a strict SUBSET of the feature
+    table must restrict scoring to those ids — previously the extra docs
+    were scored anyway, silently missing their bias term."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    model = {"weights": [0.25] * 16, "bias": 0.8}
+    feats = hashed_features(docs, dim=16)
+    subset = docs.where("doc_id <= 2")
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in score_logreg(feats, model, ids=subset).collect()
+    }
+    assert set(scored) == {1, 2}, "ids outside the subset must be excluded"
+    # docs 1 and 2 share identical text -> identical (bias-inclusive) score
+    assert abs(scored[1] - scored[2]) < 1e-12
+    full = {
+        r["doc_id"]: r["score"] for r in score_logreg(feats, model).collect()
+    }
+    # the subset run must agree with the full run on the common ids
+    # (i.e. the bias term is present either way)
+    assert abs(scored[1] - full[1]) < 1e-12
