@@ -80,3 +80,35 @@ def test_matches_numpy_power_iteration(spark):
     }
     for v in ids:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_degree_folds_before_the_edge_join(spark):
+    """r5 verdict efficiency finding: each round must compute the
+    contribution rate on the NODE-sized ranks ⋈ deg table and touch the
+    edge list exactly once — never join deg onto an edge-sized join
+    output. Structurally: no Join in the optimized plan may have BOTH a
+    Join child (the edge-sized intermediate) and an Aggregate child
+    (the degree table) — that shape is the old two-edge-shuffle round."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    plan = pagerank(edges, n_iter=3)._jdf.queryExecution().optimizedPlan()
+
+    def unwrap(node):
+        # skip the Project/Filter shims Catalyst leaves between operators
+        while node.getClass().getSimpleName() in ("Project", "Filter"):
+            node = node.children().apply(0)
+        return node
+
+    def walk(node, bad):
+        kids = [node.children().apply(i) for i in range(node.children().size())]
+        if node.getClass().getSimpleName() == "Join":
+            names = [unwrap(k).getClass().getSimpleName() for k in kids]
+            if "Join" in names and "Aggregate" in names:
+                bad.append(node.toString().split("\n")[0])
+        for k in kids:
+            walk(k, bad)
+        return bad
+
+    offenders = walk(plan, [])
+    assert offenders == [], f"degree joined onto an edge-sized join: {offenders}"
