@@ -245,3 +245,137 @@ def test_streaming_datasource_incremental_shards(spark, tmp_path):
     # no record consumed twice across the restart: (shard, record_id)
     # is unique even though both shards reuse the same record ids
     assert len(rows) == len({(r["path"], r["record_id"]) for r in rows})
+
+
+def test_compressed_member_offsets_support_range_seeks(tmp_path):
+    """Advice finding: for the CC per-record-gzip layout, `offset` must
+    be the COMPRESSED member offset (what CC index range requests use),
+    not a decompressed-stream position. Each reported offset must
+    decompress standalone to exactly its record."""
+    import zlib
+
+    f = tmp_path / "o.warc.gz"
+    write_warc(str(f), _records(3), per_record_gzip=True)
+    raw = f.read_bytes()
+    recs = list(parse_warc_bytes(str(f), raw))
+    assert len(recs) == 4
+    offs = [r["offset"] for r in recs]
+    assert offs[0] == 0 and offs == sorted(set(offs))
+    for r in recs:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        member = d.decompress(raw[r["offset"]:])
+        assert member.startswith(b"WARC/1.0")
+        assert r["record_id"].encode() in member
+    # plain input still reports plain byte offsets
+    plain = tmp_path / "o.warc"
+    write_warc(str(plain), _records(2), per_record_gzip=False)
+    praw = plain.read_bytes()
+    for r in parse_warc_bytes(str(plain), praw):
+        assert praw[r["offset"]:].startswith(b"WARC/1.0")
+
+
+def test_max_shard_bytes_routes_not_crashes(spark, tmp_path):
+    """Verdict item: an oversize shard must raise the documented F9
+    ValueError naming the file — deterministic and routable — instead
+    of an executor OOM."""
+    d = tmp_path / "big"
+    d.mkdir()
+    write_warc(str(d / "huge.warc.gz"), _records(3))
+    with pytest.raises(ValueError, match="exceeds maxShardBytes"):
+        list(parse_warc_bytes("huge", b"x" * 100, max_shard_bytes=10))
+    with pytest.raises(Exception, match="exceeds maxShardBytes"):
+        read_warc(spark, str(d), max_shard_bytes=16).collect()
+    # the datasource option spelling
+    from npm_mirror_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    with pytest.raises(Exception, match="exceeds maxShardBytes"):
+        spark.read.format("warc").option("maxShardBytes", 16).load(
+            str(d)
+        ).collect()
+    # generous limit: same rows as unguarded
+    n = spark.read.format("warc").option("maxShardBytes", 10_000_000).load(
+        str(d)
+    ).count()
+    assert n == read_warc(spark, str(d)).count() == 4
+
+
+def test_stream_default_is_executor_side_partition_reader(spark, tmp_path):
+    """Verdict item: the default stream path must be the
+    partition-planning DataSourceStreamReader (shard bytes read on
+    executors), NOT the Simple reader's driver-prefetch wrapper; and
+    its planned partitions must carry one shard each."""
+    from pyspark.sql.datasource_internal import _streamReader
+    from pyspark.sql.types import _parse_datatype_string
+
+    from npm_mirror_spark.sources.warc import (
+        RECORD_SCHEMA,
+        _warc_datasource_classes,
+    )
+
+    d = tmp_path / "sd"
+    d.mkdir()
+    write_warc(str(d / "2026-01-01-a.warc.gz"), _records(2))
+    write_warc(str(d / "2026-01-02-b.warc.gz"), _records(2))
+
+    cls = _warc_datasource_classes()
+    schema = _parse_datatype_string(RECORD_SCHEMA)
+    reader = _streamReader(cls(options={"path": str(d)}), schema)
+    assert type(reader).__name__ == "WarcPartitionStreamReader", (
+        "default stream reader must be the executor-side partition planner"
+    )
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == [
+        "2026-01-01-a.warc.gz",
+        "2026-01-02-b.warc.gz",
+    ]
+    # read() yields the shard's records (this is what executors run)
+    rows = list(reader.read(parts[0]))
+    assert len(rows) == 3 and all(len(t) == 10 for t in rows)
+    # monotone: latestOffset never goes backwards even if listing shrinks
+    assert reader.latestOffset() == end
+    # simpleReader=true falls back to the driver-prefetch wrapper
+    simple = _streamReader(
+        cls(options={"path": str(d), "simplereader": "true"}), schema
+    )
+    assert type(simple).__name__ == "_SimpleStreamReaderWrapper"
+
+
+def test_stream_rows_identical_between_executor_and_simple_paths(
+    spark, tmp_path
+):
+    """The two stream faces must produce byte-identical record sets for
+    the same shards (same parser, same offset model)."""
+    from npm_mirror_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    d = tmp_path / "eq"
+    d.mkdir()
+    write_warc(str(d / "2026-01-01-a.warc.gz"), _records(3))
+    write_warc(str(d / "2026-01-02-b.warc.gz"), _records(2))
+
+    def drain(tag, **opts):
+        out = str(tmp_path / f"out_{tag}")
+        cp = str(tmp_path / f"cp_{tag}")
+        rs = spark.readStream.format("warc")
+        for k, v in opts.items():
+            rs = rs.option(k, v)
+        q = (
+            rs.load(str(d))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", cp)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["path"], r["record_id"], r["offset"], bytes(r["payload"]))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    exec_rows = drain("exec")
+    simple_rows = drain("simple", simpleReader="true")
+    assert exec_rows == simple_rows and len(exec_rows) == 7
