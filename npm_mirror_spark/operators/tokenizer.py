@@ -80,16 +80,32 @@ def train_bpe(
     n_merges: int = 200,
     text_col: str = "text",
     max_word_types: int = 1_000_000,
+    min_count: int | None = None,
 ) -> dict:
     """Learn ``n_merges`` BPE merges from the corpus.
 
     Ties break to the lexicographically smallest pair (exact integer
     counts -> bit-deterministic merge sequence).  Returns
     {"merges": [(a, b), ...], "vocab_size": int, "n_word_types": int}.
+
+    Vocabulary bounding — two faces, different biases:
+    ``max_word_types`` truncates by count RANK (top-N), which silently
+    biases merges when the cut lands inside a count plateau: of equal-
+    count words, only the lexicographically smaller survive, and their
+    pair statistics shift accordingly.  ``min_count`` cuts by a count
+    THRESHOLD (the standard practice: drop hapax/rare types), which is
+    plateau-stable — every word of a kept count is kept, so the
+    surviving pair statistics are exactly the full-corpus statistics
+    restricted to words with n >= min_count.  The truncation bias is
+    bounded by the plateau mass at the cut count (see
+    tests/test_tokenizer.py::test_min_count_vs_rank_truncation_bias).
+    Both compose: threshold first, rank cap as the hard memory bound.
     """
+    wc = word_type_counts(df, text_col)
+    if min_count is not None:
+        wc = wc.where(F.col("n") >= int(min_count))
     rows = (
-        word_type_counts(df, text_col)
-        .orderBy(F.desc("n"), F.asc("word"))
+        wc.orderBy(F.desc("n"), F.asc("word"))
         .limit(max_word_types)
         .collect()
     )
@@ -168,6 +184,15 @@ def encode_bpe(
             out_id, out_tok, out_n = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
+                # NULL text: the trainer (word_type_counts) drops these
+                # docs entirely, so encode must too — str(None) would
+                # tokenize the literal word 'none', a phantom token the
+                # training vocabulary never saw (advice finding)
+                if t is None or (isinstance(t, float) and t != t):
+                    out_id.append(i)
+                    out_tok.append(toks)
+                    out_n.append(0)
+                    continue
                 # same normalization as word_type_counts (dedup.normalize_text
                 # = JVM lower + regexp_replace('\\s+')): Java \s is the ASCII
                 # class [ \t\n\x0B\f\r], Python's is unicode-aware — using

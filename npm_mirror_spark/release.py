@@ -66,7 +66,8 @@ def build_release(
 
     gated = gopher_rules(docs, text_col).where(F.col("keep"))
     kept_quality = gated.select(*docs.columns)
-    n_quality = kept_quality.count()
+    n_rule_pass = kept_quality.count()
+    n_model_pass = n_rule_pass  # no model gate -> pass-through
 
     if quality_model is not None:
         from npm_mirror_spark.operators.classifier import (
@@ -84,7 +85,7 @@ def build_release(
             ids=kept_quality.select(id_col),
         ).where(F.col("score") >= F.lit(float(min_model_score))).select(id_col)
         kept_quality = kept_quality.join(scores, id_col, "left_semi")
-        n_quality = kept_quality.count()
+        n_model_pass = kept_quality.count()
 
     flags = decontaminate(
         kept_quality, bench, text_col, id_col, decontam_ngram
@@ -124,7 +125,13 @@ def build_release(
     return {
         "version": version,
         "n_input": n_input,
-        "n_after_quality": n_quality,
+        # rule-gate and model-gate attrition reported SEPARATELY (advice
+        # finding: conflating them made the model's kill count
+        # unrecoverable); n_after_quality keeps its historical meaning of
+        # "after the whole quality stage" for downstream consumers.
+        "n_rule_pass": n_rule_pass,
+        "n_model_pass": n_model_pass,
+        "n_after_quality": n_model_pass,
         "n_after_decontamination": n_clean,
         "n_after_dedup": n_unique,
         "n_after_cap": n_capped,

@@ -78,5 +78,12 @@ def test_model_gated_release(spark, sf_dir, tmp_path):
     )
     assert gated["n_after_quality"] <= plain["n_after_quality"]
     assert gated["n_released"] <= plain["n_released"]
+    # advice finding: rule-gate and model-gate attrition are separate —
+    # the model's independent kill count must be recoverable
+    assert gated["n_rule_pass"] == plain["n_rule_pass"]
+    assert gated["n_model_pass"] <= gated["n_rule_pass"]
+    assert gated["n_after_quality"] == gated["n_model_pass"]
+    # no model gate -> pass-through equality
+    assert plain["n_model_pass"] == plain["n_rule_pass"] == plain["n_after_quality"]
     got = SnapshotStore(spark, str(tmp_path / "gated")).read(gated["version"])
     assert got.count() == gated["n_released"]

@@ -117,3 +117,57 @@ def test_unicode_whitespace_parity_with_jvm(spark):
     enc = encode_bpe(doc, model["merges"]).first()
     rebuilt = "".join(enc["tokens"]).replace(END, " ").strip()
     assert rebuilt == "foo bar foo bar baz"
+
+
+def test_null_text_yields_empty_tokens(spark):
+    """Advice finding: a NULL-text row must encode to an empty token
+    list (n_tokens=0) — the trainer drops null docs entirely, so
+    str(None) would emit phantom 'none' tokens the vocabulary never
+    saw."""
+    docs = spark.createDataFrame(
+        [(0, "none none banana"), (1, None), (2, "banana")],
+        "doc_id long, text string",
+    )
+    model = train_bpe(docs, n_merges=10)
+    rows = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in encode_bpe(docs, model["merges"]).collect()
+    }
+    assert rows[1] == ([], 0)
+    # the literal word 'none' still tokenizes normally when it IS text
+    assert rows[0][1] > 0
+    # and the null row's absence of tokens is not a general empty bug
+    assert rows[2][1] > 0
+
+
+def test_min_count_vs_rank_truncation_bias(spark):
+    """min_count (threshold cut, standard practice) vs max_word_types
+    (rank cut): on a corpus where the rank cut lands INSIDE a count
+    plateau, the two vocabularies — and hence the learned merges —
+    differ; the threshold cut keeps the whole plateau and matches the
+    unbounded trainer, while the rank cut drops the lexicographically
+    larger plateau members (the documented truncation bias)."""
+    # counts: 'aa' x5 | plateau at n=2: 'xb','yb','zb' | hapax: 'qq'
+    words = ["aa"] * 5 + ["xb", "yb", "zb"] * 2 + ["qq"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    full = train_bpe(docs, n_merges=5)
+    thresh = train_bpe(docs, n_merges=5, min_count=2)
+    # threshold cut: drops only the hapax; every n>=2 word survives, so
+    # pair stats over the kept set are plateau-complete
+    assert thresh["n_word_types"] == 4
+    # rank cut inside the plateau (top-2 of 5 types): keeps 'aa' and
+    # only the lexicographically smallest plateau member
+    ranked = train_bpe(docs, n_merges=5, max_word_types=2)
+    assert ranked["n_word_types"] == 2
+    # the bias is real: the rank-cut merges diverge from the
+    # threshold-cut merges (which see the whole 'b'-suffix plateau)
+    assert ranked["merges"] != thresh["merges"]
+    # ('b', '</w>') dominates the plateau-complete vocabularies: count 6
+    # beats any 'aa' pair (5); both full and threshold training agree
+    assert full["merges"][0] == ("b", END)
+    assert thresh["merges"][0] == ("b", END)
+    # but the rank cut sees only ONE b-word (count 2 < 5) and merges an
+    # 'aa' pair first — the plateau truncation changed the argmax
+    assert ranked["merges"][0] != ("b", END)
