@@ -120,6 +120,10 @@ HEADLINE_R5 = [
 ]
 COMMON_58 = list(HEADLINE)
 HEADLINE = HEADLINE + HEADLINE_R5
+# Frozen r5-final headline (58 + 26): "common84_sec" is the long-series
+# marker that gives r6+ a like-for-like on the trainers too; r6+ query
+# additions extend HEADLINE but never this list (docs/BENCH_NOTES.md).
+COMMON_84 = list(HEADLINE)
 
 
 def _bench_pipeline(spark, n_changes: int) -> float:
@@ -169,6 +173,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     common58 = round(sum(timings[n] for n in COMMON_58), 3)
+    common84 = round(sum(timings[n] for n in COMMON_84), 3)
     pipeline_rate = _bench_pipeline(spark, n_changes=int(20_000 * max(sf, 0.01) / 0.1))
     print(
         json.dumps(
@@ -178,6 +183,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "common58_sec": common58,
+                "common84_sec": common84,
                 "pipeline_changes_per_sec": pipeline_rate,
                 "sf": sf,
             }
