@@ -125,6 +125,14 @@ HEADLINE = HEADLINE + HEADLINE_R5
 # additions extend HEADLINE but never this list (docs/BENCH_NOTES.md).
 COMMON_84 = list(HEADLINE)
 
+# r6 additions: leakage audit, epoch shuffling, exact-replay sketches.
+HEADLINE_R6 = [
+    "q_contamination_report",
+    "q_epoch_shuffle",
+    "q_count_min",
+]
+HEADLINE = HEADLINE + HEADLINE_R6
+
 
 def _bench_pipeline(spark, n_changes: int) -> float:
     """End-to-end mirror-pipeline throughput (the reference's actual job):

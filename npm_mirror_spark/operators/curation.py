@@ -87,6 +87,102 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    bench_id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per benchmark ITEM, how much of it leaks into the corpus:
+    (bench_id, n_grams, n_matched, coverage in [0,1]).
+
+    The inverse direction of :func:`decontaminate` (which flags corpus
+    docs): an eval-leakage AUDIT — a benchmark item with coverage ~1 is
+    memorizable from training data even if no single corpus doc holds
+    all of it, which the boolean per-doc gate cannot see.
+
+    Plan shape at 100 TB: the benchmark shingle vocabulary broadcasts
+    (bounded by suite vocabulary); corpus shingles explode MAP-SIDE and
+    semi-join against it, so the only shuffle of corpus-derived data is
+    the distinct() over the HIT grams — bounded by the benchmark
+    vocabulary, not the corpus.  The per-item rollup then runs on
+    |bench| rows.
+    """
+    bench_grams = bench.select(
+        F.col(bench_id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+    vocab = bench_grams.select("shingle").distinct()
+    corpus_hits = (
+        corpus.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .join(F.broadcast(vocab), "shingle", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        bench_grams.join(F.broadcast(corpus_hits), "shingle", "left")
+        .groupBy(bench_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            bench_id_col,
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_grams").cast("double"))
+            .alias("coverage"),
+        )
+    )
+
+
+# -- epoch shuffling ----------------------------------------------------------
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic seeded epoch shuffle into training shards:
+    (id, shard, pos) — the shard-writer pattern of LLM training
+    pipelines (each epoch re-reads the corpus in a fresh pseudo-random
+    order that is bit-reproducible across runs, engines and restarts).
+
+    The rank key is md5(epoch ':' id) (first 15 hex chars as int64) — a
+    seeded pseudo-random total order with no RNG state to checkpoint.
+    shard = key mod n_shards is a plain hash partition, and pos is a
+    row_number WITHIN each shard — so the plan is one hash shuffle plus
+    a per-shard sort, exactly the work of physically writing shard
+    files (sortWithinPartitions), never a global sort.  md5 ties break
+    on the id so the order is total even under hash collisions.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(int(epoch)), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col), key.alias("__key"),
+        F.pmod(key, F.lit(int(n_shards))).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return keyed.select(
+        id_col, "shard", F.row_number().over(w).alias("pos")
+    )
+
+
 # -- PII redaction -----------------------------------------------------------
 
 # Java-regex / RE2 common subset (no lookaround, no backrefs) so the

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from npm_mirror_spark.operators import aggregates as agg_ops
 from npm_mirror_spark.operators import curation as cur_ops
+from npm_mirror_spark.operators import sketches as sketch_ops
 from npm_mirror_spark.operators import dedup as dedup_ops
 from npm_mirror_spark.operators import joins as join_ops
 from npm_mirror_spark.operators import projections as proj
@@ -3128,6 +3129,60 @@ def q_bloom_new_customers(spark, sf_dir):
     return bloom_ops.bloom_anti_join(c, buyers, "c_custkey")
 
 
+# Extension (r6): eval-leakage audit, epoch shuffling, exact-replay sketches
+
+
+def q_contamination_report(spark, sf_dir):
+    """Per-benchmark-item leakage audit: for every held-out benchmark
+    doc (every 20th doc plays the benchmark, as in q_decontaminate),
+    the fraction of its word 5-grams present ANYWHERE in the corpus
+    (operators/curation.py:contamination_report). The inverse direction
+    of decontaminate: coverage ~1 means the item is memorizable from
+    training data even when no single corpus doc holds all of it. The
+    benchmark vocabulary broadcasts; corpus grams semi-join it map-side
+    and only the HIT grams (bounded by that vocabulary) are ever
+    shuffled."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return cur_ops.contamination_report(corpus, bench, "text", "doc_id", 5)
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic seeded epoch shuffle into training shards
+    (operators/curation.py:epoch_shuffle): each doc gets a
+    pseudo-random md5(epoch:id) rank, a shard by rank mod n_shards and
+    a position within its shard — the bit-reproducible shard-writer
+    order an LLM training pipeline re-derives every epoch with no RNG
+    state to checkpoint. One hash shuffle + per-shard sort (the work of
+    physically writing shard files), never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    return cur_ops.epoch_shuffle(d, "doc_id", epoch=3, n_shards=8)
+
+
+def q_count_min(spark, sf_dir):
+    """Count-Min sketch with EXACT-replay arithmetic
+    (operators/sketches.py): a 4x64 CMS over lineitem suppliers built
+    as a groupBy — the map-side partial aggregate IS the classic
+    mergeable-sketch property — then every supplier probed back through
+    the sketch and compared with its exact count. Output
+    (l_suppkey, est, exact, overcount) pins the one-sided CMS guarantee
+    est >= exact cell-for-cell; seeded md5 hashing makes every estimate
+    bit-reproducible in the oracle (unlike q_approx_stats' HLL/KLL,
+    approximate by nature)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = sketch_ops.count_min_sketch(li, "l_suppkey", depth=4, width=64)
+    probes = li.select("l_suppkey").distinct()
+    est = sketch_ops.count_min_estimate(sketch, probes, "l_suppkey", 4, 64)
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "l_suppkey").select(
+        "l_suppkey",
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3298,6 +3353,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pr_curve": q_pr_curve,
     "q_lm_nll": q_lm_nll,
     "q_hybrid_search": q_hybrid_search,
+    # r6 additions — join the never-driver-checked queue for r7 rotation
+    "q_contamination_report": q_contamination_report,
+    "q_epoch_shuffle": q_epoch_shuffle,
+    "q_count_min": q_count_min,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5237,4 +5296,63 @@ SELECT probe_id, neighbor_id, cos_sim, "rank" FROM (
             ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
   FROM cand)
 WHERE "rank" <= 3
+"""
+
+# q_contamination_report: per-benchmark-item 5-gram coverage against the
+# corpus vocabulary — mirrors curation.py:contamination_report exactly
+# (distinct (item, gram) pairs; corpus-hit grams bounded by the bench
+# vocabulary; coverage = matched/total).
+ORACLES["q_contamination_report"] = f"""
+WITH {_shingles_sql("documents", 5)},
+bg AS (SELECT DISTINCT doc_id, shingle FROM
+        (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0)),
+ch AS (SELECT DISTINCT cg.shingle FROM
+        (SELECT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 0) cg
+       JOIN (SELECT DISTINCT shingle FROM bg) v USING (shingle))
+SELECT bg.doc_id,
+       count(*) AS n_grams,
+       count(ch.shingle) AS n_matched,
+       CAST(count(ch.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+FROM bg LEFT JOIN ch USING (shingle)
+GROUP BY bg.doc_id
+"""
+
+# q_epoch_shuffle: seeded md5 rank -> shard + intra-shard position;
+# identical hash arithmetic (first 15 md5 hex chars as int64, epoch 3,
+# 8 shards) so the permutation replays bit-for-bit.
+ORACLES["q_epoch_shuffle"] = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+  FROM documents)
+SELECT doc_id,
+       CAST(key % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+            AS INTEGER) AS pos
+FROM k
+"""
+
+# q_count_min: 4x64 Count-Min over lineitem suppliers — cells, probes and
+# the min-over-depth estimate all replayed with the identical seeded md5
+# bucket hash (operators/sketches.py:_cms_bucket).
+ORACLES["q_count_min"] = """
+WITH r AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS b,
+         count(*) AS c
+  FROM lineitem CROSS JOIN r
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT l_suppkey FROM lineitem),
+lk AS (
+  SELECT l_suppkey, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS b
+  FROM probes CROSS JOIN r),
+est AS (
+  SELECT l_suppkey, min(coalesce(c, 0)) AS est
+  FROM lk LEFT JOIN cells USING (r, b)
+  GROUP BY l_suppkey),
+exact AS (SELECT l_suppkey, count(*) AS exact FROM lineitem GROUP BY 1)
+SELECT e.l_suppkey, e.est, x.exact, e.est - x.exact AS overcount
+FROM est e JOIN exact x USING (l_suppkey)
 """

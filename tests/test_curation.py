@@ -204,3 +204,74 @@ def test_temperature_mix_rejects_nonpositive_temperature(spark):
     for bad in (0.0, -2.0):
         with pytest.raises(ValueError, match="temperature must be > 0"):
             cur.temperature_mix(df, "src", bad)
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    """Every doc appears exactly once; (shard, pos) is a dense total
+    order within each shard; and re-running the same epoch reproduces
+    the identical layout (no RNG state)."""
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = cur.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=4).collect()
+    b = cur.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r["doc_id"] for r in a) == list(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_epoch_shuffle_differs_across_epochs(spark):
+    """Different epochs must yield genuinely different orders — the
+    point of reshuffling every epoch."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(300)], "doc_id long, text string"
+    )
+    e0 = {(r["doc_id"]): (r["shard"], r["pos"])
+          for r in cur.epoch_shuffle(docs, "doc_id", epoch=0).collect()}
+    e1 = {(r["doc_id"]): (r["shard"], r["pos"])
+          for r in cur.epoch_shuffle(docs, "doc_id", epoch=1).collect()}
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > 200  # an md5 reseed relocates nearly everything
+
+
+def test_contamination_report_matches_brute_force(spark):
+    """Coverage must equal the naive per-item computation: fraction of
+    the item's distinct n-grams present anywhere in the corpus."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "pack my box with jugs")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, "the quick brown fox runs"),   # shares 2 of 3 trigrams
+            (11, "totally novel benchmark text"),  # shares none
+            (12, "pack my box with jugs"),      # fully covered
+        ],
+        "bid long, text string",
+    )
+    got = {
+        r["bid"]: (r["n_grams"], r["n_matched"], r["coverage"])
+        for r in cur.contamination_report(
+            corpus, bench, "text", "bid", 3
+        ).collect()
+    }
+
+    def grams(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} or {t}
+
+    corpus_grams = set().union(
+        *(grams(t) for t in ("the quick brown fox jumps", "pack my box with jugs"))
+    )
+    for bid, text in ((10, "the quick brown fox runs"),
+                      (11, "totally novel benchmark text"),
+                      (12, "pack my box with jugs")):
+        g = grams(text)
+        m = len(g & corpus_grams)
+        assert got[bid] == (len(g), m, m / len(g)), bid
+    assert got[12][2] == 1.0 and got[11][2] == 0.0

@@ -1,0 +1,91 @@
+"""Count-Min sketch (operators/sketches.py): the mergeable-sketch
+algebra, the one-sided error guarantee, and collision behavior — the
+properties the value oracle (q_count_min) can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.sketches import (
+    count_min_estimate,
+    count_min_sketch,
+)
+from npm_mirror_spark.tables import load_table
+
+
+def test_merge_of_halves_equals_whole(spark, sf_dir):
+    """The defining sketch property: CMS(a) + CMS(b) == CMS(a ∪ b),
+    cell-wise — which is exactly what Spark's partial aggregation does
+    map-side; here we pin it end-to-end by unioning two half-sketches
+    and re-aggregating."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    whole = count_min_sketch(li, "l_suppkey")
+    merged = (
+        count_min_sketch(a, "l_suppkey")
+        .unionByName(count_min_sketch(b, "l_suppkey"))
+        .groupBy("r", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_estimates_upper_bound_exact_counts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = count_min_sketch(li, "l_suppkey", depth=4, width=64)
+    probes = li.select("l_suppkey").distinct()
+    est = count_min_estimate(sk, probes, "l_suppkey", 4, 64)
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact"))
+    rows = est.join(exact, "l_suppkey").collect()
+    assert rows
+    assert all(r["est"] >= r["exact"] for r in rows)
+    # width 64 < distinct suppliers at sf>=0.01 -> collisions must
+    # actually occur (otherwise the test proves nothing)
+    if probes.count() > 64:
+        assert any(r["est"] > r["exact"] for r in rows)
+
+
+def test_wide_sketch_is_exact_and_absent_key_reads_zero(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ("a", "a", "a", "b")], "k string"
+    )
+    sk = count_min_sketch(df, "k", depth=4, width=4096)
+    probes = spark.createDataFrame([("a",), ("b",), ("never",)], "k string")
+    got = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(sk, probes, "k", 4, 4096).collect()
+    }
+    # with width >> keys, collisions are (near-)impossible: exact counts
+    assert got["a"] == 3 and got["b"] == 1
+    assert got["never"] == 0  # untouched cells read zero
+
+
+def test_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 2), ("b", 10)], "k string, w long"
+    )
+    sk = count_min_sketch(df, "k", depth=4, width=4096, weight_col="w")
+    got = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sk, df.select("k"), "k", 4, 4096
+        ).collect()
+    }
+    assert got == {"a": 7, "b": 10}
+
+
+def test_sketch_size_is_bounded_and_shuffle_is_single(spark, sf_dir):
+    """Scale contract: output rows <= depth*width no matter the input,
+    and the plan is one (r, b) shuffle with a map-side partial
+    aggregate (the mergeable property in physical form)."""
+    from npm_mirror_spark import plans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = count_min_sketch(li, "l_suppkey", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    assert plans.shuffle_count(sk) == 1
+    text = plans.explain_str(sk, "simple")
+    assert "partial_sum" in text or "partial_count" in text
