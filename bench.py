@@ -130,6 +130,7 @@ HEADLINE_R6 = [
     "q_contamination_report",
     "q_epoch_shuffle",
     "q_count_min",
+    "q_hll_replay",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

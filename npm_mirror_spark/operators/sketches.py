@@ -81,6 +81,90 @@ def count_min_sketch(
     )
 
 
+def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog registers with EXACT-replay arithmetic: (idx, mreg).
+
+    Flajolet et al. 2007, built from the same seeded md5 base as the
+    CMS: h = int64(md5(key)[:15 hex]) gives 60 uniform bits; the low p
+    index the register, the high w = h div 2^p (60-p bits) feed the
+    rank rho = (60-p) - len(bin(w)) + 1 — leading-zero count via the
+    INTEGER length of the binary string, no libm log2, so every
+    register value is engine-portable (DuckDB bin() agrees with Spark
+    bin() bit-for-bit).  One (idx) shuffle of small ints with map-side
+    partial max — the mergeable property again (union registers =
+    max cell-wise).
+    """
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = (
+        df.select(h.alias("__h"))  # staged once; idx and w both read it
+        .select(
+            F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("idx"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+    )
+    rho = (
+        F.when(F.col("__w") == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin("__w")))
+        .cast("int")
+    )
+    return (
+        keyed.select("idx", rho.alias("__rho"))
+        .groupBy("idx")
+        .agg(F.max("__rho").alias("mreg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Fold registers into the raw HLL estimate — one row: (m,
+    zero_registers, hll_sum, est).
+
+    The harmonic denominator is computed as the EXACT integer
+    S = sum_j 2^(κ - M_j) with κ = 60-p+1 (every term a power of two,
+    register count bounded, no float summation order to disagree on);
+    untouched registers contribute M_j = 0, i.e. 2^κ each.  The only
+    float step is the final closed form
+        est = alpha_m * m^2 * 2^κ / S
+    — literal constants and one division, IEEE-identical in any
+    engine, which is what makes an APPROXIMATE cardinality sketch
+    exactly oracle-checkable (contrast q_approx_stats'
+    approx_count_distinct, whose HLL++ internals are opaque).  The
+    standard small-range linear-counting correction needs ln() (libm)
+    and is intentionally NOT applied — consumers with zero registers
+    present can apply it; the raw estimate plus zero_registers carries
+    the full information.
+    """
+    m = 1 << p
+    kappa = 60 - p + 1
+    agg = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({kappa} - mreg AS INT))")
+        ).alias("__s_obs"),
+        F.count(F.lit(1)).alias("__n_obs"),
+    )
+    s_total = (
+        F.col("__s_obs")
+        + (F.lit(m) - F.col("__n_obs")) * F.lit(1 << kappa).cast("long")
+    )
+    # alpha_m * m^2 * 2^kappa, with m^2 * 2^kappa folded into one exact
+    # power-of-two double literal so both engines evaluate the identical
+    # expression tree
+    num = float((m * m) * (1 << kappa))
+    return agg.select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("__n_obs")).cast("long").alias("zero_registers"),
+        s_total.cast("long").alias("hll_sum"),
+        (
+            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+            * F.lit(num)
+            / s_total.cast("double")
+        ).alias("est"),
+    )
+
+
 def count_min_estimate(
     sketch: DataFrame,
     probes: DataFrame,

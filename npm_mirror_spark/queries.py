@@ -3183,6 +3183,35 @@ def q_count_min(spark, sf_dir):
     )
 
 
+def q_hll_replay(spark, sf_dir):
+    """HyperLogLog distinct-count over ordering customers with
+    EXACT-REPLAY register algebra (operators/sketches.py:hll_registers/
+    hll_estimate): seeded md5 bits, leading-zero rank via integer
+    bin()-length (no libm), harmonic denominator as an exact integer
+    sum of powers of two — so an APPROXIMATE sketch hash-matches a SQL
+    oracle bit-for-bit (q_approx_stats' built-in HLL++ is rows-only by
+    nature; this face shows the same estimator family fully
+    deterministic). Output also carries the exact distinct count and
+    the relative error, pinning estimator quality, not just its
+    arithmetic. One register shuffle + one 1-row fold; the exact
+    count_distinct is validation-face-only cost."""
+    o = _t(spark, sf_dir, "orders")
+    regs = sketch_ops.hll_registers(o, "o_custkey", p=8)
+    est = sketch_ops.hll_estimate(regs, p=8)
+    exact = o.agg(F.count_distinct("o_custkey").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "zero_registers",
+        "hll_sum",
+        "n_exact",
+        "est",
+        (
+            (F.col("est") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3357,6 +3386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_contamination_report": q_contamination_report,
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_count_min": q_count_min,
+    "q_hll_replay": q_hll_replay,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5355,4 +5385,35 @@ est AS (
 exact AS (SELECT l_suppkey, count(*) AS exact FROM lineitem GROUP BY 1)
 SELECT e.l_suppkey, e.est, x.exact, e.est - x.exact AS overcount
 FROM est e JOIN exact x USING (l_suppkey)
+"""
+
+# q_hll_replay: HLL registers and the closed-form raw estimate replayed
+# with identical integer arithmetic (md5 60-bit base, low-8 register
+# index, bin()-length rank, exact power-of-two harmonic sum); the only
+# float step is the final literal-constant expression, IEEE-identical.
+ORACLES["q_hll_replay"] = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders),
+k AS (SELECT CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w FROM h),
+regs AS (
+  SELECT idx,
+         max(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS mreg
+  FROM k GROUP BY idx),
+folded AS (
+  SELECT sum(1::BIGINT << (53 - mreg)) AS s_obs,
+         count(*) AS n_obs
+  FROM regs),
+exact AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+SELECT 256 AS m,
+       CAST(256 - n_obs AS BIGINT) AS zero_registers,
+       CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS BIGINT) AS hll_sum,
+       n_exact,
+       0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+         / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE) AS est,
+       (0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+         / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE)
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM folded CROSS JOIN exact
 """

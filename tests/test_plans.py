@@ -307,6 +307,10 @@ ALLOWED_BNLJ = {
     "q_classifier_eval": (
         "single-row (min,max) score-range broadcast for prefix-sum buckets"
     ),
+    "q_hll_replay": (
+        "single-row exact-distinct validation count broadcast onto the "
+        "single-row register fold"
+    ),
     "q_ann_ivf_trained": (
         "k=8 trained-centroid table + probes (vec_id<5) broadcast for "
         "assignment/search; corpus equi-joins on cluster (same contract "

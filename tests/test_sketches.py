@@ -89,3 +89,56 @@ def test_sketch_size_is_bounded_and_shuffle_is_single(spark, sf_dir):
     assert plans.shuffle_count(sk) == 1
     text = plans.explain_str(sk, "simple")
     assert "partial_sum" in text or "partial_count" in text
+
+
+def test_hll_registers_merge_cellwise(spark, sf_dir):
+    """HLL's mergeable property: union the registers of two halves and
+    take the cell-wise max == registers of the whole."""
+    from npm_mirror_spark.operators.sketches import hll_registers
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 2 == 1)
+    whole = hll_registers(o, "o_custkey")
+    merged = (
+        hll_registers(a, "o_custkey")
+        .unionByName(hll_registers(b, "o_custkey"))
+        .groupBy("idx")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_hll_estimate_accuracy(spark):
+    """The raw estimator must land within the theoretical error band:
+    sigma = 1.04/sqrt(m) ~ 6.5% at m=256; allow 3 sigma. Planted
+    cardinality large enough that the uncorrected raw form applies
+    (n >> 2.5m)."""
+    from npm_mirror_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    row = hll_estimate(hll_registers(df, "k", p=8), p=8).first()
+    assert row["m"] == 256
+    assert row["zero_registers"] == 0  # n >> m: every register touched
+    assert abs(row["est"] - n) / n < 3 * 1.04 / (256 ** 0.5)
+
+
+def test_hll_estimate_is_duplicate_insensitive(spark):
+    """Cardinality, not count: feeding each key 7 times must give the
+    identical registers and estimate."""
+    from npm_mirror_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    once = spark.range(2000).select(F.col("id").alias("k"))
+    many = once.crossJoin(spark.range(7)).select("k")
+    r1 = hll_estimate(hll_registers(once, "k"), 8).first()
+    r7 = hll_estimate(hll_registers(many, "k"), 8).first()
+    assert (r1["hll_sum"], r1["est"]) == (r7["hll_sum"], r7["est"])
