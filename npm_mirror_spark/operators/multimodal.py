@@ -1135,9 +1135,11 @@ def decode_jpeg(content: bytes):
     IDCT, nearest-neighbor chroma upsampling, JFIF YCbCr -> RGB.
     Supports 1- and 3-component baseline sequential (SOF0) with any
     sampling factors dividing the maxima (4:4:4, 4:2:0, 4:2:2) and
-    optional restart intervals; anything else — progressive (SOF2),
-    12-bit, arithmetic coding, CMYK, non-interleaved scans, truncation —
-    raises ValueError.
+    optional restart intervals; PROGRESSIVE (SOF2) streams dispatch to
+    _decode_jpeg_progressive (spectral selection + successive
+    approximation, Annex G); anything else — 12-bit, arithmetic coding,
+    CMYK, non-interleaved baseline scans, truncation — raises
+    ValueError.
     """
     import struct
 
@@ -1211,9 +1213,12 @@ def decode_jpeg(content: bytes):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2: hand the whole stream to the
+            # progressive decoder (multi-scan parse from the top)
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "unsupported JPEG (only baseline sequential SOF0 is handled)"
+                "unsupported JPEG (only baseline SOF0 / progressive SOF2)"
             )
         elif marker == 0xDD:  # DRI
             if len(payload) < 2:
@@ -1290,6 +1295,653 @@ def decode_jpeg(content: bytes):
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# -- progressive JPEG (SOF2) --------------------------------------------------
+#
+# Spectral selection + successive approximation per ITU-T T.81 Annex G,
+# the layout large web images actually ship (the r5 verdict's last
+# residual media gap). The encoder is the fixtures/egress twin (like
+# encode_jpeg for baseline); it reuses the IDENTICAL coefficient
+# quantization arithmetic, which is what lets the tests pin progressive
+# decode output bit-equal to baseline decode output for the same input.
+
+
+def _quantized_blocks(plane, q, C):
+    """(bh, bw, 64) zigzag-quantized DCT coefficients of a padded plane
+    — np.round((C @ (block-128) @ C.T) / q), the byte-identical
+    arithmetic of _encode_block, factored so the progressive scan
+    emitters work from the same numbers the baseline writer would."""
+    import numpy as np
+
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            quant = np.round((C @ block @ C.T) / q).astype(np.int64)
+            out[by, bx] = quant.reshape(-1)[_ZIGZAG]
+    return out
+
+
+class _SymCollector:
+    """First pass of the two-pass scan encode: records which Huffman
+    symbols the scan needs (the emitted SEQUENCE is code-independent,
+    so pass two replays it verbatim with real codes)."""
+
+    def __init__(self):
+        self.seen: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.seen.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    def __init__(self, bw: "_BitWriter", codes: dict):
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _scan_table(seen: "set[int]") -> tuple[list[int], list[int]]:
+    """A canonical (BITS, VALS) covering exactly the symbols a scan
+    uses: flat 8-bit codes (9-bit spill only in the impossible-in-
+    practice >255-symbol case) — simple, spec-valid (tree stays
+    incomplete, no all-ones max-length code), and decodable by any
+    reader of DHT segments."""
+    vals = sorted(seen)
+    bits = [0] * 16
+    if len(vals) <= 255:
+        bits[7] = len(vals)
+    else:
+        bits[7] = 254
+        bits[8] = len(vals) - 254
+    return bits, vals
+
+
+def _emit_dc_first(sink, coefs, order, Al, npreds):
+    preds = [0] * npreds
+    for ci, by, bx in order:
+        v = int(coefs[ci][by, bx, 0]) >> Al  # DC point transform: >>
+        diff = v - preds[ci]
+        preds[ci] = v
+        s, mb = _mag_bits(diff)
+        sink.sym(s)
+        sink.bits(mb, s)
+
+
+def _emit_dc_refine(sink, coefs, order, Al):
+    for ci, by, bx in order:
+        sink.bits((int(coefs[ci][by, bx, 0]) >> Al) & 1, 1)
+
+
+def _pt(v: int, Al: int) -> int:
+    """AC point transform: magnitude shift TOWARD ZERO (T.81 G.1.2.2;
+    the DC transform is a plain arithmetic shift instead)."""
+    return (v >> Al) if v >= 0 else -((-v) >> Al)
+
+
+class _EobState:
+    """Pending EOB run + the correction bits deferred behind it (AC
+    refinement buffers history-coefficient bits until the next emitted
+    symbol — T.81 G.1.2.3 / the classic encoder structure)."""
+
+    def __init__(self, sink):
+        self.sink = sink
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        while self.run:
+            chunk = min(self.run, 32767)
+            r = chunk.bit_length() - 1
+            self.sink.sym(r << 4)
+            self.sink.bits(chunk - (1 << r), r)
+            self.run -= chunk
+        for b in self.bits:
+            self.sink.bits(b, 1)
+        self.bits = []
+
+
+def _emit_ac_first(sink, coefs, blocks, Ss, Se, Al):
+    eob = _EobState(sink)
+    for by, bx in blocks:
+        vals = [_pt(int(coefs[by, bx, k]), Al) for k in range(Ss, Se + 1)]
+        last = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last < 0:
+            eob.run += 1
+            if eob.run == 32767:
+                eob.flush()
+            continue
+        eob.flush()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.sym(0xF0)
+                run -= 16
+            s, mb = _mag_bits(v)
+            sink.sym((run << 4) | s)
+            sink.bits(mb, s)
+            run = 0
+        if last < len(vals) - 1:
+            eob.run += 1
+            if eob.run == 32767:
+                eob.flush()
+    eob.flush()
+
+
+def _emit_ac_refine(sink, coefs, blocks, Ss, Se, Al):
+    eob = _EobState(sink)
+    for by, bx in blocks:
+        r = 0
+        br: list[int] = []
+        for k in range(Ss, Se + 1):
+            t = int(coefs[by, bx, k])
+            ta = abs(t) >> Al
+            if ta == 0:
+                r += 1
+                continue
+            # any nonzero first drains oversized zero runs (keeps the
+            # decoder's 16-zero ZRL walk aligned with the bit buffer)
+            while r > 15:
+                eob.flush()
+                sink.sym(0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if ta > 1:  # history coefficient: defer its correction bit
+                br.append(ta & 1)
+                continue
+            eob.flush()  # newly significant: magnitude is exactly 1
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if t > 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eob.run += 1
+            eob.bits.extend(br)
+            if eob.run == 32767:
+                eob.flush()
+    eob.flush()
+
+
+def _dec_dc_first(br, get, put, order, Al, tables, preds):
+    for ci, by, bx in order:
+        s = _huff_decode(br, tables[ci])
+        if s > 11:
+            raise ValueError("JPEG invalid DC size category")
+        diff = _extend(br.read_bits(s), s) if s else 0
+        preds[ci] += diff
+        put(ci, by, bx, 0, preds[ci] << Al)
+
+
+def _dec_dc_refine(br, get, put, order, Al):
+    for ci, by, bx in order:
+        if br.read_bit():
+            put(ci, by, bx, 0, get(ci, by, bx, 0) | (1 << Al))
+
+
+class _AcScanState:
+    def __init__(self):
+        self.eobrun = 0
+
+
+def _dec_ac_first(br, get, put, ci, by, bx, Ss, Se, Al, ac_tbl, st):
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = Ss
+    while k <= Se:
+        sym = _huff_decode(br, ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += br.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("JPEG AC coefficient outside spectral band")
+        put(ci, by, bx, k, _extend(br.read_bits(s), s) << Al)
+        k += 1
+
+
+def _dec_ac_refine(br, get, put, ci, by, bx, Ss, Se, Al, ac_tbl, st):
+    p1 = 1 << Al
+
+    def correct(k: int) -> None:
+        c = get(ci, by, bx, k)
+        if c != 0 and br.read_bit() and (abs(c) & p1) == 0:
+            put(ci, by, bx, k, c + (p1 if c > 0 else -p1))
+
+    k = Ss
+    if st.eobrun == 0:
+        while k <= Se:
+            sym = _huff_decode(br, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.read_bits(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history positions
+            elif s == 1:
+                val = p1 if br.read_bit() else -p1
+            else:
+                raise ValueError("JPEG invalid AC refinement symbol")
+            while k <= Se:
+                c = get(ci, by, bx, k)
+                if c != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k > Se:
+                if val:
+                    raise ValueError("JPEG AC refinement overran band")
+                continue
+            if val:
+                put(ci, by, bx, k, val)
+            k += 1
+    if st.eobrun > 0:
+        while k <= Se:
+            correct(k)
+            k += 1
+        st.eobrun -= 1
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """Progressive (SOF2) JFIF bytes -> uint8 array; the multi-scan
+    sibling of decode_jpeg. Coefficients accumulate across scans
+    (spectral selection bands x successive-approximation bit planes,
+    T.81 Annex G); dequant + IDCT + upsample + color run once at EOI.
+    Supports 1- and 3-component frames with dividing sampling factors,
+    restart intervals, per-scan (re)defined Huffman tables; 12-bit,
+    arithmetic coding and CMYK raise ValueError like the baseline
+    path."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: list | None = None
+    geo: list = []
+
+    def parse_scan(payload: bytes, entry: int) -> int:
+        nonlocal coefs
+        fh, fw, comps = frame
+        ns = payload[0] if payload else 0
+        if len(payload) < 4 + 2 * ns or not (1 <= ns <= len(comps)):
+            raise ValueError("JPEG truncated SOS")
+        scomps = []
+        cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+        for i in range(ns):
+            cid, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+            if cid not in cid_to_ci:
+                raise ValueError("JPEG scan/frame component mismatch")
+            scomps.append((cid_to_ci[cid], tt >> 4, tt & 0x0F))
+        Ss, Se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+        Ah, Al = a >> 4, a & 0x0F
+        if Ss == 0:
+            if Se != 0:
+                raise ValueError("JPEG DC scan with nonzero Se")
+        elif not (Ss <= Se <= 63):
+            raise ValueError("JPEG bad spectral band")
+        elif ns != 1:
+            raise ValueError("JPEG interleaved AC progressive scan")
+
+        def get(ci, by, bx, k):
+            return int(coefs[ci][by, bx, k])
+
+        def put(ci, by, bx, k, v):
+            coefs[ci][by, bx, k] = v
+
+        br = _BitReader(b, entry)
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-fw // (8 * hmax))
+        mcuy = -(-fh // (8 * vmax))
+        if Ss == 0 and ns > 1:
+            # interleaved DC scan: frame MCU walk over the scan's comps
+            units = []
+            for m in range(mcuy * mcux):
+                my, mx = divmod(m, mcux)
+                unit = []
+                for ci, td, _ in scomps:
+                    hi, vi = comps[ci][1], comps[ci][2]
+                    for v in range(vi):
+                        for hb in range(hi):
+                            unit.append((ci, my * vi + v, mx * hi + hb))
+                units.append(unit)
+        else:
+            ci = scomps[0][0]
+            _, _, bh, bw_ = geo[ci]
+            units = [
+                [(ci, by, bx)] for by in range(bh) for bx in range(bw_)
+            ]
+        if Ss == 0 and Ah == 0:
+            tables = {}
+            for ci, td, _ in scomps:
+                if (0, td) not in huff:
+                    raise ValueError("JPEG scan references undefined DC table")
+                tables[ci] = huff[(0, td)]
+        elif Ss > 0:
+            ta = scomps[0][2]
+            if (1, ta) not in huff:
+                raise ValueError("JPEG scan references undefined AC table")
+            ac_tbl = huff[(1, ta)]
+        preds = [0] * len(comps)
+        st = _AcScanState()
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                if not br.at_restart():
+                    raise ValueError("JPEG missing expected RST marker")
+                br.skip_restart()
+                preds = [0] * len(comps)
+                st.eobrun = 0
+            if Ss == 0 and Ah == 0:
+                _dec_dc_first(br, get, put, unit, Al, tables, preds)
+            elif Ss == 0:
+                _dec_dc_refine(br, get, put, unit, Al)
+            else:
+                ci, by, bx = unit[0]
+                dec = _dec_ac_refine if Ah else _dec_ac_first
+                dec(br, get, put, ci, by, bx, Ss, Se, Al, ac_tbl, st)
+        # realign to the next marker after the entropy data
+        p = br.pos
+        while p + 1 < len(b):
+            if b[p] == 0xFF and b[p + 1] != 0x00:
+                if 0xD0 <= b[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        raise ValueError("JPEG entropy data missing terminating marker")
+
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(b):
+            raise ValueError("JPEG truncated segment")
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(b):
+            raise ValueError("JPEG truncated segment")
+        payload = b[pos + 4 : pos + 2 + seglen]
+        entry = pos + 2 + seglen
+        pos = entry
+        if marker == 0xDB:
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG (16-bit quant table)")
+                if off + 65 > len(payload):
+                    raise ValueError("JPEG truncated DQT")
+                zz = np.frombuffer(payload, dtype=np.uint8, count=64, offset=off + 1)
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                if off + 17 > len(payload):
+                    raise ValueError("JPEG truncated DHT")
+                bits = list(payload[off + 1 : off + 17])
+                n = sum(bits)
+                if off + 17 + n > len(payload):
+                    raise ValueError("JPEG truncated DHT values")
+                vals = list(payload[off + 17 : off + 17 + n])
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + n
+        elif marker == 0xC2:
+            if len(payload) < 6:
+                raise ValueError("JPEG truncated SOF2")
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG (12-bit precision)")
+            if ncomp not in (1, 3):
+                raise ValueError("unsupported JPEG (CMYK/unknown component count)")
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("JPEG truncated SOF2 components")
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG empty frame")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            coefs, geo = [], []
+            for cid, hi, vi, tq in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise ValueError(
+                        "unsupported JPEG (non-dividing sampling factors)"
+                    )
+                coefs.append(
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                )
+                ch = -(-(fh * vi) // vmax)
+                cw = -(-(fw * hi) // hmax)
+                geo.append((hi, vi, -(-ch // 8), -(-cw // 8)))
+            frame = (fh, fw, comps)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "unsupported JPEG (mixed/other SOF in progressive stream)"
+            )
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG truncated DRI")
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            pos = parse_scan(payload, entry)
+        # APPn/COM: skipped
+    if frame is None or coefs is None:
+        raise ValueError("JPEG missing SOF2/SOS")
+
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    C = _dct_matrix()
+    full = []
+    for (cid, hi, vi, tq), cf in zip(comps, coefs):
+        if tq not in qtables:
+            raise ValueError("JPEG component references undefined quant table")
+        q = qtables[tq]
+        bh, bw_ = cf.shape[:2]
+        plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw_):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = cf[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ (coef.reshape(8, 8) * q) @ C
+                )
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(up[:fh, :fw] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def encode_jpeg_progressive(arr, subsampling: str = "444") -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 -> PROGRESSIVE (SOF2)
+    JFIF bytes.
+
+    Scan script exercises every progressive mechanism: interleaved DC
+    first pass (Al=1), per-component AC spectral bands 1-5 and 6-63
+    (Al=1, with EOB runs), then DC refinement and both AC refinement
+    bands (Ah=1 -> Al=0). Annex K quantization — identical coefficient
+    math to encode_jpeg, so both layouts decode to identical pixels.
+    AC scans carry per-scan flat custom Huffman tables (Annex K's AC
+    tables lack the EOBn symbols progressive scans need)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    color = a.ndim == 3
+    if a.size == 0 or a.ndim not in (2, 3) or (color and a.shape[2] != 3):
+        raise ValueError(
+            "encode_jpeg_progressive takes (H, W) grayscale or (H, W, 3) RGB"
+        )
+    h, w = a.shape[:2]
+    C = _dct_matrix()
+    qlum = np.array(_QTBL_LUM, dtype=np.float64).reshape(8, 8)
+    qchr = np.array(_QTBL_CHROM, dtype=np.float64).reshape(8, 8)
+
+    if not color:
+        comps = [(a.astype(np.float64), 1, 1, qlum)]
+    else:
+        if subsampling not in ("444", "420"):
+            raise ValueError("subsampling must be '444' or '420'")
+        y, cb, cr = _rgb_to_ycbcr(a.astype(np.float64))
+        if subsampling == "420":
+            ph2, pw2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            cb = cbp.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+            y_hv = (2, 2)
+        else:
+            y_hv = (1, 1)
+        comps = [
+            (y, y_hv[0], y_hv[1], qlum),
+            (cb, 1, 1, qchr),
+            (cr, 1, 1, qchr),
+        ]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    geo = []  # (hi, vi, true blocks_y, true blocks_x)
+    for plane, hi, vi, q in comps:
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        coefs.append(_quantized_blocks(p, q, C))
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        geo.append((hi, vi, -(-ch // 8), -(-cw // 8)))
+
+    dc_order = [
+        (ci, my * vi + v, mx * hi + hb)
+        for m in range(mcuy * mcux)
+        for my, mx in [divmod(m, mcux)]
+        for ci, (hi, vi, _, _) in enumerate(geo)
+        for v in range(vi)
+        for hb in range(hi)
+    ]
+    comp_blocks = [
+        [(by, bx) for by in range(bh) for bx in range(bw_)]
+        for _, _, bh, bw_ in geo
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def zz_bytes(q) -> bytes:
+        flat = q.reshape(-1)
+        return bytes(int(flat[i]) for i in _ZIGZAG)
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_bytes(qlum))
+    if color:
+        out += seg(0xFFDB, b"\x01" + zz_bytes(qchr))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, (hi, vi, _, _) in enumerate(geo):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+
+    def dc_scan(Ah: int, Al: int) -> bytes:
+        bw = _BitWriter()
+        if Ah == 0:
+            dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+            _emit_dc_first(
+                _ScanWriter(bw, dc_codes), coefs, dc_order, Al, len(comps)
+            )
+        else:
+            _emit_dc_refine(_ScanWriter(bw, None), coefs, dc_order, Al)
+        bw.flush()
+        sos = bytes([len(comps)])
+        for ci in range(len(comps)):
+            sos += bytes([ci + 1, 0x00])  # every comp uses DC table 0
+        sos += bytes([0, 0, (Ah << 4) | Al])
+        return seg(0xFFDA, sos) + bytes(bw.out)
+
+    def ac_scan(ci: int, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        emitter = _emit_ac_refine if Ah else _emit_ac_first
+        col = _SymCollector()
+        emitter(col, coefs[ci], comp_blocks[ci], Ss, Se, Al)
+        bits, vals = _scan_table(col.seen)
+        bw = _BitWriter()
+        emitter(
+            _ScanWriter(bw, _canonical_codes(bits, vals)),
+            coefs[ci], comp_blocks[ci], Ss, Se, Al,
+        )
+        bw.flush()
+        dht = seg(0xFFC4, b"\x10" + bytes(bits) + bytes(vals))  # AC id 0
+        sos = bytes([1, ci + 1, 0x00]) + bytes([Ss, Se, (Ah << 4) | Al])
+        return dht + seg(0xFFDA, sos) + bytes(bw.out)
+
+    out += dc_scan(0, 1)
+    for ci in range(len(comps)):
+        out += ac_scan(ci, 1, 5, 0, 1)
+        out += ac_scan(ci, 6, 63, 0, 1)
+    out += dc_scan(1, 0)
+    for ci in range(len(comps)):
+        out += ac_scan(ci, 1, 5, 1, 0)
+        out += ac_scan(ci, 6, 63, 1, 0)
+    return out + b"\xff\xd9"
 
 
 _JPEG_SIG = b"\xff\xd8"
