@@ -131,6 +131,7 @@ HEADLINE_R6 = [
     "q_epoch_shuffle",
     "q_count_min",
     "q_hll_replay",
+    "q_url_canon",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

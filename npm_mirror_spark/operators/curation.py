@@ -404,6 +404,51 @@ def url_host(col: Column | str) -> Column:
     return F.regexp_extract(F.lower(c), _HOST_PATTERN, 1)
 
 
+# Tracking query parameters every web-corpus canonicalizer strips (the
+# C4/CC-index convention): analytics decorations that fragment one page
+# into many "distinct" URLs and defeat URL-level dedup.
+_TRACKING_PARAM = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)"
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL for URL-level dedup / frontier keys:
+
+    - scheme and host lowercased (path/query case preserved — it is
+      significant on most servers);
+    - fragment stripped (never sent to the server);
+    - default ports removed (http:80, https:443);
+    - tracking query parameters stripped (``_TRACKING_PARAM``), with
+      separator cleanup so no dangling ``?``/``&`` survives;
+    - bare authority gets the canonical "/" path.
+
+    Pure JVM expression chain in the Java-regex/RE2 common subset, so
+    the DuckDB oracle replays every step verbatim (the redact_pii
+    pattern-sharing discipline). Query-parameter ORDER is preserved:
+    reordering changes semantics on some endpoints, so sorting is a
+    policy decision left to callers. Non-URL strings pass through
+    lowercased-scheme-less and untouched otherwise.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.trim(c)
+    # 1. drop the fragment
+    u = F.regexp_replace(u, r"#.*", "")
+    # 2. lowercase scheme://host[:port] (group 1), keep the rest as-is
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
+    u = F.when(head == "", u).otherwise(F.concat(F.lower(head), tail))
+    # 3. strip default ports (no lookahead — RE2/DuckDB replays this)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#].*)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#].*)", r"$1$2")
+    # 4. strip tracking params: '&'-prefixed first, then a leading '?'
+    #    occurrence (promoting the next param onto the '?')
+    u = F.regexp_replace(u, r"&" + _TRACKING_PARAM + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&#]*$", "")
+    # 5. bare authority -> canonical '/'
+    u = F.regexp_replace(u, r"^([A-Za-z][a-z0-9+.\-]*://[^/?#]+)$", r"$1/")
+    return u
+
+
 def filter_blocked_hosts(
     df: DataFrame,
     blocked: DataFrame,

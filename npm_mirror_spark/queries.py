@@ -3212,6 +3212,39 @@ def q_hll_replay(spark, sf_dir):
     )
 
 
+_MESSY_URL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN concat('HTTPS://Docs.', source, '.Example.COM:443/Page/',
+                     CAST(doc_id AS STRING), '?utm_source=feed&id=',
+                     CAST(doc_id AS STRING), '#sec2')
+  WHEN 1 THEN concat('http://', source, '.example.com:80/a/b?x=1&utm_campaign=z&y=2')
+  WHEN 2 THEN concat('https://cdn.', source, '.example.com/img/',
+                     CAST(doc_id AS STRING), '?fbclid=abc&gclid=def')
+  WHEN 3 THEN concat('HTTP://', source, '.EXAMPLE.com')
+  ELSE concat('https://www.', source, '.example.com/Mixed/Case/Path?a=1&b=2')
+END"""
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization for URL-level dedup / frontier keys
+    (operators/curation.py:canonicalize_url): lowercased scheme+host,
+    fragment gone, default ports gone, tracking params (utm_*/fbclid/
+    gclid/...) stripped with clean separators, bare authority -> '/',
+    path case PRESERVED. Messy URLs are synthesized deterministically
+    from doc_id (5 templates covering every rule); the whole chain is
+    Java-regex/RE2-common-subset JVM expressions, zero shuffle, and the
+    oracle replays each regex verbatim (the redact_pii discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select("doc_id", F.expr(_MESSY_URL).alias("url"))
+    canon = cur_ops.canonicalize_url("url")
+    return messy.select(
+        "doc_id",
+        "url",
+        canon.alias("canon_url"),
+        cur_ops.url_host(canon).alias("host"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3387,6 +3420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_epoch_shuffle": q_epoch_shuffle,
     "q_count_min": q_count_min,
     "q_hll_replay": q_hll_replay,
+    "q_url_canon": q_url_canon,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5416,4 +5450,41 @@ SELECT 256 AS m,
          / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE)
         - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
 FROM folded CROSS JOIN exact
+"""
+
+# q_url_canon: the canonicalization regex chain replayed step-for-step
+# (DuckDB RE2: 'g' flag for replace-all, \\1 backrefs; patterns are the
+# Java/RE2 common subset by construction — no lookaround).
+_DUCK_MESSY_URL = _MESSY_URL.replace("AS STRING", "AS VARCHAR").replace(
+    "AS INT", "AS INTEGER"
+)
+_TRK = "(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)"
+ORACLES["q_url_canon"] = f"""
+WITH m AS (SELECT doc_id, {_DUCK_MESSY_URL} AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM m),
+s2 AS (SELECT doc_id, url,
+         CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) = ''
+              THEN u
+              ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+                   || substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)) + 1)
+         END AS u
+       FROM s1),
+s3 AS (SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(u, '^(http://[^/:?#]+):80($|[/?#].*)', '\\1\\2', 'g'),
+           '^(https://[^/:?#]+):443($|[/?#].*)', '\\1\\2', 'g') AS u
+       FROM s2),
+s4 AS (SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(u, '&{_TRK}=[^&#]*', '', 'g'),
+             '\\?{_TRK}=[^&#]*&', '?', 'g'),
+           '\\?{_TRK}=[^&#]*$', '', 'g') AS u
+       FROM s3),
+s5 AS (SELECT doc_id, url,
+         regexp_replace(u, '^([A-Za-z][a-z0-9+.\\-]*://[^/?#]+)$', '\\1/', 'g') AS u
+       FROM s4)
+SELECT doc_id, url, u AS canon_url,
+       regexp_extract(lower(u), '^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+FROM s5
 """

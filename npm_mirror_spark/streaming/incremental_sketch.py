@@ -1,0 +1,103 @@
+"""Streaming sketch maintenance — the continuous-ingest face of
+operators/sketches.py (Count-Min and HyperLogLog).
+
+Mergeable sketches ARE streaming state: a micro-batch's sketch folds
+into the running sketch cell-wise (+ for CMS counts, max for HLL
+ranks), and because both operators use exact integer arithmetic with
+seeded md5 hashes, the streamed state after any drain is BIT-EQUAL to
+the batch sketch of everything ingested so far — split-invariance the
+tests pin exactly (the same discipline as StreamingKMeans, which this
+module mirrors structurally).
+
+Per micro-batch: one bounded-output aggregation job (depth x width /
+2^p rows to the driver-held dict), nothing corpus-sized retained.
+State is checkpointable as plain (r, b, c) / (idx, mreg) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from npm_mirror_spark.operators.sketches import (
+    count_min_estimate,
+    count_min_sketch,
+    hll_estimate,
+    hll_registers,
+)
+
+
+class StreamingCountMin:
+    """Running Count-Min over a stream of keys.
+
+    After any number of ``update_batch`` calls, ``cells`` equals the
+    batch ``count_min_sketch`` of the concatenated input exactly."""
+
+    def __init__(self, key_col: str, depth: int = 4, width: int = 64):
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+        self.cells: dict[tuple[int, int], int] = {}
+        self.n_batches = 0
+
+    def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        rows = count_min_sketch(
+            batch_df, self.key_col, self.depth, self.width
+        ).collect()
+        for r in rows:
+            key = (r["r"], r["b"])
+            self.cells[key] = self.cells.get(key, 0) + r["c"]
+        self.n_batches += 1
+
+    def sketch_df(self, spark) -> DataFrame:
+        rows = [(r, b, c) for (r, b), c in sorted(self.cells.items())]
+        return spark.createDataFrame(rows or [], "r int, b int, c long")
+
+    def estimate(self, probes: DataFrame) -> DataFrame:
+        return count_min_estimate(
+            self.sketch_df(probes.sparkSession),
+            probes,
+            self.key_col,
+            self.depth,
+            self.width,
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.update_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+
+
+class StreamingCardinality:
+    """Running HyperLogLog distinct-count over a stream of keys.
+
+    Register merge is cell-wise max, so the state is insensitive to
+    duplication ACROSS batches too — re-delivered keys (at-least-once
+    sources) cannot inflate the estimate, which is exactly why HLL, not
+    a counter, is the streaming distinct gauge."""
+
+    def __init__(self, key_col: str, p: int = 8):
+        self.key_col = key_col
+        self.p = p
+        self.regs: dict[int, int] = {}
+        self.n_batches = 0
+
+    def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        rows = hll_registers(batch_df, self.key_col, self.p).collect()
+        for r in rows:
+            if r["mreg"] > self.regs.get(r["idx"], 0):
+                self.regs[r["idx"]] = r["mreg"]
+        self.n_batches += 1
+
+    def registers_df(self, spark) -> DataFrame:
+        rows = sorted(self.regs.items())
+        return spark.createDataFrame(rows or [], "idx int, mreg int")
+
+    def estimate(self, spark) -> DataFrame:
+        return hll_estimate(self.registers_df(spark), self.p)
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.update_batch)
+            .option("checkpointLocation", checkpoint)
+        )

@@ -275,3 +275,54 @@ def test_contamination_report_matches_brute_force(spark):
         m = len(g & corpus_grams)
         assert got[bid] == (len(g), m, m / len(g)), bid
     assert got[12][2] == 1.0 and got[11][2] == 0.0
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """Rules the synthesized q_url_canon templates can't all reach:
+    multiple adjacent tracking params, tracking-only query, no-scheme
+    passthrough, non-default ports kept, userinfo kept."""
+    cases = {
+        # every param tracked -> query gone entirely
+        "https://a.com/p?utm_a=1&utm_b=2&gclid=x": "https://a.com/p",
+        # adjacent tracked params at the front promote the survivor
+        "https://a.com/p?utm_a=1&utm_b=2&keep=3": "https://a.com/p?keep=3",
+        # non-default port survives; https:80 is NOT a default
+        "https://A.com:80/x": "https://a.com:80/x",
+        "http://a.com:8080/x?utm_x=1": "http://a.com:8080/x",
+        # fragment-only difference collapses
+        "http://a.com/x#one": "http://a.com/x",
+        "http://a.com/x#two": "http://a.com/x",
+        # no scheme: untouched (not a URL this canonicalizer claims)
+        "not a url at all": "not a url at all",
+        # userinfo is part of the authority and survives (lowercased
+        # with it — it is rare enough that policy beats cleverness)
+        "http://User@A.com/x": "http://user@a.com/x",
+        # bare authority gains the canonical slash, with port stripped
+        "HTTP://A.com:80": "http://a.com/",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases.items())],
+        "i long, url string",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", cur.canonicalize_url("url").alias("c")).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_canonicalize_url_enables_url_dedup(spark):
+    """The point of the operator: tracking-decorated variants of one
+    page collapse to a single canonical key."""
+    variants = [
+        "https://Site.com/page?utm_source=a",
+        "https://site.com:443/page?utm_medium=b",
+        "https://site.com/page#frag",
+        "https://site.com/page",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    n = df.select(cur.canonicalize_url("url").alias("c")).distinct().count()
+    assert n == 1
