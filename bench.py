@@ -132,6 +132,8 @@ HEADLINE_R6 = [
     "q_count_min",
     "q_hll_replay",
     "q_url_canon",
+    "q_split_assign",
+    "q_token_budget",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

@@ -382,6 +382,98 @@ def temperature_mix(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 90), ("val", 5), ("test", 5)),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column.
+
+    ``splits`` is an ordered tuple of (name, integer weight); the
+    bucket is md5(seed ':' id) mod sum(weights) — EXACT integer
+    thresholds (no float fraction ambiguity), engine-portable (the
+    oracle replays the same hash), seedable (a new seed is a fresh
+    independent assignment), and membership is a pure function of the
+    id: adding documents later never moves an existing document across
+    splits — the property that keeps eval sets stable as the corpus
+    grows.  Zero shuffle: one map-side expression.
+    """
+    denom = sum(w for _, w in splits)
+    if denom <= 0 or any(w < 0 for _, w in splits):
+        raise ValueError("split weights must be non-negative, sum > 0")
+    key = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(int(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(denom),
+    )
+    expr = None
+    acc = 0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = key < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def token_budget_select(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assemble a corpus slice under a PER-GROUP token budget: within
+    each ``group_col`` partition, documents take a deterministic
+    md5(seed ':' id) priority order and survive while the running
+    token total (inclusive) stays <= ``budget``.
+
+    The standard "give me N tokens per source" corpus-assembly step:
+    deterministic (re-runs pick the identical slice; a seed change is a
+    fresh independent draw) and never overshoots the budget.  One
+    (group) shuffle + per-group window — the same per-shard prefix-sum
+    shape as pack_sequences; a GLOBAL budget should be expressed as
+    per-group budgets (budget/n_groups) rather than a single-partition
+    window.  Output adds ``cum_tokens`` (inclusive running total).
+    """
+    from pyspark.sql import Window
+
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(int(seed)), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+        .where(F.col("cum_tokens") <= F.lit(int(budget)))
+    )
+
+
 # -- Domain-level filtering ----------------------------------------------------
 #
 # Web-corpus curation's first gate (C4/RefinedWeb/Dolma all start here):

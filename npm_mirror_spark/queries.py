@@ -3245,6 +3245,35 @@ def q_url_canon(spark, sf_dir):
     )
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split with exact integer thresholds
+    (operators/curation.py:split_assign): md5(seed:id) mod 100 buckets
+    90/5/5, membership a pure function of the id so later corpus growth
+    never moves a document across splits. Zero shuffle (assignment) +
+    one count rollup so the oracle pins the split SIZES too."""
+    d = _t(spark, sf_dir, "documents")
+    assigned = cur_ops.split_assign(d, "doc_id", seed=1)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source token-budget corpus assembly
+    (operators/curation.py:token_budget_select): within each source,
+    docs take a deterministic md5-priority order and survive while the
+    inclusive running whitespace-token total stays <= 3000 — the "N
+    tokens per source" slice, reproducible across runs. One (source)
+    shuffle + per-group window (the pack_sequences prefix-sum shape)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text_ops.ws_token_count("text")
+    )
+    return cur_ops.token_budget_select(
+        d, "n_tokens", 3000, "source", "doc_id", seed=2
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3421,6 +3450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_min": q_count_min,
     "q_hll_replay": q_hll_replay,
     "q_url_canon": q_url_canon,
+    "q_split_assign": q_split_assign,
+    "q_token_budget": q_token_budget,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5487,4 +5518,30 @@ s5 AS (SELECT doc_id, url,
 SELECT doc_id, url, u AS canon_url,
        regexp_extract(lower(u), '^[a-z][a-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
 FROM s5
+"""
+
+# q_split_assign / q_token_budget: md5 bucket arithmetic replayed exactly
+# (same 15-hex-char int64 base as epoch_shuffle).
+ORACLES["q_split_assign"] = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+  FROM documents)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM k GROUP BY 1
+"""
+
+ORACLES["q_token_budget"] = f"""
+WITH t AS (SELECT doc_id, source, len(str_split({_NORM}, ' ')) AS n_tokens FROM documents),
+k AS (SELECT *,
+        ('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+      FROM t),
+c AS (SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM k)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 3000
 """

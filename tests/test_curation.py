@@ -326,3 +326,47 @@ def test_canonicalize_url_enables_url_dedup(spark):
     df = spark.createDataFrame([(u,) for u in variants], "url string")
     n = df.select(cur.canonicalize_url("url").alias("c")).distinct().count()
     assert n == 1
+
+
+def test_split_assign_stability_and_exhaustiveness(spark):
+    """Membership is a pure function of the id: growing the corpus must
+    not move an existing doc across splits; every doc gets exactly one
+    split; weights hold approximately at scale."""
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in cur.split_assign(small, "doc_id", seed=3).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in cur.split_assign(big, "doc_id", seed=3).collect()}
+    assert all(b[k] == v for k, v in a.items()), "growth moved a doc"
+    assert set(b.values()) == {"train", "val", "test"}
+    frac_train = sum(1 for v in b.values() if v == "train") / len(b)
+    assert 0.85 < frac_train < 0.95
+    # a different seed is a genuinely different assignment
+    c = {r["doc_id"]: r["split"]
+         for r in cur.split_assign(big, "doc_id", seed=4).collect()}
+    assert any(c[k] != b[k] for k in b)
+    import pytest
+
+    with pytest.raises(ValueError, match="non-negative"):
+        cur.split_assign(small, "doc_id", splits=(("a", -1), ("b", 2)))
+
+
+def test_token_budget_never_overshoots_and_is_deterministic(spark):
+    rows = [(i, f"s{i % 3}", 100 + (i % 7) * 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = cur.token_budget_select(df, "n_tokens", 800, "source").collect()
+    by_src: dict[str, int] = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_tokens"]
+        assert r["cum_tokens"] <= 800
+    assert set(by_src) == {"s0", "s1", "s2"}
+    assert all(v <= 800 for v in by_src.values())
+    again = cur.token_budget_select(df, "n_tokens", 800, "source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a doc bigger than the whole budget can never sneak in
+    huge = spark.createDataFrame(
+        [(1, "x", 900), (2, "x", 100)], "doc_id long, source string, n_tokens int"
+    )
+    kept = cur.token_budget_select(huge, "n_tokens", 800, "source").collect()
+    assert [r["doc_id"] for r in kept] in ([2], []), "900-token doc must not pass"
