@@ -134,6 +134,7 @@ HEADLINE_R6 = [
     "q_url_canon",
     "q_split_assign",
     "q_token_budget",
+    "q_cut_contaminated",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

@@ -136,6 +136,89 @@ def contamination_report(
     )
 
 
+def cut_contaminated_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level decontamination — the surgical sibling of
+    :func:`decontaminate`: instead of killing every document that
+    shares an n-gram with the benchmark, rebuild its text with the
+    benchmark-overlapping SPANS deleted.  The right tool for long
+    documents that merely QUOTE an eval item (dropping them wholesale
+    wastes tokens; keeping them leaks the answer key).
+
+    Same span machinery as operators/dedup.py::cut_dup_spans (islands
+    of covered token positions, merged when gaps < n, rebuilt with one
+    in-row higher-order filter), with the cut condition swapped: a
+    token is cut iff some n-gram covering it appears in the benchmark
+    vocabulary.  Scale shape: the bench gram vocabulary BROADCASTS
+    (bounded by the suite), corpus gram positions filter map-side
+    through it, the per-doc island window sees only HIT positions
+    (bounded by bench overlap, normally tiny), and bodies move exactly
+    once for the rebuild join.  Returns (id, text, clean_text,
+    n_tokens, kept_tokens).
+    """
+    from pyspark.sql import Window
+
+    from npm_mirror_spark.operators.dedup import normalize_text, word_shingles
+
+    words = F.split(normalize_text(text_col), " ")
+    bench_sh = benchmark_shingles(bench, text_col, n)
+    base = corpus.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.posexplode(word_shingles(text_col, n)).alias("pos", "shingle"),
+    )
+    cut_pos = base.join(F.broadcast(bench_sh), "shingle", "left_semi").select(
+        id_col, "n_tokens", "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = cut_pos.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranges = (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.least(
+                F.max("pos") + F.lit(n - 1), F.first("n_tokens") - F.lit(1)
+            ).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__ranges"))
+    )
+    kept = F.filter(
+        words,
+        lambda x, i: ~F.exists(
+            F.col("__ranges"), lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    return (
+        corpus.join(ranges, id_col, "left")
+        .withColumn("__ranges", F.coalesce("__ranges", F.array()))
+        .select(
+            id_col,
+            F.col(text_col).alias("text"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(words).alias("n_tokens"),
+            F.size(kept).alias("kept_tokens"),
+        )
+    )
+
+
 # -- epoch shuffling ----------------------------------------------------------
 
 

@@ -3274,6 +3274,21 @@ def q_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_cut_contaminated(spark, sf_dir):
+    """Span-level decontamination
+    (operators/curation.py:cut_contaminated_spans): benchmark-
+    overlapping 5-gram spans are DELETED from corpus documents instead
+    of the whole doc dying (q_decontaminate's boolean gate) — the
+    surgical treatment for long docs that merely quote an eval item.
+    Bench vocabulary broadcasts; per-doc island windows see only hit
+    positions; bodies move once. Same bench split as q_decontaminate
+    (every 20th doc plays the benchmark)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return cur_ops.cut_contaminated_spans(corpus, bench, "text", "doc_id", 5)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3452,6 +3467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canon": q_url_canon,
     "q_split_assign": q_split_assign,
     "q_token_budget": q_token_budget,
+    "q_cut_contaminated": q_cut_contaminated,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5544,4 +5560,41 @@ c AS (SELECT doc_id, source, n_tokens,
       FROM k)
 SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 3000
+"""
+
+# q_cut_contaminated: the cut_dup_spans island/rebuild replay with the
+# cut condition swapped to bench-vocabulary membership.
+ORACLES["q_cut_contaminated"] = f"""
+WITH {_shingles_sql("documents", 5).replace("sh AS", "g0 AS")},
+g AS (SELECT g0.doc_id, len(w.w) AS n_tokens, g0.shingles AS grams
+      FROM g0 JOIN w ON g0.doc_id = w.doc_id),
+ex AS (SELECT doc_id, n_tokens, generate_subscripts(grams, 1) - 1 AS pos,
+              unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0),
+bv AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+cp AS (SELECT e.doc_id, e.n_tokens, e.pos FROM ex e JOIN bv USING (gram)),
+isl AS (SELECT doc_id, n_tokens, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+             THEN 1 ELSE 0 END AS nw FROM cp),
+isl2 AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island FROM isl),
+rg AS (SELECT doc_id, island, min(pos) AS s,
+              least(max(pos) + 4, any_value(n_tokens) - 1) AS e
+       FROM isl2 GROUP BY doc_id, island),
+tok AS (SELECT doc_id, len(w) AS n_tokens,
+               generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS token
+        FROM w WHERE doc_id % 20 <> 0),
+keptt AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+          WHERE NOT EXISTS (SELECT 1 FROM rg r
+                            WHERE r.doc_id = t.doc_id
+                              AND t.pos BETWEEN r.s AND r.e)),
+agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS kept FROM keptt GROUP BY doc_id)
+SELECT d.doc_id, d.text, coalesce(a.clean_text, '') AS clean_text,
+       t0.n_tokens, CAST(coalesce(a.kept, 0) AS INTEGER) AS kept_tokens
+FROM documents d
+JOIN (SELECT DISTINCT doc_id, n_tokens FROM tok) t0 ON d.doc_id = t0.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+WHERE d.doc_id % 20 <> 0
 """

@@ -370,3 +370,42 @@ def test_token_budget_never_overshoots_and_is_deterministic(spark):
     )
     kept = cur.token_budget_select(huge, "n_tokens", 800, "source").collect()
     assert [r["doc_id"] for r in kept] in ([2], []), "900-token doc must not pass"
+
+
+def test_cut_contaminated_spans_is_surgical(spark):
+    """A doc QUOTING a benchmark item loses exactly the quoted span
+    (plus the n-gram halo) and keeps its own prose — where the boolean
+    decontaminate gate would kill the whole doc; a clean doc passes
+    through byte-identical."""
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "my essay notes that the capital of france is paris "
+                "which everyone should already know by now"),
+            (2, "completely original thoughts about distributed systems"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cur.cut_contaminated_spans(corpus, bench, n=3).collect()
+    }
+    # clean doc: untouched
+    assert got[2]["clean_text"] == corpus.collect()[1]["text"]
+    assert got[2]["kept_tokens"] == got[2]["n_tokens"]
+    # quoting doc: quote gone, prose (outside the n-gram halo) kept
+    clean = got[1]["clean_text"]
+    assert "capital of france" not in clean
+    assert "my essay" in clean
+    assert "know by now" in clean
+    assert 0 < got[1]["kept_tokens"] < got[1]["n_tokens"]
+    # the boolean gate would have killed doc 1 entirely — the span cut
+    # retains most of it
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in cur.decontaminate(corpus, bench, "text", "doc_id", 3).collect()
+    }
+    assert flags[1] is True and flags[2] is False
+    assert got[1]["kept_tokens"] >= got[1]["n_tokens"] // 2
