@@ -361,3 +361,58 @@ def test_no_unbounded_loop_join_anywhere_in_registry(spark, sf_dir):
             bnlj.append(name)
     assert cart == [], f"cartesian products in: {cart}"
     assert bnlj == [], f"unjustified BroadcastNestedLoopJoin in: {bnlj}"
+
+
+def test_epoch_shuffle_windows_on_shard_key(q):
+    """epoch_shuffle's position window must be PARTITIONED BY the shard
+    key (parallel per-shard sorts — the shard-writer plan), never an
+    unpartitioned global sort."""
+    import re
+
+    text = plans.explain_str(q("q_epoch_shuffle"), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, "expected a window in the epoch_shuffle plan"
+    for spec in specs:
+        assert spec.lstrip().startswith("shard"), (
+            f"window not partitioned by shard: {spec}"
+        )
+
+
+def test_contamination_report_broadcasts_bench_vocab(q):
+    """The corpus side must reach the bench vocabulary via broadcast
+    joins (map-side semi + the hit attach) — corpus-sized rows never
+    shuffle for the match itself."""
+    df = q("q_contamination_report")
+    assert plans.has_broadcast_join(df)
+    text = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in text and "LeftSemi" in text
+
+
+def test_cut_contaminated_broadcasts_bench_vocab(q):
+    df = q("q_cut_contaminated")
+    text = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in text and "LeftSemi" in text
+
+
+def test_token_budget_windows_on_group_key(q):
+    import re
+
+    text = plans.explain_str(q("q_token_budget"), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs and all(s.lstrip().startswith("source") for s in specs)
+
+
+def test_split_assign_is_shuffle_free_before_rollup(spark, sf_dir):
+    """The assignment itself is a map-side expression: the only
+    exchange in the q_split_assign plan is the final split rollup."""
+    assert plans.shuffle_count(QUERIES["q_split_assign"](spark, sf_dir)) <= 1
+
+
+def test_hll_registers_single_bounded_shuffle(spark, sf_dir):
+    from npm_mirror_spark.operators.sketches import hll_registers
+    from npm_mirror_spark.tables import load_table
+
+    regs = hll_registers(load_table(spark, sf_dir, "orders"), "o_custkey")
+    assert plans.shuffle_count(regs) == 1
+    text = plans.explain_str(regs, "simple")
+    assert "partial_max" in text  # map-side combine = mergeable sketch
