@@ -532,9 +532,18 @@ def token_budget_select(
     shape as pack_sequences; a GLOBAL budget should be expressed as
     per-group budgets (budget/n_groups) rather than a single-partition
     window.  Output adds ``cum_tokens`` (inclusive running total).
+
+    Documents individually larger than the budget are dropped BEFORE
+    the prefix (map-side filter): they can never fit, and leaving them
+    in would let one huge early-priority doc consume the running total
+    and block an entire group.  The survivors still follow strict
+    prefix semantics — a doc that doesn't fit the REMAINING budget ends
+    its group's intake (first-fit repacking would break the
+    "deterministic priority prefix" contract).
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(token_col) <= F.lit(int(budget)))
     key = F.conv(
         F.substring(
             F.md5(

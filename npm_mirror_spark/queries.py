@@ -5550,7 +5550,8 @@ FROM k GROUP BY 1
 """
 
 ORACLES["q_token_budget"] = f"""
-WITH t AS (SELECT doc_id, source, len(str_split({_NORM}, ' ')) AS n_tokens FROM documents),
+WITH t AS (SELECT doc_id, source, len(str_split({_NORM}, ' ')) AS n_tokens FROM documents
+           WHERE len(str_split({_NORM}, ' ')) <= 3000),
 k AS (SELECT *,
         ('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
       FROM t),

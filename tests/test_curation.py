@@ -369,7 +369,9 @@ def test_token_budget_never_overshoots_and_is_deterministic(spark):
         [(1, "x", 900), (2, "x", 100)], "doc_id long, source string, n_tokens int"
     )
     kept = cur.token_budget_select(huge, "n_tokens", 800, "source").collect()
-    assert [r["doc_id"] for r in kept] in ([2], []), "900-token doc must not pass"
+    # the oversize doc is dropped BEFORE the prefix, so it cannot block
+    # the group: doc 2 always survives
+    assert [r["doc_id"] for r in kept] == [2]
 
 
 def test_cut_contaminated_spans_is_surgical(spark):
