@@ -189,6 +189,7 @@ def _with_prior_sums(
     sum_cols: tuple[str, ...],
     descending: bool = False,
     n_buckets: int = 1024,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed prefix sums over the distinct-score axis — the
     two-level cumulative that replaces an ungrouped ``Window.orderBy``
@@ -212,14 +213,21 @@ def _with_prior_sums(
     Value-range bucketing can skew if distinct scores concentrate in a
     narrow band, but the worst case degrades to the old single-window
     shape, never below it.
+
+    ``stats``: optional pre-built 1-row (__mn, __mx) frame — callers
+    with the RAW row table pass a scalar min/max over it (scan +
+    partial agg, no hash shuffle; min/max over raw rows equals min/max
+    over distinct scores), avoiding a second derivation of the grouped
+    table on the stats branch.
     """
     from pyspark.sql import Window
 
     s = F.col(score_col)
-    stats = grouped.agg(
-        F.min(s).cast("double").alias("__mn"),
-        F.max(s).cast("double").alias("__mx"),
-    )
+    if stats is None:
+        stats = grouped.agg(
+            F.min(s).cast("double").alias("__mn"),
+            F.max(s).cast("double").alias("__mx"),
+        )
     span = F.col("__mx") - F.col("__mn")
     bkt = (
         F.when(s.isNull(), F.lit(-1))
@@ -292,9 +300,13 @@ def binary_metrics(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(y).alias("__pos"),
     )
-    with_less = _with_prior_sums(grouped, "__s", ("__cnt",)).withColumnRenamed(
-        "__prior___cnt", "__less"
+    raw_stats = df.agg(
+        F.min(s).cast("double").alias("__mn"),
+        F.max(s).cast("double").alias("__mx"),
     )
+    with_less = _with_prior_sums(
+        grouped, "__s", ("__cnt",), stats=raw_stats
+    ).withColumnRenamed("__prior___cnt", "__less")
     pred_pos = F.col("__s") > F.lit(float(threshold))
     agg = with_less.agg(
         F.sum("__pos").alias("n_pos"),
@@ -348,9 +360,14 @@ def pr_curve(
         F.sum(y).alias("__pos"),
     )
     tot = df.agg(F.sum(y).alias("__n_pos"))
+    raw_stats = df.agg(
+        F.min(F.col(score_col)).cast("double").alias("__mn"),
+        F.max(F.col(score_col)).cast("double").alias("__mx"),
+    )
     cum = (
         _with_prior_sums(
-            grouped, "threshold", ("__cnt", "__pos"), descending=True
+            grouped, "threshold", ("__cnt", "__pos"),
+            descending=True, stats=raw_stats,
         )
         .select(
             "threshold",
