@@ -135,6 +135,7 @@ HEADLINE_R6 = [
     "q_split_assign",
     "q_token_budget",
     "q_cut_contaminated",
+    "q_line_filter",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

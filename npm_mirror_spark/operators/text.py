@@ -27,6 +27,59 @@ STOPWORDS = {
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# Boilerplate phrases whose presence disqualifies a LINE (C4 §2.2 uses a
+# curly-brace/JS/lorem/policy list; this is the same idea, configurable).
+LINE_BLOCKLIST = (
+    "lorem ipsum",
+    "javascript",
+    "cookie",
+    "terms of use",
+    "privacy policy",
+)
+
+
+def filter_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple = LINE_BLOCKLIST,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): split the
+    document on newlines, keep only lines that (a) have at least
+    ``min_words`` whitespace words, (b) end in terminal punctuation
+    (``. ! ? "``) when ``require_terminal_punct``, and (c) contain no
+    blocklisted boilerplate phrase (case-insensitive) — then rebuild the
+    text from the survivors.  The sub-document sibling of the per-doc
+    gopher gate: menus, nav stubs and cookie banners die while the prose
+    around them survives.
+
+    Pure in-row higher-order functions — zero shuffle, whole-stage
+    codegen, oracle-replayable (list_filter in DuckDB).  Returns
+    (id, n_lines, kept_lines, clean_text).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(x):
+        t = F.trim(x)
+        ok = F.size(F.split(t, " ")) >= F.lit(int(min_words))
+        if require_terminal_punct:
+            ok = ok & F.substring(t, -1, 1).isin(".", "!", "?", '"')
+        low = F.lower(t)
+        for phrase in blocklist:
+            ok = ok & ~low.contains(phrase)
+        return ok
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def ws_tokens(col: Column | str) -> Column:
     return F.split(normalize_text(col), " ")
 

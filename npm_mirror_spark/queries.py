@@ -3289,6 +3289,33 @@ def q_cut_contaminated(spark, sf_dir):
     return cur_ops.cut_contaminated_spans(corpus, bench, "text", "doc_id", 5)
 
 
+def q_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning (operators/text.py:filter_lines):
+    docs are deterministically augmented with boilerplate lines (a nav
+    stub, a cookie banner, a clean closing sentence, an unpunctuated
+    summary) and the filter must keep exactly the lines with >=3 words,
+    terminal punctuation and no blocklisted phrase — the sub-document
+    sibling of the per-doc gopher gate. Pure in-row HOFs, zero
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("nav"),
+            F.lit("Please accept our cookie policy to continue."),
+            F.lit("This synthetic closing line ends properly."),
+            F.concat(
+                F.lit("Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" summary line without punct"),
+            ),
+        ).alias("text"),
+    )
+    return text_ops.filter_lines(multi)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3468,6 +3495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_assign": q_split_assign,
     "q_token_budget": q_token_budget,
     "q_cut_contaminated": q_cut_contaminated,
+    "q_line_filter": q_line_filter,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5598,4 +5626,28 @@ FROM documents d
 JOIN (SELECT DISTINCT doc_id, n_tokens FROM tok) t0 ON d.doc_id = t0.doc_id
 LEFT JOIN agg a ON d.doc_id = a.doc_id
 WHERE d.doc_id % 20 <> 0
+"""
+
+# q_line_filter: the line rules replayed with DuckDB list_filter.
+ORACLES["q_line_filter"] = """
+WITH m AS (SELECT doc_id,
+  text || chr(10) || 'nav'
+       || chr(10) || 'Please accept our cookie policy to continue.'
+       || chr(10) || 'This synthetic closing line ends properly.'
+       || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || ' summary line without punct'
+  AS t FROM documents),
+l AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM m),
+k AS (SELECT doc_id, ls,
+        list_filter(ls, x ->
+          len(str_split(trim(x), ' ')) >= 3
+          AND right(trim(x), 1) IN ('.', '!', '?', '"')
+          AND NOT contains(lower(trim(x)), 'lorem ipsum')
+          AND NOT contains(lower(trim(x)), 'javascript')
+          AND NOT contains(lower(trim(x)), 'cookie')
+          AND NOT contains(lower(trim(x)), 'terms of use')
+          AND NOT contains(lower(trim(x)), 'privacy policy')) AS kept
+      FROM l)
+SELECT doc_id, len(ls) AS n_lines, len(kept) AS kept_lines,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k
 """

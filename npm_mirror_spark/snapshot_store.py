@@ -132,6 +132,37 @@ class SnapshotStore:
 
     # -- maintenance ------------------------------------------------------
 
+    def expire_versions(
+        self, keep_last: int = 1, min_age_seconds: float = 24 * 3600.0
+    ) -> dict:
+        """Retire time travel older than the newest ``keep_last``
+        versions (Delta's ``VACUUM``-with-retention / Iceberg's
+        ``expireSnapshots``): delete the expired manifests, then reclaim
+        data files that NO surviving manifest references.
+
+        Append-mode tables reclaim nothing (every old file is carried
+        forward by the surviving manifests — expiry only removes the
+        ability to time-travel); replace-mode release tables reclaim
+        each expired release's whole payload. File deletion delegates to
+        :meth:`vacuum`, so the same ``min_age_seconds`` concurrent-writer
+        guard applies. Returns {"versions_removed": [...],
+        "files_removed": [...]}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        latest = self.latest_version()
+        removed_versions = []
+        for v in range(1, latest - keep_last + 1):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                os.remove(p)
+                removed_versions.append(v)
+        removed_files = self.vacuum(min_age_seconds) if removed_versions else []
+        return {
+            "versions_removed": removed_versions,
+            "files_removed": removed_files,
+        }
+
     def vacuum(self, min_age_seconds: float = 24 * 3600.0) -> list[str]:
         """Delete orphaned data files no manifest references (crashed
         commits); returns what was removed.

@@ -132,3 +132,37 @@ def test_srp_signature_determinism_and_range(spark):
     vals = [r[0] for r in df.select(nf.srp_signature("v", signs)).collect()]
     assert vals[0] == vals[1]
     assert 0 <= vals[0] < 2**16
+
+
+def test_filter_lines_rules(spark):
+    """Each line rule in isolation: word minimum, terminal punctuation,
+    blocklist phrase, and the rebuilt text preserves survivor order."""
+    from npm_mirror_spark.operators.text import filter_lines
+
+    text = "\n".join([
+        "A proper first sentence stays here.",   # keep
+        "too short.",                             # < 3 words
+        "No terminal punctuation on this line",   # no punct
+        "This site uses Cookie consent banners.", # blocklist (case-insens)
+        'A quoted line ends with a quote"',       # keep (quote terminal)
+        "   padded line with three words.   ",    # keep (trimmed)
+        "",                                       # empty
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = filter_lines(df).collect()[0]
+    assert r["n_lines"] == 7
+    assert r["kept_lines"] == 3
+    assert r["clean_text"].split("\n") == [
+        "A proper first sentence stays here.",
+        'A quoted line ends with a quote"',
+        "   padded line with three words.   ",
+    ]
+    # knobs: relax punctuation, tighten words
+    r2 = filter_lines(df, require_terminal_punct=False, min_words=5).collect()[0]
+    # first (6 words) + no-punct (6) + quoted (7) + padded (5); the
+    # blocklisted and short lines stay out
+    assert r2["kept_lines"] == 4
+    # zero shuffle: pure projection
+    from npm_mirror_spark import plans
+
+    assert plans.shuffle_count(filter_lines(df)) == 0

@@ -109,3 +109,52 @@ def test_streaming_foreachbatch_exactly_once_sink(spark, tmp_path):
     q.awaitTermination()
     assert s.latest_version() == 2
     assert _ids(s.read()) == [1, 2, 3]
+
+
+def test_expire_versions_append_vs_replace(spark, tmp_path):
+    """Append-mode expiry removes only time travel (all files carried
+    forward); replace-mode expiry physically reclaims the expired
+    releases' files. Latest version stays byte-identical either way."""
+    import os
+
+    import pytest
+
+    from npm_mirror_spark.snapshot_store import SnapshotStore
+
+    def mkdf(tag):
+        return spark.createDataFrame([(tag, 1), (tag, 2)], "tag string, v int")
+
+    # append mode: nothing reclaimable
+    st = SnapshotStore(spark, str(tmp_path / "app"))
+    for t in ("a", "b", "c"):
+        st.commit(mkdf(t))
+    out = st.expire_versions(keep_last=1, min_age_seconds=0)
+    assert out["versions_removed"] == [1, 2]
+    assert out["files_removed"] == []  # v3's manifest references everything
+    assert st.read(3).count() == 6
+    with pytest.raises(FileNotFoundError):
+        st.read(1)
+
+    # replace mode: expired releases' files go away physically
+    sr = SnapshotStore(spark, str(tmp_path / "rep"))
+    for t in ("a", "b", "c"):
+        sr.commit(mkdf(t), replace=True)
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(sr.data_dir))
+    out = sr.expire_versions(keep_last=1, min_age_seconds=0)
+    assert out["versions_removed"] == [1, 2]
+    assert out["files_removed"], "replace-mode expiry must reclaim files"
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(sr.data_dir))
+    assert n_files_after < n_files_before
+    assert sorted(r["tag"] for r in sr.read().collect()) == ["c", "c"]
+    with pytest.raises(FileNotFoundError):
+        sr.read(2)
+
+    # guard rails
+    with pytest.raises(ValueError, match="keep_last"):
+        sr.expire_versions(keep_last=0)
+    # age guard: young unreferenced files survive a guarded expiry
+    sr2 = SnapshotStore(spark, str(tmp_path / "guard"))
+    sr2.commit(mkdf("x"), replace=True)
+    sr2.commit(mkdf("y"), replace=True)
+    out = sr2.expire_versions(keep_last=1, min_age_seconds=3600)
+    assert out["versions_removed"] == [1] and out["files_removed"] == []
