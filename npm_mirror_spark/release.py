@@ -49,6 +49,7 @@ def build_release(
     token: str | int | None = None,
     quality_model: dict | None = None,
     min_model_score: float = 0.5,
+    decontam_mode: str = "drop",
 ) -> dict:
     """Run the curation pipeline and commit the packed corpus as one
     snapshot version. Returns the attrition audit. ``max_per_shard``
@@ -61,6 +62,13 @@ def build_release(
     distilled classifier): a train_logreg model dict scored map-side
     (operators/classifier.py::score_logreg); rows below
     ``min_model_score`` die before any shuffle-heavy stage runs.
+
+    ``decontam_mode``: "drop" (default) kills every document sharing a
+    benchmark n-gram (the boolean gate); "cut" runs the SURGICAL
+    variant (curation.cut_contaminated_spans) — benchmark-overlapping
+    spans are deleted in place and the document survives with the rest
+    of its text, trading a body rewrite for retained tokens. Either
+    way no benchmark n-gram reaches the packed output.
     """
     n_input = docs.count()
 
@@ -87,10 +95,35 @@ def build_release(
         kept_quality = kept_quality.join(scores, id_col, "left_semi")
         n_model_pass = kept_quality.count()
 
-    flags = decontaminate(
-        kept_quality, bench, text_col, id_col, decontam_ngram
-    ).where(~F.col("contaminated")).select(id_col)
-    clean = kept_quality.join(flags, id_col, "left_semi")
+    if decontam_mode == "cut":
+        from npm_mirror_spark.operators.curation import cut_contaminated_spans
+
+        cut = cut_contaminated_spans(
+            kept_quality, bench, text_col, id_col, decontam_ngram
+        ).select(id_col, F.col("clean_text"))
+        rewritten = (
+            kept_quality.drop(text_col)
+            .join(cut, id_col)
+            .withColumnRenamed("clean_text", text_col)
+            # a doc whose whole text was benchmark quote carries nothing
+            .where(F.length(F.col(text_col)) > 0)
+        )
+        # seam guard: rejoining text across a deleted span mints NEW
+        # n-grams that can coincidentally match the benchmark; the
+        # boolean gate re-checks the rewritten text so the "zero bench
+        # n-grams ship" invariant stays exact (the residual drop set is
+        # tiny — only seam collisions, not quoting docs)
+        residual = decontaminate(
+            rewritten, bench, text_col, id_col, decontam_ngram
+        ).where(~F.col("contaminated")).select(id_col)
+        clean = rewritten.join(residual, id_col, "left_semi")
+    elif decontam_mode == "drop":
+        flags = decontaminate(
+            kept_quality, bench, text_col, id_col, decontam_ngram
+        ).where(~F.col("contaminated")).select(id_col)
+        clean = kept_quality.join(flags, id_col, "left_semi")
+    else:
+        raise ValueError("decontam_mode must be 'drop' or 'cut'")
     n_clean = clean.count()
 
     pairs = minhash_candidate_pairs(clean, text_col, id_col)

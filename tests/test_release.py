@@ -101,3 +101,36 @@ def test_release_diff_between_versions(spark, sf_dir, tmp_path):
     # deterministic hash order the kept 5 are a subset of the kept 10
     v1 = SnapshotStore(spark, root).read(1)
     assert v1.count() == a1["n_released"]
+
+
+def test_cut_mode_release_retains_more_rows_and_no_bench_grams(spark, sf_dir, tmp_path):
+    """decontam_mode='cut' keeps (at least as many) documents as the
+    boolean drop gate while still shipping zero benchmark n-grams."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+
+    drop = build_release(
+        spark, corpus, bench, str(tmp_path / "drop"), decontam_ngram=3
+    )
+    cut = build_release(
+        spark, corpus, bench, str(tmp_path / "cut"),
+        decontam_ngram=3, decontam_mode="cut",
+    )
+    assert cut["n_after_decontamination"] >= drop["n_after_decontamination"]
+    # no benchmark trigram survives in the cut release's text
+    from npm_mirror_spark.operators.curation import (
+        benchmark_shingles,
+        decontaminate,
+    )
+
+    released = SnapshotStore(spark, str(tmp_path / "cut")).read(cut["version"])
+    still = decontaminate(released, bench, "text", "doc_id", 3).where(
+        F.col("contaminated")
+    )
+    assert still.count() == 0
+    with pytest.raises(ValueError, match="decontam_mode"):
+        build_release(spark, corpus, bench, str(tmp_path / "bad"),
+                      decontam_mode="nope")
