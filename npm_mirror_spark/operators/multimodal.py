@@ -1338,6 +1338,9 @@ class _SymCollector:
     def bits(self, v: int, n: int) -> None:
         pass
 
+    def restart(self, i: int) -> None:
+        pass
+
 
 class _ScanWriter:
     def __init__(self, bw: "_BitWriter", codes: dict):
@@ -1351,6 +1354,10 @@ class _ScanWriter:
     def bits(self, v: int, n: int) -> None:
         if n:
             self.bw.write(v, n)
+
+    def restart(self, i: int) -> None:
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + (i % 8)])
 
 
 def _scan_table(seen: "set[int]") -> tuple[list[int], list[int]]:
@@ -1369,20 +1376,31 @@ def _scan_table(seen: "set[int]") -> tuple[list[int], list[int]]:
     return bits, vals
 
 
-def _emit_dc_first(sink, coefs, order, Al, npreds):
+def _emit_dc_first(sink, coefs, units, Al, npreds, restart_interval=0):
     preds = [0] * npreds
-    for ci, by, bx in order:
-        v = int(coefs[ci][by, bx, 0]) >> Al  # DC point transform: >>
-        diff = v - preds[ci]
-        preds[ci] = v
-        s, mb = _mag_bits(diff)
-        sink.sym(s)
-        sink.bits(mb, s)
+    rst = 0
+    for u, unit in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            sink.restart(rst)
+            rst += 1
+            preds = [0] * npreds
+        for ci, by, bx in unit:
+            v = int(coefs[ci][by, bx, 0]) >> Al  # DC point transform: >>
+            diff = v - preds[ci]
+            preds[ci] = v
+            s, mb = _mag_bits(diff)
+            sink.sym(s)
+            sink.bits(mb, s)
 
 
-def _emit_dc_refine(sink, coefs, order, Al):
-    for ci, by, bx in order:
-        sink.bits((int(coefs[ci][by, bx, 0]) >> Al) & 1, 1)
+def _emit_dc_refine(sink, coefs, units, Al, restart_interval=0):
+    rst = 0
+    for u, unit in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            sink.restart(rst)
+            rst += 1
+        for ci, by, bx in unit:
+            sink.bits((int(coefs[ci][by, bx, 0]) >> Al) & 1, 1)
 
 
 def _pt(v: int, Al: int) -> int:
@@ -1413,9 +1431,14 @@ class _EobState:
         self.bits = []
 
 
-def _emit_ac_first(sink, coefs, blocks, Ss, Se, Al):
+def _emit_ac_first(sink, coefs, blocks, Ss, Se, Al, restart_interval=0):
     eob = _EobState(sink)
-    for by, bx in blocks:
+    rst = 0
+    for u, (by, bx) in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            eob.flush()  # runs and buffered bits cannot span a restart
+            sink.restart(rst)
+            rst += 1
         vals = [_pt(int(coefs[by, bx, k]), Al) for k in range(Ss, Se + 1)]
         last = max((i for i, v in enumerate(vals) if v), default=-1)
         if last < 0:
@@ -1444,9 +1467,14 @@ def _emit_ac_first(sink, coefs, blocks, Ss, Se, Al):
     eob.flush()
 
 
-def _emit_ac_refine(sink, coefs, blocks, Ss, Se, Al):
+def _emit_ac_refine(sink, coefs, blocks, Ss, Se, Al, restart_interval=0):
     eob = _EobState(sink)
-    for by, bx in blocks:
+    rst = 0
+    for u, (by, bx) in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            eob.flush()
+            sink.restart(rst)
+            rst += 1
         r = 0
         br: list[int] = []
         for k in range(Ss, Se + 1):
@@ -1806,7 +1834,9 @@ def _decode_jpeg_progressive(b: bytes):
     return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
-def encode_jpeg_progressive(arr, subsampling: str = "444") -> bytes:
+def encode_jpeg_progressive(
+    arr, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """(H, W) grayscale or (H, W, 3) RGB uint8 -> PROGRESSIVE (SOF2)
     JFIF bytes.
 
@@ -1816,7 +1846,11 @@ def encode_jpeg_progressive(arr, subsampling: str = "444") -> bytes:
     bands (Ah=1 -> Al=0). Annex K quantization — identical coefficient
     math to encode_jpeg, so both layouts decode to identical pixels.
     AC scans carry per-scan flat custom Huffman tables (Annex K's AC
-    tables lack the EOBn symbols progressive scans need)."""
+    tables lack the EOBn symbols progressive scans need).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N units in
+    EVERY scan (MCUs for DC, blocks for AC), with DC predictors, EOB
+    runs and buffered correction bits flushed at each boundary — the
+    resync contract real encoders use."""
     import struct
 
     import numpy as np
@@ -1871,13 +1905,15 @@ def encode_jpeg_progressive(arr, subsampling: str = "444") -> bytes:
         ch = -(-h * vi // vmax)
         geo.append((hi, vi, -(-ch // 8), -(-cw // 8)))
 
-    dc_order = [
-        (ci, my * vi + v, mx * hi + hb)
+    dc_units = [
+        [
+            (ci, my * vi + v, mx * hi + hb)
+            for ci, (hi, vi, _, _) in enumerate(geo)
+            for v in range(vi)
+            for hb in range(hi)
+        ]
         for m in range(mcuy * mcux)
         for my, mx in [divmod(m, mcux)]
-        for ci, (hi, vi, _, _) in enumerate(geo)
-        for v in range(vi)
-        for hb in range(hi)
     ]
     comp_blocks = [
         [(by, bx) for by in range(bh) for bx in range(bw_)]
@@ -1901,16 +1937,21 @@ def encode_jpeg_progressive(arr, subsampling: str = "444") -> bytes:
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += seg(0xFFC2, sof)  # SOF2: progressive
     out += seg(0xFFC4, b"\x00" + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def dc_scan(Ah: int, Al: int) -> bytes:
         bw = _BitWriter()
         if Ah == 0:
             dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
             _emit_dc_first(
-                _ScanWriter(bw, dc_codes), coefs, dc_order, Al, len(comps)
+                _ScanWriter(bw, dc_codes), coefs, dc_units, Al, len(comps),
+                restart_interval,
             )
         else:
-            _emit_dc_refine(_ScanWriter(bw, None), coefs, dc_order, Al)
+            _emit_dc_refine(
+                _ScanWriter(bw, None), coefs, dc_units, Al, restart_interval
+            )
         bw.flush()
         sos = bytes([len(comps)])
         for ci in range(len(comps)):
@@ -1921,12 +1962,12 @@ def encode_jpeg_progressive(arr, subsampling: str = "444") -> bytes:
     def ac_scan(ci: int, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
         emitter = _emit_ac_refine if Ah else _emit_ac_first
         col = _SymCollector()
-        emitter(col, coefs[ci], comp_blocks[ci], Ss, Se, Al)
+        emitter(col, coefs[ci], comp_blocks[ci], Ss, Se, Al, restart_interval)
         bits, vals = _scan_table(col.seen)
         bw = _BitWriter()
         emitter(
             _ScanWriter(bw, _canonical_codes(bits, vals)),
-            coefs[ci], comp_blocks[ci], Ss, Se, Al,
+            coefs[ci], comp_blocks[ci], Ss, Se, Al, restart_interval,
         )
         bw.flush()
         dht = seg(0xFFC4, b"\x10" + bytes(bits) + bytes(vals))  # AC id 0

@@ -752,3 +752,28 @@ def test_progressive_blob_through_feature_kernel(spark):
         for r in mm.image_features(media).collect()
     }
     assert got == {1: (53, 41), 2: (53, 41)}
+
+
+def test_progressive_restart_intervals_bit_identical():
+    """DRI + RSTn in every progressive scan (DC preds, EOB runs and
+    buffered correction bits flushed at each boundary): decode stays
+    bit-identical to baseline for gray/444/420 at several intervals."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (37, 45, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        base = mm.decode_jpeg(mm.encode_jpeg(img, subsampling=sub))
+        for ri in (1, 2, 5):
+            raw = mm.encode_jpeg_progressive(
+                img, subsampling=sub, restart_interval=ri
+            )
+            assert any(
+                bytes([0xFF, 0xD0 + i]) in raw for i in range(8)
+            ), "restart markers must actually be emitted"
+            assert np.array_equal(base, mm.decode_jpeg(raw)), (sub, ri)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_jpeg(mm.encode_jpeg(g)),
+        mm.decode_jpeg(mm.encode_jpeg_progressive(g, restart_interval=1)),
+    )
