@@ -49,9 +49,10 @@ from npm_mirror_spark.operators.text import (  # noqa: F401
     ws_tokens,
 )
 
-# curation primitives (round 2)
+# curation primitives (round 2; canonicalize_url round 6)
 from npm_mirror_spark.operators.curation import (  # noqa: F401
     PII_PATTERNS,
+    canonicalize_url,
     sample_bucket,
     url_host,
 )
@@ -87,6 +88,7 @@ __all__ = [
     "PII_PATTERNS",
     "sample_bucket",
     "url_host",
+    "canonicalize_url",
     "language_scores",
     "punct_count",
     "stopword_count",
