@@ -136,6 +136,7 @@ HEADLINE_R6 = [
     "q_token_budget",
     "q_cut_contaminated",
     "q_line_filter",
+    "q_containment",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

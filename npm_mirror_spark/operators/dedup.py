@@ -288,6 +288,61 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC overlap verification for candidate pairs: shingle-set
+    containment in both directions — c_a = |A∩B| / |A| (how much of doc
+    A lies inside doc B) and c_b likewise.
+
+    The quote/subset detector Jaccard structurally under-scores: a
+    short doc fully embedded in a long one has Jaccard ≈ |A|/|B| (tiny)
+    but c_a = 1.0 — and the right curation action is DIRECTIONAL (drop
+    the contained doc, keep the superset), which symmetric similarity
+    cannot express. Returns (id_a, id_b, n_a, n_b, inter, c_a, c_b,
+    contained) where ``contained`` marks either direction exceeding
+    ``threshold``.
+
+    Scale shape: identical to ngram_jaccard_pairs — only CANDIDATE rows
+    (from LSH/banding/known lineage) pay the in-row set arithmetic; the
+    shingle arrays join in on the id equi keys, no extra shuffle
+    family."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    return (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__sh_a").alias("n_a"),
+            F.size("__sh_b").alias("n_b"),
+            inter.alias("inter"),
+            (inter.cast("double") / F.size("__sh_a").cast("double")).alias("c_a"),
+            (inter.cast("double") / F.size("__sh_b").cast("double")).alias("c_b"),
+        )
+        .withColumn(
+            "contained",
+            (F.col("c_a") >= F.lit(float(threshold)))
+            | (F.col("c_b") >= F.lit(float(threshold))),
+        )
+    )
+
+
 # -- SimHash ------------------------------------------------------------------
 
 

@@ -3316,6 +3316,29 @@ def q_line_filter(spark, sf_dir):
     return text_ops.filter_lines(multi)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment verification
+    (operators/dedup.py:containment_pairs) over the dup-injected
+    lineage pairs (original, original + ' zzzextra'): the original's
+    shingle set lies fully inside the extension (c_a = 1.0) while the
+    reverse direction is < 1 — the quote/subset signal Jaccard
+    structurally under-scores, and the DIRECTIONAL verdict (drop the
+    contained doc) symmetric similarity can't express. Only candidate
+    pairs pay the set arithmetic; shingles join on id equi keys."""
+    d = _t(spark, sf_dir, "documents")
+    seeds = d.where(F.col("doc_id") % 11 == 0)
+    ext = seeds.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzextra")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(ext)
+    pairs = seeds.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(200000)).alias("id_b"),
+    )
+    return dedup_ops.containment_pairs(pairs, corpus, "doc_id", "text", 3)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3496,6 +3519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_budget": q_token_budget,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
+    "q_containment": q_containment,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5650,4 +5674,30 @@ k AS (SELECT doc_id, ls,
 SELECT doc_id, len(ls) AS n_lines, len(kept) AS kept_lines,
        array_to_string(kept, chr(10)) AS clean_text
 FROM k
+"""
+
+# q_containment: shingle-set containment replayed over the dup-injected
+# lineage pairs (trigram CTE shared with the jaccard family).
+ORACLES["q_containment"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzextra' FROM documents WHERE doc_id % 11 = 0),
+{_SHINGLES.format(src="base")},
+shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+p AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
+      WHERE doc_id % 11 = 0)
+SELECT p.id_a, p.id_b,
+       len(a.s) AS n_a, len(b.s) AS n_b,
+       len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+         / CAST(len(a.s) AS DOUBLE) AS c_a,
+       CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+         / CAST(len(b.s) AS DOUBLE) AS c_b,
+       (CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+          / CAST(len(a.s) AS DOUBLE) >= 0.9)
+       OR (CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+          / CAST(len(b.s) AS DOUBLE) >= 0.9) AS contained
+FROM p JOIN shd a ON a.doc_id = p.id_a
+       JOIN shd b ON b.doc_id = p.id_b
 """

@@ -167,3 +167,41 @@ def test_cut_dup_spans_keep_first_carrier(spark):
     assert all_clean.count("b c d e") == 1
     assert all_clean.count("x y z") == 1
     assert all_clean.count("t u") == 1
+
+
+def test_containment_is_directional_where_jaccard_is_not(spark):
+    """The quote case: short doc fully inside a long one — containment
+    flags it (c_a = 1.0, directional verdict) while Jaccard stays far
+    below any dedup threshold."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long = (
+        "a very long essay begins here with many original words "
+        + quote
+        + " and then continues with plenty more original analysis after it"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(pairs, docs, "doc_id", "text", 3).collect()
+    }
+    r12 = got[(1, 2)]
+    assert r12["c_a"] == 1.0 and r12["c_b"] < 0.6
+    assert r12["contained"] is True
+    r13 = got[(1, 3)]
+    assert r13["inter"] == 0 and r13["contained"] is False
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(pairs, docs, "doc_id", "text", 3).collect()
+    }
+    assert jac[(1, 2)] < 0.5, "Jaccard must under-score the quote case"
