@@ -224,19 +224,26 @@ def _with_prior_sums(
 
     s = F.col(score_col)
     if stats is None:
-        stats = grouped.agg(
-            F.min(s).cast("double").alias("__mn"),
-            F.max(s).cast("double").alias("__mx"),
-        )
+        stats = grouped.agg(*_range_stats(s))
     span = F.col("__mx") - F.col("__mn")
+    s_d = s.cast("double")
+    # Non-finite scores take explicit edge buckets consistent with
+    # Spark's total order (NULL first, then -Inf, finite, +Inf, NaN
+    # last ascending): without this, a single NaN poisons span and
+    # every row degrades into one bucket — still CORRECT (it is the
+    # old single-window shape) but silently single-reducer again.
+    # NaN and +Inf share the top bucket; the within-bucket orderBy
+    # separates them.
     bkt = (
         F.when(s.isNull(), F.lit(-1))
-        .when(span <= 0, F.lit(0))
+        .when(F.isnan(s_d), F.lit(n_buckets - 1))
+        .when(s_d == F.lit(float("inf")), F.lit(n_buckets - 1))
+        .when(s_d == F.lit(float("-inf")), F.lit(0))
+        .when(span.isNull() | (span <= 0), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),
-                F.floor((s.cast("double") - F.col("__mn")) / span * n_buckets)
-                .cast("int"),
+                F.floor((s_d - F.col("__mn")) / span * n_buckets).cast("int"),
             )
         )
     )
@@ -272,6 +279,20 @@ def _with_prior_sums(
     return out.drop("__bkt", *[f"__off_{c}" for c in sum_cols])
 
 
+def _range_stats(s: F.Column) -> list:
+    """min/max over the FINITE score values only (one-row broadcast
+    frame for _with_prior_sums): Spark's max treats NaN as the largest
+    value, so an unfiltered max poisons the bucket span."""
+    d = s.cast("double")
+    finite = F.when(
+        F.isnan(d)
+        | (d == F.lit(float("inf")))
+        | (d == F.lit(float("-inf"))),
+        F.lit(None),
+    ).otherwise(d)
+    return [F.min(finite).alias("__mn"), F.max(finite).alias("__mx")]
+
+
 def binary_metrics(
     df: DataFrame,
     score_col: str,
@@ -300,10 +321,7 @@ def binary_metrics(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(y).alias("__pos"),
     )
-    raw_stats = df.agg(
-        F.min(s).cast("double").alias("__mn"),
-        F.max(s).cast("double").alias("__mx"),
-    )
+    raw_stats = df.agg(*_range_stats(s))
     with_less = _with_prior_sums(
         grouped, "__s", ("__cnt",), stats=raw_stats
     ).withColumnRenamed("__prior___cnt", "__less")
@@ -360,10 +378,7 @@ def pr_curve(
         F.sum(y).alias("__pos"),
     )
     tot = df.agg(F.sum(y).alias("__n_pos"))
-    raw_stats = df.agg(
-        F.min(F.col(score_col)).cast("double").alias("__mn"),
-        F.max(F.col(score_col)).cast("double").alias("__mx"),
-    )
+    raw_stats = df.agg(*_range_stats(F.col(score_col)))
     cum = (
         _with_prior_sums(
             grouped, "threshold", ("__cnt", "__pos"),

@@ -150,20 +150,21 @@ def cut_contaminated_spans(
     documents that merely QUOTE an eval item (dropping them wholesale
     wastes tokens; keeping them leaks the answer key).
 
-    Same span machinery as operators/dedup.py::cut_dup_spans (islands
-    of covered token positions, merged when gaps < n, rebuilt with one
-    in-row higher-order filter), with the cut condition swapped: a
-    token is cut iff some n-gram covering it appears in the benchmark
-    vocabulary.  Scale shape: the bench gram vocabulary BROADCASTS
-    (bounded by the suite), corpus gram positions filter map-side
-    through it, the per-doc island window sees only HIT positions
-    (bounded by bench overlap, normally tiny), and bodies move exactly
-    once for the rebuild join.  Returns (id, text, clean_text,
-    n_tokens, kept_tokens).
+    Same span machinery as operators/dedup.py::cut_dup_spans — shared
+    via :func:`~npm_mirror_spark.operators.dedup.cut_spans_rebuild` —
+    with the cut condition swapped: a token is cut iff some n-gram
+    covering it appears in the benchmark vocabulary.  Scale shape: the
+    bench gram vocabulary BROADCASTS (bounded by the suite), corpus
+    gram positions filter map-side through it, the per-doc island
+    window sees only HIT positions (bounded by bench overlap, normally
+    tiny), and bodies move exactly once for the rebuild join.  Returns
+    (id, text, clean_text, n_tokens, kept_tokens).
     """
-    from pyspark.sql import Window
-
-    from npm_mirror_spark.operators.dedup import normalize_text, word_shingles
+    from npm_mirror_spark.operators.dedup import (
+        cut_spans_rebuild,
+        normalize_text,
+        word_shingles,
+    )
 
     words = F.split(normalize_text(text_col), " ")
     bench_sh = benchmark_shingles(bench, text_col, n)
@@ -175,48 +176,7 @@ def cut_contaminated_spans(
     cut_pos = base.join(F.broadcast(bench_sh), "shingle", "left_semi").select(
         id_col, "n_tokens", "pos"
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = cut_pos.withColumn(
-        "__new",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > n),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "__island",
-        F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ranges = (
-        islands.groupBy(id_col, "__island")
-        .agg(
-            F.min("pos").alias("s"),
-            F.least(
-                F.max("pos") + F.lit(n - 1), F.first("n_tokens") - F.lit(1)
-            ).alias("e"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("s", "e")).alias("__ranges"))
-    )
-    kept = F.filter(
-        words,
-        lambda x, i: ~F.exists(
-            F.col("__ranges"), lambda r: (i >= r["s"]) & (i <= r["e"])
-        ),
-    )
-    return (
-        corpus.join(ranges, id_col, "left")
-        .withColumn("__ranges", F.coalesce("__ranges", F.array()))
-        .select(
-            id_col,
-            F.col(text_col).alias("text"),
-            F.array_join(kept, " ").alias("clean_text"),
-            F.size(words).alias("n_tokens"),
-            F.size(kept).alias("kept_tokens"),
-        )
-    )
+    return cut_spans_rebuild(corpus, cut_pos, text_col, id_col, n)
 
 
 # -- epoch shuffling ----------------------------------------------------------
@@ -241,19 +201,9 @@ def epoch_shuffle(
     files (sortWithinPartitions), never a global sort.  md5 ties break
     on the id so the order is total even under hash collisions.
     """
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.lit(int(epoch)), F.col(id_col).cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    key = md5_key64(id_col, epoch)
     from pyspark.sql import Window
 
     keyed = df.select(
@@ -485,22 +435,9 @@ def split_assign(
     denom = sum(w for _, w in splits)
     if denom <= 0 or any(w < 0 for _, w in splits):
         raise ValueError("split weights must be non-negative, sum > 0")
-    key = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.lit(int(seed)), F.col(id_col).cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(denom),
-    )
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    key = F.pmod(md5_key64(id_col, seed), F.lit(denom))
     expr = None
     acc = 0
     for name, w in splits[:-1]:
@@ -544,17 +481,9 @@ def token_budget_select(
     from pyspark.sql import Window
 
     df = df.where(F.col(token_col) <= F.lit(int(budget)))
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(":", F.lit(int(seed)), F.col(id_col).cast("string"))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    key = md5_key64(id_col, seed)
     w = (
         Window.partitionBy(group_col)
         .orderBy(key, F.col(id_col))
@@ -623,11 +552,20 @@ def canonicalize_url(col: Column | str) -> Column:
     # 3. strip default ports (no lookahead — RE2/DuckDB replays this)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#].*)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#].*)", r"$1$2")
-    # 4. strip tracking params: '&'-prefixed first, then a leading '?'
-    #    occurrence (promoting the next param onto the '?')
-    u = F.regexp_replace(u, r"&" + _TRACKING_PARAM + r"=[^&#]*", "")
-    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&#]*&", "?")
-    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM + r"=[^&#]*$", "")
+    # 4. strip tracking params from the QUERY STRING only (review
+    #    finding: '&' is a legal path character, so an unanchored strip
+    #    would eat from a path-embedded '&utm_...' through the real
+    #    query). Split at the first '?', clean the query in isolation,
+    #    reassemble — dropping the '?' when nothing survives.
+    qpos = F.instr(u, "?")
+    path = F.when(qpos > 0, F.substring(u, F.lit(1), qpos - 1)).otherwise(u)
+    query = F.when(
+        qpos > 0, F.substring(u, qpos + 1, F.lit(1 << 30))
+    ).otherwise(F.lit(""))
+    query = F.regexp_replace(query, r"&" + _TRACKING_PARAM + r"=[^&]*", "")
+    query = F.regexp_replace(query, r"^" + _TRACKING_PARAM + r"=[^&]*&", "")
+    query = F.regexp_replace(query, r"^" + _TRACKING_PARAM + r"=[^&]*$", "")
+    u = F.when(query == "", path).otherwise(F.concat(path, F.lit("?"), query))
     # 5. bare authority -> canonical '/'
     u = F.regexp_replace(u, r"^([A-Za-z][a-z0-9+.\-]*://[^/?#]+)$", r"$1/")
     return u

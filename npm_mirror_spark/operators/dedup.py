@@ -45,6 +45,29 @@ def text_hash(col: Column | str) -> Column:
     return F.sha2(normalize_text(col), 256)
 
 
+def md5_hash64(col: Column | str) -> Column:
+    """Engine-portable 60-bit integer hash: int64 of the first 15 md5
+    hex chars — the cross-engine contract behind the HLL register base
+    (DuckDB replay: ('0x' || substr(md5(v), 1, 15))::BIGINT).  15 hex
+    chars keep conv() inside int64; widening to 16 would overflow and
+    silently break every oracle at once — this helper pins the width in
+    ONE place (review finding: it was copy-pasted five times)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def md5_key64(col: Column | str, seed) -> Column:
+    """Seeded variant of :func:`md5_hash64` over '<seed>:<value>' — the
+    shared key behind epoch_shuffle / split_assign / token_budget_select
+    priorities and the CMS bucket hash (DuckDB replay:
+    ('0x' || substr(md5(seed || ':' || v), 1, 15))::BIGINT)."""
+    s = F.lit(int(seed)) if isinstance(seed, int) else seed
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_hash64(F.concat_ws(":", s.cast("string"), c.cast("string")))
+
+
 # -- exact / normalized dedup -------------------------------------------------
 
 
@@ -792,44 +815,28 @@ def dup_spans(
     )
 
 
-def cut_dup_spans(
+def cut_spans_rebuild(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    l: int = 4,
+    cut_pos: DataFrame,
+    text_col: str,
+    id_col: str,
+    l: int,
 ) -> DataFrame:
-    """Span-cut curation — the REMOVAL half of :func:`dup_spans` (Lee et
-    al. 2021 cut the duplicated substring from all but one occurrence):
-    rebuild each document's text with its duplicated spans deleted,
-    keeping the FIRST carrier. A token position in doc D is cut iff some
-    l-gram covering it also occurs in a document with a SMALLER doc_id —
-    so exactly one copy of every duplicated substring survives the pass
-    corpus-wide (the lowest-id carrier, the same canonical-survivor
-    convention as dedup_keepset), and distinct docs never cut each
-    other symmetrically.
+    """Shared span-cut machinery (review finding: previously duplicated
+    between cut_dup_spans and curation.cut_contaminated_spans): given
+    ``cut_pos`` = (id, n_tokens, pos) rows naming the start positions of
+    l-grams whose token coverage must be deleted, merge them into
+    maximal islands (gap <= l), derive per-doc cut ranges, and rebuild
+    each document's text with one in-row higher-order filter.
 
-    Scale shape: carrier minima shuffle (gram-hash, doc_id) pairs with
-    map-side partial min; islands merge per document (bounded window
-    state); the rebuild joins each doc to its OWN cut ranges on the
-    doc-id equi key and deletes tokens with one in-row higher-order
-    filter — no token-level shuffle, bodies move exactly once, and docs
-    with nothing to cut pass through the left join untouched. Returns
-    (doc_id, text, clean_text, n_tokens, kept_tokens).
-    """
+    Scale shape: islands merge per document (window state bounded by
+    one doc's hit positions); the rebuild joins each doc to its OWN cut
+    ranges on the id equi key — no token-level shuffle, bodies move
+    exactly once, untouched docs pass through the left join.  Returns
+    (id, text, clean_text, n_tokens, kept_tokens)."""
     from pyspark.sql import Window
 
     words = F.split(normalize_text(text_col), " ")
-    base = df.select(
-        F.col(id_col),
-        F.size(words).alias("n_tokens"),
-        F.posexplode(word_shingles(text_col, l)).alias("pos", "__g"),
-    ).select(id_col, "n_tokens", "pos", F.xxhash64("__g").alias("__h"))
-    first_carrier = base.groupBy("__h").agg(F.min(id_col).alias("__first"))
-    cut_pos = (
-        base.join(first_carrier, "__h")
-        .filter(F.col("__first") < F.col(id_col))
-        .select(id_col, "n_tokens", "pos")
-    )
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = cut_pos.withColumn(
         "__new",
@@ -872,3 +879,40 @@ def cut_dup_spans(
             F.size(kept).alias("kept_tokens"),
         )
     )
+
+
+def cut_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l: int = 4,
+) -> DataFrame:
+    """Span-cut curation — the REMOVAL half of :func:`dup_spans` (Lee et
+    al. 2021 cut the duplicated substring from all but one occurrence):
+    rebuild each document's text with its duplicated spans deleted,
+    keeping the FIRST carrier. A token position in doc D is cut iff some
+    l-gram covering it also occurs in a document with a SMALLER doc_id —
+    so exactly one copy of every duplicated substring survives the pass
+    corpus-wide (the lowest-id carrier, the same canonical-survivor
+    convention as dedup_keepset), and distinct docs never cut each
+    other symmetrically.
+
+    Scale shape: carrier minima shuffle (gram-hash, doc_id) pairs with
+    map-side partial min; the island merge + rebuild is the shared
+    :func:`cut_spans_rebuild` (bounded per-doc window state, bodies
+    move exactly once). Returns
+    (doc_id, text, clean_text, n_tokens, kept_tokens).
+    """
+    words = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.posexplode(word_shingles(text_col, l)).alias("pos", "__g"),
+    ).select(id_col, "n_tokens", "pos", F.xxhash64("__g").alias("__h"))
+    first_carrier = base.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    cut_pos = (
+        base.join(first_carrier, "__h")
+        .filter(F.col("__first") < F.col(id_col))
+        .select(id_col, "n_tokens", "pos")
+    )
+    return cut_spans_rebuild(df, cut_pos, text_col, id_col, l)

@@ -30,21 +30,12 @@ from pyspark.sql import functions as F
 
 
 def _cms_bucket(key: F.Column, r: F.Column, width: int) -> F.Column:
-    """h_r(key) = int64(md5(r ':' key)[:15 hex]) mod width — seeded,
-    engine-portable (DuckDB replays it verbatim), uniform enough for
-    counting; 15 hex chars keep the conv() inside int64."""
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", r.cast("string"), key.cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(int(width)),
-    ).cast("int")
+    """h_r(key) = md5_key64(key, seed=r) mod width — seeded,
+    engine-portable (DuckDB replays it verbatim; the 15-hex-char int64
+    contract is pinned once in dedup.md5_key64)."""
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    return F.pmod(md5_key64(key, r), F.lit(int(width))).cast("int")
 
 
 def count_min_sketch(
@@ -94,11 +85,11 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
     partial max — the mergeable property again (union registers =
     max cell-wise).
     """
+    from npm_mirror_spark.operators.dedup import md5_hash64
+
     m = 1 << p
     wbits = 60 - p
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_hash64(key_col)
     keyed = (
         df.select(h.alias("__h"))  # staged once; idx and w both read it
         .select(
@@ -140,8 +131,16 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
     m = 1 << p
     kappa = 60 - p + 1
     agg = regs.agg(
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({kappa} - mreg AS INT))")
+        # coalesce: an EMPTY register frame (nothing ingested yet) must
+        # yield the defined all-zero-registers value S = m * 2^kappa,
+        # not a NULL estimate (review finding)
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({kappa} - mreg AS INT))"
+                )
+            ),
+            F.lit(0).cast("long"),
         ).alias("__s_obs"),
         F.count(F.lit(1)).alias("__n_obs"),
     )

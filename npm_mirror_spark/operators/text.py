@@ -63,7 +63,12 @@ def filter_lines(
 
     def keep(x):
         t = F.trim(x)
-        ok = F.size(F.split(t, " ")) >= F.lit(int(min_words))
+        # split on whitespace RUNS (review finding: a single-space split
+        # mints phantom empty words on double spaces and fuses
+        # tab-separated words); explicit [ \t]+ — identical in Java
+        # regex and RE2, so the oracle replays it (the \s class differs
+        # between the two engines, the same trap the BPE kernel pins)
+        ok = F.size(F.split(t, "[ \t]+")) >= F.lit(int(min_words))
         if require_terminal_punct:
             ok = ok & F.substring(t, -1, 1).isin(".", "!", "?", '"')
         low = F.lower(t)

@@ -5573,13 +5573,21 @@ s3 AS (SELECT doc_id, url,
            regexp_replace(u, '^(http://[^/:?#]+):80($|[/?#].*)', '\\1\\2', 'g'),
            '^(https://[^/:?#]+):443($|[/?#].*)', '\\1\\2', 'g') AS u
        FROM s2),
+s4a AS (SELECT doc_id, url, u, strpos(u, '?') AS qp FROM s3),
+s4b AS (SELECT doc_id, url,
+          CASE WHEN qp > 0 THEN substr(u, 1, qp - 1) ELSE u END AS pth,
+          CASE WHEN qp > 0 THEN substr(u, qp + 1) ELSE '' END AS q
+        FROM s4a),
+s4c AS (SELECT doc_id, url, pth,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(q, '&{_TRK}=[^&]*', '', 'g'),
+              '^{_TRK}=[^&]*&', '', 'g'),
+            '^{_TRK}=[^&]*$', '', 'g') AS q
+        FROM s4b),
 s4 AS (SELECT doc_id, url,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(u, '&{_TRK}=[^&#]*', '', 'g'),
-             '\\?{_TRK}=[^&#]*&', '?', 'g'),
-           '\\?{_TRK}=[^&#]*$', '', 'g') AS u
-       FROM s3),
+         CASE WHEN q = '' THEN pth ELSE pth || '?' || q END AS u
+       FROM s4c),
 s5 AS (SELECT doc_id, url,
          regexp_replace(u, '^([A-Za-z][a-z0-9+.\\-]*://[^/?#]+)$', '\\1/', 'g') AS u
        FROM s4)
@@ -5663,7 +5671,7 @@ WITH m AS (SELECT doc_id,
 l AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM m),
 k AS (SELECT doc_id, ls,
         list_filter(ls, x ->
-          len(str_split(trim(x), ' ')) >= 3
+          len(regexp_split_to_array(trim(x), '[ \t]+')) >= 3
           AND right(trim(x), 1) IN ('.', '!', '?', '"')
           AND NOT contains(lower(trim(x)), 'lorem ipsum')
           AND NOT contains(lower(trim(x)), 'javascript')

@@ -100,11 +100,24 @@ def build_release(
 
         cut = cut_contaminated_spans(
             kept_quality, bench, text_col, id_col, decontam_ngram
-        ).select(id_col, F.col("clean_text"))
+        ).select(
+            id_col, "clean_text",
+            (F.col("kept_tokens") < F.col("n_tokens")).alias("__was_cut"),
+        )
         rewritten = (
-            kept_quality.drop(text_col)
+            kept_quality.withColumnRenamed(text_col, "__orig")
             .join(cut, id_col)
-            .withColumnRenamed("clean_text", text_col)
+            # review finding: clean_text is rebuilt from NORMALIZED words
+            # (lowercased, whitespace-collapsed) — only documents that
+            # actually lost a span take the rewrite; untouched docs keep
+            # their original byte-exact text
+            .withColumn(
+                text_col,
+                F.when(F.col("__was_cut"), F.col("clean_text")).otherwise(
+                    F.col("__orig")
+                ),
+            )
+            .drop("__orig", "clean_text", "__was_cut")
             # a doc whose whole text was benchmark quote carries nothing
             .where(F.length(F.col(text_col)) > 0)
         )

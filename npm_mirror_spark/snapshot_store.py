@@ -157,7 +157,11 @@ class SnapshotStore:
             if os.path.exists(p):
                 os.remove(p)
                 removed_versions.append(v)
-        removed_files = self.vacuum(min_age_seconds) if removed_versions else []
+        # vacuum UNCONDITIONALLY (review finding): a crash between a
+        # previous call's manifest deletion and its vacuum leaves
+        # expired files that a re-run would otherwise never reclaim —
+        # vacuum only removes unreferenced, aged files, so it is safe
+        removed_files = self.vacuum(min_age_seconds)
         return {
             "versions_removed": removed_versions,
             "files_removed": removed_files,

@@ -48,6 +48,7 @@ class StreamingKMeans:
         self.sums = [[0] * self.dim for _ in range(self.k)]
         self.counts = [0] * self.k
         self.n_batches = 0
+        self._last_batch: int | None = None
 
     @property
     def centroids_q(self) -> list[list[int]]:
@@ -63,10 +64,15 @@ class StreamingKMeans:
                 )
         return out
 
-    def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+    def update_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         """Fold one (micro-)batch into the running statistics — assign
         against the CURRENT centroids, then merge exact integer sums.
-        Signature matches foreachBatch."""
+        Signature matches foreachBatch.  Integer-sum merging is not
+        idempotent, so a checkpoint-replayed batch (same batch_id as the
+        last applied one) is skipped — the transactional-sink replay
+        guard."""
+        if batch_id is not None and batch_id == self._last_batch:
+            return
         cents = self.centroids_q
         rows = (
             batch_df.select(
@@ -85,6 +91,7 @@ class StreamingKMeans:
             if r["pos"] == 0:
                 self.counts[r["cluster"]] += r["cnt"]
         self.n_batches += 1
+        self._last_batch = batch_id
 
     def attach(self, stream: DataFrame, checkpoint: str):
         """Wire onto a streaming DataFrame of vectors; availableNow or

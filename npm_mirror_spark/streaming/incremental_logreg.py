@@ -46,13 +46,18 @@ class StreamingLogReg:
         self.weights = [0.0] * dim
         self.bias = 0.0
         self.losses: list[float] = []
+        self._last_batch: int | None = None
 
     @property
     def model(self) -> dict:
         return {"weights": list(self.weights), "bias": self.bias}
 
-    def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        """One SGD step on this micro-batch (foreachBatch signature)."""
+    def update_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """One SGD step on this micro-batch (foreachBatch signature).
+        A checkpoint-replayed batch (same batch_id as the last applied)
+        is skipped: a repeated gradient step is not idempotent."""
+        if batch_id is not None and batch_id == self._last_batch:
+            return
         n = batch_df.count()
         if n == 0:
             return
@@ -66,6 +71,7 @@ class StreamingLogReg:
             self.dim, self.id_col, self.label_col,
         )
         self.losses.append(ml)
+        self._last_batch = batch_id
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

@@ -38,8 +38,15 @@ class StreamingCountMin:
         self.width = width
         self.cells: dict[tuple[int, int], int] = {}
         self.n_batches = 0
+        self._last_batch: int | None = None
 
-    def update_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+    def update_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        # review finding: CMS '+' merge is NOT idempotent (unlike HLL
+        # max), so a checkpoint-replayed foreachBatch micro-batch must
+        # be skipped by its batch_id — the same transactional-sink
+        # contract SnapshotStore.commit(token=...) applies
+        if batch_id is not None and batch_id == self._last_batch:
+            return
         rows = count_min_sketch(
             batch_df, self.key_col, self.depth, self.width
         ).collect()
@@ -47,6 +54,7 @@ class StreamingCountMin:
             key = (r["r"], r["b"])
             self.cells[key] = self.cells.get(key, 0) + r["c"]
         self.n_batches += 1
+        self._last_batch = batch_id
 
     def sketch_df(self, spark) -> DataFrame:
         rows = [(r, b, c) for (r, b), c in sorted(self.cells.items())]

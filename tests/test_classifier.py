@@ -243,3 +243,40 @@ def test_subset_ids_define_the_scored_set(spark):
     # the subset run must agree with the full run on the common ids
     # (i.e. the bias term is present either way)
     assert abs(scored[1] - full[1]) < 1e-12
+
+
+def test_metrics_handle_nan_and_infinity_scores(spark):
+    """Review-hardening pin: NaN/±Inf scores must (a) compute the same
+    AUC as the pairwise reference under Spark's total order (NULL <
+    -Inf < finite < +Inf < NaN) and (b) not poison the bucket span —
+    finite scores must still spread across buckets."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.classifier import binary_metrics, pr_curve
+
+    data = [(0.1, 1), (float("nan"), 0), (0.9, 1), (float("inf"), 0),
+            (float("-inf"), 1), (0.5, 0), (0.3, 1), (0.7, 0)]
+    df = spark.createDataFrame(data, "score double, label int")
+    row = binary_metrics(df, "score").first()
+
+    def key(s):
+        if math.isnan(s):
+            return (3, 0.0)
+        if s == float("inf"):
+            return (2, 0.0)
+        if s == float("-inf"):
+            return (0, 0.0)
+        return (1, s)
+
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    wins = sum(
+        1.0 if key(p) > key(n) else (0.5 if key(p) == key(n) else 0.0)
+        for p in pos for n in neg
+    )
+    assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+    curve = pr_curve(df, "score").collect()
+    assert len(curve) == len({s for s, _ in data})
+    assert all(r["tp"] + r["fn"] == row["n_pos"] for r in curve)

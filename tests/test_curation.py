@@ -299,6 +299,12 @@ def test_canonicalize_url_edge_cases(spark):
         "http://User@A.com/x": "http://user@a.com/x",
         # bare authority gains the canonical slash, with port stripped
         "HTTP://A.com:80": "http://a.com/",
+        # review finding: '&' is a legal PATH character — a tracked-
+        # looking token in the path must never be stripped, nor may it
+        # consume the real query
+        "https://a.com/p&utm_content=x/rest?q=1": "https://a.com/p&utm_content=x/rest?q=1",
+        # ...but the same parameter IN the query still dies
+        "https://a.com/p&keep/rest?utm_content=x&q=1": "https://a.com/p&keep/rest?q=1",
     }
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases.items())],

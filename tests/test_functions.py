@@ -166,3 +166,18 @@ def test_filter_lines_rules(spark):
     from npm_mirror_spark import plans
 
     assert plans.shuffle_count(filter_lines(df)) == 0
+
+
+def test_filter_lines_counts_whitespace_runs(spark):
+    """Review finding: 'a  b.' (double space) is TWO words, and
+    tab-separated words count individually."""
+    from npm_mirror_spark.operators.text import filter_lines
+
+    text = "\n".join([
+        "a  b.",                   # 2 words -> dropped at min_words=3
+        "one\ttwo\tthree words.",  # 4 words -> kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = filter_lines(df).collect()[0]
+    assert r["kept_lines"] == 1
+    assert r["clean_text"] == "one\ttwo\tthree words."

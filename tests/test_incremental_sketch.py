@@ -67,3 +67,32 @@ def test_foreachbatch_wiring(spark, sf_dir, tmp_path):
     assert sk.n_batches >= 1
     want = sorted(map(tuple, hll_registers(o, "o_custkey").collect()))
     assert sorted(map(tuple, sk.registers_df(spark).collect())) == want
+
+
+def test_cms_replayed_batch_is_skipped(spark):
+    """Review finding: CMS '+' merge is not idempotent, so a
+    checkpoint-replayed foreachBatch delivery (same batch_id) must be a
+    no-op — and the same guard holds for the SGD/k-means trainers."""
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    sk = StreamingCountMin("k", depth=2, width=256)
+    sk.update_batch(df, batch_id=0)
+    once = dict(sk.cells)
+    sk.update_batch(df, batch_id=0)  # replay: must not double-count
+    assert sk.cells == once and sk.n_batches == 1
+    sk.update_batch(df, batch_id=1)  # a new batch still lands
+    assert sk.n_batches == 2
+    assert all(sk.cells[c] == 2 * once[c] for c in once)
+
+
+def test_trainer_replay_guards(spark, sf_dir):
+    from npm_mirror_spark.streaming.incremental_kmeans import StreamingKMeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding").limit(50)
+    from npm_mirror_spark.operators.similarity import _quantize
+
+    seed = [r["q"] for r in e.select(_quantize("embedding").alias("q")).limit(2).collect()]
+    km = StreamingKMeans(seed)
+    km.update_batch(e, batch_id=0)
+    counts_once = list(km.counts)
+    km.update_batch(e, batch_id=0)  # replay
+    assert km.counts == counts_once and km.n_batches == 1

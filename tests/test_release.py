@@ -134,3 +134,40 @@ def test_cut_mode_release_retains_more_rows_and_no_bench_grams(spark, sf_dir, tm
     with pytest.raises(ValueError, match="decontam_mode"):
         build_release(spark, corpus, bench, str(tmp_path / "bad"),
                       decontam_mode="nope")
+
+
+def test_cut_mode_preserves_untouched_text_bytes(spark, tmp_path):
+    """Review finding: an uncontaminated doc must ship its ORIGINAL
+    byte-exact text in cut mode — clean_text's normalized rebuild may
+    only replace documents that actually lost a span."""
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    pristine = (
+        "This Document Keeps Mixed Case and   doubled spacing while the "
+        "narrative wanders through gardens, harbors, libraries and train "
+        "stations collecting distinct vocabulary so every trigram stays "
+        "unique and the quality gate is satisfied without any repetition."
+    )
+    quoting = (
+        "this long enough document mentions that the secret benchmark "
+        "answer is forty two exactly which leaks and it keeps going with "
+        "plenty of additional words to satisfy the gate afterwards here"
+    )
+    docs = spark.createDataFrame(
+        [(1, pristine, "s"), (2, quoting, "s")],
+        "doc_id long, text string, source string",
+    )
+    audit = build_release(
+        spark, docs, bench, str(tmp_path / "st"),
+        decontam_ngram=3, decontam_mode="cut", capacity=512,
+    )
+    released = {
+        r["doc_id"]: r["text"]
+        for r in SnapshotStore(spark, str(tmp_path / "st"))
+        .read(audit["version"]).collect()
+    }
+    assert released[1] == pristine, "untouched text must stay byte-exact"
+    if 2 in released:
+        assert "secret benchmark answer" not in released[2]

@@ -142,3 +142,20 @@ def test_hll_estimate_is_duplicate_insensitive(spark):
     r1 = hll_estimate(hll_registers(once, "k"), 8).first()
     r7 = hll_estimate(hll_registers(many, "k"), 8).first()
     assert (r1["hll_sum"], r1["est"]) == (r7["hll_sum"], r7["est"])
+
+
+def test_hll_empty_registers_defined_estimate(spark):
+    """Review finding: zero ingested rows must yield the defined
+    all-zero-registers value (hll_sum = m * 2^kappa), never NULL."""
+    from npm_mirror_spark.operators.sketches import hll_estimate
+
+    empty = spark.createDataFrame([], "idx int, mreg int")
+    row = hll_estimate(empty, p=8).first()
+    assert row["zero_registers"] == 256
+    assert row["hll_sum"] == 256 * (1 << 53)
+    # the raw closed form gives alpha*m when every register is zero —
+    # exactly why zero_registers ships alongside (consumers apply
+    # linear counting: m*ln(m/V) = 0 when V = m)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    assert row["est"] is not None
+    assert abs(row["est"] - alpha * 256) < 1e-9
