@@ -234,3 +234,57 @@ def test_span_operators_match_bruteforce(spark, corpus):
         ) == (n, n_spans, dup_toks, max_span), (d, docs)
     got_cuts = {r["doc_id"]: r["clean_text"] for r in cut_dup_spans(df, l=3).collect()}
     assert got_cuts == cuts_ref, docs
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) — a canonical form must be a
+    fixpoint, over a generated mix of schemes, ports, params, paths
+    and junk."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.curation import canonicalize_url
+
+    import random
+
+    rng = random.Random(13)
+    parts_scheme = ["http", "HTTPS", "Http"]
+    parts_host = ["A.com", "sub.Site.ORG:443", "x.io:80", "y.net:8080"]
+    parts_path = ["", "/", "/P/q", "/a&utm_x=1/b", "/deep/Path"]
+    parts_q = ["", "?a=1", "?utm_a=1", "?utm_a=1&b=2", "?b=2&gclid=z&c=3",
+               "?fbclid=1&utm_b=2"]
+    parts_frag = ["", "#x", "#frag?y=1"]
+    urls = [
+        rng.choice(parts_scheme) + "://" + rng.choice(parts_host)
+        + rng.choice(parts_path) + rng.choice(parts_q) + rng.choice(parts_frag)
+        for _ in range(200)
+    ] + ["not a url", "", "ftp://weird:21/x?utm_a=1"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonicalize_url("url").alias("c1"),
+    ).select(
+        "c1", canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r
+
+
+def test_filter_lines_is_idempotent(spark):
+    """Re-filtering already-clean text must be a no-op: every surviving
+    line already satisfies all three rules."""
+    from npm_mirror_spark.operators.text import filter_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Good line stays right here.\nbad\nAnother solid line here.\n"
+                "no punct line at all\nPlease accept cookie terms."),
+            (2, "short.\n\n\nOnly one real line survives this one."),
+        ],
+        "doc_id long, text string",
+    )
+    once = filter_lines(docs).withColumnRenamed("clean_text", "text")
+    twice = filter_lines(once.select("doc_id", "text"))
+    a = {r["doc_id"]: r["clean_text"] for r in once.withColumnRenamed("text", "clean_text").collect()}
+    b = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["kept_lines"]) for r in twice.collect()}
+    for k in a:
+        assert b[k][0] == a[k], k
+        assert b[k][1] == b[k][2], "every line must survive the second pass"
