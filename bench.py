@@ -137,6 +137,7 @@ HEADLINE_R6 = [
     "q_cut_contaminated",
     "q_line_filter",
     "q_containment",
+    "q_lang_margin",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

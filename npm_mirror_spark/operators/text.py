@@ -207,6 +207,22 @@ def language_id(col: Column | str) -> Column:
     return best["key"]
 
 
+def language_margin(col: Column | str) -> Column:
+    """struct(top_hits, margin) — the CONFIDENCE of the heuristic
+    language guess: top_hits is the winning language's stopword-hit
+    count and margin its lead over the runner-up.  Production lang
+    filters threshold on classifier confidence, not just the argmax
+    (CCNet/fastText keep docs only above ~0.5); this is the same gate
+    for the stopword scorer.  In-row sort of the 4-value score array —
+    no shuffle, exact integers, oracle-replayable."""
+    vals = F.array_sort(F.map_values(language_scores(col)))
+    n = len(STOPWORDS)
+    return F.struct(
+        F.element_at(vals, n).alias("top_hits"),
+        (F.element_at(vals, n) - F.element_at(vals, n - 1)).alias("margin"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (the classic 'fingerprint' clustering key — robust to word

@@ -3339,6 +3339,24 @@ def q_containment(spark, sf_dir):
     return dedup_ops.containment_pairs(pairs, corpus, "doc_id", "text", 3)
 
 
+def q_lang_margin(spark, sf_dir):
+    """Language-ID with CONFIDENCE (operators/text.py:language_margin):
+    the guess plus the winning stopword-hit count and its lead over the
+    runner-up language, and the CCNet-style keep flag (enough evidence
+    AND a clear margin). Thresholding on confidence — not just the
+    argmax — is what production lang filters do; everything is in-row
+    exact-integer expression work, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    m = text_ops.language_margin("text")
+    return d.select(
+        "doc_id",
+        text_ops.language_id("text").alias("lang_guess"),
+        m["top_hits"].alias("top_hits"),
+        m["margin"].alias("margin"),
+        ((m["top_hits"] >= 2) & (m["margin"] >= 1)).alias("confident"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3520,6 +3538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
+    "q_lang_margin": q_lang_margin,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5708,4 +5727,28 @@ SELECT p.id_a, p.id_b,
           / CAST(len(b.s) AS DOUBLE) >= 0.9) AS contained
 FROM p JOIN shd a ON a.doc_id = p.id_a
        JOIN shd b ON b.doc_id = p.id_b
+"""
+
+# q_lang_margin: the same per-language stopword counts as q_lang_id,
+# plus a sorted-array top-2 margin — exact integers end to end.
+ORACLES["q_lang_margin"] = f"""
+WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+  len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','es'], x))) AS s_es,
+  len(list_filter(toks, x -> list_contains(['le','la','de','et','que','en','est'], x))) AS s_fr,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','ist'], x))) AS s_de
+  FROM w),
+m AS (SELECT doc_id, s_en, s_es, s_fr, s_de,
+        list_sort([s_en, s_es, s_fr, s_de]) AS srt FROM s)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+    WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+    WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+    WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+    ELSE 'fr' END AS lang_guess,
+  CAST(srt[4] AS INTEGER) AS top_hits,
+  CAST(srt[4] - srt[3] AS INTEGER) AS margin,
+  (srt[4] >= 2 AND srt[4] - srt[3] >= 1) AS confident
+FROM m
 """

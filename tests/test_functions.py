@@ -181,3 +181,31 @@ def test_filter_lines_counts_whitespace_runs(spark):
     r = filter_lines(df).collect()[0]
     assert r["kept_lines"] == 1
     assert r["clean_text"] == "one\ttwo\tthree words."
+
+
+def test_language_margin_semantics(spark):
+    """margin = winner's stopword hits minus runner-up's; ambiguous
+    bilingual text gets margin 0 (never 'confident')."""
+    from npm_mirror_spark.operators.text import language_id, language_margin
+
+    rows = {
+        # de/es 'en'-free: 'der hund und die katze' -> de=3 hits, others low
+        "der hund und die katze": ("de", 3),
+        # genuinely ambiguous: 'la de' scores 2 for BOTH es and fr
+        "la de": (None, 0),
+        "xyzzy plugh": ("und", 0),
+    }
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = {
+        r["text"]: (r["lang"], r["m"]["top_hits"], r["m"]["margin"])
+        for r in df.select(
+            "text",
+            language_id("text").alias("lang"),
+            language_margin("text").alias("m"),
+        ).collect()
+    }
+    lang, hits, margin = got["der hund und die katze"]
+    assert lang == "de" and hits == 3 and margin >= 1
+    _, hits2, margin2 = got["la de"]
+    assert hits2 == 2 and margin2 == 0  # tie -> zero margin, not confident
+    assert got["xyzzy plugh"][1] == 0
