@@ -138,6 +138,7 @@ HEADLINE_R6 = [
     "q_line_filter",
     "q_containment",
     "q_lang_margin",
+    "q_binned_quantiles",
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 

@@ -189,3 +189,80 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Approximate quantiles from an equi-width histogram — the
+    third exact-replay sketch (counts: CMS, distinct: HLL, quantiles:
+    this): (q, est, n) with error bounded by one bin width.
+
+    One scalar min/max pass (broadcast 1-row frame), one (bin) shuffle
+    of integer counts with map-side partial aggregation (mergeable like
+    the others: histograms add bin-wise), then the quantile read-out
+    runs entirely on the <=bins-row table: cumulative counts via a
+    BOUNDED single-partition window (the prefix-sum-offsets contract),
+    and each q picks the bin containing rank ceil-free as
+        est = mn + span * (bin + (rank - cum_before) / bin_count) / bins
+    — exact integer counts feeding one fixed-shape double expression,
+    so DuckDB reproduces every estimate bit-for-bit (contrast
+    q_approx_stats' percentile_approx, whose KLL internals are opaque).
+    Degenerate spans (all values equal) read back mn exactly.
+    """
+    from pyspark.sql import Window
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    c = F.col(col).cast("double")
+    stats = df.agg(F.min(c).alias("__mn"), F.max(c).alias("__mx"))
+    span = F.col("__mx") - F.col("__mn")
+    bkt = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((c - F.col("__mn")) / span * bins).cast("int"),
+            )
+        )
+    )
+    counts = (
+        df.where(c.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bkt.alias("bin"), "__mn", "__mx")
+        .groupBy("bin", "__mn", "__mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "bin", "cnt", "__mn", "__mx",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cumb"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    q_df = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(q_df))
+        .where(
+            (F.col("q") * F.col("n") > F.col("cumb"))
+            & (F.col("q") * F.col("n") <= F.col("cumb") + F.col("cnt"))
+        )
+    )
+    span_d = F.col("__mx") - F.col("__mn")
+    est = F.when(span_d <= 0, F.col("__mn")).otherwise(
+        F.col("__mn")
+        + span_d
+        * (
+            F.col("bin").cast("double")
+            + (F.col("q") * F.col("n") - F.col("cumb")) / F.col("cnt")
+        )
+        / F.lit(float(bins))
+    )
+    return hit.select("q", est.alias("est"), "n")

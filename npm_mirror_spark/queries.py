@@ -3357,6 +3357,21 @@ def q_lang_margin(spark, sf_dir):
     )
 
 
+def q_binned_quantiles(spark, sf_dir):
+    """Approximate quantiles with EXACT-replay arithmetic
+    (operators/sketches.py:binned_quantiles): a 256-bin equi-width
+    histogram of lineitem prices (one int-count shuffle, mergeable
+    bin-wise) and the in-bin interpolated p50/p90/p99 read-out —
+    deterministic doubles from exact integer counts, so unlike
+    percentile_approx's KLL this approximate answer hash-matches its
+    oracle. Error bound: one bin width (also pinned vs the exact
+    percentile in tests/test_sketches.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sketch_ops.binned_quantiles(
+        li, "l_extendedprice", qs=(0.5, 0.9, 0.99), bins=256
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3539,6 +3554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
     "q_lang_margin": q_lang_margin,
+    "q_binned_quantiles": q_binned_quantiles,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -5751,4 +5767,34 @@ SELECT doc_id,
   CAST(srt[4] - srt[3] AS INTEGER) AS margin,
   (srt[4] >= 2 AND srt[4] - srt[3] >= 1) AS confident
 FROM m
+"""
+
+# q_binned_quantiles: histogram bins, bounded cumulative window, and the
+# identical interpolation expression — exact ints feeding fixed-shape
+# doubles.
+ORACLES["q_binned_quantiles"] = """
+WITH stats AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+                      CAST(max(l_extendedprice) AS DOUBLE) AS mx
+               FROM lineitem),
+b AS (SELECT CASE WHEN (mx - mn) <= 0 THEN 0
+             ELSE least(255, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                                        / (mx - mn) * 256) AS INTEGER)) END AS bin,
+             mn, mx
+      FROM lineitem CROSS JOIN stats
+      WHERE l_extendedprice IS NOT NULL),
+counts AS (SELECT bin, mn, mx, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+cum AS (SELECT bin, cnt, mn, mx,
+          coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+            PRECEDING AND 1 PRECEDING), 0) AS cumb,
+          sum(cnt) OVER () AS n
+        FROM counts),
+qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT q,
+       CASE WHEN (mx - mn) <= 0 THEN mn
+            ELSE mn + (mx - mn)
+                 * (CAST(bin AS DOUBLE) + (q * n - cumb) / cnt) / 256.0
+       END AS est,
+       CAST(n AS BIGINT) AS n
+FROM cum CROSS JOIN qs
+WHERE q * n > cumb AND q * n <= cumb + cnt
 """

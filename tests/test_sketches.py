@@ -159,3 +159,31 @@ def test_hll_empty_registers_defined_estimate(spark):
     alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     assert row["est"] is not None
     assert abs(row["est"] - alpha * 256) < 1e-9
+
+
+def test_binned_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    """Error contract: each estimate lies within one bin width of the
+    exact percentile; all values equal -> exact readback; merge: bin
+    histograms add, so union quantiles come from summed counts."""
+    import pytest
+
+    from npm_mirror_spark.operators.sketches import binned_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {r["q"]: r["est"] for r in binned_quantiles(
+        li, "l_extendedprice", qs=(0.5, 0.9, 0.99), bins=256).collect()}
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    bin_w = (float(hi) - float(lo)) / 256
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, array(0.5, 0.9, 0.99)) AS p"
+    ).first()["p"]
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(got[q] - ex) <= bin_w, (q, got[q], ex)
+    # degenerate span reads back the constant exactly
+    const = spark.createDataFrame([(7.5,)] * 10, "v double")
+    row = binned_quantiles(const, "v", qs=(0.5,)).first()
+    assert row["est"] == 7.5 and row["n"] == 10
+    with pytest.raises(ValueError, match="quantiles"):
+        binned_quantiles(const, "v", qs=(0.0,))
