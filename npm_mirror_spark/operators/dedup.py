@@ -63,7 +63,10 @@ def md5_key64(col: Column | str, seed) -> Column:
     shared key behind epoch_shuffle / split_assign / token_budget_select
     priorities and the CMS bucket hash (DuckDB replay:
     ('0x' || substr(md5(seed || ':' || v), 1, 15))::BIGINT)."""
-    s = F.lit(int(seed)) if isinstance(seed, int) else seed
+    # any non-Column seed coerces through int() (review finding: an
+    # isinstance(int) check broke numpy.int64 seeds that previously
+    # worked via the inline F.lit(int(seed)))
+    s = seed if isinstance(seed, Column) else F.lit(int(seed))
     c = F.col(col) if isinstance(col, str) else col
     return md5_hash64(F.concat_ws(":", s.cast("string"), c.cast("string")))
 

@@ -217,7 +217,19 @@ def binned_quantiles(
 
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("quantiles must be in (0, 1]")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
     c = F.col(col).cast("double")
+    # non-finite values are EXCLUDED from the histogram and from n
+    # (review finding: a single NaN otherwise poisons the span — same
+    # defect _range_stats fixed for the classifier's prefix-sum buckets)
+    finite = (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+    )
+    df = df.where(finite)
     stats = df.agg(F.min(c).alias("__mn"), F.max(c).alias("__mx"))
     span = F.col("__mx") - F.col("__mn")
     bkt = (
@@ -230,8 +242,7 @@ def binned_quantiles(
         )
     )
     counts = (
-        df.where(c.isNotNull())
-        .crossJoin(F.broadcast(stats))
+        df.crossJoin(F.broadcast(stats))
         .select(bkt.alias("bin"), "__mn", "__mx")
         .groupBy("bin", "__mn", "__mx")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -62,13 +62,21 @@ def filter_lines(
     lines = F.split(F.col(text_col), "\n")
 
     def keep(x):
-        t = F.trim(x)
-        # split on whitespace RUNS (review finding: a single-space split
-        # mints phantom empty words on double spaces and fuses
-        # tab-separated words); explicit [ \t]+ — identical in Java
-        # regex and RE2, so the oracle replays it (the \s class differs
-        # between the two engines, the same trap the BPE kernel pins)
-        ok = F.size(F.split(t, "[ \t]+")) >= F.lit(int(min_words))
+        # trim SPACES AND TABS (review finding: F.trim strips spaces
+        # only, so tab padding leaked into the word count and defeated
+        # the terminal-punctuation check)
+        t = F.regexp_replace(
+            F.regexp_replace(x, r"^[ \t]+", ""), r"[ \t]+$", ""
+        )
+        # split on whitespace RUNS and count NON-EMPTY tokens (review
+        # findings: a single-space split mints phantom empty words on
+        # double spaces / fuses tab-separated words, and F.trim strips
+        # only spaces so a leading/trailing TAB would still mint an
+        # empty token); explicit [ \t]+ — identical in Java regex and
+        # RE2, so the oracle replays it (the \s class differs between
+        # the two engines, the same trap the BPE kernel pins)
+        words = F.filter(F.split(t, "[ \t]+"), lambda y: y != "")
+        ok = F.size(words) >= F.lit(int(min_words))
         if require_terminal_punct:
             ok = ok & F.substring(t, -1, 1).isin(".", "!", "?", '"')
         low = F.lower(t)

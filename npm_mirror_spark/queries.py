@@ -5706,13 +5706,16 @@ WITH m AS (SELECT doc_id,
 l AS (SELECT doc_id, str_split(t, chr(10)) AS ls FROM m),
 k AS (SELECT doc_id, ls,
         list_filter(ls, x ->
-          len(regexp_split_to_array(trim(x), '[ \t]+')) >= 3
-          AND right(trim(x), 1) IN ('.', '!', '?', '"')
-          AND NOT contains(lower(trim(x)), 'lorem ipsum')
-          AND NOT contains(lower(trim(x)), 'javascript')
-          AND NOT contains(lower(trim(x)), 'cookie')
-          AND NOT contains(lower(trim(x)), 'terms of use')
-          AND NOT contains(lower(trim(x)), 'privacy policy')) AS kept
+          len(list_filter(regexp_split_to_array(
+                regexp_replace(regexp_replace(x, '^[ \t]+', ''), '[ \t]+$', ''),
+                '[ \t]+'), y -> y != '')) >= 3
+          AND right(regexp_replace(regexp_replace(x, '^[ \t]+', ''), '[ \t]+$', ''), 1)
+              IN ('.', '!', '?', '"')
+          AND NOT contains(lower(x), 'lorem ipsum')
+          AND NOT contains(lower(x), 'javascript')
+          AND NOT contains(lower(x), 'cookie')
+          AND NOT contains(lower(x), 'terms of use')
+          AND NOT contains(lower(x), 'privacy policy')) AS kept
       FROM l)
 SELECT doc_id, len(ls) AS n_lines, len(kept) AS kept_lines,
        array_to_string(kept, chr(10)) AS clean_text
@@ -5775,13 +5778,13 @@ FROM m
 ORACLES["q_binned_quantiles"] = """
 WITH stats AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
                       CAST(max(l_extendedprice) AS DOUBLE) AS mx
-               FROM lineitem),
+               FROM lineitem WHERE isfinite(l_extendedprice)),
 b AS (SELECT CASE WHEN (mx - mn) <= 0 THEN 0
              ELSE least(255, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
                                         / (mx - mn) * 256) AS INTEGER)) END AS bin,
              mn, mx
       FROM lineitem CROSS JOIN stats
-      WHERE l_extendedprice IS NOT NULL),
+      WHERE isfinite(l_extendedprice)),
 counts AS (SELECT bin, mn, mx, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
 cum AS (SELECT bin, cnt, mn, mx,
           coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
@@ -5792,9 +5795,12 @@ qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
 SELECT q,
        CASE WHEN (mx - mn) <= 0 THEN mn
             ELSE mn + (mx - mn)
-                 * (CAST(bin AS DOUBLE) + (q * n - cumb) / cnt) / 256.0
+                 * (CAST(bin AS DOUBLE)
+                    + (CAST(q AS DOUBLE) * CAST(n AS DOUBLE) - cumb) / cnt)
+                 / 256.0
        END AS est,
        CAST(n AS BIGINT) AS n
 FROM cum CROSS JOIN qs
-WHERE q * n > cumb AND q * n <= cumb + cnt
+WHERE CAST(q AS DOUBLE) * CAST(n AS DOUBLE) > cumb
+  AND CAST(q AS DOUBLE) * CAST(n AS DOUBLE) <= cumb + cnt
 """

@@ -417,3 +417,19 @@ def test_cut_contaminated_spans_is_surgical(spark):
     }
     assert flags[1] is True and flags[2] is False
     assert got[1]["kept_tokens"] >= got[1]["n_tokens"] // 2
+
+
+def test_md5_seeds_accept_numpy_ints(spark):
+    """Review finding: seeds that arrive as numpy ints (collected Spark
+    rows) must coerce like plain ints."""
+    import numpy as np
+
+    df = spark.range(20).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, cur.epoch_shuffle(df, "doc_id", epoch=3).collect()))
+    b = sorted(map(tuple, cur.epoch_shuffle(df, "doc_id", epoch=np.int64(3)).collect()))
+    assert a == b
+    sa = {r["doc_id"]: r["split"]
+          for r in cur.split_assign(df, "doc_id", seed=np.int64(5)).collect()}
+    sb = {r["doc_id"]: r["split"]
+          for r in cur.split_assign(df, "doc_id", seed=5).collect()}
+    assert sa == sb

@@ -209,3 +209,18 @@ def test_language_margin_semantics(spark):
     _, hits2, margin2 = got["la de"]
     assert hits2 == 2 and margin2 == 0  # tie -> zero margin, not confident
     assert got["xyzzy plugh"][1] == 0
+
+
+def test_filter_lines_tab_padding_no_phantom_words(spark):
+    """Review finding: a leading/trailing TAB must not mint a phantom
+    empty word (F.trim strips spaces only)."""
+    from npm_mirror_spark.operators.text import filter_lines
+
+    text = "\n".join([
+        "\tfoo bar.",        # 2 real words -> dropped at min_words=3
+        "real three words.\t",  # 3 real words -> kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = filter_lines(df).collect()[0]
+    assert r["kept_lines"] == 1
+    assert "real three words." in r["clean_text"]
