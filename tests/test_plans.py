@@ -311,6 +311,10 @@ ALLOWED_BNLJ = {
         "single-row exact-distinct validation count broadcast onto the "
         "single-row register fold"
     ),
+    "q_binned_quantiles": (
+        "single-row (min,max) histogram-range broadcast + len(qs)-row "
+        "quantile-literal broadcast onto the <=bins-row cumulative table"
+    ),
     "q_ann_ivf_trained": (
         "k=8 trained-centroid table + probes (vec_id<5) broadcast for "
         "assignment/search; corpus equi-joins on cluster (same contract "
