@@ -20,6 +20,8 @@ from npm_mirror_spark.operators.projections import (  # noqa: F401
 from npm_mirror_spark.operators.dedup import (  # noqa: F401
     jaccard,
     lsh_band_hashes,
+    md5_hash64,
+    md5_key64,
     minhash_signature,
     normalize_text,
     simhash16,
@@ -76,6 +78,8 @@ __all__ = [
     "simhash16",
     "text_hash",
     "word_shingles",
+    "md5_hash64",
+    "md5_key64",
     "cosine",
     "dot",
     "l2_norm",
