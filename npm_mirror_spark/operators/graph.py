@@ -72,8 +72,14 @@ def pagerank(
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, rank long")
     teleport = (PR_SCALE * (damp_den - damp_num)) // (damp_den * n)
+    # the literals MUST be long: with enough nodes PR_SCALE//n drops
+    # under 2^31, F.lit types it IntegerType, and ANSI constant folding
+    # overflows evaluating rank * damp_num in 32-bit — an SF-dependent
+    # crash (found by the sf0.1 oracle sweep; smaller graphs pass only
+    # because their bigger per-node rank forces LongType)
     ranks = deg.select(
-        F.col("src").alias("id"), F.lit(PR_SCALE // n).alias("rank")
+        F.col("src").alias("id"),
+        F.lit(PR_SCALE // n).cast("long").alias("rank"),
     )
     for _ in range(n_iter):
         rates = ranks.join(deg, ranks["id"] == deg["src"]).select(
@@ -82,6 +88,6 @@ def pagerank(
         )
         contrib = und.join(rates, und["src"] == rates["id"]).select("dst", "c")
         ranks = contrib.groupBy("dst").agg(
-            (F.sum("c") + F.lit(teleport)).alias("rank")
+            (F.sum("c") + F.lit(teleport).cast("long")).alias("rank")
         ).select(F.col("dst").alias("id"), "rank")
     return ranks

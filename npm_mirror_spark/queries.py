@@ -641,21 +641,23 @@ def q_ann_pq(spark, sf_dir):
     the compressed-index tier of the ANN stack: train sub-codebooks on a
     bounded sample, quantize every vector to m=8 one-byte codes (~32x
     smaller than the float vectors), ADC-score the CODES table per probe
-    into a 192-wide shortlist, then exact-rerank only the shortlist
+    into a 768-wide shortlist, then exact-rerank only the shortlist
     against full vectors. Same probes/k and same output contract as
     q_cosine_topk, and the oracle IS q_cosine_topk's SQL: the
     registered claim is the measured shortlist-recovery contract —
-    ADC + rerank returns the EXACT top-k at this scale (shortlist sized
-    with ~50% headroom over the empirically-required width on this
-    worst-case geometry; tests/test_pq.py characterizes both regimes,
-    and similarity.pq_recall is the meter that sizes the shortlist
-    before trusting the compressed index at a new scale)."""
+    ADC + rerank returns the EXACT top-k at every local SF. The width
+    comes from MEASURING (similarity.pq_recall is the meter): on the
+    sf0.1 worst-case geometry the required width lies in (384, 768] —
+    the r6 full-registry sf0.1 sweep caught the old 192 (sized against
+    the 10x-smaller sf0.01 corpus) under-recovering there, exactly the
+    re-size-before-trusting-at-a-new-scale discipline this docstring
+    prescribes; tests/test_pq.py characterizes both regimes."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     cb = sim_ops.train_pq(e, m=8, ks=32)
-    return sim_ops.pq_topk_rerank(e, probes, cb, k=5, shortlist=192)
+    return sim_ops.pq_topk_rerank(e, probes, cb, k=5, shortlist=768)
 
 
 def q_semdedup(spark, sf_dir):

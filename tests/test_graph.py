@@ -112,3 +112,20 @@ def test_degree_folds_before_the_edge_join(spark):
 
     offenders = walk(plan, [])
     assert offenders == [], f"degree joined onto an edge-sized join: {offenders}"
+
+
+def test_large_graph_int32_literal_regime(spark):
+    """Regression (found by the sf0.1 oracle sweep): with enough nodes,
+    PR_SCALE // n drops below 2^31 and an un-cast literal becomes
+    IntegerType — ANSI constant folding then overflows on rank * 85 at
+    OPTIMIZATION time. 600 nodes puts the initial rank squarely in the
+    int32 range; the ranks must still compute and conserve mass."""
+    n = 600
+    # a ring: every node has degree 2, all connected
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = pagerank(edges, n_iter=3).collect()
+    assert len(ranks) == n
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - PR_SCALE) < n * 10  # quantization-only loss
