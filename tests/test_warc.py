@@ -379,3 +379,50 @@ def test_stream_rows_identical_between_executor_and_simple_paths(
     exec_rows = drain("exec")
     simple_rows = drain("simple", simpleReader="true")
     assert exec_rows == simple_rows and len(exec_rows) == 7
+
+
+def test_warc_randomized_payload_roundtrip(spark, tmp_path):
+    """Seeded soak: random binary payloads (including 0xFF runs that
+    stress gzip members and marker-free parsing, empty bodies, unicode
+    URIs) must round-trip byte-exactly through both layouts and the
+    datasource face."""
+    import random
+
+    rng = random.Random(99)
+    recs = []
+    for i in range(40):
+        kind = rng.choice(["bytes", "ff", "empty", "text"])
+        if kind == "bytes":
+            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 400)))
+        elif kind == "ff":
+            payload = b"\xff" * rng.randint(1, 64) + b"\x00\xff\r\n\r\n\xff"
+        elif kind == "empty":
+            payload = b""
+        else:
+            payload = ("unicode £ body é中 " * rng.randint(1, 10)).encode()
+        recs.append(
+            {
+                "warc_type": rng.choice(["response", "metadata", "conversion"]),
+                "record_id": f"fz-{i}",
+                "target_uri": f"https://héllo.example/{i}",
+                "payload": payload,
+            }
+        )
+    want = {f"<urn:uuid:{r['record_id']}>": r["payload"] for r in recs}
+    for layout, gz in (("gz", True), ("plain", False)):
+        d = tmp_path / layout
+        d.mkdir()
+        write_warc(str(d / f"s.warc{'.gz' if gz else ''}"), recs, gz)
+        got = {
+            r["record_id"]: bytes(r["payload"])
+            for r in read_warc(spark, str(d)).collect()
+        }
+        assert got == want, layout
+    from npm_mirror_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(spark)
+    got_ds = {
+        r["record_id"]: bytes(r["payload"])
+        for r in spark.read.format("warc").load(str(tmp_path / "gz")).collect()
+    }
+    assert got_ds == want
