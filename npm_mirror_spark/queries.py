@@ -3408,11 +3408,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_text_stats": q_text_stats,
     "q_approx_stats": q_approx_stats,
-    # slots 28-50 (r6 rotation): first-ever driver rows — the 15 pre-r5
-    # never-checked queue entries plus the 8 highest-risk r5 operators the
-    # r5 verdict named (trained kmeans/IVF, PageRank, SRP-LSH, BM25,
-    # PQ/SQ8 ANN, minhash recall).  All 23 are oracle-backed; see
-    # docs/DRIVER_WINDOW.md for the rotation policy and remaining queue.
+    # slots 28-50 (r7 rotation): first-ever driver rows — the 23 oldest
+    # entries of the never-checked queue per docs/DRIVER_WINDOW.md: the 5
+    # entries the r6 risk swap deferred, the r5 eval/LM tail, then the
+    # oldest r6 sketch/curation additions.  Four are rows-only by nature
+    # (documented in __spark_entry__.py); the other 19 are oracle-backed.
+    "q_temperature_mix": q_temperature_mix,
+    "q_dup_ngram_fraction": q_dup_ngram_fraction,
+    "q_dup_spans": q_dup_spans,
+    "q_cut_dup_spans": q_cut_dup_spans,
+    "q_bloom_new_customers": q_bloom_new_customers,
+    "q_lm_nll": q_lm_nll,
+    "q_hybrid_search": q_hybrid_search,
+    "q_quality_classifier": q_quality_classifier,
+    "q_bpe_encode": q_bpe_encode,
+    "q_lm_bigram": q_lm_bigram,
+    "q_url_filter": q_url_filter,
+    "q_embed_text": q_embed_text,
+    "q_vocab_growth": q_vocab_growth,
+    "q_corpus_report": q_corpus_report,
+    "q_classifier_eval": q_classifier_eval,
+    "q_pr_curve": q_pr_curve,
+    "q_contamination_report": q_contamination_report,
+    "q_epoch_shuffle": q_epoch_shuffle,
+    "q_count_min": q_count_min,
+    "q_hll_replay": q_hll_replay,
+    "q_url_canon": q_url_canon,
+    "q_split_assign": q_split_assign,
+    "q_token_budget": q_token_budget,
+    # --- below the driver window: covered by tests/test_oracle_parity ---
+    # r6 window occupants (driver-green in CORRECTNESS_r06) rotate down;
+    # then earlier-round occupants; the remaining never-checked queue
+    # (youngest r6 additions + r7-new) sits last awaiting the r8 rotation.
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_rolling_hour": q_rolling_hour,
@@ -3436,10 +3463,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_pq": q_ann_pq,
     "q_ann_sq8": q_ann_sq8,
     "q_minhash_recall": q_minhash_recall,
-    # --- below the driver window: covered by tests/test_oracle_parity ---
-    # r5 window occupants (driver-green in CORRECTNESS_r05) rotate down;
-    # then earlier-round occupants and the 16-entry never-checked queue
-    # (oldest last section) awaiting the r7 rotation.
     "q_new_users_daily": q_new_users_daily,
     "q_group_percentiles": q_group_percentiles,
     "q_event_cooccurrence": q_event_cooccurrence,
@@ -3528,30 +3551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
     "q_unpivot": q_unpivot,
-    "q_temperature_mix": q_temperature_mix,
-    "q_dup_ngram_fraction": q_dup_ngram_fraction,
-    "q_dup_spans": q_dup_spans,
-    "q_cut_dup_spans": q_cut_dup_spans,
-    "q_bloom_new_customers": q_bloom_new_customers,
-    "q_quality_classifier": q_quality_classifier,
-    "q_bpe_encode": q_bpe_encode,
-    "q_lm_bigram": q_lm_bigram,
-    "q_url_filter": q_url_filter,
-    "q_embed_text": q_embed_text,
-    "q_vocab_growth": q_vocab_growth,
-    "q_corpus_report": q_corpus_report,
-    "q_classifier_eval": q_classifier_eval,
-    "q_pr_curve": q_pr_curve,
-    "q_lm_nll": q_lm_nll,
-    "q_hybrid_search": q_hybrid_search,
-    # r6 additions — join the never-driver-checked queue for r7 rotation
-    "q_contamination_report": q_contamination_report,
-    "q_epoch_shuffle": q_epoch_shuffle,
-    "q_count_min": q_count_min,
-    "q_hll_replay": q_hll_replay,
-    "q_url_canon": q_url_canon,
-    "q_split_assign": q_split_assign,
-    "q_token_budget": q_token_budget,
+    # never-driver-checked queue remainder — r8 rotation candidates
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
