@@ -456,6 +456,7 @@ def token_budget_select(
     group_col: str,
     id_col: str = "doc_id",
     seed: int = 0,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Assemble a corpus slice under a PER-GROUP token budget: within
     each ``group_col`` partition, documents take a deterministic
@@ -464,11 +465,26 @@ def token_budget_select(
 
     The standard "give me N tokens per source" corpus-assembly step:
     deterministic (re-runs pick the identical slice; a seed change is a
-    fresh independent draw) and never overshoots the budget.  One
-    (group) shuffle + per-group window — the same per-shard prefix-sum
-    shape as pack_sequences; a GLOBAL budget should be expressed as
-    per-group budgets (budget/n_groups) rather than a single-partition
-    window.  Output adds ``cum_tokens`` (inclusive running total).
+    fresh independent draw) and never overshoots the budget.  Output
+    adds ``cum_tokens`` (inclusive running total).  A GLOBAL budget
+    should be expressed as per-group budgets (budget/n_groups) rather
+    than a single-partition window.
+
+    Scale shape — the TWO-LEVEL bucketed prefix sum (the
+    classifier._with_prior_sums pattern), NOT a per-group unbounded
+    window: at 100 TB a single source ("web") is terabytes, and a
+    ``Window.partitionBy(group)`` prefix sum would land that whole
+    group on one reducer.  Instead the md5 priority key — uniform on
+    [0, 2^60) by construction — right-shifts into ``n_buckets``
+    ORDER-PRESERVING buckets (no min/max stats pass needed, unlike the
+    float-score axis in _with_prior_sums); per-(group, bucket) token
+    sums roll up to a bounded |groups| x n_buckets offset table whose
+    own prefix window runs per group over <= n_buckets rows; the
+    broadcast offsets then lift a window PARTITIONED BY
+    (group, bucket) — parallel within each group — to the global
+    per-group running total.  Same deterministic (key, id) total
+    order, so results are bit-identical to the single-window form (the
+    DuckDB oracle is unchanged).
 
     Documents individually larger than the budget are dropped BEFORE
     the prefix (map-side filter): they can never fit, and leaving them
@@ -480,18 +496,42 @@ def token_budget_select(
     """
     from pyspark.sql import Window
 
-    df = df.where(F.col(token_col) <= F.lit(int(budget)))
     from npm_mirror_spark.operators.dedup import md5_key64
 
-    key = md5_key64(id_col, seed)
-    w = (
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(f"n_buckets must be a power of two (got {n_buckets})")
+    df = df.where(F.col(token_col) <= F.lit(int(budget)))
+    # md5_key64 = first 15 md5 hex chars as int64: uniform on [0, 2^60),
+    # so the top bits ARE an order-preserving uniform bucket.
+    shift = 60 - (n_buckets.bit_length() - 1)
+    keyed = df.withColumn("__key", md5_key64(id_col, seed)).withColumn(
+        "__bkt", F.shiftright(F.col("__key"), shift).cast("int")
+    )
+    per_bucket = keyed.groupBy(group_col, "__bkt").agg(
+        F.sum(F.col(token_col)).alias("__bt")
+    )
+    wb = (
         Window.partitionBy(group_col)
-        .orderBy(key, F.col(id_col))
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        group_col,
+        "__bkt",
+        F.coalesce(F.sum("__bt").over(wb), F.lit(0)).alias("__off"),
+    )
+    ww = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy("__key", F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        df.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+        keyed.join(F.broadcast(offsets), [group_col, "__bkt"])
+        .withColumn(
+            "cum_tokens", F.col("__off") + F.sum(F.col(token_col)).over(ww)
+        )
         .where(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("__key", "__bkt", "__off")
     )
 
 

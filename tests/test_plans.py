@@ -399,11 +399,20 @@ def test_cut_contaminated_broadcasts_bench_vocab(q):
 
 
 def test_token_budget_windows_on_group_key(q):
+    """token_budget_select must plan the TWO-LEVEL bucketed prefix sum
+    (the classifier _with_prior_sums shape): every window is anchored on
+    the group key AND bounded by the __bkt bucket key — either ordered
+    by it (the <=n_buckets-row per-group offset window) or partitioned
+    by (group, __bkt) (the parallel intra-bucket window). A spec without
+    __bkt is the old per-group unbounded window: one reducer per source
+    at 100 TB."""
     import re
 
     text = plans.explain_str(q("q_token_budget"), "simple")
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
     assert specs and all(s.lstrip().startswith("source") for s in specs)
+    for spec in specs:
+        assert "__bkt" in spec, f"window not bounded by bucket key: {spec}"
 
 
 def test_split_assign_is_shuffle_free_before_rollup(spark, sf_dir):
