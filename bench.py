@@ -143,6 +143,30 @@ HEADLINE_R6 = [
 HEADLINE = HEADLINE + HEADLINE_R6
 
 
+# Throttle-control probe (frozen): five pure projections whose code and
+# plan shape never change round-over-round.  Timed at sweep START and END;
+# their absolute time calibrates the host's speed for THIS run (the r6
+# verdict documented same-commit spreads of 1.25x-4x on this box), and the
+# end/start ratio exposes within-run drift.  Compare probe_sec across
+# BENCH_r{N}.json files before reading anything into a common-58 delta.
+PROBE = [
+    "q_normalize",
+    "q_scan_project",
+    "q_split_last",
+    "q_ts_parse",
+    "q_json_decode",
+]
+
+
+def _time_probe(spark, sf_dir: str) -> float:
+    t = 0.0
+    for name in PROBE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        t += time.perf_counter() - t0
+    return round(t, 3)
+
+
 def _bench_pipeline(spark, n_changes: int) -> float:
     """End-to-end mirror-pipeline throughput (the reference's actual job):
     parse -> route -> project -> dedup -> multi-sink, changes/sec."""
@@ -182,11 +206,15 @@ def main() -> None:
         except Exception:
             pass
 
+    probe_start = _time_probe(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    probe_end = _time_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     common58 = round(sum(timings[n] for n in COMMON_58), 3)
@@ -201,6 +229,15 @@ def main() -> None:
                 "queries": timings,
                 "common58_sec": common58,
                 "common84_sec": common84,
+                # host-noise calibration: probe_sec is the frozen 5-query
+                # projection probe (cross-round comparable — the probe code
+                # never changes); throttle_ratio = end/start within THIS run
+                "probe_start_sec": probe_start,
+                "probe_end_sec": probe_end,
+                "probe_sec": min(probe_start, probe_end),
+                "throttle_ratio": round(probe_end / probe_start, 3)
+                if probe_start > 0
+                else None,
                 "pipeline_changes_per_sec": pipeline_rate,
                 "sf": sf,
             }
