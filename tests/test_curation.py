@@ -225,6 +225,20 @@ def test_epoch_shuffle_is_a_deterministic_permutation(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 
 
+def test_epoch_shuffle_derives_shard_count_from_input_size(spark):
+    """n_shards=None sizes shards by data: ceil(rows / target_shard_rows),
+    so a 10x bigger input gets 10x the shards (the per-shard sort stays
+    memory-bounded at any corpus size) and a sub-target input still gets
+    one shard, never zero."""
+    small = spark.range(50).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s = cur.epoch_shuffle(small, "doc_id", epoch=0, target_shard_rows=100)
+    b = cur.epoch_shuffle(big, "doc_id", epoch=0, target_shard_rows=100)
+    assert s.select("shard").distinct().count() == 1
+    shards = sorted(r["shard"] for r in b.select("shard").distinct().collect())
+    assert shards == list(range(10))
+
+
 def test_epoch_shuffle_differs_across_epochs(spark):
     """Different epochs must yield genuinely different orders — the
     point of reshuffling every epoch."""
