@@ -142,6 +142,12 @@ HEADLINE_R6 = [
 ]
 HEADLINE = HEADLINE + HEADLINE_R6
 
+# r7 additions: directed PageRank (dangling fold), release composition.
+HEADLINE_R7 = [
+    "q_pagerank_directed",
+]
+HEADLINE = HEADLINE + HEADLINE_R7
+
 
 # Throttle-control probe (frozen): five pure projections whose code and
 # plan shape never change round-over-round.  Timed at sweep START and END;

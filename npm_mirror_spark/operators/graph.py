@@ -91,3 +91,84 @@ def pagerank(
             (F.sum("c") + F.lit(teleport).cast("long")).alias("rank")
         ).select(F.col("dst").alias("id"), "rank")
     return ranks
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list WITH dangling-mass handling —
+    the variant :func:`pagerank` deliberately refuses, its documented
+    trade made explicit.  Input rows are distinct (src, dst) arcs;
+    returns (id, rank) with rank in 1e-12 units (long).
+
+    Dangling nodes (no out-arc — e.g. pristine originals in a
+    copies-point-at-originals attribution graph) would leak their rank:
+    keying the new rank by dst alone drops them AND loses the mass they
+    should redistribute.  Handled the standard way, kept exact-integer:
+
+    - the node UNIVERSE (distinct src ∪ dst) left-joins each round's
+      (dst)-keyed sums, so sink/source-only nodes keep receiving
+      teleport + dangling share instead of vanishing;
+    - each round folds the dangling nodes' total rank into ONE
+      singleton aggregate — a 1-row frame CROSS-JOINED (broadcast)
+      back, never a driver collect, so the whole computation stays one
+      lazy plan — and every node receives
+      (dangling_mass * damp_num) div (damp_den * n).
+
+    Per-round cost over :func:`pagerank`: the node-sized left join and
+    the 1-row dangling aggregate; the only edge-sized work remains the
+    single fan-out join + (dst) integer-sum shuffle.  Same determinism
+    contract (scaled int64, integer div/sum throughout — both engines
+    floor identically on non-negative values), so the DuckDB oracle
+    unrolls round-for-round bit-identically.
+    """
+    pairs = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "id long, rank long")
+    teleport = (PR_SCALE * (damp_den - damp_num)) // (damp_den * n)
+    # long literals for the same ANSI constant-folding reason as pagerank
+    ranks = nodes.select(
+        "id", F.lit(PR_SCALE // n).cast("long").alias("rank")
+    )
+    for _ in range(n_iter):
+        rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left").select(
+            "id", "rank", "deg"
+        )
+        rates = rd.where(F.col("deg").isNotNull()).select(
+            "id",
+            F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),
+        )
+        dangling = rd.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dm")
+        )
+        contrib = pairs.join(rates, pairs["src"] == rates["id"]).select(
+            "dst", "c"
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("__s"))
+        ranks = (
+            nodes.join(sums, nodes["id"] == sums["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("__s"), F.lit(0)).cast("long")
+                    + F.expr(f"(__dm * {damp_num}) div ({damp_den} * {n})")
+                    + F.lit(teleport).cast("long")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

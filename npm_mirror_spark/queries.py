@@ -2966,6 +2966,25 @@ def q_pagerank(spark, sf_dir):
     return pagerank(pairs, n_iter=3)
 
 
+def q_pagerank_directed(spark, sf_dir):
+    """Directed PageRank with dangling-mass handling
+    (operators/graph.py:pagerank_directed) over the dup-ATTRIBUTION
+    graph: each MinHash candidate pair becomes one arc from the
+    higher-id doc (the injected copy) to the lower-id doc (its
+    original), so rank flows toward originals and every component's
+    minimum-id node is a genuine dangling sink (no out-arc) — the case
+    the undirected operator refuses and this one redistributes via a
+    per-round singleton aggregate. Same scaled-int64 determinism
+    contract as q_pagerank; the oracle unrolls the rounds WITH the
+    dangling fold."""
+    from npm_mirror_spark.operators.graph import pagerank_directed
+
+    arcs = dedup_ops.minhash_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
+    ).select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    return pagerank_directed(arcs, n_iter=3)
+
+
 def q_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) meter — the measurement behind the
     BPE trainer's scale claim (docs/SCALE.md: word types grow
@@ -3552,6 +3571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_unpivot": q_unpivot,
     # never-driver-checked queue remainder — r8 rotation candidates
+    "q_pagerank_directed": q_pagerank_directed,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5382,6 +5402,52 @@ SELECT id, rank FROM pr{n_iter}"""
 
 
 ORACLES["q_pagerank"] = _pagerank_oracle_sql(3)
+
+
+def _pagerank_directed_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled relational replay of graph.py::pagerank_directed over
+    the directed dup-attribution graph (copy id_b -> original id_a):
+    per round, a 1-row dangling-mass fold (nodes with no out-arc) joins
+    the (dst)-keyed integer sums on the full node universe.  All
+    arithmetic non-negative integer div/sum, so DuckDB's // floors
+    exactly like Spark's div."""
+    head = f"""
+WITH {_MINHASH_EDGES},
+arcs AS (SELECT id_b AS src, id_a AS dst FROM edges),
+nodes AS (SELECT DISTINCT id FROM
+  (SELECT src AS id FROM arcs UNION ALL SELECT dst AS id FROM arcs)),
+odeg AS (SELECT src, count(*) AS deg FROM arcs GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+tp AS (SELECT CAST((1000000000000 * 15) // (100 * n) AS BIGINT) AS t,
+              CAST(1000000000000 // n AS BIGINT) AS r_init,
+              n FROM nn),
+pr0 AS (SELECT nodes.id, tp.r_init AS rank FROM nodes CROSS JOIN tp)"""
+    rounds = []
+    for t in range(1, n_iter + 1):
+        rounds.append(f""",
+dang{t} AS (
+  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+  FROM pr{t - 1} r LEFT JOIN odeg d ON d.src = r.id
+  WHERE d.src IS NULL),
+sums{t} AS (
+  SELECT a.dst AS id,
+         CAST(sum((r.rank * 85) // (100 * d.deg)) AS BIGINT) AS s
+  FROM arcs a
+  JOIN pr{t - 1} r ON r.id = a.src
+  JOIN odeg d ON d.src = a.src
+  GROUP BY a.dst),
+pr{t} AS (
+  SELECT no.id,
+         CAST(coalesce(s.s, 0) + (dang{t}.dm * 85) // (100 * tp.n) + tp.t
+              AS BIGINT) AS rank
+  FROM nodes no
+  LEFT JOIN sums{t} s ON s.id = no.id
+  CROSS JOIN dang{t} CROSS JOIN tp)""")
+    return head + "".join(rounds) + f"""
+SELECT id, rank FROM pr{n_iter}"""
+
+
+ORACLES["q_pagerank_directed"] = _pagerank_directed_oracle_sql(3)
 
 # q_corpus_report: wraps the q_gopher_rules oracle (nested WITH in a CTE
 # body) and aggregates; n_unique_texts is derived INDEPENDENTLY from

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from npm_mirror_spark.operators.graph import PR_SCALE, pagerank
+from npm_mirror_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    pagerank_directed,
+)
 
 
 def _und(spark, pairs):
@@ -112,6 +116,67 @@ def test_degree_folds_before_the_edge_join(spark):
 
     offenders = walk(plan, [])
     assert offenders == [], f"degree joined onto an edge-sized join: {offenders}"
+
+
+def _arcs(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_directed_dangling_mass_is_conserved(spark):
+    """Chain 0->1->2 plus sink 3 fed by 1: sinks (2, 3) have no out-arc;
+    without the dangling fold their rank would leak every round. Total
+    must stay within quantization slack of PR_SCALE, and every node in
+    the universe (including pure sinks) must get a row."""
+    out = pagerank_directed(_arcs(spark, [(0, 1), (1, 2), (1, 3)]), n_iter=4)
+    rows = {r["id"]: r["rank"] for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    total = sum(rows.values())
+    slack = 4 * 4 * 10  # rounds * nodes * generous per-floor loss
+    assert PR_SCALE - slack <= total <= PR_SCALE
+
+
+def test_directed_matches_numpy_power_iteration(spark):
+    """Float power iteration WITH the textbook dangling redistribution
+    must agree with the scaled-int result to quantization tolerance —
+    the independent check that the integer steps implement directed
+    PageRank, not just something deterministic."""
+    import numpy as np
+
+    pairs = [(0, 1), (0, 2), (1, 2), (3, 0), (4, 0), (2, 3)]
+    # node 5 only ever receives: make it a sink fed by 2
+    pairs.append((2, 5))
+    ids = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = 1.0
+    outdeg = A.sum(axis=1)
+    dangling = outdeg == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = np.where(dangling, 0.0, r / np.where(dangling, 1.0, outdeg))
+        r = 0.15 / n + 0.85 * (A.T @ contrib) + 0.85 * r[dangling].sum() / n
+    got = {
+        row["id"]: row["rank"] / PR_SCALE
+        for row in pagerank_directed(_arcs(spark, pairs), n_iter=3).collect()
+    }
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_directed_without_dangling_reduces_to_plain_directed_pagerank(spark):
+    """On a cycle (no dangling nodes) the fold contributes zero and all
+    ranks are exactly uniform."""
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    rows = pagerank_directed(_arcs(spark, cyc), n_iter=3).collect()
+    vals = {r["rank"] for r in rows}
+    assert len(rows) == 5 and len(vals) == 1
+
+
+def test_directed_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_directed(empty).count() == 0
 
 
 def test_large_graph_int32_literal_regime(spark):

@@ -320,6 +320,11 @@ ALLOWED_BNLJ = {
         "assignment/search; corpus equi-joins on cluster (same contract "
         "as q_ann_ivf)"
     ),
+    "q_pagerank_directed": (
+        "per-round 1-row dangling-mass aggregate cross-joined (broadcast) "
+        "onto the node table — the singleton fold that redistributes sink "
+        "rank without a driver collect"
+    ),
 }
 
 
