@@ -145,6 +145,7 @@ HEADLINE = HEADLINE + HEADLINE_R6
 # r7 additions: directed PageRank (dangling fold), release composition.
 HEADLINE_R7 = [
     "q_pagerank_directed",
+    "q_release_cut",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -3295,6 +3295,33 @@ def q_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_release_cut(spark, sf_dir):
+    """The flagship curation PIPELINE (not just its stages): gopher
+    gate -> surgical span decontamination (release.py:cut_decontaminate
+    — the exact production path build_release(decontam_mode='cut')
+    runs: cut, empty-drop, seam-collision re-gate) -> per-source token
+    budget. Every 20th doc plays the benchmark; output is the budgeted
+    slice with the rewrite marker. The composition is what a driver row
+    on the stages alone cannot certify: stage boundaries agree on
+    normalization, the seam guard sees the REWRITTEN text, and the
+    budget counts post-surgery tokens."""
+    from npm_mirror_spark.release import cut_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    gated = (
+        text_ops.gopher_rules(corpus, "text")
+        .where(F.col("keep"))
+        .select(*corpus.columns)
+    )
+    clean = cut_decontaminate(gated, bench, "text", "doc_id", 5)
+    return cur_ops.token_budget_select(
+        clean.withColumn("n_tokens", text_ops.ws_token_count("text")),
+        "n_tokens", 3000, "source", "doc_id", seed=2,
+    ).select("doc_id", "source", "was_cut", "n_tokens", "cum_tokens")
+
+
 def q_cut_contaminated(spark, sf_dir):
     """Span-level decontamination
     (operators/curation.py:cut_contaminated_spans): benchmark-
@@ -3572,6 +3599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unpivot": q_unpivot,
     # never-driver-checked queue remainder — r8 rotation candidates
     "q_pagerank_directed": q_pagerank_directed,
+    "q_release_cut": q_release_cut,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5725,6 +5753,99 @@ c AS (SELECT doc_id, source, n_tokens,
 SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 3000
 """
+
+# q_release_cut: the whole cut-mode release pipeline replayed as one
+# composition — gopher gate (nested q_gopher_rules oracle), the
+# q_cut_contaminated island/rebuild machinery over the GATED corpus,
+# the rewrite + empty-drop + seam-collision re-gate of
+# release.py:cut_decontaminate, then the q_token_budget prefix over
+# post-surgery whitespace tokens (seed 2, budget 3000).
+def _norm_of(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _grams5_of() -> str:
+    return (
+        "CASE WHEN len(w) >= 5 THEN list_transform("
+        "generate_series(1, len(w)-4), "
+        "i -> array_to_string(list_slice(w, i, i+4), ' ')) "
+        "ELSE [t] END"
+    )
+
+
+ORACLES["q_release_cut"] = f"""
+WITH goph AS ({{gopher}}),
+corpus AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN goph g ON d.doc_id = g.doc_id
+  WHERE g.keep AND d.doc_id % 20 <> 0),
+cnorm AS (SELECT doc_id, {_norm_of('text')} AS t FROM corpus),
+cw AS (SELECT doc_id, str_split(t, ' ') AS w, t FROM cnorm),
+cg AS (SELECT doc_id, len(w) AS n_tokens, {_grams5_of()} AS grams FROM cw),
+bnorm AS (SELECT doc_id, {_norm_of('text')} AS t FROM documents
+          WHERE doc_id % 20 = 0),
+bw AS (SELECT doc_id, str_split(t, ' ') AS w, t FROM bnorm),
+bg AS (SELECT doc_id, {_grams5_of()} AS grams FROM bw),
+bv AS (SELECT DISTINCT unnest(grams) AS gram FROM bg),
+ex AS (SELECT doc_id, n_tokens, generate_subscripts(grams, 1) - 1 AS pos,
+              unnest(grams) AS gram FROM cg),
+cp AS (SELECT e.doc_id, e.n_tokens, e.pos FROM ex e JOIN bv USING (gram)),
+isl AS (SELECT doc_id, n_tokens, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+             THEN 1 ELSE 0 END AS nw FROM cp),
+isl2 AS (SELECT doc_id, n_tokens, pos, sum(nw) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island FROM isl),
+rgx AS (SELECT doc_id, island, min(pos) AS s,
+              least(max(pos) + 4, any_value(n_tokens) - 1) AS e
+        FROM isl2 GROUP BY doc_id, island),
+tok AS (SELECT doc_id, len(w) AS n_tokens,
+               generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS token
+        FROM cw),
+keptt AS (SELECT t.doc_id, t.pos, t.token FROM tok t
+          WHERE NOT EXISTS (SELECT 1 FROM rgx r
+                            WHERE r.doc_id = t.doc_id
+                              AND t.pos BETWEEN r.s AND r.e)),
+agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS kept FROM keptt GROUP BY doc_id),
+cutd AS (SELECT c.doc_id, c.source,
+           CASE WHEN coalesce(a.kept, 0) < t0.n_tokens
+                THEN coalesce(a.clean_text, '') ELSE c.text END AS text2,
+           coalesce(a.kept, 0) < t0.n_tokens AS was_cut
+         FROM corpus c
+         JOIN (SELECT DISTINCT doc_id, n_tokens FROM tok) t0
+           ON c.doc_id = t0.doc_id
+         LEFT JOIN agg a ON c.doc_id = a.doc_id),
+cut2 AS (SELECT doc_id, source, text2, was_cut FROM cutd
+         WHERE length(text2) > 0),
+rnorm AS (SELECT doc_id, {_norm_of('text2')} AS t FROM cut2),
+rw AS (SELECT doc_id, str_split(t, ' ') AS w, t FROM rnorm),
+rgrams AS (SELECT doc_id, {_grams5_of()} AS grams FROM rw),
+bad AS (SELECT DISTINCT g2.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM rgrams) g2
+        JOIN bv USING (gram)),
+cleand AS (SELECT c.* FROM cut2 c LEFT JOIN bad b ON c.doc_id = b.doc_id
+           WHERE b.doc_id IS NULL),
+tt AS (SELECT doc_id, source, was_cut,
+        len(str_split({_norm_of('text2')}, ' ')) AS n_tokens
+       FROM cleand),
+tf AS (SELECT * FROM tt WHERE n_tokens <= 3000),
+k AS (SELECT *, ('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        AS key FROM tf),
+c2 AS (SELECT doc_id, source, was_cut, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM k)
+SELECT doc_id, source, was_cut, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c2 WHERE cum_tokens <= 3000
+"""
+# the gate is the verbatim q_gopher_rules oracle nested as a CTE (the
+# q_corpus_report pattern); .format leaves the SQL body untouched — the
+# template's only brace is the {gopher} slot
+ORACLES["q_release_cut"] = ORACLES["q_release_cut"].format(
+    gopher=ORACLES["q_gopher_rules"]
+)
+
 
 # q_cut_contaminated: the cut_dup_spans island/rebuild replay with the
 # cut condition swapped to bench-vocabulary membership.

@@ -35,6 +35,53 @@ from npm_mirror_spark.operators.text import gopher_rules, ws_token_count
 from npm_mirror_spark.snapshot_store import SnapshotStore
 
 
+def cut_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """The release pipeline's SURGICAL decontamination stage as a pure
+    transformation (extracted from build_release so q_release_cut can
+    drive the exact production path): benchmark-overlapping n-gram
+    spans are cut in place (curation.cut_contaminated_spans), documents
+    emptied by the cut die, and the seam-guard boolean gate re-checks
+    the REWRITTEN text — rejoining across a deleted span can mint new
+    n-grams that coincidentally match the benchmark, and the "zero
+    bench n-grams ship" invariant stays exact only if those residual
+    collisions are dropped too.
+
+    Returns ``docs``' schema plus boolean ``was_cut``.  Documents that
+    lost a span carry ``clean_text`` rebuilt from NORMALIZED tokens
+    (lowercased, whitespace-collapsed); untouched docs keep their
+    byte-exact original — ``was_cut`` marks the rewritten rows so a
+    consumer can distinguish them (the r6 advice finding)."""
+    from npm_mirror_spark.operators.curation import cut_contaminated_spans
+
+    cut = cut_contaminated_spans(docs, bench, text_col, id_col, n).select(
+        id_col, "clean_text",
+        (F.col("kept_tokens") < F.col("n_tokens")).alias("was_cut"),
+    )
+    rewritten = (
+        docs.withColumnRenamed(text_col, "__orig")
+        .join(cut, id_col)
+        .withColumn(
+            text_col,
+            F.when(F.col("was_cut"), F.col("clean_text")).otherwise(
+                F.col("__orig")
+            ),
+        )
+        .drop("__orig", "clean_text")
+        # a doc whose whole text was benchmark quote carries nothing
+        .where(F.length(F.col(text_col)) > 0)
+    )
+    residual = decontaminate(
+        rewritten, bench, text_col, id_col, n
+    ).where(~F.col("contaminated")).select(id_col)
+    return rewritten.join(residual, id_col, "left_semi")
+
+
 def build_release(
     spark: SparkSession,
     docs: DataFrame,
@@ -96,45 +143,16 @@ def build_release(
         n_model_pass = kept_quality.count()
 
     if decontam_mode == "cut":
-        from npm_mirror_spark.operators.curation import cut_contaminated_spans
-
-        cut = cut_contaminated_spans(
+        clean = cut_decontaminate(
             kept_quality, bench, text_col, id_col, decontam_ngram
-        ).select(
-            id_col, "clean_text",
-            (F.col("kept_tokens") < F.col("n_tokens")).alias("__was_cut"),
         )
-        rewritten = (
-            kept_quality.withColumnRenamed(text_col, "__orig")
-            .join(cut, id_col)
-            # review finding: clean_text is rebuilt from NORMALIZED words
-            # (lowercased, whitespace-collapsed) — only documents that
-            # actually lost a span take the rewrite; untouched docs keep
-            # their original byte-exact text
-            .withColumn(
-                text_col,
-                F.when(F.col("__was_cut"), F.col("clean_text")).otherwise(
-                    F.col("__orig")
-                ),
-            )
-            .drop("__orig", "clean_text", "__was_cut")
-            # a doc whose whole text was benchmark quote carries nothing
-            .where(F.length(F.col(text_col)) > 0)
-        )
-        # seam guard: rejoining text across a deleted span mints NEW
-        # n-grams that can coincidentally match the benchmark; the
-        # boolean gate re-checks the rewritten text so the "zero bench
-        # n-grams ship" invariant stays exact (the residual drop set is
-        # tiny — only seam collisions, not quoting docs)
-        residual = decontaminate(
-            rewritten, bench, text_col, id_col, decontam_ngram
-        ).where(~F.col("contaminated")).select(id_col)
-        clean = rewritten.join(residual, id_col, "left_semi")
     elif decontam_mode == "drop":
         flags = decontaminate(
             kept_quality, bench, text_col, id_col, decontam_ngram
         ).where(~F.col("contaminated")).select(id_col)
-        clean = kept_quality.join(flags, id_col, "left_semi")
+        clean = kept_quality.join(flags, id_col, "left_semi").withColumn(
+            "was_cut", F.lit(False)
+        )
     else:
         raise ValueError("decontam_mode must be 'drop' or 'cut'")
     n_clean = clean.count()
@@ -161,6 +179,11 @@ def build_release(
     ).select(
         id_col, shard_col, text_col, "n_tokens",
         "offset", "first_block", "last_block",
+        # marks rows whose body was rewritten from normalized tokens by
+        # the cut-mode span surgery (always False under 'drop') — the
+        # packed corpus mixes byte-exact and normalized bodies, and a
+        # consumer must be able to tell which is which
+        "was_cut",
     )
 
     store = SnapshotStore(spark, store_root)
