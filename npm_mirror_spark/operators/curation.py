@@ -603,10 +603,22 @@ def canonicalize_url(col: Column | str) -> Column:
     u = F.trim(c)
     # 1. drop the fragment
     u = F.regexp_replace(u, r"#.*", "")
-    # 2. lowercase scheme://host[:port] (group 1), keep the rest as-is
+    # 2. lowercase scheme and host[:port]; userinfo is case-SIGNIFICANT
+    #    (r6 advice finding: folding 'User:Pass@' corrupts credentialed
+    #    frontier keys) so it is split out of the fold — the last '@'
+    #    in the authority delimits it, per RFC 3986.  A userinfo
+    #    containing ':' also defeats the default-port strip below
+    #    (pre-existing, documented limitation).
     head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     tail = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
-    u = F.when(head == "", u).otherwise(F.concat(F.lower(head), tail))
+    scheme = F.regexp_extract(head, r"^([^:]*)://", 1)
+    userinfo = F.regexp_extract(head, r"^[^:]*://(.*@)?[^@]*$", 1)
+    hostport = F.regexp_extract(head, r"^[^:]*://(?:.*@)?([^@]*)$", 1)
+    u = F.when(head == "", u).otherwise(
+        F.concat(
+            F.lower(scheme), F.lit("://"), userinfo, F.lower(hostport), tail
+        )
+    )
     # 3. strip default ports (no lookahead — RE2/DuckDB replays this)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#].*)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#].*)", r"$1$2")

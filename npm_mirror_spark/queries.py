@@ -3241,7 +3241,7 @@ CASE CAST(doc_id % 5 AS INT)
   WHEN 1 THEN concat('http://', source, '.example.com:80/a/b?x=1&utm_campaign=z&y=2')
   WHEN 2 THEN concat('https://cdn.', source, '.example.com/img/',
                      CAST(doc_id AS STRING), '?fbclid=abc&gclid=def')
-  WHEN 3 THEN concat('HTTP://', source, '.EXAMPLE.com')
+  WHEN 3 THEN concat('HTTP://User:Pass@', source, '.EXAMPLE.com')
   ELSE concat('https://www.', source, '.example.com/Mixed/Case/Path?a=1&b=2')
 END"""
 
@@ -5692,13 +5692,18 @@ _TRK = "(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)"
 ORACLES["q_url_canon"] = f"""
 WITH m AS (SELECT doc_id, {_DUCK_MESSY_URL} AS url FROM documents),
 s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM m),
+s2a AS (SELECT doc_id, url, u,
+          regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS head
+        FROM s1),
 s2 AS (SELECT doc_id, url,
-         CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) = ''
+         CASE WHEN head = ''
               THEN u
-              ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
-                   || substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)) + 1)
+              ELSE lower(regexp_extract(head, '^([^:]*)://', 1)) || '://'
+                   || regexp_extract(head, '^[^:]*://(.*@)?[^@]*$', 1)
+                   || lower(regexp_extract(head, '^[^:]*://(?:.*@)?([^@]*)$', 1))
+                   || substr(u, length(head) + 1)
          END AS u
-       FROM s1),
+       FROM s2a),
 s3 AS (SELECT doc_id, url,
          regexp_replace(
            regexp_replace(u, '^(http://[^/:?#]+):80($|[/?#].*)', '\\1\\2', 'g'),

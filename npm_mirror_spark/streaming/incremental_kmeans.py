@@ -95,7 +95,9 @@ class StreamingKMeans:
 
     def attach(self, stream: DataFrame, checkpoint: str):
         """Wire onto a streaming DataFrame of vectors; availableNow or
-        continuous triggers both work — state lives on this object."""
+        continuous triggers both work — state lives on this object, so
+        recovering a restarted driver from the checkpoint requires
+        :meth:`restore` with the last persisted state first."""
         return (
             stream.writeStream.foreachBatch(self.update_batch)
             .option("checkpointLocation", checkpoint)
@@ -110,3 +112,18 @@ class StreamingKMeans:
             for p in range(self.dim):
                 out.append((c, p, self.sums[c][p], self.counts[c]))
         return out
+
+    def restore(
+        self,
+        state_rows: list[tuple[int, int, int, int]],
+        last_batch_id: int | None = None,
+    ) -> None:
+        """Rehydrate from persisted :meth:`state_rows` output plus the
+        batch_id the state was persisted after — checkpoint recovery's
+        required other half (r6 advice finding): a restarted driver
+        resuming the stream with zeroed sums silently forgets every
+        committed batch.  Integer state restores bit-exactly."""
+        for c, p, s, cnt in state_rows:
+            self.sums[c][p] = s
+            self.counts[c] = cnt
+        self._last_batch = last_batch_id

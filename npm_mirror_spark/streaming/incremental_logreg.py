@@ -73,7 +73,28 @@ class StreamingLogReg:
         self.losses.append(ml)
         self._last_batch = batch_id
 
+    def restore(
+        self,
+        model: dict,
+        last_batch_id: int | None = None,
+        losses: list[float] | None = None,
+    ) -> None:
+        """Rehydrate from a persisted ``model`` dict (weights + bias —
+        what :attr:`model` returns) and the batch_id it was persisted
+        after.  Required for checkpoint recovery (r6 advice finding):
+        the stream checkpoint advances past committed batches, so a
+        restarted driver that re-attaches with fresh zero weights
+        silently discards all training to date."""
+        self.weights = [float(w) for w in model["weights"]]
+        self.bias = float(model["bias"])
+        self.losses = list(losses) if losses is not None else []
+        self._last_batch = last_batch_id
+
     def attach(self, stream: DataFrame, checkpoint: str):
+        """State lives on THIS object: recovering a restarted driver
+        from ``checkpoint`` requires :meth:`restore` with the last
+        persisted model first (or a fresh checkpoint dir to retrain
+        from scratch)."""
         return (
             stream.writeStream.foreachBatch(self.update_batch)
             .option("checkpointLocation", checkpoint)

@@ -60,6 +60,21 @@ class StreamingCountMin:
         rows = [(r, b, c) for (r, b), c in sorted(self.cells.items())]
         return spark.createDataFrame(rows or [], "r int, b int, c long")
 
+    def restore(self, sketch_df: DataFrame, last_batch_id: int | None = None) -> None:
+        """Rehydrate the sketch from a persisted ``sketch_df`` (the
+        (r, b, c) rows this object wrote) plus the batch_id it was
+        persisted AFTER — the missing half of checkpoint recovery (r6
+        advice finding): a restarted driver resumes the stream from the
+        checkpoint, so without restoring the cells the committed
+        batches are silently lost and every estimate undercounts.
+        Persist (sketch_df, last applied batch_id) transactionally with
+        each batch (e.g. SnapshotStore.commit(token=batch_id)) and
+        restore both before re-attaching."""
+        self.cells = {
+            (r["r"], r["b"]): r["c"] for r in sketch_df.collect()
+        }
+        self._last_batch = last_batch_id
+
     def estimate(self, probes: DataFrame) -> DataFrame:
         return count_min_estimate(
             self.sketch_df(probes.sparkSession),
@@ -70,6 +85,11 @@ class StreamingCountMin:
         )
 
     def attach(self, stream: DataFrame, checkpoint: str):
+        """Wire onto a stream.  State lives on THIS object, not in the
+        checkpoint: recovering a restarted driver from ``checkpoint``
+        requires :meth:`restore` with the last persisted sketch first
+        (or a fresh checkpoint dir to replay the source from scratch) —
+        attaching empty to an advanced checkpoint undercounts."""
         return (
             stream.writeStream.foreachBatch(self.update_batch)
             .option("checkpointLocation", checkpoint)
@@ -101,10 +121,20 @@ class StreamingCardinality:
         rows = sorted(self.regs.items())
         return spark.createDataFrame(rows or [], "idx int, mreg int")
 
+    def restore(self, registers_df: DataFrame) -> None:
+        """Rehydrate from persisted (idx, mreg) rows before re-attaching
+        a recovered stream.  No batch_id needed: register max-merge is
+        idempotent, so even a replayed batch folds harmlessly."""
+        self.regs = {r["idx"]: r["mreg"] for r in registers_df.collect()}
+
     def estimate(self, spark) -> DataFrame:
         return hll_estimate(self.registers_df(spark), self.p)
 
     def attach(self, stream: DataFrame, checkpoint: str):
+        """State lives on THIS object: recovering a restarted driver
+        from ``checkpoint`` requires :meth:`restore` with the last
+        persisted registers first (or a fresh checkpoint dir); an empty
+        gauge against an advanced checkpoint undercounts distincts."""
         return (
             stream.writeStream.foreachBatch(self.update_batch)
             .option("checkpointLocation", checkpoint)

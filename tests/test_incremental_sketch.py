@@ -96,3 +96,70 @@ def test_trainer_replay_guards(spark, sf_dir):
     counts_once = list(km.counts)
     km.update_batch(e, batch_id=0)  # replay
     assert km.counts == counts_once and km.n_batches == 1
+
+
+def test_cms_restore_resumes_exactly(spark):
+    """Checkpoint-recovery round trip (r6 advice finding): persist the
+    sketch rows + last batch_id, rehydrate a FRESH object, continue —
+    the final state must be bit-equal to never having restarted, and a
+    replayed delivery of the persisted batch must stay a no-op."""
+    b0 = spark.createDataFrame([("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "k string")
+    sk = StreamingCountMin("k", depth=2, width=256)
+    sk.update_batch(b0, batch_id=0)
+    persisted = sk.sketch_df(spark)
+
+    sk2 = StreamingCountMin("k", depth=2, width=256)
+    sk2.restore(persisted, last_batch_id=0)
+    sk2.update_batch(b0, batch_id=0)  # checkpoint replay: no-op
+    assert sk2.cells == sk.cells
+    sk2.update_batch(b1, batch_id=1)
+
+    ref = StreamingCountMin("k", depth=2, width=256)
+    ref.update_batch(b0, batch_id=0)
+    ref.update_batch(b1, batch_id=1)
+    assert sk2.cells == ref.cells
+
+
+def test_hll_restore_resumes_exactly(spark):
+    b0 = spark.createDataFrame([("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("b",), ("c",)], "k string")
+    g = StreamingCardinality("k", p=6)
+    g.update_batch(b0)
+    g2 = StreamingCardinality("k", p=6)
+    g2.restore(g.registers_df(spark))
+    g2.update_batch(b1)
+    ref = StreamingCardinality("k", p=6)
+    ref.update_batch(b0)
+    ref.update_batch(b1)
+    assert g2.regs == ref.regs
+
+
+def test_trainer_restore_round_trips(spark, sf_dir):
+    """StreamingKMeans/StreamingLogReg restore: rehydrated state is
+    bit-equal (integer sums) / float-equal (weights), and the replay
+    guard survives the restart."""
+    from npm_mirror_spark.operators.similarity import _quantize
+    from npm_mirror_spark.streaming.incremental_kmeans import StreamingKMeans
+    from npm_mirror_spark.streaming.incremental_logreg import StreamingLogReg
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding").limit(40)
+    seed = [r["q"] for r in e.select(_quantize("embedding").alias("q")).limit(2).collect()]
+    km = StreamingKMeans(seed)
+    km.update_batch(e, batch_id=0)
+    km2 = StreamingKMeans(seed)
+    km2.restore(km.state_rows(), last_batch_id=0)
+    assert km2.sums == km.sums and km2.counts == km.counts
+    km2.update_batch(e, batch_id=0)  # replay: no-op
+    assert km2.counts == km.counts
+
+    d = load_table(spark, sf_dir, "documents").limit(40).select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+    )
+    lr = StreamingLogReg(dim=64)
+    lr.update_batch(d, batch_id=0)
+    lr2 = StreamingLogReg(dim=64)
+    lr2.restore(lr.model, last_batch_id=0, losses=lr.losses)
+    assert lr2.weights == lr.weights and lr2.bias == lr.bias
+    lr2.update_batch(d, batch_id=0)  # replay: no-op
+    assert lr2.weights == lr.weights
