@@ -337,12 +337,29 @@ def containment_pairs(
     Scale shape: identical to ngram_jaccard_pairs — only CANDIDATE rows
     (from LSH/banding/known lineage) pay the in-row set arithmetic; the
     shingle arrays join in on the id equi keys, no extra shuffle
-    family."""
+    family.
+
+    Degenerate candidates (NULL / empty-after-normalization text) get
+    an EMPTY shingle set here — word_shingles' whole-text fallback
+    would otherwise let two blank docs "contain" each other via the ''
+    shingle — and a zero-sized side yields NULL c_a/c_b with
+    ``contained`` false (r6 advice finding): an explicit no-verdict,
+    distinguishable from genuinely disjoint pairs (c = 0.0)."""
+    norm_len = F.length(normalize_text(text_col))
     sh = docs.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
+        F.when(
+            norm_len > 0,
+            F.array_distinct(word_shingles(text_col, shingle_n)),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__sh"),
     )
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    n_a, n_b = F.size("__sh_a"), F.size("__sh_b")
+    c_a = F.when(n_a > 0, inter.cast("double") / n_a.cast("double"))
+    c_b = F.when(n_b > 0, inter.cast("double") / n_b.cast("double"))
+    thr = F.lit(float(threshold))
     return (
         pairs.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
@@ -355,16 +372,15 @@ def containment_pairs(
         .select(
             "id_a",
             "id_b",
-            F.size("__sh_a").alias("n_a"),
-            F.size("__sh_b").alias("n_b"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
             inter.alias("inter"),
-            (inter.cast("double") / F.size("__sh_a").cast("double")).alias("c_a"),
-            (inter.cast("double") / F.size("__sh_b").cast("double")).alias("c_b"),
-        )
-        .withColumn(
-            "contained",
-            (F.col("c_a") >= F.lit(float(threshold)))
-            | (F.col("c_b") >= F.lit(float(threshold))),
+            c_a.alias("c_a"),
+            c_b.alias("c_b"),
+            (
+                F.coalesce(c_a >= thr, F.lit(False))
+                | F.coalesce(c_b >= thr, F.lit(False))
+            ).alias("contained"),
         )
     )
 

@@ -1157,6 +1157,10 @@ def decode_jpeg(content: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # optional 0xFF fill bytes may pad any marker (T.81 B.1.1.2):
+        # the marker byte is the first non-0xFF after the run
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
@@ -1706,6 +1710,11 @@ def _decode_jpeg_progressive(b: bytes):
         p = br.pos
         while p + 1 < len(b):
             if b[p] == 0xFF and b[p + 1] != 0x00:
+                if b[p + 1] == 0xFF:
+                    # optional fill byte (T.81 B.1.1.2): the marker is
+                    # the LAST 0xFF of the run — advance into it
+                    p += 1
+                    continue
                 if 0xD0 <= b[p + 1] <= 0xD7:
                     p += 2
                     continue
@@ -1716,6 +1725,9 @@ def _decode_jpeg_progressive(b: bytes):
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # skip optional 0xFF fill bytes before the marker byte
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -5924,22 +5924,26 @@ WITH base AS (
   UNION ALL
   SELECT doc_id + 200000, text || ' zzzextra' FROM documents WHERE doc_id % 11 = 0),
 {_SHINGLES.format(src="base")},
-shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+shd AS (SELECT s2.doc_id,
+          CASE WHEN n2.t <> '' THEN list_distinct(s2.shingles)
+               ELSE CAST([] AS VARCHAR[]) END AS s
+        FROM sh s2 JOIN norm n2 USING (doc_id)),
 p AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
-      WHERE doc_id % 11 = 0)
-SELECT p.id_a, p.id_b,
-       len(a.s) AS n_a, len(b.s) AS n_b,
-       len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
-       CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-         / CAST(len(a.s) AS DOUBLE) AS c_a,
-       CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-         / CAST(len(b.s) AS DOUBLE) AS c_b,
-       (CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-          / CAST(len(a.s) AS DOUBLE) >= 0.9)
-       OR (CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-          / CAST(len(b.s) AS DOUBLE) >= 0.9) AS contained
-FROM p JOIN shd a ON a.doc_id = p.id_a
-       JOIN shd b ON b.doc_id = p.id_b
+      WHERE doc_id % 11 = 0),
+j AS (SELECT p.id_a, p.id_b,
+        len(a.s) AS n_a, len(b.s) AS n_b,
+        len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter
+      FROM p JOIN shd a ON a.doc_id = p.id_a
+             JOIN shd b ON b.doc_id = p.id_b)
+SELECT id_a, id_b, n_a, n_b, inter,
+       CASE WHEN n_a > 0 THEN CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) END AS c_a,
+       CASE WHEN n_b > 0 THEN CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) END AS c_b,
+       coalesce(CASE WHEN n_a > 0
+                  THEN CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) END >= 0.9, FALSE)
+       OR coalesce(CASE WHEN n_b > 0
+                  THEN CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) END >= 0.9, FALSE)
+         AS contained
+FROM j
 """
 
 # q_lang_margin: the same per-language stopword counts as q_lang_id,

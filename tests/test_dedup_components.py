@@ -169,6 +169,38 @@ def test_cut_dup_spans_keep_first_carrier(spark):
     assert all_clean.count("t u") == 1
 
 
+def test_containment_degenerate_candidates_get_null_not_nan(spark):
+    """r6 advice finding: a NULL / empty / whitespace-only candidate has
+    no shingle evidence — c on that side must be NULL (explicit
+    no-verdict) with contained=false, never NaN, and two blank docs must
+    NOT 'contain' each other via the whole-text '' fallback shingle."""
+    import math
+
+    from npm_mirror_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text with actual words here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(pairs, docs, "doc_id", "text", 3).collect()
+    }
+    for key in [(1, 2), (1, 4), (3, 4)]:
+        r = got[key]
+        for side in ("c_a", "c_b"):
+            v = r[side]
+            assert v is None or not math.isnan(v), (key, side, v)
+        assert r["contained"] is False, key
+    assert got[(1, 2)]["n_a"] == 0 and got[(1, 2)]["n_b"] == 0
+    assert got[(1, 2)]["c_a"] is None
+    assert got[(1, 4)]["c_b"] == 0.0  # real side: genuinely disjoint, not NULL
+    assert got[(3, 4)]["c_a"] is None  # NULL text side: no verdict
+
+
 def test_containment_is_directional_where_jaccard_is_not(spark):
     """The quote case: short doc fully inside a long one — containment
     flags it (c_a = 1.0, directional verdict) while Jaccard stays far

@@ -806,3 +806,49 @@ def test_progressive_randomized_soak_cross_layout():
                 mm.encode_jpeg_progressive(a, subsampling=sub, restart_interval=ri)
             )
         assert np.array_equal(base, prog), (h, w, gray, sub, ri)
+
+
+def _pad_jpeg_markers(raw: bytes) -> bytes:
+    """Insert two 0xFF fill bytes before every marker (legal per T.81
+    B.1.1.2) — entropy-coded data and RST markers are copied verbatim."""
+    out = bytearray(raw[:2])  # SOI
+    pos, n = 2, len(raw)
+    while pos + 1 < n:
+        assert raw[pos] == 0xFF, "walker lost marker sync"
+        marker = raw[pos + 1]
+        out += b"\xff\xff" + raw[pos : pos + 2]
+        pos += 2
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(raw[pos : pos + 2], "big")
+        out += raw[pos : pos + seglen]
+        pos += seglen
+        if marker == 0xDA:  # copy entropy data up to the next true marker
+            start = pos
+            while pos + 1 < n:
+                if (
+                    raw[pos] == 0xFF
+                    and raw[pos + 1] != 0x00
+                    and not (0xD0 <= raw[pos + 1] <= 0xD7)
+                ):
+                    break
+                pos += 1
+            out += raw[start:pos]
+    return bytes(out)
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """r6 advice finding: optional 0xFF fill bytes before a marker are
+    legal (T.81 B.1.1.2); padded baseline AND progressive streams must
+    decode bit-identically to their unpadded originals instead of
+    raising 'marker sync lost'."""
+    import numpy as np
+
+    a = _prog_test_image("rgb")
+    for label, raw in [
+        ("baseline", mm.encode_jpeg(a, subsampling="444")),
+        ("progressive", mm.encode_jpeg_progressive(a, subsampling="420")),
+    ]:
+        want = mm.decode_jpeg(raw)
+        got = mm.decode_jpeg(_pad_jpeg_markers(raw))
+        assert np.array_equal(want, got), label
