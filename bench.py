@@ -146,6 +146,7 @@ HEADLINE = HEADLINE + HEADLINE_R6
 HEADLINE_R7 = [
     "q_pagerank_directed",
     "q_release_cut",
+    "q_zorder",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

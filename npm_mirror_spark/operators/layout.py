@@ -12,6 +12,19 @@ as OPTIMIZE ZORDER BY; here it is expressed with nothing but Spark
 expressions: range-scale each column to a fixed-width integer, interleave
 bits JVM-side, repartitionByRange + sortWithinPartitions on the key.
 
+Two key faces, one interleave:
+
+- the WRITE path (``zorder_key`` / ``write_zordered``) range-scales
+  through doubles — it accepts any numeric column (events.value is a
+  DOUBLE) and its output is a physical layout, judged by parquet
+  row-group statistics, not value-hash parity;
+- the AUDIT face (``with_zorder_key`` / ``zorder_shard_stats``, r7) is
+  EXACT INTEGER arithmetic — ((v - lo) * (2^bits - 1)) div (hi - lo) on
+  integer-valued columns — so the whole key is engine-portable and
+  q_zorder hash-checks the per-shard range audit bit-for-bit against
+  DuckDB.  NULL values and zero-span columns bucket to coordinate 0
+  (nulls-first; a constant column cannot be clustered anyway).
+
 Scale notes: the min/max scaling bounds come from a broadcast 1-row
 aggregate (one extra pass, no shuffle); the layout write is exactly one
 range shuffle — the same cost as any global sort write — and readers pay
@@ -40,18 +53,100 @@ def _scaled_bucket(col: str, lo: Column, hi: Column, bits: int) -> Column:
     return F.least(F.floor(frac * (1 << bits)).cast("bigint"), n.cast("bigint"))
 
 
-def zorder_key(cols: list[str], bounds: dict[str, tuple[Column, Column]], bits: int = 8) -> Column:
-    """Interleaved-bit Morton key over ``cols`` (round-robin bit order)."""
-    buckets = [_scaled_bucket(c, *bounds[c], bits) for c in cols]
-    d = len(buckets)
+def _interleave(coords: list[Column], bits: int) -> Column:
+    """Morton interleave (round-robin bit order): bit i of coordinate j
+    lands at position i*d + j.  Callers must pass STAGED columns, not
+    raw expressions — each coordinate is referenced ``bits`` times and
+    an embedded subtree would be evaluated once per reference."""
+    d = len(coords)
     parts: list[Column] = []
     for i in range(bits):
-        for j, b in enumerate(buckets):
-            # bit i of bucket j lands at interleaved position i*d + j
+        for j, b in enumerate(coords):
             parts.append(
                 F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * d + j)
             )
-    return reduce(lambda a, x: a.bitwiseOR(x), parts).alias("__zkey")
+    return reduce(lambda a, x: a.bitwiseOR(x), parts)
+
+
+def zorder_key(cols: list[str], bounds: dict[str, tuple[Column, Column]], bits: int = 8) -> Column:
+    """Interleaved-bit Morton key over ``cols`` (double-scaled buckets —
+    the write-path face; see module docstring)."""
+    return _interleave(
+        [_scaled_bucket(c, *bounds[c], bits) for c in cols], bits
+    ).alias("__zkey")
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Add the EXACT-INTEGER Morton Z-key over integer-valued ``cols``
+    as ``out_col``: one broadcast min/max bounds pass (a 1-row frame
+    cross-joined in — one lazy plan, no driver collect), coordinates
+    staged as real projection columns (each is referenced ``bits``
+    times by the interleave), then a pure map-side shift/mask
+    expression.  Engine-portable: DuckDB replays every key bit-for-bit
+    (the q_zorder oracle)."""
+    if not cols:
+        raise ValueError("need at least one column to Z-order")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"{bits} bits x {len(cols)} cols exceeds the int64 key"
+        )
+    top = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    coord_cols = {}
+    for c in cols:
+        q, lo, hi = f"`{c}`", f"`__lo_{c}`", f"`__hi_{c}`"
+        span = f"(cast({hi} as bigint) - cast({lo} as bigint))"
+        # integer range bucket: div, never float division — float
+        # quotients can round across a bucket edge for large values
+        coord_cols[f"__coord_{c}"] = F.expr(
+            f"CASE WHEN {q} IS NULL OR {hi} IS NULL OR {span} <= 0 "
+            f"THEN cast(0 as bigint) "
+            f"ELSE ((cast({q} as bigint) - cast({lo} as bigint)) * {top}) "
+            f"div {span} END"
+        )
+    out = out.withColumns(coord_cols)
+    z = _interleave([F.col(f"__coord_{c}") for c in cols], bits)
+    drop = (
+        [f"__lo_{c}" for c in cols]
+        + [f"__hi_{c}" for c in cols]
+        + [f"__coord_{c}" for c in cols]
+    )
+    return out.withColumn(out_col, z).drop(*drop)
+
+
+def zorder_shard_stats(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    shard_bits: int = 4,
+) -> DataFrame:
+    """Per-shard column-range audit of a Z-order layout: shard = the
+    top ``shard_bits`` of the Z-key (2^shard_bits files), with each
+    shard's row count and min/max per dimension — the numbers a
+    file-skipping scan planner actually reads.  Tight ranges in EVERY
+    column are the Z-order payoff; a single-column sort gives tight
+    ranges in one.
+
+    One map-side key expression + one (shard) aggregation shuffle of
+    count/min/max — the audit costs less than the layout write it
+    validates.
+    """
+    keyed = with_zorder_key(df, cols, bits)
+    width = bits * len(cols)
+    shard = F.shiftright(F.col("zkey"), width - shard_bits).cast("int")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"max_{c}"))
+    return keyed.groupBy(shard.alias("shard")).agg(*aggs)
 
 
 def write_zordered(

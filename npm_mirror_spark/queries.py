@@ -3322,6 +3322,24 @@ def q_release_cut(spark, sf_dir):
     ).select("doc_id", "source", "was_cut", "n_tokens", "cum_tokens")
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout audit (operators/layout.py): lineitem
+    keyed by bit-interleaved (l_orderkey, l_partkey) range coordinates,
+    sharded on the key's top 4 bits, reporting each shard's row count
+    and per-DIMENSION min/max — the file statistics a skipping scan
+    reads. The Z-order payoff is visible in the numbers: every shard is
+    tight in BOTH columns, where a single-column sort is tight in one.
+    One stats pass (partial min/max agg) + map-side integer key + one
+    (shard) count/min/max shuffle; exact shift/mask algebra end to end,
+    so the oracle replays every key bit-for-bit."""
+    from npm_mirror_spark.operators.layout import zorder_shard_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_shard_stats(
+        li, ["l_orderkey", "l_partkey"], bits=16, shard_bits=4
+    )
+
+
 def q_cut_contaminated(spark, sf_dir):
     """Span-level decontamination
     (operators/curation.py:cut_contaminated_spans): benchmark-
@@ -3600,6 +3618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never-driver-checked queue remainder — r8 rotation candidates
     "q_pagerank_directed": q_pagerank_directed,
     "q_release_cut": q_release_cut,
+    "q_zorder": q_zorder,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5850,6 +5869,50 @@ FROM c2 WHERE cum_tokens <= 3000
 ORACLES["q_release_cut"] = ORACLES["q_release_cut"].format(
     gopher=ORACLES["q_gopher_rules"]
 )
+
+
+# q_zorder: integer range-bucket coordinates from a 1-row min/max
+# frame, Morton interleave as pure shift/mask algebra — both generated
+# by the same loop shape as the Spark expression, replayed bit-for-bit.
+def _zorder_oracle_sql(
+    cols: tuple = ("l_orderkey", "l_partkey"),
+    bits: int = 16,
+    shard_bits: int = 4,
+) -> str:
+    top = (1 << bits) - 1
+    n = len(cols)
+    stats = ", ".join(
+        f"CAST(min({c}) AS BIGINT) AS mn_{c}, CAST(max({c}) AS BIGINT) AS mx_{c}"
+        for c in cols
+    )
+    coords = ", ".join(
+        f"CASE WHEN l.{c} IS NULL OR s.mx_{c} IS NULL "
+        f"OR (s.mx_{c} - s.mn_{c}) <= 0 THEN 0 "
+        f"ELSE ((CAST(l.{c} AS BIGINT) - s.mn_{c}) * {top}) "
+        f"// (s.mx_{c} - s.mn_{c}) END AS coord_{j}"
+        for j, c in enumerate(cols)
+    )
+    z = " | ".join(
+        f"(((coord_{j} >> {i}) & 1) << {i * n + j})"
+        for j in range(n)
+        for i in range(bits)
+    )
+    outs = ", ".join(
+        f"CAST(min({c}) AS BIGINT) AS min_{c}, CAST(max({c}) AS BIGINT) AS max_{c}"
+        for c in cols
+    )
+    keep = ", ".join(f"l.{c}" for c in cols)
+    return f"""
+WITH s AS (SELECT {stats} FROM lineitem),
+coords AS (SELECT {keep}, {coords} FROM lineitem l CROSS JOIN s),
+z AS (SELECT {", ".join(cols)}, {z} AS zkey FROM coords)
+SELECT CAST(zkey >> {bits * n - shard_bits} AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows, {outs}
+FROM z GROUP BY 1
+"""
+
+
+ORACLES["q_zorder"] = _zorder_oracle_sql()
 
 
 # q_cut_contaminated: the cut_dup_spans island/rebuild replay with the

@@ -325,6 +325,10 @@ ALLOWED_BNLJ = {
         "onto the node table — the singleton fold that redistributes sink "
         "rank without a driver collect"
     ),
+    "q_zorder": (
+        "single-row min/max range-stats frame broadcast for the integer "
+        "coordinate bucketing (the _with_prior_sums stats pattern)"
+    ),
 }
 
 

@@ -61,7 +61,7 @@ def test_sql_window_matches_registered_query(spark, sf_dir):
 def test_driver_window_composition_pinned():
     """The driver checks the FIRST 50 registry entries; an accidental
     reorder silently changes what gets driver-verified. Pin the §2 core
-    in slots 1-27 and the r6 window tail (see docs/DRIVER_WINDOW.md)."""
+    in slots 1-27 and the r7 window tail (see docs/DRIVER_WINDOW.md)."""
     from npm_mirror_spark.queries import ORACLES, QUERIES
 
     names = list(QUERIES)
@@ -76,9 +76,12 @@ def test_driver_window_composition_pinned():
         "q_approx_stats",
     ]
     assert names[:27] == pinned_27
-    assert names[27] == "q_corpus_diff"
-    assert names[49] == "q_minhash_recall"
+    assert names[27] == "q_temperature_mix"
+    assert names[49] == "q_token_budget"
     # every window entry except the documented rows-only ones has an oracle
-    rows_only = {"q_approx_stats"}
+    rows_only = {
+        "q_approx_stats", "q_lm_nll", "q_quality_classifier",
+        "q_bpe_encode", "q_lm_bigram",
+    }
     missing = [n for n in names[:50] if n not in ORACLES and n not in rows_only]
     assert missing == [], f"window entries without oracles: {missing}"

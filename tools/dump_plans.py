@@ -52,7 +52,11 @@ SHOW = {
     "q_epoch_shuffle": "md5 rank + shard hash assignment map-side; position window partitioned BY shard (parallel per-shard sorts, the shard-writer plan)",
     "q_contamination_report": "bench gram vocabulary broadcast; corpus grams semi-join map-side; only bench-bounded HIT grams shuffle",
     "q_cut_contaminated": "broadcast bench vocab gates gram positions map-side; islands window per doc; bodies join once for the in-row rebuild",
-    "q_token_budget": "per-source deterministic-priority prefix: one (source) shuffle, windows keyed on source",
+    "q_token_budget": "two-level bucketed prefix: md5-key top bits bucket in-row; per-(source,bucket) sums -> bounded offset window; intra-bucket windows run parallel per (source, __bkt)",
+    # r7 flagships
+    "q_pagerank_directed": "per round: node-sized left join keeps sinks; 1-row dangling aggregate broadcast back; ONE edge fan-out join + (dst) int-sum shuffle",
+    "q_release_cut": "gate -> span surgery -> seam re-gate -> budget in one plan: bench vocab broadcasts twice, bodies join once for the rebuild, budget windows keyed (source, __bkt)",
+    "q_zorder": "1-row min/max bounds broadcast; staged integer coordinates; Morton key map-side; one (shard) count/min-max shuffle",
 }
 
 SF = "/root/testdata/sf0.01"
