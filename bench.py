@@ -147,6 +147,7 @@ HEADLINE_R7 = [
     "q_pagerank_directed",
     "q_release_cut",
     "q_zorder",
+    "q_quality_checks",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -3340,6 +3340,27 @@ def q_zorder(spark, sf_dir):
     )
 
 
+def q_quality_checks(spark, sf_dir):
+    """Declarative data-quality contract over orders
+    (operators/checks.py:constraint_report — the Deequ pattern): six
+    constraints (completeness, two uniqueness — one deliberately
+    failing on the repeating o_custkey, value domain, format regex,
+    min/max bounds) evaluated in ONE aggregation job over ONE scan;
+    every metric is a ratio of exact counts or an exact min/max, so the
+    oracle reproduces each value and verdict bit-for-bit."""
+    from npm_mirror_spark.operators import checks as checks_ops
+
+    o = _t(spark, sf_dir, "orders")
+    return checks_ops.constraint_report(o, [
+        ("custkey_complete", "completeness", "o_custkey", 1.0),
+        ("orderkey_unique", "uniqueness", "o_orderkey", 1.0),
+        ("custkey_unique", "uniqueness", "o_custkey", 1.0),  # fails: repeats
+        ("status_domain", "in_set", "o_orderstatus", 1.0, ["O", "F", "P"]),
+        ("priority_format", "matches", "o_orderpriority", 1.0, "^[1-5]-[A-Z ]+$"),
+        ("price_positive", "min_value", "o_totalprice", 0.0),
+    ])
+
+
 def q_cut_contaminated(spark, sf_dir):
     """Span-level decontamination
     (operators/curation.py:cut_contaminated_spans): benchmark-
@@ -3619,6 +3640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_directed": q_pagerank_directed,
     "q_release_cut": q_release_cut,
     "q_zorder": q_zorder,
+    "q_quality_checks": q_quality_checks,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5913,6 +5935,69 @@ FROM z GROUP BY 1
 
 
 ORACLES["q_zorder"] = _zorder_oracle_sql()
+
+
+# q_quality_checks: each constraint is the same exact-count ratio (or
+# exact min) the Spark aggregate computes; the report shape is one
+# UNION ALL branch per constraint over the same base aggregates.
+ORACLES["q_quality_checks"] = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS nn_ck,
+         count(o_orderkey) AS nn_ok, count(DISTINCT o_orderkey) AS nd_ok,
+         count(DISTINCT o_custkey) AS nd_ck,
+         count(o_orderstatus) AS nn_st,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS hit_st,
+         count(o_orderpriority) AS nn_pr,
+         sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  THEN 1 ELSE 0 END) AS hit_pr,
+         CAST(min(o_totalprice) AS DOUBLE) AS mn_tp
+  FROM orders)
+SELECT 'custkey_complete' AS name, 'completeness' AS kind,
+       'o_custkey' AS "column",
+       CASE WHEN n > 0 THEN CAST(nn_ck AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE 1.0 END AS metric,
+       1.0 AS threshold,
+       CASE WHEN n > 0 THEN CAST(nn_ck AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE 1.0 END >= 1.0 AS ok
+FROM a
+UNION ALL
+SELECT 'orderkey_unique', 'uniqueness', 'o_orderkey',
+       CASE WHEN nn_ok > 0 THEN CAST(nd_ok AS DOUBLE) / CAST(nn_ok AS DOUBLE)
+            ELSE 1.0 END,
+       1.0,
+       CASE WHEN nn_ok > 0 THEN CAST(nd_ok AS DOUBLE) / CAST(nn_ok AS DOUBLE)
+            ELSE 1.0 END >= 1.0
+FROM a
+UNION ALL
+SELECT 'custkey_unique', 'uniqueness', 'o_custkey',
+       CASE WHEN nn_ck > 0 THEN CAST(nd_ck AS DOUBLE) / CAST(nn_ck AS DOUBLE)
+            ELSE 1.0 END,
+       1.0,
+       CASE WHEN nn_ck > 0 THEN CAST(nd_ck AS DOUBLE) / CAST(nn_ck AS DOUBLE)
+            ELSE 1.0 END >= 1.0
+FROM a
+UNION ALL
+SELECT 'status_domain', 'in_set', 'o_orderstatus',
+       CASE WHEN nn_st > 0 THEN CAST(hit_st AS DOUBLE) / CAST(nn_st AS DOUBLE)
+            ELSE 1.0 END,
+       1.0,
+       CASE WHEN nn_st > 0 THEN CAST(hit_st AS DOUBLE) / CAST(nn_st AS DOUBLE)
+            ELSE 1.0 END >= 1.0
+FROM a
+UNION ALL
+SELECT 'priority_format', 'matches', 'o_orderpriority',
+       CASE WHEN nn_pr > 0 THEN CAST(hit_pr AS DOUBLE) / CAST(nn_pr AS DOUBLE)
+            ELSE 1.0 END,
+       1.0,
+       CASE WHEN nn_pr > 0 THEN CAST(hit_pr AS DOUBLE) / CAST(nn_pr AS DOUBLE)
+            ELSE 1.0 END >= 1.0
+FROM a
+UNION ALL
+SELECT 'price_positive', 'min_value', 'o_totalprice', mn_tp, 0.0,
+       mn_tp >= 0.0
+FROM a
+"""
 
 
 # q_cut_contaminated: the cut_dup_spans island/rebuild replay with the

@@ -1,0 +1,94 @@
+"""Data-quality constraint checking (operators/checks.py): exact metric
+semantics on crafted data, single-job plan shape, and the degenerate
+contracts.  q_quality_checks' value parity is oracle-checked
+registry-wide."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.checks import constraint_report
+
+
+def _report(df, constraints):
+    return {r["name"]: r for r in constraint_report(df, constraints).collect()}
+
+
+def test_metrics_are_exact_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x1", 10.0),
+            (2, "a", "x2", 20.0),
+            (3, None, "bad", -5.0),
+            (4, "b", "x3", 30.0),
+        ],
+        "id long, cat string, code string, val double",
+    )
+    got = _report(df, [
+        ("cat_complete", "completeness", "cat", 0.9),
+        ("id_unique", "uniqueness", "id", 1.0),
+        ("cat_unique", "uniqueness", "cat", 1.0),
+        ("cat_domain", "in_set", "cat", 1.0, ["a", "b"]),
+        ("code_format", "matches", "code", 0.7, "^x[0-9]$"),
+        ("val_min", "min_value", "val", 0.0),
+        ("val_max", "max_value", "val", 25.0),
+    ])
+    assert got["cat_complete"]["metric"] == 0.75 and not got["cat_complete"]["ok"]
+    assert got["id_unique"]["metric"] == 1.0 and got["id_unique"]["ok"]
+    # 3 non-null cats, 2 distinct
+    assert got["cat_unique"]["metric"] == 2 / 3 and not got["cat_unique"]["ok"]
+    # in_set ignores the NULL row: 3/3 of non-null values allowed
+    assert got["cat_domain"]["metric"] == 1.0 and got["cat_domain"]["ok"]
+    assert got["code_format"]["metric"] == 0.75 and got["code_format"]["ok"]
+    assert got["val_min"]["metric"] == -5.0 and not got["val_min"]["ok"]
+    # max_value: ok means metric <= threshold
+    assert got["val_max"]["metric"] == 30.0 and not got["val_max"]["ok"]
+
+
+def test_empty_and_all_null_tables(spark):
+    empty = spark.createDataFrame([], "id long, cat string")
+    got = _report(empty, [
+        ("c", "completeness", "cat", 1.0),
+        ("u", "uniqueness", "cat", 1.0),
+        ("s", "in_set", "cat", 1.0, ["a"]),
+        ("m", "matches", "cat", 1.0, "^a$"),
+    ])
+    # vacuous truths on no data — a gate must not fail an empty partition
+    assert all(got[k]["metric"] == 1.0 and got[k]["ok"] for k in "cusm")
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, cat string")
+    got = _report(allnull, [
+        ("c", "completeness", "cat", 0.5),
+        ("mn", "min_value", "cat", 0.0),
+    ])
+    assert got["c"]["metric"] == 0.0 and not got["c"]["ok"]
+    # min of nothing: NULL metric, NULL verdict (unknown, not pass/fail)
+    assert got["mn"]["metric"] is None and got["mn"]["ok"] is None
+
+
+def test_single_job_single_scan(spark):
+    """All constraints fold into ONE aggregation over ONE scan: the plan
+    has exactly one scan node and no Python evaluation; only the
+    count_distinct constraints justify an expand."""
+    from npm_mirror_spark import plans
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    rep = constraint_report(df, [
+        ("a", "completeness", "k", 1.0),
+        ("b", "uniqueness", "k", 1.0),
+        ("c", "min_value", "id", 0.0),
+    ])
+    text = plans.explain_str(rep, "simple")
+    assert text.count("Scan ") + text.count("Range ") >= 1
+    assert text.count("Range") == 1, "constraints must share one scan"
+    assert "Python" not in text
+
+
+def test_unknown_kind_and_empty_list(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        constraint_report(df, [("x", "frobnicate", "id", 1.0)])
+    with pytest.raises(ValueError, match="at least one"):
+        constraint_report(df, [])
