@@ -3310,11 +3310,17 @@ def q_release_cut(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
-    gated = (
+    # gate as a SEMI JOIN on the keep-id set, not gopher flags carried
+    # in the lineage: the cut machinery re-derives its input several
+    # times per pass, and the HOF-heavy rule expressions are the most
+    # expensive per-row work in the whole composition — as an id
+    # semi-join (AQE broadcasts it at bench scale) they evaluate once
+    keep_ids = (
         text_ops.gopher_rules(corpus, "text")
         .where(F.col("keep"))
-        .select(*corpus.columns)
+        .select("doc_id")
     )
+    gated = corpus.join(keep_ids, "doc_id", "left_semi")
     clean = cut_decontaminate(gated, bench, "text", "doc_id", 5)
     return cur_ops.token_budget_select(
         clean.withColumn("n_tokens", text_ops.ws_token_count("text")),
@@ -5865,7 +5871,7 @@ cutd AS (SELECT c.doc_id, c.source,
          LEFT JOIN agg a ON c.doc_id = a.doc_id),
 cut2 AS (SELECT doc_id, source, text2, was_cut FROM cutd
          WHERE length(text2) > 0),
-rnorm AS (SELECT doc_id, {_norm_of('text2')} AS t FROM cut2),
+rnorm AS (SELECT doc_id, {_norm_of('text2')} AS t FROM cut2 WHERE was_cut),
 rw AS (SELECT doc_id, str_split(t, ' ') AS w, t FROM rnorm),
 rgrams AS (SELECT doc_id, {_grams5_of()} AS grams FROM rw),
 bad AS (SELECT DISTINCT g2.doc_id

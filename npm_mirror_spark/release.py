@@ -76,10 +76,15 @@ def cut_decontaminate(
         # a doc whose whole text was benchmark quote carries nothing
         .where(F.length(F.col(text_col)) > 0)
     )
-    residual = decontaminate(
-        rewritten, bench, text_col, id_col, n
-    ).where(~F.col("contaminated")).select(id_col)
-    return rewritten.join(residual, id_col, "left_semi")
+    # seam-guard scope: only CUT documents can mint new n-grams —
+    # an untouched doc had zero bench-overlapping grams by construction
+    # (that is what "untouched" means), so rechecking it is pure cost;
+    # restricting the recheck shrinks the second shingle explode to the
+    # cut sliver (normally tiny)
+    residual_bad = decontaminate(
+        rewritten.where(F.col("was_cut")), bench, text_col, id_col, n
+    ).where(F.col("contaminated")).select(id_col)
+    return rewritten.join(residual_bad, id_col, "left_anti")
 
 
 def build_release(
