@@ -424,6 +424,22 @@ def test_token_budget_windows_on_group_key(q):
         assert "__bkt" in spec, f"window not bounded by bucket key: {spec}"
 
 
+def test_zorder_key_is_mapside_single_rollup_shuffle(spark, sf_dir):
+    """The Morton key must be a map-side expression: the only data
+    shuffle in the q_zorder plan is the final (shard) count/min/max
+    rollup; the bounds frame rides a broadcast, never an exchange of
+    the fact side, and nothing runs in Python."""
+    df = QUERIES["q_zorder"](spark, sf_dir)
+    text = plans.explain_str(df, "simple")
+    fact_shuffles = text.count("Exchange ") - text.count(
+        "Exchange SinglePartition"
+    )
+    assert fact_shuffles <= 1, "fact side shuffled before the rollup"
+    assert "BroadcastExchange" in text, "bounds stats must broadcast"
+    assert "Python" not in text
+    assert "Window" not in text, "no window belongs in a zorder audit"
+
+
 def test_split_assign_is_shuffle_free_before_rollup(spark, sf_dir):
     """The assignment itself is a map-side expression: the only
     exchange in the q_split_assign plan is the final split rollup."""
