@@ -429,11 +429,13 @@ def test_zorder_key_is_mapside_single_rollup_shuffle(spark, sf_dir):
     shuffle in the q_zorder plan is the final (shard) count/min/max
     rollup; the bounds frame rides a broadcast, never an exchange of
     the fact side, and nothing runs in Python."""
+    import re
+
     df = QUERIES["q_zorder"](spark, sf_dir)
     text = plans.explain_str(df, "simple")
-    fact_shuffles = text.count("Exchange ") - text.count(
-        "Exchange SinglePartition"
-    )
+    # shuffles = Exchange nodes that are neither broadcasts nor the
+    # bounded 1-row stats fold (Exchange SinglePartition)
+    fact_shuffles = len(re.findall(r"(?<!Broadcast)Exchange (?!SinglePartition)", text))
     assert fact_shuffles <= 1, "fact side shuffled before the rollup"
     assert "BroadcastExchange" in text, "bounds stats must broadcast"
     assert "Python" not in text
