@@ -148,6 +148,7 @@ HEADLINE_R7 = [
     "q_release_cut",
     "q_zorder",
     "q_quality_checks",
+    "q_skew_report",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -52,6 +52,48 @@ def salted_count_by(
     )
 
 
+def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """Key-distribution diagnosis for a planned groupBy/join on ``key``
+    — the measurement that decides whether :func:`salted_agg` /
+    AQE skew handling is needed BEFORE a 100 TB shuffle melts a reducer.
+
+    Returns the ``top_k`` heaviest keys, each row carrying the global
+    stats: (key, cnt, n_rows, n_keys, max_count, skew_ratio,
+    suggested_salt) where skew_ratio = max_count / mean_count (1.0 =
+    perfectly uniform) and suggested_salt = ceil(skew_ratio) — the salt
+    bucket count that flattens the hottest key to roughly the mean.
+
+    Cost shape: ONE (key) count shuffle (map-side partials), then
+    everything runs on the bounded key-count table — a 1-row stats fold
+    and a driver-bounded global top-k (TakeOrdered, never a full sort).
+    Exact counts and a fixed-shape double ratio, so the oracle replays
+    every value.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_count"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_k)
+    ratio = (
+        F.col("max_count").cast("double")
+        * F.col("n_keys").cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        "n_rows",
+        "n_keys",
+        "max_count",
+        ratio.alias("skew_ratio"),
+        F.ceil(ratio).cast("int").alias("suggested_salt"),
+    )
+
+
 def salted_broadcast_join(
     big: DataFrame,
     small: DataFrame,

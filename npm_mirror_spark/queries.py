@@ -2162,6 +2162,19 @@ def q_salted_counts(spark, sf_dir):
     return salted_count_by(_t(spark, sf_dir, "events"), "event_type")
 
 
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnosis (operators/skew.py:skew_report) over the
+    events user axis: the top-5 heaviest user_ids with global
+    distribution stats (max/mean skew ratio, suggested salt buckets) —
+    the measurement a pipeline runs BEFORE keying a 100 TB shuffle, and
+    the decision input for salted_count_by / AQE skew handling. One
+    (key) count shuffle; everything after runs on the bounded key-count
+    table."""
+    from npm_mirror_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=5)
+
+
 def q_region_rollup(spark, sf_dir):
     """Star-schema rollup over the full dimension chain: lineitem ->
     supplier -> nation -> region, revenue per (region, nation). All three
@@ -3647,6 +3660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_release_cut": q_release_cut,
     "q_zorder": q_zorder,
     "q_quality_checks": q_quality_checks,
+    "q_skew_report": q_skew_report,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5941,6 +5955,25 @@ FROM z GROUP BY 1
 
 
 ORACLES["q_zorder"] = _zorder_oracle_sql()
+
+
+# q_skew_report: exact key counts; the global stats fold and the
+# top-k both run over the bounded count table; the ratio and its ceil
+# are fixed-shape double expressions over exact longs.
+ORACLES["q_skew_report"] = """
+WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_count FROM c),
+t AS (SELECT key, CAST(cnt AS BIGINT) AS cnt FROM c
+      ORDER BY cnt DESC, key ASC LIMIT 5)
+SELECT t.key, t.cnt, s.n_rows, s.n_keys, s.max_count,
+       CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+         / CAST(s.n_rows AS DOUBLE) AS skew_ratio,
+       CAST(ceil(CAST(s.max_count AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+                 / CAST(s.n_rows AS DOUBLE)) AS INTEGER) AS suggested_salt
+FROM t CROSS JOIN s
+"""
 
 
 # q_quality_checks: each constraint is the same exact-count ratio (or

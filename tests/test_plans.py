@@ -329,6 +329,10 @@ ALLOWED_BNLJ = {
         "single-row min/max range-stats frame broadcast for the integer "
         "coordinate bucketing (the _with_prior_sums stats pattern)"
     ),
+    "q_skew_report": (
+        "single-row global distribution stats broadcast onto the "
+        "driver-bounded top-k heavy-key rows"
+    ),
 }
 
 

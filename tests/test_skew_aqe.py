@@ -57,3 +57,31 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_skew_report_values_and_salt_suggestion(spark):
+    """skew_report on a crafted distribution: hot key 80 rows, two cold
+    keys 10 each -> mean 33.33, skew_ratio 2.4, suggested salt 3; top-k
+    ordering is (cnt desc, key asc) deterministic."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.skew import skew_report
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 80, "hot")
+        .when(F.col("id") < 90, "a")
+        .otherwise("b")
+        .alias("k")
+    )
+    rows = skew_report(df, "k", top_k=2).collect()
+    assert [r["key"] for r in rows] == ["hot", "a"]
+    top = rows[0]
+    assert (top["cnt"], top["n_rows"], top["n_keys"], top["max_count"]) == (
+        80, 100, 3, 80,
+    )
+    assert abs(top["skew_ratio"] - 2.4) < 1e-12
+    assert top["suggested_salt"] == 3
+    # uniform distribution: ratio 1.0, salt 1 (i.e. "don't bother")
+    uni = spark.range(90).select((F.col("id") % 3).cast("string").alias("k"))
+    r = skew_report(uni, "k", top_k=1).collect()[0]
+    assert r["skew_ratio"] == 1.0 and r["suggested_salt"] == 1
