@@ -102,6 +102,8 @@ def build_release(
     quality_model: dict | None = None,
     min_model_score: float = 0.5,
     decontam_mode: str = "drop",
+    contracts: list[tuple] | None = None,
+    enforce_contracts: bool = True,
 ) -> dict:
     """Run the curation pipeline and commit the packed corpus as one
     snapshot version. Returns the attrition audit. ``max_per_shard``
@@ -121,7 +123,31 @@ def build_release(
     spans are deleted in place and the document survives with the rest
     of its text, trading a body rewrite for retained tokens. Either
     way no benchmark n-gram reaches the packed output.
+
+    ``contracts`` optionally gates the INPUT with a declarative
+    data-quality contract (operators/checks.py constraint tuples) —
+    fail fast BEFORE the pipeline spends anything on bad data: the
+    report (one aggregation job) lands in the audit under
+    ``"contracts"``, and any failing constraint aborts the release
+    with ValueError unless ``enforce_contracts=False`` (record-only
+    mode; NULL verdicts — min/max over no data — do not fail).
     """
+    if contracts:
+        from npm_mirror_spark.operators.checks import constraint_report
+
+        report = constraint_report(docs, contracts).collect()
+        contract_audit = {
+            r["name"]: {"metric": r["metric"], "ok": r["ok"]} for r in report
+        }
+        failing = sorted(r["name"] for r in report if r["ok"] is False)
+        if failing and enforce_contracts:
+            raise ValueError(
+                f"input contract violated: {failing} "
+                f"(pass enforce_contracts=False to record instead of abort)"
+            )
+    else:
+        contract_audit = {}
+
     n_input = docs.count()
 
     gated = gopher_rules(docs, text_col).where(F.col("keep"))
@@ -210,6 +236,7 @@ def build_release(
         "n_after_dedup": n_unique,
         "n_after_cap": n_capped,
         "n_released": n_capped,
+        "contracts": contract_audit,
     }
 
 

@@ -171,3 +171,38 @@ def test_cut_mode_preserves_untouched_text_bytes(spark, tmp_path):
     assert released[1] == pristine, "untouched text must stay byte-exact"
     if 2 in released:
         assert "secret benchmark answer" not in released[2]
+
+
+def test_contract_gate_aborts_and_records(spark, sf_dir, tmp_path):
+    """The input contract gate: a failing constraint aborts the release
+    BEFORE any curation work; enforce_contracts=False records the
+    verdicts in the audit and proceeds; a passing contract is invisible
+    except for its audit entry."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    # doc_id repeats nowhere -> passes; source repeats -> fails
+    passing = [("ids_unique", "uniqueness", "doc_id", 1.0)]
+    failing = passing + [("source_unique", "uniqueness", "source", 1.0)]
+
+    with pytest.raises(ValueError, match="source_unique"):
+        build_release(
+            spark, corpus, bench, str(tmp_path / "gated"),
+            contracts=failing,
+        )
+
+    audit = build_release(
+        spark, corpus, bench, str(tmp_path / "recorded"),
+        contracts=failing, enforce_contracts=False, token="r1",
+    )
+    assert audit["contracts"]["ids_unique"]["ok"] is True
+    assert audit["contracts"]["source_unique"]["ok"] is False
+    assert audit["n_released"] > 0  # record-only mode still releases
+
+    audit2 = build_release(
+        spark, corpus, bench, str(tmp_path / "clean"),
+        contracts=passing, token="r1",
+    )
+    assert audit2["contracts"] == {"ids_unique": {"metric": 1.0, "ok": True}}
