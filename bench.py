@@ -149,6 +149,7 @@ HEADLINE_R7 = [
     "q_zorder",
     "q_quality_checks",
     "q_skew_report",
+    "q_join_size_est",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

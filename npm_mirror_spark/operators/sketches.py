@@ -191,6 +191,49 @@ def count_min_estimate(
     )
 
 
+def count_min_join_size(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Equi-join cardinality estimate from CMS inner products (the
+    AMS-style estimator Cormode & Muthukrishnan 2005 §4.2): sketch both
+    sides, est = min over hash rows r of sum_b A[r,b] * B[r,b].  Pass
+    the SAME table twice for the self-join size — the second frequency
+    moment F2 = sum_k cnt_k^2, the quantity that predicts a join's
+    output explosion and a groupBy's skew before you run it.
+
+    ONE-SIDED error: colliding keys only ever add mass, so the estimate
+    is >= the true join size (equality when no two distinct keys share
+    a bucket in some row).  Exact integer arithmetic end to end — the
+    oracle replays the estimate bit-for-bit.
+
+    Cost at 100 TB: two CMS builds (each one bounded (r, b) int shuffle
+    with map-side partials over its own scan) + arithmetic on
+    depth x width rows.  The thing being estimated — the join — never
+    runs.  Returns one row: (est_join_rows).
+    """
+    ca = count_min_sketch(a, key_a, depth, width)
+    cb = count_min_sketch(b, key_b, depth, width)
+    prod = (
+        ca.alias("x")
+        .join(cb.alias("y"), ["r", "b"])
+        .select("r", (F.col("x.c") * F.col("y.c")).alias("__p"))
+    )
+    per_row = prod.groupBy("r").agg(F.sum("__p").alias("__s"))
+    # a hash row with NO overlapping cells estimates 0 (true size is 0
+    # by the one-sided bound); the inner join drops it, so re-anchor on
+    # the full depth axis before the min
+    axis = a.sparkSession.range(depth).select(F.col("id").cast("int").alias("r"))
+    full = axis.join(per_row, "r", "left").select(
+        F.coalesce(F.col("__s"), F.lit(0)).alias("__s")
+    )
+    return full.agg(F.min("__s").cast("long").alias("est_join_rows"))
+
+
 def binned_quantiles(
     df: DataFrame,
     col: str,

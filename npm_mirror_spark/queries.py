@@ -3217,6 +3217,28 @@ def q_count_min(spark, sf_dir):
     )
 
 
+def q_join_size_est(spark, sf_dir):
+    """Self-join size (second frequency moment F2) from CMS inner
+    products (operators/sketches.py:count_min_join_size — the AMS-style
+    estimator): predicts the events-to-events user_id join's output
+    explosion WITHOUT running the join. Output one row
+    (est_join_rows, exact_join_rows, overcount) pinning the one-sided
+    bound est >= exact = sum_u cnt_u^2; exact integer arithmetic, so
+    the oracle replays the estimate bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    est = sketch_ops.count_min_join_size(ev, "user_id", ev, "user_id", 4, 64)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") - F.col("exact_join_rows")).alias("overcount"),
+    )
+
+
 def q_hll_replay(spark, sf_dir):
     """HyperLogLog distinct-count over ordering customers with
     EXACT-REPLAY register algebra (operators/sketches.py:hll_registers/
@@ -3661,6 +3683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_zorder": q_zorder,
     "q_quality_checks": q_quality_checks,
     "q_skew_report": q_skew_report,
+    "q_join_size_est": q_join_size_est,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5710,6 +5733,27 @@ est AS (
 exact AS (SELECT l_suppkey, count(*) AS exact FROM lineitem GROUP BY 1)
 SELECT e.l_suppkey, e.est, x.exact, e.est - x.exact AS overcount
 FROM est e JOIN exact x USING (l_suppkey)
+"""
+
+# q_join_size_est: the CMS self-inner-product (F2) replayed with the
+# identical seeded cells; depth axis re-anchored so an empty hash row
+# estimates 0; exact = sum of squared per-key counts.
+ORACLES["q_join_size_est"] = """
+WITH r AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS b,
+         count(*) AS c
+  FROM events CROSS JOIN r
+  GROUP BY 1, 2),
+per_row AS (SELECT r, sum(c * c) AS s FROM cells GROUP BY r),
+f AS (SELECT r.r, coalesce(p.s, 0) AS s FROM r LEFT JOIN per_row p USING (r)),
+est AS (SELECT CAST(min(s) AS BIGINT) AS est_join_rows FROM f),
+exact AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_join_rows
+          FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id))
+SELECT est.est_join_rows, exact.exact_join_rows,
+       est.est_join_rows - exact.exact_join_rows AS overcount
+FROM est CROSS JOIN exact
 """
 
 # q_hll_replay: HLL registers and the closed-form raw estimate replayed

@@ -333,6 +333,10 @@ ALLOWED_BNLJ = {
         "single-row global distribution stats broadcast onto the "
         "driver-bounded top-k heavy-key rows"
     ),
+    "q_join_size_est": (
+        "1-row CMS estimate cross-joined with the 1-row exact F2 — both "
+        "sides singleton aggregates by construction"
+    ),
 }
 
 

@@ -187,3 +187,30 @@ def test_binned_quantiles_within_one_bin_of_exact(spark, sf_dir):
     assert row["est"] == 7.5 and row["n"] == 10
     with pytest.raises(ValueError, match="quantiles"):
         binned_quantiles(const, "v", qs=(0.0,))
+
+
+def test_cms_join_size_one_sided_and_exact_when_collision_free(spark):
+    """The AMS-style join-size estimate must upper-bound the true size,
+    and with a width far above the key count (no bucket collisions in
+    some hash row) it recovers the exact self-join size; the two-table
+    direction multiplies per-key counts."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.sketches import count_min_join_size
+
+    # 3 keys with counts 4, 2, 1 -> F2 = 16 + 4 + 1 = 21
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("c",)], "k string"
+    )
+    wide = count_min_join_size(df, "k", df, "k", depth=4, width=4096).first()
+    assert wide["est_join_rows"] == 21
+    tight = count_min_join_size(df, "k", df, "k", depth=4, width=2).first()
+    assert tight["est_join_rows"] >= 21  # collisions only ever add
+    # two-table: join with (a:1, b:3) -> true size 4*1 + 2*3 = 10
+    other = spark.createDataFrame([("a",)] + [("b",)] * 3, "k string")
+    two = count_min_join_size(df, "k", other, "k", depth=4, width=4096).first()
+    assert two["est_join_rows"] == 10
+    # disjoint keys: estimate 0 via the re-anchored depth axis
+    dis = spark.createDataFrame([("zzz",)], "k string")
+    z = count_min_join_size(df, "k", dis, "k", depth=4, width=4096).first()
+    assert z["est_join_rows"] == 0
