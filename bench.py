@@ -150,6 +150,7 @@ HEADLINE_R7 = [
     "q_quality_checks",
     "q_skew_report",
     "q_join_size_est",
+    "q_temperature_sample",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

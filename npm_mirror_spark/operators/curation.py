@@ -433,6 +433,52 @@ def temperature_mix(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_docs: int,
+    temperature: float = 2.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """APPLY a temperature mix: sample each source down to its
+    :func:`temperature_mix` share of ``target_docs`` — the step between
+    "here are the mixture weights" (a report) and "here is the mixed
+    corpus" (rows).  Per-source keep probability
+    p_s = min(1, w_s * target_docs / n_s) becomes an integer bucket
+    threshold floor(p_s * buckets) on the same deterministic id-hash
+    axis as :func:`stratified_sample` — reproducible across runs and
+    engines, no RNG state.
+
+    Determinism clamp: w_s is rounded to 9 decimals first (its
+    denominator is a cross-row float sum whose last ulp depends on
+    summation order — the q_temperature_mix contract); everything after
+    is fixed-shape IEEE arithmetic both engines evaluate identically,
+    so even the floor'd thresholds replay exactly.
+
+    Scale shape: the rate table is |sources| rows (broadcast); the
+    sample itself is a map-side filter — zero corpus shuffle beyond the
+    one source-count aggregation that prices the weights.  The sampled
+    count per source is binomial-ish around p_s * n_s, not exact-k; use
+    :func:`cap_per_group` when a hard cap matters more than rate
+    fidelity."""
+    w = temperature_mix(df, source_col, temperature)
+    p = F.least(
+        F.lit(1.0),
+        F.round(F.col("temp_weight"), 9)
+        * F.lit(float(target_docs))
+        / F.col("n_docs").cast("double"),
+    )
+    rates = w.select(
+        source_col, F.floor(p * buckets).cast("long").alias("__thresh")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(sample_bucket(id_col, buckets) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2750,6 +2750,20 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """APPLIED temperature mix (operators/curation.py:temperature_sample):
+    the T=2 weights of q_temperature_mix turned into per-source keep
+    thresholds on the deterministic Knuth-hash axis, sampling documents
+    toward a 600-doc mixed corpus — the step between the weight REPORT
+    and the mixed ROWS. Per-source post-sample counts pin both the
+    threshold arithmetic (9-decimal weight clamp, IEEE floor chain) and
+    the hash-filter membership. Rate table broadcasts; the sample is a
+    map-side filter."""
+    d = _t(spark, sf_dir, "documents")
+    s = cur_ops.temperature_sample(d, "source", "doc_id", target_docs=600)
+    return s.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Per-doc duplicate n-gram fraction: the share of each document's
     DISTINCT trigram shingles that appear in >= 2 documents — the
@@ -3684,6 +3698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_checks": q_quality_checks,
     "q_skew_report": q_skew_report,
     "q_join_size_est": q_join_size_est,
+    "q_temperature_sample": q_temperature_sample,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5146,6 +5161,26 @@ t AS (SELECT source, n_docs, share, sqrt(share) AS sc FROM s)
 SELECT source, n_docs, share,
        round(sc / sum(sc) OVER (), 9) AS temp_weight
 FROM t
+"""
+
+# q_temperature_sample: the q_temperature_mix weight chain (9-decimal
+# clamp on the order-dependent float sum), then the identical
+# least/floor threshold arithmetic and Knuth bucket filter.
+ORACLES["q_temperature_sample"] = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+s AS (SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share
+      FROM c),
+t AS (SELECT source, n_docs, sqrt(share) AS sc FROM s),
+w AS (SELECT source, n_docs, round(sc / sum(sc) OVER (), 9) AS tw FROM t),
+r AS (SELECT source,
+             CAST(floor(least(1.0, tw * 600.0 / CAST(n_docs AS DOUBLE))
+                        * 1000) AS BIGINT) AS thresh
+      FROM w)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000 < r.thresh
+GROUP BY d.source
 """
 
 ORACLES["q_dup_ngram_fraction"] = f"""

@@ -448,3 +448,30 @@ def test_md5_seeds_accept_numpy_ints(spark):
     sb = {r["doc_id"]: r["split"]
           for r in cur.split_assign(df, "doc_id", seed=5).collect()}
     assert sa == sb
+
+
+def test_temperature_sample_applies_the_mix(spark):
+    """temperature_sample turns T=2 weights into per-source keep rates:
+    the dominant source is sampled DOWN harder than its natural share
+    (that is the point of temperature), small sources keep everything
+    once their target exceeds their size (p clamps at 1), and the
+    result is a deterministic pure function of the ids."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 10000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cur.temperature_sample(df, "source", "doc_id", target_docs=200)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # T=2 weights: sqrt(.9)/ (sqrt(.9)+sqrt(.1)) ~= .75 -> big target ~150
+    # of 900 (rate ~.167); small target ~50 of 100 (rate ~.5)
+    assert 0 < got["big"] < 900 and got["big"] < 300
+    assert got["small"] > 20
+    # the big source's keep RATE must be far below the small source's
+    assert got["big"] / 900 < got["small"] / 100
+    again = cur.temperature_sample(df, "source", "doc_id", target_docs=200)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
