@@ -151,6 +151,7 @@ HEADLINE_R7 = [
     "q_skew_report",
     "q_join_size_est",
     "q_temperature_sample",
+    "q_hll_setops",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -164,6 +164,27 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
     )
 
 
+def hll_union(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """HLL union: cell-wise max of two register tables — the same merge
+    a map-side partial performs, so |A ∪ B| estimation needs no access
+    to either side's raw keys.  Bounded work: both inputs are <= 2^p
+    rows; with :func:`hll_estimate` and inclusion-exclusion this gives
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) — the distributed-set
+    algebra (audience overlap, cross-corpus key sharing) that exact
+    distinct-joins would pay a corpus shuffle for.  The intersection
+    estimate inherits BOTH sides' error and can go negative on tiny
+    overlaps — report it alongside the operands, never alone."""
+    a = regs_a.select("idx", F.col("mreg").alias("__a"))
+    b = regs_b.select("idx", F.col("mreg").alias("__b"))
+    return a.join(b, "idx", "full").select(
+        "idx",
+        F.greatest(
+            F.coalesce(F.col("__a"), F.lit(0)),
+            F.coalesce(F.col("__b"), F.lit(0)),
+        ).cast("int").alias("mreg"),
+    )
+
+
 def count_min_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -3231,6 +3231,47 @@ def q_count_min(spark, sf_dir):
     )
 
 
+def q_hll_setops(spark, sf_dir):
+    """HLL set algebra with EXACT-replay arithmetic
+    (operators/sketches.py:hll_union): customer sets of the even- and
+    odd-orderkey halves of orders, their union by cell-wise register
+    max (no access to raw keys — the merge a map-side partial already
+    does), and the inclusion-exclusion intersection estimate beside the
+    exact intersection. One row: (est_a, est_b, est_union,
+    est_intersect, exact_intersect). Every register and every estimate
+    replays bit-for-bit (the q_hll_replay contract extended to set
+    operations)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 2 == 1)
+    ra = sketch_ops.hll_registers(a, "o_custkey")
+    rb = sketch_ops.hll_registers(b, "o_custkey")
+    ea = sketch_ops.hll_estimate(ra).select(F.col("est").alias("est_a"))
+    eb = sketch_ops.hll_estimate(rb).select(F.col("est").alias("est_b"))
+    eu = sketch_ops.hll_estimate(sketch_ops.hll_union(ra, rb)).select(
+        F.col("est").alias("est_union")
+    )
+    exact = (
+        a.select("o_custkey")
+        .intersect(b.select("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+            "exact_intersect",
+        )
+    )
+
+
 def q_join_size_est(spark, sf_dir):
     """Self-join size (second frequency moment F2) from CMS inner
     products (operators/sketches.py:count_min_join_size — the AMS-style
@@ -3699,6 +3740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skew_report": q_skew_report,
     "q_join_size_est": q_join_size_est,
     "q_temperature_sample": q_temperature_sample,
+    "q_hll_setops": q_hll_setops,
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5768,6 +5810,41 @@ est AS (
 exact AS (SELECT l_suppkey, count(*) AS exact FROM lineitem GROUP BY 1)
 SELECT e.l_suppkey, e.est, x.exact, e.est - x.exact AS overcount
 FROM est e JOIN exact x USING (l_suppkey)
+"""
+
+# q_hll_setops: per-side registers, the full-outer max merge, and the
+# identical closed-form estimates (the q_hll_replay constants), plus
+# the exact INTERSECT for the accuracy pin.
+ORACLES["q_hll_setops"] = """
+WITH ha AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM orders WHERE o_orderkey % 2 = 0),
+hb AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM orders WHERE o_orderkey % 2 = 1),
+ka AS (SELECT CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w FROM ha),
+kb AS (SELECT CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w FROM hb),
+ra AS (SELECT idx, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg
+       FROM ka GROUP BY idx),
+rb AS (SELECT idx, max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg
+       FROM kb GROUP BY idx),
+ru AS (SELECT coalesce(a.idx, b.idx) AS idx,
+              greatest(coalesce(a.mreg, 0), coalesce(b.mreg, 0)) AS mreg
+       FROM ra a FULL JOIN rb b ON a.idx = b.idx),
+fa AS (SELECT sum(1::BIGINT << (53 - mreg)) AS s_obs, count(*) AS n_obs FROM ra),
+fb AS (SELECT sum(1::BIGINT << (53 - mreg)) AS s_obs, count(*) AS n_obs FROM rb),
+fu AS (SELECT sum(1::BIGINT << (53 - mreg)) AS s_obs, count(*) AS n_obs FROM ru),
+ea AS (SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+         / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE) AS est_a FROM fa),
+eb AS (SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+         / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE) AS est_b FROM fb),
+eu AS (SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+         / CAST(s_obs + (256 - n_obs) * (1::BIGINT << 53) AS DOUBLE) AS est_union FROM fu),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM
+  (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+   INTERSECT
+   SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1))
+SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersect,
+       exact_intersect
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN exact
 """
 
 # q_join_size_est: the CMS self-inner-product (F2) replayed with the

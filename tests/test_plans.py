@@ -337,6 +337,10 @@ ALLOWED_BNLJ = {
         "1-row CMS estimate cross-joined with the 1-row exact F2 — both "
         "sides singleton aggregates by construction"
     ),
+    "q_hll_setops": (
+        "four 1-row estimate/exact frames cross-joined into the report "
+        "row — every side a singleton aggregate over bounded registers"
+    ),
 }
 
 

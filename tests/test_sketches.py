@@ -214,3 +214,32 @@ def test_cms_join_size_one_sided_and_exact_when_collision_free(spark):
     dis = spark.createDataFrame([("zzz",)], "k string")
     z = count_min_join_size(df, "k", dis, "k", depth=4, width=4096).first()
     assert z["est_join_rows"] == 0
+
+
+def test_hll_union_is_the_registers_of_the_union(spark):
+    """Merge law: hll_union(regs(A), regs(B)) must be BIT-EQUAL to
+    hll_registers(A union B) — the mergeable-sketch property that lets
+    set algebra run without raw keys — and the inclusion-exclusion
+    intersection estimate lands near the exact overlap."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_union,
+    )
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    merged = sorted(map(tuple, hll_union(ra, rb).collect()))
+    direct = sorted(map(tuple, hll_registers(a.union(b), "k").collect()))
+    assert merged == direct
+    est_a = hll_estimate(ra).first()["est"]
+    est_b = hll_estimate(rb).first()["est"]
+    est_u = hll_estimate(hll_union(ra, rb)).first()["est"]
+    inter = est_a + est_b - est_u
+    # true intersection = 1000; p=8 raw HLL: ~several-% per operand,
+    # inclusion-exclusion compounds it — generous band, but it must be
+    # in the right regime (not 0, not the union size)
+    assert 400 < inter < 1800, inter
