@@ -152,6 +152,7 @@ HEADLINE_R7 = [
     "q_join_size_est",
     "q_temperature_sample",
     "q_hll_setops",
+    "q_triangles",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -3012,6 +3012,38 @@ def q_pagerank_directed(spark, sf_dir):
     return pagerank_directed(arcs, n_iter=3)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.py:triangle_counts) over the CO-PURCHASE graph:
+    parts are connected when some order contains both. Triangles are
+    part triples pairwise co-purchased — the community/affinity signal
+    behind recommendation and boilerplate-cluster analysis. The
+    degree-ordered orientation bounds every wedge reducer at
+    O(sqrt(2m)) rows regardless of hub parts (Suri & Vassilvitskii
+    WWW'11); the oracle replays the canonicalization, orientation,
+    wedge join and closure semi-join relationally — exact integers plus
+    one IEEE division for the coefficient."""
+    from npm_mirror_spark.operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        # deterministic 1/5 order slice: wedge volume grows ~m^1.5, so
+        # the registered face bounds the basket count; the operator
+        # itself carries the full-scale orientation bound
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges).orderBy("id")
+
+
 def q_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) meter — the measurement behind the
     BPE trainer's scale claim (docs/SCALE.md: word types grow
@@ -3746,6 +3778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment": q_containment,
     "q_lang_margin": q_lang_margin,
     "q_binned_quantiles": q_binned_quantiles,
+    "q_triangles": q_triangles,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6344,4 +6377,49 @@ SELECT q,
 FROM cum CROSS JOIN qs
 WHERE CAST(q AS DOUBLE) * CAST(n AS DOUBLE) > cumb
   AND CAST(q AS DOUBLE) * CAST(n AS DOUBLE) <= cumb + cnt
+"""
+
+# q_triangles: the full degree-ordered-orientation replay — canonical
+# (lo, hi) edges from the same-order part self-join, degrees, (deg, id)
+# orientation, wedge join ordered on the destination key, closure via
+# EXISTS, 3-role credit union — exact integers; lcc is one IEEE division.
+ORACLES["q_triangles"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM raw UNION ALL SELECT b FROM raw) GROUP BY id),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND r.a < r.b)
+              THEN r.a ELSE r.b END AS src,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND r.a < r.b)
+              THEN r.b ELSE r.a END AS dst,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND r.a < r.b)
+              THEN db.deg ELSE da.deg END AS sd
+  FROM raw r
+  JOIN deg da ON da.id = r.a
+  JOIN deg db ON db.id = r.b),
+wedge AS (
+  SELECT x.src AS u, x.dst AS v, y.dst AS w
+  FROM o x JOIN o y
+    ON x.src = y.src
+   AND (x.sd < y.sd OR (x.sd = y.sd AND x.dst < y.dst))),
+tri AS (
+  SELECT u, v, w FROM wedge
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wedge.v AND o.dst = wedge.w)),
+credit AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri) GROUP BY id)
+SELECT d.id, d.deg,
+       CAST(coalesce(c.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN (2.0 * CAST(coalesce(c.t, 0) AS DOUBLE))
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN credit c ON c.id = d.id
+ORDER BY d.id
 """

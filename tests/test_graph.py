@@ -194,3 +194,81 @@ def test_large_graph_int32_literal_regime(spark):
     assert len(ranks) == n
     total = sum(r["rank"] for r in ranks)
     assert abs(total - PR_SCALE) < n * 10  # quantization-only loss
+
+
+# --- triangle_counts -------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    """itertools brute force: per-node triangle counts on the canonical
+    simple graph."""
+    from itertools import combinations
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        if (lo, hi) in es:
+            continue
+        es.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    tri = {v: 0 for v in adj}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    return adj, tri
+
+
+def test_triangle_counts_match_brute_force_with_hub_and_noise(spark):
+    """Crafted graph with a celebrity hub (the orientation's reason to
+    exist), duplicate/reversed edges and self-loops: counts and lcc
+    must equal the itertools brute force on the canonicalized graph."""
+    from npm_mirror_spark.operators.graph import triangle_counts
+
+    edges = (
+        [(0, i) for i in range(1, 12)]            # hub 0
+        + [(i, i + 1) for i in range(1, 11)]      # rim path -> hub triangles
+        + [(3, 3), (5, 4), (1, 2), (2, 1)]        # self-loop, reversed, dups
+        + [(20, 21), (21, 22), (22, 20), (22, 20)]  # separate triangle
+        + [(30, 31)]                              # triangle-free pair
+    )
+    adj, tri = _brute_triangles(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in triangle_counts(df).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v]["deg"] == len(adj[v]), v
+        assert got[v]["triangles"] == tri[v], v
+        d = len(adj[v])
+        want = (2.0 * tri[v]) / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[v]["lcc"] == want, v
+    # global count: each triangle credits exactly 3 nodes
+    assert sum(tri.values()) % 3 == 0
+
+
+def test_triangle_counts_complete_graph_lcc_is_one(spark):
+    """K5: every node sits in C(4,2)=6 triangles and lcc == 1.0."""
+    from npm_mirror_spark.operators.graph import triangle_counts
+
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangle_counts(df).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["deg"] == 4 and r["triangles"] == 6 and r["lcc"] == 1.0
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    """Bipartite graphs have no triangles; every count is 0, lcc 0.0."""
+    from npm_mirror_spark.operators.graph import triangle_counts
+
+    edges = [(i, 100 + j) for i in range(4) for j in range(3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangle_counts(df).collect()
+    assert len(rows) == 7
+    assert all(r["triangles"] == 0 and r["lcc"] == 0.0 for r in rows)
