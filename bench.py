@@ -153,6 +153,7 @@ HEADLINE_R7 = [
     "q_temperature_sample",
     "q_hll_setops",
     "q_triangles",
+    "q_hll_by_group",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -3012,6 +3012,44 @@ def q_pagerank_directed(spark, sf_dir):
     return pagerank_directed(arcs, n_iter=3)
 
 
+def q_hll_by_group(spark, sf_dir):
+    """Grouped HLL distinct-users per event_type PLUS a '__all__' row
+    rolled up from the SAME registers (operators/sketches.py:
+    hll_registers_by/hll_estimate_by): one md5 pass answers every
+    breakdown — per-group estimates via a keyed harmonic fold, the
+    global estimate via register max ACROSS groups (union semantics,
+    raw keys never revisited). The exact count_distinct columns are
+    the validation face pinning estimator quality per group. Same
+    exact-replay arithmetic as q_hll_replay, so the whole cube
+    hash-matches the SQL oracle."""
+    ev = _t(spark, sf_dir, "events")
+    regs = sketch_ops.hll_registers_by(ev, ["event_type"], "user_id", p=8)
+    per = sketch_ops.hll_estimate_by(regs, ["event_type"], p=8)
+    pexact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    rel = lambda: (
+        (F.col("est") - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double")
+    ).alias("rel_err")
+    per_out = per.join(pexact, "event_type").select(
+        "event_type", "zero_registers", "hll_sum", "n_exact", "est", rel()
+    )
+    rolled = sketch_ops.hll_estimate(
+        regs.groupBy("idx").agg(F.max("mreg").alias("mreg")), p=8
+    )
+    gexact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    all_row = rolled.crossJoin(F.broadcast(gexact)).select(
+        F.lit("__all__").alias("event_type"),
+        "zero_registers",
+        "hll_sum",
+        "n_exact",
+        "est",
+        rel(),
+    )
+    return per_out.unionByName(all_row).orderBy("event_type")
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient
     (operators/graph.py:triangle_counts) over the CO-PURCHASE graph:
@@ -3779,6 +3817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_margin": q_lang_margin,
     "q_binned_quantiles": q_binned_quantiles,
     "q_triangles": q_triangles,
+    "q_hll_by_group": q_hll_by_group,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6422,4 +6461,51 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_hll_by_group: the grouped register algebra replayed — per-group
+# registers, keyed harmonic folds, and the '__all__' roll-up from max
+# over groups; identical estimator constants to q_hll_replay.
+ORACLES["q_hll_by_group"] = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+k AS (SELECT event_type, CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w FROM h),
+regs AS (
+  SELECT event_type, idx,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg
+  FROM k GROUP BY 1, 2),
+per AS (
+  SELECT event_type,
+         sum(1::BIGINT << (53 - mreg)) AS s_obs,
+         count(*) AS n_obs
+  FROM regs GROUP BY 1),
+pexact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1),
+roll AS (SELECT idx, max(mreg) AS mreg FROM regs GROUP BY 1),
+rfold AS (
+  SELECT sum(1::BIGINT << (53 - mreg)) AS s_obs, count(*) AS n_obs FROM roll),
+gexact AS (SELECT count(DISTINCT user_id) AS n_exact FROM events),
+unioned AS (
+  SELECT p.event_type,
+         CAST(256 - p.n_obs AS BIGINT) AS zero_registers,
+         CAST(p.s_obs + (256 - p.n_obs) * (1::BIGINT << 53) AS BIGINT) AS hll_sum,
+         e.n_exact,
+         0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+           / CAST(p.s_obs + (256 - p.n_obs) * (1::BIGINT << 53) AS DOUBLE) AS est
+  FROM per p JOIN pexact e USING (event_type)
+  UNION ALL
+  SELECT '__all__',
+         CAST(256 - r.n_obs AS BIGINT),
+         CAST(r.s_obs + (256 - r.n_obs) * (1::BIGINT << 53) AS BIGINT),
+         g.n_exact,
+         0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+           / CAST(r.s_obs + (256 - r.n_obs) * (1::BIGINT << 53) AS DOUBLE)
+  FROM rfold r CROSS JOIN gexact g)
+SELECT event_type, zero_registers, hll_sum, n_exact, est,
+       (est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM unioned
+ORDER BY event_type
 """

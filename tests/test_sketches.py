@@ -243,3 +243,50 @@ def test_hll_union_is_the_registers_of_the_union(spark):
     # inclusion-exclusion compounds it — generous band, but it must be
     # in the right regime (not 0, not the union size)
     assert 400 < inter < 1800, inter
+
+
+def test_grouped_hll_rolls_up_to_global_registers(spark, sf_dir):
+    """The cube law: max over GROUPS of hll_registers_by == the global
+    hll_registers of the same keys — per-group sketches answer the
+    coarser grouping without revisiting raw data."""
+    from npm_mirror_spark.operators.sketches import (
+        hll_registers,
+        hll_registers_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    grouped = hll_registers_by(ev, ["event_type"], "user_id", p=6)
+    rolled = sorted(
+        (r["idx"], r["mreg"])
+        for r in grouped.groupBy("idx")
+        .agg(F.max("mreg").alias("mreg"))
+        .collect()
+    )
+    direct = sorted(
+        (r["idx"], r["mreg"])
+        for r in hll_registers(ev, "user_id", p=6).collect()
+    )
+    assert rolled == direct
+
+
+def test_grouped_hll_single_group_equals_global_estimate(spark, sf_dir):
+    """hll_estimate_by on one group must reproduce hll_estimate of that
+    group's rows exactly (same fold, keyed vs global)."""
+    from npm_mirror_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    one = ev.where(F.col("event_type") == "click")
+    by = hll_estimate_by(
+        hll_registers_by(one, ["event_type"], "user_id", p=7),
+        ["event_type"],
+        p=7,
+    ).first()
+    glob = hll_estimate(hll_registers(one, "user_id", p=7), p=7).first()
+    assert by["hll_sum"] == glob["hll_sum"]
+    assert by["zero_registers"] == glob["zero_registers"]
+    assert by["est"] == glob["est"]
