@@ -154,6 +154,7 @@ HEADLINE_R7 = [
     "q_hll_setops",
     "q_triangles",
     "q_hll_by_group",
+    "q_record_linkage",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -3050,6 +3050,46 @@ def q_hll_by_group(spark, sf_dir):
     return per_out.unionByName(all_row).orderBy("event_type")
 
 
+def q_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter record linkage (operators/linkage.py): match
+    suppliers to customers with no shared key — nation-blocked equi
+    join (the only corpus shuffle; never a cross product), integer
+    agree/disagree weights over a name-number edit-distance rule and
+    an account-balance proximity rule, then best-match-per-supplier
+    argmax (score desc, custkey tiebreak). The structured-data sibling
+    of the text-dedup family; every comparator is a JVM expression, so
+    the score replays relationally in the oracle."""
+    from npm_mirror_spark.operators.linkage import link_records
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.substring_index("s_name", "#", -1).alias("s_num"),
+        "s_nationkey",
+        "s_acctbal",
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.substring_index("c_name", "#", -1).alias("c_num"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    out = link_records(
+        s,
+        c,
+        block_on=[("s_nationkey", "c_nationkey")],
+        rules=[
+            ("num", "s_num", "c_num", "levenshtein", 2, 5, -3),
+            ("bal", "s_acctbal", "c_acctbal", "absdiff", 100.0, 2, -1),
+        ],
+        min_score=4,
+        a_id="s_suppkey",
+        tie_cols=["c_custkey"],
+    )
+    return out.select(
+        "s_suppkey", "c_custkey", "m_num", "m_bal", "score"
+    ).orderBy("s_suppkey")
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient
     (operators/graph.py:triangle_counts) over the CO-PURCHASE graph:
@@ -3818,6 +3858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_binned_quantiles": q_binned_quantiles,
     "q_triangles": q_triangles,
     "q_hll_by_group": q_hll_by_group,
+    "q_record_linkage": q_record_linkage,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6508,4 +6549,36 @@ SELECT event_type, zero_registers, hll_sum, n_exact, est,
        (est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
 FROM unioned
 ORDER BY event_type
+"""
+
+# q_record_linkage: the blocked Fellegi–Sunter score replayed — nation
+# blocking, levenshtein on the name numbers, balance proximity, integer
+# weights, best-per-supplier argmax with the custkey tiebreak.
+ORACLES["q_record_linkage"] = """
+WITH s AS (
+  SELECT s_suppkey, split_part(s_name, '#', 2) AS s_num,
+         s_nationkey, s_acctbal
+  FROM supplier),
+c AS (
+  SELECT c_custkey, split_part(c_name, '#', 2) AS c_num,
+         c_nationkey, c_acctbal
+  FROM customer),
+j AS (
+  SELECT s_suppkey, c_custkey,
+         coalesce(levenshtein(s_num, c_num) <= 2, FALSE) AS m_num,
+         coalesce(abs(s_acctbal - c_acctbal) <= 100.0, FALSE) AS m_bal
+  FROM s JOIN c ON s_nationkey = c_nationkey),
+scored AS (
+  SELECT s_suppkey, c_custkey, m_num, m_bal,
+         CAST((CASE WHEN m_num THEN 5 ELSE -3 END)
+            + (CASE WHEN m_bal THEN 2 ELSE -1 END) AS INTEGER) AS score
+  FROM j),
+kept AS (SELECT * FROM scored WHERE score >= 4),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY s_suppkey ORDER BY score DESC, c_custkey) AS rn
+  FROM kept)
+SELECT s_suppkey, c_custkey, m_num, m_bal, score
+FROM best WHERE rn = 1
+ORDER BY s_suppkey
 """
