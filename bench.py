@@ -155,6 +155,7 @@ HEADLINE_R7 = [
     "q_triangles",
     "q_hll_by_group",
     "q_record_linkage",
+    "q_jaccard_exact",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

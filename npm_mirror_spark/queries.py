@@ -3050,6 +3050,21 @@ def q_hll_by_group(spark, sf_dir):
     return per_out.unionByName(all_row).orderBy("event_type")
 
 
+def q_jaccard_exact(spark, sf_dir):
+    """EXACT similarity join (operators/dedup.py:jaccard_pairs_exact):
+    every pair with shingle Jaccard >= 0.5 over the dup-injected
+    corpus, by AllPairs prefix filtering (Bayardo et al.) — lossless
+    by the prefix pigeonhole, no LSH false negatives, candidates keyed
+    on each doc's RAREST shingles so boilerplate hubs never form a hot
+    bucket. The oracle computes the same pair set from first
+    principles (full co-shingle intersection counts), which is exactly
+    the losslessness claim made checkable."""
+    return dedup_ops.jaccard_pairs_exact(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id",
+        threshold=0.5, shingle_n=3,
+    ).orderBy("id_a", "id_b")
+
+
 def q_record_linkage(spark, sf_dir):
     """Fellegi–Sunter record linkage (operators/linkage.py): match
     suppliers to customers with no shared key — nation-blocked equi
@@ -3859,6 +3874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_triangles": q_triangles,
     "q_hll_by_group": q_hll_by_group,
     "q_record_linkage": q_record_linkage,
+    "q_jaccard_exact": q_jaccard_exact,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6581,4 +6597,26 @@ best AS (
 SELECT s_suppkey, c_custkey, m_num, m_bal, score
 FROM best WHERE rn = 1
 ORDER BY s_suppkey
+"""
+
+# q_jaccard_exact: first-principles ground truth for the AllPairs
+# prefix-filter join — full co-shingle intersection counts over the
+# dup-injected corpus, one IEEE division per surviving pair. That the
+# prefix-filtered Spark plan hash-matches this is the losslessness
+# proof at oracle grade.
+ORACLES["q_jaccard_exact"] = f"""
+WITH {_DOCS_WITH_DUPS},
+{_SHINGLES.format(src="docs2")},
+ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT co.id_a, co.id_b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM co
+JOIN sz sa ON sa.doc_id = co.id_a
+JOIN sz sb ON sb.doc_id = co.id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+ORDER BY co.id_a, co.id_b
 """
