@@ -156,6 +156,7 @@ HEADLINE_R7 = [
     "q_hll_by_group",
     "q_record_linkage",
     "q_jaccard_exact",
+    "q_quantiles_by_group",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -413,3 +413,92 @@ def binned_quantiles(
         / F.lit(float(bins))
     )
     return hit.select("q", est.alias("est"), "n")
+
+
+def binned_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """GROUPED :func:`binned_quantiles`: (group..., q, est, n) — one
+    histogram pass answers every group's quantiles.
+
+    Per-group min/max comes from ONE partial-aggregated groupBy and
+    joins back as a broadcastable group-sized dim (never a scalar
+    cross join per group, never a percentile shuffle per group — the
+    same one-pass-many-breakdowns economics as hll_registers_by).  The
+    cumulative window partitions by group AND runs on <= ``bins`` rows
+    per group by construction — the bounded-window contract the global
+    sketch pins, preserved per group.  Same exact-replay read-out:
+    integer counts feeding one fixed-shape double expression, error
+    <= one bin width of that GROUP's span (per-group spans adapt to
+    each group's range — a global histogram would smear narrow groups
+    across a wide corpus span)."""
+    from pyspark.sql import Window
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    c = F.col(col).cast("double")
+    finite = (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+    )
+    df = df.where(finite)
+    stats = df.groupBy(*group_cols).agg(
+        F.min(c).alias("__mn"), F.max(c).alias("__mx")
+    )
+    joined = df.join(F.broadcast(stats), group_cols)
+    span = F.col("__mx") - F.col("__mn")
+    bkt = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((c - F.col("__mn")) / span * bins).cast("int"),
+            )
+        )
+    )
+    counts = (
+        joined.select(*group_cols, bkt.alias("bin"), "__mn", "__mx")
+        .groupBy(*group_cols, "bin", "__mn", "__mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = counts.select(
+        *group_cols, "bin", "cnt", "__mn", "__mx",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cumb"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    q_df = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = cum.crossJoin(F.broadcast(q_df)).where(
+        (F.col("q") * F.col("n") > F.col("cumb"))
+        & (F.col("q") * F.col("n") <= F.col("cumb") + F.col("cnt"))
+    )
+    span_d = F.col("__mx") - F.col("__mn")
+    est = F.when(span_d <= 0, F.col("__mn")).otherwise(
+        F.col("__mn")
+        + span_d
+        * (
+            F.col("bin").cast("double")
+            + (F.col("q") * F.col("n") - F.col("cumb")) / F.col("cnt")
+        )
+        / F.lit(float(bins))
+    )
+    return hit.select(*group_cols, "q", est.alias("est"), "n")

@@ -3050,6 +3050,22 @@ def q_hll_by_group(spark, sf_dir):
     return per_out.unionByName(all_row).orderBy("event_type")
 
 
+def q_quantiles_by_group(spark, sf_dir):
+    """Per-source document-length quantiles from ONE histogram pass
+    (operators/sketches.py:binned_quantiles_by): per-group min/max as
+    a broadcast dim, one (source, bin) integer-count shuffle, per-group
+    bounded (<=256-row) cumulative windows — the grouped face of the
+    exact-replay quantile sketch, with each group's bins adapted to its
+    OWN span (a global histogram would smear narrow sources across the
+    corpus range). Approximate in guarantee (error <= one bin width),
+    exact in replay: the oracle reproduces every estimate
+    bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return sketch_ops.binned_quantiles_by(
+        d, ["source"], "n_chars", qs=(0.5, 0.9, 0.99), bins=256
+    ).orderBy("source", "q")
+
+
 def q_jaccard_exact(spark, sf_dir):
     """EXACT similarity join (operators/dedup.py:jaccard_pairs_exact):
     every pair with shingle Jaccard >= 0.5 over the dup-injected
@@ -3875,6 +3891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_by_group": q_hll_by_group,
     "q_record_linkage": q_record_linkage,
     "q_jaccard_exact": q_jaccard_exact,
+    "q_quantiles_by_group": q_quantiles_by_group,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6619,4 +6636,43 @@ JOIN sz sa ON sa.doc_id = co.id_a
 JOIN sz sb ON sb.doc_id = co.id_b
 WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
 ORDER BY co.id_a, co.id_b
+"""
+
+# q_quantiles_by_group: the grouped histogram sketch replayed — per-source
+# spans, per-source 256-bin counts, PARTITION BY source cumulative window,
+# identical interpolation expression to q_binned_quantiles.
+ORACLES["q_quantiles_by_group"] = """
+WITH stats AS (
+  SELECT source,
+         CAST(min(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS mn,
+         CAST(max(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS mx
+  FROM documents GROUP BY source),
+b AS (
+  SELECT d.source,
+         CASE WHEN (s.mx - s.mn) <= 0 THEN 0
+              ELSE least(255, CAST(floor((CAST(d.n_chars AS DOUBLE) - s.mn)
+                                         / (s.mx - s.mn) * 256) AS INTEGER))
+         END AS bin,
+         s.mn, s.mx
+  FROM documents d JOIN stats s USING (source)),
+counts AS (SELECT source, bin, mn, mx, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
+cum AS (
+  SELECT source, bin, cnt, mn, mx,
+         coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM counts),
+qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT source, q,
+       CASE WHEN (mx - mn) <= 0 THEN mn
+            ELSE mn + (mx - mn)
+                 * (CAST(bin AS DOUBLE)
+                    + (CAST(q AS DOUBLE) * CAST(n AS DOUBLE) - cumb) / cnt)
+                 / 256.0
+       END AS est,
+       CAST(n AS BIGINT) AS n
+FROM cum CROSS JOIN qs
+WHERE CAST(q AS DOUBLE) * CAST(n AS DOUBLE) > cumb
+  AND CAST(q AS DOUBLE) * CAST(n AS DOUBLE) <= cumb + cnt
+ORDER BY source, q
 """

@@ -290,3 +290,54 @@ def test_grouped_hll_single_group_equals_global_estimate(spark, sf_dir):
     assert by["hll_sum"] == glob["hll_sum"]
     assert by["zero_registers"] == glob["zero_registers"]
     assert by["est"] == glob["est"]
+
+
+def test_grouped_quantiles_within_one_group_bin_width(spark, sf_dir):
+    """Per-group estimates must sit within one bin width of that
+    GROUP's exact quantile — the per-group-span adaptation claim."""
+    from npm_mirror_spark.operators.sketches import binned_quantiles_by
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["source"], r["q"]): r["est"]
+        for r in binned_quantiles_by(
+            d, ["source"], "n_chars", qs=(0.5, 0.9), bins=128
+        ).collect()
+    }
+    import numpy as np
+
+    pdf = d.select("source", "n_chars").toPandas()
+    for src, grp in pdf.groupby("source"):
+        vals = np.sort(grp["n_chars"].to_numpy())
+        width = (vals[-1] - vals[0]) / 128.0
+        n = len(vals)
+        for q in (0.5, 0.9):
+            # the sketch's rank semantics: the bin holding rank
+            # ceil(q*n) — the order statistic at that rank provably
+            # shares the estimate's bin, so |est - v_r| <= bin width
+            # (np.quantile's linear interpolation can jump a
+            # distribution gap and is NOT the pinned contract)
+            exact = float(vals[int(np.ceil(q * n)) - 1])
+            assert abs(got[(src, q)] - exact) <= width + 1e-9, (src, q)
+
+
+def test_grouped_quantiles_single_group_matches_global(spark, sf_dir):
+    """One group -> the keyed fold must reproduce the global sketch's
+    estimates exactly (same arithmetic, keyed vs scalar)."""
+    from npm_mirror_spark.operators.sketches import (
+        binned_quantiles,
+        binned_quantiles_by,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "g", F.lit("all")
+    )
+    by = {
+        r["q"]: (r["est"], r["n"])
+        for r in binned_quantiles_by(li, ["g"], "l_extendedprice").collect()
+    }
+    glob = {
+        r["q"]: (r["est"], r["n"])
+        for r in binned_quantiles(li, "l_extendedprice").collect()
+    }
+    assert by == glob
