@@ -157,6 +157,7 @@ HEADLINE_R7 = [
     "q_record_linkage",
     "q_jaccard_exact",
     "q_quantiles_by_group",
+    "q_drift_report",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

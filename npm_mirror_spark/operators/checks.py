@@ -104,3 +104,115 @@ def constraint_report(
             )
         )
     return agg.select(F.inline(F.array(*structs)))
+
+
+_NUMERIC_TYPES = {
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+}
+
+
+def drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    cols: list[str],
+    null_rate_tol: float = 0.02,
+    distinct_rel_tol: float = 0.10,
+    mean_rel_tol: float = 0.05,
+) -> DataFrame:
+    """Column-level DRIFT between two versions of a table (this week's
+    batch vs last week's, release N vs N-1) — the data-validation twin
+    of :func:`constraint_report`: contracts catch absolute breakage,
+    drift catches the silent distribution shift that still poisons
+    models downstream.
+
+    ONE aggregation job per side computes every column's metrics from a
+    single scan (map-side partials; the per-column count_distinct is
+    the one expensive term — Spark plans an expand, so the ``cols``
+    list is the cost knob).  Both 1-row results cross-join (broadcast)
+    and unpivot into one row per column:
+
+        (column, n_a, n_b, null_rate_a/b, distinct_a/b, mean_a/b,
+         null_drift, distinct_drift, mean_drift, drifted)
+
+    Verdicts (exact arithmetic, so the oracle replays them):
+    - null_drift:     |null_rate_a - null_rate_b| > null_rate_tol
+    - distinct_drift: |distinct_a - distinct_b|
+                        > distinct_rel_tol * greatest(d_a, d_b, 1)
+    - mean_drift:     numeric columns only — means via exact DECIMAL
+                      sums; |mean_a - mean_b|
+                        > mean_rel_tol * greatest(|mean_a|, |mean_b|)
+    - drifted: any of the above.
+
+    Empty side => null rates 0.0 and means NULL (vacuous, not NaN).
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    numeric = {
+        f.name
+        for f in a.schema.fields
+        if f.dataType.typeName().split("(")[0] in _NUMERIC_TYPES
+    }
+
+    def _side(df: DataFrame, tag: str):
+        aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"nn_{c}_{tag}"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}_{tag}"))
+            if c in numeric:
+                aggs.append(
+                    F.sum(F.col(c).cast("decimal(28,4)")).alias(f"s_{c}_{tag}")
+                )
+        return df.agg(*aggs)
+
+    j = _side(a, "a").crossJoin(F.broadcast(_side(b, "b")))
+
+    def _null_rate(c: str, tag: str):
+        n = F.col(f"n_{tag}")
+        return F.when(
+            n > 0, (n - F.col(f"nn_{c}_{tag}")).cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    def _mean(c: str, tag: str):
+        if c not in numeric:
+            return F.lit(None).cast("double")
+        return F.when(
+            F.col(f"nn_{c}_{tag}") > 0,
+            F.col(f"s_{c}_{tag}").cast("double")
+            / F.col(f"nn_{c}_{tag}").cast("double"),
+        )
+
+    structs = []
+    for c in cols:
+        nr_a, nr_b = _null_rate(c, "a"), _null_rate(c, "b")
+        d_a, d_b = F.col(f"d_{c}_a"), F.col(f"d_{c}_b")
+        m_a, m_b = _mean(c, "a"), _mean(c, "b")
+        null_drift = F.abs(nr_a - nr_b) > F.lit(float(null_rate_tol))
+        distinct_drift = F.abs(d_a - d_b).cast("double") > F.lit(
+            float(distinct_rel_tol)
+        ) * F.greatest(d_a, d_b, F.lit(1)).cast("double")
+        if c in numeric:
+            mean_drift = F.coalesce(
+                F.abs(m_a - m_b)
+                > F.lit(float(mean_rel_tol)) * F.greatest(F.abs(m_a), F.abs(m_b)),
+                F.lit(False),
+            )
+        else:
+            mean_drift = F.lit(False)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_a").alias("n_a"),
+                F.col("n_b").alias("n_b"),
+                nr_a.alias("null_rate_a"),
+                nr_b.alias("null_rate_b"),
+                d_a.alias("distinct_a"),
+                d_b.alias("distinct_b"),
+                m_a.alias("mean_a"),
+                m_b.alias("mean_b"),
+                null_drift.alias("null_drift"),
+                distinct_drift.alias("distinct_drift"),
+                mean_drift.alias("mean_drift"),
+                (null_drift | distinct_drift | mean_drift).alias("drifted"),
+            )
+        )
+    return j.select(F.inline(F.array(*structs)))

@@ -3050,6 +3050,25 @@ def q_hll_by_group(spark, sf_dir):
     return per_out.unionByName(all_row).orderBy("event_type")
 
 
+def q_drift_report(spark, sf_dir):
+    """Column-level drift between two corpus slices
+    (operators/checks.py:drift_report — the data-validation twin of
+    q_quality_checks): null-rate, distinct-cardinality and exact-
+    decimal-mean deltas per column, one single-scan aggregation job per
+    side, 1-row results broadcast-joined and unpivoted. Contracts catch
+    breakage; drift catches the silent distribution shift between
+    release N-1 and N that still poisons training downstream. Every
+    metric is a ratio of exact counts, so verdicts replay in SQL."""
+    from npm_mirror_spark.operators import checks as checks_ops
+
+    d = _t(spark, sf_dir, "documents")
+    return checks_ops.drift_report(
+        d.where(F.col("source") == "src1"),
+        d.where(F.col("source") == "src2"),
+        ["lang", "n_chars", "text"],
+    ).orderBy("column")
+
+
 def q_quantiles_by_group(spark, sf_dir):
     """Per-source document-length quantiles from ONE histogram pass
     (operators/sketches.py:binned_quantiles_by): per-group min/max as
@@ -3892,6 +3911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_record_linkage": q_record_linkage,
     "q_jaccard_exact": q_jaccard_exact,
     "q_quantiles_by_group": q_quantiles_by_group,
+    "q_drift_report": q_drift_report,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6675,4 +6695,71 @@ FROM cum CROSS JOIN qs
 WHERE CAST(q AS DOUBLE) * CAST(n AS DOUBLE) > cumb
   AND CAST(q AS DOUBLE) * CAST(n AS DOUBLE) <= cumb + cnt
 ORDER BY source, q
+"""
+
+# q_drift_report: both sides' single-scan metric rows, the broadcast
+# cross join, and the per-column verdict algebra replayed with the same
+# tolerance literals (0.02 / 0.10 / 0.05).
+ORACLES["q_drift_report"] = """
+WITH sa AS (
+  SELECT count(*) AS n,
+         count(lang) AS nn_lang, count(DISTINCT lang) AS d_lang,
+         count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS d_nc,
+         sum(CAST(n_chars AS DECIMAL(28,4))) AS s_nc,
+         count(text) AS nn_t, count(DISTINCT text) AS d_t
+  FROM documents WHERE source = 'src1'),
+sb AS (
+  SELECT count(*) AS n,
+         count(lang) AS nn_lang, count(DISTINCT lang) AS d_lang,
+         count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS d_nc,
+         sum(CAST(n_chars AS DECIMAL(28,4))) AS s_nc,
+         count(text) AS nn_t, count(DISTINCT text) AS d_t
+  FROM documents WHERE source = 'src2'),
+j AS (SELECT * FROM sa CROSS JOIN (
+        SELECT n AS n_b, nn_lang AS nn_lang_b, d_lang AS d_lang_b,
+               nn_nc AS nn_nc_b, d_nc AS d_nc_b, s_nc AS s_nc_b,
+               nn_t AS nn_t_b, d_t AS d_t_b FROM sb)),
+rows_ AS (
+  SELECT 'lang' AS column_, n, n_b,
+         CASE WHEN n > 0 THEN CAST(n - nn_lang AS DOUBLE) / n ELSE 0.0 END AS nr_a,
+         CASE WHEN n_b > 0 THEN CAST(n_b - nn_lang_b AS DOUBLE) / n_b ELSE 0.0 END AS nr_b,
+         d_lang AS d_a, d_lang_b AS d_b,
+         CAST(NULL AS DOUBLE) AS m_a, CAST(NULL AS DOUBLE) AS m_b,
+         FALSE AS is_num
+  FROM j
+  UNION ALL
+  SELECT 'n_chars', n, n_b,
+         CASE WHEN n > 0 THEN CAST(n - nn_nc AS DOUBLE) / n ELSE 0.0 END,
+         CASE WHEN n_b > 0 THEN CAST(n_b - nn_nc_b AS DOUBLE) / n_b ELSE 0.0 END,
+         d_nc, d_nc_b,
+         CASE WHEN nn_nc > 0 THEN CAST(s_nc AS DOUBLE) / nn_nc END,
+         CASE WHEN nn_nc_b > 0 THEN CAST(s_nc_b AS DOUBLE) / nn_nc_b END,
+         TRUE
+  FROM j
+  UNION ALL
+  SELECT 'text', n, n_b,
+         CASE WHEN n > 0 THEN CAST(n - nn_t AS DOUBLE) / n ELSE 0.0 END,
+         CASE WHEN n_b > 0 THEN CAST(n_b - nn_t_b AS DOUBLE) / n_b ELSE 0.0 END,
+         d_t, d_t_b,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         FALSE
+  FROM j),
+verdicts AS (
+  SELECT column_, n, n_b, nr_a, nr_b, d_a, d_b, m_a, m_b,
+         abs(nr_a - nr_b) > 0.02 AS null_drift,
+         CAST(abs(d_a - d_b) AS DOUBLE)
+           > 0.10 * CAST(greatest(d_a, d_b, 1) AS DOUBLE) AS distinct_drift,
+         CASE WHEN is_num
+              THEN coalesce(abs(m_a - m_b)
+                     > 0.05 * greatest(abs(m_a), abs(m_b)), FALSE)
+              ELSE FALSE END AS mean_drift
+  FROM rows_)
+SELECT column_ AS "column", CAST(n AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       nr_a AS null_rate_a, nr_b AS null_rate_b,
+       CAST(d_a AS BIGINT) AS distinct_a, CAST(d_b AS BIGINT) AS distinct_b,
+       m_a AS mean_a, m_b AS mean_b,
+       null_drift, distinct_drift, mean_drift,
+       (null_drift OR distinct_drift OR mean_drift) AS drifted
+FROM verdicts
+ORDER BY column_
 """

@@ -92,3 +92,51 @@ def test_unknown_kind_and_empty_list(spark):
         constraint_report(df, [("x", "frobnicate", "id", 1.0)])
     with pytest.raises(ValueError, match="at least one"):
         constraint_report(df, [])
+
+
+def test_drift_report_flags_planted_shifts(spark):
+    """Each verdict fires on exactly the planted shift: nulls on col x,
+    mean on col y, distincts on col z; text columns never mean-drift."""
+    from npm_mirror_spark.operators.checks import drift_report
+
+    a = spark.createDataFrame(
+        [(float(i % 10), 1.0, i % 4, "t") for i in range(100)],
+        "x double, y double, z int, s string",
+    )
+    b = spark.createDataFrame(
+        [
+            (None if i % 5 == 0 else float(i % 10), 1.2, i % 40, "t")
+            for i in range(100)
+        ],
+        "x double, y double, z int, s string",
+    )
+    rows = {r["column"]: r for r in drift_report(a, b, ["x", "y", "z", "s"]).collect()}
+    assert rows["x"]["null_drift"] and rows["x"]["drifted"]
+    assert rows["y"]["mean_drift"] and not rows["y"]["null_drift"]
+    assert rows["z"]["distinct_drift"]
+    assert not rows["s"]["drifted"]
+    assert rows["s"]["mean_a"] is None and rows["s"]["mean_b"] is None
+    assert rows["y"]["mean_a"] == 1.0 and abs(rows["y"]["mean_b"] - 1.2) < 1e-9
+
+
+def test_drift_report_identical_sides_all_green(spark, sf_dir):
+    from npm_mirror_spark.operators.checks import drift_report
+    from npm_mirror_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = drift_report(d, d, ["lang", "source", "n_chars"]).collect()
+    assert len(out) == 3
+    assert all(not r["drifted"] for r in out)
+
+
+def test_drift_report_empty_side_is_vacuous_not_nan(spark):
+    import math
+
+    from npm_mirror_spark.operators.checks import drift_report
+
+    a = spark.createDataFrame([(1.0,)], "v double")
+    b = spark.createDataFrame([], "v double")
+    r = drift_report(a, b, ["v"]).first()
+    assert r["null_rate_b"] == 0.0 and not math.isnan(r["null_rate_b"])
+    assert r["mean_b"] is None
+    assert r["n_b"] == 0
