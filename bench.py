@@ -158,6 +158,7 @@ HEADLINE_R7 = [
     "q_jaccard_exact",
     "q_quantiles_by_group",
     "q_drift_report",
+    "q_kcore",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

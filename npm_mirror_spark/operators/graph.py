@@ -93,6 +93,97 @@ def pagerank(
     return ranks
 
 
+def _canonical_pairs(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Canonical simple undirected graph: (a, b) with a < b — self-loops
+    dropped, duplicate and reversed edges collapsed, NULL endpoints out."""
+    a, b = F.col(src_col), F.col(dst_col)
+    return (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _degrees(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling, FIXED round count: repeatedly delete nodes whose
+    degree in the CURRENT subgraph is < k; returns (id, deg) for the
+    nodes surviving ``n_rounds`` peels, with their subgraph degree.
+
+    The k-core (maximal subgraph where every node has >= k neighbors)
+    separates genuinely dense communities from stars and chains — for
+    the duplication graph, core membership distinguishes template
+    ecosystems (mutually near-duplicating clusters) from hub-and-spoke
+    copies that PageRank alone ranks similarly.  Peeling converges in
+    <= |V| rounds but in practice a handful (each round removes every
+    currently-under-k node at once); a FIXED round count makes it
+    oracle-checkable by unrolling — the same trade q_pagerank/q_kmeans
+    pin.  Use :func:`kcore_fixpoint` when the true fixpoint is
+    required.
+
+    Per round: one degree count (map-side partial agg) + two key-only
+    semi-joins, then the peeled edge list MATERIALIZES
+    (localCheckpoint).  Materializing is load-bearing, not a nicety:
+    each round reads ``e`` three times (degrees + both semi-joins), so
+    a fully lazy unroll duplicates the prior round's subtree ~4x per
+    round — an O(4^rounds) logical plan that OOMs the driver compiling
+    a 20-edge graph at 6 rounds (found by the prefix-of-fixpoint
+    test).  Values are unaffected; the driver still sees no row data.
+    """
+    e = _canonical_pairs(edges, src_col, dst_col).localCheckpoint()
+    for _ in range(n_rounds):
+        keep = _degrees(e).where(F.col("deg") >= k).select("id")
+        e = (
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return _degrees(e)
+
+
+def kcore_fixpoint(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """:func:`kcore` iterated to the TRUE fixpoint: peel until the edge
+    count stops changing (the driver sees one scalar per round — the
+    same convergence probe as connected components).  Materializes each
+    round's edge set to keep lineage bounded."""
+    e = _canonical_pairs(edges, src_col, dst_col).localCheckpoint()
+    prev = e.count()
+    for _ in range(max_rounds):
+        keep = _degrees(e).where(F.col("deg") >= k).select("id")
+        e = (
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    return _degrees(e)
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -130,18 +221,8 @@ def triangle_counts(
     ONE division of exact ints (IEEE-identical in any engine), defined
     0.0 for deg < 2.
     """
-    a, b = F.col(src_col), F.col(dst_col)
-    pairs = (
-        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .where(F.col("a") != F.col("b"))  # drops self-loops and NULLs
-        .distinct()
-    )
-    deg = (
-        pairs.select(F.col("a").alias("id"))
-        .unionByName(pairs.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    pairs = _canonical_pairs(edges, src_col, dst_col)
+    deg = _degrees(pairs)
     stamped = (
         pairs.join(
             deg.select(F.col("id").alias("a"), F.col("deg").alias("__da")), "a"

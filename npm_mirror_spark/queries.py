@@ -3172,6 +3172,33 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_kcore(spark, sf_dir):
+    """k-core peeling (operators/graph.py:kcore) over the same
+    co-purchase graph as q_triangles: three fixed peels at k=20 strip
+    stars/chains and leave the mutually-dense part-affinity core —
+    the community-vs-hub separation PageRank alone can't make. Fixed
+    rounds keep one lazy plan and make the fourth unrolled-iteration
+    oracle (after PageRank, k-means, components); per round one degree
+    count + two key-only semi-joins. q_kcore returns the surviving
+    nodes with their subgraph degrees."""
+    from npm_mirror_spark.operators.graph import kcore
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return kcore(edges, k=20, n_rounds=3).orderBy("id")
+
+
 def q_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) meter — the measurement behind the
     BPE trainer's scale claim (docs/SCALE.md: word types grow
@@ -3912,6 +3939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_jaccard_exact": q_jaccard_exact,
     "q_quantiles_by_group": q_quantiles_by_group,
     "q_drift_report": q_drift_report,
+    "q_kcore": q_kcore,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6762,4 +6790,33 @@ SELECT column_ AS "column", CAST(n AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
        (null_drift OR distinct_drift OR mean_drift) AS drifted
 FROM verdicts
 ORDER BY column_
+"""
+
+# q_kcore: three peels unrolled — degree count, >= 20 keep-set, two-sided
+# keep join, repeated; output is the surviving subgraph's degree table.
+ORACLES["q_kcore"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2),
+d0 AS (SELECT id, count(*) AS deg FROM (
+         SELECT a AS id FROM raw UNION ALL SELECT b FROM raw) GROUP BY id),
+k0 AS (SELECT id FROM d0 WHERE deg >= 20),
+e1 AS (SELECT r.a, r.b FROM raw r
+       JOIN k0 x ON x.id = r.a JOIN k0 y ON y.id = r.b),
+d1 AS (SELECT id, count(*) AS deg FROM (
+         SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY id),
+k1 AS (SELECT id FROM d1 WHERE deg >= 20),
+e2 AS (SELECT r.a, r.b FROM e1 r
+       JOIN k1 x ON x.id = r.a JOIN k1 y ON y.id = r.b),
+d2 AS (SELECT id, count(*) AS deg FROM (
+         SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id),
+k2 AS (SELECT id FROM d2 WHERE deg >= 20),
+e3 AS (SELECT r.a, r.b FROM e2 r
+       JOIN k2 x ON x.id = r.a JOIN k2 y ON y.id = r.b)
+SELECT id, deg FROM (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id)
+ORDER BY id
 """

@@ -272,3 +272,73 @@ def test_triangle_counts_triangle_free_graph(spark):
     rows = triangle_counts(df).collect()
     assert len(rows) == 7
     assert all(r["triangles"] == 0 and r["lcc"] == 0.0 for r in rows)
+
+
+# --- kcore -----------------------------------------------------------------
+
+
+def _brute_kcore(edges, k):
+    """Python peel to fixpoint on the canonical simple graph."""
+    adj = {}
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_fixpoint_matches_brute_force(spark):
+    """Crafted graph: K6 clique + a chain + a star hub; the 3-core is
+    exactly the clique, every survivor at its clique degree."""
+    from npm_mirror_spark.operators.graph import kcore_fixpoint
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(10 + i, 11 + i) for i in range(5)]
+    star = [(100, 200 + i) for i in range(8)]
+    bridge = [(0, 10), (1, 100)]
+    edges = clique + chain + star + bridge
+    want = _brute_kcore(edges, 3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["deg"] for r in kcore_fixpoint(df, k=3).collect()}
+    assert got == want
+    assert set(got) == set(range(6))  # the clique, nothing else
+    # every survivor meets the core invariant
+    assert all(d >= 3 for d in got.values())
+
+
+def test_kcore_fixed_rounds_prefix_of_fixpoint(spark):
+    """kcore(n_rounds) is monotone: each extra round only removes
+    nodes, and once it reaches the fixpoint it equals kcore_fixpoint."""
+    from npm_mirror_spark.operators.graph import kcore, kcore_fixpoint
+
+    edges = [(i, j) for i in range(8) for j in range(i + 1, 8) if (i + j) % 3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sets = []
+    for r in (1, 2, 6):
+        sets.append({x["id"] for x in kcore(df, k=4, n_rounds=r).collect()})
+    assert sets[0] >= sets[1] >= sets[2]
+    fix = {x["id"]: x["deg"] for x in kcore_fixpoint(df, k=4).collect()}
+    got6 = {x["id"]: x["deg"] for x in kcore(df, k=4, n_rounds=6).collect()}
+    assert got6 == fix
+
+
+def test_kcore_chain_dissolves_but_cycle_survives(spark):
+    """A chain has no 2-core (endpoints peel, cascade eats it all); a
+    cycle IS its own 2-core (every node at exactly deg 2)."""
+    from npm_mirror_spark.operators.graph import kcore_fixpoint
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    assert kcore_fixpoint(df, k=2).count() == 0
+    cycle = [(i, (i + 1) % 8) for i in range(8)]
+    dfc = spark.createDataFrame(cycle, "src long, dst long")
+    rows = kcore_fixpoint(dfc, k=2).collect()
+    assert len(rows) == 8 and all(r["deg"] == 2 for r in rows)
