@@ -159,6 +159,7 @@ HEADLINE_R7 = [
     "q_quantiles_by_group",
     "q_drift_report",
     "q_kcore",
+    "q_trend_by_group",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

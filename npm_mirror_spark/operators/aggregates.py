@@ -185,3 +185,72 @@ def funnel_stages(
         F.col(user_col),
         F.aggregate("__evs", init, advance)["stage"].alias("stage"),
     )
+
+
+TREND_X0 = 1_600_000_000  # fixed epoch origin: keeps x small and x*x exact
+
+
+def linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Per-group OLS trend line in ONE partial-aggregated job:
+    (group..., n, slope, intercept) — slope of y over x from the five
+    classical moments, every SUM exact.
+
+    The moment sums (n, Σx, Σy, Σxy, Σx²) are map-side partial
+    aggregates of exact DECIMAL/integer terms — the only shuffle
+    carries five numbers per group, so per-source trend detection over
+    100 TB of events costs one scan, like q_corr_moments.  The closing
+    algebra
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    runs in DOUBLE on the exact sums with one fixed expression tree —
+    deterministic IEEE, replayed verbatim by the oracle (multiplying
+    inside DECIMAL instead would hit precision-38 clamping, where
+    engines' rescale rules diverge).
+
+    ``x_col`` must be integer-valued (e.g. epoch seconds).  Callers
+    should shift x near zero (see ``TREND_X0``) so x·x stays within
+    int64 — the intercept is then AT THE SHIFTED ORIGIN, which is the
+    documented output contract.  Degenerate groups (all x equal, or a
+    single row) return NULL slope/intercept rather than a division by
+    zero.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    staged = df.select(
+        *group_cols, x.alias("__x"), y.cast("double").alias("__y")
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("__y").cast("decimal(18,4)")).alias("__sy"),
+        F.sum(
+            F.col("__x").cast("decimal(12,0)")
+            * F.col("__y").cast("decimal(18,4)")
+        ).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias(
+            "__sxx"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denom = n_d * sxx - sx * sx
+    slope = F.when(denom != 0, (n_d * sxy - sx * sy) / denom)
+    with_slope = agg.select(
+        *group_cols, "n", sx.alias("__sxd"), sy.alias("__syd"),
+        slope.alias("slope"),
+    )
+    intercept = F.when(
+        F.col("slope").isNotNull(),
+        (F.col("__syd") - F.col("slope") * F.col("__sxd"))
+        / F.col("n").cast("double"),
+    )
+    return with_slope.select(
+        *group_cols, "n", "slope", intercept.alias("intercept")
+    )

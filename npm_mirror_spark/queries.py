@@ -3050,6 +3050,27 @@ def q_hll_by_group(spark, sf_dir):
     return per_out.unionByName(all_row).orderBy("event_type")
 
 
+def q_trend_by_group(spark, sf_dir):
+    """Per-event-type OLS trend of value over time
+    (operators/aggregates.py:linear_trend): five exact moment sums per
+    group from one partial-aggregated scan, closing slope/intercept
+    algebra in one fixed double expression — trend detection (is this
+    source's quality score drifting down?) at one-scan cost. x is
+    epoch seconds shifted to TREND_X0 so x*x stays exact int64; the
+    intercept is at that shifted origin by contract."""
+    from npm_mirror_spark.operators.aggregates import TREND_X0, linear_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_trend(
+        ev.withColumn(
+            "__xs", F.unix_timestamp("ts") - F.lit(TREND_X0).cast("long")
+        ),
+        ["event_type"],
+        "__xs",
+        "value",
+    ).orderBy("event_type")
+
+
 def q_drift_report(spark, sf_dir):
     """Column-level drift between two corpus slices
     (operators/checks.py:drift_report — the data-validation twin of
@@ -3940,6 +3961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantiles_by_group": q_quantiles_by_group,
     "q_drift_report": q_drift_report,
     "q_kcore": q_kcore,
+    "q_trend_by_group": q_trend_by_group,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6819,4 +6841,41 @@ SELECT id, deg FROM (
   SELECT id, count(*) AS deg FROM (
     SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY id)
 ORDER BY id
+"""
+
+# q_trend_by_group: the five exact moment sums and the identical
+# double-algebra closing expression — epoch seconds shifted to the same
+# origin; DuckDB decimal sums are the same mathematical values.
+ORACLES["q_trend_by_group"] = """
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1600000000 AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(18,4))) AS sy,
+         sum(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(18,4))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM s GROUP BY event_type),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd
+  FROM m),
+sl AS (
+  SELECT event_type, n, sxd, syd,
+         CASE WHEN nd * sxxd - sxd * sxd <> 0
+              THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+         END AS slope,
+         nd
+  FROM d)
+SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+       CASE WHEN slope IS NOT NULL
+            THEN (syd - slope * sxd) / nd END AS intercept
+FROM sl
+ORDER BY event_type
 """

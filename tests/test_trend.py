@@ -1,0 +1,61 @@
+"""Per-group OLS trend (operators/aggregates.py:linear_trend): numpy
+parity, degenerate groups, and the one-job moment shape."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.aggregates import linear_trend
+
+
+def test_trend_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {"up": (0.5, 3.0), "down": (-1.25, 10.0)}
+    for g, (m, b) in truth.items():
+        xs = rng.integers(0, 10_000, size=200)
+        for x in xs:
+            rows.append((g, int(x), m * float(x) + b))
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r["g"]: r for r in linear_trend(df, ["g"], "x", "y").collect()}
+    for g, (m, b) in truth.items():
+        assert got[g]["n"] == 200
+        assert abs(got[g]["slope"] - m) < 1e-9, g
+        assert abs(got[g]["intercept"] - b) < 1e-6, g
+    # noisy group: compare against numpy lstsq fit
+    xs = rng.integers(0, 5_000, size=500)
+    ys = 2.0 * xs + 1.0 + rng.normal(0, 5.0, size=500)
+    # quantize y so the decimal(18,4) moment cast is EXACT (the
+    # operator's stated contract for y precision)
+    ys = np.round(ys, 4)
+    df2 = spark.createDataFrame(
+        [("n", int(x), float(y)) for x, y in zip(xs, ys)],
+        "g string, x long, y double",
+    )
+    r = linear_trend(df2, ["g"], "x", "y").first()
+    m_np, b_np = np.polyfit(xs.astype(float), ys, 1)
+    assert abs(r["slope"] - m_np) < 1e-7
+    assert abs(r["intercept"] - b_np) < 1e-4
+
+
+def test_trend_degenerate_groups_are_null(spark):
+    df = spark.createDataFrame(
+        [("const_x", 5, 1.0), ("const_x", 5, 2.0), ("single", 3, 9.0)],
+        "g string, x long, y double",
+    )
+    rows = {r["g"]: r for r in linear_trend(df, ["g"], "x", "y").collect()}
+    assert rows["const_x"]["slope"] is None
+    assert rows["const_x"]["intercept"] is None
+    assert rows["single"]["slope"] is None
+
+
+def test_trend_is_one_aggregation_job(spark):
+    """Plan shape: a single hash-aggregate pair over one scan — no join,
+    no window, no second pass."""
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(50)], "g string, x long, y double"
+    )
+    plan = linear_trend(df, ["g"], "x", "y")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
