@@ -160,6 +160,7 @@ HEADLINE_R7 = [
     "q_drift_report",
     "q_kcore",
     "q_trend_by_group",
+    "q_quantile_bins",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

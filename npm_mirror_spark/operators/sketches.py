@@ -502,3 +502,52 @@ def binned_quantiles_by(
         / F.lit(float(bins))
     )
     return hit.select(*group_cols, "q", est.alias("est"), "n")
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    hist_bins: int = 256,
+) -> DataFrame:
+    """Equi-frequency DISCRETIZATION without a global sort: adds a
+    ``qbin`` column (0..n_bins-1) assigning each row its quantile
+    bucket of ``col`` — the feature-binning step of a model pipeline
+    (ntile() would do this with a corpus-wide sort; at 100 TB that
+    single-axis sort is exactly the shuffle to refuse).
+
+    Cut points come from :func:`binned_quantiles` (one histogram pass,
+    error <= one bin width per cut), collect into ONE bounded
+    (n_bins-1)-element array row, broadcast, and the assignment is a
+    map-side in-row count of cut points STRICTLY below the value —
+    whole-stage codegen, zero additional shuffle.  Rows with
+    non-finite ``col`` get qbin NULL (excluded from the histogram, so
+    no cut point is defined for them).
+
+    Approximate in guarantee (bucket boundaries off by <= one histogram
+    bin width), exact in replay: cut points and comparisons are the
+    same doubles in any engine.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = tuple(i / n_bins for i in range(1, n_bins))
+    cuts = binned_quantiles(df, col, qs=qs, bins=hist_bins)
+    arr = cuts.agg(F.sort_array(F.collect_list("est")).alias("__cuts"))
+    c = F.col(col).cast("double")
+    finite = (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+    )
+    return (
+        df.crossJoin(F.broadcast(arr))
+        .withColumn(
+            "qbin",
+            F.when(
+                finite,
+                F.size(F.filter(F.col("__cuts"), lambda x: x < c)),
+            ).cast("int"),
+        )
+        .drop("__cuts")
+    )

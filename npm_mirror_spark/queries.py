@@ -3050,6 +3050,29 @@ def q_hll_by_group(spark, sf_dir):
     return per_out.unionByName(all_row).orderBy("event_type")
 
 
+def q_quantile_bins(spark, sf_dir):
+    """Equi-frequency feature discretization WITHOUT a global sort
+    (operators/sketches.py:quantile_bins): decile ids for
+    l_extendedprice from histogram-derived cut points — one histogram
+    pass, a broadcast 9-element cut array, map-side in-row assignment
+    (ntile() would sort the corpus on one axis; this is the shuffle-
+    free scale path, boundaries off by <= one histogram bin width).
+    Output is the per-bin count/min/max audit — near-equal counts and
+    non-overlapping value ranges are the discretization quality
+    check; the oracle replays cut derivation AND assignment."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = sketch_ops.quantile_bins(li, "l_extendedprice", n_bins=10)
+    return (
+        out.groupBy("qbin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("qbin")
+    )
+
+
 def q_trend_by_group(spark, sf_dir):
     """Per-event-type OLS trend of value over time
     (operators/aggregates.py:linear_trend): five exact moment sums per
@@ -3962,6 +3985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_drift_report": q_drift_report,
     "q_kcore": q_kcore,
     "q_trend_by_group": q_trend_by_group,
+    "q_quantile_bins": q_quantile_bins,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6878,4 +6902,47 @@ SELECT event_type, CAST(n AS BIGINT) AS n, slope,
             THEN (syd - slope * sxd) / nd END AS intercept
 FROM sl
 ORDER BY event_type
+"""
+
+# q_quantile_bins: the full chain replayed — the q_binned_quantiles
+# histogram with deciles as the quantile set, cut points collected into
+# one sorted list, strict-less-than in-row assignment, per-bin audit.
+ORACLES["q_quantile_bins"] = """
+WITH stats AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+                      CAST(max(l_extendedprice) AS DOUBLE) AS mx
+               FROM lineitem WHERE isfinite(l_extendedprice)),
+b AS (SELECT CASE WHEN (mx - mn) <= 0 THEN 0
+             ELSE least(255, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                                        / (mx - mn) * 256) AS INTEGER)) END AS bin,
+             mn, mx
+      FROM lineitem CROSS JOIN stats
+      WHERE isfinite(l_extendedprice)),
+counts AS (SELECT bin, mn, mx, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+cum AS (SELECT bin, cnt, mn, mx,
+          coalesce(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+            PRECEDING AND 1 PRECEDING), 0) AS cumb,
+          sum(cnt) OVER () AS n
+        FROM counts),
+qs AS (SELECT * FROM (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) AS t(q)),
+cutrows AS (
+  SELECT q,
+         CASE WHEN (mx - mn) <= 0 THEN mn
+              ELSE mn + (mx - mn)
+                   * (CAST(bin AS DOUBLE)
+                      + (CAST(q AS DOUBLE) * CAST(n AS DOUBLE) - cumb) / cnt)
+                   / 256.0
+         END AS est
+  FROM cum CROSS JOIN qs
+  WHERE CAST(q AS DOUBLE) * CAST(n AS DOUBLE) > cumb
+    AND CAST(q AS DOUBLE) * CAST(n AS DOUBLE) <= cumb + cnt),
+cuts AS (SELECT list(est ORDER BY est) AS arr FROM cutrows),
+assigned AS (
+  SELECT CAST(len(list_filter(arr, x -> x < CAST(l_extendedprice AS DOUBLE)))
+              AS INTEGER) AS qbin,
+         l_extendedprice
+  FROM lineitem CROSS JOIN cuts
+  WHERE isfinite(l_extendedprice))
+SELECT qbin, count(*) AS n,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM assigned GROUP BY qbin ORDER BY qbin
 """

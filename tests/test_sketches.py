@@ -341,3 +341,37 @@ def test_grouped_quantiles_single_group_matches_global(spark, sf_dir):
         for r in binned_quantiles(li, "l_extendedprice").collect()
     }
     assert by == glob
+
+
+def test_quantile_bins_near_equal_frequency_and_ordered(spark, sf_dir):
+    """Deciles: each bucket holds n/10 +- the histogram-error slack,
+    buckets are value-ordered and non-overlapping, NaN gets NULL."""
+    from npm_mirror_spark.operators.sketches import quantile_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = quantile_bins(li, "l_extendedprice", n_bins=10)
+    stats = (
+        out.groupBy("qbin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("qbin")
+        .collect()
+    )
+    assert [r["qbin"] for r in stats] == list(range(10))
+    n_total = sum(r["n"] for r in stats)
+    for r in stats:
+        assert abs(r["n"] - n_total / 10) <= 0.05 * n_total, r
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] <= cur["lo"]
+    # non-finite rows -> NULL bin
+    bad = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),)], "v double"
+    )
+    rows = quantile_bins(bad, "v", n_bins=2).collect()
+    import math
+
+    nan_rows = [r for r in rows if math.isnan(r["v"])]
+    assert nan_rows and all(r["qbin"] is None for r in nan_rows)
