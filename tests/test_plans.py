@@ -341,6 +341,23 @@ ALLOWED_BNLJ = {
         "four 1-row estimate/exact frames cross-joined into the report "
         "row — every side a singleton aggregate over bounded registers"
     ),
+    "q_hll_by_group": (
+        "single-row global exact-distinct validation frame broadcast onto "
+        "the single-row '__all__' register roll-up"
+    ),
+    "q_quantiles_by_group": (
+        "len(qs)-row quantile-literal broadcast onto the per-group "
+        "<=bins-row cumulative table (the q_binned_quantiles shape, keyed)"
+    ),
+    "q_drift_report": (
+        "two 1-row per-side metric frames cross-joined (broadcast) before "
+        "the bounded per-column unpivot — both sides singleton aggregates"
+    ),
+    "q_quantile_bins": (
+        "single-row (n_bins-1)-element cut-point array broadcast for the "
+        "map-side bin assignment, plus the q_binned_quantiles shapes "
+        "deriving it"
+    ),
 }
 
 
