@@ -161,6 +161,7 @@ HEADLINE_R7 = [
     "q_kcore",
     "q_trend_by_group",
     "q_quantile_bins",
+    "q_calibration",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

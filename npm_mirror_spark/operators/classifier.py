@@ -462,3 +462,65 @@ def gd_step(
             grad[row["bucket"]] = row["g"]
     w2 = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)]
     return w2, b - lr * (gb / n), ml
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram (calibration curve) for a scored binary
+    signal: equi-width score bins, per-bin observed positive rate vs
+    mean score — the third leg of the eval family beside the exact AUC
+    (binary_metrics) and the PR curve.  A well-calibrated quality
+    scorer's frac_pos tracks its mean_score; divergence tells a
+    curation pipeline its threshold semantics have drifted.
+
+    Scale shape: the same histogram economics as binned_quantiles —
+    one 1-row min/max frame broadcast for the bin expression, ONE
+    (bin) integer shuffle with map-side partials, read-out on the
+    <= bins-row table.  Exactness: counts are integers, mean_score
+    sums the score as DECIMAL(28,6) (exact for integer-valued and
+    fixed-point scores), frac_pos and mean_score close with one IEEE
+    division each — fully oracle-replayable.
+
+    Returns (bin, n, n_pos, frac_pos, mean_score), bins without any
+    row absent.  Degenerate span (all scores equal) puts everything
+    in bin 0.
+    """
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    stats = df.agg(F.min(s).alias("__mn"), F.max(s).alias("__mx"))
+    span = F.col("__mx") - F.col("__mn")
+    b = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((s - F.col("__mn")) / span * bins).cast("int"),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(b.alias("bin"), s.alias("__s"), lab.alias("__l"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__l").cast("long").alias("n_pos"),
+            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+            (F.col("__ssum").cast("double") / F.col("n").cast("double")).alias(
+                "mean_score"
+            ),
+        )
+    )

@@ -2935,6 +2935,23 @@ def q_classifier_eval(spark, sf_dir):
     return binary_metrics(docs, "score", "label", threshold=500.0)
 
 
+def q_calibration(spark, sf_dir):
+    """Reliability diagram (operators/classifier.py:calibration_bins)
+    — the third leg of the eval family beside the exact AUC and PR
+    curve: per-bin observed positive rate vs mean score over the same
+    deterministic (n_chars score, keyword label) fixture as
+    q_classifier_eval. Histogram economics (1-row min/max broadcast,
+    one integer bin shuffle); counts exact, means via decimal sums,
+    fully oracle-replayable."""
+    from npm_mirror_spark.operators.classifier import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.col("text").contains("spark").cast("int").alias("label"),
+    )
+    return calibration_bins(docs, "score", "label", bins=10).orderBy("bin")
+
+
 def q_pr_curve(spark, sf_dir):
     """Exact precision-recall curve (one row per distinct threshold,
     cumulative integer confusion via a descending running sum over the
@@ -3986,6 +4003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kcore": q_kcore,
     "q_trend_by_group": q_trend_by_group,
     "q_quantile_bins": q_quantile_bins,
+    "q_calibration": q_calibration,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6945,4 +6963,30 @@ assigned AS (
 SELECT qbin, count(*) AS n,
        min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
 FROM assigned GROUP BY qbin ORDER BY qbin
+"""
+
+# q_calibration: equi-width score bins from the 1-row min/max frame,
+# exact per-bin counts, decimal score sums, one IEEE division per
+# output column — the q_classifier_eval fixture, binned.
+ORACLES["q_calibration"] = """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS l
+  FROM documents),
+stats AS (SELECT min(s) AS mn, max(s) AS mx FROM base),
+binned AS (
+  SELECT CASE WHEN (mx - mn) <= 0 THEN 0
+              ELSE least(9, CAST(floor((s - mn) / (mx - mn) * 10) AS INTEGER))
+         END AS bin,
+         s, l
+  FROM base CROSS JOIN stats),
+g AS (
+  SELECT bin, count(*) AS n,
+         CAST(sum(l) AS BIGINT) AS n_pos,
+         sum(CAST(s AS DECIMAL(28,6))) AS ssum
+  FROM binned GROUP BY bin)
+SELECT bin, CAST(n AS BIGINT) AS n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
+FROM g ORDER BY bin
 """

@@ -280,3 +280,27 @@ def test_metrics_handle_nan_and_infinity_scores(spark):
     curve = pr_curve(df, "score").collect()
     assert len(curve) == len({s for s, _ in data})
     assert all(r["tp"] + r["fn"] == row["n_pos"] for r in curve)
+
+
+def test_calibration_bins_exact_on_planted_rates(spark):
+    """Planted per-bin positive rates must come back exactly (counts
+    are integers, one division); degenerate span lands in bin 0; a
+    perfectly calibrated scorer has frac_pos == mean_score per bin."""
+    from npm_mirror_spark.operators.classifier import calibration_bins
+
+    rows = []
+    # scores 0.05, 0.15, ..., 0.95: bin i gets rate i/10 positives
+    for i in range(10):
+        for j in range(20):
+            rows.append((i / 10 + 0.05, 1 if j < 2 * i else 0))
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "label", 10).collect()}
+    assert set(got) == set(range(10))
+    for i in range(10):
+        assert got[i]["n"] == 20
+        assert got[i]["n_pos"] == 2 * i
+        assert got[i]["frac_pos"] == (2 * i) / 20
+        assert abs(got[i]["mean_score"] - (i / 10 + 0.05)) < 1e-9
+    const = spark.createDataFrame([(5.0, 1), (5.0, 0)], "score double, label int")
+    r = calibration_bins(const, "score", "label", 10).collect()
+    assert len(r) == 1 and r[0]["bin"] == 0 and r[0]["frac_pos"] == 0.5

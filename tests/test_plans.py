@@ -358,6 +358,10 @@ ALLOWED_BNLJ = {
         "map-side bin assignment, plus the q_binned_quantiles shapes "
         "deriving it"
     ),
+    "q_calibration": (
+        "single-row (min,max) score-range broadcast for the equi-width "
+        "bin expression (the histogram stats pattern)"
+    ),
 }
 
 
