@@ -223,22 +223,31 @@ def linear_trend(
     staged = df.select(
         *group_cols, x.alias("__x"), y.cast("double").alias("__y")
     )
+    # every decimal SUM is kept at SCALE 0 (y pre-scaled by 10^4, still
+    # exact: the product is integral) because a scale-4 decimal above
+    # 2^53 converts to double by TWO roundings in DuckDB (int128 ->
+    # double, then /10^4) but ONE in Spark (BigDecimal) — a 1-ulp
+    # divergence the sf0.1 sweep caught in the sxy term.  Scale-0
+    # decimals convert with a single correctly-rounded step in both
+    # engines; the /10^4 then happens in the SHARED double algebra.
+    y4 = (F.col("__y").cast("decimal(18,4)") * F.lit(10000)).cast(
+        "decimal(18,0)"  # y*10^4 must fit 18 digits (|y| < 10^14)
+    )
     agg = staged.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
-        F.sum(F.col("__y").cast("decimal(18,4)")).alias("__sy"),
+        F.sum(y4).alias("__sy4"),
         F.sum(
-            F.col("__x").cast("decimal(12,0)")
-            * F.col("__y").cast("decimal(18,4)")
-        ).alias("__sxy"),
+            (F.col("__x").cast("decimal(12,0)") * y4).cast("decimal(38,0)")
+        ).alias("__sxy4"),
         F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)")).alias(
             "__sxx"
         ),
     )
     n_d = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")
-    sy = F.col("__sy").cast("double")
-    sxy = F.col("__sxy").cast("double")
+    sy = F.col("__sy4").cast("double") / F.lit(10000.0)
+    sxy = F.col("__sxy4").cast("double") / F.lit(10000.0)
     sxx = F.col("__sxx").cast("double")
     denom = n_d * sxx - sx * sx
     slope = F.when(denom != 0, (n_d * sxy - sx * sy) / denom)

@@ -6898,14 +6898,17 @@ m AS (
   SELECT event_type,
          count(*) AS n,
          sum(CAST(x AS DECIMAL(38,0))) AS sx,
-         sum(CAST(y AS DECIMAL(18,4))) AS sy,
-         sum(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(18,4))) AS sxy,
+         sum(CAST(CAST(y AS DECIMAL(18,4)) * 10000 AS DECIMAL(18,0))) AS sy4,
+         sum(CAST(CAST(x AS DECIMAL(12,0))
+                  * CAST(CAST(y AS DECIMAL(18,4)) * 10000 AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxy4,
          sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
   FROM s GROUP BY event_type),
 d AS (
   SELECT event_type, n,
          CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sy4 AS DOUBLE) / 10000.0 AS syd,
+         CAST(sxy4 AS DOUBLE) / 10000.0 AS sxyd,
          CAST(sxx AS DOUBLE) AS sxxd
   FROM m),
 sl AS (
