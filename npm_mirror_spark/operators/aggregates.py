@@ -219,9 +219,19 @@ def linear_trend(
     zero.
     """
     x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
-    y = F.col(y_col) if isinstance(y_col, str) else y_col
-    staged = df.select(
-        *group_cols, x.alias("__x"), y.cast("double").alias("__y")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    # rows with NULL x or non-finite y are EXCLUDED up front: count()
+    # counts every row but decimal sums skip NULLs, so a single NULL
+    # would silently skew the moments instead of erroring
+    ok = (
+        x.isNotNull()
+        & y.isNotNull()
+        & ~F.isnan(y)
+        & (y != F.lit(float("inf")))
+        & (y != F.lit(float("-inf")))
+    )
+    staged = df.where(ok).select(
+        *group_cols, x.alias("__x"), y.alias("__y")
     )
     # every decimal SUM is kept at SCALE 0 (y pre-scaled by 10^4, still
     # exact: the product is integral) because a scale-4 decimal above

@@ -491,6 +491,12 @@ def calibration_bins(
     """
     s = F.col(score_col).cast("double")
     lab = F.col(label_col).cast("int")
+    # NULL/NaN scores or NULL labels are excluded up front (a NaN score
+    # would poison the span; a NULL label would desync n from n_pos)
+    df = df.where(
+        s.isNotNull() & ~F.isnan(s) & lab.isNotNull()
+        & (s != F.lit(float("inf"))) & (s != F.lit(float("-inf")))
+    )
     stats = df.agg(F.min(s).alias("__mn"), F.max(s).alias("__mx"))
     span = F.col("__mx") - F.col("__mn")
     b = (

@@ -304,3 +304,20 @@ def test_calibration_bins_exact_on_planted_rates(spark):
     const = spark.createDataFrame([(5.0, 1), (5.0, 0)], "score double, label int")
     r = calibration_bins(const, "score", "label", 10).collect()
     assert len(r) == 1 and r[0]["bin"] == 0 and r[0]["frac_pos"] == 0.5
+
+
+def test_calibration_excludes_null_and_nan_rows(spark):
+    from npm_mirror_spark.operators.classifier import calibration_bins
+
+    clean = spark.createDataFrame(
+        [(i / 10, i % 2) for i in range(10)], "score double, label int"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(float("nan"), 1), (None, 0), (0.5, None)],
+            "score double, label int",
+        )
+    )
+    a = sorted(map(tuple, calibration_bins(clean, "score", "label", 5).collect()))
+    b = sorted(map(tuple, calibration_bins(dirty, "score", "label", 5).collect()))
+    assert a == b

@@ -59,3 +59,21 @@ def test_trend_is_one_aggregation_job(spark):
     )
     plan = linear_trend(df, ["g"], "x", "y")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_trend_excludes_null_and_nonfinite_rows(spark):
+    """A NULL x / NaN y row must be excluded entirely (n, sums), not
+    silently skew the moments."""
+    clean = spark.createDataFrame(
+        [("g", i, 2.0 * i) for i in range(10)], "g string, x long, y double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("g", None, 5.0), ("g", 3, float("nan"))],
+            "g string, x long, y double",
+        )
+    )
+    a = linear_trend(clean, ["g"], "x", "y").first()
+    b = linear_trend(dirty, ["g"], "x", "y").first()
+    assert (a["n"], a["slope"], a["intercept"]) == (b["n"], b["slope"], b["intercept"])
+    assert a["n"] == 10
