@@ -159,8 +159,16 @@ def drift_report(
             aggs.append(F.count(F.col(c)).alias(f"nn_{c}_{tag}"))
             aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}_{tag}"))
             if c in numeric:
+                # scale-0 decimal (value pre-scaled by 10^4, exact):
+                # a scale-4 decimal above 2^53 converts to double by two
+                # roundings in DuckDB vs one in Spark — the 1-ulp
+                # divergence the r7 sf0.1 sweep caught in linear_trend
                 aggs.append(
-                    F.sum(F.col(c).cast("decimal(28,4)")).alias(f"s_{c}_{tag}")
+                    F.sum(
+                        (F.col(c).cast("decimal(28,4)") * F.lit(10000)).cast(
+                            "decimal(32,0)"
+                        )
+                    ).alias(f"s_{c}_{tag}")
                 )
         return df.agg(*aggs)
 
@@ -177,7 +185,7 @@ def drift_report(
             return F.lit(None).cast("double")
         return F.when(
             F.col(f"nn_{c}_{tag}") > 0,
-            F.col(f"s_{c}_{tag}").cast("double")
+            (F.col(f"s_{c}_{tag}").cast("double") / F.lit(10000.0))
             / F.col(f"nn_{c}_{tag}").cast("double"),
         )
 

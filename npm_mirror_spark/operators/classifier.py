@@ -516,7 +516,14 @@ def calibration_bins(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("__l").cast("long").alias("n_pos"),
-            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__ssum"),
+            # scale-0 decimal (score pre-scaled by 10^6, exact) — the
+            # same one-rounding double-conversion contract as
+            # linear_trend's moments
+            F.sum(
+                (F.col("__s").cast("decimal(28,6)") * F.lit(1000000)).cast(
+                    "decimal(34,0)"
+                )
+            ).alias("__ssum"),
         )
         .select(
             "bin",
@@ -525,8 +532,9 @@ def calibration_bins(
             (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
                 "frac_pos"
             ),
-            (F.col("__ssum").cast("double") / F.col("n").cast("double")).alias(
-                "mean_score"
-            ),
+            (
+                (F.col("__ssum").cast("double") / F.lit(1000000.0))
+                / F.col("n").cast("double")
+            ).alias("mean_score"),
         )
     )

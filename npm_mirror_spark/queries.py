@@ -4,7 +4,12 @@ per operator from SURVEY.md §2, plus the matching DuckDB oracle SQL.
 Determinism rules (the driver hash-compares values against DuckDB):
 - every computed column is aliased identically in Spark and SQL;
 - double SUMs go through DECIMAL(18,4) (exact, order-independent) and are
-  cast back to double; averages divide two exact values;
+  cast back to double; averages divide two exact values; when an exact
+  decimal sum can exceed 2^53, keep the accumulated decimal at SCALE 0
+  (pre-scale the operand by 10^scale) — a fractional-scale decimal above
+  2^53 converts to double via TWO roundings in DuckDB (int128 -> double,
+  then /10^scale) but ONE in Spark (BigDecimal), a 1-ulp divergence the
+  r7 sf0.1 sweep caught in q_trend_by_group;
 - dot products / norms evaluate in index order on double-cast arrays in
   both engines, so floats are bit-identical;
 - top-N windows always carry a total-order tiebreak.
@@ -6797,14 +6802,14 @@ WITH sa AS (
   SELECT count(*) AS n,
          count(lang) AS nn_lang, count(DISTINCT lang) AS d_lang,
          count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS d_nc,
-         sum(CAST(n_chars AS DECIMAL(28,4))) AS s_nc,
+         sum(CAST(CAST(n_chars AS DECIMAL(28,4)) * 10000 AS DECIMAL(32,0))) AS s_nc,
          count(text) AS nn_t, count(DISTINCT text) AS d_t
   FROM documents WHERE source = 'src1'),
 sb AS (
   SELECT count(*) AS n,
          count(lang) AS nn_lang, count(DISTINCT lang) AS d_lang,
          count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS d_nc,
-         sum(CAST(n_chars AS DECIMAL(28,4))) AS s_nc,
+         sum(CAST(CAST(n_chars AS DECIMAL(28,4)) * 10000 AS DECIMAL(32,0))) AS s_nc,
          count(text) AS nn_t, count(DISTINCT text) AS d_t
   FROM documents WHERE source = 'src2'),
 j AS (SELECT * FROM sa CROSS JOIN (
@@ -6824,8 +6829,8 @@ rows_ AS (
          CASE WHEN n > 0 THEN CAST(n - nn_nc AS DOUBLE) / n ELSE 0.0 END,
          CASE WHEN n_b > 0 THEN CAST(n_b - nn_nc_b AS DOUBLE) / n_b ELSE 0.0 END,
          d_nc, d_nc_b,
-         CASE WHEN nn_nc > 0 THEN CAST(s_nc AS DOUBLE) / nn_nc END,
-         CASE WHEN nn_nc_b > 0 THEN CAST(s_nc_b AS DOUBLE) / nn_nc_b END,
+         CASE WHEN nn_nc > 0 THEN (CAST(s_nc AS DOUBLE) / 10000.0) / nn_nc END,
+         CASE WHEN nn_nc_b > 0 THEN (CAST(s_nc_b AS DOUBLE) / 10000.0) / nn_nc_b END,
          TRUE
   FROM j
   UNION ALL
@@ -6986,10 +6991,10 @@ binned AS (
 g AS (
   SELECT bin, count(*) AS n,
          CAST(sum(l) AS BIGINT) AS n_pos,
-         sum(CAST(s AS DECIMAL(28,6))) AS ssum
+         sum(CAST(CAST(s AS DECIMAL(28,6)) * 1000000 AS DECIMAL(34,0))) AS ssum
   FROM binned GROUP BY bin)
 SELECT bin, CAST(n AS BIGINT) AS n, n_pos,
        CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
-       CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
+       (CAST(ssum AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mean_score
 FROM g ORDER BY bin
 """
