@@ -57,6 +57,11 @@ SHOW = {
     "q_pagerank_directed": "per round: node-sized left join keeps sinks; 1-row dangling aggregate broadcast back; ONE edge fan-out join + (dst) int-sum shuffle",
     "q_release_cut": "gate -> span surgery -> seam re-gate -> budget in one plan: bench vocab broadcasts twice, bodies join once for the rebuild, budget windows keyed (source, __bkt)",
     "q_zorder": "1-row min/max bounds broadcast; staged integer coordinates; Morton key map-side; one (shard) count/min-max shuffle",
+    "q_triangles": "degree-ordered orientation: wedge self-join on the oriented source (out-degree O(sqrt 2m) even at hubs); closure is a (v,w) equi semi-join; key-only shuffles",
+    "q_record_linkage": "nation-blocked equi join is the only corpus shuffle; comparators in-row JVM; best-match window bounded by block fan-out",
+    "q_quantiles_by_group": "per-group min/max dim broadcast back; one (source,bin) int shuffle; cumulative windows partitioned per group on <=bins rows",
+    "q_quantile_bins": "histogram cut points collect into ONE bounded array row, broadcast; bin assignment is an in-row count — no ntile corpus sort",
+    "q_trend_by_group": "five exact moment sums per group, map-side partials, one scan; slope/intercept close in a fixed double expression",
 }
 
 SF = "/root/testdata/sf0.01"
