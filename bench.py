@@ -162,6 +162,7 @@ HEADLINE_R7 = [
     "q_trend_by_group",
     "q_quantile_bins",
     "q_calibration",
+    "q_pagerank_seeded",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

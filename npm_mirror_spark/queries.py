@@ -3265,6 +3265,28 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=20, n_rounds=3).orderBy("id")
 
 
+def q_pagerank_seeded(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py:pagerank_personalized)
+    over the dup-attribution arcs of q_pagerank_directed, restarted on
+    the id%10==0 seed nodes: rank becomes proximity-to-the-seeds
+    (similarity expansion around chosen templates) instead of global
+    centrality. Teleport AND dangling mass return only to seeds via a
+    node-sized membership flag; same scaled-int64 contract, fifth
+    unrolled-iteration oracle."""
+    from npm_mirror_spark.operators.graph import pagerank_personalized
+
+    arcs = dedup_ops.minhash_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
+    ).select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    nodes = (
+        arcs.select(F.col("src").alias("id"))
+        .unionByName(arcs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("id") % 10 == 0)
+    return pagerank_personalized(arcs, seeds, n_iter=3).orderBy("id")
+
+
 def q_vocab_growth(spark, sf_dir):
     """Vocabulary-growth (Heaps-law) meter — the measurement behind the
     BPE trainer's scale claim (docs/SCALE.md: word types grow
@@ -4009,6 +4031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trend_by_group": q_trend_by_group,
     "q_quantile_bins": q_quantile_bins,
     "q_calibration": q_calibration,
+    "q_pagerank_seeded": q_pagerank_seeded,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6998,3 +7021,57 @@ SELECT bin, CAST(n AS BIGINT) AS n, n_pos,
        (CAST(ssum AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS mean_score
 FROM g ORDER BY bin
 """
+
+
+def _pagerank_seeded_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled replay of graph.py::pagerank_personalized over the same
+    dup-attribution arcs as q_pagerank_directed, seeds = id%10==0
+    nodes: teleport + dangling credit gated by seed membership, initial
+    rank uniform on the seeds, zero elsewhere.  Non-negative integer
+    div/sum throughout — DuckDB // floors exactly like Spark div."""
+    head = f"""
+WITH {_MINHASH_EDGES},
+arcs AS (SELECT id_b AS src, id_a AS dst FROM edges),
+nodes AS (SELECT DISTINCT id FROM
+  (SELECT src AS id FROM arcs UNION ALL SELECT dst AS id FROM arcs)),
+odeg AS (SELECT src, count(*) AS deg FROM arcs GROUP BY src),
+seeds AS (SELECT id FROM nodes WHERE id % 10 = 0),
+ss AS (SELECT count(*) AS s FROM seeds),
+tp AS (SELECT CAST((1000000000000 * 15) // (100 * s) AS BIGINT) AS t,
+              CAST(1000000000000 // s AS BIGINT) AS r_init,
+              s FROM ss),
+fl AS (SELECT n.id, sd.id IS NOT NULL AS is_seed
+       FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id),
+pr0 AS (SELECT fl.id,
+               CASE WHEN fl.is_seed THEN tp.r_init ELSE CAST(0 AS BIGINT) END
+                 AS rank
+        FROM fl CROSS JOIN tp)"""
+    rounds = []
+    for t in range(1, n_iter + 1):
+        rounds.append(f""",
+dang{t} AS (
+  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+  FROM pr{t - 1} r LEFT JOIN odeg d ON d.src = r.id
+  WHERE d.src IS NULL),
+sums{t} AS (
+  SELECT a.dst AS id,
+         CAST(sum((r.rank * 85) // (100 * d.deg)) AS BIGINT) AS s
+  FROM arcs a
+  JOIN pr{t - 1} r ON r.id = a.src
+  JOIN odeg d ON d.src = a.src
+  GROUP BY a.dst),
+pr{t} AS (
+  SELECT fl.id,
+         CAST(coalesce(s.s, 0)
+              + CASE WHEN fl.is_seed
+                     THEN (dang{t}.dm * 85) // (100 * tp.s) + tp.t
+                     ELSE 0 END
+              AS BIGINT) AS rank
+  FROM fl
+  LEFT JOIN sums{t} s ON s.id = fl.id
+  CROSS JOIN dang{t} CROSS JOIN tp)""")
+    return head + "".join(rounds) + f"""
+SELECT id, rank FROM pr{n_iter} ORDER BY id"""
+
+
+ORACLES["q_pagerank_seeded"] = _pagerank_seeded_oracle_sql(3)

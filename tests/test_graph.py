@@ -342,3 +342,67 @@ def test_kcore_chain_dissolves_but_cycle_survives(spark):
     dfc = spark.createDataFrame(cycle, "src long, dst long")
     rows = kcore_fixpoint(dfc, k=2).collect()
     assert len(rows) == 8 and all(r["deg"] == 2 for r in rows)
+
+
+# --- personalized PageRank -------------------------------------------------
+
+
+def test_ppr_matches_numpy_power_iteration(spark):
+    """Scaled-int PPR must track float power iteration with restart
+    (teleport + dangling both to seeds) within quantization noise."""
+    import numpy as np
+
+    from npm_mirror_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_personalized,
+    )
+
+    arcs = [
+        (0, 1), (1, 2), (2, 0),            # cycle near the seed
+        (3, 4), (4, 5),                     # chain ending in a sink (5)
+        (0, 3), (6, 0),                     # bridge + a source
+    ]
+    seeds = [0]
+    ids = sorted({x for e in arcs for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, s = len(ids), len(seeds)
+    out = {i: [] for i in range(n)}
+    for a, b in arcs:
+        out[idx[a]].append(idx[b])
+    restart = np.array([1.0 / s if v in seeds else 0.0 for v in ids])
+    r = restart.copy()
+    d = 0.85
+    for _ in range(3):
+        nxt = 0.15 * restart.copy()
+        dangling = sum(r[i] for i in range(n) if not out[i])
+        nxt += d * dangling * restart
+        for i in range(n):
+            for j in out[i]:
+                nxt[j] += d * r[i] / len(out[i])
+        r = nxt
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    sd = spark.createDataFrame([(v,) for v in seeds], "id long")
+    got = {
+        row["id"]: row["rank"] / PR_SCALE
+        for row in pagerank_personalized(df, sd, n_iter=3).collect()
+    }
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+    # restart conserves mass (teleport + dangling both return to seeds)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_ppr_seed_outside_graph_is_ignored_and_empty_errors(spark):
+    import pytest
+
+    from npm_mirror_spark.operators.graph import pagerank_personalized
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    ok = pagerank_personalized(
+        df, spark.createDataFrame([(0,), (99,)], "id long"), n_iter=2
+    )
+    assert ok.count() == 2  # node 99 silently ignored
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_personalized(
+            df, spark.createDataFrame([(42,)], "id long"), n_iter=1
+        )

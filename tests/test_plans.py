@@ -362,6 +362,10 @@ ALLOWED_BNLJ = {
         "single-row (min,max) score-range broadcast for the equi-width "
         "bin expression (the histogram stats pattern)"
     ),
+    "q_pagerank_seeded": (
+        "per-round 1-row dangling-mass aggregate cross-joined (broadcast) "
+        "onto the flagged node table (same contract as q_pagerank_directed)"
+    ),
 }
 
 
