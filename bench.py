@@ -163,6 +163,7 @@ HEADLINE_R7 = [
     "q_quantile_bins",
     "q_calibration",
     "q_pagerank_seeded",
+    "q_assoc_rules",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

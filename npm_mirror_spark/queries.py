@@ -3238,6 +3238,65 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over co-purchased part pairs: support,
+    confidence and LIFT — the log-free association measures (PMI's
+    exact-rational sibling), all integer counts closed by one IEEE
+    division each. The pair/item count shuffles are the market-basket
+    economics of q_event_cooccurrence; the 1-row basket-count frame
+    broadcasts; top-50 by lift with a total-order tiebreak. Exactly
+    replayable end to end."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("__n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    x, y = li.alias("x"), li.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    out = (
+        pair.join(
+            item.select(F.col("l_partkey").alias("a"), F.col("c").alias("c_a")),
+            "a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("b"), F.col("c").alias("c_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.col("c_ab").cast("double") / F.col("__n").cast("double")).alias(
+                "support"
+            ),
+            (F.col("c_ab").cast("double") / F.col("c_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c_ab") * F.col("__n")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "a", "b").limit(50)
+
+
 def q_kcore(spark, sf_dir):
     """k-core peeling (operators/graph.py:kcore) over the same
     co-purchase graph as q_triangles: three fixed peels at k=20 strip
@@ -4032,6 +4091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantile_bins": q_quantile_bins,
     "q_calibration": q_calibration,
     "q_pagerank_seeded": q_pagerank_seeded,
+    "q_assoc_rules": q_assoc_rules,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7075,3 +7135,28 @@ SELECT id, rank FROM pr{n_iter} ORDER BY id"""
 
 
 ORACLES["q_pagerank_seeded"] = _pagerank_seeded_oracle_sql(3)
+
+# q_assoc_rules: distinct basket-item pairs, integer pair/item counts,
+# and the three association measures as single divisions of integer
+# products; identical top-50 total order (lift desc, a, b).
+ORACLES["q_assoc_rules"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+item AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+pair AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS c_ab
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 5)
+SELECT p.a, p.b, p.c_ab, ia.c AS c_a, ib.c AS c_b,
+       CAST(p.c_ab AS DOUBLE) / CAST(nn.n AS DOUBLE) AS support,
+       CAST(p.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+       CAST(p.c_ab * nn.n AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE) AS lift
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.a
+JOIN item ib ON ib.l_partkey = p.b
+CROSS JOIN nn
+ORDER BY lift DESC, p.a, p.b
+LIMIT 50
+"""

@@ -366,6 +366,10 @@ ALLOWED_BNLJ = {
         "per-round 1-row dangling-mass aggregate cross-joined (broadcast) "
         "onto the flagged node table (same contract as q_pagerank_directed)"
     ),
+    "q_assoc_rules": (
+        "single-row basket-count frame broadcast onto the bounded "
+        "(c_ab >= 5) rule table for the support/lift denominators"
+    ),
 }
 
 
