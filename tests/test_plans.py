@@ -497,3 +497,13 @@ def test_hll_registers_single_bounded_shuffle(spark, sf_dir):
     assert plans.shuffle_count(regs) == 1
     text = plans.explain_str(regs, "simple")
     assert "partial_max" in text  # map-side combine = mergeable sketch
+
+
+def test_triangles_wedge_is_equi_join_and_closure_is_semi(q):
+    """Degree-ordered orientation shape: the wedge self-join must carry
+    the shared-vertex EQUI key (never a cartesian/BNLJ pair product),
+    and triangle closure must be a LeftSemi equi join on (v, w)."""
+    text = plans.explain_str(q("q_triangles"), "simple")
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "LeftSemi" in text
