@@ -164,6 +164,7 @@ HEADLINE_R7 = [
     "q_calibration",
     "q_pagerank_seeded",
     "q_assoc_rules",
+    "q_drift_weekly",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

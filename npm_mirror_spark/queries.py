@@ -3238,6 +3238,66 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_drift_weekly(spark, sf_dir):
+    """Temporal drift monitor — q_drift_report's one-shot comparison
+    turned into a SERIES: per epoch-week metrics (rows, value mean via
+    scale-0 decimal sums, distinct users, null-rate of props) with
+    week-over-week deltas and the same relative-tolerance verdicts via
+    lag() over the bounded week axis. One corpus scan + one tiny-axis
+    window; the continuous-monitoring face of the validation family."""
+    ev = _t(spark, sf_dir, "events")
+    wk = (
+        ev.withColumn(
+            "week",
+            F.floor(F.unix_timestamp("ts") / 604800).cast("bigint"),
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            (
+                (F.count(F.lit(1)) - F.count("props")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("null_rate"),
+            F.sum(
+                (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast(
+                    "decimal(28,0)"
+                )
+            ).alias("__s4"),
+        )
+        .select(
+            "week",
+            "n",
+            "users",
+            "null_rate",
+            (
+                (F.col("__s4").cast("double") / F.lit(10000.0))
+                / F.col("n").cast("double")
+            ).alias("mean_value"),
+        )
+    )
+    w = Window.orderBy("week")
+    prev_mean = F.lag("mean_value").over(w)
+    prev_nr = F.lag("null_rate").over(w)
+    mean_drift = F.coalesce(
+        F.abs(F.col("mean_value") - prev_mean)
+        > F.lit(0.05) * F.greatest(F.abs(F.col("mean_value")), F.abs(prev_mean)),
+        F.lit(False),
+    )
+    null_drift = F.coalesce(
+        F.abs(F.col("null_rate") - prev_nr) > F.lit(0.02), F.lit(False)
+    )
+    return wk.select(
+        "week",
+        "n",
+        "users",
+        "null_rate",
+        "mean_value",
+        mean_drift.alias("mean_drift"),
+        null_drift.alias("null_drift"),
+    ).orderBy("week")
+
+
 def q_assoc_rules(spark, sf_dir):
     """Association rules over co-purchased part pairs: support,
     confidence and LIFT — the log-free association measures (PMI's
@@ -4092,6 +4152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_calibration": q_calibration,
     "q_pagerank_seeded": q_pagerank_seeded,
     "q_assoc_rules": q_assoc_rules,
+    "q_drift_weekly": q_drift_weekly,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7159,4 +7220,33 @@ JOIN item ib ON ib.l_partkey = p.b
 CROSS JOIN nn
 ORDER BY lift DESC, p.a, p.b
 LIMIT 50
+"""
+
+# q_drift_weekly: per-week exact metrics (scale-0 decimal value sums),
+# lag() deltas on the bounded week axis, identical tolerance literals.
+ORACLES["q_drift_weekly"] = """
+WITH wk AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+         count(*) AS n,
+         count(DISTINCT user_id) AS users,
+         CAST(count(*) - count(props) AS DOUBLE) / count(*) AS null_rate,
+         sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(28,0)))
+           AS s4
+  FROM events GROUP BY 1),
+m AS (
+  SELECT week, n, users, null_rate,
+         (CAST(s4 AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE) AS mean_value
+  FROM wk),
+lg AS (
+  SELECT *, lag(mean_value) OVER (ORDER BY week) AS pm,
+            lag(null_rate) OVER (ORDER BY week) AS pn
+  FROM m)
+SELECT week, CAST(n AS BIGINT) AS n, CAST(users AS BIGINT) AS users,
+       null_rate, mean_value,
+       coalesce(abs(mean_value - pm)
+                  > 0.05 * greatest(abs(mean_value), abs(pm)), FALSE)
+         AS mean_drift,
+       coalesce(abs(null_rate - pn) > 0.02, FALSE) AS null_drift
+FROM lg
+ORDER BY week
 """
