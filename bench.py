@@ -165,6 +165,7 @@ HEADLINE_R7 = [
     "q_pagerank_seeded",
     "q_assoc_rules",
     "q_drift_weekly",
+    "q_seasonal_outliers",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

@@ -3238,6 +3238,44 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_seasonal_outliers(spark, sf_dir):
+    """Seasonal anomaly detection: events deviating > 2 sigma from
+    their OWN hour-of-day baseline (q_zscore_outliers' global stats
+    miss periodic load patterns; the seasonal bucket is the classic
+    fix). sqrt-FREE: the 2-sigma test compares squared deviations —
+    (v*n - s)^2 > 4*(n*q - s^2) in the 1e-4-scaled integer units —
+    so no libm enters and the whole flag replays exactly. One stats
+    groupBy over 24 buckets broadcast back onto the scan; moments are
+    exact scale-0 decimal sums."""
+    ev = _t(spark, sf_dir, "events")
+    v4 = (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast(
+        "decimal(18,0)"
+    )
+    hod = (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("int")
+    base = ev.select(
+        hod.alias("hod"), v4.alias("__v4"), "event_id", "value"
+    )
+    stats = base.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v4").alias("__s"),
+        F.sum(
+            (F.col("__v4") * F.col("__v4")).cast("decimal(38,0)")
+        ).alias("__q"),
+    )
+    j = base.join(F.broadcast(stats), "hod")
+    vd = F.col("__v4").cast("double")
+    nd = F.col("__n").cast("double")
+    sd = F.col("__s").cast("double")
+    qd = F.col("__q").cast("double")
+    lhs = (vd * nd - sd) * (vd * nd - sd)
+    rhs = F.lit(4.0) * (nd * qd - sd * sd)
+    return (
+        j.where(lhs > rhs)
+        .select("event_id", "hod", "value")
+        .orderBy("event_id")
+    )
+
+
 def q_drift_weekly(spark, sf_dir):
     """Temporal drift monitor — q_drift_report's one-shot comparison
     turned into a SERIES: per epoch-week metrics (rows, value mean via
@@ -4153,6 +4191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_seeded": q_pagerank_seeded,
     "q_assoc_rules": q_assoc_rules,
     "q_drift_weekly": q_drift_weekly,
+    "q_seasonal_outliers": q_seasonal_outliers,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7249,4 +7288,25 @@ SELECT week, CAST(n AS BIGINT) AS n, CAST(users AS BIGINT) AS users,
        coalesce(abs(null_rate - pn) > 0.02, FALSE) AS null_drift
 FROM lg
 ORDER BY week
+"""
+
+# q_seasonal_outliers: hour buckets, exact scale-0 moments, and the
+# identical sqrt-free squared-deviation comparison tree.
+ORACLES["q_seasonal_outliers"] = """
+WITH base AS (
+  SELECT event_id, value,
+         CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS INTEGER) AS hod,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(18,0)) AS v4
+  FROM events),
+stats AS (
+  SELECT hod, count(*) AS n, sum(v4) AS s,
+         sum(CAST(v4 * v4 AS DECIMAL(38,0))) AS q
+  FROM base GROUP BY hod)
+SELECT b.event_id, b.hod, b.value
+FROM base b JOIN stats st USING (hod)
+WHERE (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE) - CAST(st.s AS DOUBLE))
+      * (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE) - CAST(st.s AS DOUBLE))
+      > 4.0 * (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+ORDER BY b.event_id
 """
