@@ -166,6 +166,7 @@ HEADLINE_R7 = [
     "q_assoc_rules",
     "q_drift_weekly",
     "q_seasonal_outliers",
+    "q_weighted_median",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

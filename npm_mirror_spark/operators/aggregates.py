@@ -273,3 +273,55 @@ def linear_trend(
     return with_slope.select(
         *group_cols, "n", "slope", intercept.alias("intercept")
     )
+
+
+def weighted_percentile_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    p_num: int,
+    p_den: int,
+) -> DataFrame:
+    """EXACT weighted percentile per group: the smallest value v whose
+    cumulative weight reaches p_num/p_den of the group's total —
+    (group..., p_value, total_weight).
+
+    The mass-weighted percentile is the honest corpus-report statistic:
+    "the median TOKEN lives in a document of length X" weights each doc
+    by its size, where the unweighted median answers a different
+    question.  Exactness: weights must be integer-valued (cast long);
+    the threshold test is cross-multiplied integers
+    (cum_w * p_den >= p_num * total_w), so no division exists at all.
+
+    Scale shape: one (group, value) weight-sum shuffle with map-side
+    partials collapses the corpus to the distinct-value axis; the
+    cumulative window then partitions per group over that (data-bounded)
+    axis — the group_percentiles shape, weighted.
+    """
+    if not (0 < p_num <= p_den):
+        raise ValueError("need 0 < p_num <= p_den")
+    v = F.col(value_col)
+    g = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    wc = Window.partitionBy(*group_cols).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        *group_cols,
+        v,
+        F.sum("__w").over(wc).alias("__cw"),
+        F.sum("__w").over(wt).alias("__tw"),
+    )
+    return (
+        cum.where(F.col("__cw") * F.lit(int(p_den)) >= F.lit(int(p_num)) * F.col("__tw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("p_value"),
+            F.first("__tw").alias("total_weight"),
+        )
+    )

@@ -3238,6 +3238,22 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_weighted_median(spark, sf_dir):
+    """Mass-weighted median per source
+    (operators/aggregates.py:weighted_percentile_by): the doc length at
+    which half of each source's CHARACTERS live — the corpus-report
+    statistic the unweighted median (q_group_percentiles) cannot
+    answer. Division-free: the threshold is the cross-multiplied
+    integer test cum_w*2 >= total_w; one (source, value) weight-sum
+    shuffle then bounded per-group windows."""
+    from npm_mirror_spark.operators.aggregates import weighted_percentile_by
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_percentile_by(
+        d, ["source"], "n_chars", "n_chars", p_num=1, p_den=2
+    ).orderBy("source")
+
+
 def q_seasonal_outliers(spark, sf_dir):
     """Seasonal anomaly detection: events deviating > 2 sigma from
     their OWN hour-of-day baseline (q_zscore_outliers' global stats
@@ -4192,6 +4208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_assoc_rules": q_assoc_rules,
     "q_drift_weekly": q_drift_weekly,
     "q_seasonal_outliers": q_seasonal_outliers,
+    "q_weighted_median": q_weighted_median,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7309,4 +7326,24 @@ WHERE (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE) - CAST(st.s AS DOUBLE))
       > 4.0 * (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
                - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
 ORDER BY b.event_id
+"""
+
+# q_weighted_median: distinct-value weight sums, per-group running and
+# total weights, the cross-multiplied integer threshold, min qualifying
+# value — division never occurs.
+ORACLES["q_weighted_median"] = """
+WITH g AS (
+  SELECT source, n_chars, sum(CAST(n_chars AS BIGINT)) AS w
+  FROM documents GROUP BY source, n_chars),
+cum AS (
+  SELECT source, n_chars,
+         sum(w) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY source) AS tw
+  FROM g)
+SELECT source, min(n_chars) AS p_value,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 2 >= 1 * tw
+GROUP BY source
+ORDER BY source
 """

@@ -77,3 +77,36 @@ def test_trend_excludes_null_and_nonfinite_rows(spark):
     b = linear_trend(dirty, ["g"], "x", "y").first()
     assert (a["n"], a["slope"], a["intercept"]) == (b["n"], b["slope"], b["intercept"])
     assert a["n"] == 10
+
+
+def test_weighted_percentile_matches_brute_force(spark):
+    """Crafted weights: the weighted median must be the value where
+    cumulative mass crosses half — brute-force expansion agrees; an
+    extreme-weight row dominates; p=1 returns the max value."""
+    from npm_mirror_spark.operators.aggregates import weighted_percentile_by
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 100), ("a", 4, 1),
+            ("b", 10, 5), ("b", 20, 5)]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+
+    def brute(vals, p):
+        exp = sorted([v for v, w in vals for _ in range(w)])
+        # smallest value whose cumulative weight reaches p of total
+        tot, c = len(exp), 0
+        for v in sorted(set(exp)):
+            c += sum(1 for x in exp if x == v)
+            if c >= p * tot:
+                return v
+
+    got = {
+        r["g"]: (r["p_value"], r["total_weight"])
+        for r in weighted_percentile_by(df, ["g"], "v", "w", 1, 2).collect()
+    }
+    assert got["a"] == (brute([(1, 1), (2, 1), (3, 100), (4, 1)], 0.5), 103)
+    assert got["a"][0] == 3  # the heavy row IS the weighted median
+    assert got["b"] == (10, 10)  # cw(10)=5, 5*2 >= 10 -> 10
+    p100 = {
+        r["g"]: r["p_value"]
+        for r in weighted_percentile_by(df, ["g"], "v", "w", 1, 1).collect()
+    }
+    assert p100 == {"a": 4, "b": 20}
