@@ -167,6 +167,7 @@ HEADLINE_R7 = [
     "q_drift_weekly",
     "q_seasonal_outliers",
     "q_weighted_median",
+    "q_source_gini",
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 

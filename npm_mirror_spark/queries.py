@@ -3238,6 +3238,38 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_source_gini(spark, sf_dir):
+    """Corpus-concentration report: the Gini coefficient of token mass
+    across sources — the one-number balance check before a training
+    mix is frozen (0 = perfectly even corpus, ->1 = one source owns
+    everything; the measure temperature_mix then corrects). Corpus
+    collapses to one |sources|-row aggregate; the rank window and the
+    closed form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n run on that
+    bounded table — exact integers into one fixed double expression."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("mass")
+    )
+    w = Window.orderBy("mass", "source")
+    ranked = per.select(
+        "source", "mass", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("mass").cast("long").alias("total_mass"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("mass")).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("mass").cast("double")
+            )
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gini"),
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Mass-weighted median per source
     (operators/aggregates.py:weighted_percentile_by): the doc length at
@@ -4209,6 +4241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_drift_weekly": q_drift_weekly,
     "q_seasonal_outliers": q_seasonal_outliers,
     "q_weighted_median": q_weighted_median,
+    "q_source_gini": q_source_gini,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7346,4 +7379,20 @@ SELECT source, min(n_chars) AS p_value,
 FROM cum WHERE cw * 2 >= 1 * tw
 GROUP BY source
 ORDER BY source
+"""
+
+# q_source_gini: |sources|-row mass table, (mass, source) rank, and the
+# identical closed-form expression — exact integer sums, one double tree.
+ORACLES["q_source_gini"] = """
+WITH per AS (
+  SELECT source, sum(CAST(n_chars AS BIGINT)) AS mass
+  FROM documents GROUP BY source),
+rk AS (
+  SELECT mass, row_number() OVER (ORDER BY mass, source) AS i FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(mass) AS BIGINT) AS total_mass,
+       2.0 * CAST(sum(i * mass) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE))
+       - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+FROM rk
 """
