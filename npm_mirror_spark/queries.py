@@ -4069,11 +4069,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_text_stats": q_text_stats,
     "q_approx_stats": q_approx_stats,
-    # slots 28-50 (r7 rotation): first-ever driver rows — the 23 oldest
+    # slots 28-50 (r8 rotation): first-ever driver rows — the 23 oldest
     # entries of the never-checked queue per docs/DRIVER_WINDOW.md: the 5
-    # entries the r6 risk swap deferred, the r5 eval/LM tail, then the
-    # oldest r6 sketch/curation additions.  Four are rows-only by nature
-    # (documented in __spark_entry__.py); the other 19 are oracle-backed.
+    # r6 remainders, then the r7 graph/sketch/linkage/validation wave in
+    # registry-queue order through q_calibration.  All 23 are
+    # oracle-backed (the only rows-only entry in this window is the
+    # pinned q_approx_stats).
+    "q_cut_contaminated": q_cut_contaminated,
+    "q_line_filter": q_line_filter,
+    "q_containment": q_containment,
+    "q_lang_margin": q_lang_margin,
+    "q_binned_quantiles": q_binned_quantiles,
+    "q_pagerank_directed": q_pagerank_directed,
+    "q_release_cut": q_release_cut,
+    "q_zorder": q_zorder,
+    "q_quality_checks": q_quality_checks,
+    "q_skew_report": q_skew_report,
+    "q_join_size_est": q_join_size_est,
+    "q_temperature_sample": q_temperature_sample,
+    "q_hll_setops": q_hll_setops,
+    "q_triangles": q_triangles,
+    "q_hll_by_group": q_hll_by_group,
+    "q_record_linkage": q_record_linkage,
+    "q_jaccard_exact": q_jaccard_exact,
+    "q_quantiles_by_group": q_quantiles_by_group,
+    "q_drift_report": q_drift_report,
+    "q_kcore": q_kcore,
+    "q_trend_by_group": q_trend_by_group,
+    "q_quantile_bins": q_quantile_bins,
+    "q_calibration": q_calibration,
+    # --- below the driver window: covered by tests/test_oracle_parity ---
+    # r7 window occupants (driver-green in CORRECTNESS_r07) rotate down;
+    # then earlier-round occupants; the remaining never-checked queue
+    # (6 youngest r7 additions + anything r8-new) sits last awaiting the
+    # r9 rotation.
     "q_temperature_mix": q_temperature_mix,
     "q_dup_ngram_fraction": q_dup_ngram_fraction,
     "q_dup_spans": q_dup_spans,
@@ -4097,10 +4126,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_url_canon": q_url_canon,
     "q_split_assign": q_split_assign,
     "q_token_budget": q_token_budget,
-    # --- below the driver window: covered by tests/test_oracle_parity ---
-    # r6 window occupants (driver-green in CORRECTNESS_r06) rotate down;
-    # then earlier-round occupants; the remaining never-checked queue
-    # (youngest r6 additions + r7-new) sits last awaiting the r8 rotation.
     "q_corpus_diff": q_corpus_diff,
     "q_quality_percentile_filter": q_quality_percentile_filter,
     "q_rolling_hour": q_rolling_hour,
@@ -4212,30 +4237,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_counts": q_pivot_counts,
     "q_asof_join": q_asof_join,
     "q_unpivot": q_unpivot,
-    # never-driver-checked queue remainder — r8 rotation candidates
-    "q_pagerank_directed": q_pagerank_directed,
-    "q_release_cut": q_release_cut,
-    "q_zorder": q_zorder,
-    "q_quality_checks": q_quality_checks,
-    "q_skew_report": q_skew_report,
-    "q_join_size_est": q_join_size_est,
-    "q_temperature_sample": q_temperature_sample,
-    "q_hll_setops": q_hll_setops,
-    "q_cut_contaminated": q_cut_contaminated,
-    "q_line_filter": q_line_filter,
-    "q_containment": q_containment,
-    "q_lang_margin": q_lang_margin,
-    "q_binned_quantiles": q_binned_quantiles,
-    "q_triangles": q_triangles,
-    "q_hll_by_group": q_hll_by_group,
-    "q_record_linkage": q_record_linkage,
-    "q_jaccard_exact": q_jaccard_exact,
-    "q_quantiles_by_group": q_quantiles_by_group,
-    "q_drift_report": q_drift_report,
-    "q_kcore": q_kcore,
-    "q_trend_by_group": q_trend_by_group,
-    "q_quantile_bins": q_quantile_bins,
-    "q_calibration": q_calibration,
+    # never-driver-checked queue remainder — r9 rotation candidates
+    # (the 6 r7 entries the r8 window could not fit, oldest first;
+    # r8-new queries append below)
     "q_pagerank_seeded": q_pagerank_seeded,
     "q_assoc_rules": q_assoc_rules,
     "q_drift_weekly": q_drift_weekly,

@@ -50,6 +50,32 @@ def test_every_oracle_key_is_registered():
     assert not stray, f"oracles without a query: {sorted(stray)}"
 
 
+def test_queue_plus_checked_covers_registry():
+    """The DRIVER_WINDOW.md never-checked queue block, the current
+    50-slot window, and the union of all recorded CORRECTNESS_r*.json
+    rows must exactly tile the registry — so the ledger cannot silently
+    drift from the dict the driver actually sees (r7 verdict item 6)."""
+    import json
+
+    doc = (REPO / "docs" / "DRIVER_WINDOW.md").read_text()
+    m = re.search(r"## Never-checked queue[^\n]*\n(.*?)```\n(.*?)```", doc, re.S)
+    assert m, "DRIVER_WINDOW.md lost its never-checked queue block"
+    queue = set(re.findall(r"q_[a-z0-9_]+", m.group(2)))
+    checked: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.load(f.open()))
+    window = set(list(QUERIES)[:50])
+    allq = set(QUERIES)
+    assert queue <= allq, f"queue names unregistered queries: {sorted(queue - allq)}"
+    assert not queue & checked, (
+        f"queue lists already-checked queries: {sorted(queue & checked)}"
+    )
+    uncovered = allq - checked - window - queue
+    assert not uncovered, (
+        f"registry entries missing from queue+checked+window: {sorted(uncovered)}"
+    )
+
+
 def test_driver_window_doc_matches_registry_head():
     """docs/DRIVER_WINDOW.md's claim about slots 28-50 must match the
     actual dict order the driver will see."""
