@@ -267,6 +267,22 @@ def main() -> None:
                 "throttle_ratio": round(probe_end / probe_start, 3)
                 if probe_start > 0
                 else None,
+                # throttle-corrected totals (r7 verdict item 7): divide the
+                # raw sums by throttle_ratio so the recorded number carries
+                # its own calibration arithmetic.  Assumes the end-of-sweep
+                # host speed held for the whole sweep — a deliberate
+                # worst-case correction (ramped slowdowns land between raw
+                # and corrected); both raw and corrected are emitted.
+                "common58_corrected": round(
+                    common58 / (probe_end / probe_start), 3
+                )
+                if probe_start > 0 and probe_end > 0
+                else None,
+                "common84_corrected": round(
+                    common84 / (probe_end / probe_start), 3
+                )
+                if probe_start > 0 and probe_end > 0
+                else None,
                 "pipeline_changes_per_sec": pipeline_rate,
                 "sf": sf,
             }
