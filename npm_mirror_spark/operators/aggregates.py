@@ -282,6 +282,7 @@ def weighted_percentile_by(
     weight_col: str,
     p_num: int,
     p_den: int,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """EXACT weighted percentile per group: the smallest value v whose
     cumulative weight reaches p_num/p_den of the group's total —
@@ -294,34 +295,105 @@ def weighted_percentile_by(
     the threshold test is cross-multiplied integers
     (cum_w * p_den >= p_num * total_w), so no division exists at all.
 
-    Scale shape: one (group, value) weight-sum shuffle with map-side
-    partials collapses the corpus to the distinct-value axis; the
-    cumulative window then partitions per group over that (data-bounded)
-    axis — the group_percentiles shape, weighted.
+    Scale shape — the TWO-LEVEL bucketed prefix sum (the
+    token_budget_select / classifier._with_prior_sums pattern), NOT a
+    per-group unbounded window: the r7 advisory was that
+    ``Window.partitionBy(group).orderBy(value)`` lands one group's whole
+    distinct-VALUE axis on a single reducer when the measure is
+    high-cardinality (doubles).  Instead: (1) one (group, value)
+    weight-sum shuffle with map-side partials collapses the corpus to
+    the distinct-value axis; (2) a per-group (min, max, total) aggregate
+    — which also replaces the old unbounded total-weight window —
+    broadcasts back so each value takes an ORDER-PRESERVING range
+    bucket; (3) per-(group, bucket) weight sums roll up to a bounded
+    |groups| x n_buckets offset table whose own prefix window runs per
+    group over <= n_buckets+1 rows; (4) the cumulative window is then
+    PARTITIONED BY (group, bucket) — parallel within each group — and
+    the broadcast offset lifts it to the global per-group running total.
+    Bucketing never changes which value first crosses the threshold
+    (integer sums are associative across the same total order), so
+    results are bit-identical to the single-window form and the DuckDB
+    oracle is unchanged.  Value-range bucketing can skew if distinct
+    values concentrate in a narrow band, but the worst case degrades to
+    the old single-window shape, never below it.
+
+    Edge order matches Spark's ascending sort (NULL first, then -Inf,
+    finite, +Inf, NaN): NULL values take bucket -1, -Inf bucket 0,
+    +Inf/NaN the top bucket (the within-bucket orderBy separates them)
+    — without the explicit edges one NaN would poison the span and
+    silently collapse every row into a single bucket.
     """
     if not (0 < p_num <= p_den):
         raise ValueError("need 0 < p_num <= p_den")
+    if n_buckets < 2:
+        raise ValueError("need n_buckets >= 2")
     v = F.col(value_col)
     g = df.groupBy(*group_cols, value_col).agg(
         F.sum(F.col(weight_col).cast("long")).alias("__w")
     )
-    wc = Window.partitionBy(*group_cols).orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # min/max over the FINITE values only (Spark's max treats NaN as the
+    # largest value, which would poison the bucket span); total weight
+    # over ALL rows, NULL/non-finite included.
+    v_d = v.cast("double")
+    finite = F.when(
+        v.isNull()
+        | F.isnan(v_d)
+        | (v_d == F.lit(float("inf")))
+        | (v_d == F.lit(float("-inf"))),
+        F.lit(None),
+    ).otherwise(v_d)
+    stats = g.groupBy(*group_cols).agg(
+        F.min(finite).alias("__mn"),
+        F.max(finite).alias("__mx"),
+        F.sum("__w").alias("__tw"),
     )
-    wt = Window.partitionBy(*group_cols).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    span = F.col("__mx") - F.col("__mn")
+    bkt = (
+        F.when(v.isNull(), F.lit(-1))
+        .when(F.isnan(v_d) | (v_d == F.lit(float("inf"))), F.lit(n_buckets - 1))
+        .when(v_d == F.lit(float("-inf")), F.lit(0))
+        .when(span.isNull() | (span <= 0), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((v_d - F.col("__mn")) / span * n_buckets).cast("int"),
+            )
+        )
     )
-    cum = g.select(
+    keyed = (
+        g.join(F.broadcast(stats), list(group_cols))
+        .withColumn("__bkt", bkt)
+        .drop("__mn", "__mx")
+    )
+    per_bucket = keyed.groupBy(*group_cols, "__bkt").agg(
+        F.sum("__w").alias("__bt")
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        *group_cols,
+        "__bkt",
+        F.coalesce(F.sum("__bt").over(wb), F.lit(0)).alias("__off"),
+    )
+    ww = (
+        Window.partitionBy(*group_cols, "__bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.join(F.broadcast(offsets), [*group_cols, "__bkt"]).select(
         *group_cols,
         v,
-        F.sum("__w").over(wc).alias("__cw"),
-        F.sum("__w").over(wt).alias("__tw"),
+        (F.col("__off") + F.sum("__w").over(ww)).alias("__cw"),
+        F.col("__tw"),
     )
     return (
         cum.where(F.col("__cw") * F.lit(int(p_den)) >= F.lit(int(p_num)) * F.col("__tw"))
         .groupBy(*group_cols)
         .agg(
             F.min(value_col).alias("p_value"),
-            F.first("__tw").alias("total_weight"),
+            F.min("__tw").alias("total_weight"),
         )
     )

@@ -3277,7 +3277,10 @@ def q_weighted_median(spark, sf_dir):
     statistic the unweighted median (q_group_percentiles) cannot
     answer. Division-free: the threshold is the cross-multiplied
     integer test cum_w*2 >= total_w; one (source, value) weight-sum
-    shuffle then bounded per-group windows."""
+    shuffle then the two-level bucketed prefix sum (every window
+    bounded by the __bkt range-bucket key — plan-pinned in
+    tests/test_plans.py), so a high-cardinality value axis never lands
+    one group on one reducer."""
     from npm_mirror_spark.operators.aggregates import weighted_percentile_by
 
     d = _t(spark, sf_dir, "documents")

@@ -465,6 +465,24 @@ def test_token_budget_windows_on_group_key(q):
         assert "__bkt" in spec, f"window not bounded by bucket key: {spec}"
 
 
+def test_weighted_percentile_windows_on_bucket_key(q):
+    """weighted_percentile_by must plan the TWO-LEVEL bucketed prefix
+    sum (the token_budget_select shape, r7 verdict item 2): every
+    window is anchored on the group key AND bounded by the __bkt
+    bucket key — either ordered by it (the <=n_buckets+1-row per-group
+    offset window) or partitioned by (group, __bkt) (the parallel
+    intra-bucket window). A spec without __bkt is the old per-group
+    unbounded window over the distinct-value axis: one reducer per
+    group for a high-cardinality measure at 100 TB."""
+    import re
+
+    text = plans.explain_str(q("q_weighted_median"), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs and all(s.lstrip().startswith("source") for s in specs)
+    for spec in specs:
+        assert "__bkt" in spec, f"window not bounded by bucket key: {spec}"
+
+
 def test_zorder_key_is_mapside_single_rollup_shuffle(spark, sf_dir):
     """The Morton key must be a map-side expression: the only data
     shuffle in the q_zorder plan is the final (shard) count/min/max

@@ -110,3 +110,59 @@ def test_weighted_percentile_matches_brute_force(spark):
         for r in weighted_percentile_by(df, ["g"], "v", "w", 1, 1).collect()
     }
     assert p100 == {"a": 4, "b": 20}
+
+
+def test_weighted_percentile_double_axis_and_edges(spark):
+    """The r8 bucketed rewrite's new paths: a high-cardinality DOUBLE
+    value axis (many distinct values spread across range buckets), NaN /
+    +-Inf edge buckets, NULL values, and a tiny n_buckets that forces
+    multi-value buckets — all must reproduce the brute-force weighted
+    percentile (Spark sort order: NULL, -Inf, finite, +Inf, NaN)."""
+    import math
+
+    from npm_mirror_spark.operators.aggregates import weighted_percentile_by
+
+    vals = [(i * 0.37 + (i % 7) * 0.001) for i in range(200)]
+    rows = [("a", v, (i % 5) + 1) for i, v in enumerate(vals)]
+    rows += [("b", float("-inf"), 3), ("b", 1.5, 1), ("b", float("inf"), 1),
+             ("b", float("nan"), 1), ("b", None, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+
+    def brute(pairs, num, den):
+        def key(v):
+            if v is None:
+                return (0, 0.0)
+            if isinstance(v, float) and math.isnan(v):
+                return (2, 0.0)
+            return (1, v)
+
+        tot = sum(w for _, w in pairs)
+        c = 0
+        for v, w in sorted(pairs, key=lambda p: key(p[0])):
+            c += w
+            # NULL weights count toward the axis front but NULL itself
+            # is never reported (F.min skips it) — the operator's
+            # contract since r7; the next value also passes since the
+            # cumulative only grows.
+            if c * den >= num * tot and v is not None:
+                return v, tot
+
+    for num, den in [(1, 2), (1, 4), (9, 10), (1, 1)]:
+        got = {
+            r["g"]: (r["p_value"], r["total_weight"])
+            for r in weighted_percentile_by(
+                df, ["g"], "v", "w", num, den, n_buckets=8
+            ).collect()
+        }
+        a_pairs = [(v, (i % 5) + 1) for i, v in enumerate(vals)]
+        b_pairs = [(float("-inf"), 3), (1.5, 1), (float("inf"), 1),
+                   (float("nan"), 1), (None, 2)]
+        exp_a = brute(a_pairs, num, den)
+        exp_b = brute(b_pairs, num, den)
+        assert got["a"] == exp_a, (num, den, got["a"], exp_a)
+        gb, eb = got["b"], exp_b
+        assert gb[1] == eb[1]
+        if eb[0] is None or (isinstance(eb[0], float) and math.isnan(eb[0])):
+            assert gb[0] is None or math.isnan(gb[0])
+        else:
+            assert gb[0] == eb[0], (num, den, gb, eb)
