@@ -106,6 +106,61 @@ def _canonical_pairs(
     )
 
 
+def drop_oversized_baskets(
+    df: DataFrame, basket_col: str, max_basket: int = 64
+) -> DataFrame:
+    """Guard the quadratic basket-pairing faces (r7 verdict item 3):
+    exclude baskets with more than ``max_basket`` rows before any
+    per-basket self-join, so one adversarial 100k-item basket can
+    never plan 5x10^9 pair rows.  (Row count, not distinct-item count:
+    rows are what the self-join squares.)
+
+    Whole-basket exclusion (not a top-N cap): a partial basket would
+    produce arbitrary pair subsets, while dropping the basket keeps
+    every emitted pair an honest co-occurrence — and mega-baskets are
+    themselves a bot/boilerplate signal market-basket practice discards.
+    The oversized set is tiny by the guard's own purpose, so it rides a
+    broadcast anti join; the size count is one key-only partial
+    aggregate.  Fixture baskets (TPC-H, <= 7 items) are far under any
+    sane cap, so oracles are unchanged — at 100 TB the cap is the
+    difference between a bounded wedge join and an accidental cross
+    product.
+    """
+    if max_basket < 1:
+        raise ValueError("max_basket must be >= 1")
+    oversized = (
+        df.groupBy(basket_col)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") > max_basket)
+        .select(basket_col)
+    )
+    return df.join(F.broadcast(oversized), basket_col, "left_anti")
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Co-occurrence edges (src < dst) from (basket, item) rows, with
+    the :func:`drop_oversized_baskets` guard applied first — the ONLY
+    sanctioned route to a per-basket self-join (the registry plan lint
+    treats unguarded basket pairing as an accidental cross product)."""
+    guarded = drop_oversized_baskets(
+        df.select(basket_col, item_col), basket_col, max_basket
+    )
+    x, y = guarded.alias("x"), guarded.alias("y")
+    return x.join(
+        y,
+        (F.col(f"x.{basket_col}") == F.col(f"y.{basket_col}"))
+        & (F.col(f"x.{item_col}") < F.col(f"y.{item_col}")),
+    ).select(
+        F.col(f"x.{item_col}").alias("src"),
+        F.col(f"y.{item_col}").alias("dst"),
+    )
+
+
 def _degrees(pairs: DataFrame) -> DataFrame:
     return (
         pairs.select(F.col("a").alias("id"))

@@ -3216,25 +3216,24 @@ def q_triangles(spark, sf_dir):
     O(sqrt(2m)) rows regardless of hub parts (Suri & Vassilvitskii
     WWW'11); the oracle replays the canonicalization, orientation,
     wedge join and closure semi-join relationally — exact integers plus
-    one IEEE division for the coefficient."""
-    from npm_mirror_spark.operators.graph import triangle_counts
+    one IEEE division for the coefficient.  Edge building rides
+    basket_pairs with its max_basket=64 guard (graph.py): baskets above
+    the cap are dropped whole before the per-basket self-join, so the
+    face can never go quadratic on an adversarial basket (TPC-H baskets
+    are <= 7, so the fixture result — and the oracle — is unchanged)."""
+    from npm_mirror_spark.operators.graph import basket_pairs, triangle_counts
 
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         # deterministic 1/5 order slice: wedge volume grows ~m^1.5, so
         # the registered face bounds the basket count; the operator
-        # itself carries the full-scale orientation bound
+        # itself carries the full-scale orientation bound.  The FULL
+        # graph gets its own registered face as the q_triangle_est
+        # wedge-sampling estimator.
         .where(F.col("l_orderkey") % 5 == 2)
     )
-    x, y = li.alias("x"), li.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
     return triangle_counts(edges).orderBy("id")
 
 
@@ -3394,14 +3393,25 @@ def q_assoc_rules(spark, sf_dir):
     division each. The pair/item count shuffles are the market-basket
     economics of q_event_cooccurrence; the 1-row basket-count frame
     broadcasts; top-50 by lift with a total-order tiebreak. Exactly
-    replayable end to end."""
-    li = (
+    replayable end to end.  The whole computation — pair, item and
+    basket counts alike — runs on the max_basket=64-guarded basket set
+    (graph.py:drop_oversized_baskets), so support/confidence stay
+    mutually consistent and one adversarial basket can never go
+    quadratic (TPC-H baskets are <= 7: fixture result and oracle
+    unchanged)."""
+    from npm_mirror_spark.operators.graph import drop_oversized_baskets
+
+    li = drop_oversized_baskets(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
+        "l_orderkey",
+        max_basket=64,
     )
     n = li.agg(F.count_distinct("l_orderkey").alias("__n"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # pair join inline on the ALREADY-guarded set (basket_pairs would
+    # re-run the guard aggregate for nothing)
     x, y = li.alias("x"), li.alias("y")
     pair = (
         x.join(
@@ -3454,22 +3464,18 @@ def q_kcore(spark, sf_dir):
     rounds keep one lazy plan and make the fourth unrolled-iteration
     oracle (after PageRank, k-means, components); per round one degree
     count + two key-only semi-joins. q_kcore returns the surviving
-    nodes with their subgraph degrees."""
-    from npm_mirror_spark.operators.graph import kcore
+    nodes with their subgraph degrees.  Edges ride basket_pairs with
+    its max_basket=64 guard (graph.py) — the quadratic-basket
+    protection shared with q_triangles; TPC-H baskets are <= 7, so the
+    oracle is unchanged."""
+    from npm_mirror_spark.operators.graph import basket_pairs, kcore
 
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .where(F.col("l_orderkey") % 5 == 2)
     )
-    x, y = li.alias("x"), li.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
     return kcore(edges, k=20, n_rounds=3).orderBy("id")
 
 

@@ -406,3 +406,28 @@ def test_ppr_seed_outside_graph_is_ignored_and_empty_errors(spark):
         pagerank_personalized(
             df, spark.createDataFrame([(42,)], "id long"), n_iter=1
         )
+
+
+def test_drop_oversized_baskets_guard(spark):
+    """The max_basket guard (r7 verdict item 3): a basket above the cap
+    disappears whole — its items contribute NO pairs — while every
+    basket at or under the cap pairs normally."""
+    from npm_mirror_spark.operators.graph import basket_pairs, drop_oversized_baskets
+
+    rows = [("small", i) for i in range(3)]
+    rows += [("edge", i) for i in range(5)]
+    rows += [("mega", i) for i in range(6)]
+    df = spark.createDataFrame(rows, "basket string, item int")
+
+    kept = drop_oversized_baskets(df, "basket", max_basket=5)
+    assert sorted(set(r["basket"] for r in kept.collect())) == ["edge", "small"]
+
+    pairs = basket_pairs(df, "basket", "item", max_basket=5).collect()
+    # C(3,2) + C(5,2) = 3 + 10; the mega basket contributes nothing
+    assert len(pairs) == 13
+    assert all(r["src"] < r["dst"] for r in pairs)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        drop_oversized_baskets(df, "basket", max_basket=0)
