@@ -239,6 +239,103 @@ def kcore_fixpoint(
     return _degrees(e)
 
 
+def _orient(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of canonical (a, b) pairs: every edge
+    points from the (deg, id)-lexicographically smaller endpoint to the
+    larger, with the destination's (deg, id) key carried as ``sd`` so
+    wedge legs enumerate once in orientation order.  The
+    Chiba–Nishizeki bound lives here: oriented out-degree <= O(sqrt(2m))
+    for every node, hubs included."""
+    stamped = (
+        pairs.join(
+            deg.select(F.col("id").alias("a"), F.col("deg").alias("__da")), "a"
+        ).join(
+            deg.select(F.col("id").alias("b"), F.col("deg").alias("__db")), "b"
+        )
+    )
+    # a < b by canonicalization, so the (deg, id) tie-break on equal
+    # degrees is simply a→b
+    lt = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    return stamped.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        # the DESTINATION's (deg, id) key orders wedge legs so each
+        # successor pair is enumerated once, in orientation order
+        F.when(lt, F.col("__db")).otherwise(F.col("__da")).alias("sd"),
+    )
+
+
+def _closed_wedges(centers: DataFrame, oriented: DataFrame) -> DataFrame:
+    """(u, v, w) triangles discovered as wedges centered at ``centers``
+    rows (an oriented-edge subset — the full set for exact counting, a
+    sampled-src subset for the estimator) closed by the FULL oriented
+    edge set."""
+    x, y = centers.alias("x"), centers.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.sd") < F.col("y.sd"))
+            | ((F.col("x.sd") == F.col("y.sd")) & (F.col("x.dst") < F.col("y.dst")))
+        ),
+    ).select(
+        F.col("x.src").alias("u"), F.col("x.dst").alias("v"), F.col("y.dst").alias("w")
+    )
+    return wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    rate_den: int = 5,
+    seed: int = 0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Unbiased FULL-GRAPH triangle-count estimator by deterministic
+    center sampling (r7 verdict item 4) — one row:
+    (rate_den, sampled_triangles, est_triangles).
+
+    Under degree-ordered orientation each triangle has exactly ONE
+    center (the (deg, id)-least vertex, the one with both out-edges),
+    so counting triangles whose center lands in a 1/rate_den vertex
+    sample and scaling by rate_den is an unbiased estimate of the total
+    — and the expensive wedge self-join runs on the sampled-center
+    out-edges only, cutting wedge volume by ~rate_den while the closure
+    semi-join stays against the full oriented edge set.  This is the
+    face that prices the FULL co-purchase graph (q_triangles' registered
+    face slices 1/5 of baskets instead; see docs/BENCH_NOTES.md for the
+    exact-vs-estimate cross-check).
+
+    Exact-replay contract: the sample is md5(seed ':' center) %
+    rate_den == 0 (md5_key64 — uniform on [0, 2^60), so % equals pmod)
+    and the estimate is the exact integer product sampled * rate_den —
+    no floats anywhere, so the DuckDB oracle replays bit-for-bit in the
+    q_kmeans/q_pagerank exact-replay style.
+    """
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    if rate_den < 1:
+        raise ValueError("rate_den must be >= 1")
+    pairs = _canonical_pairs(edges, src_col, dst_col)
+    deg = _degrees(pairs)
+    oriented = _orient(pairs, deg)
+    centers = oriented.where(
+        F.pmod(md5_key64(F.col("src"), seed), F.lit(int(rate_den))) == 0
+    )
+    tris = _closed_wedges(centers, oriented)
+    return tris.agg(
+        F.lit(int(rate_den)).cast("long").alias("rate_den"),
+        F.count(F.lit(1)).alias("sampled_triangles"),
+        (F.count(F.lit(1)) * F.lit(int(rate_den))).alias("est_triangles"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -278,41 +375,8 @@ def triangle_counts(
     """
     pairs = _canonical_pairs(edges, src_col, dst_col)
     deg = _degrees(pairs)
-    stamped = (
-        pairs.join(
-            deg.select(F.col("id").alias("a"), F.col("deg").alias("__da")), "a"
-        ).join(
-            deg.select(F.col("id").alias("b"), F.col("deg").alias("__db")), "b"
-        )
-    )
-    # a < b by canonicalization, so the (deg, id) tie-break on equal
-    # degrees is simply a→b
-    lt = (F.col("__da") < F.col("__db")) | (
-        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = stamped.select(
-        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        # the DESTINATION's (deg, id) key orders wedge legs so each
-        # successor pair is enumerated once, in orientation order
-        F.when(lt, F.col("__db")).otherwise(F.col("__da")).alias("sd"),
-    )
-    x, y = oriented.alias("x"), oriented.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.src") == F.col("y.src"))
-        & (
-            (F.col("x.sd") < F.col("y.sd"))
-            | ((F.col("x.sd") == F.col("y.sd")) & (F.col("x.dst") < F.col("y.dst")))
-        ),
-    ).select(
-        F.col("x.src").alias("u"), F.col("x.dst").alias("v"), F.col("y.dst").alias("w")
-    )
-    tris = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-        "left_semi",
-    )
+    oriented = _orient(pairs, deg)
+    tris = _closed_wedges(oriented, oriented)
     credit = (
         tris.select(F.col("u").alias("id"))
         .unionByName(tris.select(F.col("v").alias("id")))

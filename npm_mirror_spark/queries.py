@@ -3237,6 +3237,24 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def q_triangle_est(spark, sf_dir):
+    """FULL-graph triangle count by deterministic wedge sampling
+    (operators/graph.py:triangle_count_sampled): the face q_triangles'
+    1/5 basket slice cannot give — the whole co-purchase graph's
+    triangle total, estimated by counting triangles whose unique
+    orientation center lands in the md5(seed':'id)%5==0 vertex sample
+    and scaling by 5 (unbiased: each triangle has exactly one center
+    under degree-ordered orientation).  The wedge self-join runs on
+    sampled-center out-edges only (~1/5 of the full wedge volume); the
+    closure semi-join stays full.  Exact integers end to end, so the
+    oracle replays bit-for-bit.  Edges ride the max_basket=64 guard."""
+    from npm_mirror_spark.operators.graph import basket_pairs, triangle_count_sampled
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+    return triangle_count_sampled(edges, rate_den=5, seed=8)
+
+
 def q_source_gini(spark, sf_dir):
     """Corpus-concentration report: the Gini coefficient of token mass
     across sources — the one-number balance check before a training
@@ -4255,6 +4273,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seasonal_outliers": q_seasonal_outliers,
     "q_weighted_median": q_weighted_median,
     "q_source_gini": q_source_gini,
+    # r8 additions (never driver-checked yet)
+    "q_triangle_est": q_triangle_est,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6898,6 +6918,44 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_triangle_est: the same orientation replay over the FULL co-purchase
+# graph, with the md5 center sample cutting the wedge join — exact
+# integers, one row.
+ORACLES["q_triangle_est"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM raw UNION ALL SELECT b FROM raw) GROUP BY id),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND r.a < r.b)
+              THEN r.a ELSE r.b END AS src,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND r.a < r.b)
+              THEN r.b ELSE r.a END AS dst,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND r.a < r.b)
+              THEN db.deg ELSE da.deg END AS sd
+  FROM raw r
+  JOIN deg da ON da.id = r.a
+  JOIN deg db ON db.id = r.b),
+c AS (
+  SELECT * FROM o
+  WHERE ('0x' || substr(md5('8:' || CAST(src AS VARCHAR)), 1, 15))::BIGINT % 5 = 0),
+wedge AS (
+  SELECT x.src AS u, x.dst AS v, y.dst AS w
+  FROM c x JOIN c y
+    ON x.src = y.src
+   AND (x.sd < y.sd OR (x.sd = y.sd AND x.dst < y.dst))),
+tri AS (
+  SELECT u, v, w FROM wedge
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wedge.v AND o.dst = wedge.w))
+SELECT CAST(5 AS BIGINT) AS rate_den,
+       CAST(count(*) AS BIGINT) AS sampled_triangles,
+       CAST(count(*) * 5 AS BIGINT) AS est_triangles
+FROM tri
 """
 
 # q_hll_by_group: the grouped register algebra replayed — per-group

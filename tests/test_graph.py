@@ -431,3 +431,31 @@ def test_drop_oversized_baskets_guard(spark):
 
     with pytest.raises(ValueError):
         drop_oversized_baskets(df, "basket", max_basket=0)
+
+
+def test_triangle_sampled_rate1_equals_exact(spark):
+    """At rate_den=1 the estimator IS the exact count: on a graph with
+    known triangles it must equal the sum of per-node credits / 3, and
+    at rate_den>1 it stays deterministic (two runs identical) with
+    sampled*rate == est."""
+    from npm_mirror_spark.operators.graph import (
+        triangle_count_sampled,
+        triangle_counts,
+    )
+
+    # two triangles sharing an edge + a pendant: {1,2,3}, {2,3,4}, 5-6
+    rows = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(rows, "src int, dst int")
+    exact = triangle_counts(edges).agg(F.sum("triangles")).first()[0] // 3
+    assert exact == 2
+    one = triangle_count_sampled(edges, rate_den=1, seed=8).first()
+    assert (one["rate_den"], one["sampled_triangles"], one["est_triangles"]) == (1, 2, 2)
+    a = triangle_count_sampled(edges, rate_den=2, seed=8).first()
+    b = triangle_count_sampled(edges, rate_den=2, seed=8).first()
+    assert a == b
+    assert a["est_triangles"] == a["sampled_triangles"] * 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        triangle_count_sampled(edges, rate_den=0)
