@@ -106,6 +106,74 @@ def constraint_report(
     return agg.select(F.inline(F.array(*structs)))
 
 
+def grouped_constraint_report(
+    df: DataFrame,
+    group_col: str,
+    constraints: list[tuple],
+) -> DataFrame:
+    """Per-group contract evaluation — the batch face of the
+    ValidatedAppend gate (r7 verdict item 5): evaluate every constraint
+    WITHIN each ``group_col`` partition (a batch id, an ingest day, a
+    source) and return one row per (group, constraint):
+    (group_col, name, kind, column, metric, threshold, ok, group_ok,
+    route) where ``group_ok`` is the all-constraints conjunction and
+    ``route`` is the gate's verdict ('main' / 'quarantine') — exactly
+    the all-or-nothing decision ValidatedAppend.process_batch makes per
+    micro-batch, expressed as one relational job over many batches at
+    once.
+
+    Cost: ONE aggregation job — every metric is an aggregate expression
+    over the same (group)-keyed shuffle with map-side partials
+    (count_distinct adds its usual expand); the per-group single rows
+    then explode via ``inline``, driver-free.  Same exactness contract
+    as constraint_report: every metric is a ratio of exact counts or an
+    exact min/max, so a DuckDB oracle replays values and verdicts
+    bit-for-bit.
+    """
+    if not constraints:
+        raise ValueError("need at least one constraint")
+    metric_cols = []
+    for i, spec in enumerate(constraints):
+        name, kind, column, threshold = spec[:4]
+        arg = spec[4] if len(spec) > 4 else None
+        metric_cols.append(_metric(kind, column, arg).alias(f"__m_{i}"))
+    agg = df.groupBy(group_col).agg(*metric_cols)
+    oks = []
+    for i, spec in enumerate(constraints):
+        _, kind, _, threshold = spec[:4]
+        m = F.col(f"__m_{i}")
+        ok = (
+            m <= F.lit(float(threshold))
+            if kind == "max_value"
+            else m >= F.lit(float(threshold))
+        )
+        oks.append(ok)
+    group_ok = oks[0]
+    for o in oks[1:]:
+        group_ok = group_ok & o
+    structs = []
+    for i, spec in enumerate(constraints):
+        name, kind, column, threshold = spec[:4]
+        structs.append(
+            F.struct(
+                F.lit(name).alias("name"),
+                F.lit(kind).alias("kind"),
+                F.lit(column).alias("column"),
+                F.col(f"__m_{i}").alias("metric"),
+                F.lit(float(threshold)).alias("threshold"),
+                oks[i].alias("ok"),
+            )
+        )
+    return agg.select(
+        group_col,
+        F.inline(F.array(*structs)),
+        group_ok.alias("group_ok"),
+        F.when(group_ok, F.lit("main"))
+        .otherwise(F.lit("quarantine"))
+        .alias("route"),
+    )
+
+
 _NUMERIC_TYPES = {
     "byte", "short", "integer", "long", "float", "double", "decimal",
 }

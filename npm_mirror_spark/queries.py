@@ -3964,6 +3964,45 @@ def q_quality_checks(spark, sf_dir):
     ])
 
 
+def q_validated_batch(spark, sf_dir):
+    """The ValidatedAppend gate's batch decision as a driver-checkable
+    relational face (operators/checks.py:grouped_constraint_report —
+    r7 verdict item 5): orders split into 4 deterministic batches
+    (o_orderkey % 4), two of which get md5-seeded corruption (batch 2:
+    negated prices on ~1/13 of rows; batch 3: nulled status) — then
+    every batch's constraint report plus the all-or-nothing routing
+    verdict ('main' / 'quarantine') comes out of ONE aggregation job,
+    exactly the per-micro-batch decision
+    streaming/validated_append.py::ValidatedAppend.process_batch makes
+    (pinned for exactly-once replay in tests/test_validated_append.py).
+    Exact count ratios and min/max only — bit-for-bit replayable."""
+    from npm_mirror_spark.operators import checks as checks_ops
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    o = _t(spark, sf_dir, "orders")
+    hit = F.pmod(md5_key64(F.col("o_orderkey"), 1), F.lit(13)) == 0
+    batched = o.select(
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("batch_id"),
+        F.when(
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) == 2) & hit,
+            -F.col("o_totalprice"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) == 3) & hit,
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return checks_ops.grouped_constraint_report(batched, "batch_id", [
+        ("status_complete", "completeness", "o_orderstatus", 1.0),
+        ("status_domain", "in_set", "o_orderstatus", 1.0, ["O", "F", "P"]),
+        ("price_positive", "min_value", "o_totalprice", 0.0),
+    ]).orderBy("batch_id", "name")
+
+
 def q_cut_contaminated(spark, sf_dir):
     """Span-level decontamination
     (operators/curation.py:cut_contaminated_spans): benchmark-
@@ -4275,6 +4314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_gini": q_source_gini,
     # r8 additions (never driver-checked yet)
     "q_triangle_est": q_triangle_est,
+    "q_validated_batch": q_validated_batch,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -6721,6 +6761,52 @@ UNION ALL
 SELECT 'price_positive', 'min_value', 'o_totalprice', mn_tp, 0.0,
        mn_tp >= 0.0
 FROM a
+"""
+
+# q_validated_batch: the grouped contract gate replayed — md5-seeded
+# corruption, per-batch exact-count metrics, the three-constraint
+# conjunction and the main/quarantine verdict.
+ORACLES["q_validated_batch"] = """
+WITH h AS (
+  SELECT *,
+         (('0x' || substr(md5('1:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+          % 13 = 0) AS hit
+  FROM orders),
+b AS (
+  SELECT CAST(o_orderkey % 4 AS INTEGER) AS batch_id,
+         CASE WHEN o_orderkey % 4 = 2 AND hit THEN -o_totalprice
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 4 = 3 AND hit THEN NULL
+              ELSE o_orderstatus END AS status
+  FROM h),
+per AS (
+  SELECT batch_id,
+         CASE WHEN count(*) > 0
+              THEN CAST(count(status) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              ELSE 1.0 END AS m0,
+         CASE WHEN count(status) > 0
+              THEN CAST(sum(CASE WHEN status IN ('O','F','P') THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(status) AS DOUBLE)
+              ELSE 1.0 END AS m1,
+         CAST(min(price) AS DOUBLE) AS m2
+  FROM b GROUP BY 1),
+v AS (
+  SELECT batch_id, m0, m1, m2,
+         (m0 >= 1.0 AND m1 >= 1.0 AND m2 >= 0.0) AS group_ok
+  FROM per)
+SELECT batch_id, name, kind, "column", metric, threshold, ok, group_ok,
+       CASE WHEN group_ok THEN 'main' ELSE 'quarantine' END AS route
+FROM (
+  SELECT batch_id, 'status_complete' AS name, 'completeness' AS kind,
+         'o_orderstatus' AS "column", m0 AS metric, 1.0 AS threshold,
+         m0 >= 1.0 AS ok, group_ok FROM v
+  UNION ALL
+  SELECT batch_id, 'status_domain', 'in_set', 'o_orderstatus', m1, 1.0,
+         m1 >= 1.0, group_ok FROM v
+  UNION ALL
+  SELECT batch_id, 'price_positive', 'min_value', 'o_totalprice', m2, 0.0,
+         m2 >= 0.0, group_ok FROM v)
+ORDER BY batch_id, name
 """
 
 

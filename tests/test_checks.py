@@ -140,3 +140,50 @@ def test_drift_report_empty_side_is_vacuous_not_nan(spark):
     assert r["null_rate_b"] == 0.0 and not math.isnan(r["null_rate_b"])
     assert r["mean_b"] is None
     assert r["n_b"] == 0
+
+
+def test_grouped_constraint_report_routes_per_group(spark):
+    """grouped_constraint_report: per-group metrics match the ungrouped
+    report run group by group, group_ok is the conjunction, and the
+    route mirrors ValidatedAppend's all-or-nothing verdict."""
+    from npm_mirror_spark.operators.checks import (
+        constraint_report,
+        grouped_constraint_report,
+    )
+
+    rows = [
+        ("a", 1, "x"), ("a", 2, "y"), ("a", 3, "x"),
+        ("b", -5, "x"), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, s string")
+    spec = [
+        ("s_complete", "completeness", "s", 1.0),
+        ("v_positive", "min_value", "v", 0.0),
+    ]
+    got = grouped_constraint_report(df, "g", spec).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["g"], []).append(r)
+    assert set(by_group) == {"a", "b"}
+    for gname, rs in by_group.items():
+        single = {
+            r["name"]: r
+            for r in constraint_report(
+                df.where(df.g == gname), spec
+            ).collect()
+        }
+        for r in rs:
+            assert r["metric"] == single[r["name"]]["metric"]
+            assert r["ok"] == single[r["name"]]["ok"]
+        expect_ok = all(r["ok"] for r in rs)
+        assert all(r["group_ok"] == expect_ok for r in rs)
+        assert all(
+            r["route"] == ("main" if expect_ok else "quarantine") for r in rs
+        )
+    assert all(r["group_ok"] for r in by_group["a"])
+    assert not any(r["group_ok"] for r in by_group["b"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_constraint_report(df, "g", [])
