@@ -239,6 +239,68 @@ def kcore_fixpoint(
     return _degrees(e)
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, made deterministic): every node starts labeled with its
+    own id; each round it adopts the label that is most frequent among
+    its neighbors' PREVIOUS-round labels, breaking count ties toward the
+    SMALLEST label.  Returns (id, label) after ``n_rounds``.
+
+    Where components (dedup.py) answers "connected at all?" and kcore
+    answers "mutually dense?", label propagation finds the
+    mesoscale communities a duplication/affinity graph organizes into —
+    the template-family view curation acts on.  The classic algorithm
+    is randomized (scan order + uniform tie-break); this variant fixes
+    BOTH (synchronous rounds, min-label ties), which is what makes it
+    oracle-replayable like the other unrolled-iteration operators
+    (pagerank, kmeans, kcore).
+
+    Per round: one edge-sized join stamping neighbor labels, one
+    (node, label) count shuffle with map-side partials, one argmax
+    aggregate via max(struct(count, -label)) — no windows, nothing on
+    the driver.  Isolated nodes never appear in the message join and
+    keep their own id via the left join.  Fixed small ``n_rounds`` keeps
+    the lazy plan bounded (the kcore lesson: each round adds three
+    operators to the tree, so beyond ~4 rounds callers should
+    localCheckpoint between rounds).
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    pairs = _canonical_pairs(edges, src_col, dst_col)
+    adj = pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nodes = adj.select(F.col("u").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(n_rounds):
+        msgs = adj.join(
+            labels.select(F.col("id").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counts = msgs.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        best = (
+            counts.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c"), (-F.col("label")).alias("__nl")
+                    )
+                ).alias("__m")
+            )
+            .select(F.col("u").alias("id"), (-F.col("__m.__nl")).alias("label"))
+        )
+        labels = nodes.join(best, "id", "left").select(
+            "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
+        )
+    return labels
+
+
 def _orient(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     """Degree-ordered orientation of canonical (a, b) pairs: every edge
     points from the (deg, id)-lexicographically smaller endpoint to the

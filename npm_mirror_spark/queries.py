@@ -3497,6 +3497,28 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=20, n_rounds=3).orderBy("id")
 
 
+def q_communities(spark, sf_dir):
+    """Community detection (operators/graph.py:label_propagation) over
+    the sliced co-purchase graph of q_triangles/q_kcore: two
+    synchronous min-tiebreak label-propagation rounds assign every part
+    the smallest id of its densest neighborhood — the mesoscale
+    template-family view between components ("connected at all") and
+    k-core ("mutually dense").  Deterministic by construction
+    (synchronous rounds, min-label ties), so the oracle unrolls both
+    rounds relationally — the sixth unrolled-iteration oracle after
+    pagerank/kmeans/components/kcore.  Edges ride the max_basket=64
+    guard."""
+    from npm_mirror_spark.operators.graph import basket_pairs, label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+    return label_propagation(edges, n_rounds=2).orderBy("id")
+
+
 def q_pagerank_seeded(spark, sf_dir):
     """Personalized PageRank (operators/graph.py:pagerank_personalized)
     over the dup-attribution arcs of q_pagerank_directed, restarted on
@@ -4315,6 +4337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8 additions (never driver-checked yet)
     "q_triangle_est": q_triangle_est,
     "q_validated_batch": q_validated_batch,
+    "q_communities": q_communities,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7004,6 +7027,43 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_communities: both synchronous label-propagation rounds unrolled —
+# neighbor-label messages, (node, label) counts, argmax with the
+# count-desc/label-asc total order, isolated-node coalesce.
+ORACLES["q_communities"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2),
+adj AS (SELECT a AS u, b AS v FROM raw UNION ALL SELECT b, a FROM raw),
+n AS (SELECT DISTINCT u AS id FROM adj),
+l0 AS (SELECT id, id AS label FROM n),
+c1 AS (
+  SELECT adj.u, l0.label, count(*) AS c
+  FROM adj JOIN l0 ON l0.id = adj.v GROUP BY 1, 2),
+b1 AS (
+  SELECT u, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+    FROM c1) WHERE rn = 1),
+l1 AS (
+  SELECT n.id, coalesce(b1.label, n.id) AS label
+  FROM n LEFT JOIN b1 ON b1.u = n.id),
+c2 AS (
+  SELECT adj.u, l1.label, count(*) AS c
+  FROM adj JOIN l1 ON l1.id = adj.v GROUP BY 1, 2),
+b2 AS (
+  SELECT u, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+    FROM c2) WHERE rn = 1),
+l2 AS (
+  SELECT n.id, coalesce(b2.label, n.id) AS label
+  FROM n LEFT JOIN b2 ON b2.u = n.id)
+SELECT id, label FROM l2 ORDER BY id
 """
 
 # q_triangle_est: the same orientation replay over the FULL co-purchase

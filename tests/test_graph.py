@@ -459,3 +459,25 @@ def test_triangle_sampled_rate1_equals_exact(spark):
 
     with pytest.raises(ValueError):
         triangle_count_sampled(edges, rate_den=0)
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Two triangles joined by a bridge: after two synchronous rounds
+    the left clique collapses onto its min id; every step is the
+    documented most-frequent/min-tiebreak rule (hand-traced), and two
+    runs are identical."""
+    from npm_mirror_spark.operators.graph import label_propagation
+
+    rows = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    edges = spark.createDataFrame(rows, "src int, dst int")
+    got = {r["id"]: r["label"] for r in label_propagation(edges, 2).collect()}
+    # hand trace — round 1: 1->2, 2->1, 3->1, 10->3, 11->10, 12->10;
+    # round 2: 1->1, 2->1, 3->1, 10->10, 11->3, 12->3
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+    again = {r["id"]: r["label"] for r in label_propagation(edges, 2).collect()}
+    assert got == again
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        label_propagation(edges, 0)
