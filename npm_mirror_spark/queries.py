@@ -3344,6 +3344,66 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_token_drift(spark, sf_dir):
+    """Distributional token drift: each source's unigram distribution
+    vs the whole corpus, as EXACT total-variation distance — the
+    which-source-deviates-most check a training-mix owner runs before
+    reweighting (the drift family's lexical face, where q_drift_report
+    watches numeric columns).
+
+    The float trap and its exact-rational fix: TV = 1/2 Σ_t |c_t/T_s −
+    C_t/T| naively sums doubles in shuffle order (non-deterministic,
+    engine-divergent).  Instead the numerator is the INTEGER
+    Σ|c_t·T − C_t·T_s| — and absent-token mass needs no dense
+    source×vocab cross: Σ_{t∉s} C_t·T_s = (T − Σ_{t∈s} C_t)·T_s, so
+    everything folds from the present-token join alone.  Decimal(38,0)
+    products/sums (c·T ≤ ~1e24 at 100 TB — fits), ONE IEEE division
+    per source at the end; DuckDB replays via HUGEINT.  Shuffles:
+    token explode → (source,tok) count, token-keyed global-count join,
+    broadcast |sources|-row totals."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(text_ops.ws_tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    per = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    glob = per.groupBy("tok").agg(F.sum("c").alias("gc"))
+    ts = per.groupBy("source").agg(F.sum("c").alias("ts"))
+    tt = ts.agg(F.sum("ts").alias("tt"))
+
+    def dec(c):
+        return c.cast("decimal(19,0)")
+
+    j = (
+        per.join(glob, "tok")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tt))
+    )
+    term = F.abs(
+        dec(F.col("c")) * dec(F.col("tt")) - dec(F.col("gc")) * dec(F.col("ts"))
+    )
+    a = j.groupBy("source").agg(
+        F.sum(term).alias("__a"),
+        F.sum(F.col("gc").cast("decimal(38,0)")).alias("__presc"),
+        F.min("ts").alias("__ts"),
+        F.min("tt").alias("__tt"),
+    )
+    num = F.col("__a") + (
+        (dec(F.col("__tt")) - F.col("__presc")) * dec(F.col("__ts"))
+    )
+    return a.select(
+        "source",
+        F.col("__ts").cast("long").alias("n_tokens"),
+        (
+            num.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("__ts").cast("double")
+                * F.col("__tt").cast("double")
+            )
+        ).alias("tv"),
+    ).orderBy("source")
+
+
 def q_drift_weekly(spark, sf_dir):
     """Temporal drift monitor — q_drift_report's one-shot comparison
     turned into a SERIES: per epoch-week metrics (rows, value mean via
@@ -4338,6 +4398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_triangle_est": q_triangle_est,
     "q_validated_batch": q_validated_batch,
     "q_communities": q_communities,
+    "q_token_drift": q_token_drift,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7027,6 +7088,36 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_token_drift: the exact-rational TV distance replayed in HUGEINT —
+# present-token |c*T - C*Ts| sum plus the absent-mass fold
+# (T - presC)*Ts, one IEEE division per source.
+ORACLES["q_token_drift"] = f"""
+WITH w AS (
+  SELECT source, unnest(str_split({_NORM}, ' ')) AS tok FROM documents),
+tk AS (SELECT source, tok FROM w WHERE tok != ''),
+per AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+gtok AS (SELECT tok, sum(c) AS gc FROM per GROUP BY 1),
+srct AS (SELECT source, sum(c) AS ts FROM per GROUP BY 1),
+tot AS (SELECT sum(ts) AS tt FROM srct),
+j AS (
+  SELECT p.source,
+         abs(CAST(p.c AS HUGEINT) * t.tt - CAST(g.gc AS HUGEINT) * s.ts) AS term,
+         g.gc
+  FROM per p
+  JOIN gtok g USING (tok)
+  JOIN srct s USING (source)
+  CROSS JOIN tot t),
+a AS (
+  SELECT source, sum(term) AS a_sum, sum(CAST(gc AS HUGEINT)) AS presc
+  FROM j GROUP BY 1)
+SELECT a.source,
+       CAST(s.ts AS BIGINT) AS n_tokens,
+       CAST(a.a_sum + (t.tt - a.presc) * s.ts AS DOUBLE)
+         / (2.0 * CAST(s.ts AS DOUBLE) * CAST(t.tt AS DOUBLE)) AS tv
+FROM a JOIN srct s USING (source) CROSS JOIN tot t
+ORDER BY a.source
 """
 
 # q_communities: both synchronous label-propagation rounds unrolled —

@@ -187,3 +187,31 @@ def test_grouped_constraint_report_routes_per_group(spark):
 
     with pytest.raises(ValueError):
         grouped_constraint_report(df, "g", [])
+
+
+def test_token_drift_matches_brute_force(spark, sf_dir):
+    """q_token_drift's exact-rational TV distance equals the textbook
+    float formula computed per-source in one process (stable order), to
+    float tolerance — and always lands in [0, 1]."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from npm_mirror_spark.queries import QUERIES, _t
+
+    got = {r["source"]: r["tv"] for r in QUERIES["q_token_drift"](spark, sf_dir).collect()}
+    docs = _t(spark, sf_dir, "documents").select("source", "text").toPandas()
+    per, glob = {}, Counter()
+    for _, row in docs.iterrows():
+        toks = [t for t in re.sub(r"\s+", " ", row["text"].lower()).strip().split(" ") if t]
+        per.setdefault(row["source"], Counter()).update(toks)
+        glob.update(toks)
+    T = sum(glob.values())
+    for src, cnt in per.items():
+        Ts = sum(cnt.values())
+        tv = 0.5 * sum(
+            abs(cnt.get(t, 0) / Ts - glob[t] / T) for t in glob
+        )
+        assert 0.0 <= got[src] <= 1.0
+        assert abs(got[src] - tv) < 1e-9, (src, got[src], tv)
