@@ -935,3 +935,63 @@ def cut_dup_spans(
         .select(id_col, "n_tokens", "pos")
     )
     return cut_spans_rebuild(df, cut_pos, text_col, id_col, l)
+
+
+def edit1_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Similarity SELF-join under Levenshtein distance <= 1 by
+    deletion-neighborhood blocking (the FastSS / SymSpell scheme) —
+    (id_a, id_b, name_a, name_b, dist) with id_a < id_b.
+
+    Why not a cross join: edit-distance joins are the classic
+    quadratic trap.  The deletion-neighborhood identity bounds it: two
+    strings within distance 1 ALWAYS share a member of each other's
+    {self} ∪ {single-char deletions} sets (equal: the string itself;
+    substitution at i: both i-deletions coincide; insert/delete: the
+    longer string's deletion hits the shorter) — so emitting len+1
+    keys per string turns the join into an EQUI-join on the variant
+    key, with a cheap Levenshtein verify killing the false candidates
+    that share a deletion but differ twice (e.g. 'ab' / 'ba').  Per
+    string: len+1 key rows (key-only shuffle); per bucket: strings
+    sharing one specific variant — bounded by data similarity, never
+    by corpus size.  All JVM built-ins (transform/substr/levenshtein);
+    exact-replay oracle via DuckDB's identical levenshtein.
+
+    The reference has no fuzzy-match surface (SURVEY §2.9 extension);
+    public-pattern citation: Bocek et al., "Fast Similarity Search in
+    Large Dictionaries" (FastSS, 2007).
+    """
+    s = F.col(text_col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1),
+            F.substr(s, i + 1, F.length(s)),
+        ),
+    )
+    keys = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(F.array_distinct(F.array_append(dels, s))).alias("__k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__s").alias("name_a"),
+            F.col("b.__s").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).where(F.col("dist") <= 1)

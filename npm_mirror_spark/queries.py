@@ -3344,6 +3344,22 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_edit_join(spark, sf_dir):
+    """Fuzzy similarity join under edit distance <= 1
+    (operators/dedup.py:edit1_join, the FastSS deletion-neighborhood
+    scheme): every customer-name pair one typo apart, found via an
+    EQUI-join on {self} ∪ {single-deletions} keys with a Levenshtein
+    verify — never a cross join.  The entity-resolution primitive
+    MinHash can't provide (shingle sets of near-identical short strings
+    are too coarse); complements q_record_linkage's blocked scoring.
+    len+1 key rows per string; DuckDB replays the identical
+    neighborhood join + levenshtein."""
+    from npm_mirror_spark.operators.dedup import edit1_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit1_join(c, "c_name", "c_custkey").orderBy("id_a", "id_b")
+
+
 def q_token_drift(spark, sf_dir):
     """Distributional token drift: each source's unigram distribution
     vs the whole corpus, as EXACT total-variation distance — the
@@ -4399,6 +4415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_validated_batch": q_validated_batch,
     "q_communities": q_communities,
     "q_token_drift": q_token_drift,
+    "q_edit_join": q_edit_join,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7088,6 +7105,27 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_edit_join: the deletion-neighborhood join replayed — list_distinct
+# deletion variants, equi-join on the variant key, levenshtein verify.
+ORACLES["q_edit_join"] = """
+WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+keys AS (
+  SELECT id, s,
+         unnest(list_distinct(list_append(
+           list_transform(generate_series(1, length(s)),
+             i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s))),
+           s))) AS k
+  FROM c),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+ORDER BY id_a, id_b
 """
 
 # q_token_drift: the exact-rational TV distance replayed in HUGEINT —

@@ -224,3 +224,24 @@ def test_filter_lines_tab_padding_no_phantom_words(spark):
     r = filter_lines(df).collect()[0]
     assert r["kept_lines"] == 1
     assert "real three words." in r["clean_text"]
+
+
+def test_edit1_join_neighborhood_semantics(spark):
+    """FastSS identity on a hand-built set: substitution, deletion,
+    insertion and exact-dup pairs are found at their true distances;
+    the 'ab'/'ba' transposition (distance 2, shares a deletion variant)
+    is verified away."""
+    from npm_mirror_spark.operators.dedup import edit1_join
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "axc"), (3, "ab"), (4, "ba"), (5, "abcd"), (6, "abc")],
+        "id int, s string",
+    )
+    rows = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_join(df, "s", "id").collect()
+    )
+    assert rows == [
+        (1, 2, 1), (1, 3, 1), (1, 5, 1), (1, 6, 0),
+        (2, 6, 1), (3, 6, 1), (5, 6, 1),
+    ]
