@@ -3344,6 +3344,46 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_decay_counts(spark, sf_dir):
+    """Per-user half-life-decayed engagement score with EXACT binary
+    decay: each event weighs 2^-floor(age/7d) (exponent clamped at 30),
+    summed per user — recency-weighted activity for sampling weights or
+    retention triage.  The usual exp(-lambda*t) is a libm call summed in
+    shuffle order (the q_lm_nll rows-only trap); stepping the half-life
+    to power-of-two buckets makes every weight an exact binary fraction:
+    the scaled sum Σ 2^(30-e) is a pure int64 (shiftleft), one final
+    division by 2^30 closes it.  Anchor = corpus max ts via a 1-row
+    broadcast aggregate, so the score is deterministic, not
+    wall-clock-dependent.  One scan + one (user) count-sum shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("__t")
+    )
+    mx = ev.agg(F.max("__t").alias("__mx"))
+    e = F.least(
+        F.floor((F.col("__mx") - F.col("__t")) / F.lit(604800)), F.lit(30)
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .withColumn("__e", e)
+        # PySpark's shiftleft() helper only takes a LITERAL bit count —
+        # the column-valued shift needs the SQL form
+        .withColumn("__w", F.expr("shiftleft(CAST(1 AS BIGINT), 30 - __e)"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__w").alias("__ss"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("__ss").cast("double") / F.lit(float(2**30))).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_edit_join(spark, sf_dir):
     """Fuzzy similarity join under edit distance <= 1
     (operators/dedup.py:edit1_join, the FastSS deletion-neighborhood
@@ -4416,6 +4456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_communities": q_communities,
     "q_token_drift": q_token_drift,
     "q_edit_join": q_edit_join,
+    "q_decay_counts": q_decay_counts,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7105,6 +7146,23 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_decay_counts: exact binary decay replayed — shifted int weights,
+# int64 sum, one final division by 2^30.
+ORACLES["q_decay_counts"] = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+mx AS (SELECT max(t) AS mxt FROM ev),
+w AS (
+  SELECT user_id,
+         (1::BIGINT << (30 - least(
+            CAST(floor((mxt - t) / 604800) AS INTEGER), 30))) AS wt
+  FROM ev CROSS JOIN mx)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(wt) AS DOUBLE) / 1073741824.0 AS decay_score
+FROM w GROUP BY 1 ORDER BY user_id
 """
 
 # q_edit_join: the deletion-neighborhood join replayed — list_distinct
