@@ -299,6 +299,8 @@ ALLOWED_BNLJ = {
         "probe (vec_id=0) broadcast; fusion joins two 50-row lists"
     ),
     "q_lm_nll": "single-row (T, V) LM-stats broadcast into the token stream",
+    "q_token_drift": "single-row corpus-total broadcast into the term stream",
+    "q_decay_counts": "single-row max-ts anchor broadcast to the fact side",
     "q_lm_bigram": "single-row (T, V) LM-stats broadcast into the bigram stream",
     "q_pr_curve": (
         "single-row positives-total broadcast onto the threshold axis + "
