@@ -29,7 +29,7 @@ operations a pretraining pipeline runs between "mirrored corpus" and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from npm_mirror_spark.operators.dedup import word_shingles
@@ -263,6 +263,35 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
         counts[f"n_{name}"] = F.regexp_count(red, F.lit(pat))
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return df.withColumns({**counts, "redacted": red})
+
+
+def luhn_valid16(c: Column) -> Column:
+    """True iff ``c`` (a 16-digit string) passes the Luhn checksum —
+    the validation step that separates real payment-card numbers from
+    arbitrary 16-digit runs, cutting the false-positive rate of
+    regex-only PAN scanning (a digits-only pattern flags timestamps,
+    ids, hashes...).
+
+    Pure expression arithmetic: per position p (1-based from the left)
+    the digit doubles when its from-the-right index 17-p is even, with
+    the classic >9 fold; ``aggregate`` sums the 16 contributions and
+    checks mod 10.  No lookaround (RE2-safe), no UDF — whole-stage
+    codegen, and the DuckDB oracle replays the identical
+    list_transform/list_sum arithmetic."""
+
+    def contrib(p: Column) -> Column:
+        d = F.substr(c, p, F.lit(1)).cast("int")
+        doubled = d * 2
+        return F.when(
+            (F.lit(17) - p) % 2 == 1, d
+        ).otherwise(F.when(doubled > 9, doubled - 9).otherwise(doubled))
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(16)), contrib),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
 
 
 # -- sequence packing --------------------------------------------------------

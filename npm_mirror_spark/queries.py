@@ -1832,6 +1832,51 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_luhn_scan(spark, sf_dir):
+    """Checksum-validated PAN scanning
+    (operators/curation.py:luhn_valid16): 16-digit runs are only
+    flagged as payment-card PII when they pass the Luhn checksum —
+    the validation layer q_redact_pii's shape regexes don't have, and
+    the difference between scrubbing card numbers and scrubbing every
+    16-digit id at 100 TB.  Candidates come from maximal digit runs
+    filtered to length 16 (no lookaround — RE2-safe, boundary-exact);
+    a known-valid PAN is injected into every 5th doc and an
+    off-by-one-checksum twin into every 7th, so both paths are
+    exercised.  Per flagged doc: run/candidate/valid counts.  All
+    HOF expression arithmetic in one projection; exact-replay oracle."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" card 4532015112830366"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ref 4532015112830367"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    runs = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    staged = injected.select(
+        "doc_id",
+        runs.alias("__runs"),
+    ).select(
+        "doc_id",
+        F.size("__runs").alias("n_digit_runs"),
+        F.filter("__runs", lambda x: F.length(x) == 16).alias("__cands"),
+    )
+    out = staged.select(
+        "doc_id",
+        "n_digit_runs",
+        F.size("__cands").alias("n_pan_candidates"),
+        F.size(F.filter("__cands", cur_ops.luhn_valid16)).alias("n_luhn_valid"),
+    )
+    return (
+        out.where(F.col("n_pan_candidates") > 0)
+        .withColumn("has_pan", F.col("n_luhn_valid") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (concat-and-chunk): documents laid end-to-end per
     source shard and cut into 512-token blocks; emits each doc's token
@@ -4457,6 +4502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_drift": q_token_drift,
     "q_edit_join": q_edit_join,
     "q_decay_counts": q_decay_counts,
+    "q_luhn_scan": q_luhn_scan,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7146,6 +7192,37 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_luhn_scan: digit runs, 16-length filter and the Luhn fold replayed
+# as the identical list_transform/list_sum arithmetic.
+ORACLES["q_luhn_scan"] = """
+WITH inj AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0 THEN ' card 4532015112830366' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' ref 4532015112830367' ELSE '' END AS t
+  FROM documents),
+r AS (SELECT doc_id, regexp_extract_all(t, '[0-9]+') AS runs FROM inj),
+c AS (SELECT doc_id, len(runs) AS n_digit_runs,
+             list_filter(runs, x -> length(x) = 16) AS cands FROM r),
+v AS (SELECT doc_id, n_digit_runs, len(cands) AS n_pan_candidates,
+             len(list_filter(cands, x ->
+               list_sum(list_transform(generate_series(1, 16), p ->
+                 CASE WHEN (17 - p) % 2 = 1
+                      THEN CAST(substr(x, p, 1) AS INTEGER)
+                      ELSE CASE
+                        WHEN 2 * CAST(substr(x, p, 1) AS INTEGER) > 9
+                        THEN 2 * CAST(substr(x, p, 1) AS INTEGER) - 9
+                        ELSE 2 * CAST(substr(x, p, 1) AS INTEGER) END
+                 END)) % 10 = 0)) AS n_luhn_valid
+      FROM c)
+SELECT doc_id,
+       CAST(n_digit_runs AS INTEGER) AS n_digit_runs,
+       CAST(n_pan_candidates AS INTEGER) AS n_pan_candidates,
+       CAST(n_luhn_valid AS INTEGER) AS n_luhn_valid,
+       n_luhn_valid > 0 AS has_pan
+FROM v WHERE n_pan_candidates > 0 ORDER BY doc_id
 """
 
 # q_decay_counts: exact binary decay replayed — shifted int weights,

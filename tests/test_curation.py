@@ -475,3 +475,25 @@ def test_temperature_sample_applies_the_mix(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_luhn_valid16_checksum(spark):
+    """Known-valid PANs pass, single-digit corruptions fail, and the
+    q_luhn_scan counters separate them."""
+    from npm_mirror_spark.operators.curation import luhn_valid16
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("4532015112830366", True),
+        ("4532015112830367", False),
+        ("5500005555555559", True),
+        ("5500005555555550", False),
+        ("4111111111111111", True),
+        ("1234567812345678", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {
+        r["s"]: r["ok"]
+        for r in df.select("s", luhn_valid16(F.col("s")).alias("ok")).collect()
+    }
+    assert got == dict(cases)
