@@ -257,6 +257,45 @@ def hll_union(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
     )
 
 
+def hll_cumulative_by(
+    df: DataFrame, axis_col: str, key_col: str, p: int = 8
+) -> DataFrame:
+    """Cumulative distinct-cardinality SERIES along an ordered axis:
+    (axis, zero_registers, hll_sum, est) where each row estimates
+    |distinct keys over ALL axis values <= this one| — the
+    approximate retention/growth curve ("distinct users through week
+    w") that exact distinct would recompute with one corpus shuffle
+    PER axis value, done here with ONE key-hash pass.
+
+    Register prefix property: cumulative registers are the cell-wise
+    running max along the axis (union = max, and prefixes nest), so
+    after :func:`hll_registers_by` keyed on the axis, a window
+    partitioned by idx (2^p partitions) over the bounded axis produces
+    every prefix sketch at once; the axis x 2^p dense frame keeps
+    weeks an idx never saw in the fold (they inherit via the running
+    max or stay zero-mass).  Same exact-replay arithmetic as the other
+    HLL faces — the estimate hash-matches its oracle."""
+    from pyspark.sql import Window
+
+    m = 1 << p
+    regs = hll_registers_by(df, [axis_col], key_col, p)
+    axis = regs.select(axis_col).distinct()
+    dense = axis.select(
+        axis_col, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("idx")
+    )
+    w = (
+        Window.partitionBy("idx")
+        .orderBy(axis_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        dense.join(regs, [axis_col, "idx"], "left")
+        .select(axis_col, "idx", F.max("mreg").over(w).alias("mreg"))
+        .where(F.col("mreg").isNotNull())
+    )
+    return hll_estimate_by(cum, [axis_col], p)
+
+
 def count_min_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -3389,6 +3389,41 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_hll_weekly(spark, sf_dir):
+    """Cumulative distinct-users curve by week
+    (operators/sketches.py:hll_cumulative_by): one md5 pass over
+    events yields per-week HLL registers; the cell-wise running max
+    along the week axis produces EVERY prefix sketch at once, so
+    "distinct users through week w" costs one shuffle total instead of
+    one count_distinct per week — the approximate retention curve at
+    100 TB.  n_exact (cumulative first-seen counts — one per-user min
+    + a tiny week-axis running sum) rides along to price the sketch's
+    error; est replays bit-for-bit (integer registers, one IEEE
+    division per week)."""
+    from npm_mirror_spark.operators.sketches import hll_cumulative_by
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / F.lit(604800))
+        .cast("long")
+        .alias("week"),
+        "user_id",
+    )
+    est = hll_cumulative_by(ev, "week", "user_id", p=8)
+    first = ev.groupBy("user_id").agg(F.min("week").alias("week"))
+    per_week = first.groupBy("week").agg(F.count(F.lit(1)).alias("__new"))
+    wk = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the week axis is bounded (one row per week), so the single-
+    # partition running sum is the q_vocab_growth tiny-axis contract
+    exact = per_week.select(
+        "week", F.sum("__new").over(wk).cast("long").alias("n_exact")
+    )
+    return est.join(exact, "week").select(
+        "week", "zero_registers", "hll_sum", "n_exact", "est"
+    ).orderBy("week")
+
+
 def q_decay_counts(spark, sf_dir):
     """Per-user half-life-decayed engagement score with EXACT binary
     decay: each event weighs 2^-floor(age/7d) (exponent clamped at 30),
@@ -4503,6 +4538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_edit_join": q_edit_join,
     "q_decay_counts": q_decay_counts,
     "q_luhn_scan": q_luhn_scan,
+    "q_hll_weekly": q_hll_weekly,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7223,6 +7259,57 @@ SELECT doc_id,
        CAST(n_luhn_valid AS INTEGER) AS n_luhn_valid,
        n_luhn_valid > 0 AS has_pan
 FROM v WHERE n_pan_candidates > 0 ORDER BY doc_id
+"""
+
+# q_hll_weekly: the register prefix replay — per-week registers, dense
+# week x idx frame, running max along the week axis, per-week harmonic
+# fold with the q_hll_replay estimator constants, cumulative first-seen
+# exact counts alongside.
+ORACLES["q_hll_weekly"] = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week, user_id
+  FROM events),
+h AS (
+  SELECT week,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM ev),
+k AS (SELECT week, CAST(h % 256 AS INTEGER) AS idx, h // 256 AS w FROM h),
+regs AS (
+  SELECT week, idx,
+         max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mreg
+  FROM k GROUP BY 1, 2),
+axis AS (SELECT DISTINCT week FROM regs),
+dense AS (
+  SELECT axis.week, g.i AS idx
+  FROM axis CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) g),
+cum AS (
+  SELECT d.week, d.idx,
+         max(r.mreg) OVER (PARTITION BY d.idx ORDER BY d.week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mreg
+  FROM dense d LEFT JOIN regs r ON r.week = d.week AND r.idx = d.idx),
+per AS (
+  SELECT week,
+         sum(1::BIGINT << (53 - mreg)) AS s_obs,
+         count(mreg) AS n_obs
+  FROM cum WHERE mreg IS NOT NULL GROUP BY 1),
+first_seen AS (SELECT user_id, min(week) AS week FROM ev GROUP BY 1),
+newc AS (SELECT week, count(*) AS n_new FROM first_seen GROUP BY 1),
+exact AS (
+  SELECT week,
+         CAST(sum(n_new) OVER (ORDER BY week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_exact
+  FROM newc)
+SELECT p.week,
+       CAST(256 - p.n_obs AS BIGINT) AS zero_registers,
+       CAST(p.s_obs + (256 - p.n_obs) * (1::BIGINT << 53) AS BIGINT)
+         AS hll_sum,
+       e.n_exact,
+       0.7213 / (1.0 + 1.079 / 256.0) * 590295810358705651712.0
+         / CAST(p.s_obs + (256 - p.n_obs) * (1::BIGINT << 53) AS DOUBLE)
+         AS est
+FROM per p JOIN exact e USING (week)
+ORDER BY p.week
 """
 
 # q_decay_counts: exact binary decay replayed — shifted int weights,

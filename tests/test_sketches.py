@@ -375,3 +375,26 @@ def test_quantile_bins_near_equal_frequency_and_ordered(spark, sf_dir):
 
     nan_rows = [r for r in rows if math.isnan(r["v"])]
     assert nan_rows and all(r["qbin"] is None for r in nan_rows)
+
+
+def test_hll_cumulative_matches_per_prefix_sketch(spark):
+    """The running-max register series must equal the sketch built from
+    scratch on each prefix: for every axis value w, hll_cumulative_by's
+    row == hll_estimate over the keys with axis <= w."""
+    from npm_mirror_spark.operators.sketches import (
+        hll_cumulative_by,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [(w, f"u{i % (10 * (w + 1))}") for w in range(4) for i in range(50)]
+    df = spark.createDataFrame(rows, "week int, user string")
+    series = {
+        r["week"]: (r["zero_registers"], r["hll_sum"], r["est"])
+        for r in hll_cumulative_by(df, "week", "user", p=8).collect()
+    }
+    assert set(series) == {0, 1, 2, 3}
+    for w in range(4):
+        prefix = df.where(df.week <= w)
+        one = hll_estimate(hll_registers(prefix, "user", p=8), p=8).first()
+        assert series[w] == (one["zero_registers"], one["hll_sum"], one["est"]), w
