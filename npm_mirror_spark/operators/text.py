@@ -93,6 +93,44 @@ def filter_lines(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition removal: keep each line's FIRST
+    occurrence (order preserved), drop later repeats, rebuild the text
+    — the within-doc sibling of corpus-level dedup.  Scraped pages
+    repeat nav blocks, footers and share-bars many times INSIDE one
+    document; corpus-level MinHash never sees them (the doc is only
+    near-dup of itself) and the C4 line gate (filter_lines) only
+    catches lines that are independently bad — repeated GOOD lines
+    need exactly this pass.
+
+    Keep-first is expressed entirely in-row: a two-arg ``filter``
+    lambda ((element, index) — PySpark binds the SECOND param to the
+    0-based index) keeps a line iff ``array_position`` misses it among
+    the ``slice`` of its predecessors.  Quadratic in LINES PER DOC
+    (bounded by document structure, never corpus size), zero shuffle,
+    whole-stage codegen; DuckDB replays with the identical
+    list_filter/list_slice/list_position lambda (1-based index there).
+    Returns (id, n_lines, n_kept, clean_text).
+    """
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("__lines")
+    )
+    kept = F.filter(
+        "__lines",
+        lambda x, i: F.array_position(F.slice("__lines", F.lit(1), i), x) == 0,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def ws_tokens(col: Column | str) -> Column:
     return F.split(normalize_text(col), " ")
 

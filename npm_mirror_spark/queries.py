@@ -4263,6 +4263,31 @@ def q_line_filter(spark, sf_dir):
     return text_ops.filter_lines(multi)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Intra-document repeated-line removal
+    (operators/text.py:dedup_lines): docs deterministically rebuilt as
+    six lines with two planted repeats (a body slice repeated verbatim
+    + a doubled footer) must come back with exactly the four first
+    occurrences, order preserved — the within-doc repetition pass
+    corpus-level dedup and the C4 line gate both structurally miss.
+    Pure in-row HOFs, zero shuffle; the oracle replays the identical
+    keep-first lambda."""
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+            F.substring("text", 1, 40),
+            F.lit("shared footer line"),
+            F.lit("shared footer line"),
+            F.substring("text", 81, 40),
+        ).alias("text"),
+    )
+    return text_ops.dedup_lines(multi).orderBy("doc_id")
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric containment verification
     (operators/dedup.py:containment_pairs) over the dup-injected
@@ -4539,6 +4564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decay_counts": q_decay_counts,
     "q_luhn_scan": q_luhn_scan,
     "q_hll_weekly": q_hll_weekly,
+    "q_dedup_lines": q_dedup_lines,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7228,6 +7254,31 @@ SELECT d.id, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN credit c ON c.id = d.id
 ORDER BY d.id
+"""
+
+# q_dedup_lines: the keep-first lambda replayed — DuckDB's list_filter
+# index is 1-based, so predecessors are list_slice(lines, 1, i-1)
+# where Spark's 0-based index uses slice(lines, 1, i).
+ORACLES["q_dedup_lines"] = """
+WITH multi AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 40), substr(text, 41, 40), substr(text, 1, 40),
+           'shared footer line', 'shared footer line',
+           substr(text, 81, 40)) AS t
+  FROM documents),
+l AS (SELECT doc_id, str_split(t, chr(10)) AS lines FROM multi),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (x, i) ->
+           coalesce(list_position(list_slice(lines, 1, i - 1), x), 0) = 0)
+           AS kept
+  FROM l)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k ORDER BY doc_id
 """
 
 # q_luhn_scan: digit runs, 16-length filter and the Luhn fold replayed

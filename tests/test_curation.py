@@ -497,3 +497,24 @@ def test_luhn_valid16_checksum(spark):
         for r in df.select("s", luhn_valid16(F.col("s")).alias("ok")).collect()
     }
     assert got == dict(cases)
+
+
+def test_dedup_lines_keep_first(spark):
+    """Planted repeats die, first occurrences survive in order, and a
+    doc with no repeats is untouched."""
+    from npm_mirror_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c\nfooter\nx y\nfooter\na b c\nz"),
+            (2, "one\ntwo\nthree"),
+            (3, "same\nsame\nsame"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert got[1]["clean_text"] == "a b c\nfooter\nx y\nz"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (6, 4)
+    assert got[2]["clean_text"] == "one\ntwo\nthree"
+    assert got[3]["clean_text"] == "same"
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (3, 1)
