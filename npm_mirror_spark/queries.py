@@ -3389,6 +3389,42 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_quantile_norm(spark, sf_dir):
+    """Global quantile (mid-rank) normalization: every document's
+    length mapped to its exact position in the CORPUS length
+    distribution, q_norm = (2*below + ties) / (2*N) — the
+    distribution-alignment transform that makes per-source scores
+    comparable before mixing (a source's '90th percentile doc' means
+    the same thing everywhere).  Exact rational: below/ties are
+    integer counts off the distinct-value collapse, one IEEE division
+    per row.  The strictly-prior counts come from the classifier's
+    _with_prior_sums two-level bucketed prefix (every window bounded
+    by the __bkt range key — no single-reducer distinct-value axis),
+    then join back value-keyed to the full corpus."""
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    pri = _with_prior_sums(g, "n_chars", ("cnt",)).select(
+        "n_chars", "cnt", F.col("__prior_cnt").alias("__below")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        d.join(pri, "n_chars")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                (F.lit(2) * F.col("__below") + F.col("cnt")).cast("double")
+                / (F.lit(2.0) * F.col("__n").cast("double"))
+            ).alias("q_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_hll_weekly(spark, sf_dir):
     """Cumulative distinct-users curve by week
     (operators/sketches.py:hll_cumulative_by): one md5 pass over
@@ -4565,6 +4601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_luhn_scan": q_luhn_scan,
     "q_hll_weekly": q_hll_weekly,
     "q_dedup_lines": q_dedup_lines,
+    "q_quantile_norm": q_quantile_norm,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7310,6 +7347,24 @@ SELECT doc_id,
        CAST(n_luhn_valid AS INTEGER) AS n_luhn_valid,
        n_luhn_valid > 0 AS has_pan
 FROM v WHERE n_pan_candidates > 0 ORDER BY doc_id
+"""
+
+# q_quantile_norm: mid-rank normalization replayed — distinct-value
+# counts, strictly-prior cumulative window, integer numerator, one
+# division per row.
+ORACLES["q_quantile_norm"] = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+g AS (SELECT n_chars, count(*) AS cnt FROM d GROUP BY 1),
+p AS (
+  SELECT n_chars, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g),
+t AS (SELECT count(*) AS n FROM d)
+SELECT doc_id, source, n_chars,
+       CAST(2 * below + cnt AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS q_norm
+FROM d JOIN p USING (n_chars) CROSS JOIN t
+ORDER BY doc_id
 """
 
 # q_hll_weekly: the register prefix replay — per-week registers, dense

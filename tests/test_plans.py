@@ -300,6 +300,10 @@ ALLOWED_BNLJ = {
     ),
     "q_lm_nll": "single-row (T, V) LM-stats broadcast into the token stream",
     "q_token_drift": "single-row corpus-total broadcast into the term stream",
+    "q_quantile_norm": (
+        "single-row corpus-count broadcast + _with_prior_sums' single-row "
+        "(min,max) score-range broadcast for prefix-sum buckets"
+    ),
     "q_decay_counts": "single-row max-ts anchor broadcast to the fact side",
     "q_lm_bigram": "single-row (T, V) LM-stats broadcast into the bigram stream",
     "q_pr_curve": (
