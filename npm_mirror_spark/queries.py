@@ -3389,6 +3389,110 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit — the validation family's JOIN-level
+    check (q_quality_checks covers single-table contracts): per
+    child->parent relation, how many child rows reference a missing
+    parent, as counts and an exact orphan rate with a boolean verdict.
+    Orphans are created deterministically (customers with
+    c_custkey % 97 == 0 and orders with o_orderkey % 101 == 0 play
+    'purged'), so both relations actually exercise the failure path.
+    Each relation costs one anti join on the FK (the q_anti_join
+    shape — parent side reduced to its key column before the join);
+    counts fold map-side.  Exact integers + one division per row."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey").where(
+        F.col("c_custkey") % 97 != 0
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders_kept = orders.where(F.col("o_orderkey") % 101 != 0)
+
+    def relation(child, fk, parent, pk, name):
+        orphans = child.join(
+            parent.withColumnRenamed(pk, fk), fk, "left_anti"
+        )
+        return child.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("__o"))
+        ).select(
+            F.lit(name).alias("relation"),
+            F.col("__n").alias("n_child"),
+            F.col("__o").alias("n_orphan"),
+            (F.col("__o").cast("double") / F.col("__n").cast("double")).alias(
+                "orphan_rate"
+            ),
+            (F.col("__o") == 0).alias("ok"),
+        )
+
+    return relation(
+        orders.select(F.col("o_custkey")), "o_custkey", cust, "c_custkey",
+        "orders->customer",
+    ).unionByName(
+        relation(
+            li.select("l_orderkey"), "l_orderkey",
+            orders_kept.select("o_orderkey"), "o_orderkey",
+            "lineitem->orders",
+        )
+    ).orderBy("relation")
+
+
+def q_winsorized_mean(spark, sf_dir):
+    """Robust per-source length statistics: the mean of doc lengths
+    AFTER clipping to the corpus-global exact [p05, p95] — the
+    outlier-resistant center a plain mean loses to one pathological
+    document.  The clip bounds are exact rank statistics (value at
+    rank ceil(p*N)) read off the distinct-value collapse with
+    strictly-prior counts — the same bucketed two-level prefix as
+    q_quantile_norm, so no single-reducer value axis; the bounds then
+    broadcast as one row and the clipped mean folds in exact decimal
+    with ONE division per source."""
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    pri = _with_prior_sums(g, "n_chars", ("cnt",))
+    total = d.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = pri.crossJoin(F.broadcast(total))
+
+    def rank_value(num, den, alias):
+        # value at 1-based rank ceil(num/den * N): below < r <= below+cnt
+        r = F.ceil(F.col("__n") * F.lit(num) / F.lit(den))
+        return (
+            ranked.where(
+                (F.col("__prior_cnt") < r)
+                & (r <= F.col("__prior_cnt") + F.col("cnt"))
+            )
+            .agg(F.min("n_chars").alias(alias))
+        )
+
+    bounds = rank_value(5, 100, "p05").crossJoin(rank_value(95, 100, "p95"))
+    clipped = d.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+        .cast("decimal(18,0)")
+        .alias("__c"),
+        "p05",
+        "p95",
+    )
+    return (
+        clipped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__c").alias("__s"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("__s").cast("double") / F.col("n_docs").cast("double"))
+            .alias("wins_mean"),
+            "p05",
+            "p95",
+        )
+        .orderBy("source")
+    )
+
+
 def q_quantile_norm(spark, sf_dir):
     """Global quantile (mid-rank) normalization: every document's
     length mapped to its exact position in the CORPUS length
@@ -4602,6 +4706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_weekly": q_hll_weekly,
     "q_dedup_lines": q_dedup_lines,
     "q_quantile_norm": q_quantile_norm,
+    "q_fk_audit": q_fk_audit,
+    "q_winsorized_mean": q_winsorized_mean,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7347,6 +7453,56 @@ SELECT doc_id,
        CAST(n_luhn_valid AS INTEGER) AS n_luhn_valid,
        n_luhn_valid > 0 AS has_pan
 FROM v WHERE n_pan_candidates > 0 ORDER BY doc_id
+"""
+
+# q_fk_audit: the two anti joins replayed as NOT EXISTS, exact counts,
+# one division per relation.
+ORACLES["q_fk_audit"] = """
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+okept AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 101 <> 0),
+r1 AS (
+  SELECT 'orders->customer' AS relation,
+         (SELECT count(*) FROM orders) AS n_child,
+         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM cust c WHERE c.c_custkey = o.o_custkey))
+           AS n_orphan),
+r2 AS (
+  SELECT 'lineitem->orders' AS relation,
+         (SELECT count(*) FROM lineitem) AS n_child,
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM okept k WHERE k.o_orderkey = l.l_orderkey))
+           AS n_orphan)
+SELECT relation, n_child, n_orphan,
+       CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate,
+       n_orphan = 0 AS ok
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+ORDER BY relation
+"""
+
+# q_winsorized_mean: exact rank-statistic bounds off the distinct-value
+# collapse, clip, decimal-exact fold, one division per source.
+ORACLES["q_winsorized_mean"] = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+g AS (SELECT n_chars, count(*) AS cnt FROM d GROUP BY 1),
+p AS (
+  SELECT n_chars, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g),
+t AS (SELECT count(*) AS n FROM d),
+b05 AS (
+  SELECT min(n_chars) AS p05 FROM p CROSS JOIN t
+  WHERE below < ceil(n * 5 / 100) AND ceil(n * 5 / 100) <= below + cnt),
+b95 AS (
+  SELECT min(n_chars) AS p95 FROM p CROSS JOIN t
+  WHERE below < ceil(n * 95 / 100) AND ceil(n * 95 / 100) <= below + cnt),
+c AS (
+  SELECT source, least(greatest(n_chars, p05), p95) AS cv, p05, p95
+  FROM d CROSS JOIN b05 CROSS JOIN b95)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wins_mean,
+       min(p05) AS p05, min(p95) AS p95
+FROM c GROUP BY source ORDER BY source
 """
 
 # q_quantile_norm: mid-rank normalization replayed — distinct-value

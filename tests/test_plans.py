@@ -305,6 +305,11 @@ ALLOWED_BNLJ = {
         "(min,max) score-range broadcast for prefix-sum buckets"
     ),
     "q_decay_counts": "single-row max-ts anchor broadcast to the fact side",
+    "q_fk_audit": "1-row child-count x 1-row orphan-count folds per relation",
+    "q_winsorized_mean": (
+        "single-row corpus-count + single-row exact [p05,p95] bound frames "
+        "broadcast (and _with_prior_sums' (min,max) stats row)"
+    ),
     "q_lm_bigram": "single-row (T, V) LM-stats broadcast into the bigram stream",
     "q_pr_curve": (
         "single-row positives-total broadcast onto the threshold axis + "
