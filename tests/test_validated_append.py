@@ -99,3 +99,40 @@ def test_empty_batch_commits_nothing(spark, tmp_path):
     va.attach(_stream(spark, feed), str(tmp_path / "cp")).awaitTermination()
     assert va.main.latest_version() == 0
     assert va.audit.latest_version() == 0
+
+
+def test_grouped_report_agrees_with_gate_decisions(spark, tmp_path, sf_dir):
+    """Coherence between the two faces of the contract gate: for the
+    q_validated_batch corruption scheme, ValidatedAppend.process_batch
+    must route each batch exactly as grouped_constraint_report's
+    relational verdict says."""
+    from npm_mirror_spark.operators.dedup import md5_key64
+    from npm_mirror_spark.queries import QUERIES, _t
+
+    verdicts = {
+        r["batch_id"]: r["route"]
+        for r in QUERIES["q_validated_batch"](spark, sf_dir).collect()
+    }
+    spec = [
+        ("status_complete", "completeness", "o_orderstatus", 1.0),
+        ("status_domain", "in_set", "o_orderstatus", 1.0, ["O", "F", "P"]),
+        ("price_positive", "min_value", "o_totalprice", 0.0),
+    ]
+    va = ValidatedAppend(spark, str(tmp_path / "gate"), spec)
+    o = _t(spark, sf_dir, "orders")
+    hit = F.pmod(md5_key64(F.col("o_orderkey"), 1), F.lit(13)) == 0
+    batched = o.select(
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("batch_id"),
+        F.when(
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) == 2) & hit,
+            -F.col("o_totalprice"),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) == 3) & hit,
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    for bid in sorted(verdicts):
+        batch = batched.where(F.col("batch_id") == bid).drop("batch_id")
+        passed = va.process_batch(batch, bid)
+        assert passed == (verdicts[bid] == "main"), bid
