@@ -296,6 +296,47 @@ def hll_cumulative_by(
     return hll_estimate_by(cum, [axis_col], p)
 
 
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """KMV (k minimum values / bottom-k) distinct sketch — one row:
+    (k, n_obs, kth_hash, est, n_exact is the caller's business).
+
+    Bar-Yossef et al. 2002: the k-th smallest of distinct uniform
+    hashes estimates cardinality as (k-1) * H / h_(k), H = the hash
+    space (2^60 for md5_hash64).  What it buys over HLL: the k
+    surviving hashes are a UNIFORM SAMPLE OF THE DISTINCT KEYS — the
+    drill-down ("show me 64 representative users") registers
+    structurally cannot answer — and bottom-k sets are trivially
+    mergeable (union = bottom-k of the union).  What it costs: one
+    distinct shuffle on the 8-byte hash (HLL stays map-side) — the
+    honest trade, priced per face.  orderBy(h).limit(k) plans
+    TakeOrderedAndProject: per-partition bottom-k, never a full sort.
+
+    Exact replay: md5 order is deterministic, the estimate is literal
+    constants and ONE division; under-full sketches (n_obs < k) return
+    the exact observed count.
+    """
+    from npm_mirror_spark.operators.dedup import md5_hash64
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = df.select(md5_hash64(key_col).alias("__h")).distinct()
+    bottom = h.orderBy("__h").limit(k)
+    agg = bottom.agg(
+        F.count(F.lit(1)).alias("n_obs"), F.max("__h").alias("kth_hash")
+    )
+    space = float(1 << 60)
+    return agg.select(
+        F.lit(k).alias("k"),
+        "n_obs",
+        "kth_hash",
+        F.when(F.col("n_obs") < k, F.col("n_obs").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(space) / F.col("kth_hash").cast("double")
+        )
+        .alias("est"),
+    )
+
+
 def count_min_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -3389,6 +3389,73 @@ def q_seasonal_outliers(spark, sf_dir):
     )
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch over event users
+    (operators/sketches.py:kmv_sketch): the k smallest distinct md5
+    hashes give a cardinality estimate AND a uniform sample of the
+    distinct users — the drill-down HLL registers can't answer.
+    Priced honestly: one distinct shuffle on 8-byte hashes (vs HLL's
+    map-side registers); bottom-k via TakeOrderedAndProject, never a
+    full sort.  n_exact rides along; literal-constant estimator, one
+    IEEE division, bit-for-bit replay."""
+    from npm_mirror_spark.operators.sketches import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_sketch(ev, "user_id", k=64)
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+# Benford first-digit probabilities log10(1+1/d) TRUNCATED to 6
+# decimals and shared VERBATIM with the oracle SQL: short decimals
+# convert decimal->double with a SINGLE rounding in both engines,
+# where full-precision literals double-round through DuckDB's DECIMAL
+# parse (the r7 q_trend_by_group lesson, literal edition).  The ~1e-6
+# probability error is noise for an audit thresholded at 0.05.
+_BENFORD_P = [
+    0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757,
+]
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of order prices — the forensic data-
+    quality check for fabricated/truncated numeric columns: observed
+    first-digit rates vs the Benford expectation log10(1+1/d), with
+    per-digit absolute deviation and a 5-point verdict.  The libm trap
+    dodged by construction: the nine Benford probabilities are
+    shortest-roundtrip double LITERALS shared verbatim with the oracle
+    (_BENFORD_P), so no engine ever evaluates log10 — rates are exact
+    count ratios, deviations one subtraction each.  One scan, one
+    9-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = d.agg(F.count(F.lit(1)).alias("__t"))
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("digit")
+    )
+    rate = F.col("n").cast("double") / F.col("__t").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            rate.alias("rate"),
+            p.alias("benford_p"),
+            F.abs(rate - p).alias("abs_dev"),
+            (F.abs(rate - p) < F.lit(0.05)).alias("ok"),
+        )
+        .orderBy("digit")
+    )
+
+
 def q_fk_audit(spark, sf_dir):
     """Referential-integrity audit — the validation family's JOIN-level
     check (q_quality_checks covers single-table contracts): per
@@ -4708,6 +4775,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantile_norm": q_quantile_norm,
     "q_fk_audit": q_fk_audit,
     "q_winsorized_mean": q_winsorized_mean,
+    "q_kmv_distinct": q_kmv_distinct,
+    "q_benford": q_benford,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -7453,6 +7522,54 @@ SELECT doc_id,
        CAST(n_luhn_valid AS INTEGER) AS n_luhn_valid,
        n_luhn_valid > 0 AS has_pan
 FROM v WHERE n_pan_candidates > 0 ORDER BY doc_id
+"""
+
+# q_kmv_distinct: bottom-k of distinct md5 hashes, literal-constant
+# estimator, one division; under-full branch returns the exact count.
+ORACLES["q_kmv_distinct"] = """
+WITH h AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+b AS (SELECT h FROM h ORDER BY h LIMIT 64),
+k AS (SELECT count(*) AS n_obs, max(h) AS kth_hash FROM b),
+e AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+SELECT 64 AS k, n_obs, kth_hash,
+       CASE WHEN n_obs < 64 THEN CAST(n_obs AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+       END AS est,
+       n_exact
+FROM k CROSS JOIN e
+"""
+
+# q_benford: observed first-digit rates vs the nine shared literal
+# probabilities — no log10 evaluated anywhere.
+ORACLES["q_benford"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT count(*) AS tt FROM d),
+p AS (
+  -- 6-decimal literals, CAST to DOUBLE: short decimals single-round
+  -- through DuckDB's DECIMAL parse; full-precision ones double-round
+  -- and land 1 ulp off Spark
+  SELECT * FROM (VALUES
+    (1, CAST(0.30103 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
+    (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.09691 AS DOUBLE)),
+    (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
+    (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
+    (9, CAST(0.045757 AS DOUBLE))) AS v(digit, benford_p))
+SELECT c.digit, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS rate,
+       p.benford_p,
+       abs(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE) - p.benford_p)
+         AS abs_dev,
+       abs(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE) - p.benford_p) < 0.05
+         AS ok
+FROM c JOIN p USING (digit) CROSS JOIN t
+ORDER BY c.digit
 """
 
 # q_fk_audit: the two anti joins replayed as NOT EXISTS, exact counts,

@@ -306,6 +306,8 @@ ALLOWED_BNLJ = {
     ),
     "q_decay_counts": "single-row max-ts anchor broadcast to the fact side",
     "q_fk_audit": "1-row child-count x 1-row orphan-count folds per relation",
+    "q_kmv_distinct": "1-row sketch fold x 1-row exact-count broadcast",
+    "q_benford": "single-row corpus-count broadcast onto the 9-digit axis",
     "q_winsorized_mean": (
         "single-row corpus-count + single-row exact [p05,p95] bound frames "
         "broadcast (and _with_prior_sums' (min,max) stats row)"

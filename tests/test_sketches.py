@@ -398,3 +398,27 @@ def test_hll_cumulative_matches_per_prefix_sketch(spark):
         prefix = df.where(df.week <= w)
         one = hll_estimate(hll_registers(prefix, "user", p=8), p=8).first()
         assert series[w] == (one["zero_registers"], one["hll_sum"], one["est"]), w
+
+
+def test_kmv_sketch_properties(spark):
+    """Under-full sketch returns the exact count; a full sketch's
+    estimate lands within 3/sqrt(k) relative error; duplicates don't
+    move the sketch (distinct semantics); k<2 rejected."""
+    import pytest
+
+    from npm_mirror_spark.operators.sketches import kmv_sketch
+
+    small = spark.createDataFrame([(i,) for i in range(10)], "u int")
+    r = kmv_sketch(small, "u", k=64).first()
+    assert (r["n_obs"], r["est"]) == (10, 10.0)
+
+    big = spark.createDataFrame([(i,) for i in range(5000)], "u int")
+    r = kmv_sketch(big, "u", k=64).first()
+    assert r["n_obs"] == 64
+    assert abs(r["est"] - 5000) / 5000 < 3 / (64 ** 0.5)
+
+    dup = big.unionAll(big)
+    assert kmv_sketch(dup, "u", k=64).first() == r
+
+    with pytest.raises(ValueError):
+        kmv_sketch(big, "u", k=1)
