@@ -171,6 +171,36 @@ HEADLINE_R7 = [
 ]
 HEADLINE = HEADLINE + HEADLINE_R7
 
+# r8 additions: graph estimators/communities, validation-audit tier,
+# libm-free two-sample statistics, boundary-sweep coverage, skyline.
+HEADLINE_R8 = [
+    "q_triangle_est",
+    "q_communities",
+    "q_validated_batch",
+    "q_token_drift",
+    "q_edit_join",
+    "q_decay_counts",
+    "q_luhn_scan",
+    "q_hll_weekly",
+    "q_dedup_lines",
+    "q_quantile_norm",
+    "q_fk_audit",
+    "q_winsorized_mean",
+    "q_kmv_distinct",
+    "q_benford",
+    "q_rank_sum",
+    "q_ks_stat",
+    "q_cusum",
+    "q_autocorr",
+    "q_interval_coverage",
+    "q_collocations",
+    "q_hhi",
+    "q_simpson",
+    "q_fd_violations",
+    "q_skyline",
+]
+HEADLINE = HEADLINE + HEADLINE_R8
+
 
 # Throttle-control probe (frozen): five pure projections whose code and
 # plan shape never change round-over-round.  Timed at sweep START and END;

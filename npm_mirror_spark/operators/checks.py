@@ -292,3 +292,117 @@ def drift_report(
             )
         )
     return j.select(F.inline(F.array(*structs)))
+
+
+def kanonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: str,
+    ks: tuple[int, ...] = (2, 5, 10),
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier set (the
+    privacy complement to the PII scanners q_redact_pii/q_luhn_scan):
+    rows sharing a quasi-identifier combination form an equivalence
+    class; a class smaller than k re-identifies its members, and a
+    class with fewer than l distinct SENSITIVE values leaks the
+    attribute even at size >= k (Sweeney '02; Machanavajjhala '07).
+
+    One row per requested k: (k, n_classes, min_class_size,
+    classes_below_k, rows_below_k, classes_low_ldiv, rows_low_ldiv) —
+    the last two are k-independent (repeated per row for a flat,
+    oracle-friendly schema).
+
+    Shape: ONE (quasi-cols) groupBy producing the class table — sized
+    by the quasi-identifier domain, bounded when callers coarsen
+    continuous columns into bands (the caller's contract, and the
+    whole point of generalization in the k-anonymity literature) — then
+    a ks-literal explode cross-joined onto per-class rows and one
+    re-aggregation per k.  No window, no self-join.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.countDistinct(sensitive).alias("__ldiv"),
+    )
+    kdf = classes.crossJoin(
+        F.broadcast(
+            classes.sparkSession.createDataFrame(
+                [(int(k),) for k in sorted(ks)], "k int"
+            )
+        )
+    )
+    return (
+        kdf.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("__sz").alias("min_class_size"),
+            F.sum(
+                F.when(F.col("__sz") < F.col("k"), 1).otherwise(0)
+            ).alias("classes_below_k"),
+            F.sum(
+                F.when(F.col("__sz") < F.col("k"), F.col("__sz")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rows_below_k"),
+            F.sum(
+                F.when(F.col("__ldiv") < F.lit(int(l_div)), 1).otherwise(0)
+            ).alias("classes_low_ldiv"),
+            F.sum(
+                F.when(
+                    F.col("__ldiv") < F.lit(int(l_div)), F.col("__sz")
+                ).otherwise(F.lit(0))
+            ).alias("rows_low_ldiv"),
+        )
+        .orderBy("k")
+    )
+
+
+def chisq_independence_cells(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square independence audit between two categoricals, reported
+    PER CELL so every number is exact or single-division — never an
+    order-dependent float total (the cross-engine summation trap the
+    scale-0 decimal contract exists to dodge; consumers that want the
+    chi2 scalar sum the bounded cell table themselves).
+
+    Per (row, col) cell: observed count, row margin, column margin, N,
+    ``dev_num = |obs*N - row_m*col_m|`` in exact DECIMAL(38,0) (obs*N
+    overflows int64 at ~1e10 rows), and the cell's chi-square
+    contribution ``dev_num^2 / (row_m*col_m*N)`` — per-cell independent
+    IEEE ops on exact integers, deterministic in both engines.
+
+    Shape: one (row,col) groupBy + two margin groupBys (bounded by the
+    category domains, broadcast) + the 1-row N fold — all map-side
+    combinable; output bounded by |rows| x |cols|.
+    """
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("obs"))
+    rm = df.groupBy(row_col).agg(F.count(F.lit(1)).alias("row_m"))
+    cm = df.groupBy(col_col).agg(F.count(F.lit(1)).alias("col_m"))
+    n = df.agg(F.count(F.lit(1)).alias("n_total"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    dev = F.abs(
+        d38("obs") * d38("n_total") - d38("row_m") * d38("col_m")
+    ).cast("decimal(38,0)")
+    den = (d38("row_m") * d38("col_m") * d38("n_total")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        obs.join(F.broadcast(rm), row_col)
+        .join(F.broadcast(cm), col_col)
+        .crossJoin(F.broadcast(n))
+        .select(
+            row_col,
+            col_col,
+            "obs",
+            "row_m",
+            "col_m",
+            "n_total",
+            dev.alias("dev_num"),
+            (
+                (dev.cast("double") / den.cast("double"))
+                * dev.cast("double")
+            ).alias("chi2_cell"),
+        )
+        .orderBy(row_col, col_col)
+    )

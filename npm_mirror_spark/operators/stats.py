@@ -1,0 +1,353 @@
+"""Distribution-comparison statistics, exact and engine-portable.
+
+Two-sample tests an analytics engine needs for corpus A/B work (did the
+new crawl shift the length distribution? does source X differ from the
+rest?) — computed WITHOUT libm so every number replays bit-for-bit
+against a SQL oracle:
+
+- :func:`rank_sum_test` — Mann–Whitney U / Wilcoxon rank-sum with
+  midrank tie handling, kept integer-exact by doubling (``2*R1`` and
+  ``2*U1`` are integers even when midranks are half-integers).  The
+  normal-approximation z (which needs a sqrt) is deliberately NOT
+  computed; the effect size reported is the exact AUC
+  ``U1 / (n1*n2)`` — one IEEE division.
+- :func:`ks_2samp` — two-sample Kolmogorov–Smirnov D as a
+  cross-multiplied INTEGER maximum: ``D = max_v |F1(v)-F2(v)|`` is
+  ``max_v |cum1(v)*n2 - cum2(v)*n1| / (n1*n2)``, so the argmax is found
+  in exact integer arithmetic and only the final report divides.
+
+Both run on the distinct-VALUE axis: one groupBy collapses rows to
+(value, count_a, count_b), then
+:func:`~npm_mirror_spark.operators.classifier._with_prior_sums` supplies
+strictly-prior cumulative counts with every window bounded by the
+``__bkt`` range-bucket key (the token-budget two-level prefix pattern) —
+no per-test single-reducer axis at 100 TB.  The reference
+(data_pipeline/npm-mirror) has no statistics surface at all; this module
+is part of the mandated training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def _ab_counts(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Collapse to the distinct-value axis: (value, cnt_a, cnt_b)."""
+    return df.groupBy(value).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(in_a, 0).otherwise(1)).alias("cnt_b"),
+    )
+
+
+def rank_sum_test(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Mann–Whitney U between rows where ``in_a`` holds and the rest.
+
+    1-row output: ``n1``, ``n2``, ``r1_x2`` (= 2 * rank-sum of group A,
+    midranks), ``u1_x2`` (= 2 * U1), ``auc`` (= U1/(n1*n2), the
+    probability a random A value exceeds a random B value, ties half).
+
+    Midrank identity used: the ``t`` tied rows at a value whose
+    strictly-prior count is ``b`` each take midrank ``b + (t+1)/2``, so
+    the doubled A-contribution at that value is
+    ``cnt_a * (2*b + t + 1)`` — integer.  Per-term products are cast to
+    DECIMAL(38,0) BEFORE summing (at 1e11 rows the doubled rank exceeds
+    int64); the one division runs on scale-0 decimal casts to double
+    (single-rounding in both engines — the r7 q_trend_by_group
+    contract).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = _ab_counts(df, value, in_a)
+    pri = _with_prior_sums(g, value, ("cnt_a", "cnt_b"))
+    below = F.col("__prior_cnt_a") + F.col("__prior_cnt_b")
+    ties = F.col("cnt_a") + F.col("cnt_b")
+    term = F.col("cnt_a").cast(_D38) * (
+        F.lit(2) * below + ties + F.lit(1)
+    ).cast(_D38)
+    tot = pri.agg(
+        F.sum("cnt_a").alias("n1"),
+        F.sum("cnt_b").alias("n2"),
+        F.sum(term).cast(_D38).alias("r1_x2"),
+    )
+    u1_x2 = (
+        F.col("r1_x2")
+        - (F.col("n1").cast(_D38) * (F.col("n1") + 1).cast(_D38)).cast(_D38)
+    ).cast(_D38)
+    return tot.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        u1_x2.alias("u1_x2"),
+        (
+            u1_x2.cast("double")
+            / (
+                F.lit(2).cast(_D38)
+                * F.col("n1").cast(_D38)
+                * F.col("n2").cast(_D38)
+            ).cast("double")
+        ).alias("auc"),
+    )
+
+
+def ks_2samp(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Two-sample KS statistic between ``in_a`` rows and the rest.
+
+    1-row output: ``n1``, ``n2``, ``d_num`` (the exact integer
+    ``max_v |cum1*n2 - cum2*n1|``), ``at_value`` (the SMALLEST value
+    attaining the max — deterministic argmax via max(struct)), ``d``
+    (= d_num/(n1*n2), one division).
+
+    The per-value ECDF gap comparison is exact: cumulative counts come
+    from the bounded-window prefix machinery, the cross-multiplication
+    avoids any per-value division, and the (gap, -value) struct max is a
+    map-side-combinable aggregate — no sort, no window over raw rows.
+    The 1-row (n1, n2) totals frame is cross-joined broadcast (the
+    singleton-fold pattern; allowlisted in tests/test_plans.py).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = _ab_counts(df, value, in_a)
+    pri = _with_prior_sums(g, value, ("cnt_a", "cnt_b"))
+    totals = g.agg(
+        F.sum("cnt_a").alias("n1"), F.sum("cnt_b").alias("n2")
+    )
+    cum_a = (F.col("__prior_cnt_a") + F.col("cnt_a")).cast(_D38)
+    cum_b = (F.col("__prior_cnt_b") + F.col("cnt_b")).cast(_D38)
+    gap = F.abs(
+        cum_a * F.col("n2").cast(_D38) - cum_b * F.col("n1").cast(_D38)
+    ).cast(_D38)
+    best = (
+        pri.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.struct(
+                    gap.alias("gap"), (-F.col(value)).alias("negv")
+                )
+            ).alias("b"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("b.gap").alias("d_num"),
+        (-F.col("b.negv")).alias("at_value"),
+        (
+            F.col("b.gap").cast("double")
+            / (F.col("n1").cast(_D38) * F.col("n2").cast(_D38)).cast(
+                "double"
+            )
+        ).alias("d"),
+    )
+
+
+def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Spearman rank correlation from exact integer moments, tie-exact.
+
+    Ranks are MIDRANKS doubled to stay integer (``2r = 2*below + ties
+    + 1`` — the :func:`rank_sum_test` identity) and the correlation of
+    the doubled ranks equals the correlation of the ranks (affine
+    invariance), so Pearson's five moments over (2rx, 2ry) accumulate
+    as exact DECIMAL(38,0) and only the final ``rho2 = (num/d1) *
+    (num/d2)`` + sign report touches IEEE — the :func:`autocorr1_daily
+    <npm_mirror_spark.operators.temporal.autocorr1_daily>` sqrt-free
+    contract.
+
+    Shape: each axis collapses to its distinct-value table, takes
+    strictly-prior counts via the bounded two-level bucket prefix
+    (``_with_prior_sums``), and the (value -> doubled midrank) map
+    equi-joins back onto the rows — two groupBys + two value-keyed
+    joins + one moment fold, no window ever ordering raw rows.  NULLs
+    on either axis are excluded (pairwise-complete).
+
+    1-row output: n_rows, s_rx, s_ry, s_rxx, s_ryy, s_rxy, rho_num,
+    rho_d1, rho_d2, rho2, rho_sign.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    rows = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def _rank_map(col: str, alias: str) -> DataFrame:
+        g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        pri = _with_prior_sums(g, col, ("__c",))
+        return pri.select(
+            col,
+            (
+                F.lit(2) * F.col("__prior___c") + F.col("__c") + F.lit(1)
+            ).alias(alias),
+        )
+
+    j = (
+        rows.join(_rank_map("__x", "__rx"), "__x")
+        .join(_rank_map("__y", "__ry"), "__y")
+        .select("__rx", "__ry")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__rx").cast(_D38)).cast(_D38).alias("s_rx"),
+        F.sum(F.col("__ry").cast(_D38)).cast(_D38).alias("s_ry"),
+        F.sum(F.col("__rx").cast(_D38) * F.col("__rx").cast(_D38))
+        .cast(_D38)
+        .alias("s_rxx"),
+        F.sum(F.col("__ry").cast(_D38) * F.col("__ry").cast(_D38))
+        .cast(_D38)
+        .alias("s_ryy"),
+        F.sum(F.col("__rx").cast(_D38) * F.col("__ry").cast(_D38))
+        .cast(_D38)
+        .alias("s_rxy"),
+    )
+    n = F.col("n_rows").cast(_D38)
+    num = (n * F.col("s_rxy") - F.col("s_rx") * F.col("s_ry")).cast(_D38)
+    d1 = (n * F.col("s_rxx") - F.col("s_rx") * F.col("s_rx")).cast(_D38)
+    d2 = (n * F.col("s_ryy") - F.col("s_ry") * F.col("s_ry")).cast(_D38)
+    return m.select(
+        "n_rows",
+        "s_rx",
+        "s_ry",
+        "s_rxx",
+        "s_ryy",
+        "s_rxy",
+        num.alias("rho_num"),
+        d1.alias("rho_d1"),
+        d2.alias("rho_d2"),
+        (
+            (num.cast("double") / d1.cast("double"))
+            * (num.cast("double") / d2.cast("double"))
+        ).alias("rho2"),
+        F.signum(num.cast("double")).cast("int").alias("rho_sign"),
+    )
+
+
+def runs_test_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of a daily series: sign
+    each day against the series MEDIAN (exact lower-median rank
+    statistic off the distinct-value prefix — no sort), drop exact-
+    median days (the standard convention), and count runs of equal
+    sign.  Run starts are lag transitions over the bounded calendar-day
+    axis (the q_drift_weekly contract); everything is exact counts —
+    the expected-runs normal approximation (needs a sqrt) is
+    deliberately not computed, matching :func:`rank_sum_test`.
+
+    1-row output: n_plus, n_minus, n_runs, median_x.
+    """
+    from pyspark.sql import Window
+
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(cnt).alias("__x"),
+    )
+    vals = g.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    pri = _with_prior_sums(vals, "__x", ("__c",))
+    tot = g.agg(F.count(F.lit(1)).alias("__n"))
+    # lower median = value at rank ceil(n/2): smallest x with
+    # prior + cnt >= ceil(n/2)  ->  min over qualifying values
+    med = (
+        pri.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__prior___c") + F.col("__c"))
+            >= F.ceil(F.col("__n") / 2).cast("long")
+        )
+        .agg(F.min("__x").alias("__med"))
+    )
+    signed = (
+        g.crossJoin(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__day",
+            F.when(F.col("__x") > F.col("__med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("__s"),
+            F.col("__med"),
+        )
+    )
+    w = Window.orderBy("__day")
+    runs = signed.select(
+        "__s",
+        "__med",
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.lag("__s").over(w) != F.col("__s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__start"),
+    )
+    return runs.agg(
+        F.sum(F.when(F.col("__s") > 0, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("__s") < 0, 1).otherwise(0)).alias("n_minus"),
+        F.sum("__start").alias("n_runs"),
+        F.max("__med").alias("median_x"),
+    )
+
+
+def mann_kendall_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
+    """Mann–Kendall trend statistic over a DAILY count series: S =
+    Σ_{i<j} sign(x_j - x_i), the distribution-free monotone-trend test
+    (Mann '45, Kendall '75) — exact integers throughout.
+
+    The pair sum is quadratic ONLY over the calendar-day axis, which is
+    bounded by construction (~3k rows/decade — the q_drift_weekly
+    contract), so the self-join on ``a.day < b.day`` is a bounded
+    wedge, never raw-row quadratic: raw rows collapse to one (day,
+    count) row per day first.  Ties (x_i = x_j) contribute 0, the
+    classic convention.  The normal-approximation variance needs a
+    cube/ sqrt and is not computed (the :func:`rank_sum_test`
+    discipline); the effect size reported is Kendall-style dominance
+    ``s_over_pairs = S / (n*(n-1)/2)`` — one IEEE division.
+
+    1-row output: n_days, n_pairs, s_stat, n_concordant, n_discordant,
+    n_ties, s_over_pairs.
+    """
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(cnt).alias("__x"),
+    )
+    a = g.select(F.col("__day").alias("__da"), F.col("__x").alias("__xa"))
+    b = g.select(F.col("__day").alias("__db"), F.col("__x").alias("__xb"))
+    # non-equi pair condition: broadcast the (bounded-by-construction)
+    # day-axis side explicitly so the plan is a BNLJ over ≤~3k rows,
+    # never a CartesianProduct on a bad size estimate
+    pairs = a.join(F.broadcast(b), F.col("__db") > F.col("__da"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("__xb") > F.col("__xa"), 1).otherwise(0)
+        ).alias("n_concordant"),
+        F.sum(
+            F.when(F.col("__xb") < F.col("__xa"), 1).otherwise(0)
+        ).alias("n_discordant"),
+        F.sum(
+            F.when(F.col("__xb") == F.col("__xa"), 1).otherwise(0)
+        ).alias("n_ties"),
+    )
+    n_days = g.agg(F.count(F.lit(1)).alias("n_days"))
+    s = (F.col("n_concordant") - F.col("n_discordant")).alias("s_stat")
+    return (
+        agg.crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_pairs",
+            s,
+            "n_concordant",
+            "n_discordant",
+            "n_ties",
+            (
+                (
+                    F.col("n_concordant") - F.col("n_discordant")
+                ).cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("s_over_pairs"),
+        )
+    )

@@ -209,3 +209,208 @@ def range_join(
         & (right[right_ts] <= left[left_ts] + upper)
     )
     return left.join(right, cond, "inner").drop(right[on])
+
+
+def interval_coverage_days(
+    df: DataFrame,
+    key: str,
+    start_day: Column,
+    n_days: Column,
+    max_days: int = 366,
+) -> DataFrame:
+    """Merge overlapping day-grain intervals per key and report the
+    union: covered-day count, island (maximal merged run) count, first
+    and last covered day — the gaps-and-islands union as a BOUNDARY
+    SWEEP, not a day-grain explode and not the classic per-key
+    ordered-row window (which puts one key's whole interval HISTORY on
+    one reducer; per-key rows grow with SF).
+
+    Shape: each interval emits exactly TWO delta rows — (+1 at start,
+    -1 one past its end, ends clamped by ``max_days``: a visible cap,
+    not a silent one) — which a (key, day) groupBy collapses to at most
+    2x the distinct boundary days per key.  A per-key window ordered by
+    the DAY axis (bounded by construction: calendar days, ~3k per
+    decade — the q_drift_weekly contract) turns the running delta sum
+    into coverage: between consecutive boundaries b_i < b_{i+1} the
+    union covers b_{i+1}-b_i days iff the running count after b_i is
+    positive, and an island starts wherever the count steps 0 -> +.
+    One map-side-combinable int-sum shuffle plus one bounded-axis
+    window — the 2-rows-per-interval sweep is SF-proof where the old
+    day-grain explode (O(days) rows per interval, three recomputed
+    consumers) was the sf0.1 bench tail.  Days are integer epoch days
+    (``datediff`` from 1970-01-01) so the output is timezone-proof.
+    """
+    d0 = F.datediff(start_day, F.lit("1970-01-01"))
+    dlen = F.least(n_days.cast("int"), F.lit(int(max_days)))
+    deltas = df.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                F.struct(d0.alias("__day"), F.lit(1).alias("__delta")),
+                F.struct(
+                    (d0 + dlen + 1).alias("__day"),
+                    F.lit(-1).alias("__delta"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(key, "__b.__day", "__b.__delta")
+    bounds = deltas.groupBy(key, "__day").agg(
+        F.sum("__delta").alias("__delta")
+    )
+    w = Window.partitionBy(key).orderBy("__day")
+    run = F.sum("__delta").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.select(
+        F.col(key),
+        F.col("__day"),
+        F.col("__delta"),
+        run.alias("__run"),
+        F.lead("__day").over(w).alias("__next"),
+    ).withColumn("__prevrun", F.col("__run") - F.col("__delta"))
+    return swept.groupBy(key).agg(
+        F.sum(
+            F.when(
+                F.col("__run") > 0, F.col("__next") - F.col("__day")
+            ).otherwise(F.lit(0))
+        ).alias("covered_days"),
+        F.sum(
+            F.when(
+                (F.col("__run") > 0)
+                & (
+                    F.col("__prevrun").isNull()
+                    | (F.col("__prevrun") <= 0)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_islands"),
+        F.min("__day").alias("first_day"),
+        (F.max("__day") - F.lit(1)).alias("last_day"),
+    )
+
+
+def cusum_changepoint(daily: DataFrame, day: str, cnt: str) -> DataFrame:
+    """CUSUM change-point over a DAILY count series: the split day k*
+    maximizing the deviation of the prefix sum from the uniform-rate
+    line, |m*S_k - k*S_m|, in EXACT integer arithmetic (the per-day
+    counts are integers; cross-multiplication replaces the usual
+    division by m).  1-row output: m (days), total, day_star (epoch
+    day, smallest attaining the max), dev_num (the integer max), and
+    dev_frac = dev_num/(m*total) — the one IEEE division.
+
+    The prefix window orders the DAY axis — bounded by construction
+    (calendar days, ~3k per decade), the same contract as
+    q_drift_weekly's week axis; the 1-row (m, total) frame is a
+    broadcast singleton fold (allowlisted)."""
+    from pyspark.sql import Window
+
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(cnt).alias("__x"),
+    )
+    w = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = g.select(
+        "__day",
+        F.sum("__x").over(w).alias("__s"),
+        F.row_number().over(Window.orderBy("__day")).alias("__k"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("__x").alias("total")
+    )
+    dev = F.abs(
+        F.col("m").cast("decimal(38,0)") * F.col("__s").cast("decimal(38,0)")
+        - F.col("__k").cast("decimal(38,0)")
+        * F.col("total").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    best = (
+        pre.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.struct(dev.alias("dev"), (-F.col("__day")).alias("negd"))
+            ).alias("b"),
+            F.max("m").alias("m"),
+            F.max("total").alias("total"),
+        )
+    )
+    return best.select(
+        "m",
+        "total",
+        (-F.col("b.negd")).alias("day_star"),
+        F.col("b.dev").alias("dev_num"),
+        (
+            F.col("b.dev").cast("double")
+            / (
+                F.col("m").cast("decimal(38,0)")
+                * F.col("total").cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("dev_frac"),
+    )
+
+
+def autocorr1_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
+    """Lag-1 autocorrelation of a daily count series, sqrt-free: pairs
+    (x_t, x_{t+1}) come from a self-EQUI-join on day+1 (no window at
+    all), the five Pearson moments accumulate as exact DECIMAL(38,0)
+    (counts are integers), and instead of r (whose denominator needs a
+    sqrt) the report carries the exact integer moments plus
+    ``r2 = (num/d1)*(num/d2)`` and ``r_sign`` — the same information,
+    three IEEE ops on scale-0 decimal casts, bit-for-bit portable.
+    1-row output: m_pairs, s_x, s_y, s_xx, s_yy, s_xy, r_num, d1, d2,
+    r2, r_sign."""
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(cnt).alias("__x"),
+    )
+    nxt = g.select(
+        (F.col("__day") - 1).alias("__day"), F.col("__x").alias("__y")
+    )
+    d38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    pairs = g.join(nxt, "__day")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("m_pairs"),
+        d38("__x").alias("s_x"),
+        d38("__y").alias("s_y"),
+        F.sum(
+            (F.col("__x") * F.col("__x")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("s_xx"),
+        F.sum(
+            (F.col("__y") * F.col("__y")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("s_yy"),
+        F.sum(
+            (F.col("__x") * F.col("__y")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("s_xy"),
+    )
+    mm = F.col("m_pairs").cast("decimal(38,0)")
+    num = (mm * F.col("s_xy") - F.col("s_x") * F.col("s_y")).cast(
+        "decimal(38,0)"
+    )
+    d1 = (mm * F.col("s_xx") - F.col("s_x") * F.col("s_x")).cast(
+        "decimal(38,0)"
+    )
+    d2 = (mm * F.col("s_yy") - F.col("s_y") * F.col("s_y")).cast(
+        "decimal(38,0)"
+    )
+    return m.select(
+        "m_pairs",
+        "s_x",
+        "s_y",
+        "s_xx",
+        "s_yy",
+        "s_xy",
+        num.alias("r_num"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        (
+            (num.cast("double") / d1.cast("double"))
+            * (num.cast("double") / d2.cast("double"))
+        ).alias("r2"),
+        F.signum(num.cast("double")).cast("int").alias("r_sign"),
+    )

@@ -539,3 +539,52 @@ def hashed_embedding(col: Column | str, dim: int = 16) -> Column:
         F.array_repeat(F.lit(0), dim),
         lambda acc, h: F.zip_with(acc, signs(h), lambda a, b: a + b),
     )
+
+
+def bigram_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation mining by LIFT over adjacent word bigrams — the
+    log-free core of PMI (PMI = log2(lift); the monotone ranking is
+    identical, and leaving the log out keeps every number an exact
+    count ratio the oracle can replay — the q_tf_df contract).
+
+    Pipeline: ws-token arrays stay IN-ROW and the bigram expansion is a
+    HOF transform over the token array (no join builds pairs); bigram
+    and unigram counts are two groupBys; the two unigram lookups are
+    plain equi-joins on the word (the vocabulary outgrows a broadcast
+    at 100 TB — Catalyst may still choose one at test SF); the 1-row
+    bigram-total frame broadcasts (singleton fold, allowlisted).
+    ``lift = c_xy * N / (c_x * c_y)`` is evaluated as two exact-int
+    double casts, one multiply each side, one division — deterministic.
+    Output: top ``top_n`` by (lift desc, w1, w2), with exact counts.
+    """
+    toks = ws_tokens(text_col)
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, size(__toks) - 1), "
+        "(x, i) -> struct(x AS w1, element_at(__toks, i + 2) AS w2))"
+    )
+    t = df.select(toks.alias("__toks"))
+    pairs = t.select(F.explode(bigrams).alias("p")).select("p.w1", "p.w2")
+    uni = (
+        t.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    tot = pc.agg(F.sum("c_xy").alias("n_bigrams"))
+    lift = (
+        F.col("c_xy").cast("double") * F.col("n_bigrams").cast("double")
+    ) / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    return (
+        pc.filter(F.col("c_xy") >= F.lit(int(min_count)))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "n_bigrams", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(int(top_n))
+    )

@@ -4551,6 +4551,237 @@ def q_binned_quantiles(spark, sf_dir):
     )
 
 
+def q_rank_sum(spark, sf_dir):
+    """Mann–Whitney rank-sum test (operators/stats.py:rank_sum_test):
+    do English documents run longer than the rest of the corpus?
+    Midrank-exact by integer doubling (2*R1, 2*U1), effect size as the
+    exact AUC — one IEEE division, no sqrt/libm anywhere, so the whole
+    test replays bit-for-bit.  Distinct-value collapse + the bounded
+    two-level bucket prefix: no single-reducer rank window at 100 TB."""
+    from npm_mirror_spark.operators.stats import rank_sum_test
+
+    d = _t(spark, sf_dir, "documents")
+    return rank_sum_test(d, "n_chars", F.col("lang") == "en")
+
+
+def q_ks_stat(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov (operators/stats.py:ks_2samp):
+    max ECDF gap between English and non-English doc lengths, located
+    in EXACT integer arithmetic (cross-multiplied |cum1*n2 - cum2*n1|;
+    the (gap, -value) struct max is a map-side-combinable argmax, no
+    sort).  Only the final report divides.  The distribution-shift
+    alarm the drift family (q_drift_report) thresholds on moments
+    cannot see — KS catches shape changes at equal means."""
+    from npm_mirror_spark.operators.stats import ks_2samp
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_2samp(d, "n_chars", F.col("lang") == "en")
+
+
+def q_cusum(spark, sf_dir):
+    """CUSUM change-point over the daily order-count series
+    (operators/temporal.py:cusum_changepoint): the day whose prefix sum
+    deviates most from the uniform-rate line, |m*S_k - k*S_m| in exact
+    cross-multiplied integers (no division inside the argmax).  The
+    prefix window orders the bounded calendar-day axis (the
+    q_drift_weekly contract); the (m, total) singleton fold broadcasts.
+    The monitoring primitive behind 'did the feed rate shift?'."""
+    from npm_mirror_spark.operators.temporal import cusum_changepoint
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cusum_changepoint(daily, "day", "n")
+
+
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of daily order counts
+    (operators/temporal.py:autocorr1_daily): consecutive-day pairs via
+    a self-EQUI-join on day+1 (no window), five Pearson moments as
+    exact DECIMAL(38,0) folds, and the sqrt dodged by reporting
+    r2 = (num/d1)*(num/d2) plus the sign — same information, three
+    deterministic IEEE ops.  The seasonality detector feeding
+    q_seasonal_outliers' bucket choice."""
+    from npm_mirror_spark.operators.temporal import autocorr1_daily
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return autocorr1_daily(daily, "day", "n")
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Overlapping-interval union per supplier
+    (operators/temporal.py:interval_coverage_days): each lineitem opens
+    a [shipdate, shipdate + quantity days] service window; the report
+    merges overlaps into covered-day counts, island counts and span
+    bounds per supplier.  The gaps-and-islands problem as a BOUNDARY
+    SWEEP: 2 delta rows per interval (+1 at start, -1 past end, clamped
+    by max_days), one (key, day) int-sum groupBy, one per-key window
+    over the bounded calendar-day axis (the q_drift_weekly contract) —
+    no day-grain explode, no per-key ordered window over raw intervals.
+    Epoch-day integers, timezone-proof."""
+    from npm_mirror_spark.operators.temporal import interval_coverage_days
+
+    li = _t(spark, sf_dir, "lineitem")
+    return interval_coverage_days(
+        li,
+        "l_suppkey",
+        F.col("l_shipdate").cast("date"),
+        F.floor(F.col("l_quantity")).cast("int"),
+        max_days=60,
+    ).orderBy("l_suppkey")
+
+
+def q_collocations(spark, sf_dir):
+    """Collocation mining (operators/text.py:bigram_collocations): the
+    top adjacent-word bigrams by LIFT = c_xy*N/(c_x*c_y) — PMI without
+    the log (identical ranking, exact-count replay; the q_tf_df
+    libm-free contract).  Bigrams expand IN-ROW by HOF transform (no
+    pair join); unigram lookups are word-keyed equi-joins; the 1-row
+    bigram total broadcasts.  The phrase-detection pass a tokenizer
+    pipeline (tokenizer.py BPE) runs before merging multiword units."""
+    from npm_mirror_spark.operators.text import bigram_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_collocations(d, "text", min_count=5, top_n=50)
+
+
+def q_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of order spend per nation:
+    sum of squared customer shares, the market-concentration audit
+    (the pairwise-free twin of q_source_gini's inequality measure).
+    Per-customer cents are exact ints (floor(x*100+0.5), the
+    q_corr_moments contract), per-term squares cast to DECIMAL(38,0)
+    BEFORE summing, and hhi = num/(den*den) runs on scale-0 decimal
+    double casts — deterministic.  Two key shuffles (custkey, nation);
+    the 25-row nation dim broadcasts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    per_cust = (
+        o.select(F.col("o_custkey"), cents.alias("__c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("__c").alias("__r"))
+    )
+    joined = per_cust.join(
+        F.broadcast(c), per_cust.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("__r").cast("decimal(38,0)")).cast("decimal(38,0)").alias(
+            "revenue_cents"
+        ),
+        F.sum(
+            (F.col("__r").cast("decimal(38,0)") * F.col("__r").cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).cast("decimal(38,0)").alias("__num"),
+    )
+    den = F.col("revenue_cents").cast("double")
+    return agg.select(
+        "n_name",
+        "n_cust",
+        "revenue_cents",
+        (F.col("__num").cast("double") / (den * den)).alias("hhi"),
+    ).orderBy("n_name")
+
+
+def q_simpson(spark, sf_dir):
+    """Simpson diversity of languages per source: 1 - Σ n_i(n_i-1) /
+    (N(N-1)) — the exact finite-sample (unbiased) form, pure count
+    arithmetic with per-term products cast to DECIMAL(38,0), one
+    division then one subtraction.  The libm-free diversity measure
+    (Shannon entropy needs a log); with q_source_gini and q_hhi this
+    completes the concentration/diversity audit family.  Two bounded
+    groupBys ((source, lang) then source)."""
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    agg = sl.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(
+            (F.col("n").cast("decimal(38,0)") * (F.col("n") - 1).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).cast("decimal(38,0)").alias("__num"),
+    )
+    nn = F.col("n_docs").cast("decimal(38,0)") * (
+        F.col("n_docs") - 1
+    ).cast("decimal(38,0)")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            F.lit(1.0)
+            - F.col("__num").cast("double") / nn.cast("double")
+        ).alias("simpson"),
+    ).orderBy("source")
+
+
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency audit — the profiling complement to
+    q_fk_audit's referential checks: for each DECLARED dependency
+    lhs → rhs, how many lhs groups map to more than one rhs value (and
+    the worst fan-out).  A key discovery/validation primitive: catches
+    denormalization bugs (one order key, two priorities) before they
+    poison joins.  One countDistinct groupBy per relation, unioned;
+    exact integers, one division for the violation rate."""
+    specs = [
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("part", "p_brand", "p_type"),
+        ("documents", "source", "lang"),
+    ]
+    outs = []
+    for table, lhs, rhs in specs:
+        t = _t(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.count_distinct(rhs).alias("__k"))
+        outs.append(
+            g.agg(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("relation"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(
+                    F.when(F.col("__k") > 1, 1).otherwise(0)
+                ).alias("n_violating"),
+                F.max("__k").alias("max_fanout"),
+            )
+        )
+    u = outs[0]
+    for x in outs[1:]:
+        u = u.unionByName(x)
+    return u.select(
+        "relation",
+        "n_groups",
+        "n_violating",
+        "max_fanout",
+        (
+            F.col("n_violating").cast("double")
+            / F.col("n_groups").cast("double")
+        ).alias("violation_rate"),
+        (F.col("n_violating") == 0).alias("ok"),
+    ).orderBy("relation")
+
+
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (operators/skyline.py:skyline2d):
+    parts not dominated on (price low, size high) — the multi-criteria
+    shortlist operator (Börzsönyi et al., ICDE'01).  The sort-based
+    reduction runs as a distinct-price collapse + the bounded two-level
+    prefix MAX (no window over the full distinct-price axis on one
+    reducer) + one equi-join back; the brute-force NOT EXISTS form from
+    the paper is the independent cross-check in tests/test_skyline.py."""
+    from npm_mirror_spark.operators.skyline import skyline2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline2d(p, "p_retailprice", "p_size").orderBy("p_partkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4777,6 +5008,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winsorized_mean": q_winsorized_mean,
     "q_kmv_distinct": q_kmv_distinct,
     "q_benford": q_benford,
+    "q_rank_sum": q_rank_sum,
+    "q_ks_stat": q_ks_stat,
+    "q_cusum": q_cusum,
+    "q_autocorr": q_autocorr,
+    "q_interval_coverage": q_interval_coverage,
+    "q_collocations": q_collocations,
+    "q_hhi": q_hhi,
+    "q_simpson": q_simpson,
+    "q_fd_violations": q_fd_violations,
+    "q_skyline": q_skyline,
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------
@@ -8342,4 +8583,274 @@ SELECT CAST(count(*) AS BIGINT) AS n_sources,
          / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE))
        - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
 FROM rk
+"""
+
+# q_rank_sum: midrank identity replayed over the distinct-value axis —
+# per-value doubled A-contribution cnt_a*(2*below + t + 1) in HUGEINT,
+# one final division for the AUC.
+ORACLES["q_rank_sum"] = """
+WITH g AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cnt_b
+  FROM documents GROUP BY 1),
+p AS (
+  SELECT v, cnt_a, cnt_b,
+         coalesce(sum(cnt_a + cnt_b) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g),
+t AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
+         CAST(sum(cnt_b) AS BIGINT) AS n2,
+         sum(CAST(cnt_a AS HUGEINT)
+             * CAST(2 * below + cnt_a + cnt_b + 1 AS HUGEINT)) AS r1_x2
+  FROM p)
+SELECT n1, n2, r1_x2,
+       r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS u1_x2,
+       CAST(r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(2 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                * CAST(n2 AS HUGEINT) AS DOUBLE) AS auc
+FROM t
+"""
+
+# q_ks_stat: cross-multiplied integer ECDF gap, argmax = (max gap, min
+# value) — the struct-max total order restated as two scalar subqueries.
+ORACLES["q_ks_stat"] = """
+WITH g AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cnt_b
+  FROM documents GROUP BY 1),
+p AS (
+  SELECT v,
+         sum(cnt_a) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cnt_b) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM g),
+t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt_b) AS BIGINT) AS n2 FROM g),
+d AS (
+  SELECT v,
+         abs(CAST(cum_a AS HUGEINT) * t.n2
+             - CAST(cum_b AS HUGEINT) * t.n1) AS gap
+  FROM p CROSS JOIN t)
+SELECT t.n1, t.n2,
+       (SELECT max(gap) FROM d) AS d_num,
+       (SELECT min(v) FROM d WHERE gap = (SELECT max(gap) FROM d))
+         AS at_value,
+       CAST((SELECT max(gap) FROM d) AS DOUBLE)
+         / CAST(CAST(t.n1 AS HUGEINT) * CAST(t.n2 AS HUGEINT) AS DOUBLE)
+         AS d
+FROM t
+"""
+
+# q_cusum: |m*S_k - k*S_m| in HUGEINT over the bounded day axis,
+# argmax to the smallest attaining day, one division at the end.
+ORACLES["q_cusum"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) AS d, n FROM daily),
+p AS (
+  SELECT d,
+         sum(n) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         row_number() OVER (ORDER BY d) AS k
+  FROM g),
+t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n) AS BIGINT) AS total FROM g),
+dev AS (
+  SELECT d,
+         abs(CAST(t.m AS HUGEINT) * CAST(s AS HUGEINT)
+             - CAST(k AS HUGEINT) * CAST(t.total AS HUGEINT)) AS dev
+  FROM p CROSS JOIN t)
+SELECT t.m, t.total,
+       CAST((SELECT min(d) FROM dev WHERE dev = (SELECT max(dev) FROM dev))
+            AS INTEGER) AS day_star,
+       (SELECT max(dev) FROM dev) AS dev_num,
+       CAST((SELECT max(dev) FROM dev) AS DOUBLE)
+         / CAST(CAST(t.m AS HUGEINT) * CAST(t.total AS HUGEINT) AS DOUBLE)
+         AS dev_frac
+FROM t
+"""
+
+# q_autocorr: consecutive-day pairs by equi-join on day+1, five exact
+# HUGEINT moments, r2 = (num/d1)*(num/d2) and the sign — sqrt-free.
+ORACLES["q_autocorr"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) AS d, n FROM daily),
+pairs AS (
+  SELECT a.n AS x, b.n AS y FROM g a JOIN g b ON b.d = a.d + 1),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_pairs,
+         sum(CAST(x AS HUGEINT)) AS s_x,
+         sum(CAST(y AS HUGEINT)) AS s_y,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s_xx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS s_yy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS s_xy
+  FROM pairs),
+r AS (
+  SELECT *,
+         CAST(m_pairs AS HUGEINT) * s_xy - s_x * s_y AS r_num,
+         CAST(m_pairs AS HUGEINT) * s_xx - s_x * s_x AS d1,
+         CAST(m_pairs AS HUGEINT) * s_yy - s_y * s_y AS d2
+  FROM m)
+SELECT m_pairs, s_x, s_y, s_xx, s_yy, s_xy, r_num, d1, d2,
+       (CAST(r_num AS DOUBLE) / CAST(d1 AS DOUBLE))
+         * (CAST(r_num AS DOUBLE) / CAST(d2 AS DOUBLE)) AS r2,
+       CAST(sign(CAST(r_num AS DOUBLE)) AS INTEGER) AS r_sign
+FROM r
+"""
+
+# q_interval_coverage: bounded day-grain explode via generate_series,
+# distinct union, island starts as the predecessor-day NOT EXISTS.
+ORACLES["q_interval_coverage"] = """
+WITH iv AS (
+  SELECT l_suppkey AS k,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS d0,
+         least(CAST(floor(l_quantity) AS INTEGER), 60) AS nd
+  FROM lineitem),
+days AS (
+  SELECT DISTINCT k, d0 + i AS day
+  FROM iv, unnest(generate_series(0, nd)) AS t(i)),
+starts AS (
+  SELECT d.k, d.day FROM days d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM days p WHERE p.k = d.k AND p.day = d.day - 1)),
+cov AS (
+  SELECT k, count(*) AS covered_days,
+         min(day) AS first_day, max(day) AS last_day
+  FROM days GROUP BY k),
+isl AS (SELECT k, count(*) AS n_islands FROM starts GROUP BY k)
+SELECT cov.k AS l_suppkey, covered_days, n_islands,
+       CAST(first_day AS INTEGER) AS first_day,
+       CAST(last_day AS INTEGER) AS last_day
+FROM cov JOIN isl USING (k)
+ORDER BY l_suppkey
+"""
+
+# q_collocations: bigrams by 1-based lateral generate_series over the
+# token array, lift as exact-int double casts — identical op tree.
+ORACLES["q_collocations"] = f"""
+WITH t AS (SELECT str_split({_NORM}, ' ') AS toks FROM documents),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+pc AS (SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM pc)
+SELECT pc.w1, pc.w2, pc.c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
+       tot.n_bigrams,
+       (CAST(pc.c_xy AS DOUBLE) * CAST(tot.n_bigrams AS DOUBLE))
+         / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE)) AS lift
+FROM pc
+JOIN uni u1 ON u1.w = pc.w1
+JOIN uni u2 ON u2.w = pc.w2
+CROSS JOIN tot
+WHERE pc.c_xy >= 5
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
+# q_hhi: per-customer exact cents, HUGEINT squares, one division on
+# double casts of the scale-0 aggregates.
+ORACLES["q_hhi"] = """
+WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT n.n_name, CAST(pc.r AS HUGEINT) AS r
+  FROM pc
+  JOIN customer c ON c.c_custkey = pc.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+a AS (
+  SELECT n_name, count(*) AS n_cust,
+         sum(r) AS revenue_cents,
+         sum(r * r) AS num
+  FROM j GROUP BY 1)
+SELECT n_name, n_cust, revenue_cents,
+       CAST(num AS DOUBLE)
+         / (CAST(revenue_cents AS DOUBLE) * CAST(revenue_cents AS DOUBLE))
+         AS hhi
+FROM a ORDER BY n_name
+"""
+
+# q_simpson: unbiased Simpson index, per-term n(n-1) in HUGEINT, one
+# division one subtraction.
+ORACLES["q_simpson"] = """
+WITH sl AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY 1, 2),
+a AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         count(*) AS n_langs,
+         sum(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS num
+  FROM sl GROUP BY 1)
+SELECT source, n_docs, n_langs,
+       1.0 - CAST(num AS DOUBLE)
+         / CAST(CAST(n_docs AS HUGEINT)
+                * CAST(n_docs - 1 AS HUGEINT) AS DOUBLE) AS simpson
+FROM a ORDER BY source
+"""
+
+# q_fd_violations: one countDistinct rollup per declared dependency.
+ORACLES["q_fd_violations"] = """
+WITH f1 AS (
+  SELECT 'orders.o_custkey->o_orderpriority' AS relation,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         max(k) AS max_fanout
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+        FROM orders GROUP BY 1)),
+f2 AS (
+  SELECT 'part.p_brand->p_type' AS relation,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         max(k) AS max_fanout
+  FROM (SELECT p_brand, count(DISTINCT p_type) AS k
+        FROM part GROUP BY 1)),
+f3 AS (
+  SELECT 'documents.source->lang' AS relation,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         max(k) AS max_fanout
+  FROM (SELECT source, count(DISTINCT lang) AS k
+        FROM documents GROUP BY 1)),
+u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3)
+SELECT relation, n_groups, n_violating, max_fanout,
+       CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE)
+         AS violation_rate,
+       n_violating = 0 AS ok
+FROM u ORDER BY relation
+"""
+
+# q_skyline: the sort-based prefix-max reduction restated in SQL (the
+# independent brute-force NOT EXISTS form is tests/test_skyline.py).
+ORACLES["q_skyline"] = """
+WITH m AS (
+  SELECT p_retailprice AS pr, max(p_size) AS meq
+  FROM part GROUP BY 1),
+pm AS (
+  SELECT pr, meq,
+         max(meq) OVER (ORDER BY pr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+  FROM m)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN pm ON pm.pr = p.p_retailprice
+WHERE NOT (coalesce(pm.mlt >= p.p_size, FALSE) OR pm.meq > p.p_size)
+ORDER BY p.p_partkey
 """

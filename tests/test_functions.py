@@ -245,3 +245,46 @@ def test_edit1_join_neighborhood_semantics(spark):
         (1, 2, 1), (1, 3, 1), (1, 5, 1), (1, 6, 0),
         (2, 6, 1), (3, 6, 1), (5, 6, 1),
     ]
+
+
+def test_bigram_collocations_matches_brute_force(spark):
+    """Lift over adjacent bigrams must equal explicit Python counting
+    (normalize: lower + whitespace-collapse, ws-split)."""
+    from collections import Counter
+
+    from npm_mirror_spark.operators.text import bigram_collocations
+
+    texts = [
+        "new york new york city",
+        "New   YORK is a city",
+        "the city of new york",
+        "a b a b a b",
+        "the the the",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["body"])
+    got = {
+        (r["w1"], r["w2"]): (
+            r["c_xy"], r["c_x"], r["c_y"], r["n_bigrams"], r["lift"],
+        )
+        for r in bigram_collocations(
+            df, "body", min_count=2, top_n=100
+        ).collect()
+    }
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n = sum(bi.values())
+    want = {
+        p: (c, uni[p[0]], uni[p[1]], n, c * n / (uni[p[0]] * uni[p[1]]))
+        for p, c in bi.items()
+        if c >= 2
+    }
+    assert set(got) == set(want)
+    for p, (cxy, cx, cy, nb, lift) in want.items():
+        g = got[p]
+        assert g[:4] == (cxy, cx, cy, nb), p
+        assert abs(g[4] - lift) < 1e-12, p
+    # "new york" repeats within and across documents
+    assert got[("new", "york")][0] == 4

@@ -383,6 +383,27 @@ ALLOWED_BNLJ = {
         "single-row basket-count frame broadcast onto the bounded "
         "(c_ab >= 5) rule table for the support/lift denominators"
     ),
+    "q_rank_sum": (
+        "single-row (n1, n2) totals broadcast onto the 1-row doubled "
+        "rank-sum fold, plus _with_prior_sums' (min,max) stats row"
+    ),
+    "q_ks_stat": (
+        "single-row (n1, n2) totals broadcast into the per-value ECDF "
+        "gap stream before the 1-row struct-max fold, plus "
+        "_with_prior_sums' (min,max) stats row"
+    ),
+    "q_cusum": (
+        "single-row (m, total) series fold cross-joined (broadcast) "
+        "onto the bounded day-axis prefix table"
+    ),
+    "q_collocations": (
+        "single-row bigram-total frame broadcast onto the min_count-"
+        "filtered pair table for the lift denominator"
+    ),
+    "q_skyline": (
+        "_with_prior_max's single-row (min,max) price-range broadcast "
+        "for the order-preserving prefix-max buckets"
+    ),
 }
 
 

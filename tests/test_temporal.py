@@ -104,3 +104,119 @@ def test_asof_no_match_yields_nulls(spark):
         right_cols=["rts", "val"], tiebreak=["val"],
     ).collect()
     assert len(out) == 1 and out[0]["val"] is None and out[0]["rts"] is None
+
+
+# ---- r8 wave: boundary-sweep coverage, CUSUM, lag-1 autocorr ----
+
+
+def _epoch_day(s):
+    import datetime as dt
+
+    return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
+
+
+def _brute_coverage(intervals, max_days):
+    """intervals: [(key, start_iso, n_days)] -> {key: (covered,
+    islands, first, last)} via explicit day sets."""
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for k, s, n in intervals:
+        d0 = _epoch_day(s)
+        for d in range(d0, d0 + min(n, max_days) + 1):
+            days[k].add(d)
+    out = {}
+    for k, ds in days.items():
+        sd = sorted(ds)
+        islands = 1 + sum(
+            1 for a, b in zip(sd, sd[1:]) if b > a + 1
+        )
+        out[k] = (len(sd), islands, sd[0], sd[-1])
+    return out
+
+
+def test_interval_coverage_matches_day_sets(spark):
+    from npm_mirror_spark.operators.temporal import interval_coverage_days
+
+    # overlap, nesting, exact adjacency (no gap), gap, clamp, duplicate
+    intervals = [
+        (1, "2024-01-01", 5),   # 01-01..01-06
+        (1, "2024-01-04", 2),   # nested-overlap ..01-06
+        (1, "2024-01-07", 1),   # adjacent -> same island
+        (1, "2024-02-01", 0),   # singleton island after a gap
+        (2, "2024-01-10", 100), # clamped to 30
+        (2, "2024-01-10", 100), # exact duplicate interval
+        (3, "2024-03-01", 3),
+        (3, "2024-03-10", 3),   # second island
+    ]
+    df = spark.createDataFrame(intervals, ["k", "s", "n"])
+    got = {
+        r["k"]: (
+            r["covered_days"],
+            r["n_islands"],
+            r["first_day"],
+            r["last_day"],
+        )
+        for r in interval_coverage_days(
+            df, "k", F.col("s").cast("date"), F.col("n"), max_days=30
+        ).collect()
+    }
+    assert got == _brute_coverage(intervals, 30)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    from npm_mirror_spark.operators.temporal import cusum_changepoint
+
+    # 10 days at rate 2, then 10 days at rate 12 -> split at day 9
+    rows = [
+        (f"2024-01-{d:02d}", 2 if d <= 10 else 12) for d in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, ["day", "cnt"])
+    r = cusum_changepoint(df, "day", "cnt").collect()[0]
+    assert r["m"] == 20 and r["total"] == 10 * 2 + 10 * 12
+    # brute force the integer deviation maximum
+    cnts = [c for _, c in rows]
+    m, tot = len(cnts), sum(cnts)
+    devs = []
+    s = 0
+    for k, c in enumerate(cnts, start=1):
+        s += c
+        devs.append((abs(m * s - k * tot), _epoch_day(rows[k - 1][0])))
+    best = max(devs, key=lambda t: (t[0], -t[1]))
+    assert int(r["dev_num"]) == best[0]
+    assert r["day_star"] == best[1] == _epoch_day("2024-01-10")
+    assert abs(r["dev_frac"] - best[0] / (m * tot)) < 1e-15
+
+
+def test_autocorr_exact_moments_and_sign(spark):
+    from npm_mirror_spark.operators.temporal import autocorr1_daily
+
+    # alternating series -> strong NEGATIVE lag-1 autocorrelation;
+    # one missing day breaks that pair out of the join
+    rows = [
+        ("2024-01-01", 1), ("2024-01-02", 9), ("2024-01-03", 1),
+        ("2024-01-04", 9), ("2024-01-05", 1), ("2024-01-07", 9),
+    ]
+    df = spark.createDataFrame(rows, ["day", "cnt"])
+    r = autocorr1_daily(df, "day", "cnt").collect()[0]
+    by_day = {_epoch_day(d): c for d, c in rows}
+    pairs = [
+        (c, by_day[d + 1]) for d, c in by_day.items() if d + 1 in by_day
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    assert r["m_pairs"] == m == 4
+    assert (int(r["s_x"]), int(r["s_y"])) == (sx, sy)
+    assert (int(r["s_xx"]), int(r["s_yy"]), int(r["s_xy"])) == (
+        sxx, syy, sxy,
+    )
+    num = m * sxy - sx * sy
+    d1 = m * sxx - sx * sx
+    d2 = m * syy - sy * sy
+    assert int(r["r_num"]) == num
+    assert r["r_sign"] == -1
+    assert abs(r["r2"] - (num / d1) * (num / d2)) < 1e-12
