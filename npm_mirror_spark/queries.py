@@ -4816,12 +4816,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cosine_topk": q_cosine_topk,
     "q_text_stats": q_text_stats,
     "q_approx_stats": q_approx_stats,
-    # slots 28-50 (r8 rotation): first-ever driver rows — the 23 oldest
-    # entries of the never-checked queue per docs/DRIVER_WINDOW.md: the 5
-    # r6 remainders, then the r7 graph/sketch/linkage/validation wave in
-    # registry-queue order through q_calibration.  All 23 are
-    # oracle-backed (the only rows-only entry in this window is the
-    # pinned q_approx_stats).
+    # NOTE (r9): this dict literal is in REGISTRATION order only — it no
+    # longer encodes the driver window.  The DRIVER_WINDOW block after
+    # the literal reorders the dict so the first 50 entries are exactly
+    # PINNED_27 + WINDOW_TAIL; rotations edit ONLY WINDOW_TAIL there.
+    # (r8-window occupants below were driver-green in CORRECTNESS_r08.)
     "q_cut_contaminated": q_cut_contaminated,
     "q_line_filter": q_line_filter,
     "q_containment": q_containment,
@@ -5018,6 +5017,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simpson": q_simpson,
     "q_fd_violations": q_fd_violations,
     "q_skyline": q_skyline,
+}
+
+# --- Driver window: single source of truth (r8 verdict item 1) ------------
+# The grading driver checks exactly ``list(QUERIES)[:50]``.  A rotation
+# edits ONLY ``WINDOW_TAIL`` below; the dict literal above stays in
+# registration order (which defines never-checked-queue order), and the
+# reorder at the end of this block makes the dict head equal to
+# ``DRIVER_WINDOW``.  tests/test_sql_surface.py, tests/
+# test_registry_invariants.py and docs/DRIVER_WINDOW.md all consume these
+# lists, so a rotation commit can no longer desync the pin test from the
+# registry (the r8 lesson: the rotation landed without updating the pin).
+
+#: Slots 1-27 — the SURVEY §2-mapped reference-parity core; never rotates.
+PINNED_27: tuple[str, ...] = (
+    "q_scan_project", "q_json_decode", "q_regex_clean", "q_split_last",
+    "q_prefix_bucket", "q_ts_parse", "q_normalize", "q_flag_route",
+    "q_filter_notnull", "q_filter_size", "q_argmax_latest",
+    "q_mirror_record", "q_retention_topn", "q_retention_gc",
+    "q_retention_tombstone", "q_count_events", "q_max_seq", "q_lag",
+    "q_union_logs", "q_anti_join", "q_enrich_join", "q_dedup_exact",
+    "q_dedup_norm", "q_minhash_pairs", "q_cosine_topk", "q_text_stats",
+    "q_approx_stats",
+)
+
+#: Slots 28-50 (r9 rotation): the 23 oldest never-checked queue entries
+#: per docs/DRIVER_WINDOW.md — the six r7 remainders the r8 window could
+#: not fit, then the r8 wave in registration order through ``q_cusum``.
+#: All 23 are oracle-backed; the only rows-only entry in this window is
+#: the pinned ``q_approx_stats``.
+WINDOW_TAIL: tuple[str, ...] = (
+    "q_pagerank_seeded", "q_assoc_rules", "q_drift_weekly",
+    "q_seasonal_outliers", "q_weighted_median", "q_source_gini",
+    "q_triangle_est", "q_validated_batch", "q_communities",
+    "q_token_drift", "q_edit_join", "q_decay_counts", "q_luhn_scan",
+    "q_hll_weekly", "q_dedup_lines", "q_quantile_norm", "q_fk_audit",
+    "q_winsorized_mean", "q_kmv_distinct", "q_benford", "q_rank_sum",
+    "q_ks_stat", "q_cusum",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
+assert len(DRIVER_WINDOW) == 50, f"window has {len(DRIVER_WINDOW)} slots"
+assert len(set(DRIVER_WINDOW)) == 50, "duplicate names in DRIVER_WINDOW"
+_unregistered = [n for n in DRIVER_WINDOW if n not in QUERIES]
+assert not _unregistered, f"DRIVER_WINDOW not in registry: {_unregistered}"
+QUERIES = {n: QUERIES[n] for n in DRIVER_WINDOW} | {
+    n: f for n, f in QUERIES.items() if n not in set(DRIVER_WINDOW)
 }
 
 # Shared SQL fragments for the DuckDB oracles ------------------------------

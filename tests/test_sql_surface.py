@@ -60,9 +60,19 @@ def test_sql_window_matches_registered_query(spark, sf_dir):
 
 def test_driver_window_composition_pinned():
     """The driver checks the FIRST 50 registry entries; an accidental
-    reorder silently changes what gets driver-verified. Pin the §2 core
-    in slots 1-27 and the r7 window tail (see docs/DRIVER_WINDOW.md)."""
-    from npm_mirror_spark.queries import ORACLES, QUERIES
+    reorder silently changes what gets driver-verified.  Since r9 the
+    window has ONE source of truth — queries.DRIVER_WINDOW — and the
+    registry dict is mechanically reordered from it, so this test pins
+    (a) the never-rotating §2 core as an independent literal, (b) that
+    the dict head really equals DRIVER_WINDOW, and (c) oracle coverage
+    for every window slot (see docs/DRIVER_WINDOW.md)."""
+    from npm_mirror_spark.queries import (
+        DRIVER_WINDOW,
+        ORACLES,
+        PINNED_27,
+        QUERIES,
+        WINDOW_TAIL,
+    )
 
     names = list(QUERIES)
     pinned_27 = [
@@ -75,9 +85,9 @@ def test_driver_window_composition_pinned():
         "q_dedup_norm", "q_minhash_pairs", "q_cosine_topk", "q_text_stats",
         "q_approx_stats",
     ]
-    assert names[:27] == pinned_27
-    assert names[27] == "q_temperature_mix"
-    assert names[49] == "q_token_budget"
+    assert list(PINNED_27) == pinned_27, "the §2 core must never rotate"
+    assert names[:50] == list(DRIVER_WINDOW)
+    assert len(WINDOW_TAIL) == 23
     # every window entry except the documented rows-only ones has an oracle
     rows_only = {
         "q_approx_stats", "q_lm_nll", "q_quality_classifier",
