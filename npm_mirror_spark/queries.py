@@ -4782,6 +4782,83 @@ def q_skyline(spark, sf_dir):
     return skyline2d(p, "p_retailprice", "p_size").orderBy("p_partkey")
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators/stats.py:spearman_rho):
+    does line-item quantity track extended price?  Midranks doubled to
+    stay integer (the q_rank_sum identity), five Pearson moments over
+    the doubled ranks as exact DECIMAL(38,0), the sqrt dodged by
+    reporting rho2 = (num/d1)*(num/d2) plus the sign (the q_autocorr
+    contract).  Each axis collapses to its distinct-value table + the
+    bounded two-level bucket prefix — no raw-row rank window at
+    100 TB."""
+    from npm_mirror_spark.operators.stats import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_rho(li, "l_quantity", "l_extendedprice")
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test (operators/stats.py:runs_test_daily)
+    over the daily order-count series: sign each day against the exact
+    lower median (distinct-value prefix, no sort), drop exact-median
+    days, count sign runs via lag over the bounded calendar-day axis.
+    All exact counts — the randomness check beside q_cusum's
+    change-point and q_autocorr's persistence."""
+    from npm_mirror_spark.operators.stats import runs_test_daily
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return runs_test_daily(daily, "day", "n")
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotone-trend statistic (operators/stats.py:
+    mann_kendall_daily) over daily order counts: S = sum of
+    sign(x_j - x_i) over day pairs — quadratic ONLY on the bounded
+    calendar-day axis (raw rows collapse to one row per day first), so
+    the broadcast non-equi pair join is a bounded wedge.  Exact
+    integers; the one IEEE division is the dominance effect size."""
+    from npm_mirror_spark.operators.stats import mann_kendall_daily
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return mann_kendall_daily(daily, "day", "n")
+
+
+def q_kanonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (operators/checks.py:
+    kanonymity_report): customers bucketed by the quasi-identifier pair
+    (nation, market segment), account balance as the sensitive
+    attribute — per k in (2,5,10), how many equivalence classes (and
+    rows) fall below k, plus the l-diversity leak count.  ONE quasi-key
+    groupBy bounded by the 25x5 identifier domain, then a 3-row
+    literal explode + re-aggregation — no window, no self-join."""
+    from npm_mirror_spark.operators.checks import kanonymity_report
+
+    c = _t(spark, sf_dir, "customer")
+    return kanonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], "c_acctbal", ks=(2, 5, 10),
+        l_div=2,
+    )
+
+
+def q_chisq(spark, sf_dir):
+    """Chi-square independence audit (operators/checks.py:
+    chisq_independence_cells): is order status independent of order
+    priority?  Reported PER CELL (3x5 bounded output) so every number
+    is exact DECIMAL(38,0) or a single deterministic IEEE op — obs*N
+    cross-multiplied against the margin product, never a float total.
+    Three bounded groupBys + broadcast margin joins."""
+    from npm_mirror_spark.operators.checks import chisq_independence_cells
+
+    o = _t(spark, sf_dir, "orders")
+    return chisq_independence_cells(o, "o_orderstatus", "o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5017,6 +5094,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simpson": q_simpson,
     "q_fd_violations": q_fd_violations,
     "q_skyline": q_skyline,
+    # r9 additions (never driver-checked yet): the five r8-written
+    # stat/audit operators, wired per the r8 verdict (item 2)
+    "q_spearman": q_spearman,
+    "q_runs_test": q_runs_test,
+    "q_mann_kendall": q_mann_kendall,
+    "q_kanonymity": q_kanonymity,
+    "q_chisq": q_chisq,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -8898,4 +8982,165 @@ SELECT p.p_partkey, p.p_retailprice, p.p_size
 FROM part p JOIN pm ON pm.pr = p.p_retailprice
 WHERE NOT (coalesce(pm.mlt >= p.p_size, FALSE) OR pm.meq > p.p_size)
 ORDER BY p.p_partkey
+"""
+
+# q_spearman: midranks doubled to stay integer (2r = 2*below + ties + 1),
+# five HUGEINT moments over the doubled ranks, rho2/sign at the end —
+# the q_rank_sum prefix identity restated per axis.
+ORACLES["q_spearman"] = """
+WITH r0 AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+vx AS (SELECT x, count(*) AS c FROM r0 GROUP BY 1),
+px AS (
+  SELECT x,
+         2 * coalesce(sum(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rx
+  FROM vx),
+vy AS (SELECT y, count(*) AS c FROM r0 GROUP BY 1),
+py AS (
+  SELECT y,
+         2 * coalesce(sum(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS ry
+  FROM vy),
+j AS (SELECT px.rx, py.ry FROM r0 JOIN px USING (x) JOIN py USING (y)),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         sum(CAST(rx AS HUGEINT)) AS s_rx,
+         sum(CAST(ry AS HUGEINT)) AS s_ry,
+         sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS s_rxx,
+         sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS s_ryy,
+         sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS s_rxy
+  FROM j),
+r AS (
+  SELECT *,
+         CAST(n_rows AS HUGEINT) * s_rxy - s_rx * s_ry AS rho_num,
+         CAST(n_rows AS HUGEINT) * s_rxx - s_rx * s_rx AS rho_d1,
+         CAST(n_rows AS HUGEINT) * s_ryy - s_ry * s_ry AS rho_d2
+  FROM m)
+SELECT n_rows, s_rx, s_ry, s_rxx, s_ryy, s_rxy, rho_num, rho_d1, rho_d2,
+       (CAST(rho_num AS DOUBLE) / CAST(rho_d1 AS DOUBLE))
+         * (CAST(rho_num AS DOUBLE) / CAST(rho_d2 AS DOUBLE)) AS rho2,
+       CAST(sign(CAST(rho_num AS DOUBLE)) AS INTEGER) AS rho_sign
+FROM r
+"""
+
+# q_runs_test: lower median = smallest value whose prefix count reaches
+# ceil(n/2); exact-median days drop; run starts are lag transitions.
+ORACLES["q_runs_test"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) AS d, n FROM daily),
+v AS (SELECT n AS x, count(*) AS c FROM g GROUP BY 1),
+p AS (
+  SELECT x, c,
+         coalesce(sum(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM v),
+t AS (SELECT count(*) AS nn FROM g),
+med AS (
+  SELECT min(x) AS m FROM p CROSS JOIN t
+  WHERE below + c >= CAST(ceil(nn / 2.0) AS BIGINT)),
+s AS (
+  SELECT d, CASE WHEN n > m THEN 1 ELSE -1 END AS sg, m
+  FROM g CROSS JOIN med WHERE n <> m),
+r AS (
+  SELECT sg, m,
+         CASE WHEN lag(sg) OVER (ORDER BY d) IS NULL
+                OR lag(sg) OVER (ORDER BY d) <> sg
+              THEN 1 ELSE 0 END AS st
+  FROM s)
+SELECT CAST(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+       CAST(sum(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+       CAST(sum(st) AS BIGINT) AS n_runs,
+       max(m) AS median_x
+FROM r
+"""
+
+# q_mann_kendall: S over day pairs on the bounded day axis; ties
+# contribute zero; one division for the dominance effect size.
+ORACLES["q_mann_kendall"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) AS d, n FROM daily),
+pairs AS (
+  SELECT a.n AS xa, b.n AS xb FROM g a JOIN g b ON b.d > a.d),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN xb > xa THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_concordant,
+         CAST(sum(CASE WHEN xb < xa THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discordant,
+         CAST(sum(CASE WHEN xb = xa THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ties
+  FROM pairs),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM g)
+SELECT n_days, n_pairs,
+       n_concordant - n_discordant AS s_stat,
+       n_concordant, n_discordant, n_ties,
+       CAST(n_concordant - n_discordant AS DOUBLE)
+         / CAST(n_pairs AS DOUBLE) AS s_over_pairs
+FROM agg CROSS JOIN t
+"""
+
+# q_kanonymity: one quasi-key groupBy -> class table, 3-row k explode,
+# re-aggregate; l-diversity counts are k-independent.
+ORACLES["q_kanonymity"] = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS sz, count(DISTINCT c_acctbal) AS ldiv
+  FROM customer GROUP BY 1, 2),
+ks AS (SELECT * FROM (VALUES (2), (5), (10)) AS t(k))
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_low_ldiv,
+       CAST(sum(CASE WHEN ldiv < 2 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_low_ldiv
+FROM classes CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+# q_chisq: per-cell |obs*N - row_m*col_m| in HUGEINT, chi2 contribution
+# as (dev/den)*dev — per-cell independent IEEE ops, both engines agree.
+ORACLES["q_chisq"] = """
+WITH obs AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+  FROM orders GROUP BY 1, 2),
+rm AS (SELECT o_orderstatus, count(*) AS row_m FROM orders GROUP BY 1),
+cm AS (SELECT o_orderpriority, count(*) AS col_m FROM orders GROUP BY 1),
+t AS (SELECT count(*) AS n_total FROM orders)
+SELECT o.o_orderstatus, o.o_orderpriority,
+       CAST(o.obs AS BIGINT) AS obs,
+       CAST(rm.row_m AS BIGINT) AS row_m,
+       CAST(cm.col_m AS BIGINT) AS col_m,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
+           - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
+         AS dev_num,
+       (CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
+                 - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
+             AS DOUBLE)
+        / CAST(CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT)
+               * CAST(t.n_total AS HUGEINT) AS DOUBLE))
+         * CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
+                    - CAST(rm.row_m AS HUGEINT)
+                      * CAST(cm.col_m AS HUGEINT)) AS DOUBLE)
+         AS chi2_cell
+FROM obs o
+JOIN rm USING (o_orderstatus)
+JOIN cm USING (o_orderpriority)
+CROSS JOIN t
+ORDER BY o.o_orderstatus, o.o_orderpriority
 """

@@ -215,3 +215,74 @@ def test_token_drift_matches_brute_force(spark, sf_dir):
         )
         assert 0.0 <= got[src] <= 1.0
         assert abs(got[src] - tv) < 1e-9, (src, got[src], tv)
+
+
+# --- kanonymity_report / chisq_independence_cells (r9 wiring) -------------
+
+
+def test_kanonymity_counts_crafted_classes(spark):
+    from npm_mirror_spark.operators.checks import kanonymity_report
+
+    # class A: 1 row / 1 sensitive value; B: 3 rows / 1 value (low
+    # l-diversity); C: 7 rows / 7 values
+    rows = (
+        [("A", "s0")]
+        + [("B", "s1")] * 3
+        + [("C", f"s{i}") for i in range(2, 9)]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {
+        r["k"]: r
+        for r in kanonymity_report(df, ["q"], "s", ks=(2, 5), l_div=2).collect()
+    }
+    assert set(out) == {2, 5}
+    for k in (2, 5):
+        assert out[k]["n_classes"] == 3
+        assert out[k]["min_class_size"] == 1
+        assert out[k]["classes_low_ldiv"] == 2  # A and B
+        assert out[k]["rows_low_ldiv"] == 4
+    assert out[2]["classes_below_k"] == 1 and out[2]["rows_below_k"] == 1
+    assert out[5]["classes_below_k"] == 2 and out[5]["rows_below_k"] == 4
+
+
+def test_kanonymity_fully_anonymous_table_is_clean(spark):
+    from npm_mirror_spark.operators.checks import kanonymity_report
+
+    rows = [("G", f"v{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(rows, "q string, s string")
+    r = kanonymity_report(df, ["q"], "s", ks=(10,), l_div=2).collect()[0]
+    assert r["classes_below_k"] == 0 and r["rows_below_k"] == 0
+    assert r["classes_low_ldiv"] == 0 and r["rows_low_ldiv"] == 0
+    assert r["min_class_size"] == 20
+
+
+def test_chisq_independent_table_has_zero_deviation(spark):
+    from npm_mirror_spark.operators.checks import chisq_independence_cells
+
+    # obs = row_m * col_m / N exactly for every cell -> dev_num all 0
+    rows = (
+        [("a", "x")] * 2 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence_cells(df, "r", "c").collect()
+    assert len(out) == 4
+    assert all(int(r["dev_num"]) == 0 and r["chi2_cell"] == 0.0 for r in out)
+
+
+def test_chisq_dependent_cells_match_hand_computation(spark):
+    from npm_mirror_spark.operators.checks import chisq_independence_cells
+
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] * 1
+        + [("b", "x")] * 1 + [("b", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r["r"], r["c"]): r for r in chisq_independence_cells(df, "r", "c").collect()}
+    # N=8, all margins 4: |obs*8 - 16| = 8 for every cell;
+    # chi2_cell = (8 / (4*4*8)) * 8 = 0.5
+    for cell, r in out.items():
+        assert r["n_total"] == 8 and r["row_m"] == 4 and r["col_m"] == 4
+        assert int(r["dev_num"]) == 8
+        assert abs(r["chi2_cell"] - 0.5) < 1e-15
+    assert out[("a", "x")]["obs"] == 3 and out[("a", "y")]["obs"] == 1

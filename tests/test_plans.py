@@ -313,6 +313,20 @@ ALLOWED_BNLJ = {
         "broadcast (and _with_prior_sums' (min,max) stats row)"
     ),
     "q_lm_bigram": "single-row (T, V) LM-stats broadcast into the bigram stream",
+    "q_spearman": (
+        "single-row moment fold only; the rank maps equi-join — no loop "
+        "join touches raw rows"
+    ),
+    "q_runs_test": (
+        "1-row total + 1-row median broadcast onto the bounded day axis"
+    ),
+    "q_mann_kendall": (
+        "deliberate broadcast non-equi pair join on the CALENDAR-DAY axis "
+        "(bounded by construction, ~3k rows/decade — raw rows collapse to "
+        "one row per day first) + 1-row n_days fold"
+    ),
+    "q_kanonymity": "3-row k-literal table broadcast onto the class table",
+    "q_chisq": "single-row N fold broadcast onto the bounded cell table",
     "q_pr_curve": (
         "single-row positives-total broadcast onto the threshold axis + "
         "single-row (min,max) score-range broadcast for prefix-sum buckets"

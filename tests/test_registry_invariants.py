@@ -85,3 +85,37 @@ def test_driver_window_doc_matches_registry_head():
     assert m, "DRIVER_WINDOW.md no longer states the slot 28-50 range"
     assert m.group(1) == window[27], (m.group(1), window[27])
     assert m.group(2) == window[49], (m.group(2), window[49])
+
+
+def test_every_public_operator_function_is_referenced():
+    """r8 shipped five fully-written operators (stats.py, checks.py) with
+    zero references — no query face, no oracle, no test.  Dead code in a
+    repo whose whole contract is oracle-backed faces.  Every public
+    top-level function under npm_mirror_spark/operators/ must be
+    referenced at least once beyond its own def line — by queries.py,
+    another operator, __spark_entry__.py, bench.py, or a test."""
+    import ast
+
+    pkg = REPO / "npm_mirror_spark"
+    sources: dict[str, str] = {}
+    for f in sorted(pkg.rglob("*.py")):
+        sources[str(f)] = f.read_text()
+    for f in sorted((REPO / "tests").glob("*.py")):
+        sources[str(f)] = f.read_text()
+    for f in (REPO / "__spark_entry__.py", REPO / "bench.py"):
+        sources[str(f)] = f.read_text()
+
+    dead: list[str] = []
+    for path, src in list(sources.items()):
+        if not path.startswith(str(pkg / "operators")):
+            continue
+        for node in ast.parse(src).body:
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            if node.name.startswith("_"):
+                continue
+            pat = re.compile(rf"\b{re.escape(node.name)}\b")
+            uses = sum(len(pat.findall(s)) for s in sources.values())
+            if uses < 2:  # the def line itself is one match
+                dead.append(f"{Path(path).name}:{node.name}")
+    assert not dead, f"public operator functions with zero references: {sorted(dead)}"

@@ -99,3 +99,162 @@ def test_identical_groups_have_zero_d_and_half_auc(spark):
     rs = rank_sum_test(df, "v", F.col("a") == 1).collect()[0]
     assert int(ks["d_num"]) == 0
     assert abs(rs["auc"] - 0.5) < 1e-15
+
+
+# --- spearman_rho / runs_test_daily / mann_kendall_daily (r9 wiring) ------
+
+PAIRS = [
+    (1, 10), (1, 12), (2, 11), (2, 11), (3, 9),
+    (5, 20), (5, 20), (8, 15), (9, 30), (9, 30),
+]
+
+
+def _brute_spearman(pairs):
+    """Exact doubled-midrank moments with Python ints."""
+
+    def doubled_ranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            out.append(2 * below + ties + 1)
+        return out
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    rx, ry = doubled_ranks(xs), doubled_ranks(ys)
+    n = len(pairs)
+    s_rx, s_ry = sum(rx), sum(ry)
+    s_rxx = sum(a * a for a in rx)
+    s_ryy = sum(b * b for b in ry)
+    s_rxy = sum(a * b for a, b in zip(rx, ry))
+    num = n * s_rxy - s_rx * s_ry
+    d1 = n * s_rxx - s_rx * s_rx
+    d2 = n * s_ryy - s_ry * s_ry
+    return n, s_rx, s_ry, s_rxx, s_ryy, s_rxy, num, d1, d2
+
+
+def test_spearman_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame(PAIRS + [(None, 5), (7, None)], "x int, y int")
+    r = spearman_rho(df, "x", "y").collect()[0]
+    n, s_rx, s_ry, s_rxx, s_ryy, s_rxy, num, d1, d2 = _brute_spearman(PAIRS)
+    assert r["n_rows"] == n  # NULL rows pairwise-excluded
+    assert int(r["s_rx"]) == s_rx and int(r["s_ry"]) == s_ry
+    assert int(r["s_rxx"]) == s_rxx and int(r["s_ryy"]) == s_ryy
+    assert int(r["s_rxy"]) == s_rxy
+    assert int(r["rho_num"]) == num
+    assert int(r["rho_d1"]) == d1 and int(r["rho_d2"]) == d2
+    assert abs(r["rho2"] - (num / d1) * (num / d2)) < 1e-12
+    assert r["rho_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
+
+
+def test_spearman_monotone_is_perfect(spark):
+    from npm_mirror_spark.operators.stats import spearman_rho
+
+    up = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 30)], "x int, y long"
+    )
+    r = up.transform(lambda d: spearman_rho(d, "x", "y")).collect()[0]
+    assert abs(r["rho2"] - 1.0) < 1e-12 and r["rho_sign"] == 1
+    down = spark.createDataFrame(
+        [(i, -i * i) for i in range(1, 30)], "x int, y long"
+    )
+    r = spearman_rho(down, "x", "y").collect()[0]
+    assert abs(r["rho2"] - 1.0) < 1e-12 and r["rho_sign"] == -1
+
+
+DAILY = [
+    ("2024-01-01", 5), ("2024-01-02", 9), ("2024-01-03", 2),
+    ("2024-01-04", 9), ("2024-01-05", 5), ("2024-01-06", 7),
+    ("2024-01-07", 1), ("2024-01-08", 8), ("2024-01-09", 3),
+]
+
+
+def _brute_runs(series):
+    vals = sorted(v for _, v in series)
+    n = len(vals)
+    need = -(-n // 2)  # ceil(n/2)
+    med = next(v for v in vals if sum(1 for w in vals if w <= v) >= need)
+    signs = [1 if v > med else -1 for _, v in series if v != med]
+    runs = sum(
+        1 for i, s in enumerate(signs) if i == 0 or signs[i - 1] != s
+    )
+    return (
+        sum(1 for s in signs if s > 0),
+        sum(1 for s in signs if s < 0),
+        runs,
+        med,
+    )
+
+
+def test_runs_test_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import runs_test_daily
+
+    df = spark.createDataFrame(DAILY, "day string, n long")
+    r = runs_test_daily(df, "day", "n").collect()[0]
+    n_plus, n_minus, n_runs, med = _brute_runs(DAILY)
+    assert (r["n_plus"], r["n_minus"], r["n_runs"], r["median_x"]) == (
+        n_plus, n_minus, n_runs, med,
+    )
+
+
+def test_runs_test_alternating_maximizes_runs(spark):
+    from npm_mirror_spark.operators.stats import runs_test_daily
+
+    series = [
+        (f"2024-02-{d:02d}", 10 if d % 2 else 1) for d in range(1, 11)
+    ]
+    df = spark.createDataFrame(series, "day string, n long")
+    r = runs_test_daily(df, "day", "n").collect()[0]
+    # lower median is 1, so the five 1-days drop as exact-median;
+    # the surviving five 10-days form ONE run
+    assert r["median_x"] == 1
+    assert (r["n_plus"], r["n_minus"], r["n_runs"]) == (5, 0, 1)
+
+
+def _brute_mk(series):
+    days = sorted(series)
+    n = len(days)
+    conc = disc = ties = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if days[j][1] > days[i][1]:
+                conc += 1
+            elif days[j][1] < days[i][1]:
+                disc += 1
+            else:
+                ties += 1
+    return n, n * (n - 1) // 2, conc, disc, ties
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import mann_kendall_daily
+
+    df = spark.createDataFrame(DAILY, "day string, n long")
+    r = mann_kendall_daily(df, "day", "n").collect()[0]
+    n, pairs, conc, disc, ties = _brute_mk(DAILY)
+    assert (r["n_days"], r["n_pairs"]) == (n, pairs)
+    assert (r["n_concordant"], r["n_discordant"], r["n_ties"]) == (
+        conc, disc, ties,
+    )
+    assert r["s_stat"] == conc - disc
+    assert abs(r["s_over_pairs"] - (conc - disc) / pairs) < 1e-12
+
+
+def test_mann_kendall_monotone_and_constant(spark):
+    from npm_mirror_spark.operators.stats import mann_kendall_daily
+
+    up = spark.createDataFrame(
+        [(f"2024-03-{d:02d}", d * 3) for d in range(1, 13)],
+        "day string, n long",
+    )
+    r = mann_kendall_daily(up, "day", "n").collect()[0]
+    assert r["s_stat"] == r["n_pairs"] and r["s_over_pairs"] == 1.0
+    flat = spark.createDataFrame(
+        [(f"2024-03-{d:02d}", 7) for d in range(1, 13)],
+        "day string, n long",
+    )
+    r = mann_kendall_daily(flat, "day", "n").collect()[0]
+    assert r["s_stat"] == 0 and r["n_ties"] == r["n_pairs"]
