@@ -941,6 +941,7 @@ def edit1_join(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    max_len: int = 128,
 ) -> DataFrame:
     """Similarity SELF-join under Levenshtein distance <= 1 by
     deletion-neighborhood blocking (the FastSS / SymSpell scheme) —
@@ -963,7 +964,34 @@ def edit1_join(
     The reference has no fuzzy-match surface (SURVEY §2.9 extension);
     public-pattern citation: Bocek et al., "Fast Similarity Search in
     Large Dictionaries" (FastSS, 2007).
+
+    SHORT-KEY CONTRACT (enforced): the deletion neighborhood emits
+    len+1 keys each of length len-1 — O(len^2) bytes per row, a
+    shuffle amplifier on document-length text.  This operator is for
+    SHORT KEYS (names, identifiers, titles); rows longer than
+    ``max_len`` fail the job loudly (a one-comparison-per-row
+    raise_error guard, negligible next to the explode) instead of
+    silently exploding the shuffle.  For long text, use the MinHash /
+    SimHash family; a SymSpell prefix-truncation variant would slot in
+    here if a long-key edit join is ever actually needed.
     """
+    # stage the guard as its OWN projection (one evaluation per row;
+    # referencing it from inside the transform lambda would re-evaluate
+    # per element — the minhash_bands staging lesson)
+    guard = F.when(
+        F.length(F.col(text_col)) > max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"edit1_join: {text_col} exceeds the short-key "
+                    f"contract (max_len={max_len}); use MinHash/SimHash "
+                    "for long text. Offending prefix: "
+                ),
+                F.substring(F.col(text_col), 1, 40),
+            )
+        ),
+    ).otherwise(F.col(text_col))
+    df = df.select(F.col(id_col), guard.alias(text_col))
     s = F.col(text_col)
     dels = F.transform(
         F.sequence(F.lit(1), F.length(s)),

@@ -119,12 +119,15 @@ def drop_oversized_baskets(
     produce arbitrary pair subsets, while dropping the basket keeps
     every emitted pair an honest co-occurrence — and mega-baskets are
     themselves a bot/boilerplate signal market-basket practice discards.
-    The oversized set is tiny by the guard's own purpose, so it rides a
-    broadcast anti join; the size count is one key-only partial
-    aggregate.  Fixture baskets (TPC-H, <= 7 items) are far under any
-    sane cap, so oracles are unchanged — at 100 TB the cap is the
-    difference between a bounded wedge join and an accidental cross
-    product.
+    The anti join deliberately carries NO broadcast hint: in exactly the
+    adversarial regime this guard defends against (a bot/boilerplate
+    flood of huge baskets) the oversized key set is unbounded, and a
+    forced broadcast would OOM the driver — AQE picks broadcast when the
+    set is actually small and falls back to a shuffled anti join when it
+    is not.  The size count is one key-only partial aggregate.  Fixture
+    baskets (TPC-H, <= 7 items) are far under any sane cap, so oracles
+    are unchanged — at 100 TB the cap is the difference between a
+    bounded wedge join and an accidental cross product.
     """
     if max_basket < 1:
         raise ValueError("max_basket must be >= 1")
@@ -134,7 +137,7 @@ def drop_oversized_baskets(
         .where(F.col("__bn") > max_basket)
         .select(basket_col)
     )
-    return df.join(F.broadcast(oversized), basket_col, "left_anti")
+    return df.join(oversized, basket_col, "left_anti")
 
 
 def basket_pairs(
@@ -268,9 +271,26 @@ def label_propagation(
     the lazy plan bounded (the kcore lesson: each round adds three
     operators to the tree, so beyond ~4 rounds callers should
     localCheckpoint between rounds).
+
+    CONTRACT: node ids must be NUMERIC (the min-label tie-break rides a
+    unary negation inside the struct max; on strings that negation
+    would implicitly cast to double and yield NULL, silently corrupting
+    ties).  Validated loudly here — dictionary-encode string ids first
+    (e.g. ``F.xxhash64`` or a monotonically-assigned id map), the
+    standard graph-engine practice.
     """
     if n_rounds < 1:
         raise ValueError("n_rounds must be >= 1")
+    from pyspark.sql.types import NumericType
+
+    for c in (src_col, dst_col):
+        dt = edges.schema[c].dataType
+        if not isinstance(dt, NumericType):
+            raise TypeError(
+                f"label_propagation requires numeric node ids; column "
+                f"{c!r} is {dt.simpleString()} — dictionary-encode string "
+                "ids first (the min-label tie-break negates labels)"
+            )
     pairs = _canonical_pairs(edges, src_col, dst_col)
     adj = pairs.select(
         F.col("a").alias("u"), F.col("b").alias("v")

@@ -329,9 +329,16 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
         F.lit(k).alias("k"),
         "n_obs",
         "kth_hash",
+        # denominator guard: hash 0 is a legal md5_hash64 value.  With
+        # k >= 2 DISTINCT non-negative hashes the max cannot be 0, so the
+        # guard is unreachable belt-and-braces — but it pins est finite by
+        # construction rather than by that argument (mirrored in the
+        # q_kmv_distinct oracle).
         F.when(F.col("n_obs") < k, F.col("n_obs").cast("double"))
         .otherwise(
-            F.lit(float(k - 1)) * F.lit(space) / F.col("kth_hash").cast("double")
+            F.lit(float(k - 1))
+            * F.lit(space)
+            / F.greatest(F.col("kth_hash"), F.lit(1)).cast("double")
         )
         .alias("est"),
     )

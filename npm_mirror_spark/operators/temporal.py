@@ -378,14 +378,17 @@ def autocorr1_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
         F.count(F.lit(1)).alias("m_pairs"),
         d38("__x").alias("s_x"),
         d38("__y").alias("s_y"),
+        # cast BEFORE multiplying (the rank_sum_test/cusum discipline):
+        # daily counts >= ~3.04e9 would wrap an int64 product and silently
+        # diverge from the oracle's HUGEINT moments
         F.sum(
-            (F.col("__x") * F.col("__x")).cast("decimal(38,0)")
+            F.col("__x").cast("decimal(38,0)") * F.col("__x").cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("s_xx"),
         F.sum(
-            (F.col("__y") * F.col("__y")).cast("decimal(38,0)")
+            F.col("__y").cast("decimal(38,0)") * F.col("__y").cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("s_yy"),
         F.sum(
-            (F.col("__x") * F.col("__y")).cast("decimal(38,0)")
+            F.col("__x").cast("decimal(38,0)") * F.col("__y").cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("s_xy"),
     )
     mm = F.col("m_pairs").cast("decimal(38,0)")

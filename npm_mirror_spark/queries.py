@@ -7906,7 +7906,8 @@ k AS (SELECT count(*) AS n_obs, max(h) AS kth_hash FROM b),
 e AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
 SELECT 64 AS k, n_obs, kth_hash,
        CASE WHEN n_obs < 64 THEN CAST(n_obs AS DOUBLE)
-            ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976.0
+                 / CAST(greatest(kth_hash, 1) AS DOUBLE)
        END AS est,
        n_exact
 FROM k CROSS JOIN e

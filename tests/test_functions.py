@@ -247,6 +247,23 @@ def test_edit1_join_neighborhood_semantics(spark):
     ]
 
 
+def test_edit1_join_enforces_short_key_contract(spark):
+    """The deletion neighborhood is O(len^2) bytes per row; rows past
+    max_len must fail the job LOUDLY (shuffle-amplifier guard), and the
+    boundary length must still pass."""
+    import pytest
+
+    from npm_mirror_spark.operators.dedup import edit1_join
+
+    ok = spark.createDataFrame([(1, "x" * 16), (2, "x" * 15)], "id int, s string")
+    rows = edit1_join(ok, "s", "id", max_len=16).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in rows] == [(1, 2, 1)]
+
+    bad = spark.createDataFrame([(1, "y" * 17), (2, "ok")], "id int, s string")
+    with pytest.raises(Exception, match="short-key contract"):
+        edit1_join(bad, "s", "id", max_len=16).collect()
+
+
 def test_bigram_collocations_matches_brute_force(spark):
     """Lift over adjacent bigrams must equal explicit Python counting
     (normalize: lower + whitespace-collapse, ws-split)."""

@@ -481,3 +481,18 @@ def test_label_propagation_deterministic_communities(spark):
 
     with pytest.raises(ValueError):
         label_propagation(edges, 0)
+
+
+def test_label_propagation_rejects_string_ids(spark):
+    """The min-label tie-break negates labels; on string ids that would
+    silently NULL (implicit double cast) — the contract must fail
+    loudly at plan time instead."""
+    import pytest
+
+    from npm_mirror_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    with pytest.raises(TypeError, match="numeric node ids"):
+        label_propagation(edges, 1)
