@@ -299,3 +299,31 @@ def test_retention_invariant(spark, sf_dir):
         .count()
     )
     assert viol == 0
+
+
+def test_producer_start_seq_resumes_from_sink_max(spark, fixture_jsonl, tmp_path):
+    """kcat -o -1 parity (reference run_scripts.sh:10-21): before every
+    producer (re)start the reference reads the LAST Kafka message and
+    resumes from its seq.  The engine's equivalent is max_seq over the
+    sink: after draining a batch, the reconciled start seq must equal
+    the true max committed seq — and a stale checkpoint floor must lose
+    to the sink (greatest), while a floor AHEAD of the sink must win
+    (the reference trusts whichever source is furthest)."""
+    from npm_mirror_spark.operators.aggregates import max_seq
+
+    out = str(tmp_path / "out")
+    p = MirrorPipeline(spark, out)
+    p.run_batch(fixture_jsonl)
+
+    sink = p.mirror_table()
+    true_max = sink.agg(F.max("change_seq_id")).collect()[0][0]
+
+    resumed = max_seq(sink, "change_seq_id").collect()[0]["start_seq"]
+    assert resumed == true_max
+
+    stale_floor = max_seq(sink, "change_seq_id", floor=1).collect()[0]
+    assert stale_floor["start_seq"] == true_max
+    ahead = max_seq(
+        sink, "change_seq_id", floor=true_max + 1000
+    ).collect()[0]
+    assert ahead["start_seq"] == true_max + 1000
