@@ -200,6 +200,21 @@ HEADLINE_R8 = [
     "q_skyline",
 ]
 HEADLINE = HEADLINE + HEADLINE_R8
+# Frozen r8-final headline (144 queries): "common_r8_sec" is the modern
+# like-for-like window for r9+ — common-58/84 are r2/r5-era and no longer
+# span most of the registry.  r9+ additions extend HEADLINE but never
+# this list (r8 verdict item 7; docs/BENCH_NOTES.md).
+COMMON_R8 = list(HEADLINE)
+
+# r9 additions: the five wired stat/audit operators (r8 verdict item 2).
+HEADLINE_R9 = [
+    "q_spearman",
+    "q_runs_test",
+    "q_mann_kendall",
+    "q_kanonymity",
+    "q_chisq",
+]
+HEADLINE = HEADLINE + HEADLINE_R9
 
 
 # Throttle-control probe (frozen): five pure projections whose code and
@@ -278,7 +293,22 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     common58 = round(sum(timings[n] for n in COMMON_58), 3)
     common84 = round(sum(timings[n] for n in COMMON_84), 3)
+    common_r8 = round(sum(timings[n] for n in COMMON_R8), 3)
+
+    # r8 verdict item 6: the pipeline leg had no probe around it, so a
+    # host-speed dip during that leg was unattributable.  Bracket it with
+    # the same frozen probe; pipeline_throttle_ratio compares the host's
+    # speed DURING the pipeline leg to the sweep start, and
+    # pipeline_corrected rescales the rate accordingly (a rate scales
+    # inversely with host time, hence multiply).
+    probe_pipe_before = _time_probe(spark, sf_dir)
     pipeline_rate = _bench_pipeline(spark, n_changes=int(20_000 * max(sf, 0.01) / 0.1))
+    probe_pipe_after = _time_probe(spark, sf_dir)
+    pipe_ratio = (
+        round(((probe_pipe_before + probe_pipe_after) / 2) / probe_start, 3)
+        if probe_start > 0
+        else None
+    )
     print(
         json.dumps(
             {
@@ -313,7 +343,21 @@ def main() -> None:
                 )
                 if probe_start > 0 and probe_end > 0
                 else None,
+                # frozen r8-final window (144 queries) for r9+ like-for-like
+                "common_r8_sec": common_r8,
+                "common_r8_corrected": round(
+                    common_r8 / (probe_end / probe_start), 3
+                )
+                if probe_start > 0 and probe_end > 0
+                else None,
                 "pipeline_changes_per_sec": pipeline_rate,
+                # probe bracket around the pipeline leg (r8 verdict item 6)
+                "pipeline_probe_before_sec": probe_pipe_before,
+                "pipeline_probe_after_sec": probe_pipe_after,
+                "pipeline_throttle_ratio": pipe_ratio,
+                "pipeline_corrected": round(pipeline_rate * pipe_ratio, 1)
+                if pipe_ratio
+                else None,
                 "sf": sf,
             }
         )
