@@ -10,6 +10,12 @@ Determinism rules (the driver hash-compares values against DuckDB):
   2^53 converts to double via TWO roundings in DuckDB (int128 -> double,
   then /10^scale) but ONE in Spark (BigDecimal), a 1-ulp divergence the
   r7 sf0.1 sweep caught in q_trend_by_group;
+- even at SCALE 0, DuckDB's direct HUGEINT -> DOUBLE cast itself
+  double-rounds (upper*2^64 + lower, two roundings — the r9 sf0.1 sweep
+  caught q_spearman's rho2 off by ulps); when an exact integer that can
+  exceed 2^53 must become a DOUBLE in an oracle, route it through
+  VARCHAR (CAST(CAST(x AS VARCHAR) AS DOUBLE)) — DuckDB's string parser
+  is correctly rounded, matching Spark's BigDecimal.doubleValue;
 - dot products / norms evaluate in index order on double-cast arrays in
   both engines, so floats are bit-identical;
 - top-N windows always carry a total-order tiebreak.
@@ -8908,8 +8914,12 @@ a AS (
          sum(r * r) AS num
   FROM j GROUP BY 1)
 SELECT n_name, n_cust, revenue_cents,
-       CAST(num AS DOUBLE)
-         / (CAST(revenue_cents AS DOUBLE) * CAST(revenue_cents AS DOUBLE))
+       -- VARCHAR-routed conversions: num (sum of squared cents) exceeds
+       -- 2^53, where DuckDB's direct HUGEINT->DOUBLE double-rounds (the
+       -- q_spearman lesson); the string parser is correctly rounded
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / (CAST(CAST(revenue_cents AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(revenue_cents AS VARCHAR) AS DOUBLE))
          AS hhi
 FROM a ORDER BY n_name
 """
@@ -8987,7 +8997,12 @@ ORDER BY p.p_partkey
 
 # q_spearman: midranks doubled to stay integer (2r = 2*below + ties + 1),
 # five HUGEINT moments over the doubled ranks, rho2/sign at the end —
-# the q_rank_sum prefix identity restated per axis.
+# the q_rank_sum prefix identity restated per axis.  The final
+# num/d1/d2 exceed 2^53 at sf0.1, and DuckDB's direct HUGEINT->DOUBLE
+# cast DOUBLE-ROUNDS (upper*2^64 + lower, two roundings — the r9 sweep
+# caught rho2 off by ulps) while Spark's decimal->double is correctly
+# rounded; routing the conversion through VARCHAR makes DuckDB use its
+# correctly-rounded string parser, restoring bit parity.
 ORACLES["q_spearman"] = """
 WITH r0 AS (
   SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
@@ -9022,9 +9037,12 @@ r AS (
          CAST(n_rows AS HUGEINT) * s_ryy - s_ry * s_ry AS rho_d2
   FROM m)
 SELECT n_rows, s_rx, s_ry, s_rxx, s_ryy, s_rxy, rho_num, rho_d1, rho_d2,
-       (CAST(rho_num AS DOUBLE) / CAST(rho_d1 AS DOUBLE))
-         * (CAST(rho_num AS DOUBLE) / CAST(rho_d2 AS DOUBLE)) AS rho2,
-       CAST(sign(CAST(rho_num AS DOUBLE)) AS INTEGER) AS rho_sign
+       (CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(rho_d1 AS VARCHAR) AS DOUBLE))
+         * (CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(rho_d2 AS VARCHAR) AS DOUBLE)) AS rho2,
+       CAST(sign(CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)) AS INTEGER)
+         AS rho_sign
 FROM r
 """
 
