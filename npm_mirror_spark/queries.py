@@ -8130,8 +8130,9 @@ a AS (
   FROM j GROUP BY 1)
 SELECT a.source,
        CAST(s.ts AS BIGINT) AS n_tokens,
-       CAST(a.a_sum + (t.tt - a.presc) * s.ts AS DOUBLE)
-         / (2.0 * CAST(s.ts AS DOUBLE) * CAST(t.tt AS DOUBLE)) AS tv
+       CAST(CAST(a.a_sum + (t.tt - a.presc) * s.ts AS VARCHAR) AS DOUBLE)
+         / (2.0 * CAST(CAST(s.ts AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(t.tt AS VARCHAR) AS DOUBLE)) AS tv
 FROM a JOIN srct s USING (source) CROSS JOIN tot t
 ORDER BY a.source
 """
@@ -8648,7 +8649,8 @@ WITH wk AS (
   FROM events GROUP BY 1),
 m AS (
   SELECT week, n, users, null_rate,
-         (CAST(s4 AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE) AS mean_value
+         (CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / 10000.0)
+           / CAST(n AS DOUBLE) AS mean_value
   FROM wk),
 lg AS (
   SELECT *, lag(mean_value) OVER (ORDER BY week) AS pm,
@@ -8678,10 +8680,13 @@ stats AS (
   FROM base GROUP BY hod)
 SELECT b.event_id, b.hod, b.value
 FROM base b JOIN stats st USING (hod)
-WHERE (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE) - CAST(st.s AS DOUBLE))
-      * (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE) - CAST(st.s AS DOUBLE))
-      > 4.0 * (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
-               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+WHERE (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE)
+       - CAST(CAST(st.s AS VARCHAR) AS DOUBLE))
+      * (CAST(b.v4 AS DOUBLE) * CAST(st.n AS DOUBLE)
+         - CAST(CAST(st.s AS VARCHAR) AS DOUBLE))
+      > 4.0 * (CAST(st.n AS DOUBLE) * CAST(CAST(st.q AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(st.s AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(st.s AS VARCHAR) AS DOUBLE))
 ORDER BY b.event_id
 """
 
@@ -8715,8 +8720,9 @@ rk AS (
   SELECT mass, row_number() OVER (ORDER BY mass, source) AS i FROM per)
 SELECT CAST(count(*) AS BIGINT) AS n_sources,
        CAST(sum(mass) AS BIGINT) AS total_mass,
-       2.0 * CAST(sum(i * mass) AS DOUBLE)
-         / (CAST(count(*) AS DOUBLE) * CAST(sum(mass) AS DOUBLE))
+       2.0 * CAST(CAST(sum(i * mass) AS VARCHAR) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE)
+            * CAST(CAST(sum(mass) AS VARCHAR) AS DOUBLE))
        - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
 FROM rk
 """
@@ -8743,9 +8749,10 @@ t AS (
   FROM p)
 SELECT n1, n2, r1_x2,
        r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS u1_x2,
-       CAST(r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS DOUBLE)
-         / CAST(CAST(2 AS HUGEINT) * CAST(n1 AS HUGEINT)
-                * CAST(n2 AS HUGEINT) AS DOUBLE) AS auc
+       CAST(CAST(r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT)
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(2 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                     * CAST(n2 AS HUGEINT) AS VARCHAR) AS DOUBLE) AS auc
 FROM t
 """
 
@@ -8775,8 +8782,9 @@ SELECT t.n1, t.n2,
        (SELECT max(gap) FROM d) AS d_num,
        (SELECT min(v) FROM d WHERE gap = (SELECT max(gap) FROM d))
          AS at_value,
-       CAST((SELECT max(gap) FROM d) AS DOUBLE)
-         / CAST(CAST(t.n1 AS HUGEINT) * CAST(t.n2 AS HUGEINT) AS DOUBLE)
+       CAST(CAST((SELECT max(gap) FROM d) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(t.n1 AS HUGEINT) * CAST(t.n2 AS HUGEINT)
+                     AS VARCHAR) AS DOUBLE)
          AS d
 FROM t
 """
@@ -8806,8 +8814,9 @@ SELECT t.m, t.total,
        CAST((SELECT min(d) FROM dev WHERE dev = (SELECT max(dev) FROM dev))
             AS INTEGER) AS day_star,
        (SELECT max(dev) FROM dev) AS dev_num,
-       CAST((SELECT max(dev) FROM dev) AS DOUBLE)
-         / CAST(CAST(t.m AS HUGEINT) * CAST(t.total AS HUGEINT) AS DOUBLE)
+       CAST(CAST((SELECT max(dev) FROM dev) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(t.m AS HUGEINT) * CAST(t.total AS HUGEINT)
+                     AS VARCHAR) AS DOUBLE)
          AS dev_frac
 FROM t
 """
@@ -8837,9 +8846,12 @@ r AS (
          CAST(m_pairs AS HUGEINT) * s_yy - s_y * s_y AS d2
   FROM m)
 SELECT m_pairs, s_x, s_y, s_xx, s_yy, s_xy, r_num, d1, d2,
-       (CAST(r_num AS DOUBLE) / CAST(d1 AS DOUBLE))
-         * (CAST(r_num AS DOUBLE) / CAST(d2 AS DOUBLE)) AS r2,
-       CAST(sign(CAST(r_num AS DOUBLE)) AS INTEGER) AS r_sign
+       (CAST(CAST(r_num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(d1 AS VARCHAR) AS DOUBLE))
+         * (CAST(CAST(r_num AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(d2 AS VARCHAR) AS DOUBLE)) AS r2,
+       CAST(sign(CAST(CAST(r_num AS VARCHAR) AS DOUBLE)) AS INTEGER)
+         AS r_sign
 FROM r
 """
 
@@ -8937,9 +8949,10 @@ a AS (
          sum(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) AS num
   FROM sl GROUP BY 1)
 SELECT source, n_docs, n_langs,
-       1.0 - CAST(num AS DOUBLE)
-         / CAST(CAST(n_docs AS HUGEINT)
-                * CAST(n_docs - 1 AS HUGEINT) AS DOUBLE) AS simpson
+       1.0 - CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(n_docs AS HUGEINT)
+                     * CAST(n_docs - 1 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           AS simpson
 FROM a ORDER BY source
 """
 
@@ -9148,14 +9161,14 @@ SELECT o.o_orderstatus, o.o_orderpriority,
        abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
            - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
          AS dev_num,
-       (CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
+       (CAST(CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
                  - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
-             AS DOUBLE)
-        / CAST(CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT)
-               * CAST(t.n_total AS HUGEINT) AS DOUBLE))
-         * CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
+             AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT)
+               * CAST(t.n_total AS HUGEINT) AS VARCHAR) AS DOUBLE))
+         * CAST(CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
                     - CAST(rm.row_m AS HUGEINT)
-                      * CAST(cm.col_m AS HUGEINT)) AS DOUBLE)
+                      * CAST(cm.col_m AS HUGEINT)) AS VARCHAR) AS DOUBLE)
          AS chi2_cell
 FROM obs o
 JOIN rm USING (o_orderstatus)
