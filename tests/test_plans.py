@@ -573,3 +573,26 @@ def test_triangles_wedge_is_equi_join_and_closure_is_semi(q):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert "LeftSemi" in text
+
+
+def test_spearman_windows_are_bucket_partitioned(q):
+    """spearman_rho ranks BOTH axes off _with_prior_sums — at 100 TB the
+    distinct-value axes of raw measures are ~N, so every window in the
+    plan must be anchored on the bounded __bkt bucket key (the
+    binary_metrics rule); an unpartitioned rank window over the value
+    axis would be a single-reducer sort."""
+    import re
+
+    text = plans.explain_str(q("q_spearman"), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, "expected prefix-sum windows in the spearman plan"
+    for spec in specs:
+        assert "__bkt" in spec, f"window not bounded by the bucket key: {spec}"
+
+
+def test_chisq_margins_broadcast(q):
+    """chisq_independence_cells must attach both margin tables to the
+    cell table via broadcast hash joins (category-domain-bounded sides);
+    the observed-cell groupBy is the only corpus-sized shuffle."""
+    text = plans.explain_str(q("q_chisq"), "simple")
+    assert text.count("BroadcastHashJoin") >= 2, text[:800]
