@@ -1,0 +1,121 @@
+"""Property-based tests for ``_with_prior_sums`` — the shared two-level
+bucketed prefix-sum machinery behind rank_sum/ks/spearman/winsorized/
+quantile_norm/token_budget/classifier/skyline.  A bug here corrupts a
+dozen faces at once, so it gets its own brute-force adversary: arbitrary
+score sets (ints, floats, NULL, NaN, ±Inf), tiny bucket counts to force
+the multi-bucket offset path, both sort directions."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# distinct-able score values: Spark's total order is NULL, -Inf, finite,
+# +Inf, NaN when ascending (nulls first asc / nulls last desc)
+_SCORES = st.one_of(
+    st.none(),
+    st.just(float("nan")),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+    st.integers(min_value=-50, max_value=50).map(float),
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+)
+
+
+def _order_key(v):
+    """Spark's ascending total order as a sortable tuple."""
+    if v is None:
+        return (0, 0.0)
+    if isinstance(v, float) and math.isnan(v):
+        return (4, 0.0)
+    if v == float("-inf"):
+        return (1, 0.0)
+    if v == float("inf"):
+        return (3, 0.0)
+    return (2, float(v))
+
+
+def _brute_priors(pairs, descending):
+    """score -> exact sum of weights over strictly-prior distinct scores."""
+    ordered = sorted(pairs, key=lambda p: _order_key(p[0]), reverse=descending)
+    out, run = {}, 0
+    for score, w in ordered:
+        out[_order_key(score)] = run
+        run += w
+    return out
+
+
+def _canon_rows(rows):
+    return {
+        _order_key(
+            None
+            if r["score"] is None
+            else r["score"]
+        ): r["__prior___w"]
+        for r in rows
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    scores=st.lists(_SCORES, min_size=1, max_size=20, unique_by=_order_key),
+    weights=st.data(),
+    descending=st.booleans(),
+    n_buckets=st.sampled_from([2, 3, 7, 1024]),
+)
+def test_prior_sums_match_brute_force(spark, scores, weights, descending, n_buckets):
+    pairs = [
+        (s, weights.draw(st.integers(min_value=0, max_value=100)))
+        for s in scores
+    ]
+    df = spark.createDataFrame(pairs, "score double, __w long")
+    got = _canon_rows(
+        _with_prior_sums(
+            df, "score", ("__w",), descending=descending, n_buckets=n_buckets
+        ).collect()
+    )
+    want = _brute_priors(pairs, descending)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    scores=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    ),
+)
+def test_prior_sums_total_invariant(spark, scores):
+    """prior(ascending) + prior(descending) + own weight == total weight
+    for every distinct score — the midrank identity every consumer
+    (rank_sum, spearman) builds on."""
+    pairs = [(float(s), abs(s) % 7 + 1) for s in scores]
+    total = sum(w for _, w in pairs)
+    df = spark.createDataFrame(pairs, "score double, __w long")
+    asc = {
+        r["score"]: r["__prior___w"]
+        for r in _with_prior_sums(df, "score", ("__w",), n_buckets=4).collect()
+    }
+    desc = {
+        r["score"]: r["__prior___w"]
+        for r in _with_prior_sums(
+            df, "score", ("__w",), descending=True, n_buckets=4
+        ).collect()
+    }
+    for s, w in pairs:
+        assert asc[s] + desc[s] + w == total
