@@ -206,13 +206,15 @@ HEADLINE = HEADLINE + HEADLINE_R8
 # this list (r8 verdict item 7; docs/BENCH_NOTES.md).
 COMMON_R8 = list(HEADLINE)
 
-# r9 additions: the five wired stat/audit operators (r8 verdict item 2).
+# r9 additions: the five wired stat/audit operators (r8 verdict item 2)
+# plus the depth-2 FastSS fuzzy join.
 HEADLINE_R9 = [
     "q_spearman",
     "q_runs_test",
     "q_mann_kendall",
     "q_kanonymity",
     "q_chisq",
+    "q_edit2_join",
 ]
 HEADLINE = HEADLINE + HEADLINE_R9
 

@@ -3693,6 +3693,28 @@ def q_edit_join(spark, sf_dir):
     return edit1_join(c, "c_name", "c_custkey").orderBy("id_a", "id_b")
 
 
+def q_edit2_join(spark, sf_dir):
+    """Fuzzy similarity join under edit distance <= 2
+    (operators/dedup.py:edit2_join, depth-2 FastSS deletion
+    neighborhoods): every customer-name pair within two typos INSIDE a
+    blocking key (nation 7) — linkage practice blocks on a coarse
+    partition key before fuzzy comparison (the q_record_linkage
+    discipline), which also keeps the independent brute-force oracle
+    (O(block^2) levenshtein, never run by Spark) honest.  Radius 2
+    catches the transposition-plus-typo pairs radius 1 misses;
+    1 + len + len(len-1)/2 keys per string, equi-join + one exact
+    verify — never all-pairs on the Spark side."""
+    from npm_mirror_spark.operators.dedup import edit2_join
+
+    c = _t(spark, sf_dir, "customer")
+    blocked = c.filter(F.col("c_nationkey") == 7).select(
+        "c_custkey", "c_name"
+    )
+    return edit2_join(blocked, "c_name", "c_custkey").orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_token_drift(spark, sf_dir):
     """Distributional token drift: each source's unigram distribution
     vs the whole corpus, as EXACT total-variation distance — the
@@ -5107,6 +5129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mann_kendall": q_mann_kendall,
     "q_kanonymity": q_kanonymity,
     "q_chisq": q_chisq,
+    "q_edit2_join": q_edit2_join,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -9175,4 +9198,19 @@ JOIN rm USING (o_orderstatus)
 JOIN cm USING (o_orderpriority)
 CROSS JOIN t
 ORDER BY o.o_orderstatus, o.o_orderpriority
+"""
+
+# q_edit2_join: the oracle verifies by INDEPENDENT brute force — a full
+# O(block^2) levenshtein join inside the blocking key (bounded: one
+# nation), which is exactly what the FastSS neighborhood join must
+# reproduce.  DuckDB's levenshtein matches Spark's (plain edit distance).
+ORACLES["q_edit2_join"] = """
+WITH c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_nationkey = 7)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b
 """

@@ -305,3 +305,60 @@ def test_bigram_collocations_matches_brute_force(spark):
         assert abs(g[4] - lift) < 1e-12, p
     # "new york" repeats within and across documents
     assert got[("new", "york")][0] == 4
+
+
+def test_edit2_join_neighborhood_semantics(spark):
+    """Depth-2 FastSS vs in-test brute force on a set exercising
+    substitution x2, deletion x2, mixed ops, the 'ab'/'ba' transposition
+    (distance 2 — radius 2 must now FIND it), and a distance-3 pair
+    that must stay excluded."""
+    import itertools
+
+    from npm_mirror_spark.operators.dedup import edit2_join
+
+    data = {
+        1: "abcdef", 2: "abcdxf", 3: "abXdYf", 4: "abcd",
+        5: "fedcba", 6: "abcdef", 7: "aXcdefY", 8: "ab", 9: "ba",
+    }
+    df = spark.createDataFrame(
+        sorted(data.items()), "id int, s string"
+    )
+    rows = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit2_join(df, "s", "id").collect()
+    )
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    want = sorted(
+        (i, j, lev(data[i], data[j]))
+        for i, j in itertools.combinations(sorted(data), 2)
+        if lev(data[i], data[j]) <= 2
+    )
+    assert rows == want
+    assert (8, 9, 2) in rows  # the transposition radius 1 verifies away
+
+
+def test_edit2_join_enforces_tighter_short_key_contract(spark):
+    import pytest
+
+    from npm_mirror_spark.operators.dedup import edit2_join
+
+    bad = spark.createDataFrame([(1, "z" * 33), (2, "ok")], "id int, s string")
+    with pytest.raises(Exception, match="short-key contract"):
+        edit2_join(bad, "s", "id").collect()
