@@ -62,6 +62,17 @@ SHOW = {
     "q_quantiles_by_group": "per-group min/max dim broadcast back; one (source,bin) int shuffle; cumulative windows partitioned per group on <=bins rows",
     "q_quantile_bins": "histogram cut points collect into ONE bounded array row, broadcast; bin assignment is an in-row count — no ntile corpus sort",
     "q_trend_by_group": "five exact moment sums per group, map-side partials, one scan; slope/intercept close in a fixed double expression",
+    # r8 flagships
+    "q_triangle_est": "wedge join over SAMPLED orientation centers (m^1.5 term shrinks by the rate); closure semi-join stays exact; key-only shuffles",
+    "q_edit_join": "deletion-key equi self-join + one levenshtein verify — never all-pairs; len+1 key rows per short string",
+    "q_weighted_median": "per-group (min,max,total) broadcast; cumulative weight windows partitioned by (group, __bkt); cross-multiplied integer threshold, no division",
+    "q_rank_sum": "distinct-value collapse; strictly-prior counts via the bucketed prefix; 1-row (n1,n2) totals broadcast into the closing fold",
+    "q_interval_coverage": "boundary sweep: 2 delta rows per interval -> one (key,day) int-sum shuffle -> per-key window over the bounded day axis (no day-grain explode)",
+    "q_hll_weekly": "register prefix property: cell-wise running max over 2^p window partitions x the bounded week axis — every prefix sketch from one pass",
+    # r9 flagships
+    "q_spearman": "per-axis distinct collapse + bucketed prefix ranks; (value -> doubled midrank) maps equi-join back; every window carries __bkt",
+    "q_edit2_join": "depth-2 deletion keys (1+len+len(len-1)/2 per short string) equi-join inside the blocking key + one exact verify",
+    "q_kanonymity": "ONE quasi-key groupBy bounded by the identifier domain; 3-row k-literal broadcast explode; re-aggregation per k",
 }
 
 SF = "/root/testdata/sf0.01"
