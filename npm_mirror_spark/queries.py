@@ -53,6 +53,35 @@ def _dec_sum(col: str, alias: str) -> F.Column:
     return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
 
 
+def _nodec(df: DataFrame) -> DataFrame:
+    """Cast every DecimalType output column to double, keeping names/order.
+
+    Registered faces must not emit DecimalType (r9 driver lesson: the
+    driver's pandas-path materialization renders a Spark ``Decimal`` cell
+    differently from DuckDB's HUGEINT even when the values are
+    bit-identical — q_rank_sum/q_ks_stat/q_cusum went driver-red on type
+    alone).  ``BigDecimal.doubleValue`` is correctly rounded, so pairing
+    this cast with the oracle-side VARCHAR route
+    (``CAST(CAST(x AS VARCHAR) AS DOUBLE)``, also correctly rounded)
+    yields identical doubles at any magnitude.  Internal DECIMAL(38,0)
+    accumulation inside the operators stays untouched — only the face
+    (the reported schema) changes.  Enforced registry-wide by
+    tests/test_registry_invariants.py::test_no_decimal_output_faces and
+    rejected at compare time by tests/oracle_harness.py."""
+    from pyspark.sql.types import DecimalType
+
+    if not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / scan (P5-P11, P10, S2-S3)
 # ---------------------------------------------------------------------------
@@ -4589,7 +4618,7 @@ def q_rank_sum(spark, sf_dir):
     from npm_mirror_spark.operators.stats import rank_sum_test
 
     d = _t(spark, sf_dir, "documents")
-    return rank_sum_test(d, "n_chars", F.col("lang") == "en")
+    return _nodec(rank_sum_test(d, "n_chars", F.col("lang") == "en"))
 
 
 def q_ks_stat(spark, sf_dir):
@@ -4603,7 +4632,7 @@ def q_ks_stat(spark, sf_dir):
     from npm_mirror_spark.operators.stats import ks_2samp
 
     d = _t(spark, sf_dir, "documents")
-    return ks_2samp(d, "n_chars", F.col("lang") == "en")
+    return _nodec(ks_2samp(d, "n_chars", F.col("lang") == "en"))
 
 
 def q_cusum(spark, sf_dir):
@@ -4620,7 +4649,7 @@ def q_cusum(spark, sf_dir):
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    return cusum_changepoint(daily, "day", "n")
+    return _nodec(cusum_changepoint(daily, "day", "n"))
 
 
 def q_autocorr(spark, sf_dir):
@@ -4637,7 +4666,7 @@ def q_autocorr(spark, sf_dir):
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    return autocorr1_daily(daily, "day", "n")
+    return _nodec(autocorr1_daily(daily, "day", "n"))
 
 
 def q_interval_coverage(spark, sf_dir):
@@ -4710,12 +4739,14 @@ def q_hhi(spark, sf_dir):
         ).cast("decimal(38,0)").alias("__num"),
     )
     den = F.col("revenue_cents").cast("double")
-    return agg.select(
-        "n_name",
-        "n_cust",
-        "revenue_cents",
-        (F.col("__num").cast("double") / (den * den)).alias("hhi"),
-    ).orderBy("n_name")
+    return _nodec(
+        agg.select(
+            "n_name",
+            "n_cust",
+            "revenue_cents",
+            (F.col("__num").cast("double") / (den * den)).alias("hhi"),
+        ).orderBy("n_name")
+    )
 
 
 def q_simpson(spark, sf_dir):
@@ -4822,7 +4853,7 @@ def q_spearman(spark, sf_dir):
     from npm_mirror_spark.operators.stats import spearman_rho
 
     li = _t(spark, sf_dir, "lineitem")
-    return spearman_rho(li, "l_quantity", "l_extendedprice")
+    return _nodec(spearman_rho(li, "l_quantity", "l_extendedprice"))
 
 
 def q_runs_test(spark, sf_dir):
@@ -4884,7 +4915,9 @@ def q_chisq(spark, sf_dir):
     from npm_mirror_spark.operators.checks import chisq_independence_cells
 
     o = _t(spark, sf_dir, "orders")
-    return chisq_independence_cells(o, "o_orderstatus", "o_orderpriority")
+    return _nodec(
+        chisq_independence_cells(o, "o_orderstatus", "o_orderpriority")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8770,8 +8803,13 @@ t AS (
          sum(CAST(cnt_a AS HUGEINT)
              * CAST(2 * below + cnt_a + cnt_b + 1 AS HUGEINT)) AS r1_x2
   FROM p)
-SELECT n1, n2, r1_x2,
-       r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS u1_x2,
+SELECT n1, n2,
+       -- faces emit DOUBLE, never DECIMAL (r9 driver contract): the
+       -- VARCHAR route is DuckDB's correctly-rounded parser, matching
+       -- Spark's BigDecimal.doubleValue bit-for-bit at any magnitude
+       CAST(CAST(r1_x2 AS VARCHAR) AS DOUBLE) AS r1_x2,
+       CAST(CAST(r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT)
+                 AS VARCHAR) AS DOUBLE) AS u1_x2,
        CAST(CAST(r1_x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT)
                  AS VARCHAR) AS DOUBLE)
          / CAST(CAST(CAST(2 AS HUGEINT) * CAST(n1 AS HUGEINT)
@@ -8802,7 +8840,7 @@ d AS (
              - CAST(cum_b AS HUGEINT) * t.n1) AS gap
   FROM p CROSS JOIN t)
 SELECT t.n1, t.n2,
-       (SELECT max(gap) FROM d) AS d_num,
+       CAST(CAST((SELECT max(gap) FROM d) AS VARCHAR) AS DOUBLE) AS d_num,
        (SELECT min(v) FROM d WHERE gap = (SELECT max(gap) FROM d))
          AS at_value,
        CAST(CAST((SELECT max(gap) FROM d) AS VARCHAR) AS DOUBLE)
@@ -8836,7 +8874,8 @@ dev AS (
 SELECT t.m, t.total,
        CAST((SELECT min(d) FROM dev WHERE dev = (SELECT max(dev) FROM dev))
             AS INTEGER) AS day_star,
-       (SELECT max(dev) FROM dev) AS dev_num,
+       CAST(CAST((SELECT max(dev) FROM dev) AS VARCHAR) AS DOUBLE)
+         AS dev_num,
        CAST(CAST((SELECT max(dev) FROM dev) AS VARCHAR) AS DOUBLE)
          / CAST(CAST(CAST(t.m AS HUGEINT) * CAST(t.total AS HUGEINT)
                      AS VARCHAR) AS DOUBLE)
@@ -8868,7 +8907,15 @@ r AS (
          CAST(m_pairs AS HUGEINT) * s_xx - s_x * s_x AS d1,
          CAST(m_pairs AS HUGEINT) * s_yy - s_y * s_y AS d2
   FROM m)
-SELECT m_pairs, s_x, s_y, s_xx, s_yy, s_xy, r_num, d1, d2,
+SELECT m_pairs,
+       CAST(CAST(s_x AS VARCHAR) AS DOUBLE) AS s_x,
+       CAST(CAST(s_y AS VARCHAR) AS DOUBLE) AS s_y,
+       CAST(CAST(s_xx AS VARCHAR) AS DOUBLE) AS s_xx,
+       CAST(CAST(s_yy AS VARCHAR) AS DOUBLE) AS s_yy,
+       CAST(CAST(s_xy AS VARCHAR) AS DOUBLE) AS s_xy,
+       CAST(CAST(r_num AS VARCHAR) AS DOUBLE) AS r_num,
+       CAST(CAST(d1 AS VARCHAR) AS DOUBLE) AS d1,
+       CAST(CAST(d2 AS VARCHAR) AS DOUBLE) AS d2,
        (CAST(CAST(r_num AS VARCHAR) AS DOUBLE)
           / CAST(CAST(d1 AS VARCHAR) AS DOUBLE))
          * (CAST(CAST(r_num AS VARCHAR) AS DOUBLE)
@@ -8948,7 +8995,8 @@ a AS (
          sum(r) AS revenue_cents,
          sum(r * r) AS num
   FROM j GROUP BY 1)
-SELECT n_name, n_cust, revenue_cents,
+SELECT n_name, n_cust,
+       CAST(CAST(revenue_cents AS VARCHAR) AS DOUBLE) AS revenue_cents,
        -- VARCHAR-routed conversions: num (sum of squared cents) exceeds
        -- 2^53, where DuckDB's direct HUGEINT->DOUBLE double-rounds (the
        -- q_spearman lesson); the string parser is correctly rounded
@@ -9072,7 +9120,15 @@ r AS (
          CAST(n_rows AS HUGEINT) * s_rxx - s_rx * s_rx AS rho_d1,
          CAST(n_rows AS HUGEINT) * s_ryy - s_ry * s_ry AS rho_d2
   FROM m)
-SELECT n_rows, s_rx, s_ry, s_rxx, s_ryy, s_rxy, rho_num, rho_d1, rho_d2,
+SELECT n_rows,
+       CAST(CAST(s_rx AS VARCHAR) AS DOUBLE) AS s_rx,
+       CAST(CAST(s_ry AS VARCHAR) AS DOUBLE) AS s_ry,
+       CAST(CAST(s_rxx AS VARCHAR) AS DOUBLE) AS s_rxx,
+       CAST(CAST(s_ryy AS VARCHAR) AS DOUBLE) AS s_ryy,
+       CAST(CAST(s_rxy AS VARCHAR) AS DOUBLE) AS s_rxy,
+       CAST(CAST(rho_num AS VARCHAR) AS DOUBLE) AS rho_num,
+       CAST(CAST(rho_d1 AS VARCHAR) AS DOUBLE) AS rho_d1,
+       CAST(CAST(rho_d2 AS VARCHAR) AS DOUBLE) AS rho_d2,
        (CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)
           / CAST(CAST(rho_d1 AS VARCHAR) AS DOUBLE))
          * (CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)
@@ -9181,9 +9237,9 @@ SELECT o.o_orderstatus, o.o_orderpriority,
        CAST(rm.row_m AS BIGINT) AS row_m,
        CAST(cm.col_m AS BIGINT) AS col_m,
        CAST(t.n_total AS BIGINT) AS n_total,
-       abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
-           - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
-         AS dev_num,
+       CAST(CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
+                 - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
+            AS VARCHAR) AS DOUBLE) AS dev_num,
        (CAST(CAST(abs(CAST(o.obs AS HUGEINT) * CAST(t.n_total AS HUGEINT)
                  - CAST(rm.row_m AS HUGEINT) * CAST(cm.col_m AS HUGEINT))
              AS VARCHAR) AS DOUBLE)

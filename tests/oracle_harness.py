@@ -65,7 +65,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     # The driver's pandas canonicalizer sort_values()-crashes on unhashable
     # cells (lists/dicts), so array/map-typed output columns can never go
     # driver-green — reject them here so the leak fails locally first.
-    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
 
     bad = [
         f.name
@@ -76,6 +76,25 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         return [
             f"array/map-typed output columns {bad} are not driver-comparable; "
             "string-render them (array_join / to_json) in both engines"
+        ]
+    # DecimalType output columns can never go driver-green either (r9:
+    # q_rank_sum/q_ks_stat/q_cusum failed the driver hash with values
+    # bit-identical in both engines — the driver's pandas path renders a
+    # Spark Decimal cell differently from DuckDB's HUGEINT).  _canon
+    # below folds Decimal -> float repr on both sides, so without this
+    # rejection the harness MASKS the class instead of catching it.
+    bad_dec = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    if bad_dec:
+        return [
+            f"DecimalType output columns {bad_dec} are not driver-comparable; "
+            "cast the face to double (Spark .cast('double') — correctly "
+            "rounded — paired with the oracle's VARCHAR route "
+            "CAST(CAST(x AS VARCHAR) AS DOUBLE)) or render as strings "
+            "on both sides; keep decimal accumulation internal"
         ]
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]

@@ -87,6 +87,45 @@ def test_driver_window_doc_matches_registry_head():
     assert m.group(2) == window[49], (m.group(2), window[49])
 
 
+#: The only Spark output types the driver's pandas-path hash comparison
+#: renders identically to the DuckDB oracle's: integral kinds land as
+#: int64, double as float64, and the rest round-trip as native Python
+#: objects.  DecimalType is the confirmed killer (r9: three driver-red
+#: rows with bit-identical values); Array/Map crash the driver's
+#: sort_values canonicalizer (r4 lesson, rejected in oracle_harness).
+_DRIVER_HASHABLE = (
+    "byte short int bigint long double float string boolean date timestamp binary"
+).split()
+
+
+def test_no_decimal_output_faces(spark, sf_dir):
+    """No registered face may emit a DecimalType (or other non-driver-
+    hashable) output column.  r9 went driver-red on q_rank_sum/q_ks_stat/
+    q_cusum for type alone — the values were bit-identical in both
+    engines, but the driver renders a Spark Decimal cell differently
+    from DuckDB's HUGEINT.  Schema analysis is lazy (no job runs), so
+    this sweeps all ~220 faces in seconds and makes the class
+    unrepresentable: decimal stays an internal accumulation type only."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    offenders: list[str] = []
+    for name, q in QUERIES.items():
+        df = q(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+            elif name in ORACLES and isinstance(f.dataType, (ArrayType, MapType)):
+                # rows-only faces may return arrays (never hash-compared);
+                # oracle-backed faces must stay scalar (r4 lesson)
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+            elif name in ORACLES and f.dataType.simpleString() not in _DRIVER_HASHABLE:
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "faces with non-driver-hashable output columns (cast decimals to "
+        f"double at the face, VARCHAR-route the oracle): {offenders}"
+    )
+
+
 def test_every_public_operator_function_is_referenced():
     """r8 shipped five fully-written operators (stats.py, checks.py) with
     zero references — no query face, no oracle, no test.  Dead code in a
