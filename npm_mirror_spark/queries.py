@@ -5187,26 +5187,35 @@ PINNED_27: tuple[str, ...] = (
     "q_approx_stats",
 )
 
-#: Slots 28-50 (r9 rotation): the 23 oldest never-checked queue entries
-#: per docs/DRIVER_WINDOW.md — the six r7 remainders the r8 window could
-#: not fit, then the r8 wave in registration order through ``q_cusum``.
-#: All 23 are oracle-backed; the only rows-only entry in this window is
-#: the pinned ``q_approx_stats``.
+#: Slots 28-50 (r10 rotation): the 3 r9 driver-red rows re-pinned for
+#: re-verification after the decimal-face fix (q_rank_sum/q_ks_stat/
+#: q_cusum — values were bit-identical, the face schema was the bug),
+#: then ALL 13 remaining never-checked queue entries per
+#: docs/DRIVER_WINDOW.md (draining the verification-debt queue to zero),
+#: then the 7 oldest single-round-checked rows (r01-only, registration
+#: order) as re-verification fill.  All 23 are oracle-backed; the only
+#: rows-only entry in this window is the pinned ``q_approx_stats``.
 WINDOW_TAIL: tuple[str, ...] = (
-    "q_pagerank_seeded", "q_assoc_rules", "q_drift_weekly",
-    "q_seasonal_outliers", "q_weighted_median", "q_source_gini",
-    "q_triangle_est", "q_validated_batch", "q_communities",
-    "q_token_drift", "q_edit_join", "q_decay_counts", "q_luhn_scan",
-    "q_hll_weekly", "q_dedup_lines", "q_quantile_norm", "q_fk_audit",
-    "q_winsorized_mean", "q_kmv_distinct", "q_benford", "q_rank_sum",
-    "q_ks_stat", "q_cusum",
+    "q_rank_sum", "q_ks_stat", "q_cusum",
+    "q_autocorr", "q_interval_coverage", "q_collocations", "q_hhi",
+    "q_simpson", "q_fd_violations", "q_skyline", "q_spearman",
+    "q_runs_test", "q_mann_kendall", "q_kanonymity", "q_chisq",
+    "q_edit2_join",
+    "q_quality_score", "q_lang_id", "q_token_count", "q_fingerprint",
+    "q_window_counts", "q_tpch_pricing", "q_revenue_by_customer",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
-assert len(DRIVER_WINDOW) == 50, f"window has {len(DRIVER_WINDOW)} slots"
-assert len(set(DRIVER_WINDOW)) == 50, "duplicate names in DRIVER_WINDOW"
+# Explicit raises, not assert: these import-time invariants guard the
+# dict reorder below and must survive ``python -O`` (which strips
+# asserts while the reorder still runs).
+if len(DRIVER_WINDOW) != 50:
+    raise RuntimeError(f"DRIVER_WINDOW has {len(DRIVER_WINDOW)} slots, need 50")
+if len(set(DRIVER_WINDOW)) != 50:
+    raise RuntimeError("duplicate names in DRIVER_WINDOW")
 _unregistered = [n for n in DRIVER_WINDOW if n not in QUERIES]
-assert not _unregistered, f"DRIVER_WINDOW not in registry: {_unregistered}"
+if _unregistered:
+    raise RuntimeError(f"DRIVER_WINDOW not in registry: {_unregistered}")
 QUERIES = {n: QUERIES[n] for n in DRIVER_WINDOW} | {
     n: f for n, f in QUERIES.items() if n not in set(DRIVER_WINDOW)
 }
