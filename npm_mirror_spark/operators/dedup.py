@@ -1076,20 +1076,30 @@ def edit2_join(
         ),
     )
     # delete positions i < j in ONE pass over the original string:
-    # concat(s[1..i-1], s[i+1..j-1], s[j+1..len])
-    dels2 = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.length(s)),
-                lambda j: F.concat(
-                    F.substr(s, F.lit(1), i - 1),
-                    F.substr(s, i + 1, j - i - 1),
-                    F.substr(s, j + 1, F.length(s)),
+    # concat(s[1..i-1], s[i+1..j-1], s[j+1..len]).  Gated behind
+    # len >= 2: Spark's sequence(start, stop) DESCENDS when start >
+    # stop, so for shorter strings the unclamped sequence(1, len-1)
+    # (and the inner sequence(i+1, len)) would emit degenerate
+    # negative-length deletion keys — harmless only because the exact
+    # Levenshtein verify kills the spurious candidates, but the
+    # candidate fan-out is unintended.  A string of length < 2 has no
+    # 2-deletion neighborhood, so the empty array is the exact answer.
+    dels2 = F.when(
+        F.length(s) >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.length(s)),
+                    lambda j: F.concat(
+                        F.substr(s, F.lit(1), i - 1),
+                        F.substr(s, i + 1, j - i - 1),
+                        F.substr(s, j + 1, F.length(s)),
+                    ),
                 ),
-            ),
-        )
-    )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     keys = df.select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),

@@ -362,3 +362,43 @@ def test_edit2_join_enforces_tighter_short_key_contract(spark):
     bad = spark.createDataFrame([(1, "z" * 33), (2, "ok")], "id int, s string")
     with pytest.raises(Exception, match="short-key contract"):
         edit2_join(bad, "s", "id").collect()
+
+
+def test_cosine_column_helper_exact_values(spark):
+    """nf.cosine is the public column-level building block the topk/dedup
+    operators compose; pin its math on known geometry (parallel -> 1,
+    orthogonal -> 0, antiparallel -> -1, and a hand-computed oblique)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [2.0, 0.0], 1.0),
+            (2, [1.0, 0.0], [0.0, 3.0], 0.0),
+            (3, [1.0, 0.0], [-5.0, 0.0], -1.0),
+            (4, [3.0, 4.0], [4.0, 3.0], 24.0 / 25.0),
+        ],
+        "id int, a array<double>, b array<double>, want double",
+    )
+    rows = df.select(
+        "id", "want", nf.cosine(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    for r in rows:
+        assert abs(r["got"] - r["want"]) < 1e-12, (r["id"], r["got"], r["want"])
+
+
+def test_lsh_band_hashes_banding_semantics(spark):
+    """Identical signatures agree on EVERY band key; signatures differing
+    in exactly one row disagree ONLY on the band containing that row —
+    the candidate-recall property the MinHash join relies on."""
+    sig_a = list(range(1, 9))          # 8 rows -> 4 bands x 2 rows
+    sig_b = list(sig_a)
+    sig_b[5] = 99                      # perturb row 6 -> band index 2
+    df = spark.createDataFrame(
+        [(sig_a, sig_a), (sig_a, sig_b)], "x array<int>, y array<int>"
+    )
+    rows = df.select(
+        nf.lsh_band_hashes(F.col("x"), bands=4, rows_per_band=2).alias("hx"),
+        nf.lsh_band_hashes(F.col("y"), bands=4, rows_per_band=2).alias("hy"),
+    ).collect()
+    same = [hx == hy for hx, hy in zip(rows[0]["hx"], rows[0]["hy"])]
+    assert same == [True, True, True, True]
+    diff = [hx == hy for hx, hy in zip(rows[1]["hx"], rows[1]["hy"])]
+    assert diff == [True, True, False, True]

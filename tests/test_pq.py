@@ -132,3 +132,37 @@ def test_pq_adc_scores_bounded_quantization_error(spark):
     for r in adc:
         by_probe.setdefault(r["probe_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_probe.values())
+
+
+def test_pq_recall_meter_cross_checked_inline(spark):
+    """pq_recall is the meter that justifies (m, ks) before anyone
+    trusts the compressed index — so its NUMBERS must be right, not
+    just its shape.  Cross-check every (probe_id, n_found, recall)
+    against an inline exact-vs-ADC set intersection computed from the
+    same primitives.  (No recall FLOOR is asserted: within-cluster
+    top-k order is quantization-dominated by design — see the ADC
+    geometry test above — so the meter legitimately reads low here;
+    what must hold is that it reads TRUE.)"""
+    df = _clustered_df(spark)
+    probes = df.filter(F.col("vec_id") % 40 == 1).limit(5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cb = sim.train_pq(df, m=8, ks=16)
+    k = 5
+    got = {
+        r["probe_id"]: (r["n_found"], r["recall"])
+        for r in sim.pq_recall(df, probes, k, cb).collect()
+    }
+    # inline replica from the same building blocks
+    exact = {}
+    for r in sim.cosine_topk(df, probes, k).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    codes = sim.pq_encode(df, cb)
+    approx = {}
+    for r in sim.pq_topk(codes, probes, cb, k).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    for pid, want_set in exact.items():
+        n_found = len(want_set & approx.get(pid, set()))
+        assert got[pid][0] == n_found, (pid, got[pid], n_found)
+        assert abs(got[pid][1] - n_found / k) < 1e-12

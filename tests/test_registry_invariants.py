@@ -144,6 +144,19 @@ def test_every_public_operator_function_is_referenced():
     for f in (REPO / "__spark_entry__.py", REPO / "bench.py"):
         sources[str(f)] = f.read_text()
 
+    # Count references from AST Name/Attribute nodes, not raw text: a
+    # function name mentioned only in a comment or docstring must NOT
+    # count as 'referenced' (that is exactly how dead code hides).  A
+    # `def` statement creates no Name node, so any hit is a real use —
+    # a call, a decorator, an export, or a qualified module access.
+    refs: set[str] = set()
+    for src in sources.values():
+        for node in ast.walk(ast.parse(src)):
+            if isinstance(node, ast.Name):
+                refs.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                refs.add(node.attr)
+
     dead: list[str] = []
     for path, src in list(sources.items()):
         if not path.startswith(str(pkg / "operators")):
@@ -153,8 +166,6 @@ def test_every_public_operator_function_is_referenced():
                 continue
             if node.name.startswith("_"):
                 continue
-            pat = re.compile(rf"\b{re.escape(node.name)}\b")
-            uses = sum(len(pat.findall(s)) for s in sources.values())
-            if uses < 2:  # the def line itself is one match
+            if node.name not in refs:
                 dead.append(f"{Path(path).name}:{node.name}")
     assert not dead, f"public operator functions with zero references: {sorted(dead)}"
