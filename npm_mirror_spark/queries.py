@@ -7624,7 +7624,9 @@ SELECT 'custkey_complete' AS name, 'completeness' AS kind,
        'o_custkey' AS "column",
        CASE WHEN n > 0 THEN CAST(nn_ck AS DOUBLE) / CAST(n AS DOUBLE)
             ELSE 1.0 END AS metric,
-       1.0 AS threshold,
+       -- CAST coerces the whole UNION'd column to DOUBLE (a bare 1.0
+       -- literal is DECIMAL(2,1) in DuckDB; Spark's face emits double)
+       CAST(1.0 AS DOUBLE) AS threshold,
        CASE WHEN n > 0 THEN CAST(nn_ck AS DOUBLE) / CAST(n AS DOUBLE)
             ELSE 1.0 END >= 1.0 AS ok
 FROM a
@@ -7701,7 +7703,8 @@ SELECT batch_id, name, kind, "column", metric, threshold, ok, group_ok,
        CASE WHEN group_ok THEN 'main' ELSE 'quarantine' END AS route
 FROM (
   SELECT batch_id, 'status_complete' AS name, 'completeness' AS kind,
-         'o_orderstatus' AS "column", m0 AS metric, 1.0 AS threshold,
+         'o_orderstatus' AS "column", m0 AS metric,
+         CAST(1.0 AS DOUBLE) AS threshold,
          m0 >= 1.0 AS ok, group_ok FROM v
   UNION ALL
   SELECT batch_id, 'status_domain', 'in_set', 'o_orderstatus', m1, 1.0,
@@ -7850,7 +7853,8 @@ cum AS (SELECT bin, cnt, mn, mx,
             PRECEDING AND 1 PRECEDING), 0) AS cumb,
           sum(cnt) OVER () AS n
         FROM counts),
-qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
 SELECT q,
        CASE WHEN (mx - mn) <= 0 THEN mn
             ELSE mn + (mx - mn)
@@ -8402,7 +8406,8 @@ cum AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
          sum(cnt) OVER (PARTITION BY source) AS n
   FROM counts),
-qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
 SELECT source, q,
        CASE WHEN (mx - mn) <= 0 THEN mn
             ELSE mn + (mx - mn)

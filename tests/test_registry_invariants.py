@@ -126,6 +126,59 @@ def test_no_decimal_output_faces(spark, sf_dir):
     )
 
 
+def test_cross_engine_output_type_families(spark, sf_dir):
+    """Every oracle-backed face must agree with its DuckDB oracle on the
+    TYPE FAMILY of every output column (int-like vs float-like vs string
+    vs bool vs date/timestamp), and neither side may emit DECIMAL or
+    HUGEINT.  This is the r10 generalization of the r9 decimal-face
+    audit: the driver materializes both engines through pandas, where a
+    family mismatch renders cells differently even for identical values
+    (Decimal('5') vs 5 vs 5.0).  Both sides are schema-only (DuckDB
+    ``DESCRIBE``, Spark lazy analysis) — no job runs, so the whole
+    registry sweeps in seconds."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from oracle_harness import duckdb_con
+
+    con = duckdb_con(sf_dir)
+
+    def fam(t: str) -> str:
+        t = t.lower()
+        if "hugeint" in t or "decimal" in t:
+            return "DECIMAL-FORBIDDEN"
+        if any(k in t for k in ("tinyint", "smallint", "int", "bigint", "long", "byte", "short")):
+            return "int"
+        if any(k in t for k in ("double", "float", "real")):
+            return "float"
+        if "varchar" in t or "string" in t:
+            return "str"
+        if "bool" in t:
+            return "bool"
+        if "timestamp" in t:
+            return "ts"
+        if "date" in t:
+            return "date"
+        if "blob" in t or "binary" in t:
+            return "bin"
+        return t
+
+    issues: list[str] = []
+    for name, sql in ORACLES.items():
+        dmap = {r[0]: fam(r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()}
+        smap = {
+            f.name: fam(f.dataType.simpleString())
+            for f in QUERIES[name](spark, sf_dir).schema.fields
+        }
+        if set(dmap) != set(smap):
+            issues.append(f"{name}: column sets differ {sorted(set(dmap) ^ set(smap))}")
+            continue
+        for c in dmap:
+            if dmap[c] != smap[c]:
+                issues.append(f"{name}.{c}: duckdb={dmap[c]} spark={smap[c]}")
+    assert not issues, f"cross-engine output type asymmetries: {issues}"
+
+
 def test_every_public_operator_function_is_referenced():
     """r8 shipped five fully-written operators (stats.py, checks.py) with
     zero references — no query face, no oracle, no test.  Dead code in a
