@@ -30,7 +30,7 @@ report, metric semantics in [0, 1] unless noted):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -405,4 +405,136 @@ def chisq_independence_cells(
             ).alias("chi2_cell"),
         )
         .orderBy(row_col, col_col)
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    chance-corrected agreement audit (Cohen '60) a labeling pipeline
+    runs between a cheap heuristic and the recorded gold label (or two
+    annotators) before trusting either.  kappa = (po - pe)/(1 - pe)
+    restated over exact integers as
+    ``(n_agree*N - pe_num) / (N*N - pe_num)`` with
+    ``pe_num = Σ_c row_m(c) * col_m(c)`` — one IEEE division of two
+    exact DECIMAL(38,0) operands (N*N overflows int64 at ~4e9 rows;
+    the face casts the reported exact columns to double per the
+    decimal-face contract).
+
+    Shape: one (a,b) pair groupBy for the agreement diagonal + two
+    margin groupBys (bounded by the label domains, broadcast joined on
+    the category key) + 1-row folds — all map-side combinable; no
+    window, no raw-row join.
+
+    1-row output: n, n_agree, pe_num, po, kappa.
+    """
+    d38 = "decimal(38,0)"
+    pair = df.select(
+        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+    )
+    agree = pair.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long")).alias("n_agree"),
+    )
+    rm = pair.groupBy(F.col("__a").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__rm")
+    )
+    cm = pair.groupBy(F.col("__b").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__cm")
+    )
+    pe = (
+        rm.join(cm, "__c")  # inner: categories absent from either side
+        .agg(                # contribute zero to pe by definition
+            F.sum(
+                (F.col("__rm").cast(d38) * F.col("__cm").cast(d38)).cast(d38)
+            )
+            .cast(d38)
+            .alias("pe_num")
+        )
+    )
+    nn = F.col("n").cast(d38) * F.col("n").cast(d38)
+    return (
+        agree.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "n_agree",
+            F.coalesce(F.col("pe_num"), F.lit(0).cast(d38)).alias("pe_num"),
+        )
+        .select(
+            "n",
+            "n_agree",
+            "pe_num",
+            (
+                F.col("n_agree").cast("double") / F.col("n").cast("double")
+            ).alias("po"),
+            (
+                (
+                    F.col("n_agree").cast(d38) * F.col("n").cast(d38)
+                    - F.col("pe_num")
+                ).cast("double")
+                / (nn - F.col("pe_num")).cast("double")
+            ).alias("kappa"),
+        )
+    )
+
+
+def cochran_armitage(
+    df: DataFrame, success: Column, score: Column
+) -> DataFrame:
+    """Cochran–Armitage trend-in-proportions statistic: does the success
+    rate trend monotonically across ORDERED categories (integer
+    ``score``)?  The dose-response audit chi-square independence cannot
+    see (chisq treats categories as unordered; CA spends its single
+    degree of freedom on the linear trend).
+
+    T = Σ_i s_i * (r_i * N - R * n_i) over groups i, with r_i =
+    successes, n_i = group size, R = Σ r_i, N = Σ n_i — exact
+    DECIMAL(38,0) throughout (r_i*N crosses int64 at ~1e10 rows); the
+    variance term needs moments times cubes of N (sqrt territory), so
+    per the rank_sum discipline the report is the exact numerator plus
+    the scale-free effect ``t_over_n2 = T / N^2`` — one IEEE division.
+
+    Shape: one bounded groupBy on the score axis + a broadcast 1-row
+    totals fold; output is 1 row.
+
+    Output: n, r_total, n_groups, t_num, t_over_n2.
+    """
+    d38 = "decimal(38,0)"
+    g = df.select(
+        score.cast("long").alias("__s"),
+        success.cast("long").alias("__y"),
+    )
+    per = g.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n_i"),
+        F.sum("__y").alias("__r_i"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("r_total")
+    )
+    term = (
+        F.col("__s").cast(d38)
+        * (
+            F.col("__r_i").cast(d38) * F.col("n").cast(d38)
+            - F.col("r_total").cast(d38) * F.col("__n_i").cast(d38)
+        ).cast(d38)
+    ).cast(d38)
+    agg = (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r_total").alias("r_total"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(term).cast(d38).alias("t_num"),
+        )
+    )
+    return agg.select(
+        "n",
+        "r_total",
+        "n_groups",
+        "t_num",
+        (
+            F.col("t_num").cast("double")
+            / (F.col("n").cast(d38) * F.col("n").cast(d38)).cast("double")
+        ).alias("t_over_n2"),
     )

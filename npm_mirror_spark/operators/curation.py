@@ -764,3 +764,47 @@ def filter_blocked_hosts(
         .distinct()
     )
     return df.join(blocked_ids, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 90), ("val", 5), ("test", 5)),
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: documents connected by a dup-pair edge (MinHash/LSH
+    candidates, embedding near-dups, …) are assigned AS A CLUSTER — the
+    hash that picks the split is keyed on the cluster label (min id in
+    the component), not the individual id.  Without this, a plain
+    per-doc :func:`split_assign` over an undeduplicated corpus puts one
+    copy of a near-dup pair in train and its twin in test, and the eval
+    set silently measures memorization (the classic contamination bug
+    train/test splits of scraped corpora ship with).
+
+    Composition, all existing scale shapes: connected components over
+    key-only edges (dedup.connected_components — bounded rounds, edge
+    volume shuffles only), a left join to attach labels (unpaired docs
+    keep their own id as label — identical assignment to split_assign's
+    for them), then the md5-mod split on the label.  Document bodies
+    never shuffle; the added cost over per-doc assignment is the CC
+    rounds the dedup pipeline already runs anyway — reuse its output.
+
+    Returns (id, cluster_label, split) — one row per INPUT doc, same
+    grain as split_assign, plus the audit column cluster_label.
+    """
+    from npm_mirror_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, max_iter=25)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_label"),
+        )
+    )
+    return split_assign(
+        labeled, id_col="cluster_label", splits=splits, seed=seed
+    ).select(id_col, "cluster_label", "split")

@@ -638,3 +638,50 @@ def quantile_bins(
         )
         .drop("__cuts")
     )
+
+
+def heavy_hitters_twopass(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Exact heavy hitters (count >= ``threshold``) by sketch-prune +
+    exact verify — the canonical two-pass pattern for skew-aware
+    counting at 100 TB (Cormode & Muthukrishnan '05 for the sketch
+    pass; the verify pass is what makes the OUTPUT exact).
+
+    Pass 1 builds the bounded depth x width CMS (map-side combine, the
+    only shuffle is depth*width int cells) and reads back every
+    DISTINCT key's estimate with the sketch BROADCAST — cheap because
+    CMS estimation is map-side.  One-sided error (est >= true) makes
+    the candidate set a SUPERSET of the true heavy hitters, so pass 2's
+    exact groupBy over only candidate-key rows (broadcast semi-join
+    probe) loses nothing — and at scale it aggregates a sliver of the
+    corpus instead of shuffling every key's partial counts: the CMS
+    floor suppresses the long tail that dominates key cardinality.
+    Output EQUALS the exact ``HAVING count(*) >= t`` answer — the
+    sketch only prunes, never decides.
+
+    The distinct-key estimate read in pass 1 does shuffle the key
+    universe once (count_min_estimate's distinct); when the tail is
+    TRULY huge, swap that read for estimating only keys seen in a
+    sample — the superset property degrades gracefully.  Kept exact
+    here because the oracle contract demands determinism.
+
+    Returns (key, cnt) with cnt exact, cnt >= threshold.
+    """
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    sketch = count_min_sketch(df, key_col, depth=depth, width=width)
+    ests = count_min_estimate(
+        sketch, df.select(key_col), key_col, depth=depth, width=width
+    )
+    cands = ests.filter(F.col("est") >= threshold).select(key_col)
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

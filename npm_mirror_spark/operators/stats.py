@@ -351,3 +351,144 @@ def mann_kendall_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
             ).alias("s_over_pairs"),
         )
     )
+
+
+def theil_sen_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
+    """Theil–Sen slope estimator over a DAILY count series: the exact
+    lower median of all pairwise slopes (x_j - x_i)/(d_j - d_i), i < j
+    (Theil '50, Sen '68) — the robust companion to
+    :func:`mann_kendall_daily`: MK answers IS there a monotone trend,
+    Theil–Sen answers HOW STEEP, with a 29% breakdown point where
+    least-squares (q_trend_by_group's fit) has zero.
+
+    Determinism: each slope is ONE IEEE division of two exact ints
+    (identical operands -> identical doubles in any engine); the median
+    is then an exact rank selection over the distinct-slope axis via
+    the bounded two-level prefix (`_with_prior_sums`) — no
+    single-reducer sort of the pair table.  Slopes that collide in
+    double space merge counts, which cannot move the selected value.
+
+    Scale shape: pairs are quadratic ONLY over the calendar-day axis
+    (bounded by construction — the mann_kendall wedge contract): raw
+    rows collapse to one row per day first, the day side broadcasts,
+    and the O(days^2) pair table feeds a distinct-value groupBy whose
+    cardinality is <= pairs but typically far smaller.
+
+    1-row output: n_days, n_pairs, median_slope.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(cnt).alias("__x"),
+    )
+    a = g.select(F.col("__day").alias("__da"), F.col("__x").alias("__xa"))
+    b = g.select(F.col("__day").alias("__db"), F.col("__x").alias("__xb"))
+    pairs = a.join(F.broadcast(b), F.col("__db") > F.col("__da")).select(
+        (
+            (F.col("__xb") - F.col("__xa")).cast("double")
+            / (F.col("__db") - F.col("__da")).cast("double")
+        ).alias("__slope")
+    )
+    vals = pairs.groupBy("__slope").agg(F.count(F.lit(1)).alias("__c"))
+    pri = _with_prior_sums(vals, "__slope", ("__c",))
+    tot = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_days = g.agg(F.count(F.lit(1)).alias("n_days"))
+    med = (
+        pri.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__prior___c") + F.col("__c"))
+            >= F.ceil(F.col("n_pairs") / 2).cast("long")
+        )
+        .agg(F.min("__slope").alias("median_slope"))
+    )
+    return (
+        n_days.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .select("n_days", "n_pairs", "median_slope")
+    )
+
+
+def mad_outliers_by(
+    df: DataFrame, group: str, value: str, k: int = 3
+) -> DataFrame:
+    """Per-group robust outlier audit via the Median Absolute Deviation:
+    for each group, the exact lower median m of ``value``, the exact
+    lower median of |x - m| (the MAD), and the count of rows with
+    |x - m| > k * MAD — the outlier gate that survives the heavy tails
+    where a mean/stddev z-score (q_seasonal_outliers' parametric twin)
+    is itself dragged by the outliers it should flag.  With integer
+    values and integer ``k`` EVERYTHING here is exact integer
+    arithmetic — no float enters until the reported fraction.
+
+    Scale shape: two grouped distinct-value collapses (value axis, then
+    deviation axis), each with a prefix window PARTITIONED BY group
+    over the distinct-value table — per-partition rows bounded by the
+    VALUE DOMAIN, not the corpus (the q_drift_weekly contract), and the
+    per-group 1-row median/MAD frames join back by group key (broadcast
+    by size).  No raw-row window anywhere.
+
+    Output per group: n, median, mad, n_outliers, outlier_frac.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(F.col(group).alias("__g"), F.col(value).alias("__x"))
+
+    def _lower_median(rows: DataFrame, col: str) -> DataFrame:
+        """(group, median-of-col) by grouped distinct-value prefix."""
+        vals = rows.groupBy("__g", col).agg(F.count(F.lit(1)).alias("__c"))
+        w = (
+            Window.partitionBy("__g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pri = vals.select(
+            "__g",
+            col,
+            "__c",
+            F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__b"),
+        )
+        tot = rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            pri.join(tot, "__g")
+            .filter(
+                (F.col("__b") + F.col("__c"))
+                >= F.ceil(F.col("__n") / 2).cast("long")
+            )
+            .groupBy("__g")
+            .agg(F.min(col).alias("__med"))
+        )
+
+    med = _lower_median(g, "__x")
+    dev = g.join(med, "__g").select(
+        "__g", F.abs(F.col("__x") - F.col("__med")).alias("__d")
+    )
+    mad = _lower_median(dev, "__d").withColumnRenamed("__med", "__mad")
+    flagged = (
+        g.join(med, "__g")
+        .join(mad, "__g")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__med").alias("median"),
+            F.max("__mad").alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("__x") - F.col("__med"))
+                    > F.lit(k) * F.col("__mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        F.col("__g").alias(group),
+        "n",
+        "median",
+        "mad",
+        "n_outliers",
+        (F.col("n_outliers").cast("double") / F.col("n").cast("double")).alias(
+            "outlier_frac"
+        ),
+    )

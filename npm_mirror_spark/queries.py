@@ -4920,6 +4920,105 @@ def q_chisq(spark, sf_dir):
     )
 
 
+def q_theilsen(spark, sf_dir):
+    """Theil–Sen robust slope of daily order counts (operators/stats.py:
+    theil_sen_daily): the exact lower median of all pairwise day-slopes —
+    HOW STEEP is the trend q_mann_kendall detects, with a 29% breakdown
+    point where q_trend_by_group's least-squares fit has zero.  Each
+    slope is one IEEE division of exact ints (identical doubles in both
+    engines); the median is rank selection over the distinct-slope axis
+    via the bounded two-level prefix — pairs are quadratic ONLY over the
+    bounded calendar-day axis (the mann_kendall wedge contract)."""
+    from npm_mirror_spark.operators.stats import theil_sen_daily
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return theil_sen_daily(daily, "day", "n")
+
+
+def q_kappa(spark, sf_dir):
+    """Cohen's kappa between the stored gold ``lang`` label and the
+    cheap stopword language-id heuristic (operators/checks.py:
+    cohens_kappa over operators/text.py:language_id) — the
+    chance-corrected agreement audit a labeling pipeline runs before
+    trusting either side.  Exact integer margins; kappa =
+    (n_agree*N - pe_num)/(N*N - pe_num), one IEEE division of exact
+    DECIMAL(38,0) operands; face emits double per the decimal-face
+    contract."""
+    from npm_mirror_spark.operators.checks import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    pair = d.select("lang", text_ops.language_id("text").alias("lang_guess"))
+    return _nodec(cohens_kappa(pair, "lang", "lang_guess"))
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage trend-in-proportions (operators/checks.py:
+    cochran_armitage): does the share of FULLY-SHIPPED orders trend
+    across the ORDERED priority scale (1-URGENT … 5-LOW)?  The
+    dose-response question q_chisq cannot ask (independence treats the
+    priorities as unordered).  T = Σ s_i(r_i N - R n_i) in exact
+    DECIMAL(38,0); the report is the exact numerator + the scale-free
+    T/N² effect — the rank_sum no-sqrt discipline."""
+    from npm_mirror_spark.operators.checks import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders")
+    return _nodec(
+        cochran_armitage(
+            o,
+            success=(F.col("o_orderstatus") == "F"),
+            score=F.substring("o_orderpriority", 1, 1).cast("int"),
+        )
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-language robust outlier audit over document lengths
+    (operators/stats.py:mad_outliers_by): exact lower median, exact MAD
+    (median absolute deviation), and the |x - med| > 3*MAD outlier
+    count — all integer arithmetic until the reported fraction; the
+    robust gate a mean/stddev z-score can't provide under heavy tails
+    (the outliers drag the stddev that should flag them).  Grouped
+    distinct-value prefix windows only — per-partition rows bounded by
+    the value domain, never the corpus."""
+    from npm_mirror_spark.operators.stats import mad_outliers_by
+
+    d = _t(spark, sf_dir, "documents")
+    return mad_outliers_by(d, "lang", "n_chars", k=3)
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/curation.py:
+    leakage_safe_split): the dup-injected corpus's MinHash/LSH candidate
+    pairs collapse to connected components, and the md5-mod 90/5/5
+    assignment (q_split_assign's exact bucket arithmetic) keys on the
+    CLUSTER label — near-duplicate documents can never straddle train
+    and test, the contamination bug a per-doc split ships with.  Oracle
+    replays the recursive reachability closure + the same hash."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_ops.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return cur_ops.leakage_safe_split(docs.select("doc_id"), pairs, seed=0)
+
+
+def q_hh_twopass(spark, sf_dir):
+    """Exact heavy hitters by CMS-prune + exact verify (operators/
+    sketches.py:heavy_hitters_twopass): parts ordered on >= 35 line
+    items.  The sketch pass suppresses the long tail BEFORE the exact
+    aggregation (one-sided CMS error makes the candidate set a superset,
+    so the verified output EQUALS the plain HAVING count >= t answer —
+    which is exactly the oracle).  The two-pass shape is what survives
+    1e9-key skew at 100 TB: pass 2 aggregates only candidate-key rows
+    behind a broadcast semi-join."""
+    from npm_mirror_spark.operators.sketches import heavy_hitters_twopass
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters_twopass(li, "l_partkey", threshold=35)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5163,6 +5262,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kanonymity": q_kanonymity,
     "q_chisq": q_chisq,
     "q_edit2_join": q_edit2_join,
+    # r10 additions (never driver-checked yet): robust/agreement stats,
+    # the leakage-safe split, and the two-pass heavy-hitter pattern
+    "q_theilsen": q_theilsen,
+    "q_kappa": q_kappa,
+    "q_cochran_armitage": q_cochran_armitage,
+    "q_mad_outliers": q_mad_outliers,
+    "q_leakage_split": q_leakage_split,
+    "q_hh_twopass": q_hh_twopass,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -9283,4 +9390,166 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
 FROM c a JOIN c b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 ORDER BY id_a, id_b
+"""
+
+# q_theilsen: pairwise day-slopes as single IEEE divisions of exact
+# ints, lower median by distinct-slope prefix rank selection.
+ORACLES["q_theilsen"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT date_diff('day', DATE '1970-01-01', day) AS d, n FROM daily),
+pairs AS (
+  SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM g a JOIN g b ON b.d > a.d),
+v AS (SELECT slope, count(*) AS c FROM pairs GROUP BY 1),
+p AS (
+  SELECT slope, c,
+         coalesce(sum(c) OVER (ORDER BY slope
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM v),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM g)
+SELECT nd.n_days, t.n_pairs,
+       (SELECT min(slope) FROM p CROSS JOIN t
+        WHERE below + c >= CAST(ceil(n_pairs / 2.0) AS BIGINT))
+         AS median_slope
+FROM nd CROSS JOIN t
+"""
+
+# q_kappa: the q_lang_id stopword scorer replayed, then exact margins;
+# kappa = (agree*N - pe)/(N*N - pe), VARCHAR-routed doubles.
+ORACLES["q_kappa"] = f"""
+WITH w AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+  len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','es'], x))) AS s_es,
+  len(list_filter(toks, x -> list_contains(['le','la','de','et','que','en','est'], x))) AS s_fr,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','ist'], x))) AS s_de
+  FROM w),
+guess AS (
+  SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+    WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+    WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+    WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+    ELSE 'fr' END AS b
+  FROM s),
+pair AS (
+  SELECT d.lang AS a, g.b FROM documents d JOIN guess g USING (doc_id)),
+agree AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pair),
+rm AS (SELECT a AS c, count(*) AS r FROM pair GROUP BY 1),
+cm AS (SELECT b AS c, count(*) AS m FROM pair GROUP BY 1),
+pe AS (
+  SELECT coalesce(sum(CAST(r AS HUGEINT) * CAST(m AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS pe_num
+  FROM rm JOIN cm USING (c))
+SELECT n, n_agree,
+       CAST(CAST(pe_num AS VARCHAR) AS DOUBLE) AS pe_num,
+       CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(CAST(CAST(n_agree AS HUGEINT) * CAST(n AS HUGEINT) - pe_num
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe_num
+                     AS VARCHAR) AS DOUBLE) AS kappa
+FROM agree CROSS JOIN pe
+"""
+
+# q_cochran_armitage: T = sum s_i(r_i*N - R*n_i) in HUGEINT over the
+# bounded score axis, effect = T/N^2 — VARCHAR-routed doubles.
+ORACLES["q_cochran_armitage"] = """
+WITH g AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+per AS (SELECT s, count(*) AS n_i, sum(y) AS r_i FROM g GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS r_total FROM g),
+agg AS (
+  SELECT max(n) AS n, max(r_total) AS r_total,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         sum(CAST(s AS HUGEINT)
+             * (CAST(r_i AS HUGEINT) * CAST(n AS HUGEINT)
+                - CAST(r_total AS HUGEINT) * CAST(n_i AS HUGEINT)))
+           AS t_num
+  FROM per CROSS JOIN t)
+SELECT n, r_total, n_groups,
+       CAST(CAST(t_num AS VARCHAR) AS DOUBLE) AS t_num,
+       CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                     AS VARCHAR) AS DOUBLE) AS t_over_n2
+FROM agg
+"""
+
+# q_mad_outliers: grouped lower medians off the per-group distinct-value
+# prefix (value axis, then deviation axis), exact integer outlier gate.
+ORACLES["q_mad_outliers"] = """
+WITH g AS (SELECT lang AS l, n_chars AS x FROM documents),
+t AS (SELECT l, count(*) AS nn FROM g GROUP BY 1),
+v AS (SELECT l, x, count(*) AS c FROM g GROUP BY 1, 2),
+p AS (
+  SELECT l, x, c,
+         coalesce(sum(c) OVER (PARTITION BY l ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM v),
+med AS (
+  SELECT p.l, min(x) AS med FROM p JOIN t USING (l)
+  WHERE below + c >= CAST(ceil(nn / 2.0) AS BIGINT) GROUP BY p.l),
+dv AS (SELECT g.l, abs(g.x - med.med) AS d FROM g JOIN med USING (l)),
+v2 AS (SELECT l, d, count(*) AS c FROM dv GROUP BY 1, 2),
+p2 AS (
+  SELECT l, d, c,
+         coalesce(sum(c) OVER (PARTITION BY l ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM v2),
+mad AS (
+  SELECT p2.l, min(d) AS mad FROM p2 JOIN t USING (l)
+  WHERE below + c >= CAST(ceil(nn / 2.0) AS BIGINT) GROUP BY p2.l)
+SELECT g.l AS lang,
+       CAST(count(*) AS BIGINT) AS n,
+       max(med.med) AS median,
+       max(mad.mad) AS mad,
+       CAST(sum(CASE WHEN abs(g.x - med.med) > 3 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN abs(g.x - med.med) > 3 * mad.mad
+                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS outlier_frac
+FROM g JOIN med USING (l) JOIN mad USING (l)
+GROUP BY 1
+"""
+
+# q_leakage_split: the q_dedup_keepset reachability closure, labels to
+# every node (unpaired docs keep their own id), then the q_split_assign
+# md5-mod arithmetic keyed on the CLUSTER label.
+ORACLES["q_leakage_split"] = f"""
+WITH RECURSIVE {_MINHASH_EDGES},
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+rep AS (SELECT src AS node, least(src, min(dst)) AS label
+        FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, coalesce(rep.label, d.doc_id) AS cluster_label
+  FROM docs2 d LEFT JOIN rep ON d.doc_id = rep.node),
+k AS (
+  SELECT doc_id, cluster_label,
+         ('0x' || substr(md5('0:' || CAST(cluster_label AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS b
+  FROM lab)
+SELECT doc_id, cluster_label,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+# q_hh_twopass: the sketch only PRUNES (one-sided CMS error -> candidate
+# superset), so the exact-verified output equals the plain HAVING answer.
+ORACLES["q_hh_twopass"] = """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY 1 HAVING count(*) >= 35
 """

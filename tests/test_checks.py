@@ -286,3 +286,71 @@ def test_chisq_dependent_cells_match_hand_computation(spark):
         assert int(r["dev_num"]) == 8
         assert abs(r["chi2_cell"] - 0.5) < 1e-15
     assert out[("a", "x")]["obs"] == 3 and out[("a", "y")]["obs"] == 1
+
+
+def test_cohens_kappa_hand_computed_tables(spark):
+    from npm_mirror_spark.operators.checks import cohens_kappa
+
+    # perfect agreement -> kappa 1
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 6 + [("y", "y")] * 4, "a string, b string"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["n"] == 10 and r["n_agree"] == 10 and r["po"] == 1.0
+    assert abs(float(r["kappa"]) - 1.0) < 1e-12
+
+    # hand-computed 2x2: a=(x,x,x,y), b=(x,y,x,y)
+    # diag = 3, pe_num = rm(x)*cm(x) + rm(y)*cm(y) = 3*2 + 1*2 = 8
+    # kappa = (3*4 - 8) / (16 - 8) = 0.5
+    t = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("x", "x"), ("y", "y")],
+        "a string, b string",
+    )
+    r = cohens_kappa(t, "a", "b").collect()[0]
+    assert r["n_agree"] == 3 and float(r["pe_num"]) == 8.0
+    assert abs(float(r["kappa"]) - 0.5) < 1e-12
+
+    # disjoint label sets -> agreement 0, pe 0, kappa 0
+    dj = spark.createDataFrame(
+        [("x", "u"), ("y", "v")], "a string, b string"
+    )
+    r = cohens_kappa(dj, "a", "b").collect()[0]
+    assert r["n_agree"] == 0 and float(r["pe_num"]) == 0.0
+    assert float(r["kappa"]) == 0.0
+
+
+def test_cochran_armitage_brute_force_and_signs(spark):
+    from npm_mirror_spark.operators.checks import cochran_armitage
+    from pyspark.sql import functions as F
+
+    # groups: score 1 -> 1/10 success, 2 -> 5/10, 3 -> 9/10 (rising)
+    rows = (
+        [(1, 1)] * 1 + [(1, 0)] * 9
+        + [(2, 1)] * 5 + [(2, 0)] * 5
+        + [(3, 1)] * 9 + [(3, 0)] * 1
+    )
+    df = spark.createDataFrame(rows, "s int, y int")
+    r = cochran_armitage(
+        df, success=F.col("y") == 1, score=F.col("s")
+    ).collect()[0]
+    N, R = 30, 15
+    t_brute = sum(
+        s * (r_i * N - R * n_i)
+        for s, r_i, n_i in [(1, 1, 10), (2, 5, 10), (3, 9, 10)]
+    )
+    assert r["n"] == N and r["r_total"] == R and r["n_groups"] == 3
+    assert float(r["t_num"]) == float(t_brute)
+    assert t_brute > 0 and float(r["t_over_n2"]) > 0  # rising trend
+    assert abs(float(r["t_over_n2"]) - t_brute / N**2) < 1e-15
+
+    # flat rates -> T exactly 0
+    flat = spark.createDataFrame(
+        ([(1, 1)] * 2 + [(1, 0)] * 2) * 1
+        + ([(2, 1)] * 2 + [(2, 0)] * 2)
+        + ([(3, 1)] * 2 + [(3, 0)] * 2),
+        "s int, y int",
+    )
+    r = cochran_armitage(
+        flat, success=F.col("y") == 1, score=F.col("s")
+    ).collect()[0]
+    assert float(r["t_num"]) == 0.0

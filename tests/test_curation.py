@@ -518,3 +518,42 @@ def test_dedup_lines_keep_first(spark):
     assert got[2]["clean_text"] == "one\ntwo\nthree"
     assert got[3]["clean_text"] == "same"
     assert (got[3]["n_lines"], got[3]["n_kept"]) == (3, 1)
+
+
+def test_leakage_safe_split_cluster_consistency(spark):
+    """The property that defines the operator: documents connected by
+    dup edges (even transitively) land in ONE split, and docs outside
+    any pair get exactly the assignment split_assign would give keyed
+    on their own id."""
+    from npm_mirror_spark.operators.curation import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "doc_id long"
+    )
+    # chain 1-2-3 (transitive), pair 50-51, rest unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (50, 51)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, seed=0).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 100
+    # transitive cluster: one label (the min id), one split
+    assert {by_id[i]["cluster_label"] for i in (1, 2, 3)} == {1}
+    assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+    assert {by_id[i]["cluster_label"] for i in (50, 51)} == {50}
+    assert by_id[50]["split"] == by_id[51]["split"]
+    # unpaired docs: label is the id, split identical to split_assign
+    base = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, "doc_id", seed=0).collect()
+    }
+    clustered = {1, 2, 3, 50, 51}
+    for i in range(1, 101):
+        if i not in clustered:
+            assert by_id[i]["cluster_label"] == i
+            assert by_id[i]["split"] == base[i], i
+    # members of a cluster take the REPRESENTATIVE's base assignment
+    assert by_id[2]["split"] == base[1] and by_id[51]["split"] == base[50]

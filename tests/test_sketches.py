@@ -422,3 +422,39 @@ def test_kmv_sketch_properties(spark):
 
     with pytest.raises(ValueError):
         kmv_sketch(big, "u", k=1)
+
+
+def test_heavy_hitters_twopass_equals_exact_at_any_width(spark):
+    """The contract: the CMS pass only PRUNES (one-sided error makes
+    candidates a superset of the true heavy hitters), so the verified
+    output EQUALS the plain groupBy-HAVING answer — at a comfortable
+    width, AND at a degenerate width=2 where nearly every key collides
+    into every cell (maximum false candidates, zero false negatives)."""
+    import pytest
+
+    from npm_mirror_spark.operators.sketches import heavy_hitters_twopass
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 19
+        + [(f"tail{i}",) for i in range(200)] * 2
+    )
+    df = spark.createDataFrame(rows, "k string")
+    exact = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+        .collect()
+    }
+    for width in (256, 2):
+        got = {
+            (r["k"], r["cnt"])
+            for r in heavy_hitters_twopass(
+                df, "k", threshold=20, width=width
+            ).collect()
+        }
+        assert got == exact, (width, got ^ exact)
+    assert exact == {("a", 50), ("b", 20)}
+    with pytest.raises(ValueError):
+        heavy_hitters_twopass(df, "k", threshold=0)

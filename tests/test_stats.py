@@ -258,3 +258,68 @@ def test_mann_kendall_monotone_and_constant(spark):
     )
     r = mann_kendall_daily(flat, "day", "n").collect()[0]
     assert r["s_stat"] == 0 and r["n_ties"] == r["n_pairs"]
+
+
+def test_theil_sen_brute_force_and_robustness(spark):
+    """Median of pairwise slopes against an independent numpy replica,
+    plus the robustness property that motivates the operator: one wild
+    outlier day moves least-squares but leaves Theil-Sen at the true
+    slope."""
+    import itertools
+
+    from npm_mirror_spark.operators.stats import theil_sen_daily
+
+    series = [(f"2024-03-{d:02d}", 10 + 2 * d) for d in range(1, 13)]
+    series[5] = ("2024-03-06", 5000)  # one corrupted day
+    df = spark.createDataFrame(series, "day string, n long")
+    r = theil_sen_daily(df, "day", "n").collect()[0]
+
+    days = list(range(1, 13))
+    xs = [n for _, n in series]
+    slopes = sorted(
+        (xs[j] - xs[i]) / (days[j] - days[i])
+        for i, j in itertools.combinations(range(12), 2)
+    )
+    import math
+
+    lower_med = slopes[math.ceil(len(slopes) / 2) - 1]
+    assert r["n_days"] == 12
+    assert r["n_pairs"] == 66
+    assert r["median_slope"] == lower_med
+    # the uncorrupted slope is 2; the outlier cannot move the median
+    assert r["median_slope"] == 2.0
+
+
+def test_mad_outliers_brute_force_per_group(spark):
+    from npm_mirror_spark.operators.stats import mad_outliers_by
+
+    import math
+
+    data = [("a", v) for v in [1, 2, 2, 3, 4, 100]] + [
+        ("b", v) for v in [10, 10, 10, 10]
+    ] + [("c", v) for v in [5, 7, 9, 11, 13, 15, 1000, -1000]]
+    df = spark.createDataFrame(data, "g string, x long")
+    got = {
+        r["g"]: r for r in mad_outliers_by(df, "g", "x", k=3).collect()
+    }
+
+    def lower_median(vs):
+        s = sorted(vs)
+        return s[math.ceil(len(s) / 2) - 1]
+
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, v in data:
+        by[g].append(v)
+    for g, vs in by.items():
+        m = lower_median(vs)
+        mad = lower_median([abs(v - m) for v in vs])
+        n_out = sum(1 for v in vs if abs(v - m) > 3 * mad)
+        assert got[g]["n"] == len(vs)
+        assert got[g]["median"] == m, (g, got[g]["median"], m)
+        assert got[g]["mad"] == mad, (g, got[g]["mad"], mad)
+        assert got[g]["n_outliers"] == n_out, g
+        assert abs(got[g]["outlier_frac"] - n_out / len(vs)) < 1e-12
+    # group b is constant: MAD = 0, everything within 0 of the median
+    assert got["b"]["mad"] == 0 and got["b"]["n_outliers"] == 0
