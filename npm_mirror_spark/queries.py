@@ -5308,8 +5308,9 @@ WINDOW_TAIL: tuple[str, ...] = (
     "q_simpson", "q_fd_violations", "q_skyline", "q_spearman",
     "q_runs_test", "q_mann_kendall", "q_kanonymity", "q_chisq",
     "q_edit2_join",
-    "q_quality_score", "q_lang_id", "q_token_count", "q_fingerprint",
-    "q_window_counts", "q_tpch_pricing", "q_revenue_by_customer",
+    "q_quality_score",
+    "q_theilsen", "q_kappa", "q_cochran_armitage",
+    "q_mad_outliers", "q_leakage_split", "q_hh_twopass",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
