@@ -60,14 +60,23 @@ def pagerank(
     ranks onto edges before folding in the degree would shuffle a
     second edge-sized intermediate per round for identical integer
     algebra (the r5 verdict's efficiency finding).
+
+    The loop-invariant ``und``/``deg`` tables are persisted
+    (MEMORY_AND_DISK, spill-safe): without it every round re-evaluates
+    the full edge lineage — for faces whose edges come from the
+    MinHash LSH self-join, the r10 plan audit counted 300+ parquet
+    scans in ONE directed-variant plan.  Persisting the symmetrized
+    edge list across rounds is the standard Spark iterative-graph
+    shape (GraphX/GraphFrames do exactly this); laziness is otherwise
+    unchanged — ``deg.count()`` below was already the only action.
     """
     pairs = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     und = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ).persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, rank long")
@@ -516,16 +525,25 @@ def pagerank_directed(
     contract (scaled int64, integer div/sum throughout — both engines
     floor identically on non-negative values), so the DuckDB oracle
     unrolls round-for-round bit-identically.
+
+    Persistence (r10): the loop invariants (``pairs``, ``nodes``,
+    ``outdeg``) are persisted, and so is each round's ``rd`` — ``rd``
+    feeds BOTH the rates branch and the dangling aggregate, so an
+    unpersisted plan doubles the evaluated lineage every round
+    (2^rounds subtree copies; the r10 audit counted 306 parquet scans
+    in one 3-round plan over LSH-derived edges).  All cached tables
+    are node- or edge-sized, MEMORY_AND_DISK.
     """
     pairs = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
-    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, rank long")
@@ -535,9 +553,12 @@ def pagerank_directed(
         "id", F.lit(PR_SCALE // n).cast("long").alias("rank")
     )
     for _ in range(n_iter):
+        # persisted: rd feeds BOTH rates and dangling below — uncached,
+        # each round would re-evaluate the entire prior-round lineage
+        # twice (2^rounds blowup, see docstring)
         rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left").select(
             "id", "rank", "deg"
-        )
+        ).persist()
         rates = rd.where(F.col("deg").isNotNull()).select(
             "id",
             F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),
@@ -592,16 +613,22 @@ def pagerank_personalized(
     an error.  Initial rank is uniform ON THE SEEDS (PR_SCALE // |S|),
     zero elsewhere — the standard restart-distribution start, which
     also makes the unrolled oracle replay exact from round one.
+
+    Same persistence discipline as :func:`pagerank_directed`: loop
+    invariants (``pairs``, ``nodes``, ``outdeg``, ``flagged``) and the
+    per-round twice-consumed ``rd`` are persisted, keeping the
+    evaluated lineage linear in rounds instead of 2^rounds.
     """
     pairs = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
-    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     seedset = (
         seeds.select(F.col(seed_col).alias("id"))
         .distinct()
@@ -614,7 +641,9 @@ def pagerank_personalized(
     teleport = (PR_SCALE * (damp_den - damp_num)) // (damp_den * s)
     flagged = nodes.join(
         seedset.withColumn("__is_seed", F.lit(True)), "id", "left"
-    ).select("id", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed"))
+    ).select(
+        "id", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed")
+    ).persist()
     ranks = flagged.select(
         "id",
         F.when(F.col("__is_seed"), F.lit(PR_SCALE // s).cast("long"))
@@ -622,9 +651,10 @@ def pagerank_personalized(
         .alias("rank"),
     )
     for _ in range(n_iter):
+        # persisted: consumed by both rates and dangling (see directed)
         rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left").select(
             "id", "rank", "deg"
-        )
+        ).persist()
         rates = rd.where(F.col("deg").isNotNull()).select(
             "id",
             F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),

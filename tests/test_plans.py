@@ -279,6 +279,14 @@ def test_variant_decode_pure_projection(q):
 # justify a new entry here.
 ALLOWED_BNLJ = {
     "q_lag": "single-row max-date scalar broadcast to the fact side",
+    "q_theilsen": (
+        "non-equi day-pair wedge over the per-day-collapsed axis (bounded "
+        "by the date domain, broadcast) + 1-row slope-count/median folds"
+    ),
+    "q_kappa": "1-row agree-count x 1-row chance-agreement (pe) folds",
+    "q_cochran_armitage": (
+        "1-row (N, R) totals broadcast onto the bounded score axis"
+    ),
     "q_cosine_topk": "probes (vec_id<5, contract-small) broadcast to corpus",
     "q_valuable_parts": "scalar avg-price subquery broadcast",
     "q_gap_fill": "per-user (min,max)-day bounds vs a generated day axis",
