@@ -684,17 +684,31 @@ def jaccard_pairs_exact(
     prefix equi-join, candidate intersection count. Returns
     (id_a, id_b, jaccard). A 64-bit shingle-hash collision can merge two
     shingles (same caveat as dup_ngram_fraction).
+
+    Physical shape (r10): the input is widened to the session's default
+    parallelism BEFORE the shingle explode when the upstream scan is
+    narrower (a small single-file scan otherwise pins the explode and
+    every downstream stage to a handful of tasks — the r10 stage audit
+    read 3-4 tasks carrying 8-14 s each at sf0.1; at cluster scale the
+    scan is already wide and the guard is a no-op).  ``ex`` (consumed
+    by sizes/freq/prefix/intersection — five evaluations uncached),
+    ``sizes`` (x3) and ``prefix`` (both join sides) are persisted.
     """
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
     ex = (
-        df.select(
+        src.select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(word_shingles(text_col, shingle_n))
             ).alias("__sh"),
         )
         .select(F.col(id_col).alias("__id"), F.xxhash64("__sh").alias("__h"))
+        .persist()
     )
-    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n")).persist()
     freq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
     from pyspark.sql.window import Window
 
@@ -708,6 +722,7 @@ def jaccard_pairs_exact(
         .withColumn("__rk", rk)
         .filter(F.col("__rk") <= prefix_len)
         .select("__id", "__h")
+        .persist()
     )
     cand = (
         prefix.select(F.col("__id").alias("id_a"), "__h")
@@ -1000,29 +1015,49 @@ def edit1_join(
             F.substr(s, i + 1, F.length(s)),
         ),
     )
+    # join on the xxhash64 of each variant, not the variant string: the
+    # key table shuffles len+1 rows per input row, and an 8-byte long
+    # roughly halves those shuffle bytes vs a len-1-char key (and sorts
+    # cheaper under SMJ).  Equal strings hash equal, so no pair is ever
+    # lost; a 64-bit collision can only ADD a candidate, which the exact
+    # verify below kills — output is byte-identical to the string join.
+    # repartition ON THE JOIN KEY: this is the exchange the shuffled
+    # join needs anyway (hash-distributed on __k, computed once and
+    # reused by both aliases), made explicit so the expensive part —
+    # candidate fan-out + banded verify — never inherits the parallelism
+    # of a narrow upstream scan.  Without it, a small single-file input
+    # lets the planner broadcast one side and run the whole probe
+    # (explode x len amplification + DP verify) in ONE task pinned to
+    # the scan partitioning (r10 stage audit: 1 task, 5.6 s of 8.9 s
+    # wall at sf0.1; 3.7 s wall with the exchange).
     keys = df.select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),
-        F.explode(F.array_distinct(F.array_append(dels, s))).alias("__k"),
-    )
+        F.explode(F.array_distinct(F.array_append(dels, s))).alias("__kstr"),
+    ).select("__id", "__s", F.xxhash64("__kstr").alias("__k")).repartition("__k")
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__k") == F.col("b.__k"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__s").alias("name_a"),
-            F.col("b.__s").alias("name_b"),
-        )
+    cand = a.join(
+        b,
+        (F.col("a.__k") == F.col("b.__k"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__s").alias("name_a"),
+        F.col("b.__s").alias("name_b"),
+    )
+    # banded verify BEFORE the dedup shuffle: levenshtein(a, b, k) runs
+    # the O(len*k) diagonal-band DP and returns the EXACT distance when
+    # <= k, -1 otherwise — same kept rows and dist values as the full
+    # O(len^2) DP (~len/k cheaper per candidate; the r10 profile put the
+    # full-DP verify at ~70% of this operator's runtime).  Filtering
+    # first means distinct() shuffles only true pairs (multiplicity <=
+    # shared-key count), not the ~4x larger raw candidate stream.
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b", 1))
+        .where(F.col("dist") >= 0)
         .distinct()
     )
-    return cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).where(F.col("dist") <= 1)
 
 
 def edit2_join(
@@ -1100,6 +1135,10 @@ def edit2_join(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # hashed join key, same contract as edit1_join: equal variants hash
+    # equal (no lost pair); collisions only add verify-killed candidates.
+    # Depth-2 emits 1 + len + len(len-1)/2 key rows per string, so the
+    # long-vs-string shuffle saving is even larger here.
     keys = df.select(
         F.col(id_col).alias("__id"),
         s.alias("__s"),
@@ -1107,8 +1146,8 @@ def edit2_join(
             F.array_distinct(
                 F.concat(F.array(s), dels1, dels2)
             )
-        ).alias("__k"),
-    )
+        ).alias("__kstr"),
+    ).select("__id", "__s", F.xxhash64("__kstr").alias("__k")).repartition("__k")
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -1122,8 +1161,11 @@ def edit2_join(
             F.col("a.__s").alias("name_a"),
             F.col("b.__s").alias("name_b"),
         )
+    )
+    # banded O(len*2) verify BEFORE the dedup shuffle, exact within the
+    # radius (see edit1_join for both rationales)
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b", 2))
+        .where(F.col("dist") >= 0)
         .distinct()
     )
-    return cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).where(F.col("dist") <= 2)
