@@ -161,7 +161,13 @@ def basket_pairs(
     treats unguarded basket pairing as an accidental cross product)."""
     guarded = drop_oversized_baskets(
         df.select(basket_col, item_col), basket_col, max_basket
-    )
+    ).repartition(basket_col)
+    # repartition ON THE BASKET KEY: the exchange the per-basket
+    # self-join needs anyway (computed once, read by both aliases), made
+    # explicit so the pair fan-out never runs at the parallelism of a
+    # narrow upstream scan — with a single-file input the planner
+    # otherwise broadcasts one side and squares every basket in one task
+    # (the r10 q_edit_join stage-audit pathology, same cure)
     x, y = guarded.alias("x"), guarded.alias("y")
     return x.join(
         y,
@@ -413,9 +419,13 @@ def triangle_count_sampled(
 
     if rate_den < 1:
         raise ValueError("rate_den must be >= 1")
-    pairs = _canonical_pairs(edges, src_col, dst_col)
-    deg = _degrees(pairs)
-    oriented = _orient(pairs, deg)
+    # persisted: deg stamps both endpoints in _orient, and oriented is
+    # consumed three times (both wedge legs + the closure semi-join) —
+    # uncached, each consumption re-evaluates the full edge-source
+    # lineage (for the registered face, a basket self-join)
+    pairs = _canonical_pairs(edges, src_col, dst_col).persist()
+    deg = _degrees(pairs).persist()
+    oriented = _orient(pairs, deg).persist()
     centers = oriented.where(
         F.pmod(md5_key64(F.col("src"), seed), F.lit(int(rate_den))) == 0
     )
@@ -464,9 +474,11 @@ def triangle_counts(
     ONE division of exact ints (IEEE-identical in any engine), defined
     0.0 for deg < 2.
     """
-    pairs = _canonical_pairs(edges, src_col, dst_col)
-    deg = _degrees(pairs)
-    oriented = _orient(pairs, deg)
+    # same persist rationale as triangle_count_sampled (deg additionally
+    # anchors the final per-node credit join)
+    pairs = _canonical_pairs(edges, src_col, dst_col).persist()
+    deg = _degrees(pairs).persist()
+    oriented = _orient(pairs, deg).persist()
     tris = _closed_wedges(oriented, oriented)
     credit = (
         tris.select(F.col("u").alias("id"))
