@@ -604,3 +604,37 @@ def test_chisq_margins_broadcast(q):
     the observed-cell groupBy is the only corpus-sized shuffle."""
     text = plans.explain_str(q("q_chisq"), "simple")
     assert text.count("BroadcastHashJoin") >= 2, text[:800]
+
+
+def test_edit_joins_exchange_on_hashed_key(q):
+    """r10 shape: the deletion-neighborhood self-joins must (a) join on
+    the xxhash64 of the variant (8-byte shuffle key, collision-safe
+    because the banded verify is exact) and (b) read both sides from an
+    explicit hash exchange on that key — without the exchange a
+    single-file scan lets the planner broadcast one side and run the
+    whole explode+verify probe in ONE task (r10 stage audit: 5.6 s of
+    an 8.9 s wall in a single task at sf0.1)."""
+    for name in ("q_edit_join", "q_edit2_join"):
+        text = plans.explain_str(q(name), "simple")
+        assert "xxhash64" in text, f"{name}: join key is not hashed"
+        assert "hashpartitioning(__k" in text, (
+            f"{name}: no explicit exchange on the variant key"
+        )
+
+
+def test_iterative_graph_plans_read_from_cache(q):
+    """r10 shape: the PageRank family and the triangle estimator persist
+    their loop-invariant / multiply-consumed tables — the plan must read
+    them via InMemoryRelation instead of re-evaluating the edge lineage
+    (306 parquet-scan nodes in one uncached 3-round directed plan)."""
+    for name in (
+        "q_pagerank",
+        "q_pagerank_directed",
+        "q_pagerank_seeded",
+        "q_triangle_est",
+        "q_jaccard_exact",
+    ):
+        text = plans.explain_str(q(name), "simple")
+        assert "InMemoryTableScan" in text or "InMemoryRelation" in text, (
+            f"{name}: no cached relation in plan — loop lineage re-evaluates"
+        )
