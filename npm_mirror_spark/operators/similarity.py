@@ -960,9 +960,18 @@ def srp_pairs(
     baseline or IVF there."""
     n_planes = len(signs)
     half = 1 << (n_planes // 2)
+    # widen a narrow input (single-file scan) before the signature
+    # kernel, and persist the signatures: both half-block branches use
+    # both aliases of ``sigs`` — uncached that is FOUR evaluations of
+    # the n_planes x dim hyperplane products, serialized in one task
+    # when the scan is one partition (r10 stage audit; no-op at cluster
+    # scale where the scan is already wide)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     sigs = df.select(
         F.col(id_col), srp_signature(vec_col, signs).alias("__sig")
-    )
+    ).persist()
     lo = (F.col("__sig") % half).alias("__blk")
     hi = F.floor(F.col("__sig") / half).cast("int").alias("__blk")
     half_pairs = []
