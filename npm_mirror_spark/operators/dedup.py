@@ -206,6 +206,14 @@ def minhash_bands(
     """
     rows_per_band = num_hashes // bands
 
+    # widen a narrow input before the signature kernel: the shingle +
+    # per-seed md5/affine pass is the expensive part and runs BEFORE the
+    # band-key exchange, so with a single-file scan it would execute at
+    # one-task parallelism (r10 stage audit: the signature stage carried
+    # 7.7 s in 3 tasks under q_dedup_keepset).  No-op on wide inputs.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__shingles")
     )
