@@ -218,6 +218,19 @@ HEADLINE_R9 = [
 ]
 HEADLINE = HEADLINE + HEADLINE_R9
 
+# r10 additions: robust/agreement stats, leakage-safe split, two-pass
+# heavy hitters, paired-classifier McNemar.
+HEADLINE_R10 = [
+    "q_theilsen",
+    "q_kappa",
+    "q_cochran_armitage",
+    "q_mad_outliers",
+    "q_leakage_split",
+    "q_hh_twopass",
+    "q_mcnemar",
+]
+HEADLINE = HEADLINE + HEADLINE_R10
+
 
 # Throttle-control probe (frozen): five pure projections whose code and
 # plan shape never change round-over-round.  Timed at sweep START and END;

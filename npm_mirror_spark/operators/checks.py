@@ -538,3 +538,69 @@ def cochran_armitage(
             / (F.col("n").cast(d38) * F.col("n").cast(d38)).cast("double")
         ).alias("t_over_n2"),
     )
+
+
+def mcnemar_paired(
+    df: DataFrame,
+    gold,
+    pred_a,
+    pred_b,
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) between two binary
+    classifiers evaluated on the SAME rows — the eval question kappa
+    cannot answer: do A and B have different error rates, judged only
+    on the rows where they DISAGREE about correctness?  The off-diagonal
+    cells are b (A right, B wrong) and c (A wrong, B right); the
+    statistic is the plain (uncorrected) chi^2 = (b - c)^2 / (b + c),
+    NULL when b + c = 0 (no discordant pair — the test is undefined, not
+    zero).  This is the standard paired comparison for two labelers /
+    two model versions scored against one gold column (classifier-eval
+    practice; complements :func:`cohens_kappa`, which measures agreement
+    rather than relative accuracy).
+
+    ``gold``, ``pred_a``, ``pred_b`` are boolean Column expressions
+    evaluated per row.  Exactness: b, c and the counts are exact
+    integers; (b-c)^2 and (b+c) stay far inside int64 (both <= n^2 only
+    after the square of a COUNT DIFFERENCE bounded by n <= 2^31 rows per
+    face contract), and the statistic is ONE IEEE division of exact
+    longs — both engines round identically, so the DuckDB oracle
+    replays bit-for-bit.  No decimal output (driver-hashable by
+    construction).
+
+    Shape: ONE scan — two correctness flags in a projection, one
+    map-side-combinable aggregate; no join, no window, no shuffle wider
+    than the 1-row fold.  The 100 TB cost is the scan it shares with
+    any other single-pass audit.
+
+    1-row output: n, a_correct, b_correct, b_discordant, c_discordant,
+    mcnemar_x2 (double, NULL when no discordant pairs).
+    """
+    ca = (pred_a == gold).cast("long")
+    cb = (pred_b == gold).cast("long")
+    flagged = df.select(ca.alias("__ca"), cb.alias("__cb"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__ca").alias("a_correct"),
+        F.sum("__cb").alias("b_correct"),
+        F.sum(
+            (F.col("__ca") == 1).cast("long")
+            * (F.col("__cb") == 0).cast("long")
+        ).alias("b_discordant"),
+        F.sum(
+            (F.col("__ca") == 0).cast("long")
+            * (F.col("__cb") == 1).cast("long")
+        ).alias("c_discordant"),
+    )
+    diff = F.col("b_discordant") - F.col("c_discordant")
+    disc = F.col("b_discordant") + F.col("c_discordant")
+    return agg.select(
+        "n",
+        "a_correct",
+        "b_correct",
+        "b_discordant",
+        "c_discordant",
+        F.when(
+            disc > 0,
+            (diff * diff).cast("double") / disc.cast("double"),
+        ).alias("mcnemar_x2"),
+    )

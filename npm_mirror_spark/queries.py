@@ -5019,6 +5019,31 @@ def q_hh_twopass(spark, sf_dir):
     return heavy_hitters_twopass(li, "l_partkey", threshold=35)
 
 
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired test (operators/checks.py:mcnemar_paired)
+    between two is-English classifiers scored against the gold ``lang``
+    label on the SAME documents: A = the stopword language-id argmax
+    (text.py:language_id == 'en'), B = the one-token baseline ("does the
+    normalized text contain the token 'the'").  Kappa (q_kappa) asks
+    whether two labelers agree; McNemar asks the model-selection
+    question — is A actually MORE ACCURATE than B, judged only on the
+    discordant rows?  chi^2 = (b-c)^2/(b+c), one IEEE division of exact
+    longs, NULL when no discordant pair exists; single scan, one
+    map-side fold, no decimal output."""
+    from npm_mirror_spark.operators.checks import mcnemar_paired
+    from npm_mirror_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    return mcnemar_paired(
+        d,
+        gold=F.col("lang") == "en",
+        pred_a=text_ops.language_id("text") == "en",
+        pred_b=F.array_contains(
+            F.split(normalize_text("text"), " "), "the"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5270,6 +5295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mad_outliers": q_mad_outliers,
     "q_leakage_split": q_leakage_split,
     "q_hh_twopass": q_hh_twopass,
+    "q_mcnemar": q_mcnemar,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -5308,7 +5334,7 @@ WINDOW_TAIL: tuple[str, ...] = (
     "q_simpson", "q_fd_violations", "q_skyline", "q_spearman",
     "q_runs_test", "q_mann_kendall", "q_kanonymity", "q_chisq",
     "q_edit2_join",
-    "q_quality_score",
+    "q_mcnemar",
     "q_theilsen", "q_kappa", "q_cochran_armitage",
     "q_mad_outliers", "q_leakage_split", "q_hh_twopass",
 )
@@ -9553,4 +9579,34 @@ FROM k
 ORACLES["q_hh_twopass"] = """
 SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
 FROM lineitem GROUP BY 1 HAVING count(*) >= 35
+"""
+
+ORACLES["q_mcnemar"] = f"""
+WITH w AS (SELECT doc_id, lang, str_split({_NORM}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, toks,
+  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+  len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','es'], x))) AS s_es,
+  len(list_filter(toks, x -> list_contains(['le','la','de','et','que','en','est'], x))) AS s_fr,
+  len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','ist'], x))) AS s_de
+  FROM w),
+flags AS (
+  SELECT
+    CASE WHEN (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+      WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+      WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+      WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+      ELSE 'fr' END = 'en') = (lang = 'en') THEN 1 ELSE 0 END AS ca,
+    CASE WHEN list_contains(toks, 'the') = (lang = 'en') THEN 1 ELSE 0 END AS cb
+  FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ca) AS BIGINT) AS a_correct,
+       CAST(sum(cb) AS BIGINT) AS b_correct,
+       CAST(sum(ca * (1 - cb)) AS BIGINT) AS b_discordant,
+       CAST(sum((1 - ca) * cb) AS BIGINT) AS c_discordant,
+       CASE WHEN sum(ca * (1 - cb)) + sum((1 - ca) * cb) > 0
+            THEN CAST((sum(ca * (1 - cb)) - sum((1 - ca) * cb))
+                      * (sum(ca * (1 - cb)) - sum((1 - ca) * cb)) AS DOUBLE)
+               / CAST(sum(ca * (1 - cb)) + sum((1 - ca) * cb) AS DOUBLE)
+            ELSE NULL END AS mcnemar_x2
+FROM flags
 """

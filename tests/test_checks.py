@@ -354,3 +354,66 @@ def test_cochran_armitage_brute_force_and_signs(spark):
         flat, success=F.col("y") == 1, score=F.col("s")
     ).collect()[0]
     assert float(r["t_num"]) == 0.0
+
+
+def test_mcnemar_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.checks import mcnemar_paired
+
+    # gold, A-pred, B-pred per row: b = A right & B wrong (3 rows),
+    # c = A wrong & B right (1 row) -> chi2 = (3-1)^2 / 4 = 1.0
+    rows = (
+        [(True, True, True)] * 2      # both right
+        + [(True, False, False)] * 2  # both wrong
+        + [(True, True, False)] * 3   # b: A right, B wrong
+        + [(True, False, True)] * 1   # c: A wrong, B right
+    )
+    df = spark.createDataFrame(rows, "g boolean, pa boolean, pb boolean")
+    r = mcnemar_paired(
+        df, gold=F.col("g"), pred_a=F.col("pa"), pred_b=F.col("pb")
+    ).collect()[0]
+    assert r["n"] == 8
+    assert r["a_correct"] == 5 and r["b_correct"] == 3
+    assert r["b_discordant"] == 3 and r["c_discordant"] == 1
+    assert abs(float(r["mcnemar_x2"]) - 1.0) < 1e-12
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.checks import mcnemar_paired
+
+    # identical classifiers: every pair concordant -> statistic NULL
+    rows = [(True, True, True), (False, True, True), (True, False, False)]
+    df = spark.createDataFrame(rows, "g boolean, pa boolean, pb boolean")
+    r = mcnemar_paired(
+        df, gold=F.col("g"), pred_a=F.col("pa"), pred_b=F.col("pb")
+    ).collect()[0]
+    assert r["b_discordant"] == 0 and r["c_discordant"] == 0
+    assert r["mcnemar_x2"] is None
+
+
+def test_mcnemar_sign_symmetry(spark):
+    """Swapping A and B must swap b/c and leave the statistic fixed —
+    (b-c)^2 is sign-free."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.checks import mcnemar_paired
+
+    rows = (
+        [(True, True, False)] * 4
+        + [(True, False, True)] * 2
+        + [(False, False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "g boolean, pa boolean, pb boolean")
+    fwd = mcnemar_paired(
+        df, gold=F.col("g"), pred_a=F.col("pa"), pred_b=F.col("pb")
+    ).collect()[0]
+    rev = mcnemar_paired(
+        df, gold=F.col("g"), pred_a=F.col("pb"), pred_b=F.col("pa")
+    ).collect()[0]
+    assert fwd["b_discordant"] == rev["c_discordant"] == 4
+    assert fwd["c_discordant"] == rev["b_discordant"] == 2
+    assert float(fwd["mcnemar_x2"]) == float(rev["mcnemar_x2"])
+    assert abs(float(fwd["mcnemar_x2"]) - 4.0 / 6.0) < 1e-12
