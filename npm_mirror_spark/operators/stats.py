@@ -492,3 +492,262 @@ def mad_outliers_by(
             "outlier_frac"
         ),
     )
+
+
+def welch_t(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Welch's unequal-variance t-test between rows where ``in_a`` holds
+    and the rest — the parametric companion to :func:`rank_sum_test`
+    (same two-sample question, mean-shift sensitive instead of
+    rank-shift), reported WITHOUT the sqrt: ``t2`` (= t squared) and the
+    Welch–Satterthwaite degrees of freedom.
+
+    Determinism contract: ``value`` must be integer-typed, so the six
+    ingredients (n1, n2, S1, S2, Q1=Σx², Q2) accumulate as exact
+    DECIMAL(38,0) — order-independent.  Every reported float is then a
+    FIXED sequence of correctly-rounded IEEE ops on exact-int-valued
+    doubles (mean = S/n; var via A = n·Q − S² exact, var = A/(n(n−1));
+    se = var1/n1 + var2/n2; t2 = (m1−m2)²/se; df = se²/(se1²/(n1−1) +
+    se2²/(n2−1))) — the oracle replays the identical expression tree, so
+    the doubles match bit-for-bit in any engine (the q_kappa contract).
+
+    Shape: ONE scan, one map-side-combinable 6-column fold, 1-row
+    output — nothing here grows with the corpus.
+
+    Output: n1, n2, mean_a, mean_b, var_a, var_b, t2, welch_df.
+    """
+    g = df.select(F.col(value).alias("__x"), in_a.alias("__a")).filter(
+        F.col("__x").isNotNull()
+    )
+    xd = F.col("__x").cast(_D38)
+    tot = g.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("__a"), xd).otherwise(F.lit(0).cast(_D38)))
+        .cast(_D38)
+        .alias("s1"),
+        F.sum(F.when(~F.col("__a"), xd).otherwise(F.lit(0).cast(_D38)))
+        .cast(_D38)
+        .alias("s2"),
+        F.sum(F.when(F.col("__a"), xd * xd).otherwise(F.lit(0).cast(_D38)))
+        .cast(_D38)
+        .alias("q1"),
+        F.sum(F.when(~F.col("__a"), xd * xd).otherwise(F.lit(0).cast(_D38)))
+        .cast(_D38)
+        .alias("q2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    a1 = (F.col("n1").cast(_D38) * F.col("q1") - F.col("s1") * F.col("s1")).cast(_D38)
+    a2 = (F.col("n2").cast(_D38) * F.col("q2") - F.col("s2") * F.col("s2")).cast(_D38)
+    v1 = a1.cast("double") / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    v2 = a2.cast("double") / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    se1 = v1 / n1d
+    se2 = v2 / n2d
+    se = se1 + se2
+    d = m1 - m2
+    return tot.select(
+        "n1",
+        "n2",
+        m1.alias("mean_a"),
+        m2.alias("mean_b"),
+        v1.alias("var_a"),
+        v2.alias("var_b"),
+        ((d * d) / se).alias("t2"),
+        (
+            (se * se)
+            / (
+                (se1 * se1) / (F.col("n1") - 1).cast("double")
+                + (se2 * se2) / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+def kruskal_cells(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Kruskal–Wallis k-sample rank decomposition, reported PER GROUP —
+    the k-group generalization of :func:`rank_sum_test` (is at least one
+    group's distribution shifted?), kept cross-engine exact by emitting
+    the per-group H contributions instead of their float sum (a float
+    Σ over data-dependent group order is the one op two engines may
+    round differently; the per-group terms are each a fixed IEEE
+    sequence on exact ints).  H = (12/(N(N+1)))·Σ h_term − 3(N+1) and
+    the tie correction 1 − tie_cubes/(N³−N) are one-liner derivations
+    from the reported columns.
+
+    Midranks doubled to stay integer (the :func:`rank_sum_test`
+    identity): the doubled rank-sum per group is
+    ``Σ_values cnt_g·(2·prior_total + ties_total + 1)`` — exact
+    DECIMAL(38,0).  ``h_term = R_i²/n_i`` is computed as
+    ``(r2d·r2d)/(4·n_i)`` where r2d is the correctly-rounded double of
+    the exact doubled sum — identical in any engine.
+
+    Shape: one (group,value) collapse, one value-axis collapse feeding
+    the bounded two-level prefix (``_with_prior_sums`` — no raw-row
+    window), a value-keyed join back, one per-group fold.  The 1-row
+    totals frame broadcasts (singleton-fold pattern).
+
+    Output per group: group, n_i, rank_sum_x2, mean_rank, h_term,
+    n_total, tie_cubes.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(F.col(group).alias("__g"), F.col(value).alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    vg = g.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__cg"))
+    vals = vg.groupBy("__x").agg(F.sum("__cg").alias("__c"))
+    pri = _with_prior_sums(vals, "__x", ("__c",))
+    j = vg.join(pri.select("__x", "__c", "__prior___c"), "__x")
+    term = F.col("__cg").cast(_D38) * (
+        F.lit(2) * F.col("__prior___c") + F.col("__c") + F.lit(1)
+    ).cast(_D38)
+    per = j.groupBy("__g").agg(
+        F.sum("__cg").alias("n_i"),
+        F.sum(term).cast(_D38).alias("__r2"),
+    )
+    cd = F.col("__c").cast(_D38)
+    tot = vals.agg(
+        F.sum("__c").alias("n_total"),
+        F.sum(cd * cd * cd - cd).cast(_D38).alias("__tc"),
+    )
+    r2d = F.col("__r2").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__g").alias(group),
+            "n_i",
+            r2d.alias("rank_sum_x2"),
+            (r2d / (F.lit(2) * F.col("n_i")).cast("double")).alias(
+                "mean_rank"
+            ),
+            ((r2d * r2d) / (F.lit(4) * F.col("n_i")).cast("double")).alias(
+                "h_term"
+            ),
+            "n_total",
+            F.col("__tc").cast("double").alias("tie_cubes"),
+        )
+        .orderBy(group)
+    )
+
+
+def kendall_tau_daily(
+    daily: DataFrame, day: str, x: str, y: str
+) -> DataFrame:
+    """Kendall's tau-b between TWO daily integer series (does measure y
+    co-move with measure x, judged only by pair ORDER?) — exact
+    concordant/discordant/tie counting over the bounded calendar-day
+    wedge (the :func:`mann_kendall_daily` contract: raw rows collapse to
+    one row per day FIRST, the day side broadcasts, and the non-equi
+    pair join is quadratic only in the bounded day axis).
+
+    The sqrt-free report (the :func:`rank_sum_test` discipline):
+    ``tau_num = C − D`` exact, and the signed square
+    ``tau_b_sq_signed = sign·num²/((n0−t_x)(n0−t_y))`` — |tau_b| =
+    sqrt(|tau_b_sq_signed|), sign preserved.  num² stays below 2^53 for
+    any day axis under ~8000 years, so every float here is a single
+    correctly-rounded op on exact ints.
+
+    1-row output: n_days, n_pairs, n_concordant, n_discordant, ties_x,
+    ties_y, tau_num, tau_b_sq_signed.
+    """
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(x).alias("__x"),
+        F.col(y).alias("__y"),
+    )
+    a = g.select(
+        F.col("__day").alias("__da"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = g.select(
+        F.col("__day").alias("__db"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("__db") > F.col("__da"))
+    dx = F.col("__xb") - F.col("__xa")
+    dy = F.col("__yb") - F.col("__ya")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0)), 1).otherwise(0)
+        ).alias("n_concordant"),
+        F.sum(
+            F.when(((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0)), 1).otherwise(0)
+        ).alias("n_discordant"),
+        F.sum((dx == 0).cast("long")).alias("ties_x"),
+        F.sum((dy == 0).cast("long")).alias("ties_y"),
+    )
+    n_days = g.agg(F.count(F.lit(1)).alias("n_days"))
+    num = (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+    denx = (F.col("n_pairs") - F.col("ties_x")).cast("double")
+    deny = (F.col("n_pairs") - F.col("ties_y")).cast("double")
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        "ties_x",
+        "ties_y",
+        (F.col("n_concordant") - F.col("n_discordant")).alias("tau_num"),
+        (F.signum(num) * (num * num) / (denx * deny)).alias(
+            "tau_b_sq_signed"
+        ),
+    )
+
+
+def anova_cells(df: DataFrame, value: str, group: str) -> DataFrame:
+    """One-way ANOVA decomposition, reported PER GROUP — the parametric
+    k-sample companion to :func:`kruskal_cells` (mean shifts instead of
+    rank shifts), with the same no-cross-group-float-sum contract: the
+    face emits each group's within-SS and between-term, so
+    F = (Σ between/(k−1)) / (Σ within/(N−k)) is a one-liner derivation
+    and every REPORTED float is a fixed IEEE sequence on exact ints.
+
+    ``value`` must be integer-typed: per-group (n_i, S_i, Q_i=Σx²)
+    accumulate as exact DECIMAL(38,0); within_ss = A_i/n_i with
+    A_i = n_i·Q_i − S_i² exact; between_term = n_i·(mean_i − gm)² with
+    both means single correctly-rounded divisions of exact ints.
+
+    Shape: one grouped fold over the scan + a broadcast 1-row totals
+    frame — bounded output (one row per group).
+
+    Output per group: group, n_i, sum_i, mean_i, within_ss,
+    between_term, n_total, grand_mean.
+    """
+    g = df.select(F.col(group).alias("__g"), F.col(value).alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    xd = F.col("__x").cast(_D38)
+    per = g.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(xd).cast(_D38).alias("__s"),
+        F.sum(xd * xd).cast(_D38).alias("__q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(xd).cast(_D38).alias("__st"),
+    )
+    nid = F.col("n_i").cast("double")
+    mean_i = F.col("__s").cast("double") / nid
+    gm = F.col("__st").cast("double") / F.col("n_total").cast("double")
+    a_i = (F.col("n_i").cast(_D38) * F.col("__q") - F.col("__s") * F.col("__s")).cast(_D38)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__g").alias(group),
+            "n_i",
+            F.col("__s").cast("double").alias("sum_i"),
+            mean_i.alias("mean_i"),
+            (a_i.cast("double") / nid).alias("within_ss"),
+            (nid * ((mean_i - gm) * (mean_i - gm))).alias("between_term"),
+            "n_total",
+            gm.alias("grand_mean"),
+        )
+        .orderBy(group)
+    )

@@ -5044,6 +5044,77 @@ def q_mcnemar(spark, sf_dir):
     )
 
 
+
+
+def q_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t-test (operators/stats.py:welch_t)
+    between English and non-English document lengths — the PARAMETRIC
+    twin of q_rank_sum on the same split: rank_sum asks "is one
+    distribution stochastically larger", this asks "do the MEANS differ,
+    variances unpooled", reported sqrt-free (t^2 + Welch-Satterthwaite
+    df).  One scan, one 6-column map-side fold, 1-row output; every
+    float is a fixed IEEE sequence on exact DECIMAL(38,0) ingredients
+    (the q_kappa contract), so the oracle matches bit-for-bit."""
+    from npm_mirror_spark.operators.stats import welch_t
+
+    d = _t(spark, sf_dir, "documents")
+    return _nodec(welch_t(d, "n_chars", F.col("lang") == "en"))
+
+
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis rank decomposition per language
+    (operators/stats.py:kruskal_cells) over document lengths — the
+    k-sample generalization of q_rank_sum: does at least one language's
+    length distribution sit apart?  Emits PER-GROUP H contributions
+    (rank_sum_x2, mean_rank, h_term) instead of their float sum — the
+    one op two engines could round differently — so the face is exact
+    while H and the tie correction stay one-liner derivations.  Bounded
+    two-level prefix over the distinct-length axis; no raw-row
+    window."""
+    from npm_mirror_spark.operators.stats import kruskal_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return _nodec(kruskal_cells(d, "n_chars", "lang"))
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between daily order VOLUME and daily distinct-
+    customer BREADTH (operators/stats.py:kendall_tau_daily): do
+    high-volume days draw proportionally more customers, judged only by
+    pair order?  The monotone-association companion to q_spearman
+    (rank-linear) and q_mann_kendall (trend-vs-time): exact
+    concordant/discordant/tie counting over the bounded calendar-day
+    wedge (raw orders collapse to one row per day FIRST, the day side
+    broadcasts), sqrt-free tau-b report."""
+    from npm_mirror_spark.operators.stats import kendall_tau_daily
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+    return kendall_tau_daily(daily, "day", "n_orders", "n_customers")
+
+
+def q_anova_cells(spark, sf_dir):
+    """One-way ANOVA decomposition of line-item quantity by return flag
+    (operators/stats.py:anova_cells) — the parametric k-sample
+    companion to q_kruskal: per-flag n_i, exact sums, within-group SS
+    and the between-group term, each a fixed IEEE sequence on exact
+    DECIMAL(38,0) ingredients (quantities are integral, cast to long),
+    so F = (Sum between/(k-1))/(Sum within/(N-k)) is a one-liner
+    derivation and the face never sums floats across data-dependent
+    group order.  One grouped fold + a broadcast 1-row totals frame."""
+    from npm_mirror_spark.operators.stats import anova_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return _nodec(anova_cells(li, "qty", "l_returnflag"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5296,6 +5367,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_leakage_split": q_leakage_split,
     "q_hh_twopass": q_hh_twopass,
     "q_mcnemar": q_mcnemar,
+    # --- r10 late batch: stats tier 3 (queued for the r11 window) ------
+    "q_welch_t": q_welch_t,
+    "q_kruskal": q_kruskal,
+    "q_kendall_tau": q_kendall_tau,
+    "q_anova_cells": q_anova_cells,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -9609,4 +9685,141 @@ SELECT CAST(count(*) AS BIGINT) AS n,
                / CAST(sum(ca * (1 - cb)) + sum((1 - ca) * cb) AS DOUBLE)
             ELSE NULL END AS mcnemar_x2
 FROM flags
+"""
+
+# q_welch_t: exact HUGEINT ingredients, VARCHAR-routed to double, then
+# the IDENTICAL IEEE expression tree as operators/stats.py:welch_t.
+ORACLES["q_welch_t"] = """
+WITH agg AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n1,
+    CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS n2,
+    sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s1,
+    sum(CASE WHEN lang <> 'en' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s2,
+    sum(CASE WHEN lang = 'en'
+         THEN CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)
+         ELSE 0 END) AS q1,
+    sum(CASE WHEN lang <> 'en'
+         THEN CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)
+         ELSE 0 END) AS q2
+  FROM documents WHERE n_chars IS NOT NULL),
+m AS (
+  SELECT n1, n2,
+    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+    CAST(CAST(n1 * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
+      / CAST(n1 * (n1 - 1) AS DOUBLE) AS v1,
+    CAST(CAST(n2 * q2 - s2 * s2 AS VARCHAR) AS DOUBLE)
+      / CAST(n2 * (n2 - 1) AS DOUBLE) AS v2
+  FROM agg),
+s AS (
+  SELECT *, v1 / CAST(n1 AS DOUBLE) AS se1, v2 / CAST(n2 AS DOUBLE) AS se2
+  FROM m)
+SELECT n1, n2, m1 AS mean_a, m2 AS mean_b, v1 AS var_a, v2 AS var_b,
+       ((m1 - m2) * (m1 - m2)) / (se1 + se2) AS t2,
+       ((se1 + se2) * (se1 + se2))
+         / ((se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+            + (se2 * se2) / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+FROM s
+"""
+
+# q_kruskal: doubled-midrank identity replayed on the distinct-length
+# axis; per-group exact HUGEINT rank sums, VARCHAR-routed doubles.
+ORACLES["q_kruskal"] = """
+WITH g AS (
+  SELECT lang AS grp, n_chars AS x FROM documents WHERE n_chars IS NOT NULL),
+vg AS (SELECT grp, x, count(*) AS cg FROM g GROUP BY 1, 2),
+vals AS (SELECT x, CAST(sum(cg) AS BIGINT) AS c FROM vg GROUP BY 1),
+pri AS (
+  SELECT x, c,
+         coalesce(sum(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM vals),
+per AS (
+  SELECT vg.grp, CAST(sum(vg.cg) AS BIGINT) AS n_i,
+         sum(CAST(vg.cg AS HUGEINT) * CAST(2 * p.b + p.c + 1 AS HUGEINT))
+           AS r2
+  FROM vg JOIN pri p ON p.x = vg.x
+  GROUP BY vg.grp),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total,
+         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+             - CAST(c AS HUGEINT)) AS tc
+  FROM vals)
+SELECT grp AS lang, n_i,
+       CAST(CAST(r2 AS VARCHAR) AS DOUBLE) AS rank_sum_x2,
+       CAST(CAST(r2 AS VARCHAR) AS DOUBLE) / CAST(2 * n_i AS DOUBLE)
+         AS mean_rank,
+       (CAST(CAST(r2 AS VARCHAR) AS DOUBLE)
+        * CAST(CAST(r2 AS VARCHAR) AS DOUBLE))
+         / CAST(4 * n_i AS DOUBLE) AS h_term,
+       n_total,
+       CAST(CAST(tc AS VARCHAR) AS DOUBLE) AS tie_cubes
+FROM per CROSS JOIN tot
+ORDER BY lang
+"""
+
+# q_kendall_tau: bounded day-axis pair wedge, exact tie-aware counts,
+# sqrt-free signed tau-b square.
+ORACLES["q_kendall_tau"] = """
+WITH g AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+p AS (
+  SELECT b.x - a.x AS dx, b.y - a.y AS dy
+  FROM g a JOIN g b ON b.d > a.d),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+         CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM p),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM g)
+SELECT n_days, n_pairs, n_concordant, n_discordant, ties_x, ties_y,
+       n_concordant - n_discordant AS tau_num,
+       sign(CAST(n_concordant - n_discordant AS DOUBLE))
+         * (CAST(n_concordant - n_discordant AS DOUBLE)
+            * CAST(n_concordant - n_discordant AS DOUBLE))
+         / (CAST(n_pairs - ties_x AS DOUBLE)
+            * CAST(n_pairs - ties_y AS DOUBLE))
+         AS tau_b_sq_signed
+FROM agg CROSS JOIN nd
+"""
+
+# q_anova_cells: exact HUGEINT (n, S, Q) per flag, VARCHAR-routed,
+# identical IEEE tree as operators/stats.py:anova_cells.
+ORACLES["q_anova_cells"] = """
+WITH g AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_i,
+         sum(CAST(x AS HUGEINT)) AS s,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+  FROM g GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total, sum(CAST(x AS HUGEINT)) AS st
+  FROM g),
+m AS (
+  SELECT per.grp, per.n_i, per.s, per.q, tot.n_total,
+         CAST(CAST(per.s AS VARCHAR) AS DOUBLE) / CAST(per.n_i AS DOUBLE)
+           AS mean_i,
+         CAST(CAST(tot.st AS VARCHAR) AS DOUBLE) / CAST(tot.n_total AS DOUBLE)
+           AS grand_mean
+  FROM per CROSS JOIN tot)
+SELECT grp AS l_returnflag, n_i,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_i,
+       mean_i,
+       CAST(CAST(n_i * q - s * s AS VARCHAR) AS DOUBLE)
+         / CAST(n_i AS DOUBLE) AS within_ss,
+       CAST(n_i AS DOUBLE) * ((mean_i - grand_mean) * (mean_i - grand_mean))
+         AS between_term,
+       n_total, grand_mean
+FROM m
+ORDER BY l_returnflag
 """

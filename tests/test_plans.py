@@ -426,6 +426,19 @@ ALLOWED_BNLJ = {
         "_with_prior_max's single-row (min,max) price-range broadcast "
         "for the order-preserving prefix-max buckets"
     ),
+    "q_kruskal": (
+        "single-row (n_total, tie_cubes) totals broadcast onto the "
+        "per-group fold, plus _with_prior_sums' (min,max) stats row"
+    ),
+    "q_kendall_tau": (
+        "deliberate broadcast non-equi pair join on the CALENDAR-DAY "
+        "axis (bounded by construction — the q_mann_kendall contract) "
+        "+ 1-row n_days fold"
+    ),
+    "q_anova_cells": (
+        "single-row (n_total, grand-sum) totals broadcast onto the "
+        "per-group fold"
+    ),
 }
 
 

@@ -323,3 +323,145 @@ def test_mad_outliers_brute_force_per_group(spark):
         assert abs(got[g]["outlier_frac"] - n_out / len(vs)) < 1e-12
     # group b is constant: MAD = 0, everything within 0 of the median
     assert got["b"]["mad"] == 0 and got["b"]["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# r10 late batch: welch_t / kruskal_cells / kendall_tau_daily / anova_cells
+# ---------------------------------------------------------------------------
+
+
+def test_welch_t_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import welch_t
+
+    data = [(3, 1), (5, 1), (7, 1), (9, 1), (2, 0), (2, 0), (4, 0), (6, 0), (11, 0)]
+    df = spark.createDataFrame(data, "x int, a int")
+    row = welch_t(df, "x", F.col("a") == 1).collect()[0]
+    xa = [x for x, a in data if a]
+    xb = [x for x, a in data if not a]
+    n1, n2 = len(xa), len(xb)
+    m1, m2 = sum(xa) / n1, sum(xb) / n2
+    v1 = sum((x - m1) ** 2 for x in xa) / (n1 - 1)
+    v2 = sum((x - m2) ** 2 for x in xb) / (n2 - 1)
+    se = v1 / n1 + v2 / n2
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["mean_a"] - m1) < 1e-12 and abs(row["mean_b"] - m2) < 1e-12
+    assert abs(row["var_a"] - v1) < 1e-12 and abs(row["var_b"] - v2) < 1e-12
+    assert abs(row["t2"] - (m1 - m2) ** 2 / se) < 1e-12
+    dfw = se * se / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert abs(row["welch_df"] - dfw) < 1e-9
+
+
+def test_welch_t_identical_groups_zero_t2(spark):
+    from npm_mirror_spark.operators.stats import welch_t
+
+    data = [(v, a) for v in (1, 4, 4, 9) for a in (0, 1)]
+    df = spark.createDataFrame(data, "x int, a int")
+    row = welch_t(df, "x", F.col("a") == 1).collect()[0]
+    assert row["t2"] == 0.0
+    assert row["var_a"] == row["var_b"]
+
+
+def test_kruskal_cells_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import kruskal_cells
+
+    data = [
+        ("a", 1), ("a", 3), ("a", 3), ("a", 7),
+        ("b", 3), ("b", 5), ("b", 5),
+        ("c", 2), ("c", 5), ("c", 9), ("c", 9),
+    ]
+    df = spark.createDataFrame(data, "g string, x int")
+    rows = {r["g"]: r for r in kruskal_cells(df, "x", "g").collect()}
+    vals = sorted(x for _, x in data)
+    mid = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        mid[vals[i]] = Fraction(i + 1 + j, 2)
+        i = j
+    n = len(vals)
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(vals).values())
+    for g in ("a", "b", "c"):
+        xs = [x for gg, x in data if gg == g]
+        r = sum(mid[x] for x in xs)
+        row = rows[g]
+        assert row["n_i"] == len(xs)
+        assert row["rank_sum_x2"] == float(2 * r)
+        assert abs(row["mean_rank"] - float(r / len(xs))) < 1e-12
+        assert abs(row["h_term"] - float(r * r / len(xs))) < 1e-9
+        assert row["n_total"] == n
+        assert row["tie_cubes"] == float(tie)
+    # rank sums over all groups must total n(n+1)/2
+    assert sum(r["rank_sum_x2"] for r in rows.values()) == n * (n + 1)
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import kendall_tau_daily
+
+    # (day, x, y) with ties in both axes
+    data = [
+        ("2024-01-01", 1, 5), ("2024-01-02", 3, 5), ("2024-01-03", 3, 2),
+        ("2024-01-04", 7, 8), ("2024-01-05", 2, 8), ("2024-01-06", 9, 9),
+    ]
+    df = spark.createDataFrame(data, "day string, x int, y int")
+    row = kendall_tau_daily(df, "day", "x", "y").collect()[0]
+    pts = [(x, y) for _, x, y in data]
+    c = d = tx = ty = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0 and dx != 0 and dy != 0:
+                d += 1
+    n0 = len(pts) * (len(pts) - 1) // 2
+    assert row["n_days"] == len(pts) and row["n_pairs"] == n0
+    assert (row["n_concordant"], row["n_discordant"]) == (c, d)
+    assert (row["ties_x"], row["ties_y"]) == (tx, ty)
+    assert row["tau_num"] == c - d
+    expect = ((c - d) ** 2 / ((n0 - tx) * (n0 - ty))) * (1 if c >= d else -1)
+    assert abs(row["tau_b_sq_signed"] - expect) < 1e-12
+
+
+def test_kendall_tau_perfect_monotone(spark):
+    from npm_mirror_spark.operators.stats import kendall_tau_daily
+
+    data = [(f"2024-01-{i:02d}", i, i * 10) for i in range(1, 9)]
+    df = spark.createDataFrame(data, "day string, x int, y int")
+    row = kendall_tau_daily(df, "day", "x", "y").collect()[0]
+    assert row["n_discordant"] == 0 and row["ties_x"] == 0
+    assert row["tau_b_sq_signed"] == 1.0
+
+
+def test_anova_cells_matches_brute_force(spark):
+    from npm_mirror_spark.operators.stats import anova_cells
+
+    data = [("a", 2), ("a", 4), ("a", 6), ("b", 1), ("b", 1), ("c", 9), ("c", 3), ("c", 6)]
+    df = spark.createDataFrame(data, "g string, x int")
+    rows = {r["g"]: r for r in anova_cells(df, "x", "g").collect()}
+    n = len(data)
+    gm = sum(x for _, x in data) / n
+    for g in ("a", "b", "c"):
+        xs = [x for gg, x in data if gg == g]
+        m = sum(xs) / len(xs)
+        row = rows[g]
+        assert row["n_i"] == len(xs)
+        assert row["sum_i"] == float(sum(xs))
+        assert abs(row["mean_i"] - m) < 1e-12
+        assert abs(row["within_ss"] - sum((x - m) ** 2 for x in xs)) < 1e-9
+        assert abs(row["between_term"] - len(xs) * (m - gm) ** 2) < 1e-9
+        assert row["n_total"] == n and abs(row["grand_mean"] - gm) < 1e-12
+    # decomposition identity: total SS = sum within + sum between
+    total_ss = sum((x - gm) ** 2 for _, x in data)
+    got = sum(r["within_ss"] for r in rows.values()) + sum(
+        r["between_term"] for r in rows.values()
+    )
+    assert abs(got - total_ss) < 1e-9
