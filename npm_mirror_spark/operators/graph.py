@@ -696,3 +696,250 @@ def pagerank_personalized(
             )
         )
     return ranks
+
+
+_D38 = "decimal(38,0)"
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg '99) over a DIRECTED arc
+    list, UNNORMALIZED: per round, hub(u) = Σ_{u→v} auth(v) then
+    auth(v) = Σ_{u→v} hub(u), starting from auth ≡ 1.  Dropping the
+    per-round normalization keeps every value an exact integer — the
+    normalizer is a GLOBAL scalar, so the rankings (and every ratio
+    between two nodes' scores) are identical to the normalized
+    iteration's, and the oracle can replay the rounds relationally
+    bit-for-bit (the q_pagerank determinism contract, without even
+    needing scaled-int division).
+
+    Scores accumulate as DECIMAL(38,0): unnormalized values grow like
+    d_max^(2·n_iter), which exceeds int64 on hub-heavy graphs at modest
+    depth but stays far inside 38 digits for any realistic n_iter ≤ 4.
+
+    Per round: two |arcs|-bounded equi-joins + two integer-sum shuffles
+    — the pagerank loop shape.  The arc list (the loop invariant) is
+    persisted once; auth/hub tables stay SPARSE during rounds (a node
+    missing from the table contributes exactly 0), and the zero-filled
+    dense report joins once at the end.
+
+    Output per node: (id, auth, hub) as exact DECIMAL(38,0); registered
+    faces cast via the no-decimal contract.
+    """
+    arcs = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        arcs.select(F.col("src").alias("id"))
+        .unionByName(arcs.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    auth = nodes.select("id", F.lit(1).cast(_D38).alias("auth"))
+    hub = nodes.select("id", F.lit(0).cast(_D38).alias("hub"))
+    for _ in range(n_iter):
+        hub = (
+            arcs.join(auth, arcs["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("auth").cast(_D38).alias("hub"))
+            .select(F.col("src").alias("id"), "hub")
+        )
+        auth = (
+            arcs.join(hub, arcs["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("hub").cast(_D38).alias("auth"))
+            .select(F.col("dst").alias("id"), "auth")
+        )
+    return (
+        nodes.join(auth.withColumnRenamed("id", "__ia"),
+                   F.col("id") == F.col("__ia"), "left")
+        .join(hub.withColumnRenamed("id", "__ih"),
+              F.col("id") == F.col("__ih"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("auth"), F.lit(0).cast(_D38)).alias("auth"),
+            F.coalesce(F.col("hub"), F.lit(0).cast(_D38)).alias("hub"),
+        )
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over the undirected simple graph: the minimum
+    hop distance (≤ ``max_hops``) from the seed set to every reachable
+    node — the bounded-depth reachability primitive behind contamination
+    blast-radius ("everything within 2 dup-hops of a benchmark doc") and
+    neighborhood-expansion features.  Exact integers; the oracle unrolls
+    the rounds relationally (the q_pagerank contract).
+
+    Level-synchronous frontier iteration — the standard Spark BFS shape:
+    per hop, ONE |edges|-bounded equi-join fans the frontier out, a
+    distinct collapses multi-parent discoveries, and an anti join
+    against the visited set keeps only first-time nodes (min-hop by
+    construction: a node discovered at hop h cannot reappear later).
+    The symmetrized edge list (loop invariant) and the growing visited
+    set (consumed by every later round's anti join AND the final union)
+    are persisted per the iterative-lineage discipline.  Seeds that
+    never touch the graph still report hop 0 — the seed set is part of
+    the answer, not a filter.
+
+    Output: (id, hop) for every node within ``max_hops`` of a seed.
+    """
+    pairs = _canonical_pairs(edges, src_col, dst_col)
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("int").alias("hop"))
+        .persist()
+    )
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier, und["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(h).cast("int").alias("hop"))
+            .persist()
+        )
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt.select("id")
+    return visited
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction by common neighbors: for every NON-adjacent pair
+    (u, w) at distance 2, the number of shared neighbors and the
+    neighborhood Jaccard ``common / (deg_u + deg_w − common)`` — the
+    classic "who should be connected but isn't" scores (Liben-Nowell &
+    Kleinberg '03), exact integers + one IEEE division.
+
+    Shape: the adjacency list (both directions) repartitions ON THE
+    CENTER KEY (the exchange the wedge self-join needs anyway — the
+    basket_pairs narrow-scan cure), the wedge join enumerates each
+    center's neighbor pairs u < w on the shared-center EQUI key, one
+    (u, w) count collapses wedges to common-neighbor counts, an anti
+    join removes already-adjacent pairs, and two node-sized degree
+    joins finish the report.  Wedge volume is Σ_c deg(c)² — bounded by
+    feeding a degree-bounded graph (the q_triangles slice discipline);
+    like triangle counting, exact common-neighbor counts cannot avoid
+    touching every wedge.
+
+    Output: (u, w, common, deg_u, deg_w, jaccard) for non-edges with
+    ``common >= min_common``.
+    """
+    pairs = _canonical_pairs(edges, src_col, dst_col).persist()
+    deg = _degrees(pairs)
+    adj = (
+        pairs.select(F.col("a").alias("c"), F.col("b").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("c"), F.col("a").alias("n")))
+        .repartition("c")
+        .persist()
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = x.join(
+        y, (F.col("x.c") == F.col("y.c")) & (F.col("x.n") < F.col("y.n"))
+    ).select(F.col("x.n").alias("u"), F.col("y.n").alias("w"))
+    cn = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("common"))
+    cand = cn.join(
+        pairs, (cn["u"] == pairs["a"]) & (cn["w"] == pairs["b"]), "left_anti"
+    ).where(F.col("common") >= min_common)
+    du = deg.select(F.col("id").alias("__du"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("id").alias("__dw"), F.col("deg").alias("deg_w"))
+    return (
+        cand.join(du, cand["u"] == du["__du"])
+        .join(dw, cand["w"] == dw["__dw"])
+        .select(
+            "u",
+            "w",
+            "common",
+            "deg_u",
+            "deg_w",
+            (
+                F.col("common").cast("double")
+                / (
+                    F.col("deg_u") + F.col("deg_w") - F.col("common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph: the Pearson
+    correlation between the degrees at the two ends of every edge
+    (Newman '02) — do hubs attach to hubs (r > 0, social-network shape)
+    or to leaves (r < 0, dup-star/boilerplate shape)?  A one-number
+    structure audit for the dedup and co-occurrence graphs.
+
+    Exactness: over BOTH orientations of every edge the x- and y-moment
+    sums coincide (Σx = Σy, Σx² = Σy²), so Pearson's r needs NO sqrt:
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — exact DECIMAL(38,0)
+    numerator and denominator, ONE IEEE division (the q_spearman
+    sqrt-free contract, with the symmetry collapsing rho² to r).
+
+    Shape: two node-sized degree joins onto the edge list, one
+    map-side-combinable 4-column moment fold, 1-row output — no
+    windows, no non-equi joins.
+
+    Output: m_edges, n_endpoints, s_x, s_xy, s_xx, r.
+    """
+    pairs = _canonical_pairs(edges, src_col, dst_col)
+    deg = _degrees(pairs).persist()
+    da = deg.select(F.col("id").alias("__a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("id").alias("__b"), F.col("deg").alias("dy"))
+    ends = pairs.join(da, pairs["a"] == da["__a"]).join(
+        db, pairs["b"] == db["__b"]
+    )
+    both = ends.select("dx", "dy").unionByName(
+        ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    xd = F.col("dx").cast(_D38)
+    yd = F.col("dy").cast(_D38)
+    m = both.agg(
+        F.count(F.lit(1)).alias("n_endpoints"),
+        F.sum(xd).cast(_D38).alias("s_x"),
+        F.sum(xd * yd).cast(_D38).alias("s_xy"),
+        F.sum(xd * xd).cast(_D38).alias("s_xx"),
+    )
+    n = F.col("n_endpoints").cast(_D38)
+    num = (n * F.col("s_xy") - F.col("s_x") * F.col("s_x")).cast(_D38)
+    den = (n * F.col("s_xx") - F.col("s_x") * F.col("s_x")).cast(_D38)
+    return m.select(
+        (F.col("n_endpoints") / 2).cast("long").alias("m_edges"),
+        "n_endpoints",
+        "s_x",
+        "s_xy",
+        "s_xx",
+        (num.cast("double") / den.cast("double")).alias("r"),
+    )

@@ -5115,6 +5115,97 @@ def q_anova_cells(spark, sf_dir):
     return _nodec(anova_cells(li, "qty", "l_returnflag"))
 
 
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py:hits) over the
+    dup-ATTRIBUTION arc graph (each MinHash candidate pair is one arc
+    copy→original, the q_pagerank_directed construction): authorities
+    are the originals many copies point at, hubs the docs that copy
+    from many originals — a finer curation signal than PageRank's
+    single score because the two roles separate.  Unnormalized integer
+    iteration (the normalizer is a global scalar, rankings unchanged),
+    so the two unrolled rounds replay bit-for-bit in the oracle;
+    DECIMAL(38,0) accumulation, double face per the no-decimal
+    contract."""
+    from npm_mirror_spark.operators.graph import hits
+
+    arcs = dedup_ops.minhash_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
+    ).select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    return _nodec(hits(arcs, n_iter=2).orderBy("id"))
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS (operators/graph.py:bfs_hops) over the sliced
+    co-purchase graph (the q_triangles edge discipline): minimum hop
+    distance ≤ 3 from the deterministic seed set (every 97th part) —
+    the bounded-depth blast-radius primitive (who is within k dup-hops
+    of a flagged node?).  Level-synchronous frontier rounds, one
+    |edges| equi-join + distinct + anti-join per hop; the oracle
+    unrolls the three rounds relationally.  Exact integers."""
+    from npm_mirror_spark.operators.graph import basket_pairs, bfs_hops
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 97 == 0)
+        .select("p_partkey")
+    )
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("id")
+
+
+def q_link_pred(spark, sf_dir):
+    """Common-neighbor link prediction
+    (operators/graph.py:common_neighbor_scores) on the sliced
+    co-purchase graph: non-adjacent part pairs sharing ≥ 2 co-purchase
+    neighbors, with the neighborhood Jaccard — "frequently bought with
+    the same things, never together" (Liben-Nowell & Kleinberg '03).
+    Center-keyed wedge equi-join (repartitioned on the center — the
+    basket_pairs exchange discipline), anti join against the edge set,
+    exact counts + one IEEE division."""
+    from npm_mirror_spark.operators.graph import (
+        basket_pairs,
+        common_neighbor_scores,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+    return common_neighbor_scores(edges, min_common=2).orderBy("u", "w")
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py:degree_assortativity)
+    of the sliced co-purchase graph: the sqrt-free Pearson r between
+    edge-endpoint degrees (Newman '02) — one number separating
+    hub-attaches-to-hub structure (r > 0) from hub-and-spoke
+    boilerplate stars (r < 0).  Two node-sized degree joins + one
+    4-column moment fold; both orientations make the moment sums
+    symmetric, so r needs no sqrt: exact DECIMAL(38,0) num/den, one
+    IEEE division."""
+    from npm_mirror_spark.operators.graph import (
+        basket_pairs,
+        degree_assortativity,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+    return _nodec(degree_assortativity(edges))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5372,6 +5463,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kruskal": q_kruskal,
     "q_kendall_tau": q_kendall_tau,
     "q_anova_cells": q_anova_cells,
+    # --- r10 late batch: graph tier 2 (queued for the r11 window) ------
+    "q_hits": q_hits,
+    "q_bfs_hops": q_bfs_hops,
+    "q_link_pred": q_link_pred,
+    "q_assortativity": q_assortativity,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -9822,4 +9918,132 @@ SELECT grp AS l_returnflag, n_i,
        n_total, grand_mean
 FROM m
 ORDER BY l_returnflag
+"""
+
+# q_hits: two unrolled HITS rounds over the attribution arcs — sparse
+# per-round sums (a node absent from a round table contributes 0),
+# zero-filled dense report, VARCHAR-routed exact HUGEINT scores.
+ORACLES["q_hits"] = f"""
+WITH {_MINHASH_EDGES},
+arcs AS (SELECT DISTINCT id_b AS src, id_a AS dst FROM edges),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM arcs UNION ALL SELECT dst FROM arcs)),
+a0 AS (SELECT id, CAST(1 AS HUGEINT) AS auth FROM nodes),
+h1 AS (
+  SELECT arcs.src AS id, sum(a0.auth) AS hub
+  FROM arcs JOIN a0 ON a0.id = arcs.dst GROUP BY 1),
+a1 AS (
+  SELECT arcs.dst AS id, sum(h1.hub) AS auth
+  FROM arcs JOIN h1 ON h1.id = arcs.src GROUP BY 1),
+h2 AS (
+  SELECT arcs.src AS id, sum(a1.auth) AS hub
+  FROM arcs JOIN a1 ON a1.id = arcs.dst GROUP BY 1),
+a2 AS (
+  SELECT arcs.dst AS id, sum(h2.hub) AS auth
+  FROM arcs JOIN h2 ON h2.id = arcs.src GROUP BY 1)
+SELECT n.id,
+       CAST(CAST(coalesce(a2.auth, 0) AS VARCHAR) AS DOUBLE) AS auth,
+       CAST(CAST(coalesce(h2.hub, 0) AS VARCHAR) AS DOUBLE) AS hub
+FROM nodes n
+LEFT JOIN a2 ON a2.id = n.id
+LEFT JOIN h2 ON h2.id = n.id
+ORDER BY n.id
+"""
+
+# q_bfs_hops: three unrolled frontier rounds over the sliced
+# co-purchase graph; first-discovery = min hop by construction.
+ORACLES["q_bfs_hops"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2),
+und AS (
+  SELECT a AS src, b AS dst FROM raw
+  UNION ALL SELECT b AS src, a AS dst FROM raw),
+v0 AS (
+  SELECT p_partkey AS id, CAST(0 AS INTEGER) AS hop
+  FROM part WHERE p_partkey % 97 = 0),
+n1 AS (
+  SELECT DISTINCT u.dst AS id, CAST(1 AS INTEGER) AS hop
+  FROM und u JOIN v0 ON v0.id = u.src
+  WHERE u.dst NOT IN (SELECT id FROM v0)),
+v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+n2 AS (
+  SELECT DISTINCT u.dst AS id, CAST(2 AS INTEGER) AS hop
+  FROM und u JOIN n1 ON n1.id = u.src
+  WHERE u.dst NOT IN (SELECT id FROM v1)),
+v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+n3 AS (
+  SELECT DISTINCT u.dst AS id, CAST(3 AS INTEGER) AS hop
+  FROM und u JOIN n2 ON n2.id = u.src
+  WHERE u.dst NOT IN (SELECT id FROM v2))
+SELECT * FROM v2 UNION ALL SELECT * FROM n3
+ORDER BY id
+"""
+
+# q_link_pred: center wedge self-join, NOT EXISTS against the edge
+# set, exact common counts + degree Jaccard.
+ORACLES["q_link_pred"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2),
+adj AS (
+  SELECT a AS c, b AS n FROM raw
+  UNION ALL SELECT b AS c, a AS n FROM raw),
+deg AS (SELECT c AS id, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+cn AS (
+  SELECT x.n AS u, y.n AS w, CAST(count(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+  GROUP BY 1, 2),
+cand AS (
+  SELECT * FROM cn
+  WHERE common >= 2
+    AND NOT EXISTS (SELECT 1 FROM raw WHERE raw.a = cn.u AND raw.b = cn.w))
+SELECT cand.u, cand.w, cand.common,
+       du.deg AS deg_u, dw.deg AS deg_w,
+       CAST(cand.common AS DOUBLE)
+         / CAST(du.deg + dw.deg - cand.common AS DOUBLE) AS jaccard
+FROM cand
+JOIN deg du ON du.id = cand.u
+JOIN deg dw ON dw.id = cand.w
+ORDER BY cand.u, cand.w
+"""
+
+# q_assortativity: exact HUGEINT moments over both edge orientations;
+# the symmetry (Σx = Σy, Σx² = Σy²) removes the sqrt from Pearson r.
+ORACLES["q_assortativity"] = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2),
+adj AS (
+  SELECT a AS c, b AS n FROM raw
+  UNION ALL SELECT b AS c, a AS n FROM raw),
+deg AS (SELECT c AS id, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+ends AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM raw JOIN deg da ON da.id = raw.a JOIN deg db ON db.id = raw.b
+  UNION ALL
+  SELECT db.deg, da.deg
+  FROM raw JOIN deg da ON da.id = raw.a JOIN deg db ON db.id = raw.b),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+         sum(CAST(dx AS HUGEINT)) AS s_x,
+         sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS s_xy,
+         sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS s_xx
+  FROM ends)
+SELECT CAST(n_endpoints / 2 AS BIGINT) AS m_edges, n_endpoints,
+       CAST(CAST(s_x AS VARCHAR) AS DOUBLE) AS s_x,
+       CAST(CAST(s_xy AS VARCHAR) AS DOUBLE) AS s_xy,
+       CAST(CAST(s_xx AS VARCHAR) AS DOUBLE) AS s_xx,
+       CAST(CAST(CAST(n_endpoints AS HUGEINT) * s_xy - s_x * s_x AS VARCHAR)
+            AS DOUBLE)
+         / CAST(CAST(CAST(n_endpoints AS HUGEINT) * s_xx - s_x * s_x
+                     AS VARCHAR) AS DOUBLE) AS r
+FROM m
 """

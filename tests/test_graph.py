@@ -496,3 +496,116 @@ def test_label_propagation_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="numeric node ids"):
         label_propagation(edges, 1)
+
+
+# ---------------------------------------------------------------------------
+# r10 late batch: hits / bfs_hops / common_neighbor_scores / assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_brute_force(spark):
+    from npm_mirror_spark.operators.graph import hits
+
+    arcs = [(1, 2), (1, 3), (4, 2), (4, 3), (4, 5), (2, 5), (3, 1)]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    got = {r["id"]: (int(r["auth"]), int(r["hub"])) for r in hits(df, n_iter=2).collect()}
+    nodes = sorted({n for a in arcs for n in a})
+    auth = {n: 1 for n in nodes}
+    hub = {n: 0 for n in nodes}
+    for _ in range(2):
+        hub = {n: sum(auth[v] for u, v in arcs if u == n) for n in nodes}
+        auth = {n: sum(hub[u] for u, v in arcs if v == n) for n in nodes}
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+
+
+def test_hits_star_authority(spark):
+    """All arcs point at one center: it takes all authority, spokes all
+    hub mass, and the center's hub score is 0 (no out-arc)."""
+    from npm_mirror_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(i, 99) for i in range(5)], "src long, dst long")
+    rows = {r["id"]: r for r in hits(df, n_iter=2).collect()}
+    assert int(rows[99]["hub"]) == 0 and int(rows[99]["auth"]) > 0
+    spoke_auths = {int(rows[i]["auth"]) for i in range(5)}
+    assert spoke_auths == {0}
+    assert len({int(rows[i]["hub"]) for i in range(5)}) == 1
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    from npm_mirror_spark.operators.graph import bfs_hops
+
+    # 1-2-3-4-5 path plus 10-11 island, seed at 1 and 10
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "id long")
+    got = {r["id"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 11: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_isolated_seed_reports_hop_zero(spark):
+    from npm_mirror_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(42,)], "id long")
+    got = {r["id"]: r["hop"] for r in bfs_hops(e, seeds, max_hops=2).collect()}
+    assert got == {42: 0}
+
+
+def test_common_neighbor_scores_matches_brute_force(spark):
+    from itertools import combinations
+
+    from npm_mirror_spark.operators.graph import common_neighbor_scores
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1), (4, 2), (5, 1), (5, 2), (5, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["u"], r["w"]): (r["common"], r["deg_u"], r["deg_w"], r["jaccard"])
+        for r in common_neighbor_scores(e, min_common=2).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for u, w in combinations(sorted(adj), 2):
+        if w in adj[u]:
+            continue
+        cn = len(adj[u] & adj[w])
+        if cn >= 2:
+            expect[(u, w)] = (
+                cn,
+                len(adj[u]),
+                len(adj[w]),
+                cn / (len(adj[u]) + len(adj[w]) - cn),
+            )
+    assert got == expect
+
+
+def test_assortativity_matches_brute_force(spark):
+    from npm_mirror_spark.operators.graph import degree_assortativity
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (5, 1), (5, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(e).collect()[0]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pts = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    assert row["m_edges"] == len(edges) and row["n_endpoints"] == n
+    assert float(row["s_x"]) == sx and float(row["s_xy"]) == sxy
+    expect_r = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert abs(row["r"] - expect_r) < 1e-12
+
+
+def test_assortativity_star_is_negative(spark):
+    from npm_mirror_spark.operators.graph import degree_assortativity
+
+    e = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
+    assert degree_assortativity(e).collect()[0]["r"] < 0
