@@ -808,3 +808,45 @@ def leakage_safe_split(
     return split_assign(
         labeled, id_col="cluster_label", splits=splits, seed=seed
     ).select(id_col, "cluster_label", "split")
+
+
+def systematic_sample_by_weight(
+    df: DataFrame, key: str, weight: str, step: int
+) -> DataFrame:
+    """Weighted SYSTEMATIC sample: walk the corpus in deterministic
+    ``key`` order, accumulate integer ``weight`` (tokens, chars, bytes),
+    and keep exactly the rows that cross a ``step``-boundary of
+    cumulative weight — one representative per ``step`` weight-units,
+    selection probability proportional to size, ZERO randomness (the
+    q_hash_sample determinism discipline, but proportional-to-weight
+    instead of uniform-per-row).  The classic use: a token-proportional
+    eval/calibration subset where heavyweight documents must not be
+    underrepresented by a uniform row sample.
+
+    A row with prior cumulative P and weight w is kept iff
+    ``P div step < (P + w) div step`` — exact integer division, so both
+    engines agree bit-for-bit; rows heavier than ``step`` are always
+    kept (they cross at least one boundary).
+
+    Shape: cumulative weights come from the bounded two-level prefix
+    over the key axis (``_with_prior_sums`` — per-window rows bounded
+    by the range-bucket contract, never a raw-corpus single-reducer
+    window); the boundary test is a map-side filter.
+
+    Output: (key, weight, prior_weight, sample-kept rows only).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    g = df.select(F.col(key).alias("__k"), F.col(weight).alias("__w"))
+    pri = _with_prior_sums(g, "__k", ("__w",))
+    kept = pri.where(
+        F.expr("__prior___w div " + str(int(step)))
+        < F.expr("(__prior___w + __w) div " + str(int(step)))
+    )
+    return kept.select(
+        F.col("__k").alias(key),
+        F.col("__w").alias(weight),
+        F.col("__prior___w").alias("prior_weight"),
+    )

@@ -588,3 +588,50 @@ def bigram_collocations(
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(int(top_n))
     )
+
+
+def lexical_diversity_by(
+    df: DataFrame, text_col: str, group: str
+) -> DataFrame:
+    """Per-group lexical-diversity audit over normalized whitespace
+    tokens: vocabulary size (types), token count, hapax legomena
+    (types occurring exactly once), type-token ratio and hapax share —
+    the corpus-health panel that catches boilerplate floods (TTR
+    collapses) and OCR/mojibake floods (hapax share explodes) before a
+    training mix is frozen.  Exact integers + two one-shot IEEE
+    divisions; same normalization contract as the shingle family
+    (lower, collapse whitespace, trim), so the SQL oracle replays it
+    verbatim.
+
+    Shape: one explode + one (group, token) collapse (the tf_df
+    shuffle), then a per-group fold — type/hapax counting never
+    revisits raw text.  Empty-after-normalization docs contribute
+    nothing (no empty-string token).
+
+    Output per group: group, n_types, n_tokens, n_hapax, ttr,
+    hapax_frac.
+    """
+    from npm_mirror_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.col(group).alias("__g"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"),
+    ).where(F.col("__t") != "")
+    tf = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    per = tf.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("__c").alias("n_tokens"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return per.select(
+        F.col("__g").alias(group),
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "ttr"
+        ),
+        (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias(
+            "hapax_frac"
+        ),
+    ).orderBy(group)

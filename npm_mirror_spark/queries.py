@@ -5206,6 +5206,37 @@ def q_assortativity(spark, sf_dir):
     return _nodec(degree_assortativity(edges))
 
 
+
+
+def q_systematic_sample(spark, sf_dir):
+    """Token-proportional systematic sample
+    (operators/curation.py:systematic_sample_by_weight): walk documents
+    in doc_id order, keep exactly the rows whose cumulative n_chars
+    crosses a 20k-char boundary — a deterministic
+    probability-proportional-to-size subset where a uniform row sample
+    (q_hash_sample) would underrepresent heavyweight docs.  Exact
+    integer division on the bounded two-level prefix; the oracle
+    replays the cumulative walk with a window."""
+    from npm_mirror_spark.operators.curation import systematic_sample_by_weight
+
+    d = _t(spark, sf_dir, "documents")
+    return systematic_sample_by_weight(d, "doc_id", "n_chars", step=20000)
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-source lexical-diversity audit
+    (operators/text.py:lexical_diversity_by): types, tokens, hapax
+    legomena, TTR and hapax share over normalized whitespace tokens —
+    the corpus-health panel catching boilerplate floods (TTR collapse)
+    and noise floods (hapax explosion).  One explode + one
+    (source, token) collapse + per-source fold; exact ints + two IEEE
+    divisions; the oracle replays the shingle-family normalization."""
+    from npm_mirror_spark.operators.text import lexical_diversity_by
+
+    d = _t(spark, sf_dir, "documents")
+    return lexical_diversity_by(d, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5468,6 +5499,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bfs_hops": q_bfs_hops,
     "q_link_pred": q_link_pred,
     "q_assortativity": q_assortativity,
+    # --- r10 late batch: sampling/text (queued for the r11 window) -----
+    "q_systematic_sample": q_systematic_sample,
+    "q_lexical_diversity": q_lexical_diversity,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -10046,4 +10080,38 @@ SELECT CAST(n_endpoints / 2 AS BIGINT) AS m_edges, n_endpoints,
          / CAST(CAST(CAST(n_endpoints AS HUGEINT) * s_xx - s_x * s_x
                      AS VARCHAR) AS DOUBLE) AS r
 FROM m
+"""
+
+# q_systematic_sample: cumulative-weight walk replayed with a plain
+# window (strictly-prior sum), same integer boundary-crossing test.
+ORACLES["q_systematic_sample"] = """
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM documents)
+SELECT doc_id, n_chars, CAST(p AS BIGINT) AS prior_weight
+FROM pri
+WHERE p // 20000 < (p + n_chars) // 20000
+ORDER BY doc_id
+"""
+
+# q_lexical_diversity: the shingle-family normalization replayed, then
+# per-source type/token/hapax counting.
+ORACLES["q_lexical_diversity"] = f"""
+WITH w AS (
+  SELECT source, unnest(str_split({_NORM}, ' ')) AS tok FROM documents),
+tf AS (
+  SELECT source, tok, count(*) AS c FROM w WHERE tok <> '' GROUP BY 1, 2),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tf GROUP BY 1)
+SELECT source, n_types, n_tokens, n_hapax,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
+FROM per
+ORDER BY source
 """

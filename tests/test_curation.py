@@ -557,3 +557,41 @@ def test_leakage_safe_split_cluster_consistency(spark):
             assert by_id[i]["split"] == base[i], i
     # members of a cluster take the REPRESENTATIVE's base assignment
     assert by_id[2]["split"] == base[1] and by_id[51]["split"] == base[50]
+
+
+def test_systematic_sample_by_weight_matches_walk(spark):
+    from npm_mirror_spark.operators.curation import systematic_sample_by_weight
+
+    rows = [(1, 3), (2, 5), (3, 2), (4, 9), (5, 1), (6, 4), (7, 12), (8, 2)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {
+        (r["id"], r["w"], r["prior_weight"])
+        for r in systematic_sample_by_weight(df, "id", "w", step=7).collect()
+    }
+    expect = set()
+    p = 0
+    for i, w in rows:
+        if p // 7 < (p + w) // 7:
+            expect.add((i, w, p))
+        p += w
+    assert got == expect
+
+
+def test_systematic_sample_heavy_row_always_kept(spark):
+    from npm_mirror_spark.operators.curation import systematic_sample_by_weight
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 100), (3, 1), (4, 1)], "id long, w long"
+    )
+    kept = {r["id"] for r in systematic_sample_by_weight(df, "id", "w", 10).collect()}
+    assert 2 in kept
+
+
+def test_systematic_sample_rejects_bad_step(spark):
+    import pytest
+
+    from npm_mirror_spark.operators.curation import systematic_sample_by_weight
+
+    df = spark.createDataFrame([(1, 1)], "id long, w long")
+    with pytest.raises(ValueError):
+        systematic_sample_by_weight(df, "id", "w", 0)

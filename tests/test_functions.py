@@ -402,3 +402,20 @@ def test_lsh_band_hashes_banding_semantics(spark):
     assert same == [True, True, True, True]
     diff = [hx == hy for hx, hy in zip(rows[1]["hx"], rows[1]["hy"])]
     assert diff == [True, True, False, True]
+
+
+def test_lexical_diversity_by_matches_brute_force(spark):
+    from npm_mirror_spark.operators.text import lexical_diversity_by
+
+    docs = [
+        ("a", "The cat  sat"), ("a", "the CAT ran"), ("a", "   "),
+        ("b", "one two two three three three"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["source"]: r for r in lexical_diversity_by(df, "text", "source").collect()}
+    # group a tokens: the cat sat the cat ran -> types {the,cat,sat,ran}
+    a = got["a"]
+    assert (a["n_types"], a["n_tokens"], a["n_hapax"]) == (4, 6, 2)
+    assert a["ttr"] == 4 / 6 and a["hapax_frac"] == 0.5
+    b = got["b"]
+    assert (b["n_types"], b["n_tokens"], b["n_hapax"]) == (3, 6, 1)
