@@ -231,6 +231,22 @@ HEADLINE_R10 = [
 ]
 HEADLINE = HEADLINE + HEADLINE_R10
 
+# r10 late batch: k-sample/parametric stats, graph tier 2, PPS
+# sampling, lexical diversity.
+HEADLINE_R10B = [
+    "q_welch_t",
+    "q_kruskal",
+    "q_kendall_tau",
+    "q_anova_cells",
+    "q_hits",
+    "q_bfs_hops",
+    "q_link_pred",
+    "q_assortativity",
+    "q_systematic_sample",
+    "q_lexical_diversity",
+]
+HEADLINE = HEADLINE + HEADLINE_R10B
+
 
 # Throttle-control probe (frozen): five pure projections whose code and
 # plan shape never change round-over-round.  Timed at sweep START and END;

@@ -651,3 +651,33 @@ def test_iterative_graph_plans_read_from_cache(q):
         assert "InMemoryTableScan" in text or "InMemoryRelation" in text, (
             f"{name}: no cached relation in plan — loop lineage re-evaluates"
         )
+
+
+def test_link_pred_center_exchange_and_equi_wedge(q):
+    """r10 late batch: the common-neighbor wedge self-join must read
+    both aliases from an explicit hash exchange on the center key (the
+    basket_pairs narrow-scan cure — without it a single-file scan lets
+    the planner broadcast one side and square every center's adjacency
+    in ONE task) and must never plan a cartesian pair product."""
+    text = plans.explain_str(q("q_link_pred"), "simple")
+    assert "hashpartitioning(c" in text, "no explicit exchange on center"
+    assert "CartesianProduct" not in text
+
+
+def test_hits_persists_loop_invariant_arcs(q):
+    """The HITS rounds must read the arc list from the persisted cache
+    (InMemoryTableScan), not re-derive the MinHash LSH self-join per
+    round — the r10 iterative-lineage discipline (pagerank family)."""
+    text = plans.explain_str(q("q_hits"), "simple")
+    assert "InMemoryTableScan" in text or "InMemoryRelation" in text
+    assert "CartesianProduct" not in text
+
+
+def test_bfs_rounds_are_equi_joins_on_cached_edges(q):
+    """Every BFS frontier expansion is an equi-join against the
+    persisted symmetrized edge list; anti joins keep min-hop semantics
+    without any window or sort over raw rows."""
+    text = plans.explain_str(q("q_bfs_hops"), "simple")
+    assert "InMemoryTableScan" in text or "InMemoryRelation" in text
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin LeftAnti" in text or "LeftAnti" in text
