@@ -244,6 +244,8 @@ HEADLINE_R10B = [
     "q_assortativity",
     "q_systematic_sample",
     "q_lexical_diversity",
+    "q_poisson_bootstrap",
+    "q_gini_split",
 ]
 HEADLINE = HEADLINE + HEADLINE_R10B
 

@@ -538,3 +538,83 @@ def calibration_bins(
             ).alias("mean_score"),
         )
     )
+
+
+def gini_best_split(df: DataFrame, value: str, label) -> DataFrame:
+    """Best decision-stump threshold by exact weighted Gini impurity:
+    over every candidate split ``x <= v`` of an integer feature, the
+    impurity cost ``(nL·gini_L + nR·gini_R)/N`` — the single-feature
+    audit behind "is this quality signal actually separating the
+    classes?" and the CART root-node computation.
+
+    Exactness: per-threshold (nL, posL) come from inclusive cumulative
+    counts over the distinct-value axis (``_with_prior_sums`` — bounded
+    two-level buckets, never a raw-row window); each weighted Gini term
+    is ``(n² − pos² − neg²)/n`` with the numerator exact DECIMAL(38,0),
+    so every threshold's cost is the same fixed IEEE sequence in any
+    engine and the (cost, threshold) struct-min argmin is deterministic
+    (the q_ks_stat pattern).  The last value (empty right side) is
+    excluded.
+
+    1-row output: threshold, gini_split, n_left, pos_left, n_right,
+    pos_right, n_total, pos_total.
+    """
+    g = df.select(
+        F.col(value).alias("__x"),
+        label.cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    vals = g.groupBy("__x").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__q"),
+    )
+    pri = _with_prior_sums(vals, "__x", ("__p", "__q"))
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("__y").alias("pos_total")
+    )
+    cum_p = F.col("__prior___p") + F.col("__p")
+    cum_q = F.col("__prior___q") + F.col("__q")
+    j = pri.crossJoin(F.broadcast(tot)).select(
+        "__x",
+        "n_total",
+        "pos_total",
+        cum_p.alias("__pl"),
+        (cum_p + cum_q).alias("__nl"),
+    )
+    d38 = "decimal(38,0)"
+
+    def _term(n, pos):
+        neg = n - pos
+        num = (
+            n.cast(d38) * n.cast(d38)
+            - pos.cast(d38) * pos.cast(d38)
+            - neg.cast(d38) * neg.cast(d38)
+        ).cast(d38)
+        return num.cast("double") / n.cast("double")
+
+    nl, pl = F.col("__nl"), F.col("__pl")
+    nr = F.col("n_total") - nl
+    pr = F.col("pos_total") - pl
+    cost = (_term(nl, pl) + _term(nr, pr)) / F.col("n_total").cast("double")
+    scored = j.filter(nr > 0).select(
+        F.struct(
+            cost.alias("gini_split"),
+            F.col("__x").alias("threshold"),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            nr.alias("n_right"),
+            pr.alias("pos_right"),
+            F.col("n_total"),
+            F.col("pos_total"),
+        ).alias("__s")
+    )
+    best = scored.agg(F.min("__s").alias("b"))
+    return best.select(
+        F.col("b.threshold").alias("threshold"),
+        F.col("b.gini_split").alias("gini_split"),
+        F.col("b.n_left").alias("n_left"),
+        F.col("b.pos_left").alias("pos_left"),
+        F.col("b.n_right").alias("n_right"),
+        F.col("b.pos_right").alias("pos_right"),
+        F.col("b.n_total").alias("n_total"),
+        F.col("b.pos_total").alias("pos_total"),
+    )

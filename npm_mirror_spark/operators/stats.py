@@ -751,3 +751,79 @@ def anova_cells(df: DataFrame, value: str, group: str) -> DataFrame:
         )
         .orderBy(group)
     )
+
+
+# Poisson(1) CDF thresholds as decimal-string literals: both engines
+# parse the SAME string to the SAME correctly-rounded double, so the
+# inverse-CDF CASE ladder is bit-identical (no libm exp at runtime).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame, id_col: str, value: str, n_resamples: int = 32
+) -> DataFrame:
+    """Distributed Poisson bootstrap of the mean (Chamandy et al. '12 /
+    Owen & Eckles '12 — THE bootstrap that scales: resample membership
+    is decided per-row, independently, so one pass computes every
+    resample): each row enters resample ``b`` with weight
+    w ~ Poisson(1), here derived DETERMINISTICALLY from the md5 key
+    contract (``md5_key64(b, id)`` → 24-bit uniform → inverse-CDF CASE
+    ladder on hard-coded Poisson(1) CDF literals, tail capped at 7,
+    P(X>7) ≈ 1e-5 — part of the operator definition, identical in both
+    engines).  No RNG, no seed state: any engine replays the exact
+    resamples.
+
+    Reported per resample: effective n, the exact DECIMAL(38,0)
+    weighted sum, and the resample mean (one IEEE division) — the
+    bootstrap distribution from which any CI quantile is a one-liner.
+    ``value`` must be integer-typed (the welch_t exactness contract).
+
+    Shape: NO row fan-out — the ``n_resamples`` (n, Σwx) pairs fold in
+    ONE map-side-combinable aggregate over a single scan (2B columns),
+    then a 1-row ``stack`` unpivots to B rows.  At any corpus size the
+    shuffle is one row of 2B numbers per partition; the only per-row
+    cost is B md5 evaluations.
+
+    Output: (resample, n_eff, sum_wx, mean) — one row per resample.
+    """
+    from npm_mirror_spark.operators.dedup import md5_key64
+
+    if not 1 <= n_resamples <= 256:
+        raise ValueError("n_resamples must be in [1, 256]")
+    x = F.col(value).cast(_D38)
+    aggs = []
+    for b in range(n_resamples):
+        u = (
+            md5_key64(F.col(id_col), b) % F.lit(16777216).cast("long")
+        ).cast("double") / F.lit(16777216).cast("double")
+        w = F.when(u < _POISSON1_CDF[0], 0)
+        for k, c in enumerate(_POISSON1_CDF[1:], start=1):
+            w = w.when(u < c, k)
+        w = w.otherwise(7).cast("long")
+        aggs.append(F.sum(w).alias(f"n_{b}"))
+        aggs.append(F.sum(w.cast(_D38) * x).cast(_D38).alias(f"s_{b}"))
+    folded = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, n_{b}, s_{b}" for b in range(n_resamples)
+    )
+    rows = folded.select(
+        F.expr(
+            f"stack({n_resamples}, {stack_args}) AS (resample, n_eff, s)"
+        )
+    )
+    return rows.select(
+        "resample",
+        "n_eff",
+        F.col("s").cast("double").alias("sum_wx"),
+        (F.col("s").cast("double") / F.col("n_eff").cast("double")).alias(
+            "mean"
+        ),
+    )

@@ -5237,6 +5237,38 @@ def q_lexical_diversity(spark, sf_dir):
     return lexical_diversity_by(d, "text", "source")
 
 
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """Deterministic Poisson bootstrap of mean document length
+    (operators/stats.py:poisson_bootstrap_mean, B=32): the bootstrap
+    that scales — per-row Poisson(1) weights from the md5 key contract
+    decide every resample in ONE pass (no row fan-out: a single
+    64-column map-side fold + a 1-row stack), and the hard-coded
+    inverse-CDF literals make both engines draw IDENTICAL resamples.
+    Output is the bootstrap distribution (n_eff, exact weighted sum,
+    mean per resample); any CI quantile is a one-liner on 32 rows."""
+    from npm_mirror_spark.operators.stats import poisson_bootstrap_mean
+
+    d = _t(spark, sf_dir, "documents")
+    return _nodec(poisson_bootstrap_mean(d, "doc_id", "n_chars", 32))
+
+
+def q_gini_split(spark, sf_dir):
+    """Best decision-stump threshold on document length for the
+    is-English label (operators/classifier.py:gini_best_split): the
+    exact CART root-node computation — inclusive cumulative class
+    counts over the distinct-length axis (bounded two-level prefix),
+    each split's weighted Gini an exact-integer-fed fixed IEEE
+    sequence, argmin via deterministic (cost, threshold) struct-min.
+    The one-feature separability audit a quality-signal pipeline runs
+    before trusting a threshold rule."""
+    from npm_mirror_spark.operators.classifier import gini_best_split
+
+    d = _t(spark, sf_dir, "documents")
+    return _nodec(gini_best_split(d, "n_chars", F.col("lang") == "en"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5502,6 +5534,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r10 late batch: sampling/text (queued for the r11 window) -----
     "q_systematic_sample": q_systematic_sample,
     "q_lexical_diversity": q_lexical_diversity,
+    "q_poisson_bootstrap": q_poisson_bootstrap,
+    "q_gini_split": q_gini_split,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -10114,4 +10148,82 @@ SELECT source, n_types, n_tokens, n_hapax,
        CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
 FROM per
 ORDER BY source
+"""
+
+# q_poisson_bootstrap: the md5 key contract replayed per (row, resample),
+# the SAME hard-coded Poisson(1) CDF literals, exact HUGEINT sums.
+ORACLES["q_poisson_bootstrap"] = """
+WITH b AS (SELECT unnest(generate_series(0, 31)) AS r),
+u AS (
+  SELECT b.r, d.n_chars,
+         CAST(('0x' || substr(md5(CAST(b.r AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 16777216 AS DOUBLE)
+           / CAST(16777216 AS DOUBLE) AS u
+  FROM documents d CROSS JOIN b),
+w AS (
+  SELECT r, n_chars,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.9999167588507119 THEN 6
+              ELSE 7 END AS w
+  FROM u)
+SELECT CAST(r AS INTEGER) AS resample,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(CAST(sum(CAST(w AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                 AS VARCHAR) AS DOUBLE) AS sum_wx,
+       CAST(CAST(sum(CAST(w AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(sum(w) AS DOUBLE) AS mean
+FROM w GROUP BY r ORDER BY resample
+"""
+
+# q_gini_split: inclusive cumulative class counts on the value axis,
+# exact HUGEINT Gini numerators (VARCHAR-routed), argmin by
+# (cost, threshold) — the struct-min replay.
+ORACLES["q_gini_split"] = """
+WITH g AS (
+  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL),
+vals AS (
+  SELECT x, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS q
+  FROM g GROUP BY 1),
+pri AS (
+  SELECT x,
+         coalesce(sum(p) OVER win, 0) + p AS pl,
+         coalesce(sum(p + q) OVER win, 0) + p + q AS nl
+  FROM vals
+  WINDOW win AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(y) AS BIGINT) AS pos_total
+  FROM g),
+scored AS (
+  SELECT x AS threshold,
+         (CAST(CAST(CAST(nl AS HUGEINT) * CAST(nl AS HUGEINT)
+                    - CAST(pl AS HUGEINT) * CAST(pl AS HUGEINT)
+                    - CAST(nl - pl AS HUGEINT) * CAST(nl - pl AS HUGEINT)
+                    AS VARCHAR) AS DOUBLE) / CAST(nl AS DOUBLE)
+          + CAST(CAST(CAST(n_total - nl AS HUGEINT)
+                        * CAST(n_total - nl AS HUGEINT)
+                      - CAST(pos_total - pl AS HUGEINT)
+                        * CAST(pos_total - pl AS HUGEINT)
+                      - CAST((n_total - nl) - (pos_total - pl) AS HUGEINT)
+                        * CAST((n_total - nl) - (pos_total - pl) AS HUGEINT)
+                      AS VARCHAR) AS DOUBLE)
+            / CAST(n_total - nl AS DOUBLE))
+           / CAST(n_total AS DOUBLE) AS gini_split,
+         CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+         CAST(n_total - nl AS BIGINT) AS n_right,
+         CAST(pos_total - pl AS BIGINT) AS pos_right,
+         n_total, pos_total
+  FROM pri CROSS JOIN tot
+  WHERE n_total - nl > 0)
+SELECT threshold, gini_split, n_left, pos_left, n_right, pos_right,
+       n_total, pos_total
+FROM scored ORDER BY gini_split, threshold LIMIT 1
 """

@@ -321,3 +321,49 @@ def test_calibration_excludes_null_and_nan_rows(spark):
     a = sorted(map(tuple, calibration_bins(clean, "score", "label", 5).collect()))
     b = sorted(map(tuple, calibration_bins(dirty, "score", "label", 5).collect()))
     assert a == b
+
+
+def test_gini_best_split_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.classifier import gini_best_split
+
+    # feature separates labels imperfectly; brute-force all thresholds
+    data = [
+        (1, 1), (2, 1), (2, 1), (3, 0), (4, 1), (5, 0), (5, 0),
+        (6, 0), (7, 1), (8, 0), (9, 0), (9, 0),
+    ]
+    df = spark.createDataFrame(data, "x long, y int")
+    row = gini_best_split(df, "x", F.col("y") == 1).collect()[0]
+    xs = sorted({x for x, _ in data})
+    n = len(data)
+    pos = sum(y for _, y in data)
+    best = None
+    for v in xs[:-1]:
+        nl = sum(1 for x, _ in data if x <= v)
+        pl = sum(y for x, y in data if x <= v)
+        nr, pr = n - nl, pos - pl
+
+        def g(nn, pp):
+            qq = nn - pp
+            return (nn * nn - pp * pp - qq * qq) / nn
+
+        cost = (g(nl, pl) + g(nr, pr)) / n
+        if best is None or (cost, v) < best[:2]:
+            best = (cost, v, nl, pl, nr, pr)
+    assert row["threshold"] == best[1]
+    assert abs(row["gini_split"] - best[0]) < 1e-12
+    assert (row["n_left"], row["pos_left"]) == (best[2], best[3])
+    assert (row["n_right"], row["pos_right"]) == (best[4], best[5])
+    assert (row["n_total"], row["pos_total"]) == (n, pos)
+
+
+def test_gini_best_split_perfect_separator_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.classifier import gini_best_split
+
+    data = [(i, 1 if i <= 5 else 0) for i in range(1, 11)]
+    df = spark.createDataFrame(data, "x long, y int")
+    row = gini_best_split(df, "x", F.col("y") == 1).collect()[0]
+    assert row["threshold"] == 5 and row["gini_split"] == 0.0

@@ -439,6 +439,14 @@ ALLOWED_BNLJ = {
         "single-row (n_total, grand-sum) totals broadcast onto the "
         "per-group fold"
     ),
+    "q_systematic_sample": (
+        "_with_prior_sums' single-row (min,max) key-range broadcast for "
+        "the prefix-sum buckets; the boundary test itself is map-side"
+    ),
+    "q_gini_split": (
+        "single-row (N, P) totals broadcast onto the distinct-value "
+        "threshold table, plus _with_prior_sums' (min,max) stats row"
+    ),
 }
 
 

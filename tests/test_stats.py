@@ -465,3 +465,45 @@ def test_anova_cells_matches_brute_force(spark):
         r["between_term"] for r in rows.values()
     )
     assert abs(got - total_ss) < 1e-9
+
+
+def test_poisson_bootstrap_matches_brute_force(spark):
+    import hashlib
+
+    from npm_mirror_spark.operators.stats import (
+        _POISSON1_CDF,
+        poisson_bootstrap_mean,
+    )
+
+    rows = [(i, 10 + 7 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    got = {
+        r["resample"]: (r["n_eff"], r["sum_wx"], r["mean"])
+        for r in poisson_bootstrap_mean(df, "id", "x", 4).collect()
+    }
+
+    def weight(b, i):
+        h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:15], 16)
+        u = (h % 16777216) / 16777216.0
+        for k, c in enumerate(_POISSON1_CDF):
+            if u < c:
+                return k
+        return 7
+
+    for b in range(4):
+        ws = [(weight(b, i), x) for i, x in rows]
+        n = sum(w for w, _ in ws)
+        s = sum(w * x for w, x in ws)
+        assert got[b][0] == n
+        assert got[b][1] == float(s)
+        assert abs(got[b][2] - s / n) < 1e-12
+
+
+def test_poisson_bootstrap_rejects_bad_b(spark):
+    import pytest
+
+    from npm_mirror_spark.operators.stats import poisson_bootstrap_mean
+
+    df = spark.createDataFrame([(1, 1)], "id long, x long")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean(df, "id", "x", 0)
