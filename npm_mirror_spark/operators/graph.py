@@ -941,5 +941,10 @@ def degree_assortativity(
         "s_x",
         "s_xy",
         "s_xx",
-        (num.cast("double") / den.cast("double")).alias("r"),
+        # a REGULAR graph (every degree equal: cycles, perfect matchings)
+        # zeroes the variance denominator — assortativity is undefined;
+        # report NULL, never an ANSI divide-by-zero
+        F.when(
+            den.cast("double") != 0.0, num.cast("double") / den.cast("double")
+        ).alias("r"),
     )

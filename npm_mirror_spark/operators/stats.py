@@ -541,12 +541,22 @@ def welch_t(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     m2 = F.col("s2").cast("double") / n2d
     a1 = (F.col("n1").cast(_D38) * F.col("q1") - F.col("s1") * F.col("s1")).cast(_D38)
     a2 = (F.col("n2").cast(_D38) * F.col("q2") - F.col("s2") * F.col("s2")).cast(_D38)
-    v1 = a1.cast("double") / (F.col("n1") * (F.col("n1") - 1)).cast("double")
-    v2 = a2.cast("double") / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    v1 = F.when(
+        F.col("n1") > 1,
+        a1.cast("double") / (F.col("n1") * (F.col("n1") - 1)).cast("double"),
+    )
+    v2 = F.when(
+        F.col("n2") > 1,
+        a2.cast("double") / (F.col("n2") * (F.col("n2") - 1)).cast("double"),
+    )
     se1 = v1 / n1d
     se2 = v2 / n2d
     se = se1 + se2
     d = m1 - m2
+    # degenerate inputs (a group smaller than 2, or zero pooled variance:
+    # both groups constant) report NULL instead of an ANSI
+    # divide-by-zero crash — found by the hypothesis adversary
+    # (tests/test_ksample_properties.py)
     return tot.select(
         "n1",
         "n2",
@@ -554,13 +564,14 @@ def welch_t(df: DataFrame, value: str, in_a: Column) -> DataFrame:
         m2.alias("mean_b"),
         v1.alias("var_a"),
         v2.alias("var_b"),
-        ((d * d) / se).alias("t2"),
-        (
+        F.when(se > 0, (d * d) / se).alias("t2"),
+        F.when(
+            se > 0,
             (se * se)
             / (
                 (se1 * se1) / (F.col("n1") - 1).cast("double")
                 + (se2 * se2) / (F.col("n2") - 1).cast("double")
-            )
+            ),
         ).alias("welch_df"),
     )
 
@@ -695,9 +706,13 @@ def kendall_tau_daily(
         "ties_x",
         "ties_y",
         (F.col("n_concordant") - F.col("n_discordant")).alias("tau_num"),
-        (F.signum(num) * (num * num) / (denx * deny)).alias(
-            "tau_b_sq_signed"
-        ),
+        # an axis tied on EVERY pair zeroes its tau-b denominator factor:
+        # report NULL, never an ANSI divide-by-zero (hypothesis-found
+        # class, tests/test_ksample_properties.py)
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.signum(num) * (num * num) / (denx * deny),
+        ).alias("tau_b_sq_signed"),
     )
 
 
@@ -823,7 +838,8 @@ def poisson_bootstrap_mean(
         "resample",
         "n_eff",
         F.col("s").cast("double").alias("sum_wx"),
-        (F.col("s").cast("double") / F.col("n_eff").cast("double")).alias(
-            "mean"
-        ),
+        F.when(
+            F.col("n_eff") > 0,
+            F.col("s").cast("double") / F.col("n_eff").cast("double"),
+        ).alias("mean"),
     )

@@ -609,3 +609,14 @@ def test_assortativity_star_is_negative(spark):
 
     e = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
     assert degree_assortativity(e).collect()[0]["r"] < 0
+
+
+def test_assortativity_regular_graph_reports_null(spark):
+    """Every node of a cycle has degree 2 — zero degree variance, so r
+    is undefined and must come back NULL, not an ANSI crash."""
+    from npm_mirror_spark.operators.graph import degree_assortativity
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    e = spark.createDataFrame(cyc, "src long, dst long")
+    row = degree_assortativity(e).collect()[0]
+    assert row["m_edges"] == 6 and row["r"] is None

@@ -507,3 +507,24 @@ def test_poisson_bootstrap_rejects_bad_b(spark):
     df = spark.createDataFrame([(1, 1)], "id long, x long")
     with pytest.raises(ValueError):
         poisson_bootstrap_mean(df, "id", "x", 0)
+
+
+def test_welch_t_zero_variance_reports_null(spark):
+    from npm_mirror_spark.operators.stats import welch_t
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 1), (9, 0), (9, 0)], "x long, a int"
+    )
+    row = welch_t(df, "x", F.col("a") == 1).collect()[0]
+    assert row["var_a"] == 0.0 and row["var_b"] == 0.0
+    assert row["t2"] is None and row["welch_df"] is None
+
+
+def test_kendall_tau_fully_tied_axis_reports_null(spark):
+    from npm_mirror_spark.operators.stats import kendall_tau_daily
+
+    data = [(f"2024-01-{i:02d}", 7, i) for i in range(1, 6)]
+    df = spark.createDataFrame(data, "day string, x int, y int")
+    row = kendall_tau_daily(df, "day", "x", "y").collect()[0]
+    assert row["ties_x"] == row["n_pairs"]
+    assert row["tau_b_sq_signed"] is None
