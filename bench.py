@@ -246,6 +246,7 @@ HEADLINE_R10B = [
     "q_lexical_diversity",
     "q_poisson_bootstrap",
     "q_gini_split",
+    "q_changepoint",
 ]
 HEADLINE = HEADLINE + HEADLINE_R10B
 

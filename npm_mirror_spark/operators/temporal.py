@@ -417,3 +417,86 @@ def autocorr1_daily(daily: DataFrame, day: str, cnt: str) -> DataFrame:
         ).alias("r2"),
         F.signum(num.cast("double")).cast("int").alias("r_sign"),
     )
+
+
+def binseg_changepoint(daily: DataFrame, day: str, cnt: str) -> DataFrame:
+    """Binary-segmentation change-point over a DAILY count series: the
+    split day minimizing SSE_left + SSE_right (Scott & Knott '74 — the
+    first round of binary segmentation, the classical mean-shift
+    locator).  :func:`cusum_changepoint` asks WHETHER the prefix mass
+    deviates from the uniform line; this reports the least-squares
+    BEST split and the variance it explains (``gain = sse_total −
+    sse_split``), the quantity a segmentation recursion thresholds on.
+
+    Exactness: with integer daily counts, each segment's SSE numerator
+    ``n·Q − S²`` is exact DECIMAL(38,0) off cumulative (S, Q) prefix
+    sums; every candidate's cost is the same fixed two-division IEEE
+    sequence in any engine, so the (cost, day) struct-min argmin is
+    deterministic (the gini_best_split pattern on the time axis).
+
+    The prefix window orders the DAY axis — bounded by construction
+    (calendar days, ~3k/decade; the cusum contract) — and the 1-row
+    totals frame broadcasts.  1-row output: n_days, split_day (epoch
+    day, smallest attaining the min), n_left, mean_left, mean_right,
+    sse_split, sse_total, gain.
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    g = daily.select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__day"
+        ),
+        F.col(cnt).alias("__x"),
+    )
+    xd = F.col("__x").cast(d38)
+    w = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = g.select(
+        "__day",
+        F.row_number().over(Window.orderBy("__day")).alias("__k"),
+        F.sum(xd).over(w).cast(d38).alias("__sl"),
+        F.sum(xd * xd).over(w).cast(d38).alias("__ql"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(xd).cast(d38).alias("__s"),
+        F.sum(xd * xd).cast(d38).alias("__q"),
+    )
+    j = pre.crossJoin(F.broadcast(tot)).filter(F.col("__k") < F.col("n_days"))
+    nl = F.col("__k").cast(d38)
+    nr = (F.col("n_days") - F.col("__k")).cast(d38)
+    sl, ql = F.col("__sl"), F.col("__ql")
+    sr = (F.col("__s") - sl).cast(d38)
+    qr = (F.col("__q") - ql).cast(d38)
+    cost = (nl * ql - sl * sl).cast(d38).cast("double") / nl.cast("double") + (
+        nr * qr - sr * sr
+    ).cast(d38).cast("double") / nr.cast("double")
+    scored = j.select(
+        F.struct(
+            cost.alias("sse_split"),
+            F.col("__day").alias("split_day"),
+            F.col("__k").alias("n_left"),
+            (sl.cast("double") / nl.cast("double")).alias("mean_left"),
+            (sr.cast("double") / nr.cast("double")).alias("mean_right"),
+            F.col("n_days"),
+            (
+                (F.col("n_days").cast(d38) * F.col("__q") - F.col("__s") * F.col("__s"))
+                .cast(d38)
+                .cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("sse_total"),
+        ).alias("__b")
+    )
+    best = scored.agg(F.min("__b").alias("b"))
+    return best.select(
+        F.col("b.n_days").alias("n_days"),
+        F.col("b.split_day").alias("split_day"),
+        F.col("b.n_left").alias("n_left"),
+        F.col("b.mean_left").alias("mean_left"),
+        F.col("b.mean_right").alias("mean_right"),
+        F.col("b.sse_split").alias("sse_split"),
+        F.col("b.sse_total").alias("sse_total"),
+        (F.col("b.sse_total") - F.col("b.sse_split")).alias("gain"),
+    )

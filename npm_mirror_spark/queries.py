@@ -5269,6 +5269,26 @@ def q_gini_split(spark, sf_dir):
     return _nodec(gini_best_split(d, "n_chars", F.col("lang") == "en"))
 
 
+
+
+def q_changepoint(spark, sf_dir):
+    """Binary-segmentation change-point on daily order counts
+    (operators/temporal.py:binseg_changepoint): the least-squares best
+    split day and the variance it explains — q_cusum locates the max
+    prefix deviation, this reports the mean-shift segmentation a
+    recursion would commit.  Exact DECIMAL(38,0) SSE numerators off the
+    bounded day-axis prefix, fixed two-division IEEE cost,
+    deterministic (cost, day) struct-min (the q_gini_split pattern on
+    the time axis)."""
+    from npm_mirror_spark.operators.temporal import binseg_changepoint
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return _nodec(binseg_changepoint(daily, "day", "n"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5536,6 +5556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lexical_diversity": q_lexical_diversity,
     "q_poisson_bootstrap": q_poisson_bootstrap,
     "q_gini_split": q_gini_split,
+    "q_changepoint": q_changepoint,
 }
 
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
@@ -10226,4 +10247,43 @@ scored AS (
 SELECT threshold, gini_split, n_left, pos_left, n_right, pos_right,
        n_total, pos_total
 FROM scored ORDER BY gini_split, threshold LIMIT 1
+"""
+
+# q_changepoint: cumulative (S, Q) prefix replay on the day axis, exact
+# HUGEINT SSE numerators (VARCHAR-routed), argmin by (cost, day).
+ORACLES["q_changepoint"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+pre AS (
+  SELECT d,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+         sum(CAST(x AS HUGEINT)) OVER win AS sl,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER win AS ql
+  FROM daily
+  WINDOW win AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         sum(CAST(x AS HUGEINT)) AS s,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+  FROM daily),
+scored AS (
+  SELECT n_days, d AS split_day, k AS n_left,
+         CAST(CAST(sl AS VARCHAR) AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+         CAST(CAST(s - sl AS VARCHAR) AS DOUBLE)
+           / CAST(n_days - k AS DOUBLE) AS mean_right,
+         CAST(CAST(CAST(k AS HUGEINT) * ql - sl * sl AS VARCHAR) AS DOUBLE)
+           / CAST(k AS DOUBLE)
+         + CAST(CAST(CAST(n_days - k AS HUGEINT) * (q - ql)
+                     - (s - sl) * (s - sl) AS VARCHAR) AS DOUBLE)
+           / CAST(n_days - k AS DOUBLE) AS sse_split,
+         CAST(CAST(CAST(n_days AS HUGEINT) * q - s * s AS VARCHAR) AS DOUBLE)
+           / CAST(n_days AS DOUBLE) AS sse_total
+  FROM pre CROSS JOIN tot
+  WHERE k < n_days)
+SELECT n_days, CAST(split_day AS INTEGER) AS split_day, n_left,
+       mean_left, mean_right, sse_split, sse_total,
+       sse_total - sse_split AS gain
+FROM scored ORDER BY sse_split, split_day LIMIT 1
 """

@@ -447,6 +447,10 @@ ALLOWED_BNLJ = {
         "single-row (N, P) totals broadcast onto the distinct-value "
         "threshold table, plus _with_prior_sums' (min,max) stats row"
     ),
+    "q_changepoint": (
+        "single-row (n_days, S, Q) totals broadcast onto the bounded "
+        "day-axis prefix table (the q_cusum singleton-fold shape)"
+    ),
 }
 
 

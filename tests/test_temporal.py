@@ -220,3 +220,43 @@ def test_autocorr_exact_moments_and_sign(spark):
     assert int(r["r_num"]) == num
     assert r["r_sign"] == -1
     assert abs(r["r2"] - (num / d1) * (num / d2)) < 1e-12
+
+
+def test_binseg_changepoint_matches_brute_force(spark):
+    from npm_mirror_spark.operators.temporal import binseg_changepoint
+
+    # clear level shift after day 5
+    data = [(f"2024-01-{i:02d}", 10 + (i % 2)) for i in range(1, 6)] + [
+        (f"2024-01-{i:02d}", 30 + (i % 3)) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(data, "day string, n long")
+    row = binseg_changepoint(df, "day", "n").collect()[0]
+    xs = [x for _, x in data]
+    m = len(xs)
+
+    def sse(seg):
+        n = len(seg)
+        s, q = sum(seg), sum(v * v for v in seg)
+        return (n * q - s * s) / n
+
+    best = min(
+        ((sse(xs[:k]) + sse(xs[k:]), k) for k in range(1, m)),
+    )
+    assert row["n_left"] == best[1] == 5
+    assert abs(row["sse_split"] - best[0]) < 1e-9
+    assert abs(row["sse_total"] - sse(xs)) < 1e-9
+    assert row["gain"] > 0
+    assert abs(row["mean_left"] - sum(xs[:5]) / 5) < 1e-12
+    assert abs(row["mean_right"] - sum(xs[5:]) / 6) < 1e-12
+
+
+def test_binseg_changepoint_constant_series_gain_zero(spark):
+    from npm_mirror_spark.operators.temporal import binseg_changepoint
+
+    df = spark.createDataFrame(
+        [(f"2024-02-{i:02d}", 7) for i in range(1, 9)], "day string, n long"
+    )
+    row = binseg_changepoint(df, "day", "n").collect()[0]
+    assert row["sse_split"] == 0.0 and row["gain"] == 0.0
+    # tie on cost: smallest day wins (deterministic argmin)
+    assert row["n_left"] == 1
