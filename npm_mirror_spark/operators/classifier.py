@@ -561,8 +561,12 @@ def gini_best_split(df: DataFrame, value: str, label) -> DataFrame:
     """
     g = df.select(
         F.col(value).alias("__x"),
-        label.cast("long").alias("__y"),
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        # NULL label counts as negative — the q_rank_sum two-group
+        # convention, and what the oracle's CASE WHEN replays (review
+        # finding: a NULL-label filter would silently drop rows the
+        # oracle keeps)
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull())
     vals = g.groupBy("__x").agg(
         F.sum("__y").alias("__p"),
         F.sum(F.lit(1) - F.col("__y")).alias("__q"),

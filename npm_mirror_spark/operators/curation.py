@@ -839,7 +839,16 @@ def systematic_sample_by_weight(
 
     if step < 1:
         raise ValueError("step must be >= 1")
-    g = df.select(F.col(key).alias("__k"), F.col(weight).alias("__w"))
+    # collapse duplicate keys FIRST: the prefix window orders by key
+    # alone, so tied keys would take shuffle-order-dependent priors
+    # (review finding) — summing weights per key makes the walk
+    # deterministic and the sample unit the KEY, which for unique keys
+    # (the normal case) is identical to the per-row walk
+    g = (
+        df.select(F.col(key).alias("__k"), F.col(weight).alias("__w"))
+        .groupBy("__k")
+        .agg(F.sum("__w").alias("__w"))
+    )
     pri = _with_prior_sums(g, "__k", ("__w",))
     kept = pri.where(
         F.expr("__prior___w div " + str(int(step)))

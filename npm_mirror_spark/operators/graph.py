@@ -730,6 +730,11 @@ def hits(
     Output per node: (id, auth, hub) as exact DECIMAL(38,0); registered
     faces cast via the no-decimal contract.
     """
+    if not 1 <= n_iter <= 4:
+        # scores grow like d_max^(2*n_iter); past 4 rounds a hub-heavy
+        # graph overflows even DECIMAL(38,0), and the zero-filled report
+        # would mask the NULL as score 0 (review finding) — fail loudly
+        raise ValueError("n_iter must be in [1, 4]")
     arcs = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -914,7 +919,9 @@ def degree_assortativity(
 
     Output: m_edges, n_endpoints, s_x, s_xy, s_xx, r.
     """
-    pairs = _canonical_pairs(edges, src_col, dst_col)
+    # pairs feeds BOTH the degree table and the ends join — persist it
+    # or the basket wedge self-join runs twice (review finding)
+    pairs = _canonical_pairs(edges, src_col, dst_col).persist()
     deg = _degrees(pairs).persist()
     da = deg.select(F.col("id").alias("__a"), F.col("deg").alias("dx"))
     db = deg.select(F.col("id").alias("__b"), F.col("deg").alias("dy"))

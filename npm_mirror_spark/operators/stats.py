@@ -541,14 +541,12 @@ def welch_t(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     m2 = F.col("s2").cast("double") / n2d
     a1 = (F.col("n1").cast(_D38) * F.col("q1") - F.col("s1") * F.col("s1")).cast(_D38)
     a2 = (F.col("n2").cast(_D38) * F.col("q2") - F.col("s2") * F.col("s2")).cast(_D38)
-    v1 = F.when(
-        F.col("n1") > 1,
-        a1.cast("double") / (F.col("n1") * (F.col("n1") - 1)).cast("double"),
-    )
-    v2 = F.when(
-        F.col("n2") > 1,
-        a2.cast("double") / (F.col("n2") * (F.col("n2") - 1)).cast("double"),
-    )
+    # denominators ride DECIMAL(38,0) like the numerators: a raw long
+    # n*(n-1) product wraps past ~3e9 rows per group (review finding)
+    d1 = (F.col("n1").cast(_D38) * (F.col("n1") - 1).cast(_D38)).cast(_D38)
+    d2 = (F.col("n2").cast(_D38) * (F.col("n2") - 1).cast(_D38)).cast(_D38)
+    v1 = F.when(F.col("n1") > 1, a1.cast("double") / d1.cast("double"))
+    v2 = F.when(F.col("n2") > 1, a2.cast("double") / d2.cast("double"))
     se1 = v1 / n1d
     se2 = v2 / n2d
     se = se1 + se2

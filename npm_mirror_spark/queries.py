@@ -9893,9 +9893,11 @@ m AS (
     CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
     CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
     CAST(CAST(n1 * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
-      / CAST(n1 * (n1 - 1) AS DOUBLE) AS v1,
+      / CAST(CAST(CAST(n1 AS HUGEINT) * CAST(n1 - 1 AS HUGEINT)
+                  AS VARCHAR) AS DOUBLE) AS v1,
     CAST(CAST(n2 * q2 - s2 * s2 AS VARCHAR) AS DOUBLE)
-      / CAST(n2 * (n2 - 1) AS DOUBLE) AS v2
+      / CAST(CAST(CAST(n2 AS HUGEINT) * CAST(n2 - 1 AS HUGEINT)
+                  AS VARCHAR) AS DOUBLE) AS v2
   FROM agg),
 s AS (
   SELECT *, v1 / CAST(n1 AS DOUBLE) AS se1, v2 / CAST(n2 AS DOUBLE) AS se2

@@ -367,3 +367,24 @@ def test_gini_best_split_perfect_separator_is_zero(spark):
     df = spark.createDataFrame(data, "x long, y int")
     row = gini_best_split(df, "x", F.col("y") == 1).collect()[0]
     assert row["threshold"] == 5 and row["gini_split"] == 0.0
+
+
+def test_gini_best_split_null_label_counts_negative(spark):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.classifier import gini_best_split
+
+    # NULL label rows must participate as negatives (the oracle's CASE
+    # semantics), not be silently dropped
+    a = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "fr"), (5, None)],
+        "x long, lang string",
+    )
+    b = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, "fr"), (5, "fr")],
+        "x long, lang string",
+    )
+    ra = gini_best_split(a, "x", F.col("lang") == "en").collect()[0]
+    rb = gini_best_split(b, "x", F.col("lang") == "en").collect()[0]
+    assert ra["n_total"] == 5 and ra["pos_total"] == 2
+    assert (ra["threshold"], ra["gini_split"]) == (rb["threshold"], rb["gini_split"])

@@ -595,3 +595,28 @@ def test_systematic_sample_rejects_bad_step(spark):
     df = spark.createDataFrame([(1, 1)], "id long, w long")
     with pytest.raises(ValueError):
         systematic_sample_by_weight(df, "id", "w", 0)
+
+
+def test_systematic_sample_duplicate_keys_are_deterministic(spark):
+    """Tied keys collapse to one (key, total-weight) unit before the
+    walk — the sample is a deterministic function of the data, not the
+    shuffle order."""
+    from npm_mirror_spark.operators.curation import systematic_sample_by_weight
+
+    rows = [(1, 3), (2, 4), (2, 4), (3, 2), (4, 6)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(5)
+    outs = [
+        sorted(
+            (r["id"], r["w"], r["prior_weight"])
+            for r in systematic_sample_by_weight(df, "id", "w", 7).collect()
+        )
+        for _ in range(3)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # key 2 is one unit of weight 8: walk = [(1,3),(2,8),(3,2),(4,6)]
+    expect, p = [], 0
+    for k, w in [(1, 3), (2, 8), (3, 2), (4, 6)]:
+        if p // 7 < (p + w) // 7:
+            expect.append((k, w, p))
+        p += w
+    assert outs[0] == sorted(expect)

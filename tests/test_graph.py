@@ -620,3 +620,13 @@ def test_assortativity_regular_graph_reports_null(spark):
     e = spark.createDataFrame(cyc, "src long, dst long")
     row = degree_assortativity(e).collect()[0]
     assert row["m_edges"] == 6 and row["r"] is None
+
+
+def test_hits_rejects_deep_iteration(spark):
+    import pytest
+
+    from npm_mirror_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(e, n_iter=5)
