@@ -73,6 +73,11 @@ SHOW = {
     "q_spearman": "per-axis distinct collapse + bucketed prefix ranks; (value -> doubled midrank) maps equi-join back; every window carries __bkt",
     "q_edit2_join": "depth-2 deletion keys (1+len+len(len-1)/2 per short string) equi-join inside the blocking key + one exact verify",
     "q_kanonymity": "ONE quasi-key groupBy bounded by the identifier domain; 3-row k-literal broadcast explode; re-aggregation per k",
+    # r10 late-batch flagships
+    "q_hits": "two integer HITS rounds: per round two |arcs| equi-joins + (src)/(dst) sum shuffles over the persisted arc cache; zero-fill joins once at the end",
+    "q_link_pred": "adjacency exchanges once on the center key; wedge self-join reuses it; (u,w) count shuffle; anti join vs edges; two node-sized degree joins",
+    "q_gini_split": "distinct-value class counts + bucketed prefix cums; 1-row (N,P) broadcast; threshold costs in-row; struct-min argmin — no sort",
+    "q_poisson_bootstrap": "all 32 resamples in ONE map-side fold (64 agg columns); 1-row stack unpivot — zero row fan-out, zero extra shuffle",
 }
 
 SF = "/root/testdata/sf0.01"
