@@ -787,9 +787,11 @@ def poisson_bootstrap_mean(
     Owen & Eckles '12 — THE bootstrap that scales: resample membership
     is decided per-row, independently, so one pass computes every
     resample): each row enters resample ``b`` with weight
-    w ~ Poisson(1), here derived DETERMINISTICALLY from the md5 key
-    contract (``md5_key64(b, id)`` → 24-bit uniform → inverse-CDF CASE
-    ladder on hard-coded Poisson(1) CDF literals, tail capped at 7,
+    w ~ Poisson(1), derived DETERMINISTICALLY from the md5 contract.
+    One digest feeds FIVE resamples (md5(j ':' id) sliced into five
+    6-hex-char 24-bit uniforms — chars 31-32 unused), so B resamples
+    cost ceil(B/5) digests per row, then an inverse-CDF CASE ladder on
+    hard-coded Poisson(1) CDF literals (tail capped at 7,
     P(X>7) ≈ 1e-5 — part of the operator definition, identical in both
     engines).  No RNG, no seed state: any engine replays the exact
     resamples.
@@ -799,31 +801,78 @@ def poisson_bootstrap_mean(
     bootstrap distribution from which any CI quantile is a one-liner.
     ``value`` must be integer-typed (the welch_t exactness contract).
 
-    Shape: NO row fan-out — the ``n_resamples`` (n, Σwx) pairs fold in
-    ONE map-side-combinable aggregate over a single scan (2B columns),
-    then a 1-row ``stack`` unpivots to B rows.  At any corpus size the
-    shuffle is one row of 2B numbers per partition; the only per-row
-    cost is B md5 evaluations.
+    Shape: NO row fan-out — the digests and weights are STAGED
+    projections (the minhash_bands discipline: embedding them in the
+    aggregate tree would re-evaluate each md5 per consuming column),
+    then the ``n_resamples`` (n, Σwx) pairs fold in ONE
+    map-side-combinable aggregate over a single scan (2B columns) and a
+    1-row ``stack`` unpivots to B rows.  At any corpus size the shuffle
+    is one row of 2B numbers per partition; the per-row cost is
+    ceil(B/5) md5 evaluations.
 
     Output: (resample, n_eff, sum_wx, mean) — one row per resample.
     """
-    from npm_mirror_spark.operators.dedup import md5_key64
-
     if not 1 <= n_resamples <= 256:
         raise ValueError("n_resamples must be in [1, 256]")
-    x = F.col(value).cast(_D38)
-    aggs = []
-    for b in range(n_resamples):
-        u = (
-            md5_key64(F.col(id_col), b) % F.lit(16777216).cast("long")
-        ).cast("double") / F.lit(16777216).cast("double")
+    n_digests = (n_resamples + 4) // 5
+    # widen a narrow input before the digest kernel: a single-file scan
+    # would run ALL ceil(B/5) md5s per row in ONE task (the r10
+    # narrow-scan pathology) — the widening shuffle moves only the two
+    # skinny columns and is a no-op on already-wide cluster scans
+    df = df.select(id_col, value)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    staged = df.select(
+        F.col(value).alias("__x"),
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(j).cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ).alias(f"__h{j}")
+            for j in range(n_digests)
+        ],
+    )
+
+    # stage the uniforms separately too: embedded in the CASE ladder the
+    # conv(substring(...)) subtree would re-evaluate PER BRANCH (8x per
+    # weight), the minhash_bands staging lesson one level down.  NOTE:
+    # at sf0.1 the face's wall time is ~2.5 s of DRIVER planning/codegen
+    # for the 71-column staged plan with ~0.15 s of executor compute
+    # (profiled) — the q_kmeans fixed-cost class, amortized at scale
+    def _uniform(b: int):
+        j, slot = b // 5, b % 5
+        return F.conv(
+            F.substring(F.col(f"__h{j}"), slot * 6 + 1, 6), 16, 10
+        ).cast("long").cast("double") / F.lit(16777216).cast("double")
+
+    uniforms = staged.select(
+        "__x", *[_uniform(b).alias(f"__u{b}") for b in range(n_resamples)]
+    )
+
+    def _weight(b: int):
+        u = F.col(f"__u{b}")
         w = F.when(u < _POISSON1_CDF[0], 0)
         for k, c in enumerate(_POISSON1_CDF[1:], start=1):
             w = w.when(u < c, k)
-        w = w.otherwise(7).cast("long")
-        aggs.append(F.sum(w).alias(f"n_{b}"))
-        aggs.append(F.sum(w.cast(_D38) * x).cast(_D38).alias(f"s_{b}"))
-    folded = df.agg(*aggs)
+        return w.otherwise(7).cast("long")
+
+    weighted = uniforms.select(
+        "__x", *[_weight(b).alias(f"__w{b}") for b in range(n_resamples)]
+    )
+    aggs = []
+    for b in range(n_resamples):
+        wb = F.col(f"__w{b}")
+        aggs.append(F.sum(wb).alias(f"n_{b}"))
+        aggs.append(
+            F.sum(wb.cast(_D38) * F.col("__x").cast(_D38))
+            .cast(_D38)
+            .alias(f"s_{b}")
+        )
+    folded = weighted.agg(*aggs)
     stack_args = ", ".join(
         f"{b}, n_{b}, s_{b}" for b in range(n_resamples)
     )

@@ -10179,9 +10179,9 @@ ORACLES["q_poisson_bootstrap"] = """
 WITH b AS (SELECT unnest(generate_series(0, 31)) AS r),
 u AS (
   SELECT b.r, d.n_chars,
-         CAST(('0x' || substr(md5(CAST(b.r AS VARCHAR) || ':'
-                || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-              % 16777216 AS DOUBLE)
+         CAST(('0x' || substr(md5(CAST(b.r // 5 AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), (b.r % 5) * 6 + 1, 6))::BIGINT
+              AS DOUBLE)
            / CAST(16777216 AS DOUBLE) AS u
   FROM documents d CROSS JOIN b),
 w AS (

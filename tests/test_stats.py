@@ -483,8 +483,9 @@ def test_poisson_bootstrap_matches_brute_force(spark):
     }
 
     def weight(b, i):
-        h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:15], 16)
-        u = (h % 16777216) / 16777216.0
+        hx = hashlib.md5(f"{b // 5}:{i}".encode()).hexdigest()
+        slot = b % 5
+        u = int(hx[slot * 6 : slot * 6 + 6], 16) / 16777216.0
         for k, c in enumerate(_POISSON1_CDF):
             if u < c:
                 return k
