@@ -780,10 +780,10 @@ _POISSON1_CDF = (
 )
 
 
-def poisson_bootstrap_mean(
+def poisson_bootstrap_fold(
     df: DataFrame, id_col: str, value: str, n_resamples: int = 32
 ) -> DataFrame:
-    """Distributed Poisson bootstrap of the mean (Chamandy et al. '12 /
+    """Exact per-resample bootstrap state (Chamandy et al. '12 /
     Owen & Eckles '12 — THE bootstrap that scales: resample membership
     is decided per-row, independently, so one pass computes every
     resample): each row enters resample ``b`` with weight
@@ -876,11 +876,23 @@ def poisson_bootstrap_mean(
     stack_args = ", ".join(
         f"{b}, n_{b}, s_{b}" for b in range(n_resamples)
     )
-    rows = folded.select(
+    return folded.select(
         F.expr(
             f"stack({n_resamples}, {stack_args}) AS (resample, n_eff, s)"
         )
     )
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame, id_col: str, value: str, n_resamples: int = 32
+) -> DataFrame:
+    """The report face of :func:`poisson_bootstrap_fold`: the exact
+    per-resample (n, Σwx) state closed into doubles + the resample
+    mean.  Kept separate so the streaming twin
+    (streaming/incremental_sketch.py:StreamingBootstrap) can accumulate
+    the EXACT decimal state across micro-batches and report through the
+    identical closing arithmetic."""
+    rows = poisson_bootstrap_fold(df, id_col, value, n_resamples)
     return rows.select(
         "resample",
         "n_eff",

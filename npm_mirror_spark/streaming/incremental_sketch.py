@@ -139,3 +139,77 @@ class StreamingCardinality:
             stream.writeStream.foreachBatch(self.update_batch)
             .option("checkpointLocation", checkpoint)
         )
+
+
+class StreamingBootstrap:
+    """Running Poisson-bootstrap moments over a stream of (id, value)
+    rows — the continuous-ingest face of
+    operators/stats.py:poisson_bootstrap_fold.
+
+    Mergeable BY CONSTRUCTION: each micro-batch contributes exact
+    per-resample (n, Σw·x) integer pairs (per-row weights are a
+    deterministic function of the row id, independent of batching), so
+    '+' folds them and the state after any drain is BIT-EQUAL to the
+    batch fold of everything ingested.  Like CMS — and unlike HLL max —
+    '+' is NOT idempotent, so a checkpoint-replayed micro-batch must be
+    skipped by its batch_id (the transactional-sink contract).
+
+    Per micro-batch: one bounded-output job (n_resamples rows to the
+    driver-held dict); nothing corpus-sized retained.  ``result_df``
+    closes the exact state through the identical IEEE arithmetic as
+    ``poisson_bootstrap_mean`` (int → double correctly rounded, one
+    division), so the report is bit-equal too.
+    """
+
+    def __init__(self, id_col: str, value_col: str, n_resamples: int = 32):
+        self.id_col = id_col
+        self.value_col = value_col
+        self.n_resamples = n_resamples
+        self.state: dict[int, tuple[int, int]] = {
+            b: (0, 0) for b in range(n_resamples)
+        }
+        self.n_batches = 0
+        self._last_batch: int | None = None
+
+    def update_batch(
+        self, batch_df: DataFrame, batch_id: int | None = None
+    ) -> None:
+        from npm_mirror_spark.operators.stats import poisson_bootstrap_fold
+
+        if batch_id is not None and batch_id == self._last_batch:
+            return
+        rows = poisson_bootstrap_fold(
+            batch_df, self.id_col, self.value_col, self.n_resamples
+        ).collect()
+        for r in rows:
+            n, s = self.state[r["resample"]]
+            self.state[r["resample"]] = (
+                n + int(r["n_eff"]),
+                s + int(r["s"]),
+            )
+        self.n_batches += 1
+        self._last_batch = batch_id
+
+    def result_df(self, spark) -> DataFrame:
+        rows = [
+            (
+                b,
+                n,
+                float(s),
+                (float(s) / float(n)) if n > 0 else None,
+            )
+            for b, (n, s) in sorted(self.state.items())
+        ]
+        return spark.createDataFrame(
+            rows, "resample int, n_eff long, sum_wx double, mean double"
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.update_batch(df, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

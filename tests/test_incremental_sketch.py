@@ -163,3 +163,18 @@ def test_trainer_restore_round_trips(spark, sf_dir):
     assert lr2.weights == lr.weights and lr2.bias == lr.bias
     lr2.update_batch(d, batch_id=0)  # replay: no-op
     assert lr2.weights == lr.weights
+
+
+def test_bootstrap_stream_equals_batch_bit_for_bit(spark, sf_dir):
+    from npm_mirror_spark.operators.stats import poisson_bootstrap_mean
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingBootstrap
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sk = StreamingBootstrap("doc_id", "n_chars", n_resamples=8)
+    for mod in (0, 1, 2):
+        sk.update_batch(d.where(F.col("doc_id") % 3 == mod), batch_id=mod)
+    # at-least-once redelivery of the last batch: must be a no-op
+    sk.update_batch(d.where(F.col("doc_id") % 3 == 2), batch_id=2)
+    want = sorted(map(tuple, poisson_bootstrap_mean(d, "doc_id", "n_chars", 8).collect()))
+    got = sorted(map(tuple, sk.result_df(spark).collect()))
+    assert got == want  # exact state AND the closing doubles bit-equal
