@@ -212,7 +212,18 @@ def _with_prior_sums(
     ascending / nulls-last descending ordering of the ungrouped form.
     Value-range bucketing can skew if distinct scores concentrate in a
     narrow band, but the worst case degrades to the old single-window
-    shape, never below it.
+    shape, never below it.  Non-NUMERIC score columns (a string sample
+    key, say) take the same degradation BY TYPE: bucketing applies only
+    when the column's declared type is numeric, every other
+    type lands wholesale in bucket 0 and the within-bucket window
+    (ordered by the ORIGINAL column, so string order is honored)
+    computes the prefix exactly — correct but single-reducer; callers
+    with corpus-scale string axes should map the key to a numeric
+    proxy first.  The type gate matters twice: under ANSI mode a plain
+    cast of a non-numeric string crashes mid-stage, and a
+    NUMERIC-VALUED string would bucket numerically but sort
+    lexicographically — inconsistent global order, silently wrong
+    priors (both found by the r11 systematic-sample tests).
 
     ``stats``: optional pre-built 1-row (__mn, __mx) frame — callers
     with the RAW row table pass a scalar min/max over it (scan +
@@ -221,37 +232,48 @@ def _with_prior_sums(
     table on the stats branch.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
     s = F.col(score_col)
-    if stats is None:
-        stats = grouped.agg(*_range_stats(s))
-    span = F.col("__mx") - F.col("__mn")
-    s_d = s.cast("double")
-    # Non-finite scores take explicit edge buckets consistent with
-    # Spark's total order (NULL first, then -Inf, finite, +Inf, NaN
-    # last ascending): without this, a single NaN poisons span and
-    # every row degrades into one bucket — still CORRECT (it is the
-    # old single-window shape) but silently single-reducer again.
-    # NaN and +Inf share the top bucket; the within-bucket orderBy
-    # separates them.
-    bkt = (
-        F.when(s.isNull(), F.lit(-1))
-        .when(F.isnan(s_d), F.lit(n_buckets - 1))
-        .when(s_d == F.lit(float("inf")), F.lit(n_buckets - 1))
-        .when(s_d == F.lit(float("-inf")), F.lit(0))
-        .when(span.isNull() | (span <= 0), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((s_d - F.col("__mn")) / span * n_buckets).cast("int"),
+    bucketable = isinstance(grouped.schema[score_col].dataType, NumericType)
+    if bucketable:
+        if stats is None:
+            stats = grouped.agg(*_range_stats(s))
+        span = F.col("__mx") - F.col("__mn")
+        s_d = s.cast("double")
+        # Non-finite scores take explicit edge buckets consistent with
+        # Spark's total order (NULL first, then -Inf, finite, +Inf, NaN
+        # last ascending): without this, a single NaN poisons span and
+        # every row degrades into one bucket — still CORRECT (it is the
+        # old single-window shape) but silently single-reducer again.
+        # NaN and +Inf share the top bucket; the within-bucket orderBy
+        # separates them.
+        bkt = (
+            F.when(s.isNull(), F.lit(-1))
+            .when(F.isnan(s_d), F.lit(n_buckets - 1))
+            .when(s_d == F.lit(float("inf")), F.lit(n_buckets - 1))
+            .when(s_d == F.lit(float("-inf")), F.lit(0))
+            .when(span.isNull() | (span <= 0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((s_d - F.col("__mn")) / span * n_buckets).cast(
+                        "int"
+                    ),
+                )
             )
         )
-    )
-    g = (
-        grouped.crossJoin(F.broadcast(stats))
-        .withColumn("__bkt", bkt)
-        .drop("__mn", "__mx")
-    )
+        g = (
+            grouped.crossJoin(F.broadcast(stats))
+            .withColumn("__bkt", bkt)
+            .drop("__mn", "__mx")
+        )
+    else:
+        # non-numeric axis: single bucket (NULLs still lead) — the
+        # documented bounded-window degradation, exact by construction
+        g = grouped.withColumn(
+            "__bkt", F.when(s.isNull(), F.lit(-1)).otherwise(F.lit(0))
+        )
     per_bucket = g.groupBy("__bkt").agg(
         *[F.sum(c).alias(f"__bt_{c}") for c in sum_cols]
     )
@@ -282,8 +304,10 @@ def _with_prior_sums(
 def _range_stats(s: F.Column) -> list:
     """min/max over the FINITE score values only (one-row broadcast
     frame for _with_prior_sums): Spark's max treats NaN as the largest
-    value, so an unfiltered max poisons the bucket span."""
-    d = s.cast("double")
+    value, so an unfiltered max poisons the bucket span.  try_cast, not
+    cast: a non-numeric score column yields NULL bounds (-> the
+    single-bucket degradation) instead of an ANSI mid-stage crash."""
+    d = s.try_cast("double")
     finite = F.when(
         F.isnan(d)
         | (d == F.lit(float("inf")))
@@ -611,7 +635,11 @@ def gini_best_split(df: DataFrame, value: str, label) -> DataFrame:
             F.col("pos_total"),
         ).alias("__s")
     )
-    best = scored.agg(F.min("__s").alias("b"))
+    # a global agg(min(struct)) yields ONE all-NULL row on empty input
+    # (all-NULL feature column, or no candidate with nr > 0), while the
+    # oracle's ORDER BY ... LIMIT 1 yields ZERO rows — filter the NULL
+    # struct so both engines agree on degenerate input (advisor finding)
+    best = scored.agg(F.min("__s").alias("b")).where(F.col("b").isNotNull())
     return best.select(
         F.col("b.threshold").alias("threshold"),
         F.col("b.gini_split").alias("gini_split"),

@@ -833,19 +833,42 @@ def systematic_sample_by_weight(
     by the range-bucket contract, never a raw-corpus single-reducer
     window); the boundary test is a map-side filter.
 
+    Weight contract (advisor finding): weights must be >= 0 — a
+    negative weight breaks the monotone cumulative walk, and integer
+    division of negative operands diverges cross-engine (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors), so a negative weight
+    raises at scan time (the edit2_join guard pattern: declarative
+    ``raise_error``, no driver-side pass).  Zero-weight keys never
+    cross a boundary and are never sampled; NULL weights contribute
+    nothing to a key's sum, and a key whose weights are ALL NULL has a
+    NULL total, fails the boundary test, and is never sampled.
+
     Output: (key, weight, prior_weight, sample-kept rows only).
     """
     from npm_mirror_spark.operators.classifier import _with_prior_sums
 
     if step < 1:
         raise ValueError("step must be >= 1")
+    w_guard = F.when(
+        F.col(weight) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"systematic_sample_by_weight: negative {weight} breaks "
+                    "the monotone cumulative walk (and negative integer "
+                    "division diverges cross-engine); offending key: "
+                ),
+                F.col(key).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(weight))
     # collapse duplicate keys FIRST: the prefix window orders by key
     # alone, so tied keys would take shuffle-order-dependent priors
     # (review finding) — summing weights per key makes the walk
     # deterministic and the sample unit the KEY, which for unique keys
     # (the normal case) is identical to the per-row walk
     g = (
-        df.select(F.col(key).alias("__k"), F.col(weight).alias("__w"))
+        df.select(F.col(key).alias("__k"), w_guard.alias("__w"))
         .groupBy("__k")
         .agg(F.sum("__w").alias("__w"))
     )

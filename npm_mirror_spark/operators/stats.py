@@ -510,14 +510,23 @@ def welch_t(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     se2²/(n2−1))) — the oracle replays the identical expression tree, so
     the doubles match bit-for-bit in any engine (the q_kappa contract).
 
+    NULL handling: a row whose ``in_a`` predicate evaluates to NULL
+    lands in group B — "in_a holds" is three-valued-false, matching the
+    NULL-counts-as-negative convention of :func:`gini-stump scoring
+    <npm_mirror_spark.operators.classifier.gini_best_split>` (the
+    predicate is coalesced to FALSE up front; previously such rows were
+    silently dropped from BOTH groups, an advisor-flagged semantic trap).
+    Rows with NULL ``value`` are excluded outright, as documented.
+
     Shape: ONE scan, one map-side-combinable 6-column fold, 1-row
     output — nothing here grows with the corpus.
 
     Output: n1, n2, mean_a, mean_b, var_a, var_b, t2, welch_df.
     """
-    g = df.select(F.col(value).alias("__x"), in_a.alias("__a")).filter(
-        F.col("__x").isNotNull()
-    )
+    g = df.select(
+        F.col(value).alias("__x"),
+        F.coalesce(in_a, F.lit(False)).alias("__a"),
+    ).filter(F.col("__x").isNotNull())
     xd = F.col("__x").cast(_D38)
     tot = g.agg(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("n1"),
@@ -658,6 +667,18 @@ def kendall_tau_daily(
     any day axis under ~8000 years, so every float here is a single
     correctly-rounded op on exact ints.
 
+    NULL handling (the :func:`welch_t` contract): a row with a NULL
+    day or NULL in EITHER measure is excluded up front — previously a
+    NULL measure left the pair in ``n_pairs`` but in none of
+    concordant/discordant/ties, silently inflating the tau-b
+    denominators (advisor-flagged drift from the statistic's
+    definition on dirty input).
+
+    Caller contract: ``daily`` must hold at most ONE row per day (the
+    output of a day-grain groupBy, as in q_kendall_tau).  Duplicate
+    days would add same-day pairs to no bucket on the ``>`` wedge but
+    would distort n_days/n_pairs; collapse duplicates first.
+
     1-row output: n_days, n_pairs, n_concordant, n_discordant, ties_x,
     ties_y, tau_num, tau_b_sq_signed.
     """
@@ -667,6 +688,10 @@ def kendall_tau_daily(
         ),
         F.col(x).alias("__x"),
         F.col(y).alias("__y"),
+    ).filter(
+        F.col("__day").isNotNull()
+        & F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
     )
     a = g.select(
         F.col("__day").alias("__da"),

@@ -489,7 +489,12 @@ def binseg_changepoint(daily: DataFrame, day: str, cnt: str) -> DataFrame:
             ).alias("sse_total"),
         ).alias("__b")
     )
-    best = scored.agg(F.min("__b").alias("b"))
+    # empty/degenerate input (0- or 1-day series: no __k < n_days
+    # candidate) leaves agg(min(struct)) with ONE all-NULL row while
+    # the oracle's ORDER BY ... LIMIT 1 returns ZERO — filter the NULL
+    # struct so both engines agree (advisor finding, the
+    # gini_best_split twin)
+    best = scored.agg(F.min("__b").alias("b")).where(F.col("b").isNotNull())
     return best.select(
         F.col("b.n_days").alias("n_days"),
         F.col("b.split_day").alias("split_day"),

@@ -5581,23 +5581,25 @@ PINNED_27: tuple[str, ...] = (
     "q_approx_stats",
 )
 
-#: Slots 28-50 (r10 rotation): the 3 r9 driver-red rows re-pinned for
-#: re-verification after the decimal-face fix (q_rank_sum/q_ks_stat/
-#: q_cusum — values were bit-identical, the face schema was the bug),
-#: then ALL 13 remaining never-checked queue entries per
-#: docs/DRIVER_WINDOW.md (draining the verification-debt queue to zero),
-#: then the 7 oldest single-round-checked rows (r01-only, registration
-#: order) as re-verification fill.  All 23 are oracle-backed; the only
-#: rows-only entry in this window is the pinned ``q_approx_stats``.
+#: Slots 28-50 (r11 rotation): the 13 r10 LATE-BATCH registrations that
+#: have never seen the driver (the whole docs/DRIVER_WINDOW.md queue —
+#: draining the verification debt back to zero, r10 verdict item 1),
+#: then the 10 oldest single-round-checked rows from the
+#: last-driver-checked ledger (all last checked in r01, 10 rounds ago
+#: under an older harness; registration order — r10 verdict item 5).
+#: All 23 are oracle-backed; the only rows-only entry in this window is
+#: the pinned ``q_approx_stats``.  No face may be registered after this
+#: tuple freezes: new faces land ONLY in free tail slots of the round
+#: they are registered in (r10 verdict hard rule), and this round has
+#: none free.
 WINDOW_TAIL: tuple[str, ...] = (
-    "q_rank_sum", "q_ks_stat", "q_cusum",
-    "q_autocorr", "q_interval_coverage", "q_collocations", "q_hhi",
-    "q_simpson", "q_fd_violations", "q_skyline", "q_spearman",
-    "q_runs_test", "q_mann_kendall", "q_kanonymity", "q_chisq",
-    "q_edit2_join",
-    "q_mcnemar",
-    "q_theilsen", "q_kappa", "q_cochran_armitage",
-    "q_mad_outliers", "q_leakage_split", "q_hh_twopass",
+    "q_welch_t", "q_kruskal", "q_kendall_tau", "q_anova_cells",
+    "q_hits", "q_bfs_hops", "q_link_pred", "q_assortativity",
+    "q_systematic_sample", "q_lexical_diversity", "q_poisson_bootstrap",
+    "q_gini_split", "q_changepoint",
+    "q_quality_score", "q_lang_id", "q_token_count", "q_fingerprint",
+    "q_window_counts", "q_tpch_pricing", "q_revenue_by_customer",
+    "q_centroids", "q_salted_counts", "q_region_rollup",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
@@ -9874,17 +9876,20 @@ FROM flags
 
 # q_welch_t: exact HUGEINT ingredients, VARCHAR-routed to double, then
 # the IDENTICAL IEEE expression tree as operators/stats.py:welch_t.
+# Group B via IS DISTINCT FROM: a NULL-lang row lands in group B, the
+# operator's coalesce(in_a, FALSE) convention (NULL-counts-as-negative).
 ORACLES["q_welch_t"] = """
 WITH agg AS (
   SELECT
     CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n1,
-    CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS n2,
+    CAST(count(*) FILTER (WHERE lang IS DISTINCT FROM 'en') AS BIGINT) AS n2,
     sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s1,
-    sum(CASE WHEN lang <> 'en' THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s2,
+    sum(CASE WHEN lang IS DISTINCT FROM 'en'
+         THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS s2,
     sum(CASE WHEN lang = 'en'
          THEN CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)
          ELSE 0 END) AS q1,
-    sum(CASE WHEN lang <> 'en'
+    sum(CASE WHEN lang IS DISTINCT FROM 'en'
          THEN CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)
          ELSE 0 END) AS q2
   FROM documents WHERE n_chars IS NOT NULL),
@@ -9947,13 +9952,17 @@ ORDER BY lang
 """
 
 # q_kendall_tau: bounded day-axis pair wedge, exact tie-aware counts,
-# sqrt-free signed tau-b square.
+# sqrt-free signed tau-b square.  The outer NULL filter replays the
+# operator's up-front exclusion of NULL day/measure rows (no-op on
+# clean data: x/y are COUNTs here).
 ORACLES["q_kendall_tau"] = """
 WITH g AS (
-  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
-         CAST(count(*) AS BIGINT) AS x,
-         CAST(count(DISTINCT o_custkey) AS BIGINT) AS y
-  FROM orders GROUP BY 1),
+  SELECT * FROM (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS y
+    FROM orders GROUP BY 1)
+  WHERE d IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL),
 p AS (
   SELECT b.x - a.x AS dx, b.y - a.y AS dy
   FROM g a JOIN g b ON b.d > a.d),

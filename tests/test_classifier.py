@@ -388,3 +388,19 @@ def test_gini_best_split_null_label_counts_negative(spark):
     rb = gini_best_split(b, "x", F.col("lang") == "en").collect()[0]
     assert ra["n_total"] == 5 and ra["pos_total"] == 2
     assert (ra["threshold"], ra["gini_split"]) == (rb["threshold"], rb["gini_split"])
+
+
+def test_gini_best_split_empty_input_returns_zero_rows(spark):
+    """agg(min(struct)) on an all-NULL feature must not emit the
+    one-all-NULL-row artifact: the DuckDB oracle's ORDER BY ... LIMIT 1
+    returns zero rows on the same input, and the driver compares row
+    counts (advisor finding r10)."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.classifier import gini_best_split
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 0)], "x int, y int"
+    )
+    out = gini_best_split(df, "x", F.col("y") == 1)
+    assert out.count() == 0

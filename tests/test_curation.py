@@ -620,3 +620,36 @@ def test_systematic_sample_duplicate_keys_are_deterministic(spark):
             expect.append((k, w, p))
         p += w
     assert outs[0] == sorted(expect)
+
+
+def test_systematic_sample_rejects_negative_weight(spark):
+    """Negative weights break the monotone cumulative walk and diverge
+    cross-engine under integer division (Spark div truncates, DuckDB //
+    floors) — guarded by a declarative raise_error at scan time
+    (advisor finding r10)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from npm_mirror_spark.operators.curation import (
+        systematic_sample_by_weight,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", -3), ("c", 5)], "k string, w long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        systematic_sample_by_weight(df, "k", "w", 8).collect()
+    assert "negative w" in str(ei.value)
+
+
+def test_systematic_sample_zero_weight_never_sampled(spark):
+    from npm_mirror_spark.operators.curation import (
+        systematic_sample_by_weight,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 0), ("c", 10)], "k string, w long"
+    )
+    kept = {r["k"] for r in systematic_sample_by_weight(df, "k", "w", 10).collect()}
+    assert "b" not in kept

@@ -76,6 +76,30 @@ def test_queue_plus_checked_covers_registry():
     )
 
 
+def test_ledger_matches_correctness_files():
+    """The last-driver-checked ledger in docs/DRIVER_WINDOW.md must be
+    byte-equal to what tools/driver_ledger.py regenerates from the
+    CORRECTNESS_r*.json files — rotation priority is mechanical (r10
+    verdict item 5) only if the doc cannot drift from the driver's own
+    records."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import driver_ledger
+    finally:
+        sys.path.pop(0)
+
+    doc = (REPO / "docs" / "DRIVER_WINDOW.md").read_text()
+    m = re.search(r"<!-- ledger:begin -->\n(.*?)\n<!-- ledger:end -->", doc, re.S)
+    assert m, "DRIVER_WINDOW.md lost its ledger block"
+    expected = driver_ledger.render(driver_ledger.last_checked())
+    assert m.group(1) == expected, (
+        "ledger stale — regenerate with `python tools/driver_ledger.py` "
+        "and paste between the ledger markers"
+    )
+
+
 def test_driver_window_doc_matches_registry_head():
     """docs/DRIVER_WINDOW.md's claim about slots 28-50 must match the
     actual dict order the driver will see."""

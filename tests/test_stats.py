@@ -529,3 +529,45 @@ def test_kendall_tau_fully_tied_axis_reports_null(spark):
     row = kendall_tau_daily(df, "day", "x", "y").collect()[0]
     assert row["ties_x"] == row["n_pairs"]
     assert row["tau_b_sq_signed"] is None
+
+
+def test_welch_t_null_predicate_rows_land_in_group_b(spark):
+    """A row whose in_a predicate evaluates to NULL joins group B
+    (coalesce-to-FALSE contract, advisor finding r10) — previously such
+    rows were silently dropped from both groups."""
+    from npm_mirror_spark.operators.stats import welch_t
+
+    df = spark.createDataFrame(
+        [(10, "en"), (20, "en"), (30, "de"), (40, None), (50, None)],
+        "x long, lang string",
+    )
+    row = welch_t(df, "x", F.col("lang") == "en").collect()[0]
+    assert row["n1"] == 2
+    assert row["n2"] == 3  # 'de' + the two NULL-lang rows
+    assert row["mean_b"] == (30 + 40 + 50) / 3
+
+
+def test_kendall_tau_null_measure_rows_excluded(spark):
+    """A day with a NULL measure is excluded up front (advisor finding
+    r10) — previously it inflated n_pairs while landing in none of
+    concordant/discordant/ties."""
+    from npm_mirror_spark.operators.stats import kendall_tau_daily
+
+    data = [
+        ("2024-01-01", 1, 10),
+        ("2024-01-02", 2, None),
+        ("2024-01-03", 3, 30),
+        ("2024-01-04", None, 40),
+    ]
+    df = spark.createDataFrame(data, "day string, x int, y int")
+    row = kendall_tau_daily(df, "day", "x", "y").collect()[0]
+    assert row["n_days"] == 2
+    assert row["n_pairs"] == 1
+    assert (
+        row["n_concordant"]
+        + row["n_discordant"]
+        + row["ties_x"]
+        + row["ties_y"]
+        >= row["n_pairs"]
+    )
+    assert row["n_concordant"] == 1

@@ -260,3 +260,15 @@ def test_binseg_changepoint_constant_series_gain_zero(spark):
     assert row["sse_split"] == 0.0 and row["gain"] == 0.0
     # tie on cost: smallest day wins (deterministic argmin)
     assert row["n_left"] == 1
+
+
+def test_binseg_changepoint_degenerate_series_returns_zero_rows(spark):
+    """A 0- or 1-day series has no split candidate; the face must
+    return ZERO rows like the oracle's ORDER BY ... LIMIT 1, not the
+    agg(min(struct)) all-NULL row (advisor finding r10)."""
+    from npm_mirror_spark.operators.temporal import binseg_changepoint
+
+    one = spark.createDataFrame([("2024-01-01", 5)], "day string, x long")
+    assert binseg_changepoint(one, "day", "x").count() == 0
+    empty = spark.createDataFrame([], "day string, x long")
+    assert binseg_changepoint(empty, "day", "x").count() == 0
