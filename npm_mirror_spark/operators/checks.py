@@ -604,3 +604,164 @@ def mcnemar_paired(
             (diff * diff).cast("double") / disc.cast("double"),
         ).alias("mcnemar_x2"),
     )
+
+
+def gk_gamma(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Goodman–Kruskal gamma between two ORDINAL columns — the
+    association direction :func:`chisq_independence_cells` (which is
+    sign-blind) cannot give: do higher quality tiers come with higher
+    dedup survival, and how strongly?  gamma = (C - D) / (C + D) over
+    concordant/discordant pairs, the ordinal analogue of Kendall's tau
+    that ignores ties entirely.
+
+    Exactness: C and D are EXACT integers (products and sums of cell
+    counts — order-independent, no float accumulation anywhere), and
+    gamma is ONE correctly-rounded IEEE division — the q_kappa
+    contract.
+
+    Bounded-domain contract (the :func:`chisq_independence_cells`
+    assumption): both columns must have small categorical/ordinal
+    domains — the (x, y) cell table is self-joined on x-order, so the
+    work is |cells|^2, fine for tier x bucket tables and wrong for
+    raw continuous axes (bucket first).  NULLs in either column are
+    excluded (no ordinal position).
+
+    Output (one row): n_rows, n_cells, concordant, discordant, gamma
+    (NULL when every pair is tied, e.g. a single cell).
+    """
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    pairs = a.join(b, F.col("__xa") < F.col("__xb")).select(
+        (d38("__ca") * d38("__cb")).cast("decimal(38,0)").alias("__p"),
+        (F.col("__ya") < F.col("__yb")).alias("__conc"),
+        (F.col("__ya") > F.col("__yb")).alias("__disc"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    tot = pairs.agg(
+        F.sum(F.when(F.col("__conc"), F.col("__p")).otherwise(zero))
+        .cast("decimal(38,0)")
+        .alias("__cc"),
+        F.sum(F.when(F.col("__disc"), F.col("__p")).otherwise(zero))
+        .cast("decimal(38,0)")
+        .alias("__dd"),
+    )
+    meta = g.agg(F.count(F.lit(1)).alias("n_rows"))
+    ncells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    cc = F.coalesce(F.col("__cc"), zero)
+    dd = F.coalesce(F.col("__dd"), zero)
+    return (
+        tot.crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(ncells))
+        .select(
+            "n_rows",
+            "n_cells",
+            cc.cast("double").alias("concordant"),
+            dd.cast("double").alias("discordant"),
+            F.when(
+                (cc + dd) > 0,
+                (cc - dd).cast("double") / (cc + dd).cast("double"),
+            ).alias("gamma"),
+        )
+    )
+
+
+def cochran_q_cells(
+    df: DataFrame, block: str, treatment: str, success: str
+) -> DataFrame:
+    """Cochran's Q for k paired BINARY outcomes, reported per treatment
+    plus derivation columns — the k-treatment generalization of
+    :func:`mcnemar_paired` (k=2 reduces to McNemar without the
+    continuity correction): did any of k pipeline variants change a
+    binary pass-rate on the SAME blocks (documents, days)?
+
+    Complete-block contract (the :func:`friedman_cells` design): rows
+    with NULL block/treatment/success are dropped, then only blocks
+    with exactly one row for every one of the k global treatments
+    survive.  ``success`` must be 0/1-valued (int or boolean; booleans
+    are cast).
+
+    Exactness: T_j (per-treatment successes), B_i (per-block
+    successes), Sigma B_i and Sigma B_i^2 are all exact integers;
+    Q = (k-1) * (k*Sigma T_j^2 - G^2) / (k*Sigma B_i - Sigma B_i^2)
+    with G = Sigma T_j is exact-int numerator over exact-int
+    denominator — reported per treatment as t_j plus the broadcast
+    block-side sums, so Q itself is ONE division away (and emitted as
+    ``q_stat`` on every row, NULL when the denominator is zero —
+    every block all-success or all-failure).
+
+    Output per treatment: treatment, t_j, k_treatments, n_blocks,
+    sum_b, sum_b2, q_stat.
+    """
+    s = F.col(success).cast("int")
+    g = df.select(
+        F.col(block).alias("__b"),
+        F.col(treatment).alias("__t"),
+        s.alias("__s"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__s").isNotNull()
+    )
+    kf = g.select(F.countDistinct("__t").alias("__k"))
+    per_b = g.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.countDistinct("__t").alias("__nt"),
+        F.sum("__s").alias("__bs"),
+    )
+    complete = (
+        per_b.crossJoin(F.broadcast(kf))
+        .where((F.col("__nr") == F.col("__k")) & (F.col("__nt") == F.col("__k")))
+        .select("__b", "__bs")
+    )
+    gc = g.join(complete.select("__b"), "__b", "left_semi")
+    d38 = "decimal(38,0)"
+    per_t = gc.groupBy("__t").agg(
+        F.sum("__s").cast(d38).alias("__tj"),
+    )
+    bsums = complete.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("__bs").cast(d38)).cast(d38).alias("__sb"),
+        F.sum(F.col("__bs").cast(d38) * F.col("__bs").cast(d38))
+        .cast(d38)
+        .alias("__sb2"),
+    )
+    tsums = per_t.agg(
+        F.count(F.lit(1)).alias("k_treatments"),
+        F.sum("__tj").cast(d38).alias("__g"),
+        F.sum(F.col("__tj") * F.col("__tj")).cast(d38).alias("__t2"),
+    )
+    kd = F.col("k_treatments").cast(d38)
+    num = (
+        (kd - 1)
+        * (kd * F.col("__t2") - F.col("__g") * F.col("__g"))
+    ).cast(d38)
+    den = (kd * F.col("__sb") - F.col("__sb2")).cast(d38)
+    return (
+        per_t.crossJoin(F.broadcast(bsums))
+        .crossJoin(F.broadcast(tsums))
+        .select(
+            F.col("__t").alias(treatment),
+            F.col("__tj").cast("double").alias("t_j"),
+            "k_treatments",
+            "n_blocks",
+            F.col("__sb").cast("double").alias("sum_b"),
+            F.col("__sb2").cast("double").alias("sum_b2"),
+            F.when(
+                den > 0, num.cast("double") / den.cast("double")
+            ).alias("q_stat"),
+        )
+        .orderBy(treatment)
+    )

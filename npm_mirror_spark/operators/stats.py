@@ -927,3 +927,307 @@ def poisson_bootstrap_mean(
             F.col("s").cast("double") / F.col("n_eff").cast("double"),
         ).alias("mean"),
     )
+
+
+def friedman_cells(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Friedman two-way rank test decomposition, reported PER TREATMENT
+    — the blocked-design companion to :func:`kruskal_cells` (did any
+    treatment shift, with block-to-block level differences removed?),
+    under the same no-cross-group-float-sum contract: every reported
+    float is a fixed IEEE op on exact integers, so the statistic
+    chi2_F = (k-1) * Sigma(chi2_term_x4) / (something derivable) — see
+    below — is a one-liner derivation and the face replays bit-for-bit
+    in any engine.
+
+    Complete-block contract: rows with a NULL block/treatment/value are
+    dropped, then only COMPLETE blocks survive — blocks holding exactly
+    one non-NULL row for every one of the k global treatments (the
+    classical Friedman design; incomplete blocks would need Durbin's
+    test).  Ranks are WITHIN-block midranks, doubled to stay integer
+    (the :func:`rank_sum_test` identity): doubled midrank =
+    2*prior + ties + 1 with prior/ties counted by a RANGE-framed window
+    PARTITIONED BY block — every window partition is bounded by k, so
+    there is no unbounded sort at 100 TB.
+
+    Output per treatment: treatment, n_blocks, k_treatments,
+    rank_sum_x2 (= 2*R_j, exact-int-valued double), mean_rank
+    (= R_j / n, one IEEE division), chi2_term_x4
+    (= (2*R_j - n*(k+1))^2, exact-int-valued double: the doubled,
+    squared deviation of R_j from its null mean n(k+1)/2).  Without
+    ties chi2_F = 3 * Sigma(chi2_term_x4) / (n*k*(k+1)); the tie
+    correction needs the per-block tie profile and is deliberately out
+    of scope (document in the face if needed).
+
+    Shape: one complete-block semi-join (two bounded aggregates), one
+    k-bounded window, one per-treatment fold + a broadcast 1-row k/n
+    frame — output bounded by k.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(block).alias("__b"),
+        F.col(treatment).alias("__t"),
+        F.col(value).alias("__x"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    kf = g.select(F.countDistinct("__t").alias("__k"))
+    # complete blocks: exactly k rows AND k distinct treatments
+    per_b = g.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.countDistinct("__t").alias("__nt"),
+    )
+    complete = (
+        per_b.crossJoin(F.broadcast(kf))
+        .where((F.col("__nr") == F.col("__k")) & (F.col("__nt") == F.col("__k")))
+        .select("__b")
+    )
+    gc = g.join(complete, "__b", "left_semi")
+    w = Window.partitionBy("__b").orderBy("__x")
+    prior = F.count(F.lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
+    ranked = gc.select(
+        "__t", (F.lit(2) * prior + ties + F.lit(1)).alias("__mr2")
+    )
+    per_t = ranked.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("__mr2").cast(_D38)).cast(_D38).alias("__r2"),
+    )
+    kn = gc.agg(
+        F.countDistinct("__t").alias("k_treatments"),
+        F.countDistinct("__b").alias("__n"),
+    )
+    r2d = F.col("__r2").cast("double")
+    dev = (
+        F.col("__r2")
+        - (F.col("__n").cast(_D38) * (F.col("k_treatments") + 1).cast(_D38))
+    ).cast(_D38)
+    return (
+        per_t.crossJoin(F.broadcast(kn))
+        .select(
+            F.col("__t").alias(treatment),
+            "n_blocks",
+            "k_treatments",
+            r2d.alias("rank_sum_x2"),
+            (r2d / (F.lit(2) * F.col("n_blocks")).cast("double")).alias(
+                "mean_rank"
+            ),
+            (dev.cast("double") * dev.cast("double")).alias("chi2_term_x4"),
+        )
+        .orderBy(treatment)
+    )
+
+
+def brown_forsythe_cells(
+    df: DataFrame, value: str, group: str
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity decomposition, reported PER
+    GROUP — Levene's test with the robust MEDIAN center (Brown &
+    Forsythe 1974): one-way ANOVA on the absolute deviations from each
+    group's median.  The k-sample spread question welch/kruskal/anova
+    (location tests) cannot answer: did the new crawl widen a source's
+    length distribution even if the mean held?
+
+    Determinism contract: ``value`` must be integer-typed.  The group
+    median is kept exact by DOUBLING (the :func:`rank_sum_test`
+    identity): med2 = lower-median + upper-median is an integer, and
+    z2 = |2x - med2| is an exact integer whose constant factor 2
+    cancels in the F ratio.  The per-group median is found on the
+    distinct-VALUE axis (one groupBy collapse, then a window
+    PARTITIONED BY group over distinct values — bounded by the value
+    domain, the :func:`kendall_tau_daily` contract; corpus-scale
+    continuous axes should bucket first).  The ANOVA fold on z2 then
+    follows :func:`anova_cells` exactly.
+
+    Output per group: group, n_i, sum_i, mean_i, within_ss,
+    between_term, n_total, grand_mean — all in z2 units; the
+    Brown–Forsythe W = (Sigma between/(k-1)) / (Sigma within/(N-k)) is
+    the same one-liner derivation as anova_cells' F.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(F.col(group).alias("__g"), F.col(value).alias("__x")).filter(
+        F.col("__g").isNotNull() & F.col("__x").isNotNull()
+    )
+    vg = g.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__g").orderBy("__x")
+    cum = F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_cum = vg.select(
+        "__g",
+        "__x",
+        "__c",
+        cum.alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n"),
+    )
+    # lower median at position floor((n+1)/2), upper at floor(n/2)+1:
+    # the min value whose cumulative count reaches the position
+    lo_pos = F.floor((F.col("__n") + 1) / 2)
+    hi_pos = F.floor(F.col("__n") / 2) + 1
+    med = with_cum.groupBy("__g").agg(
+        F.min(F.when(F.col("__cum") >= lo_pos, F.col("__x"))).alias("__mlo"),
+        F.min(F.when(F.col("__cum") >= hi_pos, F.col("__x"))).alias("__mhi"),
+    )
+    z = g.join(med, "__g").select(
+        "__g",
+        F.abs(
+            F.lit(2) * F.col("__x").cast(_D38)
+            - (F.col("__mlo").cast(_D38) + F.col("__mhi").cast(_D38))
+        )
+        .cast(_D38)
+        .alias("__z2"),
+    )
+    return anova_cells(z, "__z2", "__g").withColumnRenamed("__g", group)
+
+
+def jonckheere_cells(
+    df: DataFrame, value: str, group_ord: str
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered-trend decomposition, reported PER
+    ORDERED GROUP PAIR — the k-sample trend test kruskal (unordered
+    alternatives) and cochran_armitage (binary outcome) cannot give:
+    does the measure INCREASE along an ordered factor (week number,
+    quality tier, model size)?  JT = Sigma_{a<b} U_ab over all ordered
+    group pairs, each U_ab the Mann–Whitney count for the pair.
+
+    Exactness: U_ab doubled stays integer under midrank ties —
+    u_x2 = Sigma_v c_b(v) * (2*prior_a(v) + ties_a(v)) with prior_a the
+    count of group a strictly below v.  All reported columns are exact
+    integers; JT itself (Sigma u_x2 / 2) is an exact-integer one-liner
+    (integer sums are order-independent, unlike the float sums the
+    cells contract exists to avoid).
+
+    Shape: one (group, value) collapse; the distinct-value axis is
+    crossed with the k groups (axis x k rows) so every group has a
+    prefix row at every value — per-group prefixes via a window
+    PARTITIONED BY group over the distinct-value axis (bounded by the
+    value domain, the :func:`brown_forsythe_cells` contract), then a
+    value-keyed self-join filtered to ordered pairs (axis x k^2 rows,
+    k small) and one per-pair fold.  Output bounded by k*(k-1)/2.
+
+    Output per pair: g_lo, g_hi, n_lo, n_hi, u_x2 (exact-int double).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(group_ord).alias("__g"), F.col(value).alias("__x")
+    ).filter(F.col("__g").isNotNull() & F.col("__x").isNotNull())
+    vg = g.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    axis = vg.select("__x").distinct()
+    groups = vg.select("__g").distinct()
+    grid = (
+        axis.crossJoin(F.broadcast(groups))
+        .join(vg, ["__g", "__x"], "left")
+        .select("__g", "__x", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("__x")
+    pri = grid.select(
+        "__g",
+        "__x",
+        "__c",
+        F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__prior"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n"),
+    )
+    a = pri.select(
+        F.col("__g").alias("g_lo"),
+        F.col("__x").alias("__x"),
+        F.col("__c").alias("__ca"),
+        F.col("__prior").alias("__pa"),
+        F.col("__n").alias("n_lo"),
+    )
+    b = pri.select(
+        F.col("__g").alias("g_hi"),
+        F.col("__x").alias("__x"),
+        F.col("__c").alias("__cb"),
+        F.col("__n").alias("n_hi"),
+    )
+    pairs = a.join(b, "__x").where(F.col("g_lo") < F.col("g_hi"))
+    term = F.col("__cb").cast(_D38) * (
+        F.lit(2) * F.col("__pa") + F.col("__ca")
+    ).cast(_D38)
+    return (
+        pairs.groupBy("g_lo", "g_hi", "n_lo", "n_hi")
+        .agg(F.sum(term).cast(_D38).cast("double").alias("u_x2"))
+        .orderBy("g_lo", "g_hi")
+    )
+
+
+def durbin_watson_by(
+    df: DataFrame, group: str, order_col: str, value: str
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation statistic per group
+    over the mean-centered series — the residual-independence audit
+    :func:`~npm_mirror_spark.operators.temporal.autocorr1_daily`'s
+    lag-1 correlation complements (DW ~ 2(1-rho); DW is the form
+    regression practice quotes and tables).
+
+    Exactness via scale invariance: DW is invariant to scaling the
+    centered series, so instead of e_t = x_t - S/n (a rational) we use
+    n*e_t = n*x_t - S — an exact integer when ``value`` is
+    integer-typed.  num = Sigma_t (ne_t - ne_{t-1})^2 and
+    den = Sigma_t ne_t^2 accumulate as exact DECIMAL(38,0) (the n^2
+    factor cancels in the ratio) and dw = num/den is ONE correctly-
+    rounded IEEE division — the q_kappa contract.
+
+    Ordering contract: ``order_col`` must be unique within each group
+    (a day axis); the lag window orders by (order_col, value) so
+    accidental duplicates stay deterministic, but the statistic's
+    meaning requires the caller's axis to be a proper time series.
+    The lag window sorts each group once — the :func:`q_lag` class.
+
+    Output per group: group, n, num (double of exact), den, dw
+    (NULL when the centered series is identically zero or n < 2).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(group).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value).alias("__x"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__o").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    tot = g.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast(_D38)).cast(_D38).alias("__s"),
+    )
+    j = g.join(tot, "__g")
+    ne = (
+        F.col("__n").cast(_D38) * F.col("__x").cast(_D38) - F.col("__s")
+    ).cast(_D38)
+    w = Window.partitionBy("__g").orderBy("__o", "__x")
+    staged = j.select("__g", "__n", ne.alias("__ne"), F.col("__o"), F.col("__x"))
+    lagged = staged.select(
+        "__g",
+        "__n",
+        "__ne",
+        F.lag("__ne").over(w).alias("__nep"),
+    )
+    d = (F.col("__ne") - F.col("__nep")).cast(_D38)
+    out = lagged.groupBy("__g").agg(
+        F.max("__n").alias("n"),
+        F.sum(F.when(F.col("__nep").isNotNull(), d * d).otherwise(F.lit(0).cast(_D38)))
+        .cast(_D38)
+        .alias("__num"),
+        F.sum(F.col("__ne") * F.col("__ne")).cast(_D38).alias("__den"),
+    )
+    return out.select(
+        F.col("__g").alias(group),
+        "n",
+        F.col("__num").cast("double").alias("num"),
+        F.col("__den").cast("double").alias("den"),
+        F.when(
+            (F.col("__den") > 0) & (F.col("n") > 1),
+            F.col("__num").cast("double") / F.col("__den").cast("double"),
+        ).alias("dw"),
+    ).orderBy(group)

@@ -505,3 +505,64 @@ def binseg_changepoint(daily: DataFrame, day: str, cnt: str) -> DataFrame:
         F.col("b.sse_total").alias("sse_total"),
         (F.col("b.sse_total") - F.col("b.sse_split")).alias("gain"),
     )
+
+
+def km_cells(
+    df: DataFrame,
+    group: str,
+    duration: str,
+    event: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit EVENT TABLE per group — the
+    time-to-event surface (how long until a document is superseded, a
+    user churns, an order ships) reported as exact integers so the
+    oracle replays bit-for-bit: one row per (group, distinct duration)
+    with the at-risk count, events and censorings AT that time.
+
+    The survival curve itself is S(t) = prod_{u<=t} (1 - d_u/n_u) — a
+    cumulative FLOAT product whose per-group evaluation order two
+    engines may round differently, so (like the chi2 scalar in
+    :func:`~npm_mirror_spark.operators.checks.chisq_independence_cells`)
+    it is deliberately left as a consumer one-liner over this bounded
+    table; every emitted number here is an exact integer.
+
+    Semantics: ``event`` is 0/1 (1 = the event happened at
+    ``duration``, 0 = censored at ``duration``); rows with NULL
+    group/duration/event are dropped.  n_risk(t) = subjects with
+    duration >= t = group total minus all subjects with duration < t —
+    a strictly-prior cumulative over the per-group distinct-duration
+    axis (window PARTITIONED BY group over distinct durations — the
+    :func:`~npm_mirror_spark.operators.stats.brown_forsythe_cells`
+    bounded-by-domain contract: duration axes are days/weeks, not raw
+    floats).
+
+    Output: group, t (the duration value), n_risk, d (events), c
+    (censored) — ordered by (group, t).
+    """
+    g = df.select(
+        F.col(group).alias("__g"),
+        F.col(duration).alias("__t"),
+        F.col(event).cast("int").alias("__e"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__e").isNotNull()
+    )
+    per_t = g.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__e").alias("d"),
+        F.sum(F.lit(1) - F.col("__e")).alias("c"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    prior = F.coalesce(
+        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("__n").over(Window.partitionBy("__g"))
+    return per_t.select(
+        F.col("__g").alias(group),
+        F.col("__t").alias("t"),
+        (total - prior).alias("n_risk"),
+        "d",
+        "c",
+    ).orderBy(group, "t")

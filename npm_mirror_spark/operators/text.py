@@ -635,3 +635,102 @@ def lexical_diversity_by(
             "hapax_frac"
         ),
     ).orderBy(group)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    thresholds: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (95, 100), (99, 100)),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each mass threshold p, the number
+    of most-frequent token TYPES needed to cover at least p of the
+    corpus token mass — the tokenizer-sizing question (how big must a
+    vocab be to cover 95% of running text?) that
+    :func:`lexical_diversity_by` (type/token ratios) and the BPE
+    trainer (merge learning) do not answer.
+
+    Division-free thresholding (the weighted-median contract):
+    thresholds arrive as exact (num, den) rationals and the crossing
+    test is the cross-multiplied integer comparison
+    ``cum_mass * den >= num * total_mass``.  Token types collapse to
+    COUNT CLASSES first (one row per distinct frequency — the axis a
+    Zipf tail keeps tiny), so the descending cumulative runs on the
+    bounded class axis via
+    :func:`~npm_mirror_spark.operators.classifier._with_prior_sums`
+    (every window bounded by the range-bucket key — no single-reducer
+    vocab sort at 100 TB).  Coverage is reported at count-class
+    granularity: all types in the crossing class are taken (types tied
+    on frequency are interchangeable), so ``k_types`` is the smallest
+    class-boundary vocabulary covering >= p.
+
+    Output per threshold: p_num, p_den, cutoff_count (the crossing
+    class frequency), k_types, covered_mass, total_types, total_mass —
+    all exact integers.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    d38 = "decimal(38,0)"
+    toks = df.select(
+        F.explode(ws_tokens(text_col)).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    tf = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    cls = tf.groupBy("__c").agg(F.count(F.lit(1)).alias("__types"))
+    cls = cls.select(
+        "__c",
+        "__types",
+        (F.col("__c").cast(d38) * F.col("__types").cast(d38))
+        .cast(d38)
+        .alias("__mass"),
+    )
+    pri = _with_prior_sums(cls, "__c", ("__types", "__mass"), descending=True)
+    tot = cls.agg(
+        F.sum("__types").alias("total_types"),
+        F.sum("__mass").cast(d38).alias("__total_mass"),
+    )
+    thr = tot.select(
+        "total_types",
+        "__total_mass",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(num)).alias("p_num"),
+                        F.lit(int(den)).alias("p_den"),
+                    )
+                    for num, den in thresholds
+                ]
+            )
+        ).alias("__p"),
+    ).select("total_types", "__total_mass", "__p.p_num", "__p.p_den")
+    cum_mass = (F.col("__prior___mass").cast(d38) + F.col("__mass")).cast(d38)
+    crossed = (
+        pri.crossJoin(F.broadcast(thr))
+        .where(
+            cum_mass * F.col("p_den").cast(d38)
+            >= F.col("p_num").cast(d38) * F.col("__total_mass")
+        )
+        .groupBy("p_num", "p_den")
+        .agg(F.max("__c").alias("cutoff_count"))
+    )
+    out = (
+        crossed.join(
+            pri.select(
+                F.col("__c").alias("cutoff_count"),
+                (F.col("__prior___types") + F.col("__types")).alias("k_types"),
+                cum_mass.cast("double").alias("covered_mass"),
+            ),
+            "cutoff_count",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_num",
+            "p_den",
+            "cutoff_count",
+            "k_types",
+            "covered_mass",
+            "total_types",
+            F.col("__total_mass").cast("double").alias("total_mass"),
+        )
+        .orderBy("p_num", "p_den")
+    )
+    return out

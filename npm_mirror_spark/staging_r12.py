@@ -1,0 +1,452 @@
+"""Staged registry faces for the r12 driver-window tail.
+
+The r11 window froze with ZERO free tail slots (27 pins + 13 late-batch
+drains + 10 staleness re-checks), and the hard rule since r11 is that
+new faces land ONLY in free tail slots of the round that registers them
+(docs/DRIVER_WINDOW.md) — so this round's new operators ship here:
+fully face-shaped (each callable takes (spark, sf_dir) and returns a
+DataFrame) with their DuckDB oracles, driven by the SAME harness
+comparison as the registry (tests/test_r11_ops.py), but NOT in
+``queries.QUERIES``.  The r12 rotation lifts these dicts into
+queries.py/__spark_entry__ verbatim and rotates them into that round's
+free tail slots.
+
+Every face follows the registry contracts: driver-hashable output
+types only (no decimal/array/map), aliased columns matching the oracle
+exactly, bounded plans (no unguarded cross products), and the
+exact-integer / fixed-IEEE-expression determinism the stats tier pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, event_type, n) — the complete-block fixture the blocked
+    designs (Friedman, Cochran Q) and the per-type day series (DW)
+    share."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_DAILY_SQL = """
+daily AS (
+  SELECT date_trunc('day', ts) AS d, event_type AS t, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked rank test over daily event-type counts: blocks
+    = days, treatments = event types — did any type's daily volume rank
+    persistently higher across days?  (operators/stats.py
+    friedman_cells; the reference has no statistics surface — SURVEY
+    §2.9 extension.)"""
+    from npm_mirror_spark.operators.stats import friedman_cells
+
+    return friedman_cells(_daily_counts(spark, sf_dir), "d", "t", "n")
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe spread-homogeneity cells over document lengths by
+    source — did a source's length DISTRIBUTION widen even where means
+    held?  (operators/stats.py brown_forsythe_cells.)"""
+    from npm_mirror_spark.operators.stats import brown_forsythe_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return brown_forsythe_cells(d, "n_chars", "source")
+
+
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-trend cells: does line quantity
+    trend with line number within orders?  Ordered groups =
+    l_linenumber, value = integer quantity.  (operators/stats.py
+    jonckheere_cells.)"""
+    from npm_mirror_spark.operators.stats import jonckheere_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return jonckheere_cells(li, "qty", "ln")
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson lag-1 statistic per event type over its daily
+    count series — the residual-independence audit for the volume
+    trend dashboards.  (operators/stats.py durbin_watson_by.)"""
+    from npm_mirror_spark.operators.stats import durbin_watson_by
+
+    return durbin_watson_by(_daily_counts(spark, sf_dir), "t", "d", "n")
+
+
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma between line number and quantity — the
+    signed ordinal association chi-square is blind to.
+    (operators/checks.py gk_gamma.)"""
+    from npm_mirror_spark.operators.checks import gk_gamma
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return gk_gamma(li, "ln", "qty")
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over k paired binary outcomes: blocks = days,
+    treatments = event types, success = the day's count for that type
+    above the GLOBAL daily mean (cross-multiplied integer test
+    n * n_cells > total, so no division enters) — did any type's
+    above-average days cluster differently?  (operators/checks.py
+    cochran_q_cells.)"""
+    from npm_mirror_spark.operators.checks import cochran_q_cells
+
+    daily = _daily_counts(spark, sf_dir)
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("__cells"),
+        F.sum("n").alias("__total"),
+    )
+    flagged = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "t",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("__cells").cast("decimal(38,0)")
+            > F.col("__total").cast("decimal(38,0)")
+        ).alias("succ"),
+    )
+    return cochran_q_cells(flagged, "d", "t", "succ")
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve over the documents corpus: token types
+    needed to cover 50/90/95/99% of running text.
+    (operators/text.py vocab_coverage.)"""
+    from npm_mirror_spark.operators.text import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text")
+
+
+def q_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier event table: time from order date to line shipment
+    by return flag, a line 'censored' when its status is still open
+    (l_linestatus = 'O').  (operators/temporal.py km_cells.)"""
+    from npm_mirror_spark.operators.temporal import km_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") == "F").cast("int").alias("ev"),
+    )
+    return km_cells(j, "flag", "dur", "ev")
+
+
+STAGED_QUERIES = {
+    "q_friedman": q_friedman,
+    "q_brown_forsythe": q_brown_forsythe,
+    "q_jonckheere": q_jonckheere,
+    "q_durbin_watson": q_durbin_watson,
+    "q_gk_gamma": q_gk_gamma,
+    "q_cochran_q": q_cochran_q,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_km_events": q_km_events,
+}
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+STAGED_ORACLES = {
+    "q_friedman": f"""
+WITH {_DAILY_SQL},
+k AS (SELECT count(DISTINCT t) AS k FROM daily),
+blocks AS (
+  SELECT d FROM daily GROUP BY d
+  HAVING count(*) = (SELECT k FROM k)
+     AND count(DISTINCT t) = (SELECT k FROM k)
+),
+gc AS (SELECT daily.* FROM daily JOIN blocks USING (d)),
+ranked AS (
+  SELECT t,
+    2 * coalesce(count(*) OVER (
+          PARTITION BY d ORDER BY n
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + count(*) OVER (PARTITION BY d ORDER BY n RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+      + 1 AS mr2
+  FROM gc
+),
+per_t AS (
+  SELECT t, count(*) AS n_blocks, sum(CAST(mr2 AS HUGEINT)) AS r2
+  FROM ranked GROUP BY t
+),
+kn AS (
+  SELECT count(DISTINCT t) AS k_treatments, count(DISTINCT d) AS n
+  FROM gc
+)
+SELECT t,
+  n_blocks,
+  k_treatments,
+  CAST(r2 AS DOUBLE) AS rank_sum_x2,
+  CAST(r2 AS DOUBLE) / CAST(2 * n_blocks AS DOUBLE) AS mean_rank,
+  CAST(r2 - CAST(n AS HUGEINT) * (k_treatments + 1) AS DOUBLE)
+    * CAST(r2 - CAST(n AS HUGEINT) * (k_treatments + 1) AS DOUBLE)
+    AS chi2_term_x4
+FROM per_t CROSS JOIN kn
+ORDER BY t
+""",
+    "q_brown_forsythe": """
+WITH vg AS (
+  SELECT source AS g, n_chars AS x, count(*) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+wc AS (
+  SELECT g, x, c,
+    sum(c) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY g) AS n
+  FROM vg
+),
+med AS (
+  SELECT g,
+    min(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS mlo,
+    min(CASE WHEN cum >= n // 2 + 1 THEN x END) AS mhi
+  FROM wc GROUP BY g
+),
+z AS (
+  SELECT d.source AS g,
+    abs(2 * CAST(d.n_chars AS HUGEINT) - (CAST(m.mlo AS HUGEINT) + m.mhi)) AS z2
+  FROM documents d JOIN med m ON d.source = m.g
+  WHERE d.n_chars IS NOT NULL
+),
+per AS (
+  SELECT g, count(*) AS n_i,
+    sum(z2) AS s,
+    sum(z2 * z2) AS q
+  FROM z GROUP BY g
+),
+tot AS (SELECT count(*) AS n_total, sum(z2) AS st FROM z)
+SELECT g AS source,
+  n_i,
+  CAST(s AS DOUBLE) AS sum_i,
+  CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE) AS mean_i,
+  CAST(CAST(n_i AS HUGEINT) * q - s * s AS DOUBLE) / CAST(n_i AS DOUBLE)
+    AS within_ss,
+  CAST(n_i AS DOUBLE)
+    * ((CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE)
+        - CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE))
+       * (CAST(s AS DOUBLE) / CAST(n_i AS DOUBLE)
+          - CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE)))
+    AS between_term,
+  n_total,
+  CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE) AS grand_mean
+FROM per CROSS JOIN tot
+ORDER BY source
+""",
+    "q_jonckheere": """
+WITH vg AS (
+  SELECT l_linenumber AS g, CAST(l_quantity AS BIGINT) AS x, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+axis AS (SELECT DISTINCT x FROM vg),
+grps AS (SELECT DISTINCT g FROM vg),
+grid AS (
+  SELECT grps.g, axis.x, coalesce(vg.c, 0) AS c
+  FROM axis CROSS JOIN grps
+  LEFT JOIN vg ON vg.g = grps.g AND vg.x = axis.x
+),
+pri AS (
+  SELECT g, x, c,
+    coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS p,
+    sum(c) OVER (PARTITION BY g) AS n
+  FROM grid
+)
+SELECT a.g AS g_lo, b.g AS g_hi,
+  CAST(a.n AS BIGINT) AS n_lo, CAST(b.n AS BIGINT) AS n_hi,
+  CAST(sum(CAST(b.c AS HUGEINT) * (2 * a.p + a.c)) AS DOUBLE) AS u_x2
+FROM pri a JOIN pri b ON a.x = b.x AND a.g < b.g
+GROUP BY 1, 2, 3, 4
+ORDER BY g_lo, g_hi
+""",
+    "q_durbin_watson": f"""
+WITH {_DAILY_SQL},
+tot AS (
+  SELECT t, count(*) AS nn, sum(CAST(n AS HUGEINT)) AS s
+  FROM daily GROUP BY t
+),
+ne AS (
+  SELECT daily.t, tot.nn,
+    CAST(tot.nn AS HUGEINT) * daily.n - tot.s AS ne,
+    lag(CAST(tot.nn AS HUGEINT) * daily.n - tot.s)
+      OVER (PARTITION BY daily.t ORDER BY daily.d, daily.n) AS nep
+  FROM daily JOIN tot ON daily.t = tot.t
+),
+agg AS (
+  SELECT t, max(nn) AS n,
+    sum(CASE WHEN nep IS NOT NULL THEN (ne - nep) * (ne - nep)
+             ELSE 0 END) AS num,
+    sum(ne * ne) AS den
+  FROM ne GROUP BY t
+)
+SELECT t, n,
+  CAST(num AS DOUBLE) AS num,
+  CAST(den AS DOUBLE) AS den,
+  CASE WHEN den > 0 AND n > 1
+       THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS dw
+FROM agg ORDER BY t
+""",
+    "q_gk_gamma": """
+WITH g AS (
+  SELECT l_linenumber AS x, CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+),
+cells AS (SELECT x, y, count(*) AS c FROM g GROUP BY x, y),
+pairs AS (
+  SELECT CAST(a.c AS HUGEINT) * b.c AS p,
+    a.y < b.y AS conc, a.y > b.y AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+tot AS (
+  SELECT coalesce(sum(CASE WHEN conc THEN p ELSE 0 END), 0) AS cc,
+         coalesce(sum(CASE WHEN disc THEN p ELSE 0 END), 0) AS dd
+  FROM pairs
+)
+SELECT (SELECT count(*) FROM g) AS n_rows,
+  (SELECT count(*) FROM cells) AS n_cells,
+  CAST(cc AS DOUBLE) AS concordant,
+  CAST(dd AS DOUBLE) AS discordant,
+  CASE WHEN cc + dd > 0
+       THEN CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE) END AS gamma
+FROM tot
+""",
+    "q_cochran_q": f"""
+WITH {_DAILY_SQL},
+gtot AS (SELECT count(*) AS cells, sum(CAST(n AS HUGEINT)) AS total FROM daily),
+flagged AS (
+  SELECT d, t,
+    CASE WHEN CAST(n AS HUGEINT) * gtot.cells > gtot.total
+         THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN gtot
+),
+k AS (SELECT count(DISTINCT t) AS k FROM flagged),
+per_b AS (
+  SELECT d, count(*) AS nr, count(DISTINCT t) AS nt, sum(s) AS bs
+  FROM flagged GROUP BY d
+),
+complete AS (
+  SELECT d, bs FROM per_b
+  WHERE nr = (SELECT k FROM k) AND nt = (SELECT k FROM k)
+),
+gc AS (SELECT f.* FROM flagged f JOIN complete USING (d)),
+per_t AS (SELECT t, sum(CAST(s AS HUGEINT)) AS tj FROM gc GROUP BY t),
+bsums AS (
+  SELECT count(*) AS n_blocks,
+    sum(CAST(bs AS HUGEINT)) AS sb,
+    sum(CAST(bs AS HUGEINT) * bs) AS sb2
+  FROM complete
+),
+tsums AS (
+  SELECT count(*) AS k_treatments,
+    sum(tj) AS g, sum(tj * tj) AS t2
+  FROM per_t
+)
+SELECT t,
+  CAST(tj AS DOUBLE) AS t_j,
+  k_treatments,
+  n_blocks,
+  CAST(sb AS DOUBLE) AS sum_b,
+  CAST(sb2 AS DOUBLE) AS sum_b2,
+  CASE WHEN CAST(k_treatments AS HUGEINT) * sb - sb2 > 0
+       THEN CAST((CAST(k_treatments AS HUGEINT) - 1)
+                 * (CAST(k_treatments AS HUGEINT) * t2 - g * g) AS DOUBLE)
+            / CAST(CAST(k_treatments AS HUGEINT) * sb - sb2 AS DOUBLE)
+       END AS q_stat
+FROM per_t CROSS JOIN bsums CROSS JOIN tsums
+ORDER BY t
+""",
+    "q_vocab_coverage": f"""
+WITH n AS (SELECT {_NORM} AS t FROM documents),
+toks AS (
+  SELECT unnest(str_split(t, ' ')) AS tok FROM n
+),
+tf AS (
+  SELECT tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY tok
+),
+cls AS (
+  SELECT c, count(*) AS types, CAST(c AS HUGEINT) * count(*) AS mass
+  FROM tf GROUP BY c
+),
+pri AS (
+  SELECT c, types, mass,
+    coalesce(sum(types) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ptypes,
+    coalesce(sum(mass) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmass
+  FROM cls
+),
+tot AS (SELECT sum(types) AS tt, sum(mass) AS tm FROM cls),
+thr AS (
+  SELECT * FROM (VALUES (50, 100), (90, 100), (95, 100), (99, 100))
+    AS v(p_num, p_den)
+),
+crossed AS (
+  SELECT thr.p_num, thr.p_den, max(pri.c) AS cutoff_count
+  FROM pri CROSS JOIN tot CROSS JOIN thr
+  WHERE (pri.pmass + pri.mass) * thr.p_den >= CAST(thr.p_num AS HUGEINT) * tot.tm
+  GROUP BY 1, 2
+)
+SELECT crossed.p_num, crossed.p_den, crossed.cutoff_count,
+  CAST(pri.ptypes + pri.types AS BIGINT) AS k_types,
+  CAST(pri.pmass + pri.mass AS DOUBLE) AS covered_mass,
+  CAST(tot.tt AS BIGINT) AS total_types,
+  CAST(tot.tm AS DOUBLE) AS total_mass
+FROM crossed
+JOIN pri ON pri.c = crossed.cutoff_count
+CROSS JOIN tot
+ORDER BY p_num, p_den
+""",
+    "q_km_events": """
+WITH j AS (
+  SELECT l.l_returnflag AS flag,
+    date_diff('day', o.o_orderdate, l.l_shipdate) AS dur,
+    CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_t AS (
+  SELECT flag, dur AS t, count(*) AS nn,
+    sum(ev) AS d, sum(1 - ev) AS c
+  FROM j GROUP BY flag, dur
+),
+cum AS (
+  SELECT flag, t, nn, d, c,
+    coalesce(sum(nn) OVER (PARTITION BY flag ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+    sum(nn) OVER (PARTITION BY flag) AS total
+  FROM per_t
+)
+SELECT flag, CAST(t AS INTEGER) AS t,
+  CAST(total - prior AS BIGINT) AS n_risk,
+  CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c
+FROM cum ORDER BY flag, t
+""",
+}

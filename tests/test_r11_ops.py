@@ -1,0 +1,195 @@
+"""r11 operator batch: unit tests with hand-computed expectations plus
+full oracle-parity drives of the staged r12 faces (staging_r12.py) —
+the same harness comparison the registry faces get, run BEFORE these
+faces are ever registered (the r10 lesson: driver verification is the
+only unfakeable signal, so staged faces pre-clear the identical bar)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.staging_r12 import STAGED_ORACLES, STAGED_QUERIES
+from tests.oracle_harness import compare, duckdb_con
+
+
+# ---------------------------------------------------------------- units
+
+
+def test_friedman_hand_example(spark):
+    """3 treatments x 4 complete blocks, classic textbook shape; one
+    incomplete block (b5 missing t3) must be dropped whole."""
+    from npm_mirror_spark.operators.stats import friedman_cells
+
+    rows = [
+        # block, treatment, value   (within-block ranks in comments)
+        ("b1", "t1", 10), ("b1", "t2", 20), ("b1", "t3", 30),  # 1,2,3
+        ("b2", "t1", 15), ("b2", "t2", 25), ("b2", "t3", 35),  # 1,2,3
+        ("b3", "t1", 22), ("b3", "t2", 11), ("b3", "t3", 33),  # 2,1,3
+        ("b4", "t1", 40), ("b4", "t2", 40), ("b4", "t3", 50),  # 1.5,1.5,3
+        ("b5", "t1", 1), ("b5", "t2", 2),  # incomplete: dropped
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    out = {r["t"]: r for r in friedman_cells(df, "b", "t", "x").collect()}
+    assert set(out) == {"t1", "t2", "t3"}
+    # doubled rank sums: t1 = 2+2+4+3 = 11 -> x2 = 2*(1+1+2+1.5)=11
+    assert out["t1"]["rank_sum_x2"] == 11.0
+    assert out["t2"]["rank_sum_x2"] == 13.0
+    assert out["t3"]["rank_sum_x2"] == 24.0
+    for r in out.values():
+        assert r["n_blocks"] == 4 and r["k_treatments"] == 3
+        # dev = r2 - n*(k+1) = r2 - 16
+    assert out["t3"]["chi2_term_x4"] == (24 - 16) ** 2
+
+
+def test_brown_forsythe_hand_example(spark):
+    from npm_mirror_spark.operators.stats import brown_forsythe_cells
+
+    # group a: 1,3,5 -> median 3, z2 = |2x-6| = 4,0,4
+    # group b: 2,2,10,10 -> med2 = 2+10 = 12, z2 = |2x-12| = 8,8,8,8
+    rows = [("a", 1), ("a", 3), ("a", 5), ("b", 2), ("b", 2), ("b", 10), ("b", 10)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in brown_forsythe_cells(df, "x", "g").collect()}
+    assert out["a"]["sum_i"] == 8.0 and out["a"]["n_i"] == 3
+    assert out["b"]["sum_i"] == 32.0 and out["b"]["n_i"] == 4
+    # group b deviations are constant -> within_ss contribution 0
+    assert out["b"]["within_ss"] == 0.0
+
+
+def test_jonckheere_hand_example(spark):
+    from npm_mirror_spark.operators.stats import jonckheere_cells
+
+    # g1: 1,2  g2: 3,4 -> all 4 cross pairs concordant: U=4, u_x2=8
+    rows = [(1, 1), (1, 2), (2, 3), (2, 4)]
+    df = spark.createDataFrame(rows, "g int, x long")
+    out = jonckheere_cells(df, "x", "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g_lo"], r["g_hi"], r["n_lo"], r["n_hi"]) == (1, 2, 2, 2)
+    assert r["u_x2"] == 8.0
+
+
+def test_jonckheere_ties_midrank(spark):
+    from npm_mirror_spark.operators.stats import jonckheere_cells
+
+    # g1: [5], g2: [5] -> tie: U = 0.5, u_x2 = 1
+    df = spark.createDataFrame([(1, 5), (2, 5)], "g int, x long")
+    assert jonckheere_cells(df, "x", "g").collect()[0]["u_x2"] == 1.0
+
+
+def test_durbin_watson_hand_example(spark):
+    from npm_mirror_spark.operators.stats import durbin_watson_by
+
+    # series 1,2,3,4: mean 2.5; ne = 4x-10 = -6,-2,2,6
+    # num = sum diffs^2 = 16+16+16 = 48; den = 36+4+4+36 = 80
+    rows = [("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("a", 4, 4)]
+    df = spark.createDataFrame(rows, "g string, o int, x long")
+    r = durbin_watson_by(df, "g", "o", "x").collect()[0]
+    assert (r["num"], r["den"]) == (48.0, 80.0)
+    assert r["dw"] == 48.0 / 80.0
+
+
+def test_durbin_watson_constant_series_null(spark):
+    from npm_mirror_spark.operators.stats import durbin_watson_by
+
+    df = spark.createDataFrame(
+        [("a", 1, 7), ("a", 2, 7)], "g string, o int, x long"
+    )
+    assert durbin_watson_by(df, "g", "o", "x").collect()[0]["dw"] is None
+
+
+def test_gk_gamma_hand_example(spark):
+    from npm_mirror_spark.operators.checks import gk_gamma
+
+    # perfect positive ordinal association
+    rows = [(1, 1), (2, 2), (3, 3)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = gk_gamma(df, "x", "y").collect()[0]
+    assert (r["concordant"], r["discordant"], r["gamma"]) == (3.0, 0.0, 1.0)
+
+
+def test_gk_gamma_all_tied_null(spark):
+    from npm_mirror_spark.operators.checks import gk_gamma
+
+    df = spark.createDataFrame([(1, 5), (2, 5)], "x int, y int")
+    r = gk_gamma(df, "x", "y").collect()[0]
+    assert r["gamma"] is None and r["concordant"] == 0.0
+
+
+def test_cochran_q_hand_example(spark):
+    from npm_mirror_spark.operators.checks import cochran_q_cells
+
+    # 3 treatments x 3 blocks, block rows (1,1,0),(1,0,0),(1,1,1)
+    rows = [
+        ("b1", "t1", 1), ("b1", "t2", 1), ("b1", "t3", 0),
+        ("b2", "t1", 1), ("b2", "t2", 0), ("b2", "t3", 0),
+        ("b3", "t1", 1), ("b3", "t2", 1), ("b3", "t3", 1),
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, s int")
+    out = {r["t"]: r for r in cochran_q_cells(df, "b", "t", "s").collect()}
+    # T = (3,2,1), G=6, sum T^2 = 14; B = (2,1,3), sum B=6, sum B^2=14
+    # Q = 2*(3*14-36)/(3*6-14) = 2*6/4 = 3
+    assert out["t1"]["t_j"] == 3.0
+    assert all(r["q_stat"] == 3.0 for r in out.values())
+    assert out["t1"]["n_blocks"] == 3 and out["t1"]["k_treatments"] == 3
+
+
+def test_cochran_q_incomplete_block_dropped(spark):
+    from npm_mirror_spark.operators.checks import cochran_q_cells
+
+    rows = [
+        ("b1", "t1", 1), ("b1", "t2", 0),
+        ("b2", "t1", 1),  # incomplete
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, s int")
+    out = cochran_q_cells(df, "b", "t", "s").collect()
+    assert all(r["n_blocks"] == 1 for r in out)
+
+
+def test_vocab_coverage_hand_example(spark):
+    from npm_mirror_spark.operators.text import vocab_coverage
+
+    # corpus: "a a a a b b c d" -> counts a=4, b=2, c=1, d=1
+    # classes desc: c=4 (1 type, mass 4), c=2 (1 type, mass 2),
+    # c=1 (2 types, mass 2); total mass 8
+    df = spark.createDataFrame([("a a a a b b c d",)], "text string")
+    out = {
+        (r["p_num"], r["p_den"]): r
+        for r in vocab_coverage(df, "text", ((50, 100), (75, 100), (100, 100))).collect()
+    }
+    assert out[(50, 100)]["k_types"] == 1 and out[(50, 100)]["covered_mass"] == 4.0
+    assert out[(75, 100)]["k_types"] == 2 and out[(75, 100)]["covered_mass"] == 6.0
+    assert out[(100, 100)]["k_types"] == 4
+    assert out[(50, 100)]["total_mass"] == 8.0
+
+
+def test_km_cells_hand_example(spark):
+    from npm_mirror_spark.operators.temporal import km_cells
+
+    # one group: durations 1(ev),1(cens),2(ev),3(ev)
+    rows = [("g", 1, 1), ("g", 1, 0), ("g", 2, 1), ("g", 3, 1)]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = {r["t"]: r for r in km_cells(df, "g", "t", "e").collect()}
+    assert (out[1]["n_risk"], out[1]["d"], out[1]["c"]) == (4, 1, 1)
+    assert (out[2]["n_risk"], out[2]["d"], out[2]["c"]) == (2, 1, 0)
+    assert (out[3]["n_risk"], out[3]["d"], out[3]["c"]) == (1, 1, 0)
+
+
+# ------------------------------------------------------- oracle parity
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_face_matches_oracle(spark, sf_dir, name):
+    """Every staged r12 face must clear the registry-identical harness
+    bar (rows + schema + canonical values vs DuckDB) BEFORE it is ever
+    registered."""
+    con = duckdb_con(sf_dir)
+    df = STAGED_QUERIES[name](spark, sf_dir)
+    problems = compare(df, con, STAGED_ORACLES[name])
+    assert not problems, f"{name}: {problems}"
+
+
+def test_staged_faces_have_oracles_and_rows(spark, sf_dir):
+    assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
+    for name, q in STAGED_QUERIES.items():
+        assert q(spark, sf_dir).count() > 0, f"{name} returned no rows"
