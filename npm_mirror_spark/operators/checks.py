@@ -765,3 +765,49 @@ def cochran_q_cells(
         )
         .orderBy(treatment)
     )
+
+
+def capture_recapture(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    keys: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Chapman capture–recapture estimate of a TOTAL population from two
+    independent partial detectors — the dedup-QA question no single
+    method can answer: MinHash found n_a near-dup pairs and SimHash
+    found n_b, so how many near-dup pairs exist in the corpus INCLUDING
+    the ones both methods missed?  Classic mark-recapture (Chapman
+    1951, the bias-corrected Lincoln–Petersen): treat method A's pairs
+    as the marked sample, method B's as the recapture, and the overlap
+    m as the recaptured marks.
+
+    chapman_est = (n_a + 1)(n_b + 1)/(m + 1) - 1 — exact-integer
+    counts into one fixed IEEE division (the q_kappa contract; the +1s
+    also make the estimator total, no division by zero when the
+    methods are disjoint).  The independence assumption is honest for
+    MinHash vs SimHash (shingle-set vs token-hash geometry); correlated
+    detectors bias the estimate down — document per face.
+
+    Shape: two distinct-collapses + one equi inner join on the pair
+    key + three 1-row folds; output one row:
+    n_a, n_b, overlap, chapman_est.
+    """
+    ka, kb = keys
+    a = pairs_a.select(ka, kb).distinct()
+    b = pairs_b.select(ka, kb).distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    m = a.join(b, [ka, kb]).agg(F.count(F.lit(1)).alias("overlap"))
+    d38 = "decimal(38,0)"
+    est = (
+        (
+            (F.col("n_a").cast(d38) + 1) * (F.col("n_b").cast(d38) + 1)
+        ).cast(d38).cast("double")
+        / (F.col("overlap") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .select("n_a", "n_b", "overlap", est.alias("chapman_est"))
+    )

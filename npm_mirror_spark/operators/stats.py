@@ -1231,3 +1231,73 @@ def durbin_watson_by(
             F.col("__num").cast("double") / F.col("__den").cast("double"),
         ).alias("dw"),
     ).orderBy(group)
+
+
+def mood_median_cells(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Mood's median test decomposition, reported PER GROUP — the
+    k-sample location test that stays valid when kruskal's
+    shift-alternative assumptions fail (heavy tails, wild outliers):
+    classify every row as above/below/at the GLOBAL median and report
+    the per-group 2x k contingency cells; the chi-square is the same
+    one-liner consumers run on
+    :func:`~npm_mirror_spark.operators.checks.chisq_independence_cells`
+    output.
+
+    Exactness: the global median is kept exact by DOUBLING (med2 =
+    lower + upper median, integers when ``value`` is integer-typed),
+    so the classification 2x <> med2 is pure integer comparison and
+    every output column is an exact count.  The median is found on the
+    distinct-value axis via
+    :func:`~npm_mirror_spark.operators.classifier._with_prior_sums`
+    (every window bounded by the range-bucket key — no global
+    single-reducer sort at 100 TB, unlike a naive percentile window).
+
+    Output per group: group, n_above, n_below, n_at, n_i, med2_x
+    (the doubled global median, exact-int double) — ordered by group.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(F.col(group).alias("__g"), F.col(value).alias("__x")).filter(
+        F.col("__g").isNotNull() & F.col("__x").isNotNull()
+    )
+    vals = g.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    pri = _with_prior_sums(vals, "__x", ("__c",))
+    cum = F.col("__prior___c") + F.col("__c")
+    tot = vals.agg(F.sum("__c").alias("__n"))
+    med = (
+        pri.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(cum >= F.floor((F.col("__n") + 1) / 2), F.col("__x"))
+            ).alias("__mlo"),
+            F.min(
+                F.when(cum >= F.floor(F.col("__n") / 2) + 1, F.col("__x"))
+            ).alias("__mhi"),
+        )
+        .select(
+            (F.col("__mlo").cast(_D38) + F.col("__mhi").cast(_D38))
+            .cast(_D38)
+            .alias("__med2")
+        )
+    )
+    x2 = F.lit(2) * F.col("__x").cast(_D38)
+    return (
+        g.crossJoin(F.broadcast(med))
+        .groupBy("__g")
+        .agg(
+            F.sum(F.when(x2 > F.col("__med2"), 1).otherwise(0)).alias("n_above"),
+            F.sum(F.when(x2 < F.col("__med2"), 1).otherwise(0)).alias("n_below"),
+            F.sum(F.when(x2 == F.col("__med2"), 1).otherwise(0)).alias("n_at"),
+            F.count(F.lit(1)).alias("n_i"),
+            F.max(F.col("__med2").cast("double")).alias("med2_x"),
+        )
+        .select(
+            F.col("__g").alias(group),
+            "n_above",
+            "n_below",
+            "n_at",
+            "n_i",
+            "med2_x",
+        )
+        .orderBy(group)
+    )

@@ -734,3 +734,50 @@ def vocab_coverage(
         .orderBy("p_num", "p_den")
     )
     return out
+
+
+def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
+    """Vocabulary richness and unseen-mass estimators from the token
+    count-class table — the corpus-growth questions
+    :func:`vocab_coverage` (coverage of SEEN types) does not answer:
+    how many types does the corpus vocabulary REALLY have (Chao1 lower
+    bound, Chao 1984: seen types + f1^2-ish correction from the
+    singleton/doubleton ratio), and what probability mass will the
+    NEXT document spend on never-seen tokens (Good–Turing missing
+    mass, p0 = f1/N)?
+
+    Both are fixed IEEE expressions on exact integers: S_obs, N, f1
+    (singleton types), f2 (doubleton types) are exact counts; the
+    bias-corrected Chao1 form f1*(f1-1)/(2*(f2+1)) stays total when
+    f2 = 0.  Tokenization is :func:`ws_tokens` (the corpus-wide
+    normalize + split every token face shares).
+
+    Shape: token explode + one (token) count + one (count) class
+    collapse + a 1-row fold — the same bounded count-class axis as
+    vocab_coverage.  Output one row: s_obs, n_tokens, f1, f2,
+    chao1, gt_p0.
+    """
+    d38 = "decimal(38,0)"
+    toks = df.select(
+        F.explode(ws_tokens(text_col)).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    tf = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    out = tf.agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.col("__c").cast(d38)).cast(d38).alias("__n"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    return out.select(
+        "s_obs",
+        F.col("__n").cast("double").alias("n_tokens"),
+        "f1",
+        "f2",
+        (
+            F.col("s_obs").cast("double")
+            + (f1d * (f1d - F.lit(1.0)))
+            / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+        ).alias("chao1"),
+        (f1d / F.col("__n").cast("double")).alias("gt_p0"),
+    )

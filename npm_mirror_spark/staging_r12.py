@@ -160,6 +160,48 @@ def q_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_cells(j, "flag", "dur", "ev")
 
 
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test cells over document lengths by source —
+    the outlier-robust location companion to q_kruskal/q_anova_cells.
+    (operators/stats.py mood_median_cells.)"""
+    from npm_mirror_spark.operators.stats import mood_median_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return mood_median_cells(d, "n_chars", "source")
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness lower bound + Good–Turing missing
+    mass over the documents corpus.  (operators/text.py
+    vocab_richness.)"""
+    from npm_mirror_spark.operators.text import vocab_richness
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_richness(d, "text")
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate of the TRUE near-dup pair
+    count from two independent detectors — MinHash/LSH vs SimHash
+    blocking over the dup-injected corpus (the q_minhash_pairs /
+    q_simhash_pairs fixtures): the dedup-recall audit neither method
+    alone can give.  (operators/checks.py capture_recapture.)
+    Independence caveat: the two signatures share normalization, so
+    the estimate is a lower-bound-leaning audit number, not a census.
+    """
+    from npm_mirror_spark.operators.checks import capture_recapture
+    from npm_mirror_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_pairs,
+    )
+    from npm_mirror_spark.queries import _docs_with_dups
+
+    docs = _docs_with_dups(spark, sf_dir)
+    m = minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=8, bands=4)
+    s = simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return capture_recapture(m, s)
+
+
 STAGED_QUERIES = {
     "q_friedman": q_friedman,
     "q_brown_forsythe": q_brown_forsythe,
@@ -169,10 +211,38 @@ STAGED_QUERIES = {
     "q_cochran_q": q_cochran_q,
     "q_vocab_coverage": q_vocab_coverage,
     "q_km_events": q_km_events,
+    "q_mood_median": q_mood_median,
+    "q_vocab_richness": q_vocab_richness,
+    "q_capture_recapture": q_capture_recapture,
 }
 
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _capture_recapture_oracle() -> str:
+    """Compose the existing (already driver-green) minhash/simhash pair
+    oracles into the capture-recapture replay — the two pair sets are
+    replayed by the exact SQL the registry already verifies, nested as
+    CTE subqueries, so this face's oracle can never drift from the
+    registered fixtures'."""
+    from npm_mirror_spark.queries import ORACLES
+
+    return f"""
+WITH m AS ({ORACLES["q_minhash_pairs"]}),
+s AS ({ORACLES["q_simhash_pairs"]}),
+ma AS (SELECT DISTINCT id_a, id_b FROM m),
+sb AS (SELECT DISTINCT id_a, id_b FROM s),
+na AS (SELECT count(*) AS n_a FROM ma),
+nb AS (SELECT count(*) AS n_b FROM sb),
+ov AS (SELECT count(*) AS o FROM ma JOIN sb USING (id_a, id_b))
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(o AS BIGINT) AS overlap,
+  CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) AS DOUBLE)
+    / CAST(o + 1 AS DOUBLE) - 1.0 AS chapman_est
+FROM na CROSS JOIN nb CROSS JOIN ov
+"""
+
 
 STAGED_ORACLES = {
     "q_friedman": f"""
@@ -450,3 +520,56 @@ SELECT flag, CAST(t AS INTEGER) AS t,
 FROM cum ORDER BY flag, t
 """,
 }
+
+STAGED_ORACLES["q_mood_median"] = """
+WITH g AS (
+  SELECT source AS g, n_chars AS x FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+vals AS (SELECT x, count(*) AS c FROM g GROUP BY x),
+wc AS (
+  SELECT x, c,
+    sum(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals
+),
+tot AS (SELECT sum(c) AS n FROM vals),
+med AS (
+  SELECT CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS HUGEINT)
+       + min(CASE WHEN cum >= n // 2 + 1 THEN x END) AS med2
+  FROM wc CROSS JOIN tot
+)
+SELECT g.g AS source,
+  CAST(sum(CASE WHEN 2 * CAST(x AS HUGEINT) > med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+  CAST(sum(CASE WHEN 2 * CAST(x AS HUGEINT) < med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+  CAST(sum(CASE WHEN 2 * CAST(x AS HUGEINT) = med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_at,
+  count(*) AS n_i,
+  CAST(med2 AS DOUBLE) AS med2_x
+FROM g CROSS JOIN med
+GROUP BY g.g, med2
+ORDER BY source
+"""
+
+STAGED_ORACLES["q_vocab_richness"] = f"""
+WITH n AS (SELECT {_NORM} AS t FROM documents),
+toks AS (SELECT unnest(str_split(t, ' ')) AS tok FROM n),
+tf AS (SELECT tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY tok),
+o AS (
+  SELECT count(*) AS s_obs,
+    sum(CAST(c AS HUGEINT)) AS nn,
+    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM tf
+)
+SELECT CAST(s_obs AS BIGINT) AS s_obs,
+  CAST(nn AS DOUBLE) AS n_tokens,
+  CAST(f1 AS BIGINT) AS f1,
+  CAST(f2 AS BIGINT) AS f2,
+  CAST(s_obs AS DOUBLE)
+    + (CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0))
+      / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1,
+  CAST(f1 AS DOUBLE) / CAST(nn AS DOUBLE) AS gt_p0
+FROM o
+"""
+
+STAGED_ORACLES["q_capture_recapture"] = _capture_recapture_oracle()

@@ -193,3 +193,59 @@ def test_staged_faces_have_oracles_and_rows(spark, sf_dir):
     assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
     for name, q in STAGED_QUERIES.items():
         assert q(spark, sf_dir).count() > 0, f"{name} returned no rows"
+
+
+def test_mood_median_hand_example(spark):
+    from npm_mirror_spark.operators.stats import mood_median_cells
+
+    # values 1..6: med2 = 3+4 = 7; above = {4,5,6}, below = {1,2,3}
+    rows = [("a", 1), ("a", 2), ("a", 4), ("b", 3), ("b", 5), ("b", 6)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in mood_median_cells(df, "x", "g").collect()}
+    assert (out["a"]["n_above"], out["a"]["n_below"], out["a"]["n_at"]) == (1, 2, 0)
+    assert (out["b"]["n_above"], out["b"]["n_below"]) == (2, 1)
+    assert out["a"]["med2_x"] == 7.0
+
+
+def test_mood_median_at_median_rows_counted(spark):
+    from npm_mirror_spark.operators.stats import mood_median_cells
+
+    # odd n: 1,2,3 -> med2 = 4; the value 2 sits AT the median
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3)], "g string, x long"
+    )
+    r = mood_median_cells(df, "x", "g").collect()[0]
+    assert (r["n_above"], r["n_below"], r["n_at"]) == (1, 1, 1)
+
+
+def test_vocab_richness_hand_example(spark):
+    from npm_mirror_spark.operators.text import vocab_richness
+
+    # counts: a=3, b=2, c=1, d=1 -> s_obs=4, N=7, f1=2, f2=1
+    # chao1 = 4 + 2*1/(2*2) = 4.5 ; p0 = 2/7
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    r = vocab_richness(df, "text").collect()[0]
+    assert (r["s_obs"], r["n_tokens"], r["f1"], r["f2"]) == (4, 7.0, 2, 1)
+    assert r["chao1"] == 4.0 + (2.0 * 1.0) / (2.0 * 2.0)
+    assert r["gt_p0"] == 2.0 / 7.0
+
+
+def test_capture_recapture_hand_example(spark):
+    from npm_mirror_spark.operators.checks import capture_recapture
+
+    # A sees pairs {1-2, 1-3, 2-3}; B sees {1-2, 4-5}; overlap = 1
+    # chapman = 4*3/2 - 1 = 5
+    a = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a int, id_b int")
+    b = spark.createDataFrame([(1, 2), (4, 5)], "id_a int, id_b int")
+    r = capture_recapture(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"], r["overlap"]) == (3, 2, 1)
+    assert r["chapman_est"] == (4.0 * 3.0) / 2.0 - 1.0
+
+
+def test_capture_recapture_disjoint_total(spark):
+    from npm_mirror_spark.operators.checks import capture_recapture
+
+    a = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    b = spark.createDataFrame([(3, 4)], "id_a int, id_b int")
+    r = capture_recapture(a, b).collect()[0]
+    assert r["overlap"] == 0 and r["chapman_est"] == 3.0
