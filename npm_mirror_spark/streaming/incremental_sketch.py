@@ -213,3 +213,97 @@ class StreamingBootstrap:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingEventTable:
+    """Running Kaplan–Meier event table over a stream of
+    (group, duration, event) rows — the continuous-ingest face of
+    operators/temporal.py:km_cells.
+
+    Mergeable BY CONSTRUCTION: km_cells' per-(group, t) (n, d, c)
+    triples are pure additive counts, so '+' folds a micro-batch's
+    triples into the running state and the state after any drain is
+    BIT-EQUAL to the batch counts of everything ingested; the at-risk
+    column n_risk(t) = group_total − Σ_{u<t} n_u is NOT stored (it is
+    a read-time derivation over the bounded state, recomputed by
+    ``result_df`` with the exact integer arithmetic of the batch
+    operator).  Like CMS/bootstrap — and unlike HLL max — '+' is not
+    idempotent, so a checkpoint-replayed micro-batch is skipped by its
+    batch_id (the transactional-sink contract).
+
+    Per micro-batch: one bounded-output job (≤ |groups| × |distinct
+    durations| rows to the driver-held dict — the bounded-by-domain
+    contract km_cells documents); nothing corpus-sized retained.
+    """
+
+    def __init__(self, group_col: str, duration_col: str, event_col: str):
+        self.group_col = group_col
+        self.duration_col = duration_col
+        self.event_col = event_col
+        # (group, t) -> (n, d, c)
+        self.state: dict[tuple, tuple[int, int, int]] = {}
+        self.n_batches = 0
+        self._last_batch: int | None = None
+
+    def update_batch(
+        self, batch_df: DataFrame, batch_id: int | None = None
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id is not None and batch_id == self._last_batch:
+            return
+        g = batch_df.select(
+            batch_df[self.group_col].alias("g"),
+            batch_df[self.duration_col].alias("t"),
+            batch_df[self.event_col].cast("int").alias("e"),
+        ).filter(
+            F.col("g").isNotNull()
+            & F.col("t").isNotNull()
+            & F.col("e").isNotNull()
+        )
+        rows = (
+            g.groupBy("g", "t")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("e").alias("d"),
+                F.sum(F.lit(1) - F.col("e")).alias("c"),
+            )
+            .collect()
+        )
+        for r in rows:
+            k = (r["g"], r["t"])
+            n, d, c = self.state.get(k, (0, 0, 0))
+            self.state[k] = (n + int(r["n"]), d + int(r["d"]), c + int(r["c"]))
+        self.n_batches += 1
+        self._last_batch = batch_id
+
+    def result_df(self, spark) -> DataFrame:
+        """The km_cells-shaped report: (group, t, n_risk, d, c), with
+        n_risk derived from the exact counts at read time — identical
+        integer arithmetic to the batch operator, so the output is
+        bit-equal to km_cells over the concatenated input."""
+        by_group: dict[object, list] = {}
+        for (g, t), (n, d, c) in self.state.items():
+            by_group.setdefault(g, []).append((t, n, d, c))
+        out = []
+        for g, rows in sorted(by_group.items()):
+            rows.sort()
+            total = sum(n for _, n, _, _ in rows)
+            prior = 0
+            for t, n, d, c in rows:
+                out.append((g, t, total - prior, d, c))
+                prior += n
+        return spark.createDataFrame(
+            out,
+            f"{self.group_col} string, t int, n_risk long, d long, c long",
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.update_batch(df, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -178,3 +178,40 @@ def test_bootstrap_stream_equals_batch_bit_for_bit(spark, sf_dir):
     want = sorted(map(tuple, poisson_bootstrap_mean(d, "doc_id", "n_chars", 8).collect()))
     got = sorted(map(tuple, sk.result_df(spark).collect()))
     assert got == want  # exact state AND the closing doubles bit-equal
+
+
+def test_event_table_stream_equals_batch_bit_for_bit(spark, sf_dir):
+    from npm_mirror_spark.operators.temporal import km_cells
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingEventTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"),
+        (F.col("n_chars") % 20).cast("int").alias("t"),
+        (F.col("doc_id") % 2).cast("int").alias("e"),
+    )
+    sk = StreamingEventTable("g", "t", "e")
+    for mod in (0, 1, 2):
+        sk.update_batch(d.where(F.col("t") % 3 == mod), batch_id=mod)
+    # at-least-once redelivery of the last batch: must be a no-op
+    sk.update_batch(d.where(F.col("t") % 3 == 2), batch_id=2)
+    want = sorted(map(tuple, km_cells(d, "g", "t", "e").collect()))
+    got = sorted(map(tuple, sk.result_df(spark).collect()))
+    assert got == want
+
+
+def test_event_table_split_invariance_random_halves(spark, sf_dir):
+    """Two different batchings of the same rows must land the same
+    state — additive counts are batching-independent by construction."""
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingEventTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"),
+        (F.col("n_chars") % 15).cast("int").alias("t"),
+        (F.col("doc_id") % 2).cast("int").alias("e"),
+    )
+    a = StreamingEventTable("g", "t", "e")
+    a.update_batch(d, batch_id=0)
+    b = StreamingEventTable("g", "t", "e")
+    b.update_batch(d.where(F.col("doc_id") % 2 == 0), batch_id=0)
+    b.update_batch(d.where(F.col("doc_id") % 2 == 1), batch_id=1)
+    assert a.state == b.state
