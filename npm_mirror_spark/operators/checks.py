@@ -619,42 +619,77 @@ def gk_gamma(df: DataFrame, x: str, y: str) -> DataFrame:
     gamma is ONE correctly-rounded IEEE division — the q_kappa
     contract.
 
+    Shape — 2-D DOMINANCE COUNTING, not a cell self-join: the naive
+    pair join on x-order is |cells|² AND a non-equi join (the
+    BroadcastNestedLoopJoin the registry plan lint bans).  Instead the
+    cell table zero-fills to the (x-domain × y-domain) grid and two
+    nested strictly-prior prefix windows compute, per cell,
+    A(x,y) = Σ_{x'<x, y'<y} c (concordant mates) and
+    B(x,y) = Σ_{x'<x, y'>y} c (discordant mates):
+    C = Σ c·A and D = Σ c·B.  Every window is PARTITIONED (by y for
+    the x-prefix, by x for the y-prefix) — bounded by the opposing
+    domain, no single-reducer axis — and total work is O(grid), not
+    O(cells²).
+
     Bounded-domain contract (the :func:`chisq_independence_cells`
     assumption): both columns must have small categorical/ordinal
-    domains — the (x, y) cell table is self-joined on x-order, so the
-    work is |cells|^2, fine for tier x bucket tables and wrong for
-    raw continuous axes (bucket first).  NULLs in either column are
-    excluded (no ordinal position).
+    domains — the zero-filled grid is |x-domain|·|y-domain| rows, fine
+    for tier x bucket tables and wrong for raw continuous axes (bucket
+    first).  NULLs in either column are excluded (no ordinal
+    position).
 
     Output (one row): n_rows, n_cells, concordant, discordant, gamma
     (NULL when every pair is tied, e.g. a single cell).
     """
+    from pyspark.sql import Window
+
     g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
     cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
-    a = cells.select(
-        F.col("__x").alias("__xa"),
-        F.col("__y").alias("__ya"),
-        F.col("__c").alias("__ca"),
+    xs = cells.select("__x").distinct()
+    ys = cells.select("__y").distinct()
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["__x", "__y"], "left")
+        .select("__x", "__y", F.coalesce("__c", F.lit(0)).alias("__c"))
     )
-    b = cells.select(
-        F.col("__x").alias("__xb"),
-        F.col("__y").alias("__yb"),
-        F.col("__c").alias("__cb"),
+    d38 = "decimal(38,0)"
+    wx = Window.partitionBy("__y").orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")
-    pairs = a.join(b, F.col("__xa") < F.col("__xb")).select(
-        (d38("__ca") * d38("__cb")).cast("decimal(38,0)").alias("__p"),
-        (F.col("__ya") < F.col("__yb")).alias("__conc"),
-        (F.col("__ya") > F.col("__yb")).alias("__disc"),
+    # G1(x,y) = count with x' < x at this exact y
+    g1 = grid.select(
+        "__x",
+        "__y",
+        "__c",
+        F.coalesce(F.sum(F.col("__c").cast(d38)).over(wx), F.lit(0).cast(d38))
+        .cast(d38)
+        .alias("__below_x"),
+    )
+    wy_lt = Window.partitionBy("__x").orderBy("__y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wy_gt = Window.partitionBy("__x").orderBy(F.col("__y").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dom = g1.select(
+        "__x",
+        "__y",
+        "__c",
+        F.coalesce(F.sum("__below_x").over(wy_lt), F.lit(0).cast(d38))
+        .cast(d38)
+        .alias("__conc_mates"),
+        F.coalesce(F.sum("__below_x").over(wy_gt), F.lit(0).cast(d38))
+        .cast(d38)
+        .alias("__disc_mates"),
     )
     zero = F.lit(0).cast("decimal(38,0)")
-    tot = pairs.agg(
-        F.sum(F.when(F.col("__conc"), F.col("__p")).otherwise(zero))
+    tot = dom.agg(
+        F.sum(F.col("__c").cast(d38) * F.col("__conc_mates"))
         .cast("decimal(38,0)")
         .alias("__cc"),
-        F.sum(F.when(F.col("__disc"), F.col("__p")).otherwise(zero))
+        F.sum(F.col("__c").cast(d38) * F.col("__disc_mates"))
         .cast("decimal(38,0)")
         .alias("__dd"),
     )

@@ -15,6 +15,25 @@ Every face follows the registry contracts: driver-hashable output
 types only (no decimal/array/map), aliased columns matching the oracle
 exactly, bounded plans (no unguarded cross products), and the
 exact-integer / fixed-IEEE-expression determinism the stats tier pins.
+
+Plan-lint note for the r12 rotation: 8 of the 11 faces plan a
+BroadcastNestedLoopJoin and need `tests/test_plans.py::ALLOWED_BNLJ`
+entries when registered (verified bounded here; the two shapes are the
+already-allowlisted q_kappa 1-row-fold class and the q_gap_fill
+bounded-grid class):
+
+    "q_friedman": "1-row (k, n) completeness frame broadcast per treatment",
+    "q_brown_forsythe": "1-row grand-total fold broadcast (anova_cells shape)",
+    "q_jonckheere": "zero-filled (value-axis x k-group) grid build, bounded
+        by the ordinal-domain contract",
+    "q_gk_gamma": "zero-filled (x-domain x y-domain) grid build, bounded by
+        the ordinal-domain contract (the dominance-count rewrite already
+        removed the |cells|^2 non-equi join)",
+    "q_cochran_q": "1-row block-side and treatment-side sum frames broadcast",
+    "q_vocab_coverage": "1-row totals x 4-row threshold frame broadcast onto
+        the bounded count-class axis",
+    "q_mood_median": "1-row global doubled-median frame broadcast",
+    "q_capture_recapture": "three 1-row count folds broadcast",
 """
 
 from __future__ import annotations
