@@ -740,7 +740,19 @@ def cochran_q_cells(
     Output per treatment: treatment, t_j, k_treatments, n_blocks,
     sum_b, sum_b2, q_stat.
     """
-    s = F.col(success).cast("int")
+    # contract guard, the edit2_join staged-raise pattern: a success
+    # value outside {0,1} would silently corrupt every T_j/B_i sum
+    # (sum(1-e) goes negative), so fail loudly instead
+    s0 = F.col(success).cast("int")
+    s = F.when(
+        s0.isNotNull() & ~s0.isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"cochran_q_cells: {success} must be 0/1, got "),
+                s0.cast("string"),
+            )
+        ),
+    ).otherwise(s0)
     g = df.select(
         F.col(block).alias("__b"),
         F.col(treatment).alias("__t"),
@@ -828,8 +840,19 @@ def capture_recapture(
     n_a, n_b, overlap, chapman_est.
     """
     ka, kb = keys
-    a = pairs_a.select(ka, kb).distinct()
-    b = pairs_b.select(ka, kb).distinct()
+    # canonicalize orientation (least/greatest) so a caller feeding
+    # (b, a) for one detector and (a, b) for the other still overlaps:
+    # both in-house detectors emit id_a < id_b already, making this a
+    # no-op there, but the audit must not silently undercount m on
+    # un-canonical input
+    def _canon(p: DataFrame) -> DataFrame:
+        return p.select(
+            F.least(F.col(ka), F.col(kb)).alias(ka),
+            F.greatest(F.col(ka), F.col(kb)).alias(kb),
+        ).distinct()
+
+    a = _canon(pairs_a)
+    b = _canon(pairs_b)
     na = a.agg(F.count(F.lit(1)).alias("n_a"))
     nb = b.agg(F.count(F.lit(1)).alias("n_b"))
     m = a.join(b, [ka, kb]).agg(F.count(F.lit(1)).alias("overlap"))

@@ -539,10 +539,22 @@ def km_cells(
     Output: group, t (the duration value), n_risk, d (events), c
     (censored) — ordered by (group, t).
     """
+    # contract guard (the cochran_q_cells pattern): an event value
+    # outside {0,1} silently corrupts the censored count c = sum(1-e)
+    e0 = F.col(event).cast("int")
+    e = F.when(
+        e0.isNotNull() & ~e0.isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"km_cells: {event} must be 0/1, got "),
+                e0.cast("string"),
+            )
+        ),
+    ).otherwise(e0)
     g = df.select(
         F.col(group).alias("__g"),
         F.col(duration).alias("__t"),
-        F.col(event).cast("int").alias("__e"),
+        e.alias("__e"),
     ).filter(
         F.col("__g").isNotNull()
         & F.col("__t").isNotNull()

@@ -669,6 +669,14 @@ def vocab_coverage(
     """
     from npm_mirror_spark.operators.classifier import _with_prior_sums
 
+    for num, den in thresholds:
+        # p > 1 has no crossing class and would silently drop its row
+        # from the output (inner-join semantics); p <= 0 is trivially
+        # crossed by every class — both are caller bugs, fail loudly
+        if den < 1 or num < 1 or num > den:
+            raise ValueError(
+                f"vocab_coverage: threshold {num}/{den} outside (0, 1]"
+            )
     d38 = "decimal(38,0)"
     toks = df.select(
         F.explode(ws_tokens(text_col)).alias("__tok")

@@ -249,3 +249,40 @@ def test_capture_recapture_disjoint_total(spark):
     b = spark.createDataFrame([(3, 4)], "id_a int, id_b int")
     r = capture_recapture(a, b).collect()[0]
     assert r["overlap"] == 0 and r["chapman_est"] == 3.0
+
+
+def test_cochran_q_rejects_non_binary(spark):
+    from npm_mirror_spark.operators.checks import cochran_q_cells
+
+    df = spark.createDataFrame(
+        [("b1", "t1", 2), ("b1", "t2", 0)], "b string, t string, s int"
+    )
+    with pytest.raises(Exception, match="must be 0/1"):
+        cochran_q_cells(df, "b", "t", "s").collect()
+
+
+def test_km_cells_rejects_non_binary(spark):
+    from npm_mirror_spark.operators.temporal import km_cells
+
+    df = spark.createDataFrame([("g", 1, 3)], "g string, t int, e int")
+    with pytest.raises(Exception, match="must be 0/1"):
+        km_cells(df, "g", "t", "e").collect()
+
+
+def test_vocab_coverage_rejects_bad_threshold(spark):
+    from npm_mirror_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    for bad in ((101, 100), (0, 100), (1, 0)):
+        with pytest.raises(ValueError, match="outside"):
+            vocab_coverage(df, "text", (bad,))
+
+
+def test_capture_recapture_canonicalizes_orientation(spark):
+    from npm_mirror_spark.operators.checks import capture_recapture
+
+    # same pair, opposite orientations: must still overlap
+    a = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    b = spark.createDataFrame([(2, 1)], "id_a int, id_b int")
+    r = capture_recapture(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"], r["overlap"]) == (1, 1, 1)
