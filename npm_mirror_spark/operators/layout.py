@@ -178,3 +178,104 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Add the EXACT-INTEGER Hilbert-curve index over exactly TWO
+    integer-valued columns as ``out_col`` — the locality upgrade over
+    :func:`with_zorder_key`: the Hilbert curve never takes the long
+    diagonal jumps Morton takes at quadrant boundaries, so consecutive
+    key ranges map to tighter (x, y) rectangles and a range-clustered
+    layout skips more row groups for 2-D box predicates (the property
+    Delta/Iceberg's OPTIMIZE ... ZORDER literature measures; Hilbert
+    is the curve the original Faloutsos/Jagadish locality studies
+    recommend).
+
+    Same scaling contract as the Z-key audit face: coordinates are
+    ((v - lo) * (2^bits - 1)) div (hi - lo) on integer-valued columns
+    (exact integer div, never float), bounds from ONE broadcast 1-row
+    aggregate; NULL and zero-span columns bucket to coordinate 0.
+
+    The xy→d transform is the classical rotate-and-accumulate loop
+    (one step per bit, most-significant first).  Each step REDEFINES
+    (x, y, d) — embedding the recurrence as one expression tree would
+    double in size per level, so every step lands as a STAGED
+    PROJECTION (the `_interleave` / minhash_bands discipline): ``bits``
+    chained selects that whole-stage codegen fuses into one map stage.
+    Engine-portable: pure shifts/compares/adds on BIGINTs, so a SQL
+    oracle can replay the identical unrolled steps CTE by CTE.
+    """
+    if len(cols) != 2:
+        raise ValueError("Hilbert key is 2-D: pass exactly two columns")
+    if bits * 2 > 62:
+        raise ValueError(f"{bits} bits x 2 cols exceeds the int64 key")
+    top = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    coord_cols = {}
+    for i, c in enumerate(cols):
+        q, lo, hi = f"`{c}`", f"`__lo_{c}`", f"`__hi_{c}`"
+        span = f"(cast({hi} as bigint) - cast({lo} as bigint))"
+        coord_cols[f"__h{'xy'[i]}"] = F.expr(
+            f"CASE WHEN {q} IS NULL OR {hi} IS NULL OR {span} <= 0 "
+            f"THEN cast(0 as bigint) "
+            f"ELSE ((cast({q} as bigint) - cast({lo} as bigint)) * {top}) "
+            f"div {span} END"
+        )
+    out = out.withColumns(coord_cols)
+    out = out.withColumn("__hd", F.lit(0).cast("bigint"))
+    x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d_new = d + F.lit(s).cast("bigint") * F.lit(s).cast("bigint") * (
+            (F.lit(3) * rx).bitwiseXOR(ry).cast("bigint")
+        )
+        # rotation: applied only while ry == 0; rx == 1 additionally
+        # reflects both coordinates within the current sub-square
+        x_new = (
+            F.when(ry == 1, x)
+            .when(rx == 1, F.lit(s - 1).cast("bigint") - y)
+            .otherwise(y)
+        )
+        y_new = (
+            F.when(ry == 1, y)
+            .when(rx == 1, F.lit(s - 1).cast("bigint") - x)
+            .otherwise(x)
+        )
+        out = out.withColumns(
+            {"__hx": x_new, "__hy": y_new, "__hd": d_new}
+        )
+    return out.withColumn(out_col, F.col("__hd")).drop(
+        "__hx", "__hy", "__hd",
+        *[f"__lo_{c}" for c in cols],
+        *[f"__hi_{c}" for c in cols],
+    )
+
+
+def hilbert_shard_stats(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    shard_bits: int = 4,
+) -> DataFrame:
+    """Per-shard column-range audit of a Hilbert layout — the
+    :func:`zorder_shard_stats` twin, so the two curves' locality is
+    directly comparable on the same data: shard = top ``shard_bits``
+    of the 2*bits-wide Hilbert key, with per-shard count and min/max
+    per dimension."""
+    keyed = with_hilbert_key(df, cols, bits)
+    shard = F.shiftright(F.col("hkey"), 2 * bits - shard_bits).cast("int")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"max_{c}"))
+    return keyed.groupBy(shard.alias("shard")).agg(*aggs)
