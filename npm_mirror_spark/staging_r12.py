@@ -34,6 +34,9 @@ bounded-grid class):
         the bounded count-class axis",
     "q_mood_median": "1-row global doubled-median frame broadcast",
     "q_capture_recapture": "three 1-row count folds broadcast",
+    "q_hilbert_audit": "1-row min/max bounds frame broadcast (the
+        with_zorder_key shape q_zorder already allowlists implicitly
+        via its own entry if present — same class)",
 """
 
 from __future__ import annotations
@@ -592,3 +595,75 @@ FROM o
 """
 
 STAGED_ORACLES["q_capture_recapture"] = _capture_recapture_oracle()
+
+
+def q_hilbert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard range audit of a Hilbert-curve layout over the
+    (l_partkey, l_suppkey) plane — the q_zorder audit's locality-upgrade
+    twin (operators/layout.py with_hilbert_key / hilbert_shard_stats):
+    16 shards, per-shard count and min/max in BOTH dimensions, every
+    number an exact integer (integer-div scaling + the bit-exact
+    rotate-and-accumulate transform), so the oracle replays the key
+    bit-for-bit with the identical unrolled steps."""
+    from npm_mirror_spark.operators.layout import hilbert_shard_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return hilbert_shard_stats(
+        li, ["l_partkey", "l_suppkey"], bits=8, shard_bits=4
+    ).orderBy("shard")
+
+
+def _hilbert_oracle(bits: int = 8, shard_bits: int = 4) -> str:
+    """Mechanically unroll the Hilbert xy->d steps as chained CTEs —
+    the same one-projection-per-bit-level structure the Spark operator
+    stages, so the two engines execute literally the same arithmetic."""
+    steps = []
+    prev = "s0"
+    for i, level in enumerate(range(bits - 1, -1, -1), 1):
+        s = 1 << level
+        steps.append(f"""
+s{i} AS (
+  SELECT pk, sk,
+    d + {s}::BIGINT * {s}::BIGINT * CAST(xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                    (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS d,
+    CASE WHEN (y & {s}) > 0 THEN x
+         WHEN (x & {s}) > 0 THEN {s - 1}::BIGINT - y
+         ELSE y END AS x,
+    CASE WHEN (y & {s}) > 0 THEN y
+         WHEN (x & {s}) > 0 THEN {s - 1}::BIGINT - x
+         ELSE x END AS y
+  FROM {prev}
+)""")
+        prev = f"s{i}"
+    top = (1 << bits) - 1
+    shift = 2 * bits - shard_bits
+    return f"""
+WITH src AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+),
+b AS (
+  SELECT min(pk) AS lox, max(pk) AS hix, min(sk) AS loy, max(sk) AS hiy
+  FROM src
+),
+s0 AS (
+  SELECT pk, sk,
+    CASE WHEN hix - lox <= 0 THEN 0::BIGINT
+         ELSE ((pk - lox) * {top}) // (hix - lox) END AS x,
+    CASE WHEN hiy - loy <= 0 THEN 0::BIGINT
+         ELSE ((sk - loy) * {top}) // (hiy - loy) END AS y,
+    0::BIGINT AS d
+  FROM src CROSS JOIN b
+),{",".join(steps)}
+SELECT CAST(d >> {shift} AS INTEGER) AS shard,
+  count(*) AS n_rows,
+  CAST(min(pk) AS BIGINT) AS min_l_partkey,
+  CAST(max(pk) AS BIGINT) AS max_l_partkey,
+  CAST(min(sk) AS BIGINT) AS min_l_suppkey,
+  CAST(max(sk) AS BIGINT) AS max_l_suppkey
+FROM {prev}
+GROUP BY 1 ORDER BY shard
+"""
+
+
+STAGED_QUERIES["q_hilbert_audit"] = q_hilbert_audit
+STAGED_ORACLES["q_hilbert_audit"] = _hilbert_oracle()
