@@ -742,17 +742,19 @@ def cochran_q_cells(
     """
     # contract guard, the edit2_join staged-raise pattern: a success
     # value outside {0,1} would silently corrupt every T_j/B_i sum
-    # (sum(1-e) goes negative), so fail loudly instead
-    s0 = F.col(success).cast("int")
+    # (sum(1-e) goes negative), so fail loudly instead.  Validated on
+    # the DOUBLE view, before the int cast — a float 0.9 truncates to
+    # 0 and would sail through an after-cast check (review finding)
+    sd = F.col(success).cast("double")
     s = F.when(
-        s0.isNotNull() & ~s0.isin(0, 1),
+        sd.isNotNull() & ~sd.isin(0.0, 1.0),
         F.raise_error(
             F.concat(
                 F.lit(f"cochran_q_cells: {success} must be 0/1, got "),
-                s0.cast("string"),
+                sd.cast("string"),
             )
-        ),
-    ).otherwise(s0)
+        ).cast("int"),
+    ).otherwise(sd.cast("int"))
     g = df.select(
         F.col(block).alias("__b"),
         F.col(treatment).alias("__t"),
@@ -846,10 +848,17 @@ def capture_recapture(
     # no-op there, but the audit must not silently undercount m on
     # un-canonical input
     def _canon(p: DataFrame) -> DataFrame:
-        return p.select(
-            F.least(F.col(ka), F.col(kb)).alias(ka),
-            F.greatest(F.col(ka), F.col(kb)).alias(kb),
-        ).distinct()
+        # NULL ids out FIRST: least/greatest skip NULLs, so (NULL, 5)
+        # would otherwise collapse to the degenerate pair (5, 5) and
+        # inflate the counts (review finding)
+        return (
+            p.filter(F.col(ka).isNotNull() & F.col(kb).isNotNull())
+            .select(
+                F.least(F.col(ka), F.col(kb)).alias(ka),
+                F.greatest(F.col(ka), F.col(kb)).alias(kb),
+            )
+            .distinct()
+        )
 
     a = _canon(pairs_a)
     b = _canon(pairs_b)

@@ -987,13 +987,25 @@ def friedman_cells(
         .select("__b")
     )
     gc = g.join(complete, "__b", "left_semi")
-    w = Window.partitionBy("__b").orderBy("__x")
-    prior = F.count(F.lit(1)).over(
-        w.rangeBetween(Window.unboundedPreceding, -1)
+    # strictly-prior / tie counts from a per-(block, value) collapse +
+    # ROW-framed window over the distinct values, NOT a RANGE frame
+    # ending at -1: the range form silently miscounts for any
+    # non-integer-spaced value column (2.5 is not <= 3.0 - 1), found
+    # by review — the collapse works for every orderable type
+    vb = gc.groupBy("__b", "__x").agg(F.count(F.lit(1)).alias("__cx"))
+    wv = Window.partitionBy("__b").orderBy("__x")
+    pri = vb.select(
+        "__b",
+        "__x",
+        "__cx",
+        F.coalesce(
+            F.sum("__cx").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__prior"),
     )
-    ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
-    ranked = gc.select(
-        "__t", (F.lit(2) * prior + ties + F.lit(1)).alias("__mr2")
+    ranked = gc.join(pri, ["__b", "__x"]).select(
+        "__t",
+        (F.lit(2) * F.col("__prior") + F.col("__cx") + F.lit(1)).alias("__mr2"),
     )
     per_t = ranked.groupBy("__t").agg(
         F.count(F.lit(1)).alias("n_blocks"),

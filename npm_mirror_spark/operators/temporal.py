@@ -540,17 +540,19 @@ def km_cells(
     (censored) — ordered by (group, t).
     """
     # contract guard (the cochran_q_cells pattern): an event value
-    # outside {0,1} silently corrupts the censored count c = sum(1-e)
-    e0 = F.col(event).cast("int")
+    # outside {0,1} silently corrupts the censored count c = sum(1-e).
+    # Validated on the DOUBLE view, before the int cast — a float 0.9
+    # truncates to 0 and would sail through an after-cast check
+    ed = F.col(event).cast("double")
     e = F.when(
-        e0.isNotNull() & ~e0.isin(0, 1),
+        ed.isNotNull() & ~ed.isin(0.0, 1.0),
         F.raise_error(
             F.concat(
                 F.lit(f"km_cells: {event} must be 0/1, got "),
-                e0.cast("string"),
+                ed.cast("string"),
             )
-        ),
-    ).otherwise(e0)
+        ).cast("int"),
+    ).otherwise(ed.cast("int"))
     g = df.select(
         F.col(group).alias("__g"),
         F.col(duration).alias("__t"),

@@ -16,7 +16,7 @@ types only (no decimal/array/map), aliased columns matching the oracle
 exactly, bounded plans (no unguarded cross products), and the
 exact-integer / fixed-IEEE-expression determinism the stats tier pins.
 
-Plan-lint note for the r12 rotation: 8 of the 11 faces plan a
+Plan-lint note for the r12 rotation: 9 of the 12 faces plan a
 BroadcastNestedLoopJoin and need `tests/test_plans.py::ALLOWED_BNLJ`
 entries when registered (verified bounded here; the two shapes are the
 already-allowlisted q_kappa 1-row-fold class and the q_gap_fill
@@ -100,7 +100,11 @@ def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_linenumber").alias("ln"),
-        F.col("l_quantity").cast("long").alias("qty"),
+        # floor, not a bare cast: Spark cast('long') truncates toward
+        # zero while DuckDB CAST rounds — floor() is identical in both
+        # (quantities are integral in the fixture; latent-divergence
+        # guard, review finding)
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
     )
     return jonckheere_cells(li, "qty", "ln")
 
@@ -122,7 +126,8 @@ def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_linenumber").alias("ln"),
-        F.col("l_quantity").cast("long").alias("qty"),
+        # floor, not a bare cast — see q_jonckheere
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
     )
     return gk_gamma(li, "ln", "qty")
 
@@ -355,7 +360,7 @@ ORDER BY source
 """,
     "q_jonckheere": """
 WITH vg AS (
-  SELECT l_linenumber AS g, CAST(l_quantity AS BIGINT) AS x, count(*) AS c
+  SELECT l_linenumber AS g, CAST(floor(l_quantity) AS BIGINT) AS x, count(*) AS c
   FROM lineitem GROUP BY 1, 2
 ),
 axis AS (SELECT DISTINCT x FROM vg),
@@ -409,7 +414,7 @@ FROM agg ORDER BY t
 """,
     "q_gk_gamma": """
 WITH g AS (
-  SELECT l_linenumber AS x, CAST(l_quantity AS BIGINT) AS y
+  SELECT l_linenumber AS x, CAST(floor(l_quantity) AS BIGINT) AS y
   FROM lineitem WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
 ),
 cells AS (SELECT x, y, count(*) AS c FROM g GROUP BY x, y),
@@ -523,6 +528,11 @@ WITH j AS (
     date_diff('day', o.o_orderdate, l.l_shipdate) AS dur,
     CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS ev
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  -- NULL alignment with the Spark face (review finding): a NULL
+  -- linestatus/date makes the face's ev/dur NULL and km_cells drops
+  -- the row, so the oracle must drop it too
+  WHERE l.l_linestatus IS NOT NULL
+    AND l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
 ),
 per_t AS (
   SELECT flag, dur AS t, count(*) AS nn,

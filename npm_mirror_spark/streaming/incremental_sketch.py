@@ -244,6 +244,12 @@ class StreamingEventTable:
         self.state: dict[tuple, tuple[int, int, int]] = {}
         self.n_batches = 0
         self._last_batch: int | None = None
+        # group/duration Spark type names, captured from the first
+        # batch so result_df rebuilds the caller's actual schema — a
+        # hardcoded "string, int" broke bigint durations / non-string
+        # groups (review finding)
+        self._gtype: str | None = None
+        self._ttype: str | None = None
 
     def update_batch(
         self, batch_df: DataFrame, batch_id: int | None = None
@@ -252,6 +258,11 @@ class StreamingEventTable:
 
         if batch_id is not None and batch_id == self._last_batch:
             return
+        if self._gtype is None:
+            self._gtype = batch_df.schema[self.group_col].dataType.simpleString()
+            self._ttype = batch_df.schema[
+                self.duration_col
+            ].dataType.simpleString()
         g = batch_df.select(
             batch_df[self.group_col].alias("g"),
             batch_df[self.duration_col].alias("t"),
@@ -293,9 +304,11 @@ class StreamingEventTable:
             for t, n, d, c in rows:
                 out.append((g, t, total - prior, d, c))
                 prior += n
+        gt = self._gtype or "string"
+        tt = self._ttype or "int"
         return spark.createDataFrame(
             out,
-            f"{self.group_col} string, t int, n_risk long, d long, c long",
+            f"{self.group_col} {gt}, t {tt}, n_risk long, d long, c long",
         )
 
     def attach(self, stream: DataFrame, checkpoint: str):

@@ -215,3 +215,23 @@ def test_event_table_split_invariance_random_halves(spark, sf_dir):
     b.update_batch(d.where(F.col("doc_id") % 2 == 0), batch_id=0)
     b.update_batch(d.where(F.col("doc_id") % 2 == 1), batch_id=1)
     assert a.state == b.state
+
+
+def test_event_table_preserves_input_types(spark):
+    """Review finding: the result schema was hardcoded string/int; it
+    must rebuild the caller's group/duration types (bigint durations,
+    non-string groups)."""
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingEventTable
+
+    d = spark.createDataFrame(
+        [(7, 20_000_000_000, 1), (7, 20_000_000_001, 0)],
+        "g int, t long, e int",
+    )
+    sk = StreamingEventTable("g", "t", "e")
+    sk.update_batch(d, batch_id=0)
+    out = sk.result_df(spark)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "g": "int", "t": "bigint", "n_risk": "bigint", "d": "bigint", "c": "bigint"
+    }
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(7, 20_000_000_000, 2, 1, 0), (7, 20_000_000_001, 1, 0, 1)]

@@ -286,3 +286,50 @@ def test_capture_recapture_canonicalizes_orientation(spark):
     b = spark.createDataFrame([(2, 1)], "id_a int, id_b int")
     r = capture_recapture(a, b).collect()[0]
     assert (r["n_a"], r["n_b"], r["overlap"]) == (1, 1, 1)
+
+
+def test_friedman_non_integer_values_rank_correctly(spark):
+    """Review finding: the old RANGE(-1) prior frame miscounted for
+    non-integer-spaced values (2.5 is not <= 3.0 - 1); the collapse
+    form must rank doubles correctly."""
+    from npm_mirror_spark.operators.stats import friedman_cells
+
+    rows = [
+        ("b1", "t1", 2.5), ("b1", "t2", 3.0), ("b1", "t3", 1.0),  # 2,3,1
+        ("b2", "t1", 0.5), ("b2", "t2", 0.25), ("b2", "t3", 0.75),  # 2,1,3
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, x double")
+    out = {r["t"]: r for r in friedman_cells(df, "b", "t", "x").collect()}
+    assert out["t1"]["rank_sum_x2"] == float(2 * (2 + 2))
+    assert out["t2"]["rank_sum_x2"] == float(2 * (3 + 1))
+    assert out["t3"]["rank_sum_x2"] == float(2 * (1 + 3))
+
+
+def test_cochran_q_rejects_fractional_success(spark):
+    """Review finding: 0.9 used to truncate to 0 and bypass the guard."""
+    from npm_mirror_spark.operators.checks import cochran_q_cells
+
+    df = spark.createDataFrame(
+        [("b1", "t1", 0.9), ("b1", "t2", 0.0)], "b string, t string, s double"
+    )
+    with pytest.raises(Exception, match="must be 0/1"):
+        cochran_q_cells(df, "b", "t", "s").collect()
+
+
+def test_km_cells_rejects_fractional_event(spark):
+    from npm_mirror_spark.operators.temporal import km_cells
+
+    df = spark.createDataFrame([("g", 1, 0.5)], "g string, t int, e double")
+    with pytest.raises(Exception, match="must be 0/1"):
+        km_cells(df, "g", "t", "e").collect()
+
+
+def test_capture_recapture_null_ids_excluded(spark):
+    """Review finding: least/greatest skip NULLs, so (NULL, 5) used to
+    collapse to the degenerate pair (5, 5)."""
+    from npm_mirror_spark.operators.checks import capture_recapture
+
+    a = spark.createDataFrame([(None, 5), (1, 2)], "id_a int, id_b int")
+    b = spark.createDataFrame([(5, 5)], "id_a int, id_b int")
+    r = capture_recapture(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"], r["overlap"]) == (1, 1, 0)

@@ -1,8 +1,8 @@
-"""One-off stage audit for flagged bench regressions (r10 verdict items
-2-3).  Runs a named registered face N times at a given SF dir on the
-bench's Spark config, printing wall times plus the executor-side stage
-breakdown from the status tracker — the same discipline the r10
-q_edit_join audit used.
+"""Repeat-measure a registered face at a given SF dir on the bench's
+Spark config, printing per-run wall times and a final JSON line — the
+steady-state evidence the flagged-regression audits record in
+docs/BENCH_NOTES.md (stage-level attribution, when needed, comes from
+.explain and the Spark UI's stage metrics, not this tool).
 
 Usage: python tools/stage_audit.py q_triangle_est [sf_dir] [repeats]
 """
@@ -42,10 +42,6 @@ def main() -> None:
         walls.append(round(wall, 3))
         print(f"run {i}: wall={wall:.3f}s rows={n}", flush=True)
 
-    tracker = spark.sparkContext.statusTracker()
-    stages = []
-    for sid in tracker.getJobIdsForGroup(None) or []:
-        pass
     print(json.dumps({"query": name, "sf_dir": sf_dir, "walls": walls}))
     spark.stop()
 
