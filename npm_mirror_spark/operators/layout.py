@@ -279,3 +279,26 @@ def hilbert_shard_stats(
         aggs.append(F.min(F.col(c).cast("long")).alias(f"min_{c}"))
         aggs.append(F.max(F.col(c).cast("long")).alias(f"max_{c}"))
     return keyed.groupBy(shard.alias("shard")).agg(*aggs)
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` clustered by the Hilbert key of two ``cols`` — the
+    :func:`write_zordered` twin on the better curve: one broadcast
+    bounds pass (inside :func:`with_hilbert_key`) + one range shuffle,
+    every output file sorted by the key, so parquet row groups are
+    tight in BOTH columns at once and tighter than the Morton layout's
+    (the locality property tests/test_hilbert.py pins)."""
+    keyed = with_hilbert_key(df, cols, bits, out_col="__hkey")
+    (
+        keyed.repartitionByRange(num_files, "__hkey")
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

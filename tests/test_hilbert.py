@@ -149,3 +149,24 @@ def test_hilbert_rejects_bad_arity_and_width(spark):
         with_hilbert_key(df, ["a", "b", "c"])
     with pytest.raises(ValueError, match="exceeds"):
         with_hilbert_key(df, ["a", "b"], bits=32)
+
+
+def test_write_hilbert_clustered_roundtrip(spark, tmp_path):
+    """The write path: same rows back, and per-file row groups must be
+    range-clustered — each output file's x-span strictly smaller than
+    the global span (the pruning payoff a planner reads)."""
+    from npm_mirror_spark.operators.layout import write_hilbert_clustered
+
+    rows = [(x, (x * 7919) % 1000) for x in range(1000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "hclustered")
+    write_hilbert_clustered(df, out, ["x", "y"], bits=8, num_files=4)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    assert len(stats) >= 2
+    assert all(r["hi"] - r["lo"] < 999 for r in stats)

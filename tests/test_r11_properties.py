@@ -308,3 +308,69 @@ def test_capture_recapture_bit_exact(spark, pa, pb):
     assert r["chapman_est"] == float((len(sa) + 1) * (len(sb_) + 1)) / float(
         m + 1
     ) - 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("ab"),
+            st.integers(0, 20),
+            st.integers(0, 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_km_cells_bit_exact_vs_python_replay(spark, data):
+    from npm_mirror_spark.operators.temporal import km_cells
+
+    df = spark.createDataFrame(data, "g string, t int, e int")
+    got = {
+        (r["g"], r["t"]): (r["n_risk"], r["d"], r["c"])
+        for r in km_cells(df, "g", "t", "e").collect()
+    }
+    want = {}
+    for g in {g for g, _, _ in data}:
+        rows = [(t, e) for gg, t, e in data if gg == g]
+        total = len(rows)
+        for t in sorted({t for t, _ in rows}):
+            at_t = [e for tt, e in rows if tt == t]
+            n_risk = total - sum(1 for tt, _ in rows if tt < t)
+            want[(g, t)] = (n_risk, sum(at_t), len(at_t) - sum(at_t))
+    assert got == want
+
+
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=50),
+    st.tuples(st.integers(1, 99), st.just(100)),
+)
+@settings(**_SETTINGS)
+def test_vocab_coverage_bit_exact_vs_python_replay(spark, tokens, thr):
+    from collections import Counter
+
+    from npm_mirror_spark.operators.text import vocab_coverage
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = vocab_coverage(df, "text", (thr,)).collect()
+    num, den = thr
+    cnt = Counter(tokens)
+    classes = Counter(cnt.values())  # count -> n types
+    total_mass = sum(c * n for c, n in classes.items())
+    total_types = sum(classes.values())
+    # descending cumulative; crossing class = max c with cum >= p
+    cum_mass = cum_types = 0
+    best = None
+    for c in sorted(classes, reverse=True):
+        cum_mass += c * classes[c]
+        cum_types += classes[c]
+        if cum_mass * den >= num * total_mass:
+            best = (c, cum_types, cum_mass)
+            break
+    assert best is not None and len(rows) == 1
+    r = rows[0]
+    assert (r["cutoff_count"], r["k_types"], r["covered_mass"]) == (
+        best[0], best[1], float(best[2]),
+    )
+    assert (r["total_types"], r["total_mass"]) == (total_types, float(total_mass))
