@@ -878,3 +878,63 @@ def capture_recapture(
         .crossJoin(F.broadcast(m))
         .select("n_a", "n_b", "overlap", est.alias("chapman_est"))
     )
+
+
+def mantel_haenszel_cells(
+    df: DataFrame,
+    stratum: str,
+    exposed: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2x2 decomposition, reported PER
+    STRATUM — the confounder-adjusted association audit
+    :func:`chisq_independence_cells` (which pools strata, Simpson's
+    paradox bait) cannot give: does exposure associate with outcome
+    WITHIN strata, combined across them?  The classic MH common odds
+    ratio OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i) and the CMH
+    chi-square are one-liner derivations over this bounded table; the
+    two Σ are the only ops the face refuses to perform (data-dependent
+    float summation order — the cells contract).
+
+    Per stratum: a (exposed & outcome), b (exposed only), c (outcome
+    only), d (neither), n — exact counts — plus mh_num = a·d/n and
+    mh_den = b·c/n, each ONE fixed IEEE sequence on exact-int-valued
+    doubles (the q_kappa contract).  Strata with n = 0 cannot occur
+    (a stratum only exists through its rows).
+
+    NULL handling (the welch_t three-valued convention): NULL
+    ``exposed``/``outcome`` predicates coalesce to FALSE; NULL stratum
+    rows are dropped.
+
+    Shape: one scan, one per-stratum 4-column fold — map-side
+    combinable, output bounded by |strata|.
+
+    Output: stratum, a, b, c, d, n, mh_num, mh_den.
+    """
+    g = df.select(
+        F.col(stratum).alias("__s"),
+        F.coalesce(exposed, F.lit(False)).alias("__x"),
+        F.coalesce(outcome, F.lit(False)).alias("__y"),
+    ).filter(F.col("__s").isNotNull())
+    per = g.groupBy("__s").agg(
+        F.sum(F.when(F.col("__x") & F.col("__y"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("__x") & ~F.col("__y"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~F.col("__x") & F.col("__y"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("__x") & ~F.col("__y"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    return per.select(
+        F.col("__s").alias(stratum),
+        "a",
+        "b",
+        "c",
+        "d",
+        "n",
+        (F.col("a").cast("double") * F.col("d").cast("double") / nd).alias(
+            "mh_num"
+        ),
+        (F.col("b").cast("double") * F.col("c").cast("double") / nd).alias(
+            "mh_den"
+        ),
+    ).orderBy(stratum)

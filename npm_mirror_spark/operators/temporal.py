@@ -580,3 +580,109 @@ def km_cells(
         "d",
         "c",
     ).orderBy(group, "t")
+
+
+def logrank_cells(
+    df: DataFrame,
+    group: str,
+    duration: str,
+    event: str,
+    in_a: Column,
+) -> DataFrame:
+    """Log-rank test decomposition between the rows where ``in_a``
+    holds (arm A) and the rest — the hypothesis-test companion to
+    :func:`km_cells` (are two survival curves the same?), reported PER
+    DISTINCT EVENT TIME in the cells style: the chi-square
+    (Σ o_minus_e_a)² / (Σ var_term) is a one-liner derivation, and the
+    two sums are the only ops this face refuses to perform (a float Σ
+    over data-dependent time order is the cross-engine trap; every
+    emitted column is either an exact integer or ONE fixed IEEE
+    sequence on exact-int-valued doubles — the q_kappa contract).
+
+    Standard Mantel–Haenszel/log-rank arithmetic per event time t:
+    o_minus_e_a = d_a − n_a·d/n (observed minus expected arm-A events
+    under the null), var_term = d·(n_a/n)·(1 − n_a/n)·(n − d)/(n − 1)
+    (hypergeometric variance; 0 when n = 1).  Censored rows leave the
+    risk sets between event times but contribute no row of their own
+    (rows with d = 0 are omitted — they add 0 to both sums).
+
+    NULL handling follows :func:`~npm_mirror_spark.operators.stats.welch_t`:
+    the ``in_a`` predicate is coalesced to FALSE (three-valued-false →
+    arm B); NULL duration/event rows are dropped; ``event`` rides the
+    same 0/1 staged-raise guard as km_cells.  ``group`` is carried
+    through untouched so one call prices many strata (per-group curves
+    compare within the group).
+
+    Shape: one per-(group, t) collapse + the bounded strictly-prior
+    window of km_cells, twice (once per arm, fused into one grouped
+    fold) — output bounded by |groups| × |distinct durations|.
+
+    Output: group, t, n, d, n_a, d_a, o_minus_e_a, var_term.
+    """
+    ed0 = F.col(event).cast("double")
+    e = F.when(
+        ed0.isNotNull() & ~ed0.isin(0.0, 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"logrank_cells: {event} must be 0/1, got "),
+                ed0.cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(ed0.cast("int"))
+    g = df.select(
+        F.col(group).alias("__g"),
+        F.col(duration).alias("__t"),
+        e.alias("__e"),
+        F.coalesce(in_a, F.lit(False)).alias("__a"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__e").isNotNull()
+    )
+    per_t = g.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__e").alias("__d"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__a"), F.col("__e")).otherwise(0)).alias("__da"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    prior_n = F.coalesce(
+        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    prior_na = F.coalesce(
+        F.sum("__na").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    tot = Window.partitionBy("__g")
+    risk = per_t.select(
+        "__g",
+        "__t",
+        "__d",
+        "__da",
+        (F.sum("__n").over(tot) - prior_n).alias("__nr"),
+        (F.sum("__na").over(tot) - prior_na).alias("__nra"),
+    ).where(F.col("__d") > 0)
+    nrd = F.col("__nr").cast("double")
+    nrad = F.col("__nra").cast("double")
+    dd = F.col("__d").cast("double")
+    frac_a = nrad / nrd
+    return risk.select(
+        F.col("__g").alias(group),
+        F.col("__t").alias("t"),
+        F.col("__nr").alias("n"),
+        F.col("__d").alias("d"),
+        F.col("__nra").alias("n_a"),
+        F.col("__da").alias("d_a"),
+        (F.col("__da").cast("double") - nrad * dd / nrd).alias("o_minus_e_a"),
+        F.when(
+            F.col("__nr") > 1,
+            dd
+            * frac_a
+            * (F.lit(1.0) - frac_a)
+            * (nrd - dd)
+            / (nrd - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_term"),
+    ).orderBy(group, "t")

@@ -333,3 +333,95 @@ def test_capture_recapture_null_ids_excluded(spark):
     b = spark.createDataFrame([(5, 5)], "id_a int, id_b int")
     r = capture_recapture(a, b).collect()[0]
     assert (r["n_a"], r["n_b"], r["overlap"]) == (1, 1, 0)
+
+
+def test_logrank_cells_hand_example(spark):
+    """Two arms, classic small table: A = {1(ev), 3(ev)},
+    B = {2(ev), 3(cens)}; event times 1, 2, 3."""
+    from npm_mirror_spark.operators.temporal import logrank_cells
+
+    rows = [
+        ("g", 1, 1, 1), ("g", 3, 1, 1),  # arm A
+        ("g", 2, 1, 0), ("g", 3, 0, 0),  # arm B
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, e int, arm_a int")
+    out = {
+        r["t"]: r
+        for r in logrank_cells(df, "g", "t", "e", F.col("arm_a") == 1).collect()
+    }
+    # t=1: n=4, d=1, n_a=2, d_a=1 -> O-E = 1 - 2*1/4 = 0.5
+    assert (out[1]["n"], out[1]["d"], out[1]["n_a"], out[1]["d_a"]) == (4, 1, 2, 1)
+    assert out[1]["o_minus_e_a"] == 1.0 - 2.0 * 1.0 / 4.0
+    # var = 1 * (2/4)*(1-2/4)*(4-1)/(4-1) = 0.25
+    assert out[1]["var_term"] == 1.0 * 0.5 * 0.5 * 3.0 / 3.0
+    # t=2: n=3, d=1, n_a=1, d_a=0 -> O-E = 0 - 1/3
+    assert (out[2]["n"], out[2]["d"], out[2]["n_a"], out[2]["d_a"]) == (3, 1, 1, 0)
+    assert out[2]["o_minus_e_a"] == 0.0 - 1.0 * 1.0 / 3.0
+    # t=3: n=2, d=1 (the censored B row is at risk but adds no event)
+    assert (out[3]["n"], out[3]["d"], out[3]["n_a"], out[3]["d_a"]) == (2, 1, 1, 1)
+
+
+def test_logrank_cells_identical_arms_zero(spark):
+    """When in_a marks nothing, every O-E is the negative expectation
+    of arm-A events — with n_a = 0, O-E = 0 and var = 0."""
+    from npm_mirror_spark.operators.temporal import logrank_cells
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1)], "g string, t int, e int"
+    )
+    out = logrank_cells(df, "g", "t", "e", F.lit(False)).collect()
+    assert all(r["o_minus_e_a"] == 0.0 and r["n_a"] == 0 for r in out)
+
+
+def test_logrank_cells_null_predicate_is_arm_b(spark):
+    from npm_mirror_spark.operators.temporal import logrank_cells
+
+    df = spark.createDataFrame(
+        [("g", 1, 1, None), ("g", 1, 1, 1)], "g string, t int, e int, f int"
+    )
+    r = logrank_cells(df, "g", "t", "e", F.col("f") == 1).collect()[0]
+    assert (r["n"], r["n_a"]) == (2, 1)
+
+
+def test_mantel_haenszel_hand_example(spark):
+    """Textbook two-stratum table; the per-stratum MH terms feed the
+    classic OR_MH derivation."""
+    from npm_mirror_spark.operators.checks import mantel_haenszel_cells
+
+    rows = (
+        # stratum 1: a=3 b=1 c=1 d=3 (strong positive)
+        [("s1", 1, 1)] * 3 + [("s1", 1, 0)] * 1
+        + [("s1", 0, 1)] * 1 + [("s1", 0, 0)] * 3
+        # stratum 2: a=1 b=2 c=2 d=1 (negative)
+        + [("s2", 1, 1)] * 1 + [("s2", 1, 0)] * 2
+        + [("s2", 0, 1)] * 2 + [("s2", 0, 0)] * 1
+    )
+    df = spark.createDataFrame(rows, "s string, x int, y int")
+    out = {
+        r["s"]: r
+        for r in mantel_haenszel_cells(
+            df, "s", F.col("x") == 1, F.col("y") == 1
+        ).collect()
+    }
+    r1 = out["s1"]
+    assert (r1["a"], r1["b"], r1["c"], r1["d"], r1["n"]) == (3, 1, 1, 3, 8)
+    assert r1["mh_num"] == 3.0 * 3.0 / 8.0
+    assert r1["mh_den"] == 1.0 * 1.0 / 8.0
+    r2 = out["s2"]
+    assert (r2["a"], r2["b"], r2["c"], r2["d"], r2["n"]) == (1, 2, 2, 1, 6)
+    # OR_MH one-liner over the cells
+    or_mh = (r1["mh_num"] + r2["mh_num"]) / (r1["mh_den"] + r2["mh_den"])
+    assert or_mh == (9.0 / 8.0 + 1.0 / 6.0) / (1.0 / 8.0 + 4.0 / 6.0)
+
+
+def test_mantel_haenszel_null_predicates_false(spark):
+    from npm_mirror_spark.operators.checks import mantel_haenszel_cells
+
+    df = spark.createDataFrame(
+        [("s", None, 1), ("s", 1, None)], "s string, x int, y int"
+    )
+    r = mantel_haenszel_cells(
+        df, "s", F.col("x") == 1, F.col("y") == 1
+    ).collect()[0]
+    # (NULL, 1) -> not exposed & outcome = c; (1, NULL) -> exposed only = b
+    assert (r["a"], r["b"], r["c"], r["d"]) == (0, 1, 1, 0)

@@ -374,3 +374,83 @@ def test_vocab_coverage_bit_exact_vs_python_replay(spark, tokens, thr):
         best[0], best[1], float(best[2]),
     )
     assert (r["total_types"], r["total_mass"]) == (total_types, float(total_mass))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 8),      # duration
+            st.integers(0, 1),      # event
+            st.booleans(),          # arm A
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_logrank_cells_bit_exact_vs_python_replay(spark, data):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.temporal import logrank_cells
+
+    rows = [("g", t, e, 1 if a else 0) for t, e, a in data]
+    df = spark.createDataFrame(rows, "g string, t int, e int, arm int")
+    got = {
+        r["t"]: r
+        for r in logrank_cells(df, "g", "t", "e", F.col("arm") == 1).collect()
+    }
+    times = sorted({t for t, e, _ in data if e == 1})
+    assert set(got) == set(times)
+    for t in times:
+        n = sum(1 for tt, _, _ in data if tt >= t)
+        na = sum(1 for tt, _, a in data if tt >= t and a)
+        d = sum(e for tt, e, _ in data if tt == t)
+        da = sum(e for tt, e, a in data if tt == t and a)
+        r = got[t]
+        assert (r["n"], r["d"], r["n_a"], r["d_a"]) == (n, d, na, da)
+        assert r["o_minus_e_a"] == float(da) - float(na) * float(d) / float(n)
+        if n > 1:
+            frac = float(na) / float(n)
+            assert r["var_term"] == float(d) * frac * (1.0 - frac) * (
+                float(n) - float(d)
+            ) / (float(n) - 1.0)
+        else:
+            assert r["var_term"] == 0.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("st"),
+            st.booleans(),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_mantel_haenszel_bit_exact_vs_python_replay(spark, data):
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.checks import mantel_haenszel_cells
+
+    rows = [(s, 1 if x else 0, 1 if y else 0) for s, x, y in data]
+    df = spark.createDataFrame(rows, "s string, x int, y int")
+    got = {
+        r["s"]: r
+        for r in mantel_haenszel_cells(
+            df, "s", F.col("x") == 1, F.col("y") == 1
+        ).collect()
+    }
+    for s in {s for s, _, _ in data}:
+        sub = [(x, y) for ss, x, y in data if ss == s]
+        a = sum(1 for x, y in sub if x and y)
+        b = sum(1 for x, y in sub if x and not y)
+        c = sum(1 for x, y in sub if not x and y)
+        d = sum(1 for x, y in sub if not x and not y)
+        n = len(sub)
+        r = got[s]
+        assert (r["a"], r["b"], r["c"], r["d"], r["n"]) == (a, b, c, d, n)
+        assert r["mh_num"] == float(a) * float(d) / float(n)
+        assert r["mh_den"] == float(b) * float(c) / float(n)
