@@ -1,42 +1,33 @@
-"""Staged registry faces for the r12 driver-window tail.
+"""The r12-registered face batch (staged in r11, lifted in r12).
 
-The r11 window froze with ZERO free tail slots (27 pins + 13 late-batch
-drains + 10 staleness re-checks), and the hard rule since r11 is that
-new faces land ONLY in free tail slots of the round that registers them
-(docs/DRIVER_WINDOW.md) — so this round's new operators ship here:
-fully face-shaped (each callable takes (spark, sf_dir) and returns a
-DataFrame) with their DuckDB oracles, driven by the SAME harness
-comparison as the registry (tests/test_r11_ops.py), but NOT in
-``queries.QUERIES``.  The r12 rotation lifts these dicts into
-queries.py/__spark_entry__ verbatim and rotates them into that round's
-free tail slots.
+History: these 12 faces were written in r11, when the driver window had
+frozen with ZERO free tail slots, so under the register-into-window-only
+rule (docs/DRIVER_WINDOW.md) they shipped here as STAGED faces — fully
+face-shaped, oracle-backed, driven by the same harness comparison as the
+registry (tests/test_r11_ops.py) — but NOT in ``queries.QUERIES``.  The
+r12 rotation registered them: ``queries.py`` merges ``R12_QUERIES`` /
+``R12_ORACLES`` into the registry at import time and rotates all 12 into
+the r12 window tail, so they are driver-visible and covered by
+tests/test_oracle_parity.py like every other registered face.  This
+module stays their permanent home (same one-module-per-batch shape the
+operators/ packages use); registration order within the batch is the
+``R12_QUERIES`` dict order.
 
 Every face follows the registry contracts: driver-hashable output
 types only (no decimal/array/map), aliased columns matching the oracle
 exactly, bounded plans (no unguarded cross products), and the
 exact-integer / fixed-IEEE-expression determinism the stats tier pins.
 
-Plan-lint note for the r12 rotation: 9 of the 12 faces plan a
-BroadcastNestedLoopJoin and need `tests/test_plans.py::ALLOWED_BNLJ`
-entries when registered (verified bounded here; the two shapes are the
-already-allowlisted q_kappa 1-row-fold class and the q_gap_fill
-bounded-grid class):
+Plan-lint note: 9 of the 12 faces plan a BroadcastNestedLoopJoin; their
+`tests/test_plans.py::ALLOWED_BNLJ` entries (added with the r12
+registration) are the already-allowlisted q_kappa 1-row-fold class and
+the q_gap_fill bounded-grid class — each verified bounded here.
 
-    "q_friedman": "1-row (k, n) completeness frame broadcast per treatment",
-    "q_brown_forsythe": "1-row grand-total fold broadcast (anova_cells shape)",
-    "q_jonckheere": "zero-filled (value-axis x k-group) grid build, bounded
-        by the ordinal-domain contract",
-    "q_gk_gamma": "zero-filled (x-domain x y-domain) grid build, bounded by
-        the ordinal-domain contract (the dominance-count rewrite already
-        removed the |cells|^2 non-equi join)",
-    "q_cochran_q": "1-row block-side and treatment-side sum frames broadcast",
-    "q_vocab_coverage": "1-row totals x 4-row threshold frame broadcast onto
-        the bounded count-class axis",
-    "q_mood_median": "1-row global doubled-median frame broadcast",
-    "q_capture_recapture": "three 1-row count folds broadcast",
-    "q_hilbert_audit": "1-row min/max bounds frame broadcast (the
-        with_zorder_key shape q_zorder already allowlists implicitly
-        via its own entry if present — same class)",
+The ``q_capture_recapture`` oracle composes the registry's (already
+driver-green) ``q_minhash_pairs`` / ``q_simhash_pairs`` oracle SQL; to
+keep this module import-clean (queries.py imports US at its top, before
+its ORACLES dict exists), the composition is deferred: ``build_oracles``
+takes the registry dict and completes ``R12_ORACLES``.
 """
 
 from __future__ import annotations
@@ -65,7 +56,9 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_SQL = """
 daily AS (
   SELECT date_trunc('day', ts) AS d, event_type AS t, count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 )
 """
 
@@ -229,7 +222,7 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capture_recapture(m, s)
 
 
-STAGED_QUERIES = {
+R12_QUERIES = {
     "q_friedman": q_friedman,
     "q_brown_forsythe": q_brown_forsythe,
     "q_jonckheere": q_jonckheere,
@@ -247,17 +240,17 @@ STAGED_QUERIES = {
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def _capture_recapture_oracle() -> str:
+def _capture_recapture_oracle(minhash_sql: str, simhash_sql: str) -> str:
     """Compose the existing (already driver-green) minhash/simhash pair
     oracles into the capture-recapture replay — the two pair sets are
     replayed by the exact SQL the registry already verifies, nested as
     CTE subqueries, so this face's oracle can never drift from the
-    registered fixtures'."""
-    from npm_mirror_spark.queries import ORACLES
-
+    registered fixtures'.  The SQL arrives as arguments (not an import
+    of queries.ORACLES) so this module imports cleanly while queries.py
+    is still mid-initialization; ``build_oracles`` does the wiring."""
     return f"""
-WITH m AS ({ORACLES["q_minhash_pairs"]}),
-s AS ({ORACLES["q_simhash_pairs"]}),
+WITH m AS ({minhash_sql}),
+s AS ({simhash_sql}),
 ma AS (SELECT DISTINCT id_a, id_b FROM m),
 sb AS (SELECT DISTINCT id_a, id_b FROM s),
 na AS (SELECT count(*) AS n_a FROM ma),
@@ -271,7 +264,7 @@ FROM na CROSS JOIN nb CROSS JOIN ov
 """
 
 
-STAGED_ORACLES = {
+R12_ORACLES = {
     "q_friedman": f"""
 WITH {_DAILY_SQL},
 k AS (SELECT count(DISTINCT t) AS k FROM daily),
@@ -361,7 +354,9 @@ ORDER BY source
     "q_jonckheere": """
 WITH vg AS (
   SELECT l_linenumber AS g, CAST(floor(l_quantity) AS BIGINT) AS x, count(*) AS c
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
 ),
 axis AS (SELECT DISTINCT x FROM vg),
 grps AS (SELECT DISTINCT g FROM vg),
@@ -553,7 +548,7 @@ FROM cum ORDER BY flag, t
 """,
 }
 
-STAGED_ORACLES["q_mood_median"] = """
+R12_ORACLES["q_mood_median"] = """
 WITH g AS (
   SELECT source AS g, n_chars AS x FROM documents
   WHERE source IS NOT NULL AND n_chars IS NOT NULL
@@ -582,7 +577,7 @@ GROUP BY g.g, med2
 ORDER BY source
 """
 
-STAGED_ORACLES["q_vocab_richness"] = f"""
+R12_ORACLES["q_vocab_richness"] = f"""
 WITH n AS (SELECT {_NORM} AS t FROM documents),
 toks AS (SELECT unnest(str_split(t, ' ')) AS tok FROM n),
 tf AS (SELECT tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY tok),
@@ -604,7 +599,15 @@ SELECT CAST(s_obs AS BIGINT) AS s_obs,
 FROM o
 """
 
-STAGED_ORACLES["q_capture_recapture"] = _capture_recapture_oracle()
+def build_oracles(registry_oracles: dict[str, str]) -> dict[str, str]:
+    """Complete ``R12_ORACLES`` against the registry's oracle dict (the
+    capture-recapture oracle nests the minhash/simhash pair SQL) and
+    return it.  Called once from queries.py after its ORACLES literal is
+    fully built; idempotent."""
+    R12_ORACLES["q_capture_recapture"] = _capture_recapture_oracle(
+        registry_oracles["q_minhash_pairs"], registry_oracles["q_simhash_pairs"]
+    )
+    return R12_ORACLES
 
 
 def q_hilbert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,5 +678,5 @@ GROUP BY 1 ORDER BY shard
 """
 
 
-STAGED_QUERIES["q_hilbert_audit"] = q_hilbert_audit
-STAGED_ORACLES["q_hilbert_audit"] = _hilbert_oracle()
+R12_QUERIES["q_hilbert_audit"] = q_hilbert_audit
+R12_ORACLES["q_hilbert_audit"] = _hilbert_oracle()

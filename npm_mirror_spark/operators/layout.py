@@ -101,14 +101,21 @@ def with_zorder_key(
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     coord_cols = {}
+    max_span = (2**63 - 1) // top
     for c in cols:
         q, lo, hi = f"`{c}`", f"`__lo_{c}`", f"`__hi_{c}`"
         span = f"(cast({hi} as bigint) - cast({lo} as bigint))"
         # integer range bucket: div, never float division — float
-        # quotients can round across a bucket edge for large values
+        # quotients can round across a bucket edge for large values.
+        # Span guard: same int64 wrap bound as with_hilbert_key — past
+        # it the * {top} multiply wraps silently in non-ANSI mode.
         coord_cols[f"__coord_{c}"] = F.expr(
             f"CASE WHEN {q} IS NULL OR {hi} IS NULL OR {span} <= 0 "
             f"THEN cast(0 as bigint) "
+            f"WHEN {span} > {max_span} THEN cast(raise_error(concat("
+            f"'with_zorder_key: span of {c} (', cast({span} as string), "
+            f"') overflows the int64 scale at {bits} bits; "
+            f"pre-bucket the column')) as bigint) "
             f"ELSE ((cast({q} as bigint) - cast({lo} as bigint)) * {top}) "
             f"div {span} END"
         )
@@ -201,6 +208,16 @@ def with_hilbert_key(
     (exact integer div, never float), bounds from ONE broadcast 1-row
     aggregate; NULL and zero-span columns bucket to coordinate 0.
 
+    Span bound (the bigint twin of the ``bits * 2 > 62`` key guard):
+    the scale multiply is exact only while (hi - lo) * (2^bits - 1)
+    fits an int64, i.e. span <= (2^63 - 1) div (2^bits - 1) — ~2^47 at
+    the default 16 bits, ~2^55 for the 8-bit audit face.  Beyond that
+    the non-ANSI multiply would WRAP silently and produce wrong (but
+    deterministic) keys, so the coordinate expression raises on such
+    spans instead (staged raise_error, same pattern as km_cells); key
+    domains wider than the bound should be pre-bucketed (v div 2^k)
+    before layout.
+
     The xy→d transform is the classical rotate-and-accumulate loop
     (one step per bit, most-significant first).  Each step REDEFINES
     (x, y, d) — embedding the recurrence as one expression tree would
@@ -220,12 +237,19 @@ def with_hilbert_key(
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     coord_cols = {}
+    max_span = (2**63 - 1) // top
     for i, c in enumerate(cols):
         q, lo, hi = f"`{c}`", f"`__lo_{c}`", f"`__hi_{c}`"
         span = f"(cast({hi} as bigint) - cast({lo} as bigint))"
         coord_cols[f"__h{'xy'[i]}"] = F.expr(
             f"CASE WHEN {q} IS NULL OR {hi} IS NULL OR {span} <= 0 "
             f"THEN cast(0 as bigint) "
+            # overflow guard: past this span the * {top} multiply wraps
+            # in non-ANSI mode (see the span bound in the docstring)
+            f"WHEN {span} > {max_span} THEN cast(raise_error(concat("
+            f"'with_hilbert_key: span of {c} (', cast({span} as string), "
+            f"') overflows the int64 scale at {bits} bits; "
+            f"pre-bucket the column')) as bigint) "
             f"ELSE ((cast({q} as bigint) - cast({lo} as bigint)) * {top}) "
             f"div {span} END"
         )

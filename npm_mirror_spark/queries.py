@@ -5559,6 +5559,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_changepoint": q_changepoint,
 }
 
+# --- r12 registrations: the r11-staged batch (faces_r12.py) ---------------
+# Written in r11 when the window had zero free tail slots, staged under
+# the register-into-window-only rule, and lifted here in r12 — all 12
+# rotate into the r12 WINDOW_TAIL below in the same commit.  Their
+# oracles merge into ORACLES at the end of this module (the
+# capture-recapture oracle nests two registry oracle strings, so the
+# merge must run after the ORACLES literal is complete).
+from npm_mirror_spark.faces_r12 import R12_QUERIES as _R12_QUERIES  # noqa: E402
+
+QUERIES.update(_R12_QUERIES)
+
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
 # The grading driver checks exactly ``list(QUERIES)[:50]``.  A rotation
 # edits ONLY ``WINDOW_TAIL`` below; the dict literal above stays in
@@ -5581,25 +5592,22 @@ PINNED_27: tuple[str, ...] = (
     "q_approx_stats",
 )
 
-#: Slots 28-50 (r11 rotation): the 13 r10 LATE-BATCH registrations that
-#: have never seen the driver (the whole docs/DRIVER_WINDOW.md queue —
-#: draining the verification debt back to zero, r10 verdict item 1),
-#: then the 10 oldest single-round-checked rows from the
-#: last-driver-checked ledger (all last checked in r01, 10 rounds ago
-#: under an older harness; registration order — r10 verdict item 5).
-#: All 23 are oracle-backed; the only rows-only entry in this window is
-#: the pinned ``q_approx_stats``.  No face may be registered after this
-#: tuple freezes: new faces land ONLY in free tail slots of the round
-#: they are registered in (r10 verdict hard rule), and this round has
-#: none free.
+#: Slots 28-50 (r12 rotation): the 12 r11-STAGED faces registered this
+#: round (faces_r12.py — registered straight into the window they open
+#: in, per the register-into-window-only hard rule), then the 11 oldest
+#: rows from the last-driver-checked ledger: the 8 r01 remainders (last
+#: checked 11 rounds ago under an older harness) and the first 3 of the
+#: r03 block, in registration order (r10 verdict item 5; r11 verdict
+#: item 1 names exactly this tail).  All 23 are oracle-backed; the only
+#: rows-only entry in this window is the pinned ``q_approx_stats``.
 WINDOW_TAIL: tuple[str, ...] = (
-    "q_welch_t", "q_kruskal", "q_kendall_tau", "q_anova_cells",
-    "q_hits", "q_bfs_hops", "q_link_pred", "q_assortativity",
-    "q_systematic_sample", "q_lexical_diversity", "q_poisson_bootstrap",
-    "q_gini_split", "q_changepoint",
-    "q_quality_score", "q_lang_id", "q_token_count", "q_fingerprint",
-    "q_window_counts", "q_tpch_pricing", "q_revenue_by_customer",
-    "q_centroids", "q_salted_counts", "q_region_rollup",
+    "q_friedman", "q_brown_forsythe", "q_jonckheere", "q_durbin_watson",
+    "q_gk_gamma", "q_cochran_q", "q_vocab_coverage", "q_km_events",
+    "q_mood_median", "q_vocab_richness", "q_capture_recapture",
+    "q_hilbert_audit",
+    "q_quality_filter", "q_tf_df", "q_semi_join", "q_grouping_rollup",
+    "q_running_total", "q_pivot_counts", "q_asof_join", "q_unpivot",
+    "q_dedup_keepset", "q_ngram_jaccard", "q_simhash_pairs",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
@@ -10298,3 +10306,11 @@ SELECT n_days, CAST(split_day AS INTEGER) AS split_day, n_left,
        sse_total - sse_split AS gain
 FROM scored ORDER BY sse_split, split_day LIMIT 1
 """
+
+# --- r12 oracle merge (see the r12 registration block above) --------------
+# Runs last: faces_r12.build_oracles nests the q_minhash_pairs /
+# q_simhash_pairs oracle SQL (both driver-green since r1/r11) inside the
+# capture-recapture oracle, so the registry literal must be complete.
+from npm_mirror_spark.faces_r12 import build_oracles as _r12_build_oracles  # noqa: E402
+
+ORACLES.update(_r12_build_oracles(ORACLES))

@@ -263,10 +263,29 @@ class StreamingEventTable:
             self._ttype = batch_df.schema[
                 self.duration_col
             ].dataType.simpleString()
+        # contract guard, same staged-raise as the batch km_cells: an
+        # event value outside {0,1} silently corrupts c = n - d, and it
+        # must be validated on the DOUBLE view BEFORE the int cast — a
+        # float 0.9 truncates to 0 and would sail through an after-cast
+        # check (breaking the documented bit-equality with km_cells,
+        # which raises on the same input).
+        ed = batch_df[self.event_col].cast("double")
+        e = F.when(
+            ed.isNotNull() & ~ed.isin(0.0, 1.0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"StreamingEventTable: {self.event_col} must be "
+                        "0/1, got "
+                    ),
+                    ed.cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(ed.cast("int"))
         g = batch_df.select(
             batch_df[self.group_col].alias("g"),
             batch_df[self.duration_col].alias("t"),
-            batch_df[self.event_col].cast("int").alias("e"),
+            e.alias("e"),
         ).filter(
             F.col("g").isNotNull()
             & F.col("t").isNotNull()

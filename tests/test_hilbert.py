@@ -170,3 +170,38 @@ def test_write_hilbert_clustered_roundtrip(spark, tmp_path):
     )
     assert len(stats) >= 2
     assert all(r["hi"] - r["lo"] < 999 for r in stats)
+
+
+def test_layout_keys_reject_overflowing_spans(spark):
+    """r11 advisor finding: the ((v - lo) * (2^bits - 1)) scale multiply
+    is bigint with no overflow guard, so a span past (2^63-1) div
+    (2^bits-1) WRAPPED silently in non-ANSI mode and produced wrong
+    (but deterministic) keys.  Both layout keys now stage a raise on
+    such spans instead; a span just inside the bound still works."""
+    import pytest
+
+    from npm_mirror_spark.operators.layout import (
+        with_hilbert_key,
+        with_zorder_key,
+    )
+
+    bits = 16
+    max_span = (2**63 - 1) // ((1 << bits) - 1)
+    over = spark.createDataFrame(
+        [(0, 0), (max_span + 1, 3)], "a long, b long"
+    )
+    with pytest.raises(Exception, match="overflows the int64 scale"):
+        with_hilbert_key(over, ["a", "b"], bits=bits).collect()
+    with pytest.raises(Exception, match="overflows the int64 scale"):
+        with_zorder_key(over, ["a", "b"], bits=bits).collect()
+    under = spark.createDataFrame(
+        [(0, 0), (max_span, 3)], "a long, b long"
+    )
+    hk = with_hilbert_key(under, ["a", "b"], bits=bits).collect()
+    zk = with_zorder_key(under, ["a", "b"], bits=bits).collect()
+    assert len(hk) == 2 and len(zk) == 2
+    # the max-span row scales to the top coordinate exactly
+    top = (1 << bits) - 1
+    assert max(r["zkey"] for r in zk) < (1 << (2 * bits))
+    assert all(r["hkey"] >= 0 for r in hk)
+    assert top == (1 << bits) - 1

@@ -235,3 +235,32 @@ def test_event_table_preserves_input_types(spark):
     }
     rows = sorted(map(tuple, out.collect()))
     assert rows == [(7, 20_000_000_000, 2, 1, 0), (7, 20_000_000_001, 1, 0, 1)]
+
+
+def test_event_table_rejects_non_binary_events(spark):
+    """r11 advisor finding: update_batch cast events to int with no 0/1
+    guard, so a 2 (or a 0.9, truncating to 0 after the cast) silently
+    corrupted c = n - d while the batch km_cells raised on the same
+    input — breaking the documented bit-equality.  Both now raise, and
+    the validation runs on the DOUBLE view before the int cast."""
+    import pytest
+
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingEventTable
+
+    for bad in (2, -1):
+        sk = StreamingEventTable("g", "t", "e")
+        d = spark.createDataFrame([("a", 1, bad)], "g string, t int, e int")
+        with pytest.raises(Exception, match="must be 0/1"):
+            sk.update_batch(d, batch_id=0)
+    # float 0.9 would truncate to 0 under an after-cast check
+    sk = StreamingEventTable("g", "t", "e")
+    d = spark.createDataFrame([("a", 1, 0.9)], "g string, t int, e double")
+    with pytest.raises(Exception, match="must be 0/1"):
+        sk.update_batch(d, batch_id=0)
+    # the valid boundary values still pass
+    sk = StreamingEventTable("g", "t", "e")
+    d = spark.createDataFrame(
+        [("a", 1, 0), ("a", 1, 1)], "g string, t int, e int"
+    )
+    sk.update_batch(d, batch_id=0)
+    assert sk.state[("a", 1)] == (2, 1, 1)

@@ -451,6 +451,33 @@ ALLOWED_BNLJ = {
         "single-row (n_days, S, Q) totals broadcast onto the bounded "
         "day-axis prefix table (the q_cusum singleton-fold shape)"
     ),
+    # --- r12 batch (faces_r12.py): shapes pre-documented while staged ---
+    "q_friedman": "1-row (k, n) completeness frame broadcast per treatment",
+    "q_brown_forsythe": (
+        "1-row grand-total fold broadcast (the q_anova_cells shape)"
+    ),
+    "q_jonckheere": (
+        "zero-filled (value-axis x k-group) grid build, bounded by the "
+        "ordinal-domain contract (the q_gap_fill bounded-grid class)"
+    ),
+    "q_gk_gamma": (
+        "zero-filled (x-domain x y-domain) grid build, bounded by the "
+        "ordinal-domain contract — the dominance-count rewrite already "
+        "removed the |cells|^2 non-equi join"
+    ),
+    "q_cochran_q": (
+        "1-row block-side and treatment-side sum frames broadcast"
+    ),
+    "q_vocab_coverage": (
+        "1-row totals x 4-row threshold frame broadcast onto the bounded "
+        "count-class axis"
+    ),
+    "q_mood_median": "1-row global doubled-median frame broadcast",
+    "q_capture_recapture": "three 1-row count folds broadcast",
+    "q_hilbert_audit": (
+        "1-row min/max bounds frame broadcast for the integer coordinate "
+        "scaling (the q_zorder range-stats shape)"
+    ),
 }
 
 

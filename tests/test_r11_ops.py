@@ -1,16 +1,15 @@
-"""r11 operator batch: unit tests with hand-computed expectations plus
-full oracle-parity drives of the staged r12 faces (staging_r12.py) —
-the same harness comparison the registry faces get, run BEFORE these
-faces are ever registered (the r10 lesson: driver verification is the
-only unfakeable signal, so staged faces pre-clear the identical bar)."""
+"""r11 operator batch: unit tests with hand-computed expectations for
+the faces_r12.py batch (staged in r11, REGISTERED in r12).  Their full
+oracle-parity drives now run in tests/test_oracle_parity.py like every
+other registered face, so this module keeps only the hand examples plus
+the registration-consistency check below."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from npm_mirror_spark.staging_r12 import STAGED_ORACLES, STAGED_QUERIES
-from tests.oracle_harness import compare, duckdb_con
+from npm_mirror_spark.faces_r12 import R12_ORACLES, R12_QUERIES
 
 
 # ---------------------------------------------------------------- units
@@ -175,24 +174,20 @@ def test_km_cells_hand_example(spark):
     assert (out[3]["n_risk"], out[3]["d"], out[3]["c"]) == (1, 1, 0)
 
 
-# ------------------------------------------------------- oracle parity
+# --------------------------------------------------- registration check
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
-def test_staged_face_matches_oracle(spark, sf_dir, name):
-    """Every staged r12 face must clear the registry-identical harness
-    bar (rows + schema + canonical values vs DuckDB) BEFORE it is ever
-    registered."""
-    con = duckdb_con(sf_dir)
-    df = STAGED_QUERIES[name](spark, sf_dir)
-    problems = compare(df, con, STAGED_ORACLES[name])
-    assert not problems, f"{name}: {problems}"
+def test_r12_batch_is_registered_with_oracles():
+    """Every face in the r12 batch is in the registry with its oracle
+    (parity itself runs in test_oracle_parity.py); the batch dicts and
+    the registry must agree exactly, including the capture-recapture
+    oracle completed by build_oracles."""
+    from npm_mirror_spark.queries import ORACLES, QUERIES
 
-
-def test_staged_faces_have_oracles_and_rows(spark, sf_dir):
-    assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
-    for name, q in STAGED_QUERIES.items():
-        assert q(spark, sf_dir).count() > 0, f"{name} returned no rows"
+    assert set(R12_QUERIES) == set(R12_ORACLES)
+    for name, q in R12_QUERIES.items():
+        assert QUERIES[name] is q, f"{name} registered with a different callable"
+        assert ORACLES[name] == R12_ORACLES[name], f"{name} oracle drifted"
 
 
 def test_mood_median_hand_example(spark):
