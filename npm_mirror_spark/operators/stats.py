@@ -1313,3 +1313,60 @@ def mood_median_cells(df: DataFrame, value: str, group: str) -> DataFrame:
         )
         .orderBy(group)
     )
+
+
+def page_trend_cells(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Page's L trend test decomposition, reported PER TREATMENT — the
+    ORDERED-alternative companion to :func:`friedman_cells` (Friedman
+    asks "did any treatment shift?"; Page asks "do treatments shift
+    MONOTONICALLY with their natural order?") and the blocked companion
+    to :func:`jonckheere_cells` (same ordered question, no blocks).
+    Page, Biometrika 1963.
+
+    Identical complete-block + within-block doubled-midrank machinery
+    as :func:`friedman_cells` (rows with NULL block/treatment/value
+    dropped, only blocks holding exactly one row per global treatment
+    survive, ranks via the bounded per-block ROW-framed window).  The
+    hypothesized order is the treatment column's natural ascending
+    order; its index w (1..k) comes from a k-row broadcast frame.
+
+    Output per treatment: treatment, w, n_blocks, k_treatments,
+    rank_sum_x2 (= 2*R_j, exact-int-valued double), l_term_x2
+    (= w * 2*R_j, exact-int-valued double).  L*2 = Sigma(l_term_x2) —
+    a consumer one-liner (the terms are exact integers, so the sum is
+    order-independent); under H0, E[2L] = n*k*(k+1)^2/2.
+
+    Shape: friedman_cells' plan + one k-row broadcast rank frame —
+    output bounded by k.
+    """
+    from pyspark.sql import Window
+
+    base = friedman_cells(df, block, treatment, value)
+    # k-row order frame: the treatment axis is bounded by contract, so
+    # a global row_number over it is a single tiny partition
+    wframe = (
+        base.select(treatment)
+        .distinct()
+        .select(
+            treatment,
+            F.row_number()
+            .over(Window.orderBy(treatment))
+            .alias("w"),
+        )
+    )
+    return (
+        base.join(F.broadcast(wframe), treatment)
+        .select(
+            treatment,
+            "w",
+            "n_blocks",
+            "k_treatments",
+            "rank_sum_x2",
+            (F.col("w").cast("double") * F.col("rank_sum_x2")).alias(
+                "l_term_x2"
+            ),
+        )
+        .orderBy(treatment)
+    )

@@ -686,3 +686,67 @@ def logrank_cells(
         .otherwise(F.lit(0.0))
         .alias("var_term"),
     ).orderBy(group, "t")
+
+
+def pettitt_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Pettitt (1979) rank-based changepoint cells over a per-day
+    series — the NONPARAMETRIC companion to :func:`binseg_changepoint`
+    (binseg minimizes SSE and is mean/outlier-sensitive; Pettitt is a
+    Mann-Whitney-style shift test, distribution-free): for every
+    prospective split day t, U_t = Sigma_{i<=t} Sigma_{j>t}
+    sgn(x_i - x_j).  The change point is argmax |U_t| and
+    K = max |U_t| feeds the classical p approximation — both consumer
+    one-liners over this bounded table (every emitted number is an
+    exact integer, so even the sums a consumer might take are
+    order-independent).
+
+    NOT the O(days^2) pair join the definition suggests: by the
+    identity U_t = U_{t-1} + V_t with V_t = Sigma_j sgn(x_t - x_j) =
+    2*below(x_t) + ties(x_t) - n, the whole decomposition is one
+    per-value collapse + two bounded prefix windows (value axis, then
+    day axis) — the same bounded-axis windowing contract as
+    :func:`~npm_mirror_spark.operators.stats.mann_kendall_daily`, with
+    no non-equi join at all.  Rows with NULL day/value are dropped.
+
+    Output per day: day, n_days, u_t (exact integers; u at the last
+    day is 0 by construction — the suffix set is empty).
+    """
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    vc = g.groupBy("__x").agg(F.count(F.lit(1)).alias("__cd"))
+    wv = Window.orderBy("__x")
+    pri = vc.select(
+        "__x",
+        "__cd",
+        F.coalesce(
+            F.sum("__cd").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__below"),
+        F.sum("__cd")
+        .over(
+            wv.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n"),
+    )
+    v = pri.select(
+        "__x",
+        (F.lit(2) * F.col("__below") + F.col("__cd") - F.col("__n")).alias(
+            "__v"
+        ),
+        "__n",
+    )
+    wd = Window.orderBy("__d")
+    return (
+        g.join(v, "__x")
+        .select(
+            F.col("__d").alias(day),
+            F.col("__n").alias("n_days"),
+            F.sum("__v")
+            .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("u_t"),
+        )
+        .orderBy(day)
+    )

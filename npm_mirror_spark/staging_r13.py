@@ -25,16 +25,12 @@ bounded-grid classes):
 
     "q_page_trend": "1-row (k, n) completeness frame broadcast per
         treatment (the q_friedman shape)",
-    "q_pettitt": "deliberate broadcast non-equi pair join on the
-        CALENDAR-DAY axis (bounded by construction — the q_mann_kendall
-        contract) + 1-row n_days fold",
-    "q_ansari_bradley": "1-row global (N, doubled-score-total) frame
-        broadcast onto the per-group fold",
-    "q_hoeffding_d": "zero-filled bounded (x-domain x y-domain) grid
-        prefix build (the q_gk_gamma ordinal-domain contract) + 1-row
-        n fold",
     "q_digit_pref": "single-row corpus-count broadcast onto the 10-digit
         axis (the q_benford shape)",
+
+(q_pettitt plans NO BNLJ at all: the U_t double sum collapses to two
+bounded prefix windows via the U_t = U_{t-1} + V_t identity — see
+pettitt_cells.)
 """
 
 from __future__ import annotations
@@ -163,12 +159,123 @@ FROM per ORDER BY ln
 """
 
 
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-trend cells: blocks = days, ordered treatments
+    = the four six-hour slots of the day, value = the slot's event
+    count — does intra-day volume RISE monotonically through the day,
+    consistently across days?  The blocked twin of q_jonckheere's
+    unblocked ordered question and the ordered twin of q_friedman's
+    unordered blocked one.  (operators/stats.py page_trend_cells.)
+    Fixture note: lineitem blocks (orders) don't work here — line
+    numbers repeat within multi-line orders, so no complete blocks
+    exist; the day x slot design is complete almost everywhere.
+    """
+    from npm_mirror_spark.operators.stats import page_trend_cells
+
+    ev = _t(spark, sf_dir, "events")
+    slots = ev.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        (F.hour("ts").cast("int") / F.lit(6)).cast("int").alias("slot"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return page_trend_cells(slots, "d", "slot", "n")
+
+
+_PAGE_SQL = """
+WITH g AS (
+  SELECT date_trunc('day', ts) AS b,
+         CAST(CAST(extract(hour FROM ts) AS INTEGER) // 6 AS INTEGER) AS t,
+         count(*) AS x
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT t) AS k FROM g),
+blocks AS (
+  SELECT b FROM g GROUP BY b
+  HAVING count(*) = (SELECT k FROM k)
+     AND count(DISTINCT t) = (SELECT k FROM k)
+),
+gc AS (SELECT g.* FROM g JOIN blocks USING (b)),
+vb AS (SELECT b, x, count(*) AS cx FROM gc GROUP BY b, x),
+pri AS (
+  SELECT b, x, cx,
+    coalesce(sum(cx) OVER (PARTITION BY b ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM vb
+),
+ranked AS (
+  SELECT gc.t, 2 * pri.p + pri.cx + 1 AS mr2
+  FROM gc JOIN pri ON gc.b = pri.b AND gc.x = pri.x
+),
+per_t AS (
+  SELECT t, count(*) AS n_blocks, sum(CAST(mr2 AS HUGEINT)) AS r2
+  FROM ranked GROUP BY t
+),
+kn AS (SELECT count(DISTINCT t) AS k_treatments FROM gc),
+wrank AS (
+  SELECT t, CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS w
+  FROM (SELECT DISTINCT t FROM gc)
+)
+SELECT per_t.t AS slot, wrank.w, per_t.n_blocks, kn.k_treatments,
+  CAST(r2 AS DOUBLE) AS rank_sum_x2,
+  CAST(wrank.w AS DOUBLE) * CAST(r2 AS DOUBLE) AS l_term_x2
+FROM per_t JOIN wrank ON per_t.t = wrank.t CROSS JOIN kn
+ORDER BY slot
+"""
+
+
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint cells over the daily event-count
+    series: for every prospective split day, the exact Mann-Whitney
+    shift statistic U_t — argmax |U_t| is the distribution-free change
+    point q_changepoint's SSE split can't robustly give on heavy-tailed
+    days.  (operators/temporal.py pettitt_cells.)"""
+    from npm_mirror_spark.operators.temporal import pettitt_cells
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.where(F.col("ts").isNotNull()).groupBy(
+        # epoch-day bigint, the q_new_users_daily convention: a
+        # date_trunc timestamp renders differently across the two
+        # engines' canonicalizers
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pettitt_cells(daily, "d", "n")
+
+
+_PETTITT_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d, count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+vc AS (SELECT x, count(*) AS cd FROM daily GROUP BY x),
+pri AS (
+  SELECT x, cd,
+    coalesce(sum(cd) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+    sum(cd) OVER () AS n
+  FROM vc
+),
+v AS (SELECT x, 2 * below + cd - n AS v, n FROM pri),
+j AS (SELECT daily.d, v.v, v.n FROM daily JOIN v USING (x))
+SELECT d, CAST(n AS BIGINT) AS n_days,
+  CAST(sum(v) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u_t
+FROM j ORDER BY d
+"""
+
+
 STAGED_QUERIES = {
     "q_logrank": q_logrank,
     "q_mantel_haenszel": q_mantel_haenszel,
+    "q_page_trend": q_page_trend,
+    "q_pettitt": q_pettitt,
 }
 
 STAGED_ORACLES = {
     "q_logrank": _LOGRANK_SQL,
     "q_mantel_haenszel": _MH_SQL,
+    "q_page_trend": _PAGE_SQL,
+    "q_pettitt": _PETTITT_SQL,
 }

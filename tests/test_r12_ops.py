@@ -41,3 +41,80 @@ def test_staged_faces_disjoint_from_registry():
     from npm_mirror_spark.queries import QUERIES
 
     assert not set(STAGED_QUERIES) & set(QUERIES)
+
+
+# ---------------------------------------------------------------- units
+
+
+def test_page_trend_hand_example(spark):
+    """3 ordered treatments x 3 complete blocks with a perfect
+    monotone trend: every block ranks t1<t2<t3, so 2R = (6, 12, 18)
+    and 2L = 1*6 + 2*12 + 3*18 = 84 — the maximum (E[2L] under H0 is
+    n*k*(k+1)^2/2 = 72).  A 4th incomplete block must be dropped."""
+    from pyspark.sql import functions as F
+
+    from npm_mirror_spark.operators.stats import page_trend_cells
+
+    rows = [
+        ("b1", 1, 10), ("b1", 2, 20), ("b1", 3, 30),
+        ("b2", 1, 1), ("b2", 2, 2), ("b2", 3, 3),
+        ("b3", 1, 100), ("b3", 2, 200), ("b3", 3, 300),
+        ("b4", 1, 5), ("b4", 2, 6),  # incomplete: dropped
+    ]
+    df = spark.createDataFrame(rows, "b string, t int, x long")
+    out = {r["t"]: r for r in page_trend_cells(df, "b", "t", "x").collect()}
+    assert set(out) == {1, 2, 3}
+    assert [out[t]["w"] for t in (1, 2, 3)] == [1, 2, 3]
+    assert [out[t]["rank_sum_x2"] for t in (1, 2, 3)] == [6.0, 12.0, 18.0]
+    assert sum(r["l_term_x2"] for r in out.values()) == 84.0
+    for r in out.values():
+        assert r["n_blocks"] == 3 and r["k_treatments"] == 3
+
+
+def test_page_trend_ties_and_order(spark):
+    """Within-block ties take doubled midranks; w follows the natural
+    treatment order even when data arrives shuffled."""
+    from npm_mirror_spark.operators.stats import page_trend_cells
+
+    rows = [
+        ("b1", 3, 7), ("b1", 1, 7), ("b1", 2, 9),  # t1,t3 tie: mr2 = 3 each
+        ("b2", 2, 1), ("b2", 3, 2), ("b2", 1, 3),
+    ]
+    df = spark.createDataFrame(rows, "b string, t int, x long")
+    out = {r["t"]: r for r in page_trend_cells(df, "b", "t", "x").collect()}
+    # block1 doubled ranks: t1=3, t3=3, t2=6; block2: t2=2, t3=4, t1=6
+    assert out[1]["rank_sum_x2"] == 3.0 + 6.0
+    assert out[2]["rank_sum_x2"] == 6.0 + 2.0
+    assert out[3]["rank_sum_x2"] == 3.0 + 4.0
+    assert out[3]["l_term_x2"] == 3.0 * 7.0
+
+
+def test_pettitt_hand_example(spark):
+    """Series 1,2,10,11: the identity path must equal the O(n^2)
+    definition — U = (-3, -4, -3, 0), change point at t=2 (|U|=4)."""
+    from npm_mirror_spark.operators.temporal import pettitt_cells
+
+    rows = [("d1", 1), ("d2", 2), ("d3", 10), ("d4", 11)]
+    df = spark.createDataFrame(rows, "d string, x long")
+    out = [(r["d"], r["u_t"]) for r in pettitt_cells(df, "d", "x").collect()]
+    assert out == [("d1", -3), ("d2", -4), ("d3", -3), ("d4", 0)]
+    assert all(r["n_days"] == 4 for r in pettitt_cells(df, "d", "x").collect())
+
+
+def test_pettitt_matches_brute_force(spark):
+    """Property: the prefix identity equals the literal double sum on a
+    tie-heavy series."""
+    from npm_mirror_spark.operators.temporal import pettitt_cells
+
+    xs = [5, 3, 5, 1, 9, 5, 3, 9, 1, 1, 7]
+    rows = [(f"d{i:02d}", x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "d string, x long")
+    got = {r["d"]: r["u_t"] for r in pettitt_cells(df, "d", "x").collect()}
+    sgn = lambda a: (a > 0) - (a < 0)
+    for t in range(1, len(xs) + 1):
+        want = sum(
+            sgn(xs[i] - xs[j])
+            for i in range(t)
+            for j in range(t, len(xs))
+        )
+        assert got[f"d{t - 1:02d}"] == want, t
