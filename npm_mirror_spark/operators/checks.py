@@ -938,3 +938,42 @@ def mantel_haenszel_cells(
             "mh_den"
         ),
     ).orderBy(stratum)
+
+
+def digit_preference_cells(df: DataFrame, value: str) -> DataFrame:
+    """Last-digit preference audit — the terminal-digit companion to
+    the Benford first-digit face (q_benford): the LAST digit of an
+    organically measured amount should be ~uniform; rounding habits,
+    price-point anchoring ($x.99) and fabricated data all show up as
+    digit spikes (Preece 1981's classic "digit preference" screen).
+
+    Per digit 0-9: n_d (exact count), dev_x10 = 10*n_d - N (the
+    deviation from uniform, scaled integer — exact), sq_dev_x100 =
+    dev_x10^2 (exact).  chi2 = Sigma(sq_dev_x100) / (10*N) is the
+    consumer one-liner (the terms are exact integers, so the sum is
+    order-independent).  NULL values are dropped; the digit comes from
+    the TRUNCATED integer part (trunc, not a bare cast — DuckDB CAST
+    rounds where Spark truncates, the q_jonckheere guard).
+
+    Shape: one scan, one 10-row fold + a 1-row total broadcast.
+    """
+    d = df.select(
+        # cast('long') truncates toward zero in Spark = DuckDB's
+        # trunc-then-cast; a decimal cast would ROUND and disagree
+        (F.abs(F.col(value).cast("long")) % 10)
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit").isNotNull())
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = d.agg(F.count(F.lit(1)).alias("__t"))
+    dev = F.lit(10) * F.col("n") - F.col("__t")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            dev.alias("dev_x10"),
+            (dev * dev).alias("sq_dev_x100"),
+        )
+        .orderBy("digit")
+    )

@@ -1370,3 +1370,89 @@ def page_trend_cells(
         )
         .orderBy(treatment)
     )
+
+
+def conover_scale_cells(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Conover squared-ranks scale test decomposition, reported PER
+    GROUP (Conover & Iman 1981) — the RANK-based spread companion to
+    :func:`brown_forsythe_cells` (same question: did a group's
+    dispersion change? — but distribution-free in the heavy-tail case
+    where BF's z-means lose power): ranks of the absolute deviations
+    from each group's median, squared, summed per group.
+
+    Everything stays exact the whole way down: the per-group center is
+    the DOUBLED median (the :func:`brown_forsythe_cells` machinery), so
+    z2 = |2x - med2_g| is an exact integer; the combined-sample ranks
+    of z2 are DOUBLED midranks (exact integers via the
+    ``_with_prior_sums`` two-level prefix — no global sort); and the
+    squared/quartic rank sums are exact DECIMAL(38,0) folds cast to
+    double ONCE at the end (both engines cast the same exact integer,
+    so the doubles are bit-identical even past 2^53).
+
+    Output per group: group, n_i, sum_sq_rank_x4 (= Sigma (2r_i)^2 =
+    4*Sigma r_i^2), sum_quad_rank_x16 (= Sigma (2r_i)^4).  The Conover
+    T = (S_g - n_g*Sbar)^2 / variance terms are consumer one-liners:
+    Sbar and the fourth-moment variance derive from exact-integer sums
+    of these cells (order-independent).  NULL group/value rows are
+    dropped; ``value`` must be integer-typed (the BF contract).
+
+    Shape: one (group,value) collapse + bounded per-group median
+    windows, one z2-axis collapse + the two-level bucketed prefix, a
+    z2-keyed equi join back, one per-group fold.  No BNLJ beyond
+    _with_prior_sums' 1-row (min,max) stats broadcast.
+    """
+    from pyspark.sql import Window
+
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(F.col(group).alias("__g"), F.col(value).alias("__x")).filter(
+        F.col("__g").isNotNull() & F.col("__x").isNotNull()
+    )
+    vg = g.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__g").orderBy("__x")
+    cum = F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_cum = vg.select(
+        "__g",
+        "__x",
+        "__c",
+        cum.alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n"),
+    )
+    lo_pos = F.floor((F.col("__n") + 1) / 2)
+    hi_pos = F.floor(F.col("__n") / 2) + 1
+    med = with_cum.groupBy("__g").agg(
+        F.min(F.when(F.col("__cum") >= lo_pos, F.col("__x"))).alias("__mlo"),
+        F.min(F.when(F.col("__cum") >= hi_pos, F.col("__x"))).alias("__mhi"),
+    )
+    z = g.join(med, "__g").select(
+        "__g",
+        F.abs(
+            F.lit(2) * F.col("__x").cast(_D38)
+            - (F.col("__mlo").cast(_D38) + F.col("__mhi").cast(_D38))
+        )
+        .cast(_D38)
+        .alias("__z2"),
+    )
+    zg = z.groupBy("__g", "__z2").agg(F.count(F.lit(1)).alias("__cg"))
+    vals = zg.groupBy("__z2").agg(F.sum("__cg").alias("__c"))
+    pri = _with_prior_sums(vals, "__z2", ("__c",))
+    j = zg.join(pri.select("__z2", "__c", "__prior___c"), "__z2")
+    m = (
+        F.lit(2) * F.col("__prior___c") + F.col("__c") + F.lit(1)
+    ).cast(_D38)
+    cgd = F.col("__cg").cast(_D38)
+    return (
+        j.groupBy("__g")
+        .agg(
+            F.sum("__cg").alias("n_i"),
+            F.sum(cgd * m * m).cast(_D38).alias("__s2"),
+            F.sum(cgd * m * m * m * m).cast(_D38).alias("__s4"),
+        )
+        .select(
+            F.col("__g").alias(group),
+            "n_i",
+            F.col("__s2").cast("double").alias("sum_sq_rank_x4"),
+            F.col("__s4").cast("double").alias("sum_quad_rank_x16"),
+        )
+        .orderBy(group)
+    )

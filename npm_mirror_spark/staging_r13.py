@@ -25,6 +25,8 @@ bounded-grid classes):
 
     "q_page_trend": "1-row (k, n) completeness frame broadcast per
         treatment (the q_friedman shape)",
+    "q_conover_scale": "_with_prior_sums' single-row (min,max) z2-range
+        broadcast for the prefix-sum buckets",
     "q_digit_pref": "single-row corpus-count broadcast onto the 10-digit
         axis (the q_benford shape)",
 
@@ -266,11 +268,96 @@ FROM j ORDER BY d
 """
 
 
+def q_conover_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks scale cells over document lengths by
+    source — the rank-based spread companion to q_brown_forsythe
+    (same "did a source's length distribution widen?" question, robust
+    to the heavy tails where BF's z-means lose power).
+    (operators/stats.py conover_scale_cells.)"""
+    from npm_mirror_spark.operators.stats import conover_scale_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return conover_scale_cells(d, "n_chars", "source")
+
+
+_CONOVER_SQL = """
+WITH g AS (
+  SELECT source AS gg, n_chars AS x FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+vg AS (SELECT gg, x, count(*) AS c FROM g GROUP BY 1, 2),
+wc AS (
+  SELECT gg, x, c,
+    sum(c) OVER (PARTITION BY gg ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY gg) AS n
+  FROM vg
+),
+med AS (
+  SELECT gg,
+    min(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS mlo,
+    min(CASE WHEN cum >= n // 2 + 1 THEN x END) AS mhi
+  FROM wc GROUP BY gg
+),
+z AS (
+  SELECT g.gg,
+    abs(2 * CAST(g.x AS HUGEINT) - (CAST(m.mlo AS HUGEINT) + m.mhi)) AS z2
+  FROM g JOIN med m ON g.gg = m.gg
+),
+zg AS (SELECT gg, z2, count(*) AS cg FROM z GROUP BY 1, 2),
+vals AS (SELECT z2, sum(cg) AS c FROM zg GROUP BY z2),
+pri AS (
+  SELECT z2, c,
+    coalesce(sum(c) OVER (ORDER BY z2
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM vals
+),
+j AS (
+  SELECT zg.gg, zg.cg, 2 * pri.p + pri.c + 1 AS mr2
+  FROM zg JOIN pri ON zg.z2 = pri.z2
+)
+SELECT gg AS source, CAST(sum(cg) AS BIGINT) AS n_i,
+  CAST(sum(CAST(cg AS HUGEINT) * mr2 * mr2) AS DOUBLE) AS sum_sq_rank_x4,
+  CAST(sum(CAST(cg AS HUGEINT) * mr2 * mr2 * mr2 * mr2) AS DOUBLE)
+    AS sum_quad_rank_x16
+FROM j GROUP BY gg ORDER BY source
+"""
+
+
+def q_digit_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit preference audit of order totals — the terminal-digit
+    companion to q_benford's first-digit screen: rounding habits and
+    fabricated amounts spike specific last digits where organic
+    measurements stay ~uniform.  (operators/checks.py
+    digit_preference_cells.)"""
+    from npm_mirror_spark.operators.checks import digit_preference_cells
+
+    o = _t(spark, sf_dir, "orders")
+    return digit_preference_cells(o, "o_totalprice")
+
+
+_DIGIT_SQL = """
+WITH d AS (
+  SELECT CAST(abs(CAST(trunc(o_totalprice) AS BIGINT)) % 10 AS INTEGER)
+    AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT count(*) AS tt FROM d)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  CAST(10 * n - tt AS BIGINT) AS dev_x10,
+  CAST((10 * n - tt) * (10 * n - tt) AS BIGINT) AS sq_dev_x100
+FROM c CROSS JOIN t ORDER BY digit
+"""
+
+
 STAGED_QUERIES = {
     "q_logrank": q_logrank,
     "q_mantel_haenszel": q_mantel_haenszel,
     "q_page_trend": q_page_trend,
     "q_pettitt": q_pettitt,
+    "q_conover_scale": q_conover_scale,
+    "q_digit_pref": q_digit_pref,
 }
 
 STAGED_ORACLES = {
@@ -278,4 +365,6 @@ STAGED_ORACLES = {
     "q_mantel_haenszel": _MH_SQL,
     "q_page_trend": _PAGE_SQL,
     "q_pettitt": _PETTITT_SQL,
+    "q_conover_scale": _CONOVER_SQL,
+    "q_digit_pref": _DIGIT_SQL,
 }

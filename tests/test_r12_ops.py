@@ -118,3 +118,73 @@ def test_pettitt_matches_brute_force(spark):
             for j in range(t, len(xs))
         )
         assert got[f"d{t - 1:02d}"] == want, t
+
+
+def test_conover_scale_hand_example(spark):
+    """Group a = (1, 3, 5): med2 = 6, z2 = (4, 0, 4).  Group b =
+    (2, 2, 10, 10): med2 = 12, z2 = (8, 8, 8, 8).  Combined z2 sorted:
+    0, 4, 4, 8, 8, 8, 8 -> doubled midranks 2, 5, 5, 11, 11, 11, 11.
+    sum_sq_rank_x4: a = 4 + 25 + 25 = 54; b = 4 * 121 = 484.
+    sum_quad_rank_x16: a = 16 + 625 + 625 = 1266; b = 4 * 14641."""
+    from npm_mirror_spark.operators.stats import conover_scale_cells
+
+    rows = [("a", 1), ("a", 3), ("a", 5),
+            ("b", 2), ("b", 2), ("b", 10), ("b", 10)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in conover_scale_cells(df, "x", "g").collect()}
+    assert out["a"]["n_i"] == 3 and out["b"]["n_i"] == 4
+    assert out["a"]["sum_sq_rank_x4"] == 54.0
+    assert out["b"]["sum_sq_rank_x4"] == 484.0
+    assert out["a"]["sum_quad_rank_x16"] == 1266.0
+    assert out["b"]["sum_quad_rank_x16"] == 4 * 14641.0
+
+
+def test_conover_scale_matches_scipy_convention(spark):
+    """Property: undoubled rank sums derived from the cells must match
+    a brute-force python replay (median-centered |dev| midranks)."""
+    from npm_mirror_spark.operators.stats import conover_scale_cells
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(g, rng.randint(0, 20)) for g in "abc" for _ in range(25)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in conover_scale_cells(df, "x", "g").collect()}
+
+    # python replay with doubled medians / doubled midranks
+    by_g = {}
+    for g_, x in rows:
+        by_g.setdefault(g_, []).append(x)
+    z2s = []
+    for g_, xs in by_g.items():
+        s = sorted(xs)
+        n = len(s)
+        med2 = s[(n + 1) // 2 - 1] + s[n // 2]
+        z2s += [(g_, abs(2 * x - med2)) for x in xs]
+    allz = sorted(v for _, v in z2s)
+    for g_ in by_g:
+        s2 = 0
+        for gg, v in z2s:
+            if gg != g_:
+                continue
+            below = sum(1 for u in allz if u < v)
+            ties = sum(1 for u in allz if u == v)
+            mr2 = 2 * below + ties + 1
+            s2 += mr2 * mr2
+        assert out[g_]["sum_sq_rank_x4"] == float(s2), g_
+
+
+def test_digit_pref_hand_example(spark):
+    """Amounts 10.9, 11.2, 21.7, 5.0 truncate to last digits
+    0, 1, 1, 5 with N=4: digit 1 has n=2, dev_x10 = 16."""
+    from npm_mirror_spark.operators.checks import digit_preference_cells
+
+    df = spark.createDataFrame(
+        [(10.9,), (11.2,), (21.7,), (5.0,), (None,)], "v double"
+    )
+    out = {r["digit"]: r for r in digit_preference_cells(df, "v").collect()}
+    assert set(out) == {0, 1, 5}
+    assert out[1]["n"] == 2 and out[1]["dev_x10"] == 16
+    assert out[0]["dev_x10"] == 6 and out[0]["sq_dev_x100"] == 36
+    # chi2 numerator identity: sum over PRESENT digits only
+    assert sum(r["sq_dev_x100"] for r in out.values()) == 36 + 256 + 36
