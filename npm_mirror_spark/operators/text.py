@@ -789,3 +789,67 @@ def vocab_richness(df: DataFrame, text_col: str) -> DataFrame:
         ).alias("chao1"),
         (f1d / F.col("__n").cast("double")).alias("gt_p0"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus novelty audit per group: what fraction of each group's
+    distinct word n-gram TYPES appear there FIRST (no document with a
+    smaller id already contains them)?  The ingestion-order freshness
+    signal curation pipelines rank new sources by — a crawl slice that
+    mostly re-states n-grams the corpus already holds adds little
+    training signal even when exact/near dedup passes it (novelty is
+    finer than q_dup_ngram_fraction's cross-doc duplication: it credits
+    the FIRST occurrence and charges every later one).
+
+    First-occurrence is by MIN(id) per n-gram — deterministic under
+    any ordering of the underlying scan.  Per group: n_types (the sum
+    over its docs of distinct n-gram types — repeats within a doc
+    count once), n_novel (types whose global first doc is that doc),
+    novelty = ONE division.  NULL text/group rows are dropped; short
+    docs contribute their whole-text shingle
+    (:func:`~npm_mirror_spark.operators.dedup.word_shingles`).
+
+    Shape: explode -> (doc, gram) distinct collapse, one gram-keyed
+    min-aggregate, one gram-keyed equi join back, one per-group fold —
+    three shuffles, all on the gram/group keys; nothing quadratic.
+    """
+    from npm_mirror_spark.operators.dedup import word_shingles
+
+    ex = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+        )
+        .distinct()
+    )
+    first = ex.groupBy("__s").agg(F.min("__id").alias("__fd"))
+    j = ex.join(first, "__s")
+    return (
+        j.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                (F.col("__id") == F.col("__fd")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_types",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_types").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy(group_col)
+    )

@@ -351,6 +351,120 @@ FROM c CROSS JOIN t ORDER BY digit
 """
 
 
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval MRR cells: per probe, the RANK at which the IVF
+    ANN surfaces the TRUE nearest neighbor (exact brute-force top-1),
+    and its reciprocal — the position-sensitive companion to
+    q_ann_recall's set-overlap recall (a list that buries the true hit
+    at rank 3 recalls 1.0 but MRRs 0.33).  Same probes / k / nprobe /
+    deterministic centroids as q_ann_ivf, so the oracle COMPOSES the
+    two already-verified oracle SQLs (the q_capture_recapture pattern).
+    rank = 0 and rr = 0.0 when the true neighbor is missing from the
+    shortlist; rr is ONE fixed IEEE division on an exact int.  MRR =
+    avg(rr) is the consumer one-liner this face refuses (a float mean
+    over data-dependent probe order)."""
+    from npm_mirror_spark.operators import similarity as sim_ops
+    from npm_mirror_spark.queries import _ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    tru = sim_ops.cosine_topk(e, probes, k=1).select(
+        "probe_id", F.col("neighbor_id").alias("true_nn")
+    )
+    cand = sim_ops.ivf_topk(
+        e, probes, _ivf_centroids(e), k=3, nprobe=2
+    ).select(
+        F.col("probe_id").alias("__p"),
+        F.col("neighbor_id").alias("__n"),
+        F.col("rank").alias("__r"),
+    )
+    j = tru.join(
+        cand,
+        (tru["probe_id"] == cand["__p"]) & (tru["true_nn"] == cand["__n"]),
+        "left",
+    )
+    return j.select(
+        "probe_id",
+        "true_nn",
+        F.coalesce(F.col("__r"), F.lit(0)).cast("int").alias("rank"),
+        F.when(
+            F.col("__r").isNotNull(),
+            F.lit(1.0) / F.col("__r").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    ).orderBy("probe_id")
+
+
+def _mrr_oracle() -> str:
+    """Compose the verified q_cosine_topk / q_ann_ivf oracle SQL into
+    the MRR replay (the q_capture_recapture composition pattern: this
+    face's oracle can never drift from the registered fixtures')."""
+    from npm_mirror_spark.queries import ORACLES
+
+    return f"""
+WITH tru AS (
+  SELECT probe_id, neighbor_id AS true_nn
+  FROM ({ORACLES["q_cosine_topk"]}) WHERE rank = 1 AND probe_id < 5
+),
+cand AS (
+  SELECT probe_id, neighbor_id, rank FROM ({ORACLES["q_ann_ivf"]})
+),
+j AS (
+  SELECT t.probe_id, t.true_nn, c.rank
+  FROM tru t LEFT JOIN cand c
+    ON t.probe_id = c.probe_id AND t.true_nn = c.neighbor_id
+)
+SELECT probe_id, CAST(true_nn AS BIGINT) AS true_nn,
+  CAST(coalesce(rank, 0) AS INTEGER) AS rank,
+  CASE WHEN rank IS NOT NULL THEN 1.0 / CAST(rank AS DOUBLE)
+       ELSE 0.0 END AS rr
+FROM j ORDER BY probe_id
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of each source's
+    distinct trigram types that appear there FIRST in doc_id order —
+    the curation freshness signal dedup alone can't give (a source can
+    pass near-dup checks yet re-state n-grams the corpus already
+    holds).  (operators/text.py ngram_novelty.)"""
+    from npm_mirror_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d, "text", "doc_id", "source", n=3)
+
+
+def _ngram_novelty_oracle() -> str:
+    """Replay with the registry's shared normalization/shingle CTEs
+    (the _NORM/trigram construction q_minhash_pairs et al. verify)."""
+    from npm_mirror_spark.queries import _NORM
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source, {_NORM} AS t FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+w AS (SELECT doc_id, source, str_split(t, ' ') AS w, t FROM norm),
+sh AS (SELECT doc_id, source,
+  CASE WHEN len(w) >= 3
+    THEN list_transform(generate_series(1, len(w)-2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [t] END AS shingles
+  FROM w),
+ex AS (SELECT DISTINCT doc_id, source, unnest(shingles) AS s FROM sh),
+f AS (SELECT s, min(doc_id) AS fd FROM ex GROUP BY s),
+j AS (SELECT ex.source, ex.doc_id, f.fd FROM ex JOIN f ON ex.s = f.s)
+SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS novelty
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     "q_logrank": q_logrank,
     "q_mantel_haenszel": q_mantel_haenszel,
@@ -358,6 +472,8 @@ STAGED_QUERIES = {
     "q_pettitt": q_pettitt,
     "q_conover_scale": q_conover_scale,
     "q_digit_pref": q_digit_pref,
+    "q_mrr": q_mrr,
+    "q_ngram_novelty": q_ngram_novelty,
 }
 
 STAGED_ORACLES = {
@@ -367,4 +483,6 @@ STAGED_ORACLES = {
     "q_pettitt": _PETTITT_SQL,
     "q_conover_scale": _CONOVER_SQL,
     "q_digit_pref": _DIGIT_SQL,
+    "q_mrr": _mrr_oracle(),
+    "q_ngram_novelty": _ngram_novelty_oracle(),
 }

@@ -188,3 +188,49 @@ def test_digit_pref_hand_example(spark):
     assert out[0]["dev_x10"] == 6 and out[0]["sq_dev_x100"] == 36
     # chi2 numerator identity: sum over PRESENT digits only
     assert sum(r["sq_dev_x100"] for r in out.values()) == 36 + 256 + 36
+
+
+def test_ngram_novelty_hand_example(spark):
+    """doc1 (src a): "x y z w" -> trigrams {x y z, y z w}; doc2 (src b)
+    repeats "x y z" and adds "q r s": types = {x y z, q r s}, novel =
+    {q r s} only.  Novelty: a = 2/2, b = 1/2."""
+    from npm_mirror_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a", "x y z w"),
+        (2, "b", "x y z"),
+        (3, "b", "q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in ngram_novelty(df, "text", "doc_id", "source").collect()}
+    assert out["a"]["n_types"] == 2 and out["a"]["n_novel"] == 2
+    assert out["a"]["novelty"] == 1.0
+    assert out["b"]["n_types"] == 2 and out["b"]["n_novel"] == 1
+    assert out["b"]["novelty"] == 0.5
+
+
+def test_ngram_novelty_within_doc_repeats_count_once(spark):
+    """Repeats inside one doc are one TYPE; a later doc repeating it is
+    zero novel types."""
+    from npm_mirror_spark.operators.text import ngram_novelty
+
+    rows = [(1, "a", "p q r p q r p q r"), (2, "b", "p q r")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in ngram_novelty(df, "text", "doc_id", "source").collect()}
+    # doc1 trigrams: p q r, q r p, r p q (each repeated -> once)
+    assert out["a"]["n_types"] == 3 and out["a"]["n_novel"] == 3
+    assert out["b"]["n_types"] == 1 and out["b"]["n_novel"] == 0
+
+
+def test_mrr_rank_semantics(spark, sf_dir):
+    """rr must be exactly 1/rank for hits and 0 with rank 0 for misses;
+    every probe appears exactly once."""
+    from npm_mirror_spark.staging_r13 import q_mrr
+
+    rows = q_mrr(spark, sf_dir).collect()
+    assert len(rows) == len({r["probe_id"] for r in rows}) == 5
+    for r in rows:
+        if r["rank"] > 0:
+            assert r["rr"] == 1.0 / r["rank"]
+        else:
+            assert r["rr"] == 0.0
