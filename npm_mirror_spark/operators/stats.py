@@ -1456,3 +1456,208 @@ def conover_scale_cells(df: DataFrame, value: str, group: str) -> DataFrame:
         )
         .orderBy(group)
     )
+
+
+def quade_cells(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Quade test decomposition, reported PER TREATMENT (Quade, JASA
+    1979) — the BLOCK-WEIGHTED member of the blocked-rank family
+    (:func:`friedman_cells` weights every block equally; Quade weights
+    each block by the rank of its RANGE, so blocks where treatments
+    actually differ count more — the more powerful test at small k):
+    S_j = Sigma_b range_rank_b * (r_bj - (k+1)/2).
+
+    Same complete-block + within-block doubled-midrank machinery as
+    :func:`friedman_cells`; the block weights are doubled midranks of
+    the per-block RANGE (max - min, exact for integer values) over the
+    ACROSS-block range axis (a bounded collapse + prefix, the
+    kendall_tau_daily bounded-axis contract).  Everything stays an
+    exact integer on the x4 scale: term_bj = mrange2_b * (mr2_bj -
+    (k+1)) = 4 * w_b * (r_bj - (k+1)/2).
+
+    Output per treatment: treatment, n_blocks, k_treatments, s_x4
+    (= Sigma_b term_bj = 4*S_j) and ss_x16 (= Sigma_b term_bj^2), both
+    exact-int-valued doubles folded in DECIMAL(38,0).  The Quade
+    F = (n-1)*B/(A-B) with A = Sigma ss_x16/16 and B =
+    (Sigma s_x4^2/16)/n is the consumer one-liner (exact-integer
+    inputs, order-independent sums).
+
+    Shape: friedman's complete-block semi-join + k-bounded block
+    windows, one range collapse + bounded prefix, one per-treatment
+    fold + a 1-row k frame broadcast — output bounded by k.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(block).alias("__b"),
+        F.col(treatment).alias("__t"),
+        F.col(value).alias("__x"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    kf = g.select(F.countDistinct("__t").alias("__k"))
+    per_b = g.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.countDistinct("__t").alias("__nt"),
+    )
+    complete = (
+        per_b.crossJoin(F.broadcast(kf))
+        .where(
+            (F.col("__nr") == F.col("__k")) & (F.col("__nt") == F.col("__k"))
+        )
+        .select("__b")
+    )
+    gc = g.join(complete, "__b", "left_semi")
+    # within-block doubled midranks (the friedman_cells collapse)
+    vb = gc.groupBy("__b", "__x").agg(F.count(F.lit(1)).alias("__cx"))
+    wv = Window.partitionBy("__b").orderBy("__x")
+    pri = vb.select(
+        "__b",
+        "__x",
+        "__cx",
+        F.coalesce(
+            F.sum("__cx").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__prior"),
+    )
+    ranked = gc.join(pri, ["__b", "__x"]).select(
+        "__b",
+        "__t",
+        (F.lit(2) * F.col("__prior") + F.col("__cx") + F.lit(1)).alias(
+            "__mr2"
+        ),
+    )
+    # per-block range, then doubled midranks of ranges across blocks
+    rng = gc.groupBy("__b").agg(
+        (F.max("__x") - F.min("__x")).alias("__rng")
+    )
+    rc = rng.groupBy("__rng").agg(F.count(F.lit(1)).alias("__cr"))
+    wr = Window.orderBy("__rng")
+    rpri = rc.select(
+        "__rng",
+        "__cr",
+        F.coalesce(
+            F.sum("__cr").over(wr.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__rprior"),
+    )
+    rrank = rng.join(rpri, "__rng").select(
+        "__b",
+        (F.lit(2) * F.col("__rprior") + F.col("__cr") + F.lit(1)).alias(
+            "__mrange2"
+        ),
+    )
+    kn = gc.agg(F.countDistinct("__t").alias("k_treatments"))
+    term = (
+        F.col("__mrange2").cast(_D38)
+        * (F.col("__mr2") - (F.col("k_treatments") + 1)).cast(_D38)
+    ).cast(_D38)
+    cells = (
+        ranked.join(rrank, "__b")
+        .crossJoin(F.broadcast(kn))
+        .select("__t", "k_treatments", term.alias("__term"))
+    )
+    return (
+        cells.groupBy("__t", "k_treatments")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("__term").cast(_D38).alias("__s"),
+            F.sum(F.col("__term") * F.col("__term")).cast(_D38).alias("__ss"),
+        )
+        .select(
+            F.col("__t").alias(treatment),
+            "n_blocks",
+            "k_treatments",
+            F.col("__s").cast("double").alias("s_x4"),
+            F.col("__ss").cast("double").alias("ss_x16"),
+        )
+        .orderBy(treatment)
+    )
+
+
+def cliff_delta_cells(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Cliff's delta dominance census for every ordered group pair
+    (Cliff, Psychological Bulletin 1993) — the ordinal EFFECT SIZE the
+    rank tests (:func:`rank_sum_test`, :func:`kruskal_cells`) don't
+    report: of all cross-group value pairs, how many has the higher
+    group actually winning?  delta = (#gt - #lt) / (n_lo * n_hi), in
+    [-1, 1], robust where Cohen's d is meaningless.
+
+    Exact pair-census arithmetic with NO pair join over rows: per
+    ordered group pair (g_lo < g_hi), gt = Sigma_v c_hi(v) *
+    prior_lo(v) and ties = Sigma_v c_hi(v) * c_lo(v) come from the
+    zero-filled (value-axis x group) grid with per-group bounded
+    prefixes — the :func:`jonckheere_cells` machinery verbatim (and
+    its ordinal-domain contract: the value axis must be bounded;
+    bucket corpus-scale continuous axes first).  lt = n_lo*n_hi - gt -
+    ties.  Counts fold in DECIMAL(38,0) and cast to double once.
+
+    Output per pair: g_lo, g_hi, n_lo, n_hi, gt, lt, ties, delta (ONE
+    fixed IEEE division).  NULL group/value rows are dropped.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(group).alias("__g"), F.col(value).alias("__x")
+    ).filter(F.col("__g").isNotNull() & F.col("__x").isNotNull())
+    vg = g.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    axis = vg.select("__x").distinct()
+    grps = vg.select("__g").distinct()
+    grid = (
+        axis.crossJoin(F.broadcast(grps))
+        .join(vg, ["__g", "__x"], "left")
+        .select("__g", "__x", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("__x")
+    pri = grid.select(
+        "__g",
+        "__x",
+        "__c",
+        F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__p"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n"),
+    )
+    a = pri.select(
+        F.col("__g").alias("g_lo"),
+        F.col("__x").alias("__xa"),
+        F.col("__c").alias("__ca"),
+        F.col("__p").alias("__pa"),
+        F.col("__n").alias("__na"),
+    )
+    b = pri.select(
+        F.col("__g").alias("g_hi"),
+        F.col("__x").alias("__xb"),
+        F.col("__c").alias("__cb"),
+        F.col("__n").alias("__nb"),
+    )
+    cb = F.col("__cb").cast(_D38)
+    per = (
+        a.join(b, (a["__xa"] == b["__xb"]) & (a["g_lo"] < b["g_hi"]))
+        .groupBy("g_lo", "g_hi")
+        .agg(
+            F.max("__na").alias("__nlo"),
+            F.max("__nb").alias("__nhi"),
+            F.sum(cb * F.col("__pa").cast(_D38)).cast(_D38).alias("__gt"),
+            F.sum(cb * F.col("__ca").cast(_D38)).cast(_D38).alias("__ties"),
+        )
+    )
+    nprod = F.col("__nlo").cast(_D38) * F.col("__nhi").cast(_D38)
+    lt = (nprod - F.col("__gt") - F.col("__ties")).cast(_D38)
+    return per.select(
+        "g_lo",
+        "g_hi",
+        F.col("__nlo").alias("n_lo"),
+        F.col("__nhi").alias("n_hi"),
+        F.col("__gt").cast("double").alias("gt"),
+        lt.cast("double").alias("lt"),
+        F.col("__ties").cast("double").alias("ties"),
+        (
+            (F.col("__gt") - lt).cast(_D38).cast("double")
+            / nprod.cast(_D38).cast("double")
+        ).alias("delta"),
+    ).orderBy("g_lo", "g_hi")

@@ -25,8 +25,13 @@ bounded-grid classes):
 
     "q_page_trend": "1-row (k, n) completeness frame broadcast per
         treatment (the q_friedman shape)",
+    "q_quade": "1-row k-frame broadcast onto the per-(block, treatment)
+        cells (the q_friedman completeness shape)",
     "q_conover_scale": "_with_prior_sums' single-row (min,max) z2-range
         broadcast for the prefix-sum buckets",
+    "q_cliff_delta": "zero-filled (value-axis x k-group) grid build,
+        bounded by the ordinal-domain contract (the q_jonckheere /
+        q_gk_gamma bounded-grid class)",
     "q_digit_pref": "single-row corpus-count broadcast onto the 10-digit
         axis (the q_benford shape)",
 
@@ -465,6 +470,126 @@ FROM j GROUP BY source ORDER BY source
 """
 
 
+def q_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade block-weighted rank cells over daily event-type counts —
+    the third member of the blocked family (q_friedman unordered,
+    q_page_trend ordered, Quade RANGE-WEIGHTED: days where types
+    actually diverge count more).  (operators/stats.py quade_cells.)"""
+    from npm_mirror_spark.operators.stats import quade_cells
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return quade_cells(daily, "d", "t", "n")
+
+
+_QUADE_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, event_type AS t, count(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT t) AS k FROM daily),
+blocks AS (
+  SELECT d FROM daily GROUP BY d
+  HAVING count(*) = (SELECT k FROM k)
+     AND count(DISTINCT t) = (SELECT k FROM k)
+),
+gc AS (SELECT daily.* FROM daily JOIN blocks USING (d)),
+vb AS (SELECT d, n AS x, count(*) AS cx FROM gc GROUP BY 1, 2),
+pri AS (
+  SELECT d, x, cx,
+    coalesce(sum(cx) OVER (PARTITION BY d ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM vb
+),
+ranked AS (
+  SELECT gc.d, gc.t, 2 * pri.p + pri.cx + 1 AS mr2
+  FROM gc JOIN pri ON gc.d = pri.d AND gc.n = pri.x
+),
+rng AS (SELECT d, max(n) - min(n) AS rg FROM gc GROUP BY d),
+rcol AS (SELECT rg, count(*) AS cr FROM rng GROUP BY rg),
+rpri AS (
+  SELECT rg, cr,
+    coalesce(sum(cr) OVER (ORDER BY rg
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rp
+  FROM rcol
+),
+rrank AS (
+  SELECT rng.d, 2 * rpri.rp + rpri.cr + 1 AS mrange2
+  FROM rng JOIN rpri ON rng.rg = rpri.rg
+),
+kn AS (SELECT count(DISTINCT t) AS kt FROM gc),
+cells AS (
+  SELECT ranked.t, kn.kt,
+    CAST(rrank.mrange2 AS HUGEINT) * (ranked.mr2 - (kn.kt + 1)) AS term
+  FROM ranked JOIN rrank ON ranked.d = rrank.d CROSS JOIN kn
+)
+SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(kt AS BIGINT) AS k_treatments,
+  CAST(sum(term) AS DOUBLE) AS s_x4,
+  CAST(sum(term * term) AS DOUBLE) AS ss_x16
+FROM cells GROUP BY t, kt ORDER BY t
+"""
+
+
+def q_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta dominance census between document sources on
+    length — the ordinal effect size q_rank_sum/q_kruskal leave out:
+    per source pair, the exact (gt, lt, ties) pair counts and delta in
+    [-1, 1].  (operators/stats.py cliff_delta_cells; the jonckheere
+    grid machinery, so the value axis rides the same ordinal-domain
+    contract.)"""
+    from npm_mirror_spark.operators.stats import cliff_delta_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return cliff_delta_cells(d, "n_chars", "source")
+
+
+_CLIFF_SQL = """
+WITH g AS (
+  SELECT source AS gg, n_chars AS x FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+vg AS (SELECT gg, x, count(*) AS c FROM g GROUP BY 1, 2),
+axis AS (SELECT DISTINCT x FROM vg),
+grps AS (SELECT DISTINCT gg FROM vg),
+grid AS (
+  SELECT grps.gg, axis.x, coalesce(vg.c, 0) AS c
+  FROM axis CROSS JOIN grps
+  LEFT JOIN vg ON vg.gg = grps.gg AND vg.x = axis.x
+),
+pri AS (
+  SELECT gg, x, c,
+    coalesce(sum(c) OVER (PARTITION BY gg ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+    sum(c) OVER (PARTITION BY gg) AS n
+  FROM grid
+),
+per AS (
+  SELECT a.gg AS g_lo, b.gg AS g_hi,
+    max(a.n) AS nlo, max(b.n) AS nhi,
+    sum(CAST(b.c AS HUGEINT) * a.p) AS gt,
+    sum(CAST(b.c AS HUGEINT) * a.c) AS ties
+  FROM pri a JOIN pri b ON a.x = b.x AND a.gg < b.gg
+  GROUP BY 1, 2
+)
+SELECT g_lo, g_hi,
+  CAST(nlo AS BIGINT) AS n_lo, CAST(nhi AS BIGINT) AS n_hi,
+  CAST(gt AS DOUBLE) AS gt,
+  CAST(CAST(nlo AS HUGEINT) * nhi - gt - ties AS DOUBLE) AS lt,
+  CAST(ties AS DOUBLE) AS ties,
+  CAST(gt - (CAST(nlo AS HUGEINT) * nhi - gt - ties) AS DOUBLE)
+    / CAST(CAST(nlo AS HUGEINT) * nhi AS DOUBLE) AS delta
+FROM per ORDER BY g_lo, g_hi
+"""
+
+
 STAGED_QUERIES = {
     "q_logrank": q_logrank,
     "q_mantel_haenszel": q_mantel_haenszel,
@@ -474,6 +599,8 @@ STAGED_QUERIES = {
     "q_digit_pref": q_digit_pref,
     "q_mrr": q_mrr,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_quade": q_quade,
+    "q_cliff_delta": q_cliff_delta,
 }
 
 STAGED_ORACLES = {
@@ -485,4 +612,6 @@ STAGED_ORACLES = {
     "q_digit_pref": _DIGIT_SQL,
     "q_mrr": _mrr_oracle(),
     "q_ngram_novelty": _ngram_novelty_oracle(),
+    "q_quade": _QUADE_SQL,
+    "q_cliff_delta": _CLIFF_SQL,
 }

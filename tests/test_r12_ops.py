@@ -234,3 +234,91 @@ def test_mrr_rank_semantics(spark, sf_dir):
             assert r["rr"] == 1.0 / r["rank"]
         else:
             assert r["rr"] == 0.0
+
+
+def test_quade_hand_example(spark):
+    """Classic 2-block, 3-treatment table.
+    b1 = (1, 2, 3): within ranks 1,2,3 (mr2 = 2,4,6), range 2.
+    b2 = (10, 30, 20): ranks 1,3,2 (mr2 = 2,6,4), range 20.
+    Range ranks: b1 -> 1 (mrange2 = 2), b2 -> 2 (mrange2 = 4).
+    term = mrange2 * (mr2 - 4):
+      t1: 2*(2-4) + 4*(2-4) = -12 ; ss = 16 + 64 = 80
+      t2: 2*(4-4) + 4*(6-4) =   8 ; ss = 0 + 64
+      t3: 2*(6-4) + 4*(4-4) =   4 ; ss = 16 + 0
+    Sanity: Sigma s_x4 = 0."""
+    from npm_mirror_spark.operators.stats import quade_cells
+
+    rows = [
+        ("b1", "t1", 1), ("b1", "t2", 2), ("b1", "t3", 3),
+        ("b2", "t1", 10), ("b2", "t2", 30), ("b2", "t3", 20),
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    out = {r["t"]: r for r in quade_cells(df, "b", "t", "x").collect()}
+    assert [out[t]["s_x4"] for t in ("t1", "t2", "t3")] == [-12.0, 8.0, 4.0]
+    assert [out[t]["ss_x16"] for t in ("t1", "t2", "t3")] == [80.0, 64.0, 16.0]
+    assert sum(r["s_x4"] for r in out.values()) == 0.0
+    for r in out.values():
+        assert r["n_blocks"] == 2 and r["k_treatments"] == 3
+
+
+def test_quade_incomplete_block_dropped_and_zero_sum(spark):
+    """Incomplete blocks drop whole; Sigma_j s_x4 = 0 is a structural
+    identity (within-block doubled deviations sum to 0)."""
+    import random
+
+    from npm_mirror_spark.operators.stats import quade_cells
+
+    rng = random.Random(3)
+    rows = []
+    for b in range(12):
+        for t in range(4):
+            if b == 11 and t == 3:
+                continue  # incomplete block
+            rows.append((f"b{b:02d}", f"t{t}", rng.randint(0, 9)))
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    out = quade_cells(df, "b", "t", "x").collect()
+    assert all(r["n_blocks"] == 11 for r in out)
+    assert sum(r["s_x4"] for r in out) == 0.0
+
+
+def test_cliff_delta_hand_example(spark):
+    """a = (1, 2), b = (2, 3, 3): cross pairs (a, b): 1<2, 1<3, 1<3,
+    2=2, 2<3, 2<3 -> gt(b over a... reported as higher-group wins) —
+    in cells terms for (g_lo=a, g_hi=b): gt = #(x_b > x_a) = 5,
+    ties = 1, lt = 0, delta = (5 - 0) / 6."""
+    from npm_mirror_spark.operators.stats import cliff_delta_cells
+
+    rows = [("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = cliff_delta_cells(df, "x", "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g_lo"], r["g_hi"], r["n_lo"], r["n_hi"]) == ("a", "b", 2, 3)
+    assert (r["gt"], r["lt"], r["ties"]) == (5.0, 0.0, 1.0)
+    assert r["delta"] == 5.0 / 6.0
+
+
+def test_cliff_delta_brute_force_property(spark):
+    """Census vs literal O(n^2) python count on random tie-heavy
+    3-group data; identical groups give delta = 0."""
+    import random
+
+    from npm_mirror_spark.operators.stats import cliff_delta_cells
+
+    rng = random.Random(11)
+    data = {g: [rng.randint(0, 6) for _ in range(30)] for g in "abc"}
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {(r["g_lo"], r["g_hi"]): r for r in cliff_delta_cells(df, "x", "g").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (lo, hi), r in out.items():
+        gt = sum(1 for xl in data[lo] for xh in data[hi] if xh > xl)
+        lt = sum(1 for xl in data[lo] for xh in data[hi] if xh < xl)
+        ties = sum(1 for xl in data[lo] for xh in data[hi] if xh == xl)
+        assert (r["gt"], r["lt"], r["ties"]) == (gt, lt, ties)
+        assert r["delta"] == (gt - lt) / (len(data[lo]) * len(data[hi]))
+    same = spark.createDataFrame(
+        [("a", x) for x in data["a"]] + [("b", x) for x in data["a"]],
+        "g string, x long",
+    )
+    assert cliff_delta_cells(same, "x", "g").collect()[0]["delta"] == 0.0
