@@ -250,6 +250,25 @@ HEADLINE_R10B = [
 ]
 HEADLINE = HEADLINE + HEADLINE_R10B
 
+# r12 registrations: the r11-staged batch (faces_r12.py), lifted into
+# the registry this round — blocked/ordinal stats, survival cells,
+# vocab folds, the dedup recall audit and the Hilbert layout audit.
+HEADLINE_R12 = [
+    "q_friedman",
+    "q_brown_forsythe",
+    "q_jonckheere",
+    "q_durbin_watson",
+    "q_gk_gamma",
+    "q_cochran_q",
+    "q_vocab_coverage",
+    "q_km_events",
+    "q_mood_median",
+    "q_vocab_richness",
+    "q_capture_recapture",
+    "q_hilbert_audit",
+]
+HEADLINE = HEADLINE + HEADLINE_R12
+
 
 # Throttle-control probe (frozen): five pure projections whose code and
 # plan shape never change round-over-round.  Timed at sweep START and END;
