@@ -27,14 +27,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from npm_mirror_spark.queries import ORACLES, QUERIES
+    from npm_mirror_spark.staging_r13 import STAGED_ORACLES, STAGED_QUERIES
     from tests.oracle_harness import compare, duckdb_con
 
     con = duckdb_con(sf_dir)
     t_start = time.monotonic()
     n_pass = n_rows_only = 0
     fails: list[str] = []
-    # the r12 batch (faces_r12.py) is registered, so QUERIES covers it
-    work = [(n, q, ORACLES.get(n)) for n, q in QUERIES.items()]
+    # the r12 batch (faces_r12.py) is registered, so QUERIES covers it;
+    # the r12-STAGED batch (staging_r13.py) sweeps alongside
+    work = [(n, q, ORACLES.get(n)) for n, q in QUERIES.items()] + [
+        (f"{n} (staged)", q, STAGED_ORACLES[n]) for n, q in STAGED_QUERIES.items()
+    ]
     for i, (name, q, sql) in enumerate(work, 1):
         t0 = time.monotonic()
         try:
