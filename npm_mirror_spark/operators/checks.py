@@ -947,15 +947,23 @@ def digit_preference_cells(df: DataFrame, value: str) -> DataFrame:
     price-point anchoring ($x.99) and fabricated data all show up as
     digit spikes (Preece 1981's classic "digit preference" screen).
 
-    Per digit 0-9: n_d (exact count), dev_x10 = 10*n_d - N (the
-    deviation from uniform, scaled integer — exact), sq_dev_x100 =
-    dev_x10^2 (exact).  chi2 = Sigma(sq_dev_x100) / (10*N) is the
-    consumer one-liner (the terms are exact integers, so the sum is
-    order-independent).  NULL values are dropped; the digit comes from
-    the TRUNCATED integer part (trunc, not a bare cast — DuckDB CAST
-    rounds where Spark truncates, the q_jonckheere guard).
+    ALWAYS 10 rows, digits 0-9, zero-filled: a digit NO amount ever
+    ends in is the strongest preference signal there is (its
+    (10*0 - N)^2 term dominates the chi-square), so an output keyed
+    only on PRESENT digits would understate chi2 exactly when the
+    screen matters most (review finding — e.g. every amount ending in
+    0 or 5 must produce eight n=0 rows, not two rows).  Per digit:
+    n_d (exact count), dev_x10 = 10*n_d - N (the deviation from
+    uniform, scaled integer — exact), sq_dev_x100 = dev_x10^2 (exact).
+    chi2 = Sigma(sq_dev_x100) / (10*N) is the consumer one-liner over
+    all 10 rows (exact integers, order-independent), and
+    Sigma(dev_x10) = 0 is its structural check.  NULL values are
+    dropped; the digit comes from the TRUNCATED integer part (trunc,
+    not a bare cast — DuckDB CAST rounds where Spark truncates, the
+    q_jonckheere guard).
 
-    Shape: one scan, one 10-row fold + a 1-row total broadcast.
+    Shape: one scan, one <=10-row fold left-joined onto the literal
+    10-row digit axis + a 1-row total broadcast.
     """
     d = df.select(
         # cast('long') truncates toward zero in Spark = DuckDB's
@@ -964,16 +972,23 @@ def digit_preference_cells(df: DataFrame, value: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     ).filter(F.col("digit").isNotNull())
-    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("__n"))
     total = d.agg(F.count(F.lit(1)).alias("__t"))
-    dev = F.lit(10) * F.col("n") - F.col("__t")
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            "n",
-            dev.alias("dev_x10"),
-            (dev * dev).alias("sq_dev_x100"),
-        )
-        .orderBy("digit")
+    axis = total.select(
+        # explode first, cast second: a generator cannot be nested
+        # inside another expression
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("__dg"),
+        "__t",
+    ).select(F.col("__dg").cast("int").alias("digit"), "__t")
+    filled = axis.join(counts, "digit", "left").select(
+        "digit",
+        F.coalesce("__n", F.lit(0).cast("long")).alias("n"),
+        "__t",
     )
+    dev = F.lit(10) * F.col("n") - F.col("__t")
+    return filled.select(
+        "digit",
+        "n",
+        dev.alias("dev_x10"),
+        (dev * dev).alias("sq_dev_x100"),
+    ).orderBy("digit")

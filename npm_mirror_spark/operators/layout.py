@@ -110,8 +110,15 @@ def with_zorder_key(
         # Span guard: same int64 wrap bound as with_hilbert_key — past
         # it the * {top} multiply wraps silently in non-ANSI mode.
         coord_cols[f"__coord_{c}"] = F.expr(
-            f"CASE WHEN {q} IS NULL OR {hi} IS NULL OR {span} <= 0 "
-            f"THEN cast(0 as bigint) "
+            f"CASE WHEN {q} IS NULL OR {hi} IS NULL THEN cast(0 as bigint) "
+            # a NEGATIVE computed span is impossible without int64 wrap
+            # (hi >= lo by construction), so it must raise too — falling
+            # into a '<= 0' zero branch would silently collapse every
+            # key (review finding)
+            f"WHEN {span} < 0 THEN cast(raise_error(concat("
+            f"'with_zorder_key: span of {c} wrapped int64 "
+            f"(hi - lo overflows); pre-bucket the column')) as bigint) "
+            f"WHEN {span} = 0 THEN cast(0 as bigint) "
             f"WHEN {span} > {max_span} THEN cast(raise_error(concat("
             f"'with_zorder_key: span of {c} (', cast({span} as string), "
             f"') overflows the int64 scale at {bits} bits; "
@@ -242,8 +249,14 @@ def with_hilbert_key(
         q, lo, hi = f"`{c}`", f"`__lo_{c}`", f"`__hi_{c}`"
         span = f"(cast({hi} as bigint) - cast({lo} as bigint))"
         coord_cols[f"__h{'xy'[i]}"] = F.expr(
-            f"CASE WHEN {q} IS NULL OR {hi} IS NULL OR {span} <= 0 "
-            f"THEN cast(0 as bigint) "
+            f"CASE WHEN {q} IS NULL OR {hi} IS NULL THEN cast(0 as bigint) "
+            # a NEGATIVE computed span is impossible without int64 wrap
+            # (hi >= lo by construction) — raise, don't zero (review
+            # finding: a '<= 0' branch silently collapsed every key)
+            f"WHEN {span} < 0 THEN cast(raise_error(concat("
+            f"'with_hilbert_key: span of {c} wrapped int64 "
+            f"(hi - lo overflows); pre-bucket the column')) as bigint) "
+            f"WHEN {span} = 0 THEN cast(0 as bigint) "
             # overflow guard: past this span the * {top} multiply wraps
             # in non-ANSI mode (see the span bound in the docstring)
             f"WHEN {span} > {max_span} THEN cast(raise_error(concat("

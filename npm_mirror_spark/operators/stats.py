@@ -1345,15 +1345,29 @@ def page_trend_cells(
 
     base = friedman_cells(df, block, treatment, value)
     # k-row order frame: the treatment axis is bounded by contract, so
-    # a global row_number over it is a single tiny partition
+    # a global row_number over it is a single tiny partition.  Built
+    # from the RAW (null-filtered) input, not from base — deriving it
+    # from base would embed the whole friedman lineage (completeness
+    # semi-join, midrank windows) a second time in the plan (review
+    # finding).  Equivalent whenever base is non-empty: a complete
+    # block contains every global treatment by definition, so base's
+    # treatments = the input's distinct treatments; and when no
+    # complete block exists, base is empty and the join result is
+    # empty from either frame.
     wframe = (
-        base.select(treatment)
+        df.filter(
+            # the same three-way NULL filter as friedman's projection:
+            # a treatment appearing ONLY with NULL block/value is not
+            # in the ranked set and must not shift the w indices
+            F.col(block).isNotNull()
+            & F.col(treatment).isNotNull()
+            & F.col(value).isNotNull()
+        )
+        .select(F.col(treatment).alias("__wt"))
         .distinct()
         .select(
-            treatment,
-            F.row_number()
-            .over(Window.orderBy(treatment))
-            .alias("w"),
+            F.col("__wt").alias(treatment),
+            F.row_number().over(Window.orderBy("__wt")).alias("w"),
         )
     )
     return (

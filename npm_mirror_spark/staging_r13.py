@@ -85,7 +85,11 @@ WITH src AS (
          CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS e,
          coalesce(l.l_returnflag = 'R', FALSE) AS a
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE o.o_orderpriority IS NOT NULL
+  -- NULL alignment with the Spark face (the q_km_events oracle's
+  -- convention, review finding): a NULL linestatus/date makes the
+  -- face's ev/dur NULL and logrank_cells drops the row, so the
+  -- oracle drops it too instead of CASE-mapping NULL to censored
+  WHERE o.o_orderpriority IS NOT NULL AND l.l_linestatus IS NOT NULL
     AND l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
 ),
 per_t AS (
@@ -348,11 +352,16 @@ WITH d AS (
   FROM orders WHERE o_totalprice IS NOT NULL
 ),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
-t AS (SELECT count(*) AS tt FROM d)
+t AS (SELECT count(*) AS tt FROM d),
+axis AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS digit),
+f AS (
+  SELECT axis.digit, coalesce(c.n, 0) AS n, t.tt
+  FROM axis CROSS JOIN t LEFT JOIN c ON axis.digit = c.digit
+)
 SELECT digit, CAST(n AS BIGINT) AS n,
   CAST(10 * n - tt AS BIGINT) AS dev_x10,
   CAST((10 * n - tt) * (10 * n - tt) AS BIGINT) AS sq_dev_x100
-FROM c CROSS JOIN t ORDER BY digit
+FROM f ORDER BY digit
 """
 
 

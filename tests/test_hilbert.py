@@ -197,11 +197,25 @@ def test_layout_keys_reject_overflowing_spans(spark):
     under = spark.createDataFrame(
         [(0, 0), (max_span, 3)], "a long, b long"
     )
-    hk = with_hilbert_key(under, ["a", "b"], bits=bits).collect()
-    zk = with_zorder_key(under, ["a", "b"], bits=bits).collect()
-    assert len(hk) == 2 and len(zk) == 2
-    # the max-span row scales to the top coordinate exactly
+    hk = {r["a"]: r["hkey"] for r in with_hilbert_key(under, ["a", "b"], bits=bits).collect()}
+    zk = {r["a"]: r["zkey"] for r in with_zorder_key(under, ["a", "b"], bits=bits).collect()}
+    # the max-span row scales to the TOP coordinate in both dimensions
+    # exactly (review finding: the previous assertion was a tautology):
+    # Morton interleave of (top, top) is all ones; Hilbert d of
+    # (top, top) matches the pure-python replay
     top = (1 << bits) - 1
-    assert max(r["zkey"] for r in zk) < (1 << (2 * bits))
-    assert all(r["hkey"] >= 0 for r in hk)
-    assert top == (1 << bits) - 1
+    assert zk[0] == 0 and hk[0] == 0
+    assert zk[max_span] == (1 << (2 * bits)) - 1
+    assert hk[max_span] == _hilbert_xy2d(top, top, bits)
+    # a span whose subtraction itself overflows int64 must raise, not
+    # silently zero every coordinate through a '<= 0' branch: under
+    # ANSI (the session default) the raw hi - lo raises natively
+    # (ARITHMETIC_OVERFLOW); under non-ANSI it wraps negative and the
+    # operators' span < 0 staged raise catches it
+    wrap = spark.createDataFrame(
+        [(-(2**62), 0), (2**62, 3)], "a long, b long"
+    )
+    with pytest.raises(Exception, match="wrapped int64|ARITHMETIC_OVERFLOW|long overflow"):
+        with_hilbert_key(wrap, ["a", "b"], bits=bits).collect()
+    with pytest.raises(Exception, match="wrapped int64|ARITHMETIC_OVERFLOW|long overflow"):
+        with_zorder_key(wrap, ["a", "b"], bits=bits).collect()

@@ -176,18 +176,25 @@ def test_conover_scale_matches_scipy_convention(spark):
 
 def test_digit_pref_hand_example(spark):
     """Amounts 10.9, 11.2, 21.7, 5.0 truncate to last digits
-    0, 1, 1, 5 with N=4: digit 1 has n=2, dev_x10 = 16."""
+    0, 1, 1, 5 with N=4.  ALWAYS 10 rows, zero-filled (review finding:
+    absent digits carry the LARGEST chi2 terms — omitting them
+    understated the statistic exactly when the screen matters): the
+    seven absent digits each contribute dev_x10 = -4, and the full-axis
+    deviations sum to zero."""
     from npm_mirror_spark.operators.checks import digit_preference_cells
 
     df = spark.createDataFrame(
         [(10.9,), (11.2,), (21.7,), (5.0,), (None,)], "v double"
     )
     out = {r["digit"]: r for r in digit_preference_cells(df, "v").collect()}
-    assert set(out) == {0, 1, 5}
+    assert set(out) == set(range(10))
     assert out[1]["n"] == 2 and out[1]["dev_x10"] == 16
     assert out[0]["dev_x10"] == 6 and out[0]["sq_dev_x100"] == 36
-    # chi2 numerator identity: sum over PRESENT digits only
-    assert sum(r["sq_dev_x100"] for r in out.values()) == 36 + 256 + 36
+    for d in (2, 3, 4, 6, 7, 8, 9):
+        assert out[d]["n"] == 0 and out[d]["dev_x10"] == -4
+        assert out[d]["sq_dev_x100"] == 16
+    assert sum(r["dev_x10"] for r in out.values()) == 0
+    assert sum(r["sq_dev_x100"] for r in out.values()) == 36 + 256 + 36 + 7 * 16
 
 
 def test_ngram_novelty_hand_example(spark):

@@ -300,9 +300,11 @@ def test_digit_pref_counts_and_zero_sum(spark, vals):
     for v in vals:
         want[int(v) % 10] = want.get(int(v) % 10, 0) + 1
     n = len(vals)
-    assert {d: r["n"] for d, r in out.items()} == want
-    for d, r in out.items():
-        assert r["dev_x10"] == 10 * want[d] - n
-        assert r["sq_dev_x100"] == (10 * want[d] - n) ** 2
-    # over PRESENT digits: Sigma dev = 10*N - |present|*N
-    assert sum(r["dev_x10"] for r in out.values()) == 10 * n - len(want) * n
+    assert set(out) == set(range(10))  # zero-filled full axis
+    for d in range(10):
+        r = out[d]
+        assert r["n"] == want.get(d, 0)
+        assert r["dev_x10"] == 10 * want.get(d, 0) - n
+        assert r["sq_dev_x100"] == (10 * want.get(d, 0) - n) ** 2
+    # structural identity over the FULL axis
+    assert sum(r["dev_x10"] for r in out.values()) == 0
