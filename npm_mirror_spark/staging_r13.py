@@ -34,6 +34,9 @@ bounded-grid classes):
         q_gk_gamma bounded-grid class)",
     "q_digit_pref": "single-row corpus-count broadcast onto the 10-digit
         axis (the q_benford shape)",
+    "q_mrr": "probes (vec_id<5, contract-small) broadcast to corpus —
+        inherited from the allowlisted q_cosine_topk / q_ann_recall
+        shape its exact arm reuses",
 
 (q_pettitt plans NO BNLJ at all: the U_t double sum collapses to two
 bounded prefix windows via the U_t = U_{t-1} + V_t identity — see

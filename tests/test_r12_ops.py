@@ -329,3 +329,30 @@ def test_cliff_delta_brute_force_property(spark):
         "g string, x long",
     )
     assert cliff_delta_cells(same, "x", "g").collect()[0]["delta"] == 0.0
+
+
+def test_staged_plan_shapes_pre_cleared(spark, sf_dir):
+    """The registry plan lint (test_plans.py) only covers registered
+    faces; this pre-clears the staged batch to the SAME bar before the
+    r13 rotation: no CartesianProduct anywhere, and a
+    BroadcastNestedLoopJoin only in the faces the module docstring
+    documents with their future ALLOWED_BNLJ entries."""
+    from npm_mirror_spark import plans
+
+    documented_bnlj = {
+        "q_page_trend",
+        "q_quade",
+        "q_conover_scale",
+        "q_cliff_delta",
+        "q_digit_pref",
+        "q_mrr",  # the allowlisted q_cosine_topk probe-broadcast shape
+    }
+    cart, bnlj = [], []
+    for name, fn in STAGED_QUERIES.items():
+        text = plans.explain_str(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in text:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in text and name not in documented_bnlj:
+            bnlj.append(name)
+    assert cart == [], f"cartesian products in staged faces: {cart}"
+    assert bnlj == [], f"undocumented BNLJ in staged faces: {bnlj}"
