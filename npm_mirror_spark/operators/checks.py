@@ -992,3 +992,136 @@ def digit_preference_cells(df: DataFrame, value: str) -> DataFrame:
         dev.alias("dev_x10"),
         (dev * dev).alias("sq_dev_x100"),
     ).orderBy("digit")
+
+
+def hoeffding_d_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Hoeffding's D independence decomposition (Hoeffding 1948),
+    reported PER DISTINCT (x, y) CELL — the nonparametric dependence
+    test that catches what correlation families miss entirely:
+    chi-square needs categories, Spearman/Kendall only see MONOTONE
+    association, but D is consistent against ANY dependence (a U-shape
+    scores 0 on rho/tau and positive on D).
+
+    Per cell: c (exact count), r2 (doubled x-axis midrank of the cell's
+    x value), s2 (doubled y-axis midrank), q4 (QUADRUPLED bivariate
+    rank) — all exact integers.  q4 follows the phi convention (the one
+    SAS PROC CORR documents for ties): for a point i, Q_i = Sigma_j
+    phi(x_j, x_i) * phi(y_j, y_i) over ALL j including i, with
+    phi(a, b) = 1 if a < b, 1/2 if a = b, 0 otherwise — so q4 =
+    4*LL + 2*LE + 2*EL + EE with LL = #{x_j < x_i & y_j < y_i},
+    LE = #{x_j < x_i & y_j = y_i}, EL = #{x_j = x_i & y_j < y_i},
+    EE = #{x_j = x_i & y_j = y_i} (self included: Q_i = (q4 - 1)/4 + ...
+    reduces to the classical strict count when there are no ties).
+    The D1/D2/D3 sums and the final 30*(...) normalization are consumer
+    one-liners over these cells (exact-integer inputs, order-
+    independent); the face refuses the cross-row float sums per the
+    cells contract.
+
+    NOT the O(n^2) pair loop the definition suggests: everything reads
+    off the zero-filled (x-domain x y-domain) grid — the
+    :func:`gk_gamma` 2-D dominance machinery — with LL as a nested
+    strictly-prior prefix (per-row prefix over y, then per-column
+    prefix over x of those partials), LE/EL as single-axis strictly-
+    prior prefixes, EE as the cell count itself.  Cost O(grid) under
+    the documented ordinal-domain contract (both axes bounded; bucket
+    corpus-scale continuous axes first).  NULL x/y rows are dropped.
+
+    Output: x, y, c, r2, s2, q4 — ordered by (x, y).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    xaxis = cells.select("__x").distinct()
+    yaxis = cells.select("__y").distinct()
+    grid = (
+        xaxis.crossJoin(F.broadcast(yaxis))
+        .join(cells, ["__x", "__y"], "left")
+        .select("__x", "__y", F.coalesce("__c", F.lit(0)).alias("__c"))
+    )
+    wy = Window.partitionBy("__x").orderBy("__y")
+    wx = Window.partitionBy("__y").orderBy("__x")
+    pre = grid.select(
+        "__x",
+        "__y",
+        "__c",
+        # EL: points in this x-row with strictly smaller y
+        F.coalesce(
+            F.sum("__c").over(wy.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__el"),
+        # LE: points in this y-column with strictly smaller x
+        F.coalesce(
+            F.sum("__c").over(wx.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__le"),
+    )
+    # LL: per-column strictly-prior prefix of the per-row partials
+    ll = F.coalesce(
+        F.sum("__el").over(wx.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    q4 = (
+        F.lit(4) * ll
+        + F.lit(2) * F.col("__le")
+        + F.lit(2) * F.col("__el")
+        + F.col("__c")
+    )
+    full = pre.select("__x", "__y", "__c", q4.alias("q4"))
+    # axis midranks (doubled): strictly-prior + ties + 1 per axis
+    xm = (
+        cells.groupBy("__x")
+        .agg(F.sum("__c").alias("__cx"))
+        .select(
+            "__x",
+            "__cx",
+            F.coalesce(
+                F.sum("__cx").over(
+                    Window.orderBy("__x").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__px"),
+        )
+        .select(
+            "__x",
+            (F.lit(2) * F.col("__px") + F.col("__cx") + F.lit(1)).alias("r2"),
+        )
+    )
+    ym = (
+        cells.groupBy("__y")
+        .agg(F.sum("__c").alias("__cy"))
+        .select(
+            "__y",
+            "__cy",
+            F.coalesce(
+                F.sum("__cy").over(
+                    Window.orderBy("__y").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__py"),
+        )
+        .select(
+            "__y",
+            (F.lit(2) * F.col("__py") + F.col("__cy") + F.lit(1)).alias("s2"),
+        )
+    )
+    return (
+        full.where(F.col("__c") > 0)
+        .join(F.broadcast(xm), "__x")
+        .join(F.broadcast(ym), "__y")
+        .select(
+            F.col("__x").alias(x),
+            F.col("__y").alias(y),
+            F.col("__c").alias("c"),
+            "r2",
+            "s2",
+            "q4",
+        )
+        .orderBy(x, y)
+    )

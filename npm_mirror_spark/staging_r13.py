@@ -34,6 +34,9 @@ bounded-grid classes):
         q_gk_gamma bounded-grid class)",
     "q_digit_pref": "single-row corpus-count broadcast onto the 10-digit
         axis (the q_benford shape)",
+    "q_hoeffding": "zero-filled (x-domain x y-domain) grid build + two
+        k-bounded axis-midrank frames broadcast (the q_gk_gamma
+        bounded-grid class)",
     "q_mrr": "probes (vec_id<5, contract-small) broadcast to corpus —
         inherited from the allowlisted q_cosine_topk / q_ann_recall
         shape its exact arm reuses",
@@ -602,6 +605,75 @@ FROM per ORDER BY g_lo, g_hi
 """
 
 
+def q_hoeffding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D independence cells between line number and
+    quantity — consistent against ANY dependence shape, where
+    q_spearman/q_kendall_tau only see monotone association and q_chisq
+    needs categories.  (operators/checks.py hoeffding_d_cells; the
+    jonckheere/gamma 2-D dominance grid, so both axes ride the
+    ordinal-domain contract.)"""
+    from npm_mirror_spark.operators.checks import hoeffding_d_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("ln"),
+        # floor, not a bare cast — the q_jonckheere cross-engine guard
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return hoeffding_d_cells(li, "ln", "qty")
+
+
+_HOEFFDING_SQL = """
+WITH g AS (
+  SELECT l_linenumber AS x, CAST(floor(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+),
+cells AS (SELECT x, y, count(*) AS c FROM g GROUP BY 1, 2),
+xa AS (SELECT DISTINCT x FROM cells),
+ya AS (SELECT DISTINCT y FROM cells),
+grid AS (
+  SELECT xa.x, ya.y, coalesce(cells.c, 0) AS c
+  FROM xa CROSS JOIN ya
+  LEFT JOIN cells ON cells.x = xa.x AND cells.y = ya.y
+),
+pre AS (
+  SELECT x, y, c,
+    coalesce(sum(c) OVER (PARTITION BY x ORDER BY y
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS el,
+    coalesce(sum(c) OVER (PARTITION BY y ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS le
+  FROM grid
+),
+f AS (
+  SELECT x, y, c,
+    4 * coalesce(sum(el) OVER (PARTITION BY y ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + 2 * le + 2 * el + c AS q4
+  FROM pre
+),
+xm AS (
+  SELECT x,
+    2 * coalesce(sum(cx) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cx + 1
+      AS r2
+  FROM (SELECT x, sum(c) AS cx FROM cells GROUP BY x)
+),
+ym AS (
+  SELECT y,
+    2 * coalesce(sum(cy) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cy + 1
+      AS s2
+  FROM (SELECT y, sum(c) AS cy FROM cells GROUP BY y)
+)
+SELECT f.x AS ln, f.y AS qty, CAST(f.c AS BIGINT) AS c,
+  CAST(xm.r2 AS BIGINT) AS r2, CAST(ym.s2 AS BIGINT) AS s2,
+  CAST(f.q4 AS BIGINT) AS q4
+FROM f JOIN xm ON f.x = xm.x JOIN ym ON f.y = ym.y
+WHERE f.c > 0
+ORDER BY ln, qty
+"""
+
+
 STAGED_QUERIES = {
     "q_logrank": q_logrank,
     "q_mantel_haenszel": q_mantel_haenszel,
@@ -613,6 +685,7 @@ STAGED_QUERIES = {
     "q_ngram_novelty": q_ngram_novelty,
     "q_quade": q_quade,
     "q_cliff_delta": q_cliff_delta,
+    "q_hoeffding": q_hoeffding,
 }
 
 STAGED_ORACLES = {
@@ -626,4 +699,5 @@ STAGED_ORACLES = {
     "q_ngram_novelty": _ngram_novelty_oracle(),
     "q_quade": _QUADE_SQL,
     "q_cliff_delta": _CLIFF_SQL,
+    "q_hoeffding": _HOEFFDING_SQL,
 }

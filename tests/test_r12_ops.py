@@ -346,6 +346,7 @@ def test_staged_plan_shapes_pre_cleared(spark, sf_dir):
         "q_cliff_delta",
         "q_digit_pref",
         "q_mrr",  # the allowlisted q_cosine_topk probe-broadcast shape
+        "q_hoeffding",
     }
     cart, bnlj = [], []
     for name, fn in STAGED_QUERIES.items():
@@ -356,3 +357,48 @@ def test_staged_plan_shapes_pre_cleared(spark, sf_dir):
             bnlj.append(name)
     assert cart == [], f"cartesian products in staged faces: {cart}"
     assert bnlj == [], f"undocumented BNLJ in staged faces: {bnlj}"
+
+
+def test_hoeffding_cells_brute_force(spark):
+    """q4/r2/s2 must equal the literal O(n^2) phi-convention double loop
+    on tie-heavy data; independence sanity: on a perfect comonotone
+    sample with no ties, Q_i = (q4 - 1) / 4 recovers the classical
+    strict count i - 1."""
+    import random
+
+    from npm_mirror_spark.operators.checks import hoeffding_d_cells
+
+    rng = random.Random(19)
+    pts = [(rng.randint(0, 4), rng.randint(0, 4)) for _ in range(60)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = {(r["x"], r["y"]): r for r in hoeffding_d_cells(df, "x", "y").collect()}
+
+    def phi(a, b):
+        return 2 if a < b else (1 if a == b else 0)
+
+    from collections import Counter
+
+    cnt = Counter(pts)
+    assert set(out) == set(cnt)
+    xs = sorted(a for a, _ in pts)
+    ys = sorted(b for _, b in pts)
+
+    def mid2(vals, v):
+        below = sum(1 for u in vals if u < v)
+        ties = sum(1 for u in vals if u == v)
+        return 2 * below + ties + 1
+
+    for (a, b), r in out.items():
+        q4 = sum(phi(u, a) * phi(v, b) for u, v in pts)
+        assert r["q4"] == q4, (a, b)
+        assert r["c"] == cnt[(a, b)]
+        assert r["r2"] == mid2(xs, a)
+        assert r["s2"] == mid2(ys, b)
+
+    # no-ties comonotone: point i has exactly i strictly-smaller points
+    # in both coords; q4 = 4*i + 1 (the self phi*phi term)
+    mono = [(i, 10 * i) for i in range(12)]
+    dfm = spark.createDataFrame(mono, "x long, y long")
+    got = {r["x"]: r["q4"] for r in hoeffding_d_cells(dfm, "x", "y").collect()}
+    for i in range(12):
+        assert got[i] == 4 * i + 1

@@ -308,3 +308,30 @@ def test_digit_pref_counts_and_zero_sum(spark, vals):
         assert r["sq_dev_x100"] == (10 * want.get(d, 0) - n) ** 2
     # structural identity over the FULL axis
     assert sum(r["dev_x10"] for r in out.values()) == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_hoeffding_cells_phi_convention(spark, pts):
+    """q4 equals the literal phi-convention double loop on arbitrary
+    tie-heavy grids; structural identity Sigma_cells c*q4 =
+    Sigma_i Q4_i."""
+    from npm_mirror_spark.operators.checks import hoeffding_d_cells
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = {(r["x"], r["y"]): r for r in hoeffding_d_cells(df, "x", "y").collect()}
+
+    def phi(a, b):
+        return 2 if a < b else (1 if a == b else 0)
+
+    for (a, b), r in out.items():
+        assert r["q4"] == sum(phi(u, a) * phi(v, b) for u, v in pts)
+    assert sum(r["c"] * r["q4"] for r in out.values()) == sum(
+        phi(u, a) * phi(v, b) for a, b in pts for u, v in pts
+    )
