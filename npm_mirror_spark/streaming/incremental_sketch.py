@@ -339,3 +339,70 @@ class StreamingEventTable:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingDigitPreference:
+    """Incremental last-digit preference audit — the streaming twin of
+    :func:`~npm_mirror_spark.operators.checks.digit_preference_cells`
+    (same shape the StreamingEventTable/km_cells pair pins): per
+    micro-batch, ONE bounded job folds the batch to at most 10
+    (digit, count) rows, which add into a 10-slot driver dict — '+' on
+    exact counts is batching-independent, so the read-time report is
+    BIT-EQUAL to the batch operator over the concatenated input under
+    any split.  Like the other additive sketches, '+' is not
+    idempotent, so a checkpoint-replayed micro-batch is skipped by its
+    batch_id (the transactional-sink contract).
+
+    State: exactly 10 integers + a total — nothing corpus-sized.
+    """
+
+    def __init__(self, value_col: str):
+        self.value_col = value_col
+        self.counts: dict[int, int] = {d: 0 for d in range(10)}
+        self.total = 0
+        self.n_batches = 0
+        self._last_batch: int | None = None
+
+    def update_batch(
+        self, batch_df: DataFrame, batch_id: int | None = None
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id is not None and batch_id == self._last_batch:
+            return
+        d = batch_df.select(
+            # cast('long') truncates toward zero — the batch operator's
+            # trunc-not-round digit extraction, verbatim
+            (F.abs(F.col(self.value_col).cast("long")) % 10)
+            .cast("int")
+            .alias("digit")
+        ).filter(F.col("digit").isNotNull())
+        for r in d.groupBy("digit").agg(F.count(F.lit(1)).alias("n")).collect():
+            self.counts[int(r["digit"])] += int(r["n"])
+            self.total += int(r["n"])
+        self.n_batches += 1
+        self._last_batch = batch_id
+
+    def result_df(self, spark) -> DataFrame:
+        """The digit_preference_cells-shaped report: always 10 rows,
+        zero-filled, with dev_x10 = 10*n - N and its square derived
+        from the exact counts at read time — identical integer
+        arithmetic to the batch operator."""
+        out = []
+        for digit in range(10):
+            n = self.counts[digit]
+            dev = 10 * n - self.total
+            out.append((digit, n, dev, dev * dev))
+        return spark.createDataFrame(
+            out, "digit int, n long, dev_x10 long, sq_dev_x100 long"
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.update_batch(df, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

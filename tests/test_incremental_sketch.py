@@ -264,3 +264,40 @@ def test_event_table_rejects_non_binary_events(spark):
     )
     sk.update_batch(d, batch_id=0)
     assert sk.state[("a", 1)] == (2, 1, 1)
+
+
+def test_digit_pref_stream_equals_batch_bit_for_bit(spark, sf_dir):
+    from npm_mirror_spark.operators.checks import digit_preference_cells
+    from npm_mirror_spark.streaming.incremental_sketch import (
+        StreamingDigitPreference,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    sk = StreamingDigitPreference("v")
+    for mod in (0, 1, 2):
+        sk.update_batch(o.where(F.col("o_orderkey") % 3 == mod), batch_id=mod)
+    # at-least-once redelivery of the last batch: must be a no-op
+    sk.update_batch(o.where(F.col("o_orderkey") % 3 == 2), batch_id=2)
+    want = sorted(map(tuple, digit_preference_cells(o, "v").collect()))
+    got = sorted(map(tuple, sk.result_df(spark).collect()))
+    assert got == want
+    assert len(got) == 10  # zero-filled full axis, like the batch face
+
+
+def test_digit_pref_split_invariance(spark):
+    from npm_mirror_spark.streaming.incremental_sketch import (
+        StreamingDigitPreference,
+    )
+
+    rows = [(float(i) + 0.7,) for i in range(57)]
+    df = spark.createDataFrame(rows, "v double")
+    a = StreamingDigitPreference("v")
+    a.update_batch(df, batch_id=0)
+    b = StreamingDigitPreference("v")
+    # deterministic predicate split (a limit() split can pick different
+    # rows per job and fake a split-variance failure)
+    b.update_batch(df.where(F.col("v") < 20), batch_id=0)
+    b.update_batch(df.where(F.col("v") >= 20), batch_id=1)
+    assert a.counts == b.counts and a.total == b.total
