@@ -750,3 +750,102 @@ def pettitt_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
         )
         .orderBy(day)
     )
+
+
+def aalen_johansen_cells(
+    df: DataFrame,
+    group: str,
+    duration: str,
+    event: str,
+    cause: str,
+) -> DataFrame:
+    """Aalen–Johansen competing-risks event table, reported PER
+    (group, event time, cause) — the third member of the survival tier
+    (:func:`km_cells` one-cause curves, :func:`logrank_cells` two-arm
+    comparison, this one CAUSE-SPECIFIC incidence): when a subject can
+    exit for more than one reason, per-cause Kaplan–Meier curves
+    overestimate every cause's incidence (they censor the competing
+    events away); the Aalen–Johansen estimator needs exactly these
+    cells — the shared risk set plus per-cause event counts.
+
+    Semantics: ``event`` is 0/1 with the km_cells staged-raise guard
+    (validated on the double view before the int cast); ``cause`` is
+    read ONLY on event rows (its value on censored rows is ignored,
+    so callers need not blank it); rows with NULL
+    group/duration/event — or an event row with NULL cause — are
+    dropped.  Rows are emitted only for (group, t, cause) with
+    d_cause > 0; censor-only times leave the risk set between event
+    times without a row of their own (the logrank_cells convention —
+    they contribute nothing to any cause's increment).
+
+    Output per (group, t, cause): group, t, cause, d_cause, d (all
+    causes at t), c (censored at t), n_risk — every column an exact
+    integer.  The cumulative incidence
+    CIF_k(t) = Sigma_{s<=t} S(s-) * d_k(s)/n_risk(s) with S the
+    all-cause KM survival is the consumer derivation this face refuses
+    (a float product-sum over data-dependent time order — the same
+    cross-engine trap km_cells documents); Sigma_k d_cause = d per
+    (group, t) is the structural identity tests pin.
+
+    Shape: one per-(group, t) collapse + the bounded strictly-prior
+    km window, one per-(group, t, cause) collapse, one (group, t)
+    equi join — output bounded by |groups| x |distinct durations| x
+    |causes|.
+    """
+    ed = F.col(event).cast("double")
+    e = F.when(
+        ed.isNotNull() & ~ed.isin(0.0, 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"aalen_johansen_cells: {event} must be 0/1, got "),
+                ed.cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(ed.cast("int"))
+    g = df.select(
+        F.col(group).alias("__g"),
+        F.col(duration).alias("__t"),
+        e.alias("__e"),
+        F.col(cause).alias("__k"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__e").isNotNull()
+        & ((F.col("__e") == 0) | F.col("__k").isNotNull())
+    )
+    per_t = g.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__e").alias("__d"),
+        F.sum(F.lit(1) - F.col("__e")).alias("__c"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    prior = F.coalesce(
+        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("__n").over(Window.partitionBy("__g"))
+    risk = per_t.select(
+        "__g",
+        "__t",
+        "__d",
+        "__c",
+        (total - prior).alias("__nr"),
+    )
+    per_cause = (
+        g.where(F.col("__e") == 1)
+        .groupBy("__g", "__t", "__k")
+        .agg(F.count(F.lit(1)).alias("__dk"))
+    )
+    return (
+        per_cause.join(risk, ["__g", "__t"])
+        .select(
+            F.col("__g").alias(group),
+            F.col("__t").alias("t"),
+            F.col("__k").alias(cause),
+            F.col("__dk").alias("d_cause"),
+            F.col("__d").alias("d"),
+            F.col("__c").alias("c"),
+            F.col("__nr").alias("n_risk"),
+        )
+        .orderBy(group, "t", cause)
+    )

@@ -43,7 +43,9 @@ bounded-grid classes):
 
 (q_pettitt plans NO BNLJ at all: the U_t double sum collapses to two
 bounded prefix windows via the U_t = U_{t-1} + V_t identity — see
-pettitt_cells.)
+pettitt_cells.  q_logrank, q_mantel_haenszel, q_km-style
+q_aalen_johansen and q_ngram_novelty plan only equi joins / bounded
+windows — no BNLJ.)
 """
 
 from __future__ import annotations
@@ -674,6 +676,68 @@ ORDER BY ln, qty
 """
 
 
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen competing-risks event table over shipping
+    durations: a line exits by being RETURNED (cause R) or KEPT
+    (causes A/N) when it finishes; open-status lines are censored —
+    per (priority stratum, event time, cause) the shared risk set and
+    cause-specific event counts the cumulative-incidence estimator
+    needs (per-cause KM curves would overestimate every cause).
+    (operators/temporal.py aalen_johansen_cells — the survival tier's
+    third member after q_km_events and q_logrank.)"""
+    from npm_mirror_spark.operators.temporal import aalen_johansen_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("dur"),
+        (F.col("l_linestatus") == "F").cast("int").alias("ev"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return aalen_johansen_cells(j, "prio", "dur", "ev", "flag")
+
+
+_AJ_SQL = """
+WITH src AS (
+  SELECT o.o_orderpriority AS g,
+    date_diff('day', o.o_orderdate, l.l_shipdate) AS t,
+    CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END AS e,
+    l.l_returnflag AS k
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  -- NULL alignment with the Spark face (the q_km_events/q_logrank
+  -- oracle convention): NULL stratum/dates/linestatus rows drop, and
+  -- an EVENT row with NULL cause drops (the operator's filter)
+  WHERE o.o_orderpriority IS NOT NULL AND l.l_linestatus IS NOT NULL
+    AND l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    AND (l.l_linestatus <> 'F' OR l.l_returnflag IS NOT NULL)
+),
+per_t AS (
+  SELECT g, t, count(*) AS n, sum(e) AS d, sum(1 - e) AS c
+  FROM src GROUP BY g, t
+),
+risk AS (
+  SELECT g, t, d, c,
+    sum(n) OVER (PARTITION BY g)
+      - coalesce(sum(n) OVER (PARTITION BY g ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+  FROM per_t
+),
+pc AS (
+  SELECT g, t, k, count(*) AS dk FROM src WHERE e = 1 GROUP BY g, t, k
+)
+SELECT pc.g AS prio, CAST(pc.t AS INTEGER) AS t, pc.k AS flag,
+  CAST(pc.dk AS BIGINT) AS d_cause, CAST(risk.d AS BIGINT) AS d,
+  CAST(risk.c AS BIGINT) AS c, CAST(risk.nr AS BIGINT) AS n_risk
+FROM pc JOIN risk ON pc.g = risk.g AND pc.t = risk.t
+ORDER BY prio, t, flag
+"""
+
+
 STAGED_QUERIES = {
     "q_logrank": q_logrank,
     "q_mantel_haenszel": q_mantel_haenszel,
@@ -686,6 +750,7 @@ STAGED_QUERIES = {
     "q_quade": q_quade,
     "q_cliff_delta": q_cliff_delta,
     "q_hoeffding": q_hoeffding,
+    "q_aalen_johansen": q_aalen_johansen,
 }
 
 STAGED_ORACLES = {
@@ -700,4 +765,5 @@ STAGED_ORACLES = {
     "q_quade": _QUADE_SQL,
     "q_cliff_delta": _CLIFF_SQL,
     "q_hoeffding": _HOEFFDING_SQL,
+    "q_aalen_johansen": _AJ_SQL,
 }

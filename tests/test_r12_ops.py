@@ -402,3 +402,59 @@ def test_hoeffding_cells_brute_force(spark):
     got = {r["x"]: r["q4"] for r in hoeffding_d_cells(dfm, "x", "y").collect()}
     for i in range(12):
         assert got[i] == 4 * i + 1
+
+
+def test_aalen_johansen_hand_example(spark):
+    """5 subjects, 2 causes: t=1 cause A (n_risk 5); t=2 censored (no
+    row); t=3 cause B and cause A tie at the same time (n_risk 3);
+    t=4 censored (no row)."""
+    from npm_mirror_spark.operators.temporal import aalen_johansen_cells
+
+    rows = [
+        ("g", 1, 1, "A"),
+        ("g", 2, 0, None),
+        ("g", 3, 1, "B"),
+        ("g", 3, 1, "A"),
+        ("g", 4, 0, "ignored-on-censored"),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, e int, k string")
+    out = aalen_johansen_cells(df, "g", "t", "e", "k").collect()
+    got = {(r["t"], r["k"]): r for r in out}
+    assert set(got) == {(1, "A"), (3, "A"), (3, "B")}
+    assert got[(1, "A")]["n_risk"] == 5 and got[(1, "A")]["d_cause"] == 1
+    assert got[(3, "A")]["n_risk"] == 3 and got[(3, "A")]["d"] == 2
+    assert got[(3, "B")]["d_cause"] == 1 and got[(3, "B")]["c"] == 0
+    # risk sets and totals agree with km_cells on the same data
+    from npm_mirror_spark.operators.temporal import km_cells
+
+    km = {r["t"]: r for r in km_cells(df, "g", "t", "e").collect()}
+    for (t, _), r in got.items():
+        assert r["n_risk"] == km[t]["n_risk"] and r["d"] == km[t]["d"]
+
+
+def test_aalen_johansen_cause_sums_and_guards(spark):
+    """Structural identity Sigma_k d_cause = d per (g, t); event rows
+    with NULL cause drop; non-binary events raise (the km guard)."""
+    import random
+
+    import pytest
+
+    from npm_mirror_spark.operators.temporal import aalen_johansen_cells
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(120):
+        e = rng.randint(0, 1)
+        k = rng.choice(["A", "B", "C"]) if e else None
+        rows.append((f"g{i % 2}", rng.randint(1, 8), e, k))
+    rows.append(("g0", 3, 1, None))  # event with NULL cause: dropped
+    df = spark.createDataFrame(rows, "g string, t int, e int, k string")
+    out = aalen_johansen_cells(df, "g", "t", "e", "k").collect()
+    by_gt: dict[tuple, list] = {}
+    for r in out:
+        by_gt.setdefault((r["g"], r["t"]), []).append(r)
+    for (g, t), cells in by_gt.items():
+        assert sum(r["d_cause"] for r in cells) == cells[0]["d"], (g, t)
+    bad = spark.createDataFrame([("g", 1, 2, "A")], "g string, t int, e int, k string")
+    with pytest.raises(Exception, match="must be 0/1"):
+        aalen_johansen_cells(bad, "g", "t", "e", "k").collect()
