@@ -46,6 +46,20 @@ bounded prefix windows via the U_t = U_{t-1} + V_t identity — see
 pettitt_cells.  q_logrank, q_mantel_haenszel, q_km-style
 q_aalen_johansen and q_ngram_novelty plan only equi joins / bounded
 windows — no BNLJ.)
+
+Ready-to-paste r13 WINDOW_TAIL (docs/DRIVER_WINDOW.md names the same
+tail; the rotation commit lifts STAGED_QUERIES/STAGED_ORACLES into
+queries.py exactly the way faces_r12.py was lifted in r12)::
+
+    WINDOW_TAIL: tuple[str, ...] = (
+        "q_logrank", "q_mantel_haenszel", "q_page_trend", "q_pettitt",
+        "q_conover_scale", "q_digit_pref", "q_mrr", "q_ngram_novelty",
+        "q_quade", "q_cliff_delta", "q_hoeffding", "q_aalen_johansen",
+        "q_cosine_topk_arrow", "q_cosine_dup_pairs", "q_ann_ivf",
+        "q_ivf_dup_pairs", "q_semdedup", "q_ann_recall",
+        "q_top_events_page", "q_mode_per_user", "q_order_priority_check",
+        "q_small_quantity_revenue", "q_returned_item_revenue",
+    )
 """
 
 from __future__ import annotations
