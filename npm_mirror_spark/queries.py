@@ -5570,6 +5570,19 @@ from npm_mirror_spark.faces_r12 import R12_QUERIES as _R12_QUERIES  # noqa: E402
 
 QUERIES.update(_R12_QUERIES)
 
+# --- r13 registrations: the r12-staged batch (staging_r13.py) -------------
+# Written in r12 when the window had zero free tail slots, staged under
+# the register-into-window-only rule, and lifted here in r13 — all 12
+# rotate into the r13 WINDOW_TAIL below in the same commit, with their
+# pre-documented ALLOWED_BNLJ entries (tests/test_plans.py) landing in
+# the same commit too.  Their oracles merge into ORACLES at the end of
+# this module (q_mrr nests two registry oracle strings and
+# q_ngram_novelty the shared _NORM, so the merge must run after the
+# ORACLES literal is complete — the faces_r12 pattern).
+from npm_mirror_spark.staging_r13 import STAGED_QUERIES as _R13_QUERIES  # noqa: E402
+
+QUERIES.update(_R13_QUERIES)
+
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
 # The grading driver checks exactly ``list(QUERIES)[:50]``.  A rotation
 # edits ONLY ``WINDOW_TAIL`` below; the dict literal above stays in
@@ -5592,22 +5605,23 @@ PINNED_27: tuple[str, ...] = (
     "q_approx_stats",
 )
 
-#: Slots 28-50 (r12 rotation): the 12 r11-STAGED faces registered this
-#: round (faces_r12.py — registered straight into the window they open
+#: Slots 28-50 (r13 rotation): the 12 r12-STAGED faces registered this
+#: round (staging_r13.py — registered straight into the window they open
 #: in, per the register-into-window-only hard rule), then the 11 oldest
-#: rows from the last-driver-checked ledger: the 8 r01 remainders (last
-#: checked 11 rounds ago under an older harness) and the first 3 of the
-#: r03 block, in registration order (r10 verdict item 5; r11 verdict
-#: item 1 names exactly this tail).  All 23 are oracle-backed; the only
-#: rows-only entry in this window is the pinned ``q_approx_stats``.
+#: rows from the last-driver-checked ledger: the first 11 of the r03
+#: block, in registration order (r12 verdict item 1 names exactly this
+#: tail; the ready-to-paste tuple is the staging_r13.py docstring's).
+#: The rows-only entries in this window are the pinned ``q_approx_stats``
+#: and ``q_cosine_topk_arrow`` (Arrow twin of the oracle-checked
+#: ``q_cosine_topk``); the other 21 tail rows are oracle-backed.
 WINDOW_TAIL: tuple[str, ...] = (
-    "q_friedman", "q_brown_forsythe", "q_jonckheere", "q_durbin_watson",
-    "q_gk_gamma", "q_cochran_q", "q_vocab_coverage", "q_km_events",
-    "q_mood_median", "q_vocab_richness", "q_capture_recapture",
-    "q_hilbert_audit",
-    "q_quality_filter", "q_tf_df", "q_semi_join", "q_grouping_rollup",
-    "q_running_total", "q_pivot_counts", "q_asof_join", "q_unpivot",
-    "q_dedup_keepset", "q_ngram_jaccard", "q_simhash_pairs",
+    "q_logrank", "q_mantel_haenszel", "q_page_trend", "q_pettitt",
+    "q_conover_scale", "q_digit_pref", "q_mrr", "q_ngram_novelty",
+    "q_quade", "q_cliff_delta", "q_hoeffding", "q_aalen_johansen",
+    "q_cosine_topk_arrow", "q_cosine_dup_pairs", "q_ann_ivf",
+    "q_ivf_dup_pairs", "q_semdedup", "q_ann_recall",
+    "q_top_events_page", "q_mode_per_user", "q_order_priority_check",
+    "q_small_quantity_revenue", "q_returned_item_revenue",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
@@ -10314,3 +10328,12 @@ FROM scored ORDER BY sse_split, split_day LIMIT 1
 from npm_mirror_spark.faces_r12 import build_oracles as _r12_build_oracles  # noqa: E402
 
 ORACLES.update(_r12_build_oracles(ORACLES))
+
+# --- r13 oracle merge (see the r13 registration block above) --------------
+# Runs after the r12 merge: staging_r13.build_oracles nests the
+# q_cosine_topk / q_ann_ivf oracle SQL (q_mrr) and the shared _NORM
+# normalization (q_ngram_novelty), so the registry literal must be
+# complete first.
+from npm_mirror_spark.staging_r13 import build_oracles as _r13_build_oracles  # noqa: E402
+
+ORACLES.update(_r13_build_oracles(ORACLES))

@@ -1,14 +1,20 @@
-"""Staged registry faces for the r13 driver-window tail.
+"""The r13-registered face batch (staged in r12, lifted in r13).
 
-The r12 window froze with all 23 tail slots taken (the 12 lifted
-faces_r12.py registrations + 11 staleness re-checks), and the hard rule
-since r11 is that new faces land ONLY in free tail slots of the round
-that registers them (docs/DRIVER_WINDOW.md) — so r12's new operators
-ship here: fully face-shaped (each callable takes (spark, sf_dir) and
-returns a DataFrame) with their DuckDB oracles, driven by the SAME
-harness comparison as the registry (tests/test_r12_ops.py), but NOT in
-``queries.QUERIES``.  The r13 rotation lifts these dicts into the
-registry exactly the way the r12 rotation lifted faces_r12.py.
+History: these 12 faces were written in r12, when the driver window had
+frozen with all 23 tail slots taken (the 12 lifted faces_r12.py
+registrations + 11 staleness re-checks), and the hard rule since r11 is
+that new faces land ONLY in free tail slots of the round that registers
+them (docs/DRIVER_WINDOW.md) — so they shipped here as STAGED faces:
+fully face-shaped (each callable takes (spark, sf_dir) and returns a
+DataFrame) with their DuckDB oracles, driven by the SAME harness
+comparison as the registry (tests/test_r12_ops.py), but NOT in
+``queries.QUERIES``.  The r13 rotation registered them: ``queries.py``
+merges ``STAGED_QUERIES`` / ``STAGED_ORACLES`` into the registry at
+import time and rotates all 12 into the r13 window tail, so they are
+driver-visible and covered by tests/test_oracle_parity.py like every
+other registered face.  This module stays their permanent home (same
+one-module-per-batch shape faces_r12.py uses); registration order
+within the batch is the ``STAGED_QUERIES`` dict order.
 
 Every face follows the registry contracts: driver-hashable output
 types only (no decimal/array/map), aliased columns matching the oracle
@@ -17,11 +23,10 @@ exact-integer / fixed-IEEE-expression determinism the stats tier pins
 (floats only as ONE fixed IEEE op sequence on exact-int-valued inputs;
 cross-row float sums are refused and left to consumers).
 
-Plan-lint note for the r13 rotation: faces that plan a
-BroadcastNestedLoopJoin are pre-documented here with the
-`tests/test_plans.py::ALLOWED_BNLJ` entries they need when registered
-(all verified bounded; the shapes are the allowlisted 1-row-fold and
-bounded-grid classes):
+Plan-lint note: 7 of the 12 faces plan a BroadcastNestedLoopJoin; their
+`tests/test_plans.py::ALLOWED_BNLJ` entries (added with the r13
+registration, pre-documented here while staged) are the allowlisted
+1-row-fold and bounded-grid classes — each verified bounded:
 
     "q_page_trend": "1-row (k, n) completeness frame broadcast per
         treatment (the q_friedman shape)",
@@ -47,9 +52,8 @@ pettitt_cells.  q_logrank, q_mantel_haenszel, q_km-style
 q_aalen_johansen and q_ngram_novelty plan only equi joins / bounded
 windows — no BNLJ.)
 
-Ready-to-paste r13 WINDOW_TAIL (docs/DRIVER_WINDOW.md names the same
-tail; the rotation commit lifts STAGED_QUERIES/STAGED_ORACLES into
-queries.py exactly the way faces_r12.py was lifted in r12)::
+The r13 WINDOW_TAIL as registered (docs/DRIVER_WINDOW.md and
+queries.py carry the live copy)::
 
     WINDOW_TAIL: tuple[str, ...] = (
         "q_logrank", "q_mantel_haenszel", "q_page_trend", "q_pettitt",
@@ -434,12 +438,12 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
-def _mrr_oracle() -> str:
+def _mrr_oracle(ORACLES: dict[str, str]) -> str:
     """Compose the verified q_cosine_topk / q_ann_ivf oracle SQL into
     the MRR replay (the q_capture_recapture composition pattern: this
-    face's oracle can never drift from the registered fixtures')."""
-    from npm_mirror_spark.queries import ORACLES
-
+    face's oracle can never drift from the registered fixtures').
+    Deferred to ``build_oracles`` — queries.py imports this module
+    mid-initialization, before its ORACLES literal exists."""
     return f"""
 WITH tru AS (
   SELECT probe_id, neighbor_id AS true_nn
@@ -473,11 +477,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(d, "text", "doc_id", "source", n=3)
 
 
-def _ngram_novelty_oracle() -> str:
+def _ngram_novelty_oracle(_NORM: str) -> str:
     """Replay with the registry's shared normalization/shingle CTEs
-    (the _NORM/trigram construction q_minhash_pairs et al. verify)."""
-    from npm_mirror_spark.queries import _NORM
-
+    (the _NORM/trigram construction q_minhash_pairs et al. verify).
+    Deferred to ``build_oracles`` — queries.py imports this module
+    mid-initialization, before ``_NORM`` is defined."""
     return f"""
 WITH norm AS (
   SELECT doc_id, source, {_NORM} AS t FROM documents
@@ -774,10 +778,21 @@ STAGED_ORACLES = {
     "q_pettitt": _PETTITT_SQL,
     "q_conover_scale": _CONOVER_SQL,
     "q_digit_pref": _DIGIT_SQL,
-    "q_mrr": _mrr_oracle(),
-    "q_ngram_novelty": _ngram_novelty_oracle(),
     "q_quade": _QUADE_SQL,
     "q_cliff_delta": _CLIFF_SQL,
     "q_hoeffding": _HOEFFDING_SQL,
     "q_aalen_johansen": _AJ_SQL,
 }
+
+
+def build_oracles(registry_oracles: dict[str, str]) -> dict[str, str]:
+    """Complete ``STAGED_ORACLES`` against the registry (q_mrr nests the
+    q_cosine_topk / q_ann_ivf oracle SQL; q_ngram_novelty replays the
+    registry's shared ``_NORM`` normalization) and return it.  Called
+    once from queries.py after its ORACLES literal and ``_NORM`` are
+    fully built (the faces_r12.build_oracles pattern); idempotent."""
+    from npm_mirror_spark.queries import _NORM
+
+    STAGED_ORACLES["q_mrr"] = _mrr_oracle(registry_oracles)
+    STAGED_ORACLES["q_ngram_novelty"] = _ngram_novelty_oracle(_NORM)
+    return STAGED_ORACLES

@@ -478,6 +478,37 @@ ALLOWED_BNLJ = {
         "1-row min/max bounds frame broadcast for the integer coordinate "
         "scaling (the q_zorder range-stats shape)"
     ),
+    # --- r13 batch (staging_r13.py): shapes pre-documented while staged ---
+    "q_page_trend": (
+        "1-row (k, n) completeness frame broadcast per treatment (the "
+        "q_friedman shape)"
+    ),
+    "q_quade": (
+        "1-row k-frame broadcast onto the per-(block, treatment) cells "
+        "(the q_friedman completeness shape)"
+    ),
+    "q_conover_scale": (
+        "_with_prior_sums' single-row (min,max) z2-range broadcast for "
+        "the prefix-sum buckets"
+    ),
+    "q_cliff_delta": (
+        "zero-filled (value-axis x k-group) grid build, bounded by the "
+        "ordinal-domain contract (the q_jonckheere / q_gk_gamma "
+        "bounded-grid class)"
+    ),
+    "q_digit_pref": (
+        "single-row corpus-count broadcast onto the 10-digit axis (the "
+        "q_benford shape)"
+    ),
+    "q_hoeffding": (
+        "zero-filled (x-domain x y-domain) grid build + two k-bounded "
+        "axis-midrank frames broadcast (the q_gk_gamma bounded-grid class)"
+    ),
+    "q_mrr": (
+        "probes (vec_id<5, contract-small) broadcast to corpus — "
+        "inherited from the allowlisted q_cosine_topk / q_ann_recall "
+        "shape its exact arm reuses"
+    ),
 }
 
 

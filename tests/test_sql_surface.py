@@ -91,7 +91,7 @@ def test_driver_window_composition_pinned():
     # every window entry except the documented rows-only ones has an oracle
     rows_only = {
         "q_approx_stats", "q_lm_nll", "q_quality_classifier",
-        "q_bpe_encode", "q_lm_bigram",
+        "q_bpe_encode", "q_lm_bigram", "q_cosine_topk_arrow",
     }
     missing = [n for n in names[:50] if n not in ORACLES and n not in rows_only]
     assert missing == [], f"window entries without oracles: {missing}"

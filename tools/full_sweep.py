@@ -1,5 +1,5 @@
-"""Full-registry oracle sweep: every registered face (plus the staged
-r12 faces) vs its DuckDB oracle at a given SF — the end-of-round gate
+"""Full-registry oracle sweep: every registered face (plus any staged
+batch) vs its DuckDB oracle at a given SF — the end-of-round gate
 (r10 ran 242/242 at sf0.1 before closing).
 
 Usage: python tools/full_sweep.py [sf_dir]
@@ -27,18 +27,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from npm_mirror_spark.queries import ORACLES, QUERIES
-    from npm_mirror_spark.staging_r13 import STAGED_ORACLES, STAGED_QUERIES
     from tests.oracle_harness import compare, duckdb_con
 
     con = duckdb_con(sf_dir)
     t_start = time.monotonic()
     n_pass = n_rows_only = 0
     fails: list[str] = []
-    # the r12 batch (faces_r12.py) is registered, so QUERIES covers it;
-    # the r12-STAGED batch (staging_r13.py) sweeps alongside
-    work = [(n, q, ORACLES.get(n)) for n, q in QUERIES.items()] + [
-        (f"{n} (staged)", q, STAGED_ORACLES[n]) for n, q in STAGED_QUERIES.items()
-    ]
+    # all prior staged batches (faces_r12.py, staging_r13.py) are now
+    # registered, so QUERIES covers them; a future staging_r14.py batch
+    # sweeps alongside once it exists
+    work = [(n, q, ORACLES.get(n)) for n, q in QUERIES.items()]
+    try:
+        from npm_mirror_spark.staging_r14 import STAGED_ORACLES, STAGED_QUERIES
+
+        work += [
+            (f"{n} (staged)", q, STAGED_ORACLES.get(n))
+            for n, q in STAGED_QUERIES.items()
+        ]
+    except ImportError:
+        pass
     for i, (name, q, sql) in enumerate(work, 1):
         t0 = time.monotonic()
         try:
