@@ -216,6 +216,13 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from npm_mirror_spark.queries import _docs_with_dups
 
+    # Deliberately NOT persisting the shared corpus subplan: a measured
+    # A/B (docs/BENCH_NOTES.md r13) showed zero wall-clock change at
+    # sf0.1 — the face's cost lives in the banding-join shuffles, not
+    # the duplicated scans — and at 100 TB a corpus-sized cache write
+    # costs more than the pruned parquet re-scan it saves.  The pair
+    # sets (tiny, consumed twice) ARE persisted inside
+    # capture_recapture.
     docs = _docs_with_dups(spark, sf_dir)
     m = minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=8, bands=4)
     s = simhash_pairs(docs, "doc_id", "text", max_hamming=3)

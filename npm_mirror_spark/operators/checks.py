@@ -839,8 +839,15 @@ def capture_recapture(
 
     Shape: two distinct-collapses + one equi inner join on the pair
     key + three 1-row folds; output one row:
-    n_a, n_b, overlap, chapman_est.
+    n_a, n_b, overlap, chapman_est.  Each canonicalized pair set is
+    consumed TWICE (its own count fold + the overlap join), and Spark
+    does not dedupe common subplans across those branches — so both
+    sets are persisted (MEMORY_AND_DISK; they are collapsed pair keys,
+    two ints per row, orders of magnitude smaller than the corpus the
+    detectors scanned to produce them), which runs each detector
+    pipeline once instead of twice (r12 verdict item 4).
     """
+    from pyspark import StorageLevel
     ka, kb = keys
     # canonicalize orientation (least/greatest) so a caller feeding
     # (b, a) for one detector and (a, b) for the other still overlaps:
@@ -860,8 +867,8 @@ def capture_recapture(
             .distinct()
         )
 
-    a = _canon(pairs_a)
-    b = _canon(pairs_b)
+    a = _canon(pairs_a).persist(StorageLevel.MEMORY_AND_DISK)
+    b = _canon(pairs_b).persist(StorageLevel.MEMORY_AND_DISK)
     na = a.agg(F.count(F.lit(1)).alias("n_a"))
     nb = b.agg(F.count(F.lit(1)).alias("n_b"))
     m = a.join(b, [ka, kb]).agg(F.count(F.lit(1)).alias("overlap"))

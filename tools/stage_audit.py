@@ -10,6 +10,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 
 def main() -> None:
     name = sys.argv[1]
