@@ -606,47 +606,17 @@ def mcnemar_paired(
     )
 
 
-def gk_gamma(df: DataFrame, x: str, y: str) -> DataFrame:
-    """Goodman–Kruskal gamma between two ORDINAL columns — the
-    association direction :func:`chisq_independence_cells` (which is
-    sign-blind) cannot give: do higher quality tiers come with higher
-    dedup survival, and how strongly?  gamma = (C - D) / (C + D) over
-    concordant/discordant pairs, the ordinal analogue of Kendall's tau
-    that ignores ties entirely.
-
-    Exactness: C and D are EXACT integers (products and sums of cell
-    counts — order-independent, no float accumulation anywhere), and
-    gamma is ONE correctly-rounded IEEE division — the q_kappa
-    contract.
-
-    Shape — 2-D DOMINANCE COUNTING, not a cell self-join: the naive
-    pair join on x-order is |cells|² AND a non-equi join (the
-    BroadcastNestedLoopJoin the registry plan lint bans).  Instead the
-    cell table zero-fills to the (x-domain × y-domain) grid and two
-    nested strictly-prior prefix windows compute, per cell,
-    A(x,y) = Σ_{x'<x, y'<y} c (concordant mates) and
-    B(x,y) = Σ_{x'<x, y'>y} c (discordant mates):
-    C = Σ c·A and D = Σ c·B.  Every window is PARTITIONED (by y for
-    the x-prefix, by x for the y-prefix) — bounded by the opposing
-    domain, no single-reducer axis — and total work is O(grid), not
-    O(cells²).
-
-    Bounded-domain contract (the :func:`chisq_independence_cells`
-    assumption): both columns must have small categorical/ordinal
-    domains — the zero-filled grid is |x-domain|·|y-domain| rows, fine
-    for tier x bucket tables and wrong for raw continuous axes (bucket
-    first).  NULLs in either column are excluded (no ordinal
-    position).
-
-    Output (one row): n_rows, n_cells, concordant, discordant, gamma
-    (NULL when every pair is tied, e.g. a single cell).
-    """
+def _grid_dominance_tot(cells: DataFrame) -> DataFrame:
+    """Concordant/discordant pair totals over a (__x, __y, __c) cell
+    table by 2-D dominance counting — the O(grid) core :func:`gk_gamma`
+    documents (zero-filled domain grid + two nested strictly-prior
+    prefix windows, every window PARTITIONED by the opposing axis),
+    factored out so :func:`ordinal_assoc_cells` reuses it verbatim.
+    Returns a 1-row frame: __cc (concordant), __dd (discordant), both
+    exact DECIMAL(38,0) (NULL on an empty/degenerate grid — callers
+    coalesce)."""
     from pyspark.sql import Window
 
-    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
-        F.col("__x").isNotNull() & F.col("__y").isNotNull()
-    )
-    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
     xs = cells.select("__x").distinct()
     ys = cells.select("__y").distinct()
     grid = (
@@ -684,8 +654,7 @@ def gk_gamma(df: DataFrame, x: str, y: str) -> DataFrame:
         .cast(d38)
         .alias("__disc_mates"),
     )
-    zero = F.lit(0).cast("decimal(38,0)")
-    tot = dom.agg(
+    return dom.agg(
         F.sum(F.col("__c").cast(d38) * F.col("__conc_mates"))
         .cast("decimal(38,0)")
         .alias("__cc"),
@@ -693,6 +662,50 @@ def gk_gamma(df: DataFrame, x: str, y: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("__dd"),
     )
+
+
+def gk_gamma(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Goodman–Kruskal gamma between two ORDINAL columns — the
+    association direction :func:`chisq_independence_cells` (which is
+    sign-blind) cannot give: do higher quality tiers come with higher
+    dedup survival, and how strongly?  gamma = (C - D) / (C + D) over
+    concordant/discordant pairs, the ordinal analogue of Kendall's tau
+    that ignores ties entirely.
+
+    Exactness: C and D are EXACT integers (products and sums of cell
+    counts — order-independent, no float accumulation anywhere), and
+    gamma is ONE correctly-rounded IEEE division — the q_kappa
+    contract.
+
+    Shape — 2-D DOMINANCE COUNTING, not a cell self-join: the naive
+    pair join on x-order is |cells|² AND a non-equi join (the
+    BroadcastNestedLoopJoin the registry plan lint bans).  Instead the
+    cell table zero-fills to the (x-domain × y-domain) grid and two
+    nested strictly-prior prefix windows compute, per cell,
+    A(x,y) = Σ_{x'<x, y'<y} c (concordant mates) and
+    B(x,y) = Σ_{x'<x, y'>y} c (discordant mates):
+    C = Σ c·A and D = Σ c·B.  Every window is PARTITIONED (by y for
+    the x-prefix, by x for the y-prefix) — bounded by the opposing
+    domain, no single-reducer axis — and total work is O(grid), not
+    O(cells²).
+
+    Bounded-domain contract (the :func:`chisq_independence_cells`
+    assumption): both columns must have small categorical/ordinal
+    domains — the zero-filled grid is |x-domain|·|y-domain| rows, fine
+    for tier x bucket tables and wrong for raw continuous axes (bucket
+    first).  NULLs in either column are excluded (no ordinal
+    position).
+
+    Output (one row): n_rows, n_cells, concordant, discordant, gamma
+    (NULL when every pair is tied, e.g. a single cell).
+    """
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    tot = _grid_dominance_tot(cells)
+    d38 = "decimal(38,0)"
+    zero = F.lit(0).cast("decimal(38,0)")
     meta = g.agg(F.count(F.lit(1)).alias("n_rows"))
     ncells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
     cc = F.coalesce(F.col("__cc"), zero)
@@ -1132,3 +1145,356 @@ def hoeffding_d_cells(df: DataFrame, x: str, y: str) -> DataFrame:
         )
         .orderBy(x, y)
     )
+
+
+def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+    """The full concordance family between two ORDINAL columns in one
+    pass — Somers' D (both directions), Kendall's tau-b, Stuart's
+    tau-c and gamma — from the same exact pair decomposition
+    :func:`gk_gamma` computes, plus the tie counts gamma deliberately
+    ignores.  Gamma drops every tied pair (it overstates association
+    on tie-heavy grids); Somers' D penalizes ties on the DEPENDENT
+    variable only (the right measure when one column predicts the
+    other); tau-b penalizes ties on both axes symmetrically; tau-c
+    corrects tau for rectangular (dx != dy) tables.  One operator, so
+    an audit never re-derives C and D four times.
+
+    Exactness: every pair count is an exact DECIMAL(38,0) —
+    C/D by the O(grid) dominance counting of :func:`_grid_dominance_tot`,
+    tie counts by margin folds (pairs tied on x = Sigma_x nx*(nx-1)/2,
+    both-tied = Sigma_cells c*(c-1)/2) — and each reported coefficient
+    is ONE fixed IEEE sequence on those exact operands (the q_kappa
+    contract; tau_b's denominator uses sqrt, IEEE-correctly-rounded —
+    the srp scaling precedent in curation.py).  The structural
+    identity C + D + tied_x_only + tied_y_only + tied_xy =
+    n*(n-1)/2 is what tests pin.
+
+    Bounded-domain contract as gk_gamma: both columns small
+    ordinal/categorical domains (the zero-filled grid is dx*dy rows);
+    NULLs in either column are excluded.  tau_b's radicand
+    (P - Tx)*(P - Ty) <= (n^2/2)^2 needs n <~ 2e9 to stay inside
+    DECIMAL(38,0); beyond that, pre-aggregate.
+
+    Output (one row): n_rows, n_cells, dx, dy, pairs_total,
+    concordant, discordant, tied_x_only, tied_y_only, tied_xy,
+    gamma, somers_dyx (y dependent), somers_dxy, tau_b, tau_c.
+    """
+    d38 = "decimal(38,0)"
+    zero = F.lit(0).cast(d38)
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    tot = _grid_dominance_tot(cells)
+
+    def _pairs(c: Column) -> Column:
+        # c*(c-1)/2 exactly: one of c, c-1 is even, but decimal division
+        # by 2 keeps scale 0 only via floor — use (c*(c-1))/2 as decimal
+        # after the product, exact because the product is even
+        return (c.cast(d38) * (c - 1).cast(d38) / 2).cast(d38)
+
+    tx = (
+        cells.groupBy("__x")
+        .agg(F.sum("__c").alias("__nx"))
+        .agg(F.sum(_pairs(F.col("__nx"))).cast(d38).alias("__tx"))
+    )
+    ty = (
+        cells.groupBy("__y")
+        .agg(F.sum("__c").alias("__ny"))
+        .agg(F.sum(_pairs(F.col("__ny"))).cast(d38).alias("__ty"))
+    )
+    txy = cells.agg(
+        F.sum(_pairs(F.col("__c"))).cast(d38).alias("__txy"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    dims = cells.agg(
+        F.countDistinct("__x").alias("dx"), F.countDistinct("__y").alias("dy")
+    )
+    meta = g.agg(F.count(F.lit(1)).alias("n_rows"))
+    one = (
+        meta.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(txy))
+        .crossJoin(F.broadcast(dims))
+    )
+    n = F.col("n_rows").cast(d38)
+    p = ((n * (n - 1)).cast(d38) / 2).cast(d38)
+    cc = F.coalesce(F.col("__cc"), zero)
+    dd = F.coalesce(F.col("__dd"), zero)
+    txc = F.coalesce(F.col("__tx"), zero)
+    tyc = F.coalesce(F.col("__ty"), zero)
+    txyc = F.coalesce(F.col("__txy"), zero)
+    s = (cc - dd).cast(d38)
+    denx = (p - txc).cast(d38)
+    deny = (p - tyc).cast(d38)
+    m = F.least(F.col("dx"), F.col("dy")).cast(d38)
+    taucden = (n * n * (m - 1)).cast(d38)
+    return one.select(
+        "n_rows",
+        "n_cells",
+        "dx",
+        "dy",
+        p.cast("double").alias("pairs_total"),
+        cc.cast("double").alias("concordant"),
+        dd.cast("double").alias("discordant"),
+        (txc - txyc).cast(d38).cast("double").alias("tied_x_only"),
+        (tyc - txyc).cast(d38).cast("double").alias("tied_y_only"),
+        txyc.cast("double").alias("tied_xy"),
+        F.when(
+            (cc + dd) > 0, s.cast("double") / (cc + dd).cast("double")
+        ).alias("gamma"),
+        F.when(denx > 0, s.cast("double") / denx.cast("double")).alias(
+            "somers_dyx"
+        ),
+        F.when(deny > 0, s.cast("double") / deny.cast("double")).alias(
+            "somers_dxy"
+        ),
+        F.when(
+            (denx > 0) & (deny > 0),
+            s.cast("double") / F.sqrt((denx * deny).cast(d38).cast("double")),
+        ).alias("tau_b"),
+        F.when(
+            (m > 1) & (n > 0),
+            (F.lit(2).cast(d38) * m * s).cast(d38).cast("double")
+            / taucden.cast("double"),
+        ).alias("tau_c"),
+    )
+
+
+def fleiss_kappa_cells(
+    df: DataFrame, subject: str, category: str, n_raters: int
+) -> DataFrame:
+    """Fleiss' kappa over MULTI-rater nominal labels — the k-rater
+    generalization of :func:`cohens_kappa` (Fleiss 1971): given one
+    row per (subject, assigned category) from exactly ``n_raters``
+    ratings per subject, how much do the raters agree beyond chance?
+    The labeling-pipeline audit when three heuristics (or annotators)
+    vote on every document.
+
+    Exact-integer restatement: with t = N*n (N subjects, n raters),
+    Q = Sigma_{i,j} n_ij^2 (n_ij = raters giving subject i category j)
+    and S = Sigma_j c_j^2 (c_j = category marginal),
+
+        kappa = ((Q - t)*t - S*(n - 1)) / ((n - 1) * (t^2 - S))
+
+    — every operand an exact DECIMAL(38,0), ONE IEEE division (the
+    q_kappa contract); p_bar and p_e are each one further division on
+    the same operands.
+
+    Completeness contract (the friedman_cells discipline): subjects
+    whose rating count != ``n_raters`` are DROPPED, not guessed at —
+    Fleiss is undefined for unequal panel sizes (report n_dropped so
+    the caller sees the loss); NULL subject/category rows are dropped
+    first.
+
+    Shape: one (subject, category) collapse + one per-subject fold +
+    one per-category fold + 1-row folds — all map-side combinable,
+    no window, no raw-row join.
+
+    Output (one row): n_subjects, n_raters, n_categories, n_dropped,
+    q_sum, s_sum, p_bar, p_e, kappa.
+    """
+    if n_raters < 2:
+        raise ValueError("fleiss_kappa_cells: n_raters must be >= 2")
+    d38 = "decimal(38,0)"
+    g = df.select(
+        F.col(subject).alias("__s"), F.col(category).alias("__k")
+    ).filter(F.col("__s").isNotNull() & F.col("__k").isNotNull())
+    nij = g.groupBy("__s", "__k").agg(F.count(F.lit(1)).alias("__nij"))
+    per_subj = nij.groupBy("__s").agg(
+        F.sum("__nij").alias("__cnt"),
+        F.sum(F.col("__nij").cast(d38) * F.col("__nij").cast(d38))
+        .cast(d38)
+        .alias("__q"),
+    )
+    complete = per_subj.where(F.col("__cnt") == n_raters)
+    dropped = per_subj.where(F.col("__cnt") != n_raters).agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    qn = complete.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("__q").cast(d38).alias("q_sum"),
+    )
+    cj = (
+        nij.join(complete.select("__s"), "__s")
+        .groupBy("__k")
+        .agg(F.sum("__nij").alias("__cj"))
+    )
+    ssum = cj.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("__cj").cast(d38) * F.col("__cj").cast(d38))
+        .cast(d38)
+        .alias("s_sum"),
+    )
+    one = qn.crossJoin(F.broadcast(ssum)).crossJoin(F.broadcast(dropped))
+    zero = F.lit(0).cast(d38)
+    nsub = F.col("n_subjects").cast(d38)
+    t = (nsub * n_raters).cast(d38)
+    q = F.coalesce(F.col("q_sum"), zero)
+    s = F.coalesce(F.col("s_sum"), zero)
+    nm1 = F.lit(n_raters - 1).cast(d38)
+    kden = (nm1 * (t * t - s).cast(d38)).cast(d38)
+    return one.select(
+        "n_subjects",
+        F.lit(n_raters).alias("n_raters"),
+        "n_categories",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        q.cast("double").alias("q_sum"),
+        s.cast("double").alias("s_sum"),
+        F.when(
+            (nsub > 0),
+            ((q - t).cast(d38)).cast("double") / (t * nm1).cast("double"),
+        ).alias("p_bar"),
+        F.when(nsub > 0, s.cast("double") / (t * t).cast("double")).alias(
+            "p_e"
+        ),
+        F.when(
+            kden != 0,
+            ((q - t) * t - s * nm1).cast(d38).cast("double")
+            / kden.cast("double"),
+        ).alias("kappa"),
+    )
+
+
+def weighted_kappa_cells(
+    df: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Linearly-weighted Cohen's kappa between two ORDINAL INTEGER
+    rating columns — :func:`cohens_kappa` counts a near-miss (tier 2
+    vs tier 3) exactly as wrong as a blunder (tier 0 vs tier 4);
+    weighted kappa charges disagreements by their ordinal distance
+    |i - j| (Cohen 1968, linear weights), the right agreement audit
+    between two ordinal scorers.
+
+    Exact-integer restatement: with observed disagreement
+    D_o = Sigma_{ij} |i-j| * x_ij and expected-disagreement numerator
+    D_e = Sigma_{ij} |i-j| * row_i * col_j (the N division never
+    performed),
+
+        kappa_w = 1 - D_o * N / D_e
+
+    — every operand an exact DECIMAL(38,0), ONE IEEE division (the
+    q_kappa contract).  Reported alongside as exact columns so the
+    identity kappa_w = 1 - do*n/de_num is consumer-checkable.
+
+    Shape: one (a, b) pair collapse for x_ij + two margin folds + the
+    bounded (k x k) margin cross product (the gk_gamma bounded-grid
+    class — category domains are rating tiers, not raw values) + 1-row
+    folds.  NULL ratings are dropped pairwise.
+
+    Output (one row): n, n_cells, d_o, d_e_num, kappa_w.
+    """
+    d38 = "decimal(38,0)"
+    pair = df.select(
+        F.col(rater_a).cast("long").alias("__a"),
+        F.col(rater_b).cast("long").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = pair.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    do = cells.agg(
+        F.sum(
+            F.abs(F.col("__a") - F.col("__b")).cast(d38)
+            * F.col("__c").cast(d38)
+        )
+        .cast(d38)
+        .alias("d_o"),
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    rm = pair.groupBy(F.col("__a").alias("__i")).agg(
+        F.count(F.lit(1)).alias("__rm")
+    )
+    cm = pair.groupBy(F.col("__b").alias("__j")).agg(
+        F.count(F.lit(1)).alias("__cm")
+    )
+    de = (
+        rm.crossJoin(F.broadcast(cm))
+        .agg(
+            F.sum(
+                F.abs(F.col("__i") - F.col("__j")).cast(d38)
+                * (F.col("__rm").cast(d38) * F.col("__cm").cast(d38)).cast(
+                    d38
+                )
+            )
+            .cast(d38)
+            .alias("d_e_num")
+        )
+    )
+    zero = F.lit(0).cast(d38)
+    one = do.crossJoin(F.broadcast(de))
+    dov = F.coalesce(F.col("d_o"), zero)
+    dev = F.coalesce(F.col("d_e_num"), zero)
+    return one.select(
+        "n",
+        "n_cells",
+        dov.cast("double").alias("d_o"),
+        dev.cast("double").alias("d_e_num"),
+        F.when(
+            dev > 0,
+            F.lit(1.0)
+            - (dov * F.col("n").cast(d38)).cast(d38).cast("double")
+            / dev.cast("double"),
+        ).alias("kappa_w"),
+    )
+
+
+def bowker_cells(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Bowker symmetry-test cells between two categorical columns over
+    the same scale — the k-category generalization of McNemar (Bowker
+    1948): for every unordered category pair {i, j}, are i->j
+    transitions as common as j->i?  The drift audit for paired labels
+    (last year's priority vs this year's, heuristic A vs B) that
+    :func:`cohens_kappa` cannot see — kappa measures agreement, Bowker
+    the DIRECTION of the disagreements.
+
+    Per unordered pair (cat_lo < cat_hi): n_lo_hi (rows with
+    a = lo, b = hi), n_hi_lo, and the chi-square term
+    (n_lo_hi - n_hi_lo)^2 / (n_lo_hi + n_hi_lo) — exact-integer
+    numerator, ONE IEEE division (the q_kappa contract); pairs with
+    both counts 0 contribute nothing and are omitted (the standard
+    convention — their term is 0/0).  The Bowker statistic
+    Sigma chi_term with df = pairs emitted is the consumer one-liner
+    this table refuses (float Sigma), but both integer counts sum
+    safely anywhere.
+
+    Shape: one (a, b) cell collapse + ONE equi self-join on the
+    canonicalized (lo, hi) key (full outer, zero-filled) — bounded by
+    the category-domain grid; no window, no non-equi join.  NULL
+    ratings are dropped pairwise; diagonal cells (a = b) never enter.
+
+    Output per pair: cat_lo, cat_hi, n_lo_hi, n_hi_lo, chi_term —
+    ordered by (cat_lo, cat_hi).
+    """
+    pair = df.select(
+        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+    ).filter(
+        F.col("__a").isNotNull()
+        & F.col("__b").isNotNull()
+        & (F.col("__a") != F.col("__b"))
+    )
+    cells = pair.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    up = cells.where(F.col("__a") < F.col("__b")).select(
+        F.col("__a").alias("cat_lo"),
+        F.col("__b").alias("cat_hi"),
+        F.col("__c").alias("n_lo_hi"),
+    )
+    down = cells.where(F.col("__a") > F.col("__b")).select(
+        F.col("__b").alias("cat_lo"),
+        F.col("__a").alias("cat_hi"),
+        F.col("__c").alias("n_hi_lo"),
+    )
+    j = up.join(down, ["cat_lo", "cat_hi"], "full_outer").select(
+        "cat_lo",
+        "cat_hi",
+        F.coalesce("n_lo_hi", F.lit(0)).alias("n_lo_hi"),
+        F.coalesce("n_hi_lo", F.lit(0)).alias("n_hi_lo"),
+    )
+    diff = (F.col("n_lo_hi") - F.col("n_hi_lo")).cast("double")
+    tot = (F.col("n_lo_hi") + F.col("n_hi_lo")).cast("double")
+    return j.select(
+        "cat_lo",
+        "cat_hi",
+        "n_lo_hi",
+        "n_hi_lo",
+        (diff * diff / tot).alias("chi_term"),
+    ).orderBy("cat_lo", "cat_hi")

@@ -1675,3 +1675,143 @@ def cliff_delta_cells(df: DataFrame, value: str, group: str) -> DataFrame:
             / nprod.cast(_D38).cast("double")
         ).alias("delta"),
     ).orderBy("g_lo", "g_hi")
+
+
+def signed_rank_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Wilcoxon signed-rank cells over PAIRED integer columns — the
+    paired-sample companion to :func:`rank_sum_test` (which compares
+    two independent groups): per row d = x - y, zero differences
+    dropped (the classic Wilcoxon convention — reported as n_zero so
+    the caller sees the discard), |d| ranked with midranks across the
+    whole sample, and the positive/negative rank sums reported
+    DOUBLED so ties stay integer (the rank_sum_test identity: the t
+    tied rows at an |d| value with strictly-prior count b each take
+    doubled midrank 2b + t + 1).
+
+    Exactness: w_plus_x2 + w_minus_x2 = 2 * n(n+1)/2 = n(n+1) is the
+    structural identity tests pin; per-term products are cast to
+    DECIMAL(38,0) before summing (the rank_sum_test overflow
+    discipline).  The effect size reported is the rank-biserial
+    correlation r = (W+ - W-)/(n(n+1)/2) — the doubling cancels, ONE
+    IEEE division on exact operands.  The normal-approximation z needs
+    a sqrt over a tie-corrected variance and stays a consumer
+    one-liner.
+
+    Shape: one |d|-axis collapse (distinct absolute differences) +
+    the :func:`~npm_mirror_spark.operators.classifier._with_prior_sums`
+    distributed prefix machinery + 1-row folds — no unbounded window,
+    no join on raw rows.
+
+    Output (one row): n_pairs, n_zero, n_nonzero, w_plus_x2,
+    w_minus_x2, rank_biserial.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(
+        (F.col(x).cast("long") - F.col(y).cast("long")).alias("__d")
+    ).filter(F.col("__d").isNotNull())
+    n_all = g.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("__d") == 0).cast("long")).alias("n_zero"),
+    )
+    nz = g.where(F.col("__d") != 0).select(
+        F.abs(F.col("__d")).alias("__ad"),
+        (F.col("__d") > 0).alias("__pos"),
+    )
+    per_v = nz.groupBy("__ad").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cnt_p"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("cnt_n"),
+    )
+    pri = _with_prior_sums(per_v, "__ad", ("cnt_p", "cnt_n"))
+    below = F.col("__prior_cnt_p") + F.col("__prior_cnt_n")
+    ties = F.col("cnt_p") + F.col("cnt_n")
+    mr2 = (F.lit(2) * below + ties + F.lit(1)).cast(_D38)
+    sums = pri.agg(
+        F.sum(F.col("cnt_p").cast(_D38) * mr2).cast(_D38).alias("w_plus_x2"),
+        F.sum(F.col("cnt_n").cast(_D38) * mr2).cast(_D38).alias("w_minus_x2"),
+        F.sum(ties).alias("n_nonzero"),
+    )
+    zero = F.lit(0).cast(_D38)
+    wp = F.coalesce(F.col("w_plus_x2"), zero)
+    wm = F.coalesce(F.col("w_minus_x2"), zero)
+    nn = F.coalesce(F.col("n_nonzero"), F.lit(0)).cast(_D38)
+    return (
+        n_all.crossJoin(F.broadcast(sums))
+        .select(
+            "n_pairs",
+            "n_zero",
+            F.coalesce(F.col("n_nonzero"), F.lit(0)).alias("n_nonzero"),
+            wp.cast("double").alias("w_plus_x2"),
+            wm.cast("double").alias("w_minus_x2"),
+            F.when(
+                nn > 0,
+                (wp - wm).cast(_D38).cast("double")
+                / (nn * (nn + 1)).cast(_D38).cast("double"),
+            ).alias("rank_biserial"),
+        )
+    )
+
+
+def cvm2_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Two-sample Cramér–von Mises cells between ``in_a`` rows and the
+    rest, per distinct value — the WHOLE-CDF distance companion to
+    :func:`ks_2samp` (KS reads only the single worst ecdf gap; CvM
+    integrates the squared gap over the pooled sample, catching
+    distributed shape differences a one-point statistic misses).
+
+    Per distinct pooled value v (ascending): the group counts a, b at
+    v, the inclusive cumulative counts cum_a, cum_b, the exact integer
+    ecdf-gap numerator diff_num = cum_a*n2 - cum_b*n1 (the ks_2samp
+    d_num operand — (F1 - F2)(v) times n1*n2), and the pooled weight
+    w = a + b.  The statistic
+    T = n1*n2/(n1+n2)^2 * Sigma_v w * (diff_num/(n1*n2))^2 is the
+    consumer one-liner this table refuses (a float Sigma over the
+    value axis); every emitted column is an exact integer, so even
+    consumer sums of diff_num or w are order-independent.
+
+    Bounded-axis contract (the pettitt_cells discipline): the output
+    is one row per DISTINCT value, so ``value`` must be a bounded
+    integer/categorical axis (quantities, day counts, tiers) — bucket
+    raw floats first.  NULL values and NULL ``in_a`` (coalesced to
+    FALSE, the welch_t convention) follow the rank_sum_test handling.
+
+    Output per value: value, cnt_a, cnt_b, cum_a, cum_b, diff_num, w
+    — ordered by value.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    src = df.select(
+        F.col(value).alias("__v"),
+        F.coalesce(in_a, F.lit(False)).alias("__in_a"),
+    ).filter(F.col("__v").isNotNull())
+    g = _ab_counts(src, "__v", F.col("__in_a"))
+    pri = _with_prior_sums(g, "__v", ("cnt_a", "cnt_b"))
+    cum_a = (F.col("__prior_cnt_a") + F.col("cnt_a")).cast(_D38)
+    cum_b = (F.col("__prior_cnt_b") + F.col("cnt_b")).cast(_D38)
+    # group totals as a broadcast 1-row fold (the rank_sum_test shape),
+    # not an unpartitioned window over the value axis
+    tot = g.agg(
+        F.sum("cnt_a").cast(_D38).alias("__n1"),
+        F.sum("cnt_b").cast(_D38).alias("__n2"),
+    )
+    with_tot = pri.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        "cnt_a",
+        "cnt_b",
+        cum_a.alias("__ca"),
+        cum_b.alias("__cb"),
+        "__n1",
+        "__n2",
+    )
+    return with_tot.select(
+        F.col("__v").alias(value),
+        "cnt_a",
+        "cnt_b",
+        F.col("__ca").cast("long").alias("cum_a"),
+        F.col("__cb").cast("long").alias("cum_b"),
+        (F.col("__ca") * F.col("__n2") - F.col("__cb") * F.col("__n1"))
+        .cast(_D38)
+        .cast("double")
+        .alias("diff_num"),
+        (F.col("cnt_a") + F.col("cnt_b")).alias("w"),
+    ).orderBy(value)

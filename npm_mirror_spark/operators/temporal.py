@@ -849,3 +849,368 @@ def aalen_johansen_cells(
         )
         .orderBy(group, "t", cause)
     )
+
+
+def nelson_aalen_cells(
+    df: DataFrame,
+    group: str,
+    duration: str,
+    event: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard EVENT TABLE per group — the
+    hazard-scale sibling of :func:`km_cells` (KM estimates survival
+    S(t) multiplicatively; Nelson–Aalen estimates the cumulative hazard
+    H(t) = Sigma_{u<=t} d_u/n_u additively, the preferred estimator
+    when curves are later smoothed or compared on the hazard scale).
+
+    Built ON km_cells (same risk-set windowing, same 0/1 staged-raise
+    guard and NULL handling), restricted to event times (d > 0 — a
+    censor-only time adds 0 to every sum), with two per-row derived
+    columns, each ONE fixed IEEE division on exact integers (the
+    q_kappa contract): ``na_term`` = d/n_risk (the hazard increment)
+    and ``var_term`` = d*(n_risk - d)/n_risk^3 (the standard
+    counting-process variance increment, Klein & Moeschberger form).
+    The cumulative sums H(t) and Var(H(t)) are float Sigmas over
+    data-dependent time order — refused to consumers exactly as
+    km_cells refuses S(t).
+
+    Output per (group, event time): group, t, n_risk, d, c, na_term,
+    var_term — ordered by (group, t).
+    """
+    base = km_cells(df, group, duration, event).where(F.col("d") > 0)
+    nr = F.col("n_risk").cast("double")
+    dd = F.col("d").cast("double")
+    return base.select(
+        group,
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        (dd / nr).alias("na_term"),
+        (dd * (nr - dd) / (nr * nr * nr)).alias("var_term"),
+    ).orderBy(group, "t")
+
+
+def gehan_cells(
+    df: DataFrame,
+    group: str,
+    duration: str,
+    event: str,
+    in_a: Column,
+) -> DataFrame:
+    """Gehan–Breslow–Wilcoxon cells: the n-weighted log-rank — weights
+    each event time by the at-risk count, so EARLY survival differences
+    dominate (the classic complement to :func:`logrank_cells`, which
+    weights all times equally and is most sensitive to LATE,
+    proportional-hazards differences; run both and compare).
+
+    The weighting buys back exactness the plain log-rank loses: the
+    weighted observed-minus-expected per time is
+    ``w_o_minus_e_a = n*d_a - n_a*d`` — an EXACT integer (the n weight
+    cancels the d/n division), so the statistic's numerator
+    Sigma w_o_minus_e_a is order-independent in any engine.  The
+    weighted variance term keeps one division:
+    ``w2_var_term = n^2 * var_term = d*n_a*(n-n_a)*(n-d)/(n-1)``
+    (0 when n = 1) — exact-integer numerator, ONE IEEE division.
+    Chi-square = (Sigma w_o_minus_e_a)^2 / Sigma w2_var_term stays a
+    consumer one-liner (the float Sigma of w2_var_term is the only
+    refused op; the integer Sigma of w_o_minus_e_a is safe anywhere).
+
+    Same semantics as logrank_cells: ``in_a`` coalesced to FALSE, NULL
+    group/duration/event dropped, ``event`` 0/1 staged-raise-guarded,
+    rows emitted only at event times (d > 0), ``group`` carried through
+    as strata.
+
+    Output: group, t, n, d, n_a, d_a, w_o_minus_e_a (exact int),
+    w2_var_term — ordered by (group, t).
+    """
+    ed0 = F.col(event).cast("double")
+    e = F.when(
+        ed0.isNotNull() & ~ed0.isin(0.0, 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"gehan_cells: {event} must be 0/1, got "),
+                ed0.cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(ed0.cast("int"))
+    g = df.select(
+        F.col(group).alias("__g"),
+        F.col(duration).alias("__t"),
+        e.alias("__e"),
+        F.coalesce(in_a, F.lit(False)).alias("__a"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__e").isNotNull()
+    )
+    per_t = g.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__e").alias("__d"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__a"), F.col("__e")).otherwise(0)).alias("__da"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    prior_n = F.coalesce(
+        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    prior_na = F.coalesce(
+        F.sum("__na").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    tot = Window.partitionBy("__g")
+    risk = per_t.select(
+        "__g",
+        "__t",
+        "__d",
+        "__da",
+        (F.sum("__n").over(tot) - prior_n).alias("__nr"),
+        (F.sum("__na").over(tot) - prior_na).alias("__nra"),
+    ).where(F.col("__d") > 0)
+    d38 = "decimal(38,0)"
+    nr, nra = F.col("__nr"), F.col("__nra")
+    d, da = F.col("__d"), F.col("__da")
+    # exact: n*d_a - n_a*d (per-term decimal casts before the subtract —
+    # the rank_sum_test overflow discipline)
+    w_ome = (nr.cast(d38) * da.cast(d38) - nra.cast(d38) * d.cast(d38)).cast(
+        d38
+    )
+    var_num = (
+        d.cast(d38) * nra.cast(d38) * (nr - nra).cast(d38) * (nr - d).cast(d38)
+    ).cast(d38)
+    return risk.select(
+        F.col("__g").alias(group),
+        F.col("__t").alias("t"),
+        nr.alias("n"),
+        d.alias("d"),
+        nra.alias("n_a"),
+        da.alias("d_a"),
+        w_ome.cast("double").alias("w_o_minus_e_a"),
+        F.when(
+            nr > 1,
+            var_num.cast("double") / (nr - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("w2_var_term"),
+    ).orderBy(group, "t")
+
+
+def cox_stuart_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Cox–Stuart trend test cells over a per-day series — the sign
+    test applied to (first half, second half) pairs (Cox & Stuart
+    1955): pair day i with day i + h (h = floor(n/2); the middle day
+    of an odd-length series is unpaired), count pairs where the later
+    value is higher/lower/tied.  The distribution-free "is the series
+    drifting at all" gate that is cheaper and blunter than
+    :func:`~npm_mirror_spark.operators.stats.mann_kendall_daily` (MK
+    weighs ALL O(n^2) pairs; Cox–Stuart only the n/2 half-spaced ones).
+
+    Shape: collapse to one (day, value) row per day, index the bounded
+    day axis with a row_number (unpartitioned window over ~3k rows —
+    the pettitt_cells bounded-axis contract), then ONE equi self-join
+    on ``idx = idx + h`` — no non-equi join, no BNLJ.  Duplicate days
+    raise upstream (callers pass a grouped daily series); NULL
+    day/value rows are dropped.
+
+    1-row output: n_days, n_pairs, n_pos (later > earlier), n_neg,
+    n_tie, pos_share (= n_pos / n_pairs when pairs exist — ONE IEEE
+    division; the sign-test S = min(n_pos, n_neg) and its binomial
+    p-value stay consumer one-liners).
+    """
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    idx = g.select(
+        "__d",
+        "__x",
+        F.row_number().over(Window.orderBy("__d")).alias("__i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    h = F.floor(F.col("__n") / 2).cast("int")
+    first = idx.select(
+        F.col("__i").alias("__ia"),
+        F.col("__x").alias("__xa"),
+        h.alias("__h"),
+        F.col("__n").alias("__na"),
+    ).where(F.col("__ia") <= F.col("__h"))
+    second = idx.select(
+        (F.col("__i") - (F.col("__n") - h)).alias("__ib"),
+        F.col("__x").alias("__xb"),
+    ).where(F.col("__ib") >= 1)
+    pairs = first.join(second, first["__ia"] == second["__ib"])
+    return pairs.agg(
+        F.max("__na").alias("n_days"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("__xb") > F.col("__xa"), 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+        F.sum(F.when(F.col("__xb") < F.col("__xa"), 1).otherwise(0)).alias(
+            "n_neg"
+        ),
+        F.sum(F.when(F.col("__xb") == F.col("__xa"), 1).otherwise(0)).alias(
+            "n_tie"
+        ),
+    ).select(
+        "n_days",
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("n_pos").cast("double") / F.col("n_pairs").cast("double"),
+        ).alias("pos_share"),
+    )
+
+
+def seasonal_mk_cells(
+    daily: DataFrame, day: str, value: str, season: Column | None = None
+) -> DataFrame:
+    """Seasonal Mann–Kendall cells (Hirsch–Slack): the MK trend
+    statistic computed WITHIN each season and reported per season —
+    the deseasonalized trend audit for series where a raw
+    :func:`~npm_mirror_spark.operators.stats.mann_kendall_daily` would
+    read the seasonal cycle itself as trend (weekday traffic dips,
+    month-end batch spikes).  Cross-season pairs are never compared;
+    the overall statistic S' = Sigma_m S_m is an integer Sigma over
+    this bounded table — order-independent, left to consumers with the
+    per-season variance pieces they need.
+
+    ``season`` defaults to day-of-week (``dayofweek`` — 7 seasons);
+    pass any bounded categorical Column over the day for months etc.
+
+    Shape: collapse to one (season, day, value) row per day, then the
+    mann_kendall_daily wedge PER SEASON: self-join with an EQUI key on
+    season plus the in-season ``day_b > day_a`` residual — a hash join
+    on season, never a cartesian; pair count per season is bounded by
+    the per-season day-axis (the q_drift_weekly contract).  NULL
+    day/value rows are dropped.
+
+    Output per season: season, n_days, n_pairs, s_stat, n_concordant,
+    n_discordant, n_ties — all exact integers, ordered by season.
+    """
+    s = season if season is not None else F.dayofweek(F.col(day))
+    g = (
+        daily.select(
+            s.alias("__s"),
+            F.col(day).alias("__d"),
+            F.col(value).alias("__x"),
+        )
+        .filter(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & F.col("__x").isNotNull()
+        )
+    )
+    a = g.select(
+        F.col("__s").alias("__sa"),
+        F.col("__d").alias("__da"),
+        F.col("__x").alias("__xa"),
+    )
+    b = g.select(
+        F.col("__s").alias("__sb"),
+        F.col("__d").alias("__db"),
+        F.col("__x").alias("__xb"),
+    )
+    pairs = a.join(
+        b, (F.col("__sa") == F.col("__sb")) & (F.col("__db") > F.col("__da"))
+    )
+    per_season = pairs.groupBy(F.col("__sa").alias("season")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("__xb") > F.col("__xa"), 1).otherwise(0)).alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(F.col("__xb") < F.col("__xa"), 1).otherwise(0)).alias(
+            "n_discordant"
+        ),
+        F.sum(F.when(F.col("__xb") == F.col("__xa"), 1).otherwise(0)).alias(
+            "n_ties"
+        ),
+    )
+    days = g.groupBy(F.col("__s").alias("season")).agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        days.join(per_season, "season", "left")
+        .select(
+            "season",
+            "n_days",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            (
+                F.coalesce("n_concordant", F.lit(0))
+                - F.coalesce("n_discordant", F.lit(0))
+            ).alias("s_stat"),
+            F.coalesce("n_concordant", F.lit(0)).alias("n_concordant"),
+            F.coalesce("n_discordant", F.lit(0)).alias("n_discordant"),
+            F.coalesce("n_ties", F.lit(0)).alias("n_ties"),
+        )
+        .orderBy("season")
+    )
+
+
+def buishand_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Buishand range-test cells over a per-day INTEGER series: the
+    adjusted partial sums S_k = Sigma_{i<=k} (x_i - xbar), k = 1..n,
+    reported n-SCALED so every number stays an exact integer —
+    ``n * S_k = n * P_k - k * T`` with P_k the prefix sum and T the
+    series total (the mean never materializes as a float).  The
+    homogeneity verdict R/sqrt(n) = (max_k S_k - min_k S_k)/(sd *
+    sqrt(n)) is the consumer one-liner this table refuses (sd is a
+    cross-row float), but max/min of the exact scaled sums — the
+    change-point location — is order-independent and safe anywhere.
+
+    The mean-level companion to :func:`pettitt_cells` (rank-based) and
+    :func:`binseg_changepoint` (SSE-based): Buishand is the classical
+    fixed-break homogeneity test on the ORIGINAL scale, most sensitive
+    to a single mean shift mid-series.
+
+    Shape: one (day, value) collapse, then two bounded prefix windows
+    over the day axis (the pettitt_cells contract: the axis is
+    calendar days, ~3k/decade).  NULL day/value rows are dropped.
+
+    Output per day: day, k (1-based index), x (the value), p_k,
+    n_days, total, n_sk_scaled (all exact integers), ordered by day.
+    """
+    d38 = "decimal(38,0)"
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    wd = Window.orderBy("__d")
+    pre = g.select(
+        "__d",
+        "__x",
+        F.row_number().over(wd).alias("k"),
+        F.sum("__x").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "p_k"
+        ),
+        F.count(F.lit(1))
+        .over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n_days"),
+        F.sum("__x")
+        .over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("total"),
+    )
+    return pre.select(
+        F.col("__d").alias(day),
+        "k",
+        F.col("__x").alias("x"),
+        "p_k",
+        "n_days",
+        "total",
+        (
+            F.col("n_days").cast(d38) * F.col("p_k").cast(d38)
+            - F.col("k").cast(d38) * F.col("total").cast(d38)
+        )
+        .cast(d38)
+        .cast("double")
+        .alias("n_sk_scaled"),
+    ).orderBy(day)

@@ -853,3 +853,70 @@ def ngram_novelty(
         )
         .orderBy(group_col)
     )
+
+
+def yule_k_cells(df: DataFrame, text_col: str) -> DataFrame:
+    """Yule's K (plus Simpson's D and Sichel's S) over the corpus
+    token-frequency spectrum — the REPETITIVENESS face of lexical
+    richness (:func:`vocab_richness` asks how many types are missing;
+    Yule's K asks how concentrated the observed mass is: boilerplate
+    and template spam push K up sharply, which makes it a classic
+    cheap quality gate for LLM corpora).
+
+    Exact-integer restatement (Yule 1944): with N tokens, exact type
+    counts c, and C2 = Sigma_types c^2,
+
+        K         = 10^4 * (C2 - N) / N^2
+        simpson_d = (C2 - N) / (N * (N - 1))   (repeat-pick probability)
+        sichel_s  = f2 / s_types               (doubleton share)
+
+    — each ONE IEEE division on exact DECIMAL(38,0) operands (the
+    q_kappa contract; C2 <= N^2 needs N <~ 1e19, far beyond any
+    corpus).  Tokenization is :func:`ws_tokens` on the shared
+    normalization, the vocab_coverage/vocab_richness convention, so
+    the three richness faces stay comparable.
+
+    Shape: explode -> one (token) collapse -> 1-row spectrum fold —
+    map-side combinable, no window, no join.
+
+    Output (one row): n_tokens, s_types, sum_c2, f1, f2, yule_k,
+    simpson_d, sichel_s.
+    """
+    d38 = "decimal(38,0)"
+    toks = df.select(F.explode(ws_tokens(text_col)).alias("__tok")).filter(
+        F.col("__tok") != ""
+    )
+    tf = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    spec = tf.agg(
+        F.count(F.lit(1)).alias("s_types"),
+        F.sum("__c").cast(d38).alias("__n"),
+        F.sum(F.col("__c").cast(d38) * F.col("__c").cast(d38))
+        .cast(d38)
+        .alias("__c2"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    zero = F.lit(0).cast(d38)
+    n = F.coalesce(F.col("__n"), zero)
+    c2 = F.coalesce(F.col("__c2"), zero)
+    return spec.select(
+        n.cast("long").alias("n_tokens"),
+        "s_types",
+        c2.cast("double").alias("sum_c2"),
+        "f1",
+        "f2",
+        F.when(
+            n > 0,
+            (F.lit(10000).cast(d38) * (c2 - n)).cast(d38).cast("double")
+            / (n * n).cast(d38).cast("double"),
+        ).alias("yule_k"),
+        F.when(
+            n > 1,
+            (c2 - n).cast(d38).cast("double")
+            / (n * (n - 1)).cast(d38).cast("double"),
+        ).alias("simpson_d"),
+        F.when(
+            F.col("s_types") > 0,
+            F.col("f2").cast("double") / F.col("s_types").cast("double"),
+        ).alias("sichel_s"),
+    )
