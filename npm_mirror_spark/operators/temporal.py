@@ -1214,3 +1214,151 @@ def buishand_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
         .cast("double")
         .alias("n_sk_scaled"),
     ).orderBy(day)
+
+
+def turning_point_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Turning-point randomness cells over a per-day series: how many
+    interior days are a strict local max or min?  A series with trend
+    turns too RARELY, an oscillating/seasonal one too OFTEN — the
+    third independence lens next to the registered q_runs_test
+    (sign-of-deviation runs) and q_autocorr (linear lag dependence);
+    turning points see non-monotone structure both of those miss.
+
+    Convention pinned for the oracle: a turning point needs BOTH
+    strict inequalities (x_{i-1} < x_i > x_{i+1} or the mirror); any
+    tie with a neighbor disqualifies the day (the conservative classic
+    convention).  Under H0 (exchangeable, tie-free) E[T] = 2(n-2)/3 —
+    reported as one fixed IEEE division; the variance (16n-29)/90 and
+    the z stay consumer one-liners.
+
+    Shape: one (day, value) collapse + ONE lag/lead window over the
+    bounded day axis (the pettitt_cells contract) + a 1-row fold.
+    NULL day/value rows are dropped.
+
+    1-row output: n_days, n_interior, n_turning, expected_turning,
+    turning_rate (= n_turning/n_interior when interior days exist).
+    """
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    wd = Window.orderBy("__d")
+    tri = g.select(
+        "__x",
+        F.lag("__x").over(wd).alias("__prev"),
+        F.lead("__x").over(wd).alias("__next"),
+    )
+    is_turn = (
+        F.col("__prev").isNotNull()
+        & F.col("__next").isNotNull()
+        & (
+            ((F.col("__prev") < F.col("__x")) & (F.col("__next") < F.col("__x")))
+            | ((F.col("__prev") > F.col("__x")) & (F.col("__next") > F.col("__x")))
+        )
+    )
+    agg = tri.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (F.col("__prev").isNotNull() & F.col("__next").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_interior"),
+        F.sum(is_turn.cast("long")).alias("n_turning"),
+    )
+    return agg.select(
+        "n_days",
+        "n_interior",
+        "n_turning",
+        F.when(
+            F.col("n_days") >= 2,
+            F.lit(2.0)
+            * (F.col("n_days") - 2).cast("double")
+            / F.lit(3.0),
+        ).alias("expected_turning"),
+        F.when(
+            F.col("n_interior") > 0,
+            F.col("n_turning").cast("double")
+            / F.col("n_interior").cast("double"),
+        ).alias("turning_rate"),
+    )
+
+
+def bartels_rvn_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Bartels' rank von Neumann ratio cells over a per-day series —
+    the RANK (outlier-proof) version of the registered q_durbin_watson
+    lag-1 independence test (Bartels 1982): successive-difference mass
+    on the ranks instead of the raw values, so one spike day cannot
+    dominate the statistic.
+
+    Exactness via DOUBLED MIDRANKS (the rank_sum_test identity): with
+    2r_i integer, the mean doubled rank is exactly n + 1, so both
+    sums are exact integers —
+
+        nm_x4 = Sigma_{i<n} (2r_i - 2r_{i+1})^2
+        d_x4  = Sigma_i     (2r_i - (n+1))^2
+
+    and rvn = nm_x4 / d_x4 is ONE IEEE division (the x4 scaling
+    cancels; under H0 E[rvn] = 2, trend pushes it below, oscillation
+    above).  d_x4 = 0 (all values tied) yields NULL.
+
+    Shape: one value-axis collapse for midranks (the pettitt_cells
+    bounded prefix window) + an equi join back to the day rows + one
+    lead window over the bounded day axis + a 1-row fold.  NULL
+    day/value rows are dropped; per-term products go through
+    DECIMAL(38,0) before summing (the rank_sum_test discipline).
+
+    1-row output: n_days, nm_x4, d_x4, rvn.
+    """
+    d38 = "decimal(38,0)"
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    vc = g.groupBy("__x").agg(F.count(F.lit(1)).alias("__cd"))
+    wv = Window.orderBy("__x")
+    mr = vc.select(
+        "__x",
+        (
+            F.lit(2)
+            * F.coalesce(
+                F.sum("__cd").over(
+                    wv.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("__cd")
+            + F.lit(1)
+        ).alias("__mr2"),
+    )
+    wd = Window.orderBy("__d")
+    seq = (
+        g.join(mr, "__x")
+        .select(
+            "__d",
+            "__mr2",
+            F.lead("__mr2").over(wd).alias("__next2"),
+            F.count(F.lit(1))
+            .over(
+                wd.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__n"),
+        )
+    )
+    diff = (F.col("__mr2") - F.col("__next2")).cast(d38)
+    dev = (F.col("__mr2") - (F.col("__n") + 1)).cast(d38)
+    agg = seq.agg(
+        F.max("__n").alias("n_days"),
+        F.sum(F.when(F.col("__next2").isNotNull(), diff * diff)).cast(d38).alias(
+            "__nm"
+        ),
+        F.sum(dev * dev).cast(d38).alias("__dd"),
+    )
+    zero = F.lit(0).cast(d38)
+    nm = F.coalesce(F.col("__nm"), zero)
+    dd = F.coalesce(F.col("__dd"), zero)
+    return agg.select(
+        "n_days",
+        nm.cast("double").alias("nm_x4"),
+        dd.cast("double").alias("d_x4"),
+        F.when(dd > 0, nm.cast("double") / dd.cast("double")).alias("rvn"),
+    )

@@ -482,3 +482,65 @@ def test_yule_k_all_distinct_is_zero(spark):
     df = spark.createDataFrame([("one two three four",)], "text string")
     r = yule_k_cells(df, "text").collect()[0]
     assert r["yule_k"] == 0.0 and r["simpson_d"] == 0.0 and r["f1"] == 4
+
+
+# ------------------------- r15-seed library operators (faces later)
+
+
+def test_turning_point_hand_example(spark):
+    """[1,3,2,4,4,5]: interior = 4; strict turns at 3 (peak) and 2
+    (valley); the two tie-adjacent days disqualify.  E[T] = 2*4/3."""
+    from npm_mirror_spark.operators.temporal import turning_point_cells
+
+    rows = [(dt.date(2024, 1, i + 1), x) for i, x in enumerate([1, 3, 2, 4, 4, 5])]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = turning_point_cells(df, "d", "x").collect()[0]
+    assert (r["n_days"], r["n_interior"], r["n_turning"]) == (6, 4, 2)
+    assert r["expected_turning"] == pytest.approx(8 / 3)
+    assert r["turning_rate"] == 0.5
+
+
+def test_turning_point_monotone_has_none(spark):
+    from npm_mirror_spark.operators.temporal import turning_point_cells
+
+    rows = [(dt.date(2024, 1, i + 1), i) for i in range(10)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = turning_point_cells(df, "d", "x").collect()[0]
+    assert r["n_turning"] == 0 and r["n_interior"] == 8
+
+
+def test_bartels_rvn_hand_examples(spark):
+    """[1,2,3]: doubled ranks (2,4,6) -> nm_x4 = 8, d_x4 = 8, rvn = 1;
+    tie case [1,2,2]: midranks (2,5,5) -> nm = 9, d = 6, rvn = 1.5;
+    all-tied series -> d = 0 -> rvn NULL."""
+    from npm_mirror_spark.operators.temporal import bartels_rvn_cells
+
+    def run(vals):
+        rows = [(dt.date(2024, 1, i + 1), x) for i, x in enumerate(vals)]
+        df = spark.createDataFrame(rows, "d date, x long")
+        return bartels_rvn_cells(df, "d", "x").collect()[0]
+
+    r = run([1, 2, 3])
+    assert (r["nm_x4"], r["d_x4"], r["rvn"]) == (8.0, 8.0, 1.0)
+    r = run([1, 2, 2])
+    assert (r["nm_x4"], r["d_x4"], r["rvn"]) == (9.0, 6.0, 1.5)
+    r = run([5, 5, 5])
+    assert r["d_x4"] == 0.0 and r["rvn"] is None
+
+
+def test_bartels_rvn_oscillation_above_trend_below(spark):
+    """Oscillating series reads above 2, a trend reads near 0 — the
+    directional sanity every independence test gets pinned with."""
+    from npm_mirror_spark.operators.temporal import bartels_rvn_cells
+
+    osc = [(dt.date(2024, 1, i + 1), i % 2 * 10) for i in range(20)]
+    tr = [(dt.date(2024, 1, i + 1), i) for i in range(20)]
+    r_osc = bartels_rvn_cells(
+        spark.createDataFrame(osc, "d date, x long"), "d", "x"
+    ).collect()[0]
+    r_tr = bartels_rvn_cells(
+        spark.createDataFrame(tr, "d date, x long"), "d", "x"
+    ).collect()[0]
+    assert r_osc["rvn"] > 2.0 > r_tr["rvn"]
+    # trend on distinct values: nm counts n-1 unit doubled steps
+    assert r_tr["nm_x4"] == (20 - 1) * 4
