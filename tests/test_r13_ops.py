@@ -544,3 +544,26 @@ def test_bartels_rvn_oscillation_above_trend_below(spark):
     assert r_osc["rvn"] > 2.0 > r_tr["rvn"]
     # trend on distinct values: nm counts n-1 unit doubled steps
     assert r_tr["nm_x4"] == (20 - 1) * 4
+
+
+# ------------------------------- early-staged r15 faces (staging_r15)
+
+
+def test_r15_staged_faces_match_oracles(spark, sf_dir):
+    """The two early-staged r15 faces (turning point, Bartels RVN)
+    clear the registry-identical harness bar, stay out of the
+    registry, and plan no BNLJ/cartesian."""
+    from npm_mirror_spark import plans
+    from npm_mirror_spark.queries import QUERIES
+    from npm_mirror_spark.staging_r15 import STAGED_ORACLES as O15
+    from npm_mirror_spark.staging_r15 import STAGED_QUERIES as Q15
+
+    assert set(Q15) == set(O15) and not set(Q15) & set(QUERIES)
+    con = duckdb_con(sf_dir)
+    for name, q in Q15.items():
+        df = q(spark, sf_dir)
+        problems = compare(df, con, O15[name])
+        assert not problems, f"{name}: {problems}"
+        text = plans.explain_str(df, "simple")
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name

@@ -34,18 +34,25 @@ def main() -> None:
     n_pass = n_rows_only = 0
     fails: list[str] = []
     # all prior staged batches (faces_r12.py, staging_r13.py) are now
-    # registered, so QUERIES covers them; a future staging_r14.py batch
-    # sweeps alongside once it exists
-    work = [(n, q, ORACLES.get(n)) for n, q in QUERIES.items()]
-    try:
-        from npm_mirror_spark.staging_r14 import STAGED_ORACLES, STAGED_QUERIES
+    # registered, so QUERIES covers them; unregistered staged batches
+    # sweep alongside
+    import importlib
 
+    work = [(n, q, ORACLES.get(n)) for n, q in QUERIES.items()]
+    for mod_name in ("staging_r14", "staging_r15", "staging_r16"):
+        try:
+            mod = importlib.import_module(f"npm_mirror_spark.{mod_name}")
+        except ImportError:
+            continue
+        staged = {
+            n: q
+            for n, q in mod.STAGED_QUERIES.items()
+            if n not in QUERIES
+        }
         work += [
-            (f"{n} (staged)", q, STAGED_ORACLES.get(n))
-            for n, q in STAGED_QUERIES.items()
+            (f"{n} (staged)", q, mod.STAGED_ORACLES.get(n))
+            for n, q in staged.items()
         ]
-    except ImportError:
-        pass
     for i, (name, q, sql) in enumerate(work, 1):
         t0 = time.monotonic()
         try:
