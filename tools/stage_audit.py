@@ -33,7 +33,21 @@ def main() -> None:
 
     from npm_mirror_spark.queries import QUERIES
 
-    q = QUERIES[name]
+    q = QUERIES.get(name)
+    if q is None:
+        # fall back to unregistered staged batches
+        import importlib
+
+        for mod_name in ("staging_r14", "staging_r15", "staging_r16"):
+            try:
+                mod = importlib.import_module(f"npm_mirror_spark.{mod_name}")
+            except ImportError:
+                continue
+            if name in mod.STAGED_QUERIES:
+                q = mod.STAGED_QUERIES[name]
+                break
+    if q is None:
+        raise SystemExit(f"unknown query: {name}")
     walls = []
     for i in range(repeats):
         spark.catalog.clearCache()
