@@ -903,8 +903,8 @@ def yule_k_cells(df: DataFrame, text_col: str) -> DataFrame:
         n.cast("long").alias("n_tokens"),
         "s_types",
         c2.cast("double").alias("sum_c2"),
-        "f1",
-        "f2",
+        F.coalesce("f1", F.lit(0)).alias("f1"),
+        F.coalesce("f2", F.lit(0)).alias("f2"),
         F.when(
             n > 0,
             (F.lit(10000).cast(d38) * (c2 - n)).cast(d38).cast("double")
