@@ -1498,3 +1498,86 @@ def bowker_cells(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
         "n_hi_lo",
         (diff * diff / tot).alias("chi_term"),
     ).orderBy("cat_lo", "cat_hi")
+
+
+def icc_cells(
+    df: DataFrame, subject: str, value: str, k_ratings: int
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) over
+    integer ratings — the RELIABILITY face of the agreement tier
+    (:func:`fleiss_kappa_cells` treats ratings as nominal; ICC asks
+    how much of the rating VARIANCE is between subjects vs between
+    raters, the right audit when the scale is numeric).
+
+    Exact-integer restatement (Shrout & Fleiss ICC(1,1) =
+    (MSB - MSW)/(MSB + (k-1) MSW)): with per-subject sums s_i, squares
+    q_i, S = Sigma s_i, n complete subjects and k ratings each,
+
+        ssb = n*k*SSB = n * Sigma s_i^2 - S^2
+        ssw =   k*SSW = k * Sigma q_i  - Sigma s_i^2
+        icc = (ssb*(k-1) - ssw*(n-1))
+              / (ssb*(k-1) + (k-1)*(n-1)*ssw)
+
+    — every operand an exact DECIMAL(38,0), ONE IEEE division (the
+    q_kappa contract; both scaled sums are also reported so MSB/MSW
+    replay as consumer one-liners).  Degenerate denominator (a single
+    subject, or zero total variance) yields NULL.
+
+    Completeness contract exactly as :func:`fleiss_kappa_cells`:
+    subjects with a rating count != ``k_ratings`` are dropped and
+    counted in n_dropped; NULL subject/value rows drop first.
+
+    Shape: one per-subject fold + 1-row folds — map-side combinable,
+    no window, no join on raw rows.
+
+    1-row output: n_subjects, k_ratings, n_dropped, ssb_xnk, ssw_xk,
+    icc.
+    """
+    if k_ratings < 2:
+        raise ValueError("icc_cells: k_ratings must be >= 2")
+    d38 = "decimal(38,0)"
+    g = df.select(
+        F.col(subject).alias("__s"), F.col(value).cast("long").alias("__x")
+    ).filter(F.col("__s").isNotNull() & F.col("__x").isNotNull())
+    per_s = g.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("__x").cast(d38)).cast(d38).alias("__si"),
+        F.sum((F.col("__x").cast(d38) * F.col("__x").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("__qi"),
+    )
+    complete = per_s.where(F.col("__cnt") == k_ratings)
+    dropped = per_s.where(F.col("__cnt") != k_ratings).agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    folds = complete.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("__si").cast(d38).alias("__S"),
+        F.sum((F.col("__si") * F.col("__si")).cast(d38)).cast(d38).alias(
+            "__s2"
+        ),
+        F.sum("__qi").cast(d38).alias("__Q"),
+    )
+    one = folds.crossJoin(F.broadcast(dropped))
+    zero = F.lit(0).cast(d38)
+    n = F.col("n_subjects").cast(d38)
+    kk = F.lit(k_ratings).cast(d38)
+    s = F.coalesce(F.col("__S"), zero)
+    s2 = F.coalesce(F.col("__s2"), zero)
+    q = F.coalesce(F.col("__Q"), zero)
+    ssb = (n * s2 - s * s).cast(d38)
+    ssw = (kk * q - s2).cast(d38)
+    km1 = (kk - 1).cast(d38)
+    nm1 = (n - 1).cast(d38)
+    num = (ssb * km1 - ssw * nm1).cast(d38)
+    den = (ssb * km1 + km1 * nm1 * ssw).cast(d38)
+    return one.select(
+        "n_subjects",
+        F.lit(k_ratings).alias("k_ratings"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        ssb.cast("double").alias("ssb_xnk"),
+        ssw.cast("double").alias("ssw_xk"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "icc"
+        ),
+    )

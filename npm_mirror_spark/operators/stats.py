@@ -1815,3 +1815,252 @@ def cvm2_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
         .alias("diff_num"),
         (F.col("cnt_a") + F.col("cnt_b")).alias("w"),
     ).orderBy(value)
+
+
+def kendall_w_cells(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W over a complete blocked
+    design — the EFFECT-SIZE companion to :func:`friedman_cells` on the
+    same within-block doubled midranks (Friedman asks DID any treatment
+    shift; W asks how strongly the n blocks agree on the treatment
+    ordering, 0..1), WITH the per-block tie correction friedman_cells
+    deliberately leaves out.
+
+    Exact-integer restatement: with R2_j = 2*R_j the doubled treatment
+    rank sums, s_x4 = Sigma_j (R2_j - n(k+1))^2 (each term exact; the
+    sum runs over the k-BOUNDED treatment axis, so even as a float sum
+    it is an integer-valued sum of exact integers — order-independent)
+    and tie_sum = Sigma_blocks Sigma_groups (t^3 - t),
+
+        W = 3 * s_x4 / (n^2 * (k^3 - k) - n * tie_sum)
+
+    — ONE IEEE division on exact DECIMAL(38,0) operands (denominator 0
+    — every block fully tied — yields NULL).  The tie-corrected
+    Friedman chi2 = n*(k-1)*W stays the consumer one-liner.
+
+    Same complete-block contract, NULL handling and bounded-window
+    shape as friedman_cells (rows with NULL block/treatment/value drop;
+    only blocks with exactly one row per global treatment survive).
+
+    1-row output: n_blocks, k_treatments, s_x4, tie_sum, w.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(block).alias("__b"),
+        F.col(treatment).alias("__t"),
+        F.col(value).alias("__x"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    kf = g.select(F.countDistinct("__t").alias("__k"))
+    per_b = g.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.countDistinct("__t").alias("__nt"),
+    )
+    complete = (
+        per_b.crossJoin(F.broadcast(kf))
+        .where((F.col("__nr") == F.col("__k")) & (F.col("__nt") == F.col("__k")))
+        .select("__b")
+    )
+    gc = g.join(complete, "__b", "left_semi")
+    vb = gc.groupBy("__b", "__x").agg(F.count(F.lit(1)).alias("__cx"))
+    wv = Window.partitionBy("__b").orderBy("__x")
+    pri = vb.select(
+        "__b",
+        "__x",
+        "__cx",
+        F.coalesce(
+            F.sum("__cx").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__prior"),
+    )
+    # per-block tie correction Sigma (t^3 - t) from the same collapse
+    ties = vb.agg(
+        F.sum(
+            (
+                F.col("__cx").cast(_D38)
+                * F.col("__cx").cast(_D38)
+                * F.col("__cx").cast(_D38)
+                - F.col("__cx").cast(_D38)
+            ).cast(_D38)
+        )
+        .cast(_D38)
+        .alias("tie_sum")
+    )
+    ranked = gc.join(pri, ["__b", "__x"]).select(
+        "__t",
+        (F.lit(2) * F.col("__prior") + F.col("__cx") + F.lit(1)).alias("__mr2"),
+    )
+    per_t = ranked.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__mr2").cast(_D38)).cast(_D38).alias("__r2"),
+    )
+    dev = (
+        F.col("__r2")
+        - F.col("__n").cast(_D38) * (F.col("__kk") + 1).cast(_D38)
+    ).cast(_D38)
+    folded = (
+        per_t.crossJoin(
+            F.broadcast(kf.select(F.col("__k").alias("__kk")))
+        )
+        .agg(
+            F.max("__n").alias("n_blocks"),
+            F.max("__kk").alias("k_treatments"),
+            F.sum((dev * dev).cast(_D38)).cast(_D38).alias("s_x4"),
+        )
+    )
+    one = folded.crossJoin(F.broadcast(ties))
+    zero = F.lit(0).cast(_D38)
+    n = F.col("n_blocks").cast(_D38)
+    k = F.col("k_treatments").cast(_D38)
+    s4 = F.coalesce(F.col("s_x4"), zero)
+    ts = F.coalesce(F.col("tie_sum"), zero)
+    den = (n * n * (k * k * k - k) - n * ts).cast(_D38)
+    return one.select(
+        "n_blocks",
+        "k_treatments",
+        s4.cast("double").alias("s_x4"),
+        ts.cast("double").alias("tie_sum"),
+        F.when(
+            den > 0,
+            (F.lit(3).cast(_D38) * s4).cast(_D38).cast("double")
+            / den.cast("double"),
+        ).alias("w"),
+    )
+
+
+def dixon_q_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Dixon's Q (r10 form) outlier cells over a bounded integer
+    series: gap-to-range ratios at both extremes —
+    q_low = (x(2) - x(1)) / (x(n) - x(1)) and
+    q_high = (x(n) - x(n-1)) / (x(n) - x(1)) — the small-n suspicion
+    gate next to the registered q_zscore_outliers / q_mad_outliers
+    (which need a scale estimate; Dixon needs only order statistics).
+
+    Tie convention: a duplicated extreme makes its gap 0 (x(2) is the
+    second order STATISTIC, not the second distinct value), the
+    standard reading; all values equal (range 0) yields NULL ratios.
+    Every emitted count/extreme is an exact integer and each ratio is
+    ONE IEEE division (the q_kappa contract).
+
+    Shape: one min/max/count fold + one conditional second-extreme
+    fold over the collapsed distinct-value axis (broadcast 1-row
+    frames) — no window, no join on raw rows.
+
+    1-row output: n_days, x_min, x_min2, x_max2, x_max, q_low, q_high.
+    """
+    g = daily.select(F.col(value).alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    # two-stage: extremes first, then the conditional second extremes
+    ext = g.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("__x").alias("x_min"),
+        F.max("__x").alias("x_max"),
+    )
+    sec = g.crossJoin(F.broadcast(ext)).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("x_min").alias("x_min"),
+        F.max("x_max").alias("x_max"),
+        F.sum((F.col("__x") == F.col("x_min")).cast("long")).alias("__cmin"),
+        F.sum((F.col("__x") == F.col("x_max")).cast("long")).alias("__cmax"),
+        F.min(
+            F.when(F.col("__x") > F.col("x_min"), F.col("__x"))
+        ).alias("__above_min"),
+        F.max(
+            F.when(F.col("__x") < F.col("x_max"), F.col("__x"))
+        ).alias("__below_max"),
+    )
+    x_min2 = F.when(F.col("__cmin") > 1, F.col("x_min")).otherwise(
+        F.col("__above_min")
+    )
+    x_max2 = F.when(F.col("__cmax") > 1, F.col("x_max")).otherwise(
+        F.col("__below_max")
+    )
+    rng = (F.col("x_max") - F.col("x_min")).cast("double")
+    return sec.select(
+        "n_days",
+        "x_min",
+        x_min2.alias("x_min2"),
+        x_max2.alias("x_max2"),
+        "x_max",
+        F.when(
+            F.col("x_max") > F.col("x_min"),
+            (x_min2 - F.col("x_min")).cast("double") / rng,
+        ).alias("q_low"),
+        F.when(
+            F.col("x_max") > F.col("x_min"),
+            (F.col("x_max") - x_max2).cast("double") / rng,
+        ).alias("q_high"),
+    )
+
+
+def grubbs_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
+    """Grubbs-style maximum-deviation cells over a per-day integer
+    series, n-SCALED so every number is exact: the most extreme day is
+    argmax |n*x_i - T| (T the series total — the mean never
+    materializes), reported with the exact scaled deviation and the
+    exact scaled variance pieces (n*Q - T^2 = n^2 * Sigma(x - mean)^2
+    / ... with Q = Sigma x^2) so the studentized G =
+    (max|x - mean|) / s is the consumer one-liner (it needs a sqrt
+    over a cross-row-derived variance — the refused class).
+
+    Deterministic argmax: ties on the deviation break toward the
+    SMALLEST day (max-of-struct with inverted day, the q_ks_stat
+    at_value convention).
+
+    Shape: one fold for (n, T, Q) broadcast onto the day rows + one
+    max-of-struct fold — no window, no join on raw rows.
+
+    1-row output: n_days, total, sum_sq, max_dev_xn (= max|n*x - T|),
+    at_day, dev_sign (+1 high outlier, -1 low, 0 exactly at the mean).
+    """
+    d38 = _D38
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("__x").cast(d38)).cast(d38).alias("__t"),
+        F.sum((F.col("__x").cast(d38) * F.col("__x").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("__q"),
+    )
+    dev = (
+        F.col("n_days").cast(d38) * F.col("__x").cast(d38) - F.col("__t")
+    ).cast(d38)
+    scored = g.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "n_days",
+        F.col("__t").alias("total"),
+        F.col("__q").alias("sum_sq"),
+        F.abs(dev).alias("__adev"),
+        F.signum(dev.cast("double")).cast("int").alias("__sign"),
+    )
+    # deterministic argmax via max(struct): biggest |dev|, then the
+    # SMALLEST day (day sorts inverted through negative epoch-days)
+    pick = scored.agg(
+        F.max("n_days").alias("n_days"),
+        F.max("total").alias("total"),
+        F.max("sum_sq").alias("sum_sq"),
+        F.max(
+            F.struct(
+                F.col("__adev").alias("a"),
+                (-F.datediff(F.col("__d"), F.lit("1970-01-01"))).alias("nd"),
+                F.col("__d").alias("d"),
+                F.col("__sign").alias("s"),
+            )
+        ).alias("__top"),
+    )
+    return pick.select(
+        "n_days",
+        F.col("total").cast("double").alias("total"),
+        F.col("sum_sq").cast("double").alias("sum_sq"),
+        F.col("__top.a").cast("double").alias("max_dev_xn"),
+        F.col("__top.d").alias("at_day"),
+        F.col("__top.s").alias("dev_sign"),
+    )

@@ -11,9 +11,20 @@ earlier this time).  r14's own new operators append to this module.
 
 Same contracts as every staged batch: face-shaped callables, DuckDB
 oracles, driver-hashable types, bounded plans, exact-integer cells.
-Neither face plans a BNLJ (both are one day-axis collapse + bounded
-windows + a 1-row fold) — no ALLOWED_BNLJ entries needed at
-registration.
+q_turning_point / q_bartels_rvn plan no BNLJ (one day-axis collapse +
+bounded windows + a 1-row fold).  The reliability/outlier additions
+plan the allowlisted 1-row-fold class; their ALLOWED_BNLJ entries at
+registration:
+
+    "q_kendall_w": "1-row k-frame broadcast onto the per-treatment
+        fold + the 1-row tie-sum fold (the q_friedman shape)",
+    "q_icc": "two 1-row folds (subject moments, dropped count)
+        broadcast (the q_kappa shape)",
+    "q_dixon": "1-row extremes frame broadcast back onto the day rows
+        for the conditional second-extreme fold (the q_benford
+        1-row-fold class)",
+    "q_grubbs": "1-row (n, T, Q) totals broadcast onto the day rows
+        (the q_decay_counts anchor shape)",
 """
 
 from __future__ import annotations
@@ -133,3 +144,247 @@ STAGED_ORACLES = {
     "q_turning_point": _TURNING_SQL,
     "q_bartels_rvn": _BARTELS_SQL,
 }
+
+
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance over the daily
+    (day-block x event-type) count design — the tie-corrected
+    effect-size reading of the registered q_friedman's fixture: how
+    strongly do the days agree on the event-type ordering?
+    (operators/stats.py kendall_w_cells.)"""
+    from npm_mirror_spark.operators.stats import kendall_w_cells
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return kendall_w_cells(daily, "d", "t", "n")
+
+
+_KENDALL_W_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, event_type AS t, count(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY date_trunc('day', ts), event_type
+),
+k AS (SELECT count(DISTINCT t) AS k FROM daily),
+blocks AS (
+  SELECT d FROM daily GROUP BY d
+  HAVING count(*) = (SELECT k FROM k)
+     AND count(DISTINCT t) = (SELECT k FROM k)
+),
+gc AS (SELECT daily.* FROM daily JOIN blocks USING (d)),
+vb AS (SELECT d, n, count(*) AS cx FROM gc GROUP BY d, n),
+pri AS (
+  SELECT d, n, cx,
+    coalesce(sum(cx) OVER (PARTITION BY d ORDER BY n
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM vb
+),
+ranked AS (
+  SELECT gc.t, 2 * pri.prior + pri.cx + 1 AS mr2
+  FROM gc JOIN pri ON gc.d = pri.d AND gc.n = pri.n
+),
+ties AS (
+  SELECT coalesce(sum(CAST(cx AS HUGEINT) * cx * cx - cx), 0) AS tie_sum
+  FROM vb
+),
+per_t AS (
+  SELECT t, count(*) AS nb, sum(CAST(mr2 AS HUGEINT)) AS r2
+  FROM ranked GROUP BY t
+),
+folded AS (
+  SELECT max(nb) AS n_blocks, (SELECT k FROM k) AS k_treatments,
+    coalesce(sum(
+      (r2 - CAST(nb AS HUGEINT) * ((SELECT k FROM k) + 1))
+      * (r2 - CAST(nb AS HUGEINT) * ((SELECT k FROM k) + 1))
+    ), 0) AS s_x4
+  FROM per_t
+),
+one AS (
+  SELECT n_blocks, k_treatments, s_x4, tie_sum,
+    CAST(n_blocks AS HUGEINT) * n_blocks
+      * (CAST(k_treatments AS HUGEINT) * k_treatments * k_treatments
+         - k_treatments)
+      - CAST(n_blocks AS HUGEINT) * tie_sum AS den
+  FROM folded, ties
+)
+SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+  CAST(k_treatments AS BIGINT) AS k_treatments,
+  CAST(s_x4 AS DOUBLE) AS s_x4,
+  CAST(tie_sum AS DOUBLE) AS tie_sum,
+  CASE WHEN den > 0
+       THEN CAST(3 * s_x4 AS DOUBLE) / CAST(den AS DOUBLE) END AS w
+FROM one
+"""
+
+
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1,1) reliability of the three heuristic document-quality
+    raters (the q_fleiss_kappa panel read as NUMERIC tiers): how much
+    of the tier variance is between documents rather than between
+    heuristics?  (operators/checks.py icc_cells.)"""
+    from npm_mirror_spark.operators.checks import icc_cells
+    from npm_mirror_spark.staging_r14 import _doc_raters
+
+    return icc_cells(_doc_raters(spark, sf_dir), "doc_id", "tier", 3)
+
+
+def _icc_oracle() -> str:
+    # replay the q_fleiss_kappa rater panel (staging_r14._RATERS_SQL)
+    # as integer values through the exact scaled-sum restatement
+    from npm_mirror_spark.staging_r14 import _RATERS_SQL
+
+    return f"""
+WITH {_RATERS_SQL},
+per_s AS (
+  SELECT doc_id, count(*) AS cnt,
+    sum(CAST(tier AS HUGEINT)) AS si,
+    sum(CAST(tier AS HUGEINT) * tier) AS qi
+  FROM ratings GROUP BY doc_id
+),
+complete AS (SELECT * FROM per_s WHERE cnt = 3),
+dropped AS (SELECT count(*) AS n_dropped FROM per_s WHERE cnt != 3),
+folds AS (
+  SELECT count(*) AS n_subjects,
+    coalesce(sum(si), 0) AS s,
+    coalesce(sum(si * si), 0) AS s2,
+    coalesce(sum(qi), 0) AS q
+  FROM complete
+),
+one AS (
+  SELECT n_subjects, n_dropped,
+    CAST(n_subjects AS HUGEINT) * s2 - s * s AS ssb,
+    3 * q - s2 AS ssw
+  FROM folds, dropped
+)
+SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
+  3 AS k_ratings,
+  CAST(n_dropped AS BIGINT) AS n_dropped,
+  CAST(ssb AS DOUBLE) AS ssb_xnk,
+  CAST(ssw AS DOUBLE) AS ssw_xk,
+  CASE WHEN ssb * 2 + 2 * (n_subjects - 1) * ssw != 0
+       THEN CAST(ssb * 2 - ssw * (n_subjects - 1) AS DOUBLE)
+            / CAST(ssb * 2 + 2 * (n_subjects - 1) * ssw AS DOUBLE)
+       END AS icc
+FROM one
+"""
+
+
+def q_dixon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q gap-to-range outlier cells over the daily order-count
+    series — the order-statistic suspicion gate on the q_buishand
+    fixture.  (operators/stats.py dixon_q_cells.)"""
+    from npm_mirror_spark.operators.stats import dixon_q_cells
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).filter(F.col("day").isNotNull())
+    daily = o.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    return dixon_q_cells(daily, "day", "n")
+
+
+_DIXON_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders
+  WHERE o_orderdate IS NOT NULL GROUP BY CAST(o_orderdate AS DATE)
+),
+ext AS (
+  SELECT count(*) AS n_days, min(n) AS x_min, max(n) AS x_max FROM daily
+),
+sec AS (
+  SELECT max(ext.n_days) AS n_days, max(ext.x_min) AS x_min,
+    max(ext.x_max) AS x_max,
+    sum(CASE WHEN n = ext.x_min THEN 1 ELSE 0 END) AS cmin,
+    sum(CASE WHEN n = ext.x_max THEN 1 ELSE 0 END) AS cmax,
+    min(CASE WHEN n > ext.x_min THEN n END) AS above_min,
+    max(CASE WHEN n < ext.x_max THEN n END) AS below_max
+  FROM daily CROSS JOIN ext
+),
+one AS (
+  SELECT n_days, x_min, x_max,
+    CASE WHEN cmin > 1 THEN x_min ELSE above_min END AS x_min2,
+    CASE WHEN cmax > 1 THEN x_max ELSE below_max END AS x_max2
+  FROM sec
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  CAST(x_min AS BIGINT) AS x_min,
+  CAST(x_min2 AS BIGINT) AS x_min2,
+  CAST(x_max2 AS BIGINT) AS x_max2,
+  CAST(x_max AS BIGINT) AS x_max,
+  CASE WHEN x_max > x_min
+       THEN CAST(x_min2 - x_min AS DOUBLE) / CAST(x_max - x_min AS DOUBLE)
+       END AS q_low,
+  CASE WHEN x_max > x_min
+       THEN CAST(x_max - x_max2 AS DOUBLE) / CAST(x_max - x_min AS DOUBLE)
+       END AS q_high
+FROM one
+"""
+
+
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style most-extreme-day cells over the daily event-count
+    series (n-scaled exact deviations; the studentized G is the
+    consumer one-liner) — which day's volume sits furthest from the
+    mean, and which side?  (operators/stats.py grubbs_cells.)"""
+    from npm_mirror_spark.operators.stats import grubbs_cells
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day")
+    ).filter(F.col("day").isNotNull())
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    return grubbs_cells(daily, "day", "n")
+
+
+_GRUBBS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events
+  WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+),
+tot AS (
+  SELECT count(*) AS n_days,
+    sum(CAST(n AS HUGEINT)) AS t,
+    sum(CAST(n AS HUGEINT) * n) AS q
+  FROM daily
+),
+scored AS (
+  SELECT day,
+    abs(CAST(tot.n_days AS HUGEINT) * n - tot.t) AS adev,
+    CASE WHEN CAST(tot.n_days AS HUGEINT) * n - tot.t > 0 THEN 1
+         WHEN CAST(tot.n_days AS HUGEINT) * n - tot.t < 0 THEN -1
+         ELSE 0 END AS sgn
+  FROM daily CROSS JOIN tot
+),
+pick AS (
+  SELECT day, adev, sgn FROM scored
+  ORDER BY adev DESC, day ASC LIMIT 1
+)
+SELECT CAST(tot.n_days AS BIGINT) AS n_days,
+  CAST(tot.t AS DOUBLE) AS total,
+  CAST(tot.q AS DOUBLE) AS sum_sq,
+  CAST(pick.adev AS DOUBLE) AS max_dev_xn,
+  pick.day AS at_day,
+  CAST(pick.sgn AS INTEGER) AS dev_sign
+FROM tot CROSS JOIN pick
+"""
+
+
+STAGED_QUERIES.update(
+    {
+        "q_kendall_w": q_kendall_w,
+        "q_icc": q_icc,
+        "q_dixon": q_dixon,
+        "q_grubbs": q_grubbs,
+    }
+)
+
+STAGED_ORACLES.update(
+    {
+        "q_kendall_w": _KENDALL_W_SQL,
+        "q_icc": _icc_oracle(),
+        "q_dixon": _DIXON_SQL,
+        "q_grubbs": _GRUBBS_SQL,
+    }
+)

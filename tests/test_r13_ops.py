@@ -550,14 +550,15 @@ def test_bartels_rvn_oscillation_above_trend_below(spark):
 
 
 def test_r15_staged_faces_match_oracles(spark, sf_dir):
-    """The two early-staged r15 faces (turning point, Bartels RVN)
-    clear the registry-identical harness bar, stay out of the
-    registry, and plan no BNLJ/cartesian."""
+    """Every early-staged r15 face clears the registry-identical
+    harness bar, stays out of the registry, and plans BNLJ only in
+    the four 1-row-fold faces the staging docstring documents."""
     from npm_mirror_spark import plans
     from npm_mirror_spark.queries import QUERIES
     from npm_mirror_spark.staging_r15 import STAGED_ORACLES as O15
     from npm_mirror_spark.staging_r15 import STAGED_QUERIES as Q15
 
+    documented_bnlj = {"q_kendall_w", "q_icc", "q_dixon", "q_grubbs"}
     assert set(Q15) == set(O15) and not set(Q15) & set(QUERIES)
     con = duckdb_con(sf_dir)
     for name, q in Q15.items():
@@ -566,4 +567,102 @@ def test_r15_staged_faces_match_oracles(spark, sf_dir):
         assert not problems, f"{name}: {problems}"
         text = plans.explain_str(df, "simple")
         assert "CartesianProduct" not in text, name
-        assert "BroadcastNestedLoopJoin" not in text, name
+        if name not in documented_bnlj:
+            assert "BroadcastNestedLoopJoin" not in text, name
+
+
+def test_kendall_w_hand_examples(spark):
+    """Perfect agreement (3 blocks, identical orderings): s_x4 = 72,
+    W = 1.  Tie case (one uniform block of k = 3): R2 = (6, 8, 10),
+    tie_sum = 24, W = 24/48 = 0.5."""
+    from npm_mirror_spark.operators.stats import kendall_w_cells
+
+    rows = [
+        (b, t, x)
+        for b in ("b1", "b2", "b3")
+        for t, x in (("t1", 1), ("t2", 2), ("t3", 3))
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    r = kendall_w_cells(df, "b", "t", "x").collect()[0]
+    assert (r["s_x4"], r["tie_sum"], r["w"]) == (72.0, 0.0, 1.0)
+    rows2 = [
+        ("b1", "t1", 1), ("b1", "t2", 2), ("b1", "t3", 3),
+        ("b2", "t1", 5), ("b2", "t2", 5), ("b2", "t3", 5),
+    ]
+    df2 = spark.createDataFrame(rows2, "b string, t string, x long")
+    r = kendall_w_cells(df2, "b", "t", "x").collect()[0]
+    assert (r["s_x4"], r["tie_sum"], r["w"]) == (8.0, 24.0, 0.5)
+
+
+def test_icc_hand_example(spark):
+    """Subjects (1,1) and (2,4) with k = 2: SSB = 4 (MSB = 4),
+    SSW = 2 (MSW = 1) -> ICC = 3/5; scaled forms ssb_xnk = 16,
+    ssw_xk = 4."""
+    from npm_mirror_spark.operators.checks import icc_cells
+
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 1), ("s2", 2), ("s2", 4)], "s string, x long"
+    )
+    r = icc_cells(df, "s", "x", 2).collect()[0]
+    assert (r["ssb_xnk"], r["ssw_xk"], r["icc"]) == (16.0, 4.0, 0.6)
+    assert (r["n_subjects"], r["n_dropped"]) == (2, 0)
+
+
+def test_icc_identical_ratings_is_one(spark):
+    from npm_mirror_spark.operators.checks import icc_cells
+
+    rows = [(f"s{i}", i % 4) for i in range(8) for _ in range(3)]
+    df = spark.createDataFrame(rows, "s string, x long")
+    r = icc_cells(df, "s", "x", 3).collect()[0]
+    assert r["ssw_xk"] == 0.0 and r["icc"] == 1.0
+
+
+def test_dixon_hand_examples(spark):
+    from npm_mirror_spark.operators.stats import dixon_q_cells
+
+    def run(vals):
+        rows = [(dt.date(2024, 1, i + 1), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "d date, x long")
+        return dixon_q_cells(df, "d", "x").collect()[0]
+
+    r = run([1, 2, 5, 9])
+    assert (r["q_low"], r["q_high"]) == (0.125, 0.5)
+    assert (r["x_min2"], r["x_max2"]) == (2, 5)
+    r = run([1, 1, 5])  # duplicated minimum: zero low gap
+    assert r["q_low"] == 0.0 and r["x_min2"] == 1
+    r = run([3, 3, 3])  # zero range: NULL ratios
+    assert r["q_low"] is None and r["q_high"] is None
+
+
+def test_grubbs_hand_example(spark):
+    """[1, 2, 9]: T = 12, scaled devs (-9, -6, 15) -> the high outlier
+    day wins with max_dev_xn = 15, sign +1; sum_sq = 86."""
+    from npm_mirror_spark.operators.stats import grubbs_cells
+
+    rows = [
+        (dt.date(2024, 1, 1), 1),
+        (dt.date(2024, 1, 2), 2),
+        (dt.date(2024, 1, 3), 9),
+    ]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = grubbs_cells(df, "d", "x").collect()[0]
+    assert (r["max_dev_xn"], r["at_day"], r["dev_sign"], r["sum_sq"]) == (
+        15.0,
+        dt.date(2024, 1, 3),
+        1,
+        86.0,
+    )
+
+
+def test_grubbs_tie_breaks_to_smallest_day(spark):
+    """Symmetric extremes tie on |dev| — the earlier day wins."""
+    from npm_mirror_spark.operators.stats import grubbs_cells
+
+    rows = [
+        (dt.date(2024, 1, 1), 9),
+        (dt.date(2024, 1, 2), 5),
+        (dt.date(2024, 1, 3), 1),
+    ]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = grubbs_cells(df, "d", "x").collect()[0]
+    assert r["at_day"] == dt.date(2024, 1, 1) and r["dev_sign"] == 1

@@ -442,3 +442,112 @@ def test_bartels_rvn_bit_exact_vs_brute(spark, series):
         assert r["rvn"] == float(nm) / float(dd)
     else:
         assert r["rvn"] is None
+
+
+@given(
+    st.integers(2, 5),
+    st.integers(2, 6),
+    st.data(),
+)
+@settings(**_SETTINGS)
+def test_kendall_w_bit_exact_vs_brute(spark, k, nb, data):
+    """s_x4, tie_sum and W replayed from literal within-block doubled
+    midranks on complete random designs."""
+    from npm_mirror_spark.operators.stats import kendall_w_cells
+
+    vals = [
+        [data.draw(st.integers(0, 4)) for _ in range(k)] for _ in range(nb)
+    ]
+    rows = [
+        (f"b{i}", f"t{j}", vals[i][j]) for i in range(nb) for j in range(k)
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    r = kendall_w_cells(df, "b", "t", "x").collect()[0]
+    r2sums = [0] * k
+    tie_sum = 0
+    for block in vals:
+        mid2 = _mid2(block)
+        for j, x in enumerate(block):
+            r2sums[j] += mid2[x]
+        cnt = Counter(block)
+        tie_sum += sum(c**3 - c for c in cnt.values())
+    s_x4 = sum((r2 - nb * (k + 1)) ** 2 for r2 in r2sums)
+    assert (r["n_blocks"], r["k_treatments"]) == (nb, k)
+    assert (r["s_x4"], r["tie_sum"]) == (s_x4, tie_sum)
+    den = nb * nb * (k**3 - k) - nb * tie_sum
+    if den > 0:
+        assert r["w"] == float(3 * s_x4) / float(den)
+    else:
+        assert r["w"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_icc_bit_exact_vs_brute(spark, panels):
+    from npm_mirror_spark.operators.checks import icc_cells
+
+    rows = [
+        (f"s{i}", v) for i, triple in enumerate(panels) for v in triple
+    ]
+    df = spark.createDataFrame(rows, "s string, x long")
+    r = icc_cells(df, "s", "x", 3).collect()[0]
+    n = len(panels)
+    si = [sum(t) for t in panels]
+    qi = [sum(v * v for v in t) for t in panels]
+    s, s2, q = sum(si), sum(v * v for v in si), sum(qi)
+    ssb = n * s2 - s * s
+    ssw = 3 * q - s2
+    assert (r["n_subjects"], r["ssb_xnk"], r["ssw_xk"]) == (n, ssb, ssw)
+    num, den = ssb * 2 - ssw * (n - 1), ssb * 2 + 2 * (n - 1) * ssw
+    if den != 0:
+        assert r["icc"] == float(num) / float(den)
+    else:
+        assert r["icc"] is None
+
+
+@given(st.lists(st.integers(0, 10), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_dixon_bit_exact_vs_brute(spark, series):
+    from npm_mirror_spark.operators.stats import dixon_q_cells
+
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), x)
+            for i, x in enumerate(series)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = dixon_q_cells(df, "d", "x").collect()[0]
+    s = sorted(series)
+    x_min2 = s[1] if len(s) > 1 else None
+    x_max2 = s[-2] if len(s) > 1 else None
+    assert (r["x_min"], r["x_max"], r["n_days"]) == (s[0], s[-1], len(s))
+    if len(s) > 1:
+        assert (r["x_min2"], r["x_max2"]) == (x_min2, x_max2)
+    if s[-1] > s[0]:
+        assert r["q_low"] == float(x_min2 - s[0]) / float(s[-1] - s[0])
+        assert r["q_high"] == float(s[-1] - x_max2) / float(s[-1] - s[0])
+    else:
+        assert r["q_low"] is None and r["q_high"] is None
+
+
+@given(st.lists(st.integers(0, 12), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_grubbs_bit_exact_vs_brute(spark, series):
+    from npm_mirror_spark.operators.stats import grubbs_cells
+
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), x)
+            for i, x in enumerate(series)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = grubbs_cells(df, "d", "x").collect()[0]
+    n, t = len(series), sum(series)
+    devs = [n * x - t for x in series]
+    best = max(range(n), key=lambda i: (abs(devs[i]), -i))
+    assert (r["n_days"], r["total"], r["sum_sq"]) == (
+        n, t, sum(x * x for x in series)
+    )
+    assert r["max_dev_xn"] == abs(devs[best])
+    assert r["at_day"] == dt.date(2024, 1, 1) + dt.timedelta(days=best)
+    assert r["dev_sign"] == (1 if devs[best] > 0 else -1 if devs[best] < 0 else 0)
