@@ -1581,3 +1581,83 @@ def icc_cells(
             "icc"
         ),
     )
+
+
+def gk_lambda(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Goodman–Kruskal lambda between two NOMINAL columns — the
+    proportional-reduction-in-error association for unordered
+    categories, where :func:`gk_gamma` (ordinal) and
+    :func:`chisq_independence_cells` (sign-blind magnitude) don't fit:
+    how much better does knowing x predict y's MODE than guessing the
+    global mode (lambda_yx), and vice versa?
+
+    Exact-integer restatement: with cell counts n_xy,
+
+        lambda_yx = (Sigma_x max_y n_xy - max_y n_.y)
+                    / (n - max_y n_.y)
+
+    (and symmetrically for lambda_xy) — exact counts into ONE IEEE
+    division each (the q_kappa contract); a degenerate denominator
+    (the global mode covers every row) yields NULL.
+
+    Shape: one (x, y) cell collapse + two per-axis max folds + two
+    margin-max 1-row folds — bounded by the category domains, no
+    window, no join on raw rows.  NULLs in either column drop.
+
+    1-row output: n_rows, n_cells, sum_max_y_given_x, max_y_margin,
+    sum_max_x_given_y, max_x_margin, lambda_yx, lambda_xy.
+    """
+    d38 = "decimal(38,0)"
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    per_x = cells.groupBy("__x").agg(F.max("__c").alias("__mx"))
+    per_y = cells.groupBy("__y").agg(
+        F.max("__c").alias("__my"), F.sum("__c").alias("__ny")
+    )
+    per_x2 = cells.groupBy("__x").agg(F.sum("__c").alias("__nx"))
+    folds = (
+        per_x.agg(F.sum(F.col("__mx").cast(d38)).cast(d38).alias("__smx"))
+        .crossJoin(
+            F.broadcast(
+                per_y.agg(
+                    F.sum(F.col("__my").cast(d38)).cast(d38).alias("__smy"),
+                    F.max("__ny").alias("__maxny"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(per_x2.agg(F.max("__nx").alias("__maxnx")))
+        )
+        .crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum("__c").alias("n_rows"),
+                    F.count(F.lit(1)).alias("n_cells"),
+                )
+            )
+        )
+    )
+    zero = F.lit(0).cast(d38)
+    n = F.col("n_rows").cast(d38)
+    smx = F.coalesce(F.col("__smx"), zero)
+    smy = F.coalesce(F.col("__smy"), zero)
+    mny = F.coalesce(F.col("__maxny"), F.lit(0)).cast(d38)
+    mnx = F.coalesce(F.col("__maxnx"), F.lit(0)).cast(d38)
+    return folds.select(
+        "n_rows",
+        "n_cells",
+        smx.cast("long").alias("sum_max_y_given_x"),
+        mny.cast("long").alias("max_y_margin"),
+        smy.cast("long").alias("sum_max_x_given_y"),
+        mnx.cast("long").alias("max_x_margin"),
+        F.when(
+            (n - mny) > 0,
+            (smx - mny).cast(d38).cast("double") / (n - mny).cast("double"),
+        ).alias("lambda_yx"),
+        F.when(
+            (n - mnx) > 0,
+            (smy - mnx).cast(d38).cast("double") / (n - mnx).cast("double"),
+        ).alias("lambda_xy"),
+    )

@@ -2064,3 +2064,76 @@ def grubbs_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
         F.col("__top.d").alias("at_day"),
         F.col("__top.s").alias("dev_sign"),
     )
+
+
+def rank_scale_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Joint location-scale rank cells between ``in_a`` rows and the
+    rest, in ONE prior-sums pass: the Wilcoxon doubled rank sum
+    (location), the Ansari–Bradley doubled score sum (scale — are A's
+    values pushed toward the extremes?), and Cucconi's two quadratic
+    rank sums (U for right-tail weight, V for left) — one operator, so
+    the Lepage / Cucconi joint location-scale verdicts (both consumer
+    one-liners with parity-dependent null moments) never pay three
+    scans.
+
+    Midrank convention throughout (documented, oracle-replayed): with
+    mr2 = 2*midrank (exact int, the rank_sum_test identity) and
+    N = n1 + n2,
+
+        r_a_x2  = Sigma_A mr2                       (Wilcoxon, doubled)
+        ab_a_x2 = Sigma_A (N + 1 - |mr2 - (N + 1)|) (Ansari, doubled)
+        u_a_x4  = Sigma_A mr2^2                     (Cucconi U, x4)
+        v_a_x4  = Sigma_A (2(N + 1) - mr2)^2        (Cucconi V, x4)
+
+    — every per-term product cast to DECIMAL(38,0) before the sum (the
+    rank_sum_test overflow discipline); ties take the midrank of the
+    RANKS and the AB score of that midrank (the pragmatic tied-AB
+    convention — state it when comparing against textbook tables).
+    NULL ``in_a`` coalesces to FALSE (welch_t), NULL values drop.
+
+    Shape: one distinct-value collapse + the
+    :func:`~npm_mirror_spark.operators.classifier._with_prior_sums`
+    distributed prefix machinery + a 1-row fold.
+
+    1-row output: n1, n2, r_a_x2, ab_a_x2, u_a_x4, v_a_x4.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    src = df.select(
+        F.col(value).alias("__v"),
+        F.coalesce(in_a, F.lit(False)).alias("__in_a"),
+    ).filter(F.col("__v").isNotNull())
+    g = _ab_counts(src, "__v", F.col("__in_a"))
+    pri = _with_prior_sums(g, "__v", ("cnt_a", "cnt_b"))
+    below = F.col("__prior_cnt_a") + F.col("__prior_cnt_b")
+    ties = F.col("cnt_a") + F.col("cnt_b")
+    mr2 = (F.lit(2) * below + ties + F.lit(1)).cast(_D38)
+    tot = g.agg(
+        F.sum("cnt_a").alias("n1"), F.sum("cnt_b").alias("n2")
+    )
+    np1 = (F.col("n1") + F.col("n2") + 1).cast(_D38)
+    scored = pri.crossJoin(F.broadcast(tot))
+    ca = F.col("cnt_a").cast(_D38)
+    ab2 = (np1 - F.abs(mr2 - np1)).cast(_D38)
+    v_base = (F.lit(2).cast(_D38) * np1 - mr2).cast(_D38)
+    sums = scored.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum((ca * mr2).cast(_D38)).cast(_D38).alias("__r"),
+        F.sum((ca * ab2).cast(_D38)).cast(_D38).alias("__ab"),
+        F.sum((ca * (mr2 * mr2).cast(_D38)).cast(_D38)).cast(_D38).alias(
+            "__u"
+        ),
+        F.sum((ca * (v_base * v_base).cast(_D38)).cast(_D38))
+        .cast(_D38)
+        .alias("__v2"),
+    )
+    zero = F.lit(0).cast(_D38)
+    return sums.select(
+        "n1",
+        "n2",
+        F.coalesce(F.col("__r"), zero).cast("double").alias("r_a_x2"),
+        F.coalesce(F.col("__ab"), zero).cast("double").alias("ab_a_x2"),
+        F.coalesce(F.col("__u"), zero).cast("double").alias("u_a_x4"),
+        F.coalesce(F.col("__v2"), zero).cast("double").alias("v_a_x4"),
+    )

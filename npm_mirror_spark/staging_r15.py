@@ -25,6 +25,11 @@ registration:
         1-row-fold class)",
     "q_grubbs": "1-row (n, T, Q) totals broadcast onto the day rows
         (the q_decay_counts anchor shape)",
+    "q_rank_scale": "1-row (n1, n2) totals broadcast onto the bounded
+        quantity axis + _with_prior_sums' (min,max) stats row (the
+        q_quantile_norm shape)",
+    "q_gk_lambda": "four 1-row margin/meta folds broadcast (the
+        q_kappa shape)",
 """
 
 from __future__ import annotations
@@ -386,5 +391,125 @@ STAGED_ORACLES.update(
         "q_icc": _icc_oracle(),
         "q_dixon": _DIXON_SQL,
         "q_grubbs": _GRUBBS_SQL,
+    }
+)
+
+
+def q_rank_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint location-scale rank cells for returned lines vs the rest
+    over the integral quantity axis — the Wilcoxon / Ansari-Bradley /
+    Cucconi reading of the exact fixture q_cvm2 reads as a whole-CDF
+    distance (and q_rank_sum reads as location only).
+    (operators/stats.py rank_scale_cells.)"""
+    from npm_mirror_spark.operators.stats import rank_scale_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    return rank_scale_cells(li, "qty", F.col("ret"))
+
+
+_RANK_SCALE_SQL = """
+WITH src AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+    coalesce(l_returnflag = 'R', FALSE) AS ret
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+g AS (
+  SELECT v,
+    sum(CASE WHEN ret THEN 1 ELSE 0 END) AS cnt_a,
+    sum(CASE WHEN ret THEN 0 ELSE 1 END) AS cnt_b
+  FROM src GROUP BY v
+),
+tot AS (SELECT sum(cnt_a) AS n1, sum(cnt_b) AS n2 FROM g),
+pri AS (
+  SELECT cnt_a, cnt_b,
+    coalesce(sum(cnt_a + cnt_b) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+),
+scored AS (
+  SELECT cnt_a,
+    CAST(2 * below + cnt_a + cnt_b + 1 AS HUGEINT) AS mr2,
+    CAST(tot.n1 + tot.n2 + 1 AS HUGEINT) AS np1
+  FROM pri CROSS JOIN tot
+),
+sums AS (
+  SELECT
+    coalesce(sum(CAST(cnt_a AS HUGEINT) * mr2), 0) AS r,
+    coalesce(sum(CAST(cnt_a AS HUGEINT)
+                 * (np1 - abs(mr2 - np1))), 0) AS ab,
+    coalesce(sum(CAST(cnt_a AS HUGEINT) * (mr2 * mr2)), 0) AS u,
+    coalesce(sum(CAST(cnt_a AS HUGEINT)
+                 * ((2 * np1 - mr2) * (2 * np1 - mr2))), 0) AS v2
+  FROM scored
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+  CAST(r AS DOUBLE) AS r_a_x2,
+  CAST(ab AS DOUBLE) AS ab_a_x2,
+  CAST(u AS DOUBLE) AS u_a_x4,
+  CAST(v2 AS DOUBLE) AS v_a_x4
+FROM tot CROSS JOIN sums
+"""
+
+
+def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal lambda between document source and language —
+    the nominal (unordered) association the registered q_gk_gamma
+    cannot express: how much better does knowing the source predict
+    the language's mode (and vice versa)?  (operators/checks.py
+    gk_lambda.)"""
+    from npm_mirror_spark.operators.checks import gk_lambda
+
+    d = _t(spark, sf_dir, "documents").select("source", "lang")
+    return gk_lambda(d, "source", "lang")
+
+
+_GK_LAMBDA_SQL = """
+WITH g AS (
+  SELECT source AS x, lang AS y FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+),
+cells AS (SELECT x, y, count(*) AS c FROM g GROUP BY x, y),
+per_x AS (SELECT x, max(c) AS mx FROM cells GROUP BY x),
+per_y AS (SELECT y, max(c) AS my, sum(c) AS ny FROM cells GROUP BY y),
+per_x2 AS (SELECT x, sum(c) AS nx FROM cells GROUP BY x),
+folds AS (
+  SELECT
+    (SELECT coalesce(sum(CAST(mx AS HUGEINT)), 0) FROM per_x) AS smx,
+    (SELECT coalesce(sum(CAST(my AS HUGEINT)), 0) FROM per_y) AS smy,
+    (SELECT coalesce(max(ny), 0) FROM per_y) AS maxny,
+    (SELECT coalesce(max(nx), 0) FROM per_x2) AS maxnx,
+    (SELECT sum(c) FROM cells) AS n_rows,
+    (SELECT count(*) FROM cells) AS n_cells
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_cells AS BIGINT) AS n_cells,
+  CAST(smx AS BIGINT) AS sum_max_y_given_x,
+  CAST(maxny AS BIGINT) AS max_y_margin,
+  CAST(smy AS BIGINT) AS sum_max_x_given_y,
+  CAST(maxnx AS BIGINT) AS max_x_margin,
+  CASE WHEN n_rows - maxny > 0
+       THEN CAST(smx - maxny AS DOUBLE) / CAST(n_rows - maxny AS DOUBLE)
+       END AS lambda_yx,
+  CASE WHEN n_rows - maxnx > 0
+       THEN CAST(smy - maxnx AS DOUBLE) / CAST(n_rows - maxnx AS DOUBLE)
+       END AS lambda_xy
+FROM folds
+"""
+
+
+STAGED_QUERIES.update(
+    {
+        "q_rank_scale": q_rank_scale,
+        "q_gk_lambda": q_gk_lambda,
+    }
+)
+
+STAGED_ORACLES.update(
+    {
+        "q_rank_scale": _RANK_SCALE_SQL,
+        "q_gk_lambda": _GK_LAMBDA_SQL,
     }
 )

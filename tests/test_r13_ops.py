@@ -558,7 +558,10 @@ def test_r15_staged_faces_match_oracles(spark, sf_dir):
     from npm_mirror_spark.staging_r15 import STAGED_ORACLES as O15
     from npm_mirror_spark.staging_r15 import STAGED_QUERIES as Q15
 
-    documented_bnlj = {"q_kendall_w", "q_icc", "q_dixon", "q_grubbs"}
+    documented_bnlj = {
+        "q_kendall_w", "q_icc", "q_dixon", "q_grubbs",
+        "q_rank_scale", "q_gk_lambda",
+    }
     assert set(Q15) == set(O15) and not set(Q15) & set(QUERIES)
     con = duckdb_con(sf_dir)
     for name, q in Q15.items():
@@ -666,3 +669,65 @@ def test_grubbs_tie_breaks_to_smallest_day(spark):
     df = spark.createDataFrame(rows, "d date, x long")
     r = grubbs_cells(df, "d", "x").collect()[0]
     assert r["at_day"] == dt.date(2024, 1, 1) and r["dev_sign"] == 1
+
+
+def test_rank_scale_hand_example(spark):
+    """A = [1, 3], B = [2, 2] (N = 4): doubled midranks (2, 5, 8);
+    Wilcoxon r_a_x2 = 2 + 8 = 10; AB doubled scores at the extremes
+    are both 2 -> ab_a_x2 = 4; Cucconi u_a_x4 = 4 + 64 = 68 and
+    v_a_x4 = 64 + 4 = 68 (symmetric sample)."""
+    from npm_mirror_spark.operators.stats import rank_scale_cells
+
+    df = spark.createDataFrame(
+        [(1, True), (3, True), (2, False), (2, False)], "v long, a boolean"
+    )
+    r = rank_scale_cells(df, "v", F.col("a")).collect()[0]
+    assert (r["n1"], r["n2"]) == (2, 2)
+    assert (r["r_a_x2"], r["ab_a_x2"]) == (10.0, 4.0)
+    assert (r["u_a_x4"], r["v_a_x4"]) == (68.0, 68.0)
+
+
+def test_rank_scale_matches_rank_sum(spark):
+    """r_a_x2 must equal rank_sum_test's r1_x2 on the same data — the
+    Wilcoxon column is the same statistic through a different fold."""
+    import random
+
+    from npm_mirror_spark.operators.stats import rank_scale_cells, rank_sum_test
+
+    rng = random.Random(31)
+    rows = [(rng.randint(0, 20), rng.random() < 0.5) for _ in range(300)]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    rs = rank_scale_cells(df, "v", F.col("a")).collect()[0]
+    ru = rank_sum_test(df, "v", F.col("a")).collect()[0]
+    assert rs["r_a_x2"] == float(ru["r1_x2"])
+    assert (rs["n1"], rs["n2"]) == (ru["n1"], ru["n2"])
+
+
+def test_gk_lambda_hand_example(spark):
+    """Cells: (a,p)=3, (a,q)=1, (b,q)=4: lambda_yx = (7-5)/(8-5) = 2/3,
+    lambda_xy = (7-4)/(8-4) = 3/4."""
+    from npm_mirror_spark.operators.checks import gk_lambda
+
+    rows = [("a", "p")] * 3 + [("a", "q")] + [("b", "q")] * 4
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = gk_lambda(df, "x", "y").collect()[0]
+    assert (r["sum_max_y_given_x"], r["max_y_margin"]) == (7, 5)
+    assert r["lambda_yx"] == pytest.approx(2 / 3)
+    assert r["lambda_xy"] == 0.75
+
+
+def test_gk_lambda_perfect_and_zero(spark):
+    """x determines y exactly -> lambda_yx = 1; independent uniform
+    margins where every x has the same modal y -> lambda_yx = 0."""
+    from npm_mirror_spark.operators.checks import gk_lambda
+
+    perfect = [("a", "p")] * 3 + [("b", "q")] * 3
+    r = gk_lambda(
+        spark.createDataFrame(perfect, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["lambda_yx"] == 1.0
+    flat = [("a", "p")] * 2 + [("a", "q")] + [("b", "p")] * 2 + [("b", "q")]
+    r = gk_lambda(
+        spark.createDataFrame(flat, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["lambda_yx"] == 0.0

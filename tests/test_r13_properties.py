@@ -551,3 +551,66 @@ def test_grubbs_bit_exact_vs_brute(spark, series):
     assert r["max_dev_xn"] == abs(devs[best])
     assert r["at_day"] == dt.date(2024, 1, 1) + dt.timedelta(days=best)
     assert r["dev_sign"] == (1 if devs[best] > 0 else -1 if devs[best] < 0 else 0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_rank_scale_bit_exact_vs_brute(spark, va):
+    from npm_mirror_spark.operators.stats import rank_scale_cells
+
+    df = spark.createDataFrame(va, "v long, a boolean")
+    r = rank_scale_cells(df, "v", F.col("a")).collect()[0]
+    mid2 = _mid2([v for v, _ in va])
+    np1 = len(va) + 1
+    a_vals = [v for v, a in va if a]
+    assert (r["n1"], r["n2"]) == (len(a_vals), len(va) - len(a_vals))
+    assert r["r_a_x2"] == sum(mid2[v] for v in a_vals)
+    assert r["ab_a_x2"] == sum(
+        np1 - abs(mid2[v] - np1) for v in a_vals
+    )
+    assert r["u_a_x4"] == sum(mid2[v] ** 2 for v in a_vals)
+    assert r["v_a_x4"] == sum((2 * np1 - mid2[v]) ** 2 for v in a_vals)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_gk_lambda_bit_exact_vs_brute(spark, xy):
+    from npm_mirror_spark.operators.checks import gk_lambda
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    r = gk_lambda(df, "x", "y").collect()[0]
+    cells = Counter(xy)
+    n = len(xy)
+    smx = sum(
+        max(c for (xx, _), c in cells.items() if xx == x0)
+        for x0 in {x for x, _ in xy}
+    )
+    smy = sum(
+        max(c for (_, yy), c in cells.items() if yy == y0)
+        for y0 in {y for _, y in xy}
+    )
+    ymarg = Counter(y for _, y in xy)
+    xmarg = Counter(x for x, _ in xy)
+    mny, mnx = max(ymarg.values()), max(xmarg.values())
+    assert (r["n_rows"], r["sum_max_y_given_x"], r["max_y_margin"]) == (
+        n, smx, mny
+    )
+    assert (r["sum_max_x_given_y"], r["max_x_margin"]) == (smy, mnx)
+    assert r["lambda_yx"] == (
+        float(smx - mny) / float(n - mny) if n - mny > 0 else None
+    )
+    assert r["lambda_xy"] == (
+        float(smy - mnx) / float(n - mnx) if n - mnx > 0 else None
+    )
