@@ -1179,12 +1179,25 @@ def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
     concordant, discordant, tied_x_only, tied_y_only, tied_xy,
     gamma, somers_dyx (y dependent), somers_dxy, tau_b, tau_c.
     """
+    from pyspark import StorageLevel
+
     d38 = "decimal(38,0)"
     zero = F.lit(0).cast(d38)
     g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
-    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    # the cell table is consumed by FIVE independent fold branches
+    # (dominance grid, both tie margins, the both-tied fold, the dims
+    # fold) and Spark does not dedupe the shared subplan across them
+    # (plan audit: ~7 full input scans without this) — persist it; it
+    # is bounded by the dx*dy grid contract, so the cache is tiny and
+    # the raw input is scanned ONCE at any scale.  n_rows still folds
+    # from the cells (sum of counts), not the raw rows.
+    cells = (
+        g.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = _grid_dominance_tot(cells)
 
     def _pairs(c: Column) -> Column:
@@ -1210,7 +1223,9 @@ def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
     dims = cells.agg(
         F.countDistinct("__x").alias("dx"), F.countDistinct("__y").alias("dy")
     )
-    meta = g.agg(F.count(F.lit(1)).alias("n_rows"))
+    meta = cells.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows")
+    )
     one = (
         meta.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(tx))
@@ -1386,11 +1401,20 @@ def weighted_kappa_cells(
     Output (one row): n, n_cells, d_o, d_e_num, kappa_w.
     """
     d38 = "decimal(38,0)"
+    from pyspark import StorageLevel
+
     pair = df.select(
         F.col(rater_a).cast("long").alias("__a"),
         F.col(rater_b).cast("long").alias("__b"),
     ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
-    cells = pair.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    # persist the (k x k)-bounded cell table and derive BOTH margins
+    # from it (not from the raw pairs) — one corpus scan total instead
+    # of three (the ordinal_assoc_cells plan-audit lesson)
+    cells = (
+        pair.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     do = cells.agg(
         F.sum(
             F.abs(F.col("__a") - F.col("__b")).cast(d38)
@@ -1401,11 +1425,11 @@ def weighted_kappa_cells(
         F.sum("__c").alias("n"),
         F.count(F.lit(1)).alias("n_cells"),
     )
-    rm = pair.groupBy(F.col("__a").alias("__i")).agg(
-        F.count(F.lit(1)).alias("__rm")
+    rm = cells.groupBy(F.col("__a").alias("__i")).agg(
+        F.sum("__c").alias("__rm")
     )
-    cm = pair.groupBy(F.col("__b").alias("__j")).agg(
-        F.count(F.lit(1)).alias("__cm")
+    cm = cells.groupBy(F.col("__b").alias("__j")).agg(
+        F.sum("__c").alias("__cm")
     )
     de = (
         rm.crossJoin(F.broadcast(cm))
@@ -1607,11 +1631,20 @@ def gk_lambda(df: DataFrame, x: str, y: str) -> DataFrame:
     1-row output: n_rows, n_cells, sum_max_y_given_x, max_y_margin,
     sum_max_x_given_y, max_x_margin, lambda_yx, lambda_xy.
     """
+    from pyspark import StorageLevel
+
     d38 = "decimal(38,0)"
     g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
-    cells = g.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    # four independent fold branches consume the cell table; persist it
+    # (bounded by the category-domain grid) so the raw input is scanned
+    # once — the ordinal_assoc_cells plan-audit lesson
+    cells = (
+        g.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     per_x = cells.groupBy("__x").agg(F.max("__c").alias("__mx"))
     per_y = cells.groupBy("__y").agg(
         F.max("__c").alias("__my"), F.sum("__c").alias("__ny")

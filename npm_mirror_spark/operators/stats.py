@@ -1778,13 +1778,19 @@ def cvm2_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     Output per value: value, cnt_a, cnt_b, cum_a, cum_b, diff_num, w
     — ordered by value.
     """
+    from pyspark import StorageLevel
+
     from npm_mirror_spark.operators.classifier import _with_prior_sums
 
     src = df.select(
         F.col(value).alias("__v"),
         F.coalesce(in_a, F.lit(False)).alias("__in_a"),
     ).filter(F.col("__v").isNotNull())
-    g = _ab_counts(src, "__v", F.col("__in_a"))
+    # bounded collapsed frame, two consumers (prefix machinery +
+    # totals fold) — persist so the raw input is scanned once
+    g = _ab_counts(src, "__v", F.col("__in_a")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pri = _with_prior_sums(g, "__v", ("cnt_a", "cnt_b"))
     cum_a = (F.col("__prior_cnt_a") + F.col("cnt_a")).cast(_D38)
     cum_b = (F.col("__prior_cnt_b") + F.col("cnt_b")).cast(_D38)
@@ -2097,13 +2103,20 @@ def rank_scale_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
 
     1-row output: n1, n2, r_a_x2, ab_a_x2, u_a_x4, v_a_x4.
     """
+    from pyspark import StorageLevel
+
     from npm_mirror_spark.operators.classifier import _with_prior_sums
 
     src = df.select(
         F.col(value).alias("__v"),
         F.coalesce(in_a, F.lit(False)).alias("__in_a"),
     ).filter(F.col("__v").isNotNull())
-    g = _ab_counts(src, "__v", F.col("__in_a"))
+    # the collapsed value-axis frame (bounded by contract) feeds the
+    # prefix machinery AND the totals fold — persist it so the raw
+    # input is scanned once (the ordinal_assoc_cells plan-audit lesson)
+    g = _ab_counts(src, "__v", F.col("__in_a")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pri = _with_prior_sums(g, "__v", ("cnt_a", "cnt_b"))
     below = F.col("__prior_cnt_a") + F.col("__prior_cnt_b")
     ties = F.col("cnt_a") + F.col("cnt_b")
