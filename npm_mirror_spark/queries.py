@@ -5583,6 +5583,18 @@ from npm_mirror_spark.staging_r13 import STAGED_QUERIES as _R13_QUERIES  # noqa:
 
 QUERIES.update(_R13_QUERIES)
 
+# --- r14 registrations: the r13-staged batch (staging_r14.py) -------------
+# Written in r13 when the window had zero free tail slots, staged under
+# the register-into-window-only rule, and lifted here in r14 — all 13
+# rotate into the r14 WINDOW_TAIL below in the same commit, with their
+# six pre-documented ALLOWED_BNLJ entries (tests/test_plans.py) landing
+# in the same commit too.  Their oracles are self-contained SQL strings
+# (no registry nesting), so they merge directly at the end of this
+# module alongside the r12/r13 build_oracles hooks.
+from npm_mirror_spark.staging_r14 import STAGED_QUERIES as _R14_QUERIES  # noqa: E402
+
+QUERIES.update(_R14_QUERIES)
+
 # --- Driver window: single source of truth (r8 verdict item 1) ------------
 # The grading driver checks exactly ``list(QUERIES)[:50]``.  A rotation
 # edits ONLY ``WINDOW_TAIL`` below; the dict literal above stays in
@@ -5605,23 +5617,23 @@ PINNED_27: tuple[str, ...] = (
     "q_approx_stats",
 )
 
-#: Slots 28-50 (r13 rotation): the 12 r12-STAGED faces registered this
-#: round (staging_r13.py — registered straight into the window they open
-#: in, per the register-into-window-only hard rule), then the 11 oldest
-#: rows from the last-driver-checked ledger: the first 11 of the r03
-#: block, in registration order (r12 verdict item 1 names exactly this
-#: tail; the ready-to-paste tuple is the staging_r13.py docstring's).
-#: The rows-only entries in this window are the pinned ``q_approx_stats``
-#: and ``q_cosine_topk_arrow`` (Arrow twin of the oracle-checked
-#: ``q_cosine_topk``); the other 21 tail rows are oracle-backed.
+#: Slots 28-50 (r14 rotation): the 13 r13-STAGED faces registered this
+#: round (staging_r14.py — registered straight into the window they open
+#: in, per the register-into-window-only hard rule), then the 10 oldest
+#: rows from the last-driver-checked ledger: the last 10 of the r03
+#: block, in registration order (r13 verdict item 1 names exactly this
+#: tail; the ready-to-paste tuple is the staging_r14.py docstring's).
+#: All 23 tail rows are oracle-backed; the only rows-only entry in this
+#: window is the pinned ``q_approx_stats``.
 WINDOW_TAIL: tuple[str, ...] = (
-    "q_logrank", "q_mantel_haenszel", "q_page_trend", "q_pettitt",
-    "q_conover_scale", "q_digit_pref", "q_mrr", "q_ngram_novelty",
-    "q_quade", "q_cliff_delta", "q_hoeffding", "q_aalen_johansen",
-    "q_cosine_topk_arrow", "q_cosine_dup_pairs", "q_ann_ivf",
-    "q_ivf_dup_pairs", "q_semdedup", "q_ann_recall",
-    "q_top_events_page", "q_mode_per_user", "q_order_priority_check",
-    "q_small_quantity_revenue", "q_returned_item_revenue",
+    "q_somers_d", "q_tau_c", "q_fleiss_kappa", "q_weighted_kappa",
+    "q_bowker", "q_signed_rank", "q_cvm2", "q_cox_stuart",
+    "q_seasonal_mk", "q_buishand", "q_nelson_aalen", "q_gehan",
+    "q_yule_k",
+    "q_nation_volume", "q_market_share", "q_priority_lines",
+    "q_promo_revenue", "q_supplier_part_count",
+    "q_disjunctive_revenue", "q_idle_rich_customers",
+    "q_cube_counts", "q_rank_family", "q_set_ops",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = PINNED_27 + WINDOW_TAIL
@@ -10337,3 +10349,10 @@ ORACLES.update(_r12_build_oracles(ORACLES))
 from npm_mirror_spark.staging_r13 import build_oracles as _r13_build_oracles  # noqa: E402
 
 ORACLES.update(_r13_build_oracles(ORACLES))
+
+# --- r14 oracle merge (see the r14 registration block above) --------------
+# The staging_r14 oracles are self-contained SQL strings (no registry
+# nesting), so a plain dict merge suffices — no build hook needed.
+from npm_mirror_spark.staging_r14 import STAGED_ORACLES as _R14_ORACLES  # noqa: E402
+
+ORACLES.update(_R14_ORACLES)

@@ -509,6 +509,32 @@ ALLOWED_BNLJ = {
         "inherited from the allowlisted q_cosine_topk / q_ann_recall "
         "shape its exact arm reuses"
     ),
+    # --- r14 batch (staging_r14.py): shapes pre-documented while staged ---
+    "q_somers_d": (
+        "zero-filled (prio x line-count) grid build + 1-row tie/meta "
+        "folds (the q_gk_gamma bounded-grid class)"
+    ),
+    "q_tau_c": (
+        "zero-filled (p_size x price-decade) grid build + 1-row tie/meta "
+        "folds (the q_gk_gamma bounded-grid class)"
+    ),
+    "q_fleiss_kappa": (
+        "three 1-row folds (subject spectrum, category spectrum, dropped "
+        "count) broadcast (the q_kappa shape)"
+    ),
+    "q_weighted_kappa": (
+        "bounded (k x k) rating-margin cross product + two 1-row folds "
+        "(the q_gk_gamma bounded-grid class)"
+    ),
+    "q_signed_rank": (
+        "1-row rank-sum fold broadcast onto the 1-row pair-count fold "
+        "(the q_kappa shape)"
+    ),
+    "q_cvm2": (
+        "1-row group-total fold broadcast onto the bounded quantity axis "
+        "+ _with_prior_sums' (min,max) stats row (the q_quantile_norm "
+        "shape)"
+    ),
 }
 
 

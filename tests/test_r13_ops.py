@@ -37,12 +37,16 @@ def test_staged_faces_have_oracles_and_rows(spark, sf_dir):
         assert q(spark, sf_dir).count() > 0, f"{name} returned no rows"
 
 
-def test_staged_faces_disjoint_from_registry():
-    """The register-into-window-only rule: staged faces stay OUT of the
-    registry until the r14 rotation lifts them."""
-    from npm_mirror_spark.queries import QUERIES
+def test_r14_batch_is_registered_with_oracles():
+    """The r14 rotation lifted this batch into the registry (parity
+    itself runs in test_oracle_parity.py); the staged dicts and the
+    registry must agree exactly."""
+    from npm_mirror_spark.queries import ORACLES, QUERIES
 
-    assert not set(STAGED_QUERIES) & set(QUERIES)
+    assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
+    for name, q in STAGED_QUERIES.items():
+        assert QUERIES[name] is q, f"{name} registered with a different callable"
+        assert ORACLES[name] == STAGED_ORACLES[name], f"{name} oracle drifted"
 
 
 def test_staged_faces_plan_lint(spark, sf_dir):
