@@ -880,6 +880,7 @@ def capture_recapture(
             .distinct()
         )
 
+    # no paired unpersist by policy: docs/SCALE.md 'Persist policy'
     a = _canon(pairs_a).persist(StorageLevel.MEMORY_AND_DISK)
     b = _canon(pairs_b).persist(StorageLevel.MEMORY_AND_DISK)
     na = a.agg(F.count(F.lit(1)).alias("n_a"))
@@ -1197,6 +1198,7 @@ def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
         g.groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        # no paired unpersist by policy: docs/SCALE.md 'Persist policy'
     )
     tot = _grid_dominance_tot(cells)
 
@@ -1414,6 +1416,7 @@ def weighted_kappa_cells(
         pair.groupBy("__a", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        # no paired unpersist by policy: docs/SCALE.md 'Persist policy'
     )
     do = cells.agg(
         F.sum(
@@ -1644,6 +1647,7 @@ def gk_lambda(df: DataFrame, x: str, y: str) -> DataFrame:
         g.groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        # no paired unpersist by policy: docs/SCALE.md 'Persist policy'
     )
     per_x = cells.groupBy("__x").agg(F.max("__c").alias("__mx"))
     per_y = cells.groupBy("__y").agg(

@@ -1766,8 +1766,13 @@ def cvm2_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     w = a + b.  The statistic
     T = n1*n2/(n1+n2)^2 * Sigma_v w * (diff_num/(n1*n2))^2 is the
     consumer one-liner this table refuses (a float Sigma over the
-    value axis); every emitted column is an exact integer, so even
-    consumer sums of diff_num or w are order-independent.
+    value axis); every emitted column is integer-VALUED, so consumer
+    sums of diff_num or w are order-independent — with the caveat that
+    the driver-hashable contract forces a double cast, which is exact
+    only below 2^53: once cum*n products approach ~9e15 (corpora in
+    the 10^8-rows-per-group range), downstream sums inherit ordinary
+    IEEE rounding and the order-independence claim no longer holds
+    bit-for-bit.
 
     Bounded-axis contract (the pettitt_cells discipline): the output
     is one row per DISTINCT value, so ``value`` must be a bounded
@@ -1790,7 +1795,7 @@ def cvm2_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     # totals fold) — persist so the raw input is scanned once
     g = _ab_counts(src, "__v", F.col("__in_a")).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
+    )  # no paired unpersist by policy: docs/SCALE.md
     pri = _with_prior_sums(g, "__v", ("cnt_a", "cnt_b"))
     cum_a = (F.col("__prior_cnt_a") + F.col("cnt_a")).cast(_D38)
     cum_b = (F.col("__prior_cnt_b") + F.col("cnt_b")).cast(_D38)
@@ -2048,11 +2053,11 @@ def grubbs_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
         F.signum(dev.cast("double")).cast("int").alias("__sign"),
     )
     # deterministic argmax via max(struct): biggest |dev|, then the
-    # SMALLEST day (day sorts inverted through negative epoch-days)
+    # SMALLEST day (day sorts inverted through negative epoch-days).
+    # n_days/total/sum_sq come from ``tot`` (not re-maxed over scored)
+    # so an EMPTY series yields n_days = 0 with NULL pick columns —
+    # the same degenerate row the DuckDB oracle's LEFT JOIN produces.
     pick = scored.agg(
-        F.max("n_days").alias("n_days"),
-        F.max("total").alias("total"),
-        F.max("sum_sq").alias("sum_sq"),
         F.max(
             F.struct(
                 F.col("__adev").alias("a"),
@@ -2062,10 +2067,10 @@ def grubbs_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
             )
         ).alias("__top"),
     )
-    return pick.select(
+    return tot.crossJoin(F.broadcast(pick)).select(
         "n_days",
-        F.col("total").cast("double").alias("total"),
-        F.col("sum_sq").cast("double").alias("sum_sq"),
+        F.col("__t").cast("double").alias("total"),
+        F.col("__q").cast("double").alias("sum_sq"),
         F.col("__top.a").cast("double").alias("max_dev_xn"),
         F.col("__top.d").alias("at_day"),
         F.col("__top.s").alias("dev_sign"),
@@ -2116,7 +2121,7 @@ def rank_scale_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
     # input is scanned once (the ordinal_assoc_cells plan-audit lesson)
     g = _ab_counts(src, "__v", F.col("__in_a")).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
+    )  # no paired unpersist by policy: docs/SCALE.md
     pri = _with_prior_sums(g, "__v", ("cnt_a", "cnt_b"))
     below = F.col("__prior_cnt_a") + F.col("__prior_cnt_b")
     ties = F.col("cnt_a") + F.col("cnt_b")

@@ -906,9 +906,12 @@ def gehan_cells(
 
     The weighting buys back exactness the plain log-rank loses: the
     weighted observed-minus-expected per time is
-    ``w_o_minus_e_a = n*d_a - n_a*d`` — an EXACT integer (the n weight
+    ``w_o_minus_e_a = n*d_a - n_a*d`` — integer-valued (the n weight
     cancels the d/n division), so the statistic's numerator
-    Sigma w_o_minus_e_a is order-independent in any engine.  The
+    Sigma w_o_minus_e_a is order-independent in any engine while the
+    double-cast values stay below 2^53 (the driver-hashable contract
+    forces the cast; n*d products past ~9e15 would reintroduce IEEE
+    rounding into consumer sums).  The
     weighted variance term keeps one division:
     ``w2_var_term = n^2 * var_term = d*n_a*(n-n_a)*(n-d)/(n-1)``
     (0 when n = 1) — exact-integer numerator, ONE IEEE division.
@@ -1006,12 +1009,13 @@ def cox_stuart_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
     :func:`~npm_mirror_spark.operators.stats.mann_kendall_daily` (MK
     weighs ALL O(n^2) pairs; Cox–Stuart only the n/2 half-spaced ones).
 
-    Shape: collapse to one (day, value) row per day, index the bounded
-    day axis with a row_number (unpartitioned window over ~3k rows —
-    the pettitt_cells bounded-axis contract), then ONE equi self-join
-    on ``idx = idx + h`` — no non-equi join, no BNLJ.  Duplicate days
-    raise upstream (callers pass a grouped daily series); NULL
-    day/value rows are dropped.
+    Shape — caller contract: ``daily`` must already hold ONE
+    (day, value) row per day (pre-collapse with a groupBy; duplicate
+    day rows are not detected here and would shift the half-pairing).
+    Index the bounded day axis with a row_number (unpartitioned window
+    over ~3k rows — the pettitt_cells bounded-axis contract), then ONE
+    equi self-join on ``idx = idx + h`` — no non-equi join, no BNLJ.
+    NULL day/value rows are dropped.
 
     1-row output: n_days, n_pairs, n_pos (later > earlier), n_neg,
     n_tie, pos_share (= n_pos / n_pairs when pairs exist — ONE IEEE
@@ -1084,7 +1088,10 @@ def seasonal_mk_cells(
     ``season`` defaults to day-of-week (``dayofweek`` — 7 seasons);
     pass any bounded categorical Column over the day for months etc.
 
-    Shape: collapse to one (season, day, value) row per day, then the
+    Shape — caller contract: ``daily`` must already hold ONE
+    (day, value) row per day (pre-collapse with a groupBy; this
+    operator does NOT dedupe, and duplicate day rows would silently
+    inflate per-season pair counts).  On that frame it runs the
     mann_kendall_daily wedge PER SEASON: self-join with an EQUI key on
     season plus the in-season ``day_b > day_a`` residual — a hash join
     on season, never a cartesian; pair count per season is bounded by
@@ -1169,9 +1176,12 @@ def buishand_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
     fixed-break homogeneity test on the ORIGINAL scale, most sensitive
     to a single mean shift mid-series.
 
-    Shape: one (day, value) collapse, then two bounded prefix windows
-    over the day axis (the pettitt_cells contract: the axis is
-    calendar days, ~3k/decade).  NULL day/value rows are dropped.
+    Shape — caller contract: ``daily`` must already hold ONE
+    (day, value) row per day (pre-collapse with a groupBy; duplicate
+    day rows are not detected here and would corrupt the prefix sums).
+    Then two bounded prefix windows over the day axis (the
+    pettitt_cells contract: the axis is calendar days, ~3k/decade).
+    NULL day/value rows are dropped.
 
     Output per day: day, k (1-based index), x (the value), p_k,
     n_days, total, n_sk_scaled (all exact integers), ordered by day.

@@ -372,7 +372,7 @@ SELECT CAST(tot.n_days AS BIGINT) AS n_days,
   CAST(pick.adev AS DOUBLE) AS max_dev_xn,
   pick.day AS at_day,
   CAST(pick.sgn AS INTEGER) AS dev_sign
-FROM tot CROSS JOIN pick
+FROM tot LEFT JOIN pick ON TRUE
 """
 
 

@@ -661,6 +661,34 @@ def test_grubbs_hand_example(spark):
     )
 
 
+def test_grubbs_empty_series_matches_oracle_degenerate(spark):
+    """Empty input: ONE row with n_days = 0 and every other column
+    NULL — the exact degenerate row the DuckDB oracle's LEFT JOIN
+    produces (advice r13: the old CROSS JOIN oracle returned zero rows
+    while the operator returned one, an oracle-parity divergence)."""
+    import duckdb
+
+    from npm_mirror_spark.operators.stats import grubbs_cells
+
+    df = spark.createDataFrame([], "d date, x long")
+    rows = grubbs_cells(df, "d", "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] == 0
+    assert all(
+        r[c] is None
+        for c in ("total", "sum_sq", "max_dev_xn", "at_day", "dev_sign")
+    )
+    # the oracle on an empty events view agrees cell-for-cell
+    from npm_mirror_spark.staging_r15 import STAGED_ORACLES
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT CAST(NULL AS TIMESTAMP) AS ts WHERE FALSE")
+    orc = con.execute(STAGED_ORACLES["q_grubbs"]).fetchall()
+    assert len(orc) == 1
+    assert orc[0][0] == 0 and all(v is None for v in orc[0][1:])
+
+
 def test_grubbs_tie_breaks_to_smallest_day(spark):
     """Symmetric extremes tie on |dev| — the earlier day wins."""
     from npm_mirror_spark.operators.stats import grubbs_cells

@@ -9,8 +9,9 @@ Usage: python tools/stage_audit.py q_triangle_est [sf_dir] [repeats]
 import json
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
