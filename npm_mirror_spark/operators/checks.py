@@ -1698,3 +1698,233 @@ def gk_lambda(df: DataFrame, x: str, y: str) -> DataFrame:
             (smy - mnx).cast(d38).cast("double") / (n - mnx).cast("double"),
         ).alias("lambda_xy"),
     )
+
+
+def blomqvist_beta_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Blomqvist's beta (medial correlation, Blomqvist 1950) — the
+    quadrant-count dependence audit: split the plane at the two exact
+    medians and ask how much mass sits in the concordant quadrants.
+    The 50%-breakdown companion to the registered q_spearman /
+    q_kendall_tau (whose statistics every row influences): beta reads
+    ONLY which side of the median each value falls, so it survives
+    arbitrarily wild tails — the dependence check to trust when the
+    marginals are as dirty as crawl metadata gets.
+
+    Exactness: both medians are kept exact by DOUBLING (med2 = lower +
+    upper median over the distinct-value axis, the mood_median_cells
+    convention, each via the bounded bucket prefix), so the quadrant
+    classification ``2x <> med2_x`` is pure integer comparison; rows
+    ON either median are counted out (``n_on``, the classical
+    convention) and beta = (n_pp + n_mm - n_pm - n_mp) / n_off is ONE
+    division.
+
+    Shape: two value-axis collapses + bucket prefixes (one per
+    marginal), two 1-row median folds broadcast onto the rows, one
+    quadrant fold.  NULL x/y rows are dropped (pairwise-complete).
+
+    1-row output: n_rows, n_on, n_pp, n_pm, n_mp, n_mm, med2_x,
+    med2_y (exact-int doubles), beta (NULL when every row ties a
+    median).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    d38 = "decimal(38,0)"
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def med2(col: str, alias: str) -> DataFrame:
+        vals = g.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        pri = _with_prior_sums(vals, col, ("__c",))
+        cum = F.col("__prior___c") + F.col("__c")
+        tot = vals.agg(F.sum("__c").alias("__n"))
+        return (
+            pri.crossJoin(F.broadcast(tot))
+            .agg(
+                F.min(
+                    F.when(
+                        cum >= F.floor((F.col("__n") + 1) / 2), F.col(col)
+                    )
+                ).alias("__mlo"),
+                F.min(
+                    F.when(
+                        cum >= F.floor(F.col("__n") / 2) + 1, F.col(col)
+                    )
+                ).alias("__mhi"),
+            )
+            .select(
+                (F.col("__mlo").cast(d38) + F.col("__mhi").cast(d38))
+                .cast(d38)
+                .alias(alias)
+            )
+        )
+
+    mx = med2("__x", "__mx2")
+    my = med2("__y", "__my2")
+    x2 = F.lit(2).cast(d38) * F.col("__x").cast(d38)
+    y2 = F.lit(2).cast(d38) * F.col("__y").cast(d38)
+    on_med = (x2 == F.col("__mx2")) | (y2 == F.col("__my2"))
+    q = (
+        g.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(on_med, 1).otherwise(0)).alias("n_on"),
+            F.sum(
+                F.when(
+                    ~on_med & (x2 > F.col("__mx2")) & (y2 > F.col("__my2")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pp"),
+            F.sum(
+                F.when(
+                    ~on_med & (x2 > F.col("__mx2")) & (y2 < F.col("__my2")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pm"),
+            F.sum(
+                F.when(
+                    ~on_med & (x2 < F.col("__mx2")) & (y2 > F.col("__my2")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mp"),
+            F.sum(
+                F.when(
+                    ~on_med & (x2 < F.col("__mx2")) & (y2 < F.col("__my2")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mm"),
+            F.max(F.col("__mx2").cast("double")).alias("med2_x"),
+            F.max(F.col("__my2").cast("double")).alias("med2_y"),
+        )
+    )
+    n_off = (
+        F.col("n_pp") + F.col("n_pm") + F.col("n_mp") + F.col("n_mm")
+    ).cast("long")
+    return q.select(
+        "n_rows",
+        "n_on",
+        "n_pp",
+        "n_pm",
+        "n_mp",
+        "n_mm",
+        "med2_x",
+        "med2_y",
+        F.when(
+            n_off > 0,
+            (
+                F.col("n_pp") + F.col("n_mm") - F.col("n_pm") - F.col("n_mp")
+            ).cast("double")
+            / n_off.cast("double"),
+        ).alias("beta"),
+    )
+
+
+def krippendorff_alpha_cells(
+    ratings: DataFrame, unit: str, value: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) agreement cells — the
+    missing-data-tolerant reliability coefficient next to
+    :func:`fleiss_kappa_cells` (Fleiss requires complete panels and
+    measures chance agreement from rater-pooled margins; alpha's
+    coincidence-matrix chance model stays defined when units carry 2
+    ratings instead of 3, so partially-missing panels keep their
+    evidence instead of being dropped).
+
+    Exactness: units with m ratings contribute their disagreeing
+    ordered pairs with weight 1/(m-1); on the DOUBLED scale
+    (``disagree_x2``) that weight is the exact integer 2/(m-1) for
+    m in {2, 3} — panels wider than 3 raise (a staged-raise guard;
+    the general-m extension needs an LCM scale).  Margins n_c and
+    n.. are plain integer counts, so
+    ``alpha = 1 - (n.. - 1) * disagree_x2 / (2 * (n..^2 - Sigma
+    n_c^2))`` is ONE fixed IEEE expression on exact-int inputs.
+    Units with a single rating join the dropped count (they pair with
+    nothing).
+
+    Shape: one (unit, value) collapse, one per-unit fold, two 1-row
+    folds broadcast (pair sums + margins) — no pair join at all; the
+    per-unit disagreeing-pair count folds from the within-unit value
+    spectrum (m*(m-1) - Sigma m_c*(m_c-1)).
+
+    1-row output: n_units (m >= 2), n_dropped (m < 2), n_ratings
+    (n..), disagree_x2, margin_sq_sum (Sigma n_c^2) — exact-int
+    doubles — and alpha (NULL when the chance denominator is 0).
+    """
+    d38 = "decimal(38,0)"
+    g = ratings.select(
+        F.col(unit).alias("__u"), F.col(value).alias("__v")
+    ).filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+    uv = g.groupBy("__u", "__v").agg(F.count(F.lit(1)).alias("__muc"))
+    per_u = uv.groupBy("__u").agg(
+        F.sum("__muc").alias("__m"),
+        F.sum(F.col("__muc") * (F.col("__muc") - 1)).alias("__agree"),
+    )
+    too_wide = F.when(
+        F.col("__m") > 3,
+        F.raise_error(
+            F.concat(
+                F.lit("krippendorff_alpha_cells: unit with "),
+                F.col("__m").cast("string"),
+                F.lit(" ratings; only m <= 3 keeps the x2 scale exact"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__m"))
+    per_u = per_u.select(
+        "__u", too_wide.alias("__m"), "__agree"
+    )
+    # disagreeing ordered pairs = m(m-1) - agree; weight 2/(m-1) is the
+    # exact integer 2 (m=2) or 1 (m=3) on the doubled scale
+    disag2 = (
+        (F.col("__m") * (F.col("__m") - 1) - F.col("__agree")).cast(d38)
+        * F.when(F.col("__m") == 2, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast(d38)
+    ).cast(d38)
+    pairable = per_u.filter(F.col("__m") >= 2)
+    folds = pairable.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(F.sum("__m"), F.lit(0)).alias("__nr"),
+        F.coalesce(
+            F.sum(disag2).cast(d38), F.lit(0).cast(d38)
+        ).alias("__d2"),
+    )
+    dropped = per_u.filter(F.col("__m") < 2).agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    margins = (
+        uv.join(
+            pairable.select("__u"), on="__u", how="inner"
+        )
+        .groupBy("__v")
+        .agg(F.sum("__muc").alias("__nc"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("__nc").cast(d38) * F.col("__nc").cast(d38)).cast(d38))
+                .cast(d38),
+                F.lit(0).cast(d38),
+            ).alias("__msq")
+        )
+    )
+    nr = F.col("__nr").cast(d38)
+    den = (F.lit(2).cast(d38) * (nr * nr - F.col("__msq")).cast(d38)).cast(
+        d38
+    )
+    return (
+        folds.crossJoin(F.broadcast(dropped))
+        .crossJoin(F.broadcast(margins))
+        .select(
+            "n_units",
+            "n_dropped",
+            F.col("__nr").cast("long").alias("n_ratings"),
+            F.col("__d2").cast("double").alias("disagree_x2"),
+            F.col("__msq").cast("double").alias("margin_sq_sum"),
+            F.when(
+                den > 0,
+                F.lit(1.0)
+                - (nr - F.lit(1).cast(d38)).cast("double")
+                * F.col("__d2").cast("double")
+                / den.cast("double"),
+            ).alias("alpha"),
+        )
+    )

@@ -2155,3 +2155,299 @@ def rank_scale_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
         F.coalesce(F.col("__u"), zero).cast("double").alias("u_a_x4"),
         F.coalesce(F.col("__v2"), zero).cast("double").alias("v_a_x4"),
     )
+
+
+def moments_jb_cells(df: DataFrame, value: str) -> DataFrame:
+    """Jarque–Bera normality cells from exact integer power sums — the
+    moment-based shape audit next to the rank-based location/scale
+    tests: is the series' skewness/kurtosis consistent with a normal
+    (the gate for z-score-based outlier rules like zscore_outliers,
+    which silently misfire on heavy-tailed daily volumes)?
+
+    Exactness: the four power sums S1..S4 fold as DECIMAL(38,0), and
+    the n-scaled central moments are integer combinations —
+    ``m2_xn = n*S2 - S1^2`` (= n^2 * m2), ``m3_xn2 = n^2*S3 -
+    3n*S1*S2 + 2*S1^3`` (= n^3 * m3), ``m4_xn3 = n^3*S4 - 4n^2*S1*S3
+    + 6n*S1^2*S2 - 3*S1^4`` (= n^4 * m4) — so the scale factors cancel
+    exactly in the ratios: ``skew_sq = g1^2 = m3_xn2^2 / m2_xn^3`` and
+    ``kurt_b2 = m4_xn3 / m2_xn^2`` (no root, no libm — pure IEEE
+    * and /), and ``jb = n/6 * (skew_sq + (kurt_b2 - 3)^2 / 4)`` is
+    ONE fixed IEEE expression on exact-int-valued inputs, bit-equal
+    across engines.  Numeric-range contract: |x|^4 * n^4 must stay
+    below 10^38 (|x| * n under ~3e9) — pre-scale gigantic counts
+    (thousands) before calling, the quartic twin of the quade ss_x16
+    bound.
+
+    Shape: ONE global fold over the rows — no window, no join, no
+    broadcast; the cheapest plan in the stats tier.
+
+    1-row output: n_rows, s1, m2_xn, m3_xn2, m4_xn3 (exact-int
+    doubles), skew_sq, kurt_b2, jb (NULL when m2 = 0 or n = 0).
+    """
+    x = F.col("__x").cast(_D38)
+    g = df.select(F.col(value).alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast(_D38).alias("__n"),
+        F.sum(x).cast(_D38).alias("__s1"),
+        F.sum((x * x).cast(_D38)).cast(_D38).alias("__s2"),
+        F.sum((x * x * x).cast(_D38)).cast(_D38).alias("__s3"),
+        F.sum((x * x * x * x).cast(_D38)).cast(_D38).alias("__s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("__n", "__s1", "__s2", "__s3", "__s4"))
+    m2 = (n * s2 - s1 * s1).cast(_D38)
+    m3 = (n * n * s3 - F.lit(3).cast(_D38) * n * s1 * s2
+          + F.lit(2).cast(_D38) * s1 * s1 * s1).cast(_D38)
+    m4 = (n * n * n * s4 - F.lit(4).cast(_D38) * n * n * s1 * s3
+          + F.lit(6).cast(_D38) * n * s1 * s1 * s2
+          - F.lit(3).cast(_D38) * s1 * s1 * s1 * s1).cast(_D38)
+    staged = tot.select(
+        n.cast("long").alias("n_rows"),
+        F.coalesce(s1, F.lit(0).cast(_D38)).cast("double").alias("s1"),
+        m2.cast("double").alias("m2_xn"),
+        m3.cast("double").alias("m3_xn2"),
+        m4.cast("double").alias("m4_xn3"),
+    )
+    m2d, m3d, m4d = F.col("m2_xn"), F.col("m3_xn2"), F.col("m4_xn3")
+    skew_sq = F.when(
+        m2d > 0, (m3d * m3d) / (m2d * m2d * m2d)
+    )
+    kurt = F.when(m2d > 0, m4d / (m2d * m2d))
+    return staged.select(
+        "n_rows", "s1", "m2_xn", "m3_xn2", "m4_xn3",
+        skew_sq.alias("skew_sq"),
+        kurt.alias("kurt_b2"),
+        F.when(
+            m2d > 0,
+            F.col("n_rows").cast("double") / F.lit(6.0)
+            * (
+                (m3d * m3d) / (m2d * m2d * m2d)
+                + (m4d / (m2d * m2d) - F.lit(3.0))
+                * (m4d / (m2d * m2d) - F.lit(3.0))
+                / F.lit(4.0)
+            ),
+        ).alias("jb"),
+    )
+
+
+def kuiper_2samp_cells(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Two-sample Kuiper statistic between ``in_a`` rows and the rest —
+    the cyclic / tail-equitable reading of :func:`ks_2samp`: KS takes
+    the single worst one-sided ECDF gap, Kuiper V = D+ + D- adds BOTH
+    one-sided extremes, so shifts that push mass out of opposite tails
+    (one group fatter on both ends) register even when the two
+    one-sided gaps individually stay small.
+
+    Same exact machinery as ks_2samp: per distinct value the signed
+    integer gap ``diff = cum_a*n2 - cum_b*n1``; ``d_plus_num =
+    max(0, max_v diff)`` and ``d_minus_num = max(0, max_v -diff)``
+    are exact integers (the 0 clamp is the sup over the empty tail),
+    and ``v = (d_plus_num + d_minus_num)/(n1*n2)`` is ONE division.
+
+    Shape: one value-axis collapse + the bounded bucket prefix + a
+    1-row (n1, n2) totals broadcast (the ks_2samp singleton-fold
+    pattern) — no sort, no window over raw rows.
+
+    1-row output: n1, n2, d_plus_num, d_minus_num (exact-int doubles),
+    v_num (their sum), v (NULL when either group is empty).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = _ab_counts(df, value, in_a)
+    pri = _with_prior_sums(g, value, ("cnt_a", "cnt_b"))
+    totals = g.agg(
+        F.sum("cnt_a").alias("n1"), F.sum("cnt_b").alias("n2")
+    )
+    cum_a = (F.col("__prior_cnt_a") + F.col("cnt_a")).cast(_D38)
+    cum_b = (F.col("__prior_cnt_b") + F.col("cnt_b")).cast(_D38)
+    diff = (
+        cum_a * F.col("n2").cast(_D38) - cum_b * F.col("n1").cast(_D38)
+    ).cast(_D38)
+    zero = F.lit(0).cast(_D38)
+    folded = (
+        pri.crossJoin(F.broadcast(totals))
+        .agg(
+            F.greatest(F.coalesce(F.max(diff), zero), zero)
+            .cast(_D38)
+            .alias("__dp"),
+            F.greatest(F.coalesce(F.max(-diff), zero), zero)
+            .cast(_D38)
+            .alias("__dm"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    vnum = (F.col("__dp") + F.col("__dm")).cast(_D38)
+    return folded.select(
+        "n1",
+        "n2",
+        F.col("__dp").cast("double").alias("d_plus_num"),
+        F.col("__dm").cast("double").alias("d_minus_num"),
+        vnum.cast("double").alias("v_num"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            vnum.cast("double")
+            / (F.col("n1").cast(_D38) * F.col("n2").cast(_D38)).cast(
+                "double"
+            ),
+        ).alias("v"),
+    )
+
+
+def hodges_lehmann_2samp(df: DataFrame, value: str, in_a: Column) -> DataFrame:
+    """Hodges–Lehmann two-sample shift estimator — the robust EFFECT
+    SIZE companion to :func:`rank_sum_test` (which only answers "is
+    there a shift?"): the median of all n1*n2 pairwise differences
+    (a - b), the amount you'd subtract from group A to best align it
+    with B, with 29% breakdown instead of the mean-difference's 0%.
+
+    NOT the O(n1*n2) pair materialization: both samples collapse to
+    their bounded distinct-value axes first (the cvm2_cells
+    bounded-axis contract — bucket raw floats before calling), the
+    difference grid is (dA x dB) counted pairs — O(distinct^2), not
+    O(rows^2) — and the weighted median over the difference axis uses
+    the exact DOUBLING trick (hl2 = lower + upper weighted median, an
+    exact integer for integer values; the mood_median_cells
+    convention) via the bounded bucket prefix.
+
+    Shape: one value-axis collapse, a broadcast bounded-grid join
+    (dA x dB), one diff-axis collapse + bucket prefix, 1-row folds.
+
+    1-row output: n1, n2, n_pairs (= n1*n2, exact double), hl2_x
+    (doubled HL estimate, exact-int double), hl (= hl2_x / 2, ONE
+    division; NULL when either group is empty).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = _ab_counts(df, value, in_a)
+    totals = g.agg(
+        F.sum("cnt_a").alias("n1"), F.sum("cnt_b").alias("n2")
+    )
+    a = g.filter(F.col("cnt_a") > 0).select(
+        F.col(value).alias("__va"), "cnt_a"
+    )
+    b = g.filter(F.col("cnt_b") > 0).select(
+        F.col(value).alias("__vb"), "cnt_b"
+    )
+    diffs = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy((F.col("__va") - F.col("__vb")).alias("__d"))
+        .agg(
+            F.sum(F.col("cnt_a").cast(_D38) * F.col("cnt_b").cast(_D38))
+            .cast(_D38)
+            .alias("__w")
+        )
+    )
+    pri = _with_prior_sums(diffs, "__d", ("__w",))
+    cum = (F.col("__prior___w") + F.col("__w")).cast(_D38)
+    npairs = diffs.agg(F.sum("__w").cast(_D38).alias("__np"))
+    med = (
+        pri.crossJoin(F.broadcast(npairs))
+        .agg(
+            F.min(
+                F.when(
+                    cum >= F.floor((F.col("__np") + 1) / 2), F.col("__d")
+                )
+            ).alias("__mlo"),
+            F.min(
+                F.when(
+                    cum >= F.floor(F.col("__np") / 2) + 1, F.col("__d")
+                )
+            ).alias("__mhi"),
+        )
+        .select(
+            (F.col("__mlo").cast(_D38) + F.col("__mhi").cast(_D38))
+            .cast(_D38)
+            .alias("__hl2")
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(med))
+        .select(
+            "n1",
+            "n2",
+            (F.col("n1").cast(_D38) * F.col("n2").cast(_D38))
+            .cast("double")
+            .alias("n_pairs"),
+            F.col("__hl2").cast("double").alias("hl2_x"),
+            (F.col("__hl2").cast("double") / F.lit(2.0)).alias("hl"),
+        )
+    )
+
+
+def cuzick_trend_cells(df: DataFrame, value: str, score: str) -> DataFrame:
+    """Cuzick's Wilcoxon-type trend test cells (Cuzick 1985) — the
+    UNBLOCKED ordered-groups trend reading that complements
+    :func:`jonckheere_cells` (Jonckheere counts pairwise dominances
+    between every group pair; Cuzick weights each row's pooled RANK by
+    its group's ordinal score — cheaper, and its pieces reduce to one
+    rank join + one fold).
+
+    Exactness: pooled midranks doubled (``mr2 = 2*below + ties + 1``,
+    the rank_sum_test identity), so ``t_x2 = Sigma score * mr2`` and
+    its null expectation ``e_t_x2 = (N + 1) * Sigma score * n_g`` are
+    exact integers; the tie-corrected variance is a consumer one-liner
+    over the emitted exact pieces (it needs a final sqrt for z — the
+    refused libm class).
+
+    Shape: one (value, score) collapse, one value-axis collapse + the
+    bounded bucket prefix, one value-keyed equi join back, one fold
+    (+ the 1-row tie fold broadcast) — no window over raw rows.
+
+    1-row output: n_rows, k_groups, t_x2, e_t_x2, sum_ln (Sigma l*n_g),
+    sum_l2n (Sigma l^2*n_g), tie_cube_sum (Sigma t^3 - t) — all
+    exact-int doubles.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(
+        F.col(value).alias("__x"), F.col(score).cast(_D38).alias("__l")
+    ).filter(F.col("__x").isNotNull() & F.col("__l").isNotNull())
+    gv = g.groupBy("__x", "__l").agg(F.count(F.lit(1)).alias("__c"))
+    axis = gv.groupBy("__x").agg(F.sum("__c").alias("__ct"))
+    pri = _with_prior_sums(axis, "__x", ("__ct",))
+    mr2 = (
+        F.lit(2).cast(_D38) * F.col("__prior___ct").cast(_D38)
+        + F.col("__ct").cast(_D38)
+        + F.lit(1).cast(_D38)
+    ).cast(_D38)
+    j = gv.join(
+        pri.select("__x", mr2.alias("__mr2")), on="__x", how="inner"
+    )
+    c38 = F.col("__c").cast(_D38)
+    folded = j.agg(
+        F.sum("__c").alias("n_rows"),
+        F.countDistinct("__l").alias("k_groups"),
+        F.sum((c38 * F.col("__l") * F.col("__mr2")).cast(_D38))
+        .cast(_D38)
+        .alias("__t2"),
+        F.sum((c38 * F.col("__l")).cast(_D38)).cast(_D38).alias("__ln"),
+        F.sum((c38 * F.col("__l") * F.col("__l")).cast(_D38))
+        .cast(_D38)
+        .alias("__l2n"),
+    )
+    ct38 = F.col("__ct").cast(_D38)
+    ties = axis.agg(
+        F.coalesce(
+            F.sum((ct38 * ct38 * ct38 - ct38).cast(_D38)).cast(_D38),
+            F.lit(0).cast(_D38),
+        ).alias("__tcube")
+    )
+    return (
+        folded.crossJoin(F.broadcast(ties))
+        .select(
+            "n_rows",
+            "k_groups",
+            F.col("__t2").cast("double").alias("t_x2"),
+            (
+                (F.col("n_rows").cast(_D38) + F.lit(1).cast(_D38))
+                * F.col("__ln")
+            )
+            .cast("double")
+            .alias("e_t_x2"),
+            F.col("__ln").cast("double").alias("sum_ln"),
+            F.col("__l2n").cast("double").alias("sum_l2n"),
+            F.col("__tcube").cast("double").alias("tie_cube_sum"),
+        )
+    )

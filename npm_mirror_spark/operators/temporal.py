@@ -1372,3 +1372,106 @@ def bartels_rvn_cells(daily: DataFrame, day: str, value: str) -> DataFrame:
         dd.cast("double").alias("d_x4"),
         F.when(dd > 0, nm.cast("double") / dd.cast("double")).alias("rvn"),
     )
+
+
+def morans_lag_cells(
+    daily: DataFrame, day: str, value: str, lag_days: int = 7
+) -> DataFrame:
+    """Moran's I / Geary's C cells at a fixed day lag — the
+    WEIGHT-STRUCTURE autocorrelation pair (Moran 1950, Geary 1954)
+    specialized to the "neighbor = ``lag_days`` apart" graph: at
+    ``lag_days=7`` it asks "does this weekday's volume co-move with the
+    SAME weekday one week over?", the seasonal-memory question
+    :func:`seasonal_mk_cells` (within-season trend) and the registered
+    lag-1 q_autocorr / q_durbin_watson (adjacent-day memory) both
+    leave open.
+
+    Exactness: with the 1-row (n, S1, S2) totals broadcast, each
+    centered term is the exact integer ``n*x - S1``; the operator
+    emits ``pair_prod_xn2 = Sigma (n*x_i - S1)(n*x_j - S1)`` over the
+    lag pairs, ``sq_diff_sum = Sigma (x_j - x_i)^2`` (unscaled exact),
+    and ``m2_xn = n*S2 - S1^2`` (= n * Sigma z^2 * n ... the n-scaled
+    second moment), so both statistics reduce to fixed IEEE
+    expressions whose scale factors cancel exactly:
+    ``morans_i = pair_prod_xn2 / (n_pairs * m2_xn)`` and
+    ``gearys_c = n*(n-1) * sq_diff_sum / (2 * n_pairs * m2_xn)``.
+
+    Shape — caller contract: ``daily`` must already hold ONE
+    (day, value) row per day (pre-collapse with a groupBy; duplicate
+    day rows would double-count pairs).  The lag pairing is ONE equi
+    self-join on ``day_b = day_a + lag_days`` over the bounded day
+    axis (missing days simply contribute no pair — the graph shrinks,
+    W adjusts), plus the 1-row totals broadcast.  NULL day/value rows
+    are dropped.
+
+    1-row output: n_days, lag_days, n_pairs, pair_prod_xn2,
+    sq_diff_sum, m2_xn (exact-int doubles), morans_i, gearys_c (NULL
+    when no pairs or zero variance).
+    """
+    d38 = "decimal(38,0)"
+    g = daily.select(
+        F.col(day).alias("__d"), F.col(value).alias("__x")
+    ).filter(F.col("__d").isNotNull() & F.col("__x").isNotNull())
+    x = F.col("__x").cast(d38)
+    tot = g.agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(x).cast(d38).alias("__s1"),
+        F.sum((x * x).cast(d38)).cast(d38).alias("__s2"),
+    )
+    a = g.select(F.col("__d").alias("__da"), F.col("__x").alias("__xa"))
+    b = g.select(
+        F.date_add(F.col("__d"), -lag_days).alias("__da"),
+        F.col("__x").alias("__xb"),
+    )
+    za = F.col("__n") * F.col("__xa").cast(d38) - F.col("__s1")
+    zb = F.col("__n") * F.col("__xb").cast(d38) - F.col("__s1")
+    dx = F.col("__xb").cast(d38) - F.col("__xa").cast(d38)
+    pairs = (
+        a.join(b, on="__da", how="inner")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(
+                F.sum((za * zb).cast(d38)).cast(d38), F.lit(0).cast(d38)
+            ).alias("__pp"),
+            F.coalesce(
+                F.sum((dx * dx).cast(d38)).cast(d38), F.lit(0).cast(d38)
+            ).alias("__sd"),
+        )
+    )
+    m2 = (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast(
+        d38
+    )
+    staged = tot.crossJoin(F.broadcast(pairs)).select(
+        F.col("__n").cast("long").alias("n_days"),
+        F.lit(lag_days).alias("lag_days"),
+        "n_pairs",
+        F.col("__pp").cast("double").alias("pair_prod_xn2"),
+        F.col("__sd").cast("double").alias("sq_diff_sum"),
+        m2.cast("double").alias("m2_xn"),
+    )
+    ok = (F.col("n_pairs") > 0) & (F.col("m2_xn") > 0)
+    return staged.select(
+        "n_days",
+        "lag_days",
+        "n_pairs",
+        "pair_prod_xn2",
+        "sq_diff_sum",
+        "m2_xn",
+        F.when(
+            ok,
+            F.col("pair_prod_xn2")
+            / (F.col("n_pairs").cast("double") * F.col("m2_xn")),
+        ).alias("morans_i"),
+        F.when(
+            ok,
+            F.col("n_days").cast("double")
+            * (F.col("n_days").cast("double") - F.lit(1.0))
+            * F.col("sq_diff_sum")
+            / (
+                F.lit(2.0)
+                * F.col("n_pairs").cast("double")
+                * F.col("m2_xn")
+            ),
+        ).alias("gearys_c"),
+    )

@@ -1,0 +1,286 @@
+"""r14 operator batch: unit tests with hand-computed expectations for
+the seven operators staged into the r15 window tail (staging_r15.py
+additions) — moment normality, lag autocorrelation cells, quadrant
+correlation, Kuiper, Krippendorff alpha, Hodges-Lehmann, Cuzick trend.
+Full oracle-parity drives run in test_r13_ops.py's staged-r15 sweep
+(the staged dicts are iterated dynamically)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------ moments_jb_cells
+
+
+def test_jarque_bera_hand_example(spark):
+    """[1,2,3,4]: S=(10,30,100,354); M2=20, M3=0 (symmetric),
+    M4=656 (= 64 * 10.25); b2 = 656/400 = 1.64;
+    JB = 4/6 * (0 + (1.64-3)^2/4)."""
+    from npm_mirror_spark.operators.stats import moments_jb_cells
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    r = moments_jb_cells(df, "x").collect()[0]
+    assert (r["n_rows"], r["s1"]) == (4, 10.0)
+    assert (r["m2_xn"], r["m3_xn2"], r["m4_xn3"]) == (20.0, 0.0, 656.0)
+    assert r["skew_sq"] == 0.0
+    assert r["kurt_b2"] == 656.0 / 400.0
+    assert r["jb"] == 4.0 / 6.0 * ((1.64 - 3.0) * (1.64 - 3.0) / 4.0)
+
+
+def test_jarque_bera_constant_and_empty(spark):
+    from npm_mirror_spark.operators.stats import moments_jb_cells
+
+    const = spark.createDataFrame([(5,), (5,)], "x long")
+    r = moments_jb_cells(const, "x").collect()[0]
+    assert r["m2_xn"] == 0.0 and r["jb"] is None
+    empty = spark.createDataFrame([], "x long")
+    r = moments_jb_cells(empty, "x").collect()[0]
+    assert r["n_rows"] == 0 and r["jb"] is None
+
+
+# --------------------------------------------------- kuiper_2samp_cells
+
+
+def test_kuiper_hand_example(spark):
+    """A=[1,1,2], B=[2,3,3]: diff at v=1 is 6, at v=2 is 6, at v=3 is
+    0 -> D+ = 6, D- = 0, V = 6/9."""
+    from npm_mirror_spark.operators.stats import kuiper_2samp_cells
+
+    rows = [(1, True), (1, True), (2, True), (2, False), (3, False), (3, False)]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    r = kuiper_2samp_cells(df, "v", F.col("a")).collect()[0]
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert (r["d_plus_num"], r["d_minus_num"], r["v_num"]) == (6.0, 0.0, 6.0)
+    assert r["v"] == 6.0 / 9.0
+
+
+def test_kuiper_one_sided_clamp(spark):
+    """A entirely above B: D+ clamps to 0, D- carries the whole gap."""
+    from npm_mirror_spark.operators.stats import kuiper_2samp_cells
+
+    df = spark.createDataFrame([(3, True), (1, False)], "v long, a boolean")
+    r = kuiper_2samp_cells(df, "v", F.col("a")).collect()[0]
+    assert (r["d_plus_num"], r["d_minus_num"], r["v"]) == (0.0, 1.0, 1.0)
+
+
+def test_kuiper_vs_ks_dual_tail(spark):
+    """Mass pushed out of BOTH tails: V strictly exceeds the KS D."""
+    from npm_mirror_spark.operators.stats import kuiper_2samp_cells, ks_2samp
+
+    # A = extremes, B = middle
+    rows = [(1, True), (5, True), (3, False), (3, False)]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    ku = kuiper_2samp_cells(df, "v", F.col("a")).collect()[0]
+    ks = ks_2samp(df, "v", F.col("a")).collect()[0]
+    assert ku["v_num"] > ks["d_num"]
+    # v=1: diff = 1*2-0 = 2; v=3: 2-4 = -2; v=5: 0 -> D+=2, D-=2, V=4
+    assert (ku["d_plus_num"], ku["d_minus_num"]) == (2.0, 2.0)
+
+
+# ------------------------------------------------- hodges_lehmann_2samp
+
+
+def test_hodges_lehmann_hand_examples(spark):
+    from npm_mirror_spark.operators.stats import hodges_lehmann_2samp
+
+    # A=[1,4], B=[2,3]: diffs {-2,-1,1,2} -> doubled median 0
+    df = spark.createDataFrame(
+        [(1, True), (4, True), (2, False), (3, False)], "v long, a boolean"
+    )
+    r = hodges_lehmann_2samp(df, "v", F.col("a")).collect()[0]
+    assert (r["n1"], r["n2"], r["n_pairs"]) == (2, 2, 4.0)
+    assert (r["hl2_x"], r["hl"]) == (0.0, 0.0)
+    # A=[5,6], B=[1,2]: diffs {3,4,4,5} -> median 4
+    df = spark.createDataFrame(
+        [(5, True), (6, True), (1, False), (2, False)], "v long, a boolean"
+    )
+    r = hodges_lehmann_2samp(df, "v", F.col("a")).collect()[0]
+    assert (r["hl2_x"], r["hl"]) == (8.0, 4.0)
+
+
+def test_hodges_lehmann_pure_shift_recovers_delta(spark):
+    """B = A + 10 exactly: the HL estimate of A - B is exactly -10."""
+    from npm_mirror_spark.operators.stats import hodges_lehmann_2samp
+
+    a = [(v, True) for v in (3, 1, 4, 1, 5, 9, 2, 6)]
+    b = [(v + 10, False) for v, _ in a]
+    df = spark.createDataFrame(a + b, "v long, a boolean")
+    r = hodges_lehmann_2samp(df, "v", F.col("a")).collect()[0]
+    assert r["hl"] == -10.0
+
+
+# -------------------------------------------------- cuzick_trend_cells
+
+
+def test_cuzick_hand_example_no_ties(spark):
+    """Scores 1,2,3 with values (1,2),(3,4),(5,6): perfect trend.
+    t_x2 = 2*(1*3 + 2*7 + 3*11) = 100; E = (6+1)*12 = 84."""
+    from npm_mirror_spark.operators.stats import cuzick_trend_cells
+
+    rows = [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]
+    df = spark.createDataFrame(rows, "v long, l long")
+    r = cuzick_trend_cells(df, "v", "l").collect()[0]
+    assert (r["n_rows"], r["k_groups"]) == (6, 3)
+    assert (r["t_x2"], r["e_t_x2"]) == (100.0, 84.0)
+    assert (r["sum_ln"], r["sum_l2n"], r["tie_cube_sum"]) == (12.0, 28.0, 0.0)
+
+
+def test_cuzick_hand_example_with_ties(spark):
+    """g1=[1,1], g2=[1,2]: v=1 has mr2=4, v=2 has mr2=8;
+    t_x2 = 8+8+16 = 32; E = 5*6 = 30; tie_cube = 24."""
+    from npm_mirror_spark.operators.stats import cuzick_trend_cells
+
+    rows = [(1, 1), (1, 1), (1, 2), (2, 2)]
+    df = spark.createDataFrame(rows, "v long, l long")
+    r = cuzick_trend_cells(df, "v", "l").collect()[0]
+    assert (r["t_x2"], r["e_t_x2"], r["tie_cube_sum"]) == (32.0, 30.0, 24.0)
+
+
+def test_cuzick_null_expectation_under_exchange(spark):
+    """A score permutation that swaps group labels evenly leaves
+    sum_ln (hence E) fixed; t_x2 - e_t_x2 flips sign when the trend
+    direction reverses."""
+    from npm_mirror_spark.operators.stats import cuzick_trend_cells
+
+    up = [(v, s) for v, s in [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]]
+    dn = [(v, 4 - s) for v, s in up]
+    r_up = cuzick_trend_cells(
+        spark.createDataFrame(up, "v long, l long"), "v", "l"
+    ).collect()[0]
+    r_dn = cuzick_trend_cells(
+        spark.createDataFrame(dn, "v long, l long"), "v", "l"
+    ).collect()[0]
+    assert r_up["e_t_x2"] == r_dn["e_t_x2"]
+    assert r_up["t_x2"] - r_up["e_t_x2"] == -(r_dn["t_x2"] - r_dn["e_t_x2"])
+
+
+# ---------------------------------------------------- blomqvist_beta
+
+
+def test_blomqvist_perfect_and_anti(spark):
+    from npm_mirror_spark.operators.checks import blomqvist_beta_cells
+
+    mono = [(i, i) for i in range(1, 6)]
+    r = blomqvist_beta_cells(
+        spark.createDataFrame(mono, "x long, y long"), "x", "y"
+    ).collect()[0]
+    # (3,3) sits ON both medians -> counted out
+    assert (r["n_rows"], r["n_on"]) == (5, 1)
+    assert (r["n_pp"], r["n_mm"], r["n_pm"], r["n_mp"]) == (2, 2, 0, 0)
+    assert r["beta"] == 1.0
+    anti = [(i, 6 - i) for i in range(1, 6)]
+    r = blomqvist_beta_cells(
+        spark.createDataFrame(anti, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert r["beta"] == -1.0
+
+
+def test_blomqvist_even_split_no_on_rows(spark):
+    from npm_mirror_spark.operators.checks import blomqvist_beta_cells
+
+    rows = [(1, 1), (2, 2), (3, 3), (4, 4)]
+    r = blomqvist_beta_cells(
+        spark.createDataFrame(rows, "x long, y long"), "x", "y"
+    ).collect()[0]
+    # med2 = 5 on both axes; 2x in {2,4,6,8} never equals 5
+    assert (r["n_on"], r["med2_x"], r["med2_y"]) == (0, 5.0, 5.0)
+    assert r["beta"] == 1.0
+
+
+def test_blomqvist_independent_grid_is_zero(spark):
+    from npm_mirror_spark.operators.checks import blomqvist_beta_cells
+
+    rows = [(x, y) for x in range(1, 5) for y in range(1, 5)]
+    r = blomqvist_beta_cells(
+        spark.createDataFrame(rows, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert r["beta"] == 0.0
+
+
+# ------------------------------------------- krippendorff_alpha_cells
+
+
+def test_krippendorff_hand_example(spark):
+    """u1=(a,a), u2=(a,b), u3=(b,b,b): coincidence o_ab = o_ba = 1,
+    margins n_a = 3, n_b = 4, n.. = 7 -> alpha = 1 - 6*4/(2*24) = 0.5."""
+    from npm_mirror_spark.operators.checks import krippendorff_alpha_cells
+
+    rows = [
+        ("u1", "a"), ("u1", "a"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "b"), ("u3", "b"), ("u3", "b"),
+    ]
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = krippendorff_alpha_cells(df, "u", "v").collect()[0]
+    assert (r["n_units"], r["n_dropped"], r["n_ratings"]) == (3, 0, 7)
+    assert (r["disagree_x2"], r["margin_sq_sum"]) == (4.0, 25.0)
+    assert r["alpha"] == 0.5
+
+
+def test_krippendorff_perfect_agreement_and_drops(spark):
+    from npm_mirror_spark.operators.checks import krippendorff_alpha_cells
+
+    rows = [
+        ("u1", "a"), ("u1", "a"), ("u1", "a"),
+        ("u2", "b"), ("u2", "b"),
+        ("u3", "a"),  # single rating -> dropped
+    ]
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = krippendorff_alpha_cells(df, "u", "v").collect()[0]
+    assert (r["n_units"], r["n_dropped"]) == (2, 1)
+    assert r["disagree_x2"] == 0.0 and r["alpha"] == 1.0
+
+
+def test_krippendorff_raises_past_three_raters(spark):
+    from npm_mirror_spark.operators.checks import krippendorff_alpha_cells
+
+    rows = [("u1", "a")] * 4
+    df = spark.createDataFrame(rows, "u string, v string")
+    with pytest.raises(Exception, match="m <= 3"):
+        krippendorff_alpha_cells(df, "u", "v").collect()
+
+
+# ----------------------------------------------------- morans_lag_cells
+
+
+def test_morans_lag1_hand_example(spark):
+    """Consecutive days [1,2,3,4], lag 1: pair_prod_xn2 = 20,
+    I = 20/(3*20) = 1/3; sq_diff = 3, C = 4*3*3/(2*3*20) = 0.3."""
+    from npm_mirror_spark.operators.temporal import morans_lag_cells
+
+    rows = [(dt.date(2024, 1, i), i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = morans_lag_cells(df, "d", "x", lag_days=1).collect()[0]
+    assert (r["n_days"], r["lag_days"], r["n_pairs"]) == (4, 1, 3)
+    assert (r["pair_prod_xn2"], r["sq_diff_sum"], r["m2_xn"]) == (
+        20.0, 3.0, 20.0,
+    )
+    assert r["morans_i"] == 20.0 / 60.0
+    assert r["gearys_c"] == 4.0 * 3.0 * 3.0 / (2.0 * 3.0 * 20.0)
+
+
+def test_morans_weekly_lag_pairs_only_where_both_days_exist(spark):
+    from npm_mirror_spark.operators.temporal import morans_lag_cells
+
+    # days 1..14 minus day 9: lag-7 pairs (1,8),(3,10)..(7,14) = 6 pairs
+    days = [d for d in range(1, 15) if d != 9]
+    rows = [(dt.date(2024, 1, d), d % 3) for d in days]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = morans_lag_cells(df, "d", "x", lag_days=7).collect()[0]
+    assert r["n_pairs"] == 6 and r["lag_days"] == 7
+
+
+def test_morans_perfect_weekly_season_is_positive(spark):
+    """x = weekday index repeated: lag-7 neighbors identical ->
+    Moran's I at lag 7 is maximal positive, Geary's C is 0."""
+    from npm_mirror_spark.operators.temporal import morans_lag_cells
+
+    rows = [(dt.date(2024, 1, d), d % 7) for d in range(1, 29)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = morans_lag_cells(df, "d", "x", lag_days=7).collect()[0]
+    assert r["gearys_c"] == 0.0
+    assert r["morans_i"] > 0.9
