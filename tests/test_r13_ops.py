@@ -556,7 +556,8 @@ def test_bartels_rvn_oscillation_above_trend_below(spark):
 def test_r15_staged_faces_match_oracles(spark, sf_dir):
     """Every early-staged r15 face clears the registry-identical
     harness bar, stays out of the registry, and plans BNLJ only in
-    the four 1-row-fold faces the staging docstring documents."""
+    the 1-row-fold / bounded-grid faces the staging module
+    pre-documents for the r15 registration."""
     from npm_mirror_spark import plans
     from npm_mirror_spark.queries import QUERIES
     from npm_mirror_spark.staging_r15 import STAGED_ORACLES as O15
@@ -565,6 +566,10 @@ def test_r15_staged_faces_match_oracles(spark, sf_dir):
     documented_bnlj = {
         "q_kendall_w", "q_icc", "q_dixon", "q_grubbs",
         "q_rank_scale", "q_gk_lambda",
+        # the r14-staged batch (1-row folds / bounded grids; entries
+        # pre-documented in the staging_r15.py module comment)
+        "q_morans_i", "q_blomqvist_beta", "q_kuiper", "q_krippendorff",
+        "q_hodges_lehmann", "q_cuzick",
     }
     assert set(Q15) == set(O15) and not set(Q15) & set(QUERIES)
     con = duckdb_con(sf_dir)
