@@ -1928,3 +1928,310 @@ def krippendorff_alpha_cells(
             ).alias("alpha"),
         )
     )
+
+
+def cronbach_alpha_cells(
+    ratings: DataFrame, subject: str, item: str, value: str
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency cells — the NUMERIC
+    reliability companion to :func:`icc_cells` on the same panel
+    shape: do the k items (heuristic raters, quality sub-scores) move
+    together enough to be read as one scale?  alpha = k/(k-1) *
+    (1 - Sigma var_i / var_total).
+
+    Exactness: only COMPLETE subjects (one rating per global item —
+    the friedman gate) enter; per-item and per-subject-total moments
+    fold as DECIMAL(38,0), each n-scaled variance is the exact integer
+    ``A = n*Q - S^2``, the item-variance sum runs over the bounded
+    item axis (integer Sigma — order-independent), and alpha is ONE
+    fixed IEEE expression on the two exact operands.
+
+    Shape: one (subject, item) scan, per-item fold + per-subject
+    totals fold + two 1-row folds broadcast — no window, no pair join.
+
+    1-row output: n_subjects, k_items, n_dropped, item_var_sum_xn2
+    (Sigma_i n*Q_i - S_i^2), total_var_xn2 (n*Q_T - S_T^2), alpha
+    (NULL when k < 2 or total variance is 0).  k_items counts items
+    among COMPLETE subjects: when no subject is complete it reads 0
+    (alpha is NULL either way).
+    """
+    d38 = "decimal(38,0)"
+    g = ratings.select(
+        F.col(subject).alias("__u"),
+        F.col(item).alias("__i"),
+        F.col(value).alias("__v"),
+    ).filter(
+        F.col("__u").isNotNull()
+        & F.col("__i").isNotNull()
+        & F.col("__v").isNotNull()
+    )
+    kf = g.select(F.countDistinct("__i").alias("__k"))
+    per_u = g.groupBy("__u").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.countDistinct("__i").alias("__ni"),
+        F.sum(F.col("__v").cast(d38)).cast(d38).alias("__tu"),
+    )
+    complete = (
+        per_u.crossJoin(F.broadcast(kf))
+        .where(
+            (F.col("__nr") == F.col("__k")) & (F.col("__ni") == F.col("__k"))
+        )
+        .select("__u", "__tu")
+    )
+    dropped = (
+        per_u.crossJoin(F.broadcast(kf))
+        .where(
+            (F.col("__nr") != F.col("__k")) | (F.col("__ni") != F.col("__k"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    gc = g.join(complete.select("__u"), "__u", "left_semi")
+    vd = F.col("__v").cast(d38)
+    items = (
+        gc.groupBy("__i")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("__n"),
+            F.sum(vd).cast(d38).alias("__s"),
+            F.sum((vd * vd).cast(d38)).cast(d38).alias("__q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k_items"),
+            F.coalesce(
+                F.sum(
+                    (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
+                    .cast(d38)
+                ).cast(d38),
+                F.lit(0).cast(d38),
+            ).alias("__ia"),
+        )
+    )
+    td = F.col("__tu").cast(d38)
+    totals = complete.agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.coalesce(F.sum(td).cast(d38), F.lit(0).cast(d38)).alias("__st"),
+        F.coalesce(
+            F.sum((td * td).cast(d38)).cast(d38), F.lit(0).cast(d38)
+        ).alias("__qt"),
+    )
+    at = (F.col("__n") * F.col("__qt") - F.col("__st") * F.col("__st")).cast(
+        d38
+    )
+    kd = F.col("k_items").cast("double")
+    return (
+        totals.crossJoin(F.broadcast(items))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            F.col("__n").cast("long").alias("n_subjects"),
+            "k_items",
+            "n_dropped",
+            F.col("__ia").cast("double").alias("item_var_sum_xn2"),
+            at.cast("double").alias("total_var_xn2"),
+            F.when(
+                (F.col("k_items") >= 2) & (at > 0),
+                kd / (kd - F.lit(1.0))
+                * (
+                    F.lit(1.0)
+                    - F.col("__ia").cast("double") / at.cast("double")
+                ),
+            ).alias("alpha"),
+        )
+    )
+
+
+def gwet_ac1_cells(
+    ratings: DataFrame, unit: str, value: str, k_raters: int
+) -> DataFrame:
+    """Gwet's AC1 agreement cells — the prevalence-robust alternative
+    to :func:`fleiss_kappa_cells` on the same complete-panel fixture:
+    when one category dominates, kappa's margin-based chance model
+    collapses toward 0 however well raters agree (the kappa paradox);
+    AC1's chance model pi_c*(1-pi_c)/(K-1) stays calibrated.
+
+    Exactness: over complete units (exactly ``k_raters`` ratings),
+    ``agree_pairs = Sigma_u Sigma_c m_uc*(m_uc - 1)`` and the margin
+    spectrum Sigma n_c^2 are exact integers, so
+    ``pa = agree_pairs / (n*m*(m-1))`` and
+    ``pe = (m^2 n^2 - Sigma n_c^2) / ((K-1) * m^2 n^2)`` and
+    ``ac1 = (pa - pe) / (1 - pe)`` are fixed IEEE expressions.
+
+    Shape: one (unit, value) collapse, per-unit fold, three 1-row
+    folds broadcast — no pair join (the krippendorff_alpha_cells
+    spectrum trick).
+
+    1-row output: n_units, n_dropped, k_categories, agree_pairs,
+    margin_sq_sum (exact-int doubles), pa, pe, ac1 (NULL when
+    K < 2 or pe = 1).
+    """
+    d38 = "decimal(38,0)"
+    m = k_raters
+    g = ratings.select(
+        F.col(unit).alias("__u"), F.col(value).alias("__v")
+    ).filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+    uv = g.groupBy("__u", "__v").agg(F.count(F.lit(1)).alias("__muc"))
+    per_u = uv.groupBy("__u").agg(
+        F.sum("__muc").alias("__m"),
+        F.sum(F.col("__muc") * (F.col("__muc") - 1)).alias("__agree"),
+    )
+    complete = per_u.filter(F.col("__m") == m)
+    dropped = per_u.filter(F.col("__m") != m).agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    folds = complete.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(F.sum("__agree"), F.lit(0)).alias("__ag"),
+    )
+    margins = (
+        uv.join(complete.select("__u"), "__u", "left_semi")
+        .groupBy("__v")
+        .agg(F.sum("__muc").alias("__nc"))
+        .agg(
+            F.count(F.lit(1)).alias("k_categories"),
+            F.coalesce(
+                F.sum(
+                    (F.col("__nc").cast(d38) * F.col("__nc").cast(d38)).cast(
+                        d38
+                    )
+                ).cast(d38),
+                F.lit(0).cast(d38),
+            ).alias("__msq"),
+        )
+    )
+    one = folds.crossJoin(F.broadcast(dropped)).crossJoin(
+        F.broadcast(margins)
+    )
+    nd = F.col("n_units").cast(d38)
+    m2n2 = (F.lit(m * m).cast(d38) * nd * nd).cast(d38)
+    pa = F.col("__ag").cast("double") / (
+        nd * F.lit(m * (m - 1)).cast(d38)
+    ).cast("double")
+    pe = (m2n2 - F.col("__msq")).cast(d38).cast("double") / (
+        (F.col("k_categories") - 1).cast("double") * m2n2.cast("double")
+    )
+    return one.select(
+        "n_units",
+        "n_dropped",
+        "k_categories",
+        F.col("__ag").cast("double").alias("agree_pairs"),
+        F.col("__msq").cast("double").alias("margin_sq_sum"),
+        F.when(F.col("n_units") > 0, pa).alias("pa"),
+        F.when(
+            (F.col("n_units") > 0) & (F.col("k_categories") >= 2), pe
+        ).alias("pe"),
+        F.when(
+            (F.col("n_units") > 0)
+            & (F.col("k_categories") >= 2)
+            & (pe != 1.0),
+            (pa - pe) / (F.lit(1.0) - pe),
+        ).alias("ac1"),
+    )
+
+
+def footrule_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Spearman's footrule cells — the L1 rank distance companion to
+    :func:`~npm_mirror_spark.operators.stats.spearman_rho` (L2): how
+    far do the two rankings move rows on average?  Footrule is the
+    metric of choice when single large displacements should NOT
+    dominate (rho squares them).
+
+    Exactness: both axes take doubled midranks off the bounded bucket
+    prefix (the spearman_rho machinery), so ``footrule_x2 =
+    Sigma |mrx2 - mry2|`` and ``sq_diff_x4 = Sigma (mrx2 - mry2)^2``
+    fold as exact DECIMAL(38,0) — the normalized statistic (the max
+    depends on the tie structure) is left to consumers.
+
+    Shape: two value-axis collapses + bucket prefixes, two value-keyed
+    equi joins back onto the rows, one fold — no window over raw rows.
+
+    1-row output: n_rows, footrule_x2, sq_diff_x4 (exact-int doubles).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    d38 = "decimal(38,0)"
+    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def mr2_map(col: str, out: str) -> DataFrame:
+        vals = g.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        pri = _with_prior_sums(vals, col, ("__c",))
+        return pri.select(
+            col,
+            (
+                F.lit(2).cast(d38) * F.col("__prior___c").cast(d38)
+                + F.col("__c").cast(d38)
+                + F.lit(1).cast(d38)
+            )
+            .cast(d38)
+            .alias(out),
+        )
+
+    j = g.join(mr2_map("__x", "__rx2"), "__x").join(
+        mr2_map("__y", "__ry2"), "__y"
+    )
+    diff = (F.col("__rx2") - F.col("__ry2")).cast(d38)
+    zero = F.lit(0).cast(d38)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.abs(diff).cast(d38)).cast(d38), zero)
+        .cast("double")
+        .alias("footrule_x2"),
+        F.coalesce(F.sum((diff * diff).cast(d38)).cast(d38), zero)
+        .cast("double")
+        .alias("sq_diff_x4"),
+    )
+
+
+def partial_tau_cells(df: DataFrame, x: str, y: str, z: str) -> DataFrame:
+    """Partial Kendall's tau cells — does the (x, y) ordinal
+    association survive controlling for z?  tau_xy.z = (tau_xy -
+    tau_xz * tau_yz) / sqrt((1 - tau_xz^2) * (1 - tau_yz^2)) — the
+    confounder screen for the concordance family
+    (:func:`ordinal_assoc_cells` measures raw association; a large
+    tau_xy that vanishes partially is the Simpson's-paradox tell the
+    stratified q_mantel_haenszel reads for binary outcomes).
+
+    Composition operator: three ordinal_assoc_cells folds (each the
+    documented exact pair decomposition ending in the
+    correctly-rounded IEEE sqrt), cross-joined broadcast; the partial
+    is ONE further fixed IEEE sequence on the three tau_b doubles
+    in the documented order.  Rows with a NULL in ANY of the three
+    columns are dropped up front (listwise completeness, so all three
+    taus read the same n).
+
+    1-row output: n_rows, tau_xy, tau_xz, tau_yz, tau_partial (NULL
+    when any tau is NULL or a radicand factor is <= 0).
+    """
+    g = df.select(
+        F.col(x).alias("__px"),
+        F.col(y).alias("__py"),
+        F.col(z).alias("__pz"),
+    ).filter(
+        F.col("__px").isNotNull()
+        & F.col("__py").isNotNull()
+        & F.col("__pz").isNotNull()
+    )
+    xy = ordinal_assoc_cells(g, "__px", "__py").select(
+        "n_rows", F.col("tau_b").alias("tau_xy")
+    )
+    xz = ordinal_assoc_cells(g, "__px", "__pz").select(
+        F.col("tau_b").alias("tau_xz")
+    )
+    yz = ordinal_assoc_cells(g, "__py", "__pz").select(
+        F.col("tau_b").alias("tau_yz")
+    )
+    one = xy.crossJoin(F.broadcast(xz)).crossJoin(F.broadcast(yz))
+    txy, txz, tyz = F.col("tau_xy"), F.col("tau_xz"), F.col("tau_yz")
+    rad = (F.lit(1.0) - txz * txz) * (F.lit(1.0) - tyz * tyz)
+    return one.select(
+        "n_rows",
+        "tau_xy",
+        "tau_xz",
+        "tau_yz",
+        F.when(
+            txy.isNotNull()
+            & txz.isNotNull()
+            & tyz.isNotNull()
+            & (rad > 0),
+            (txy - txz * tyz) / F.sqrt(rad),
+        ).alias("tau_partial"),
+    )

@@ -2451,3 +2451,365 @@ def cuzick_trend_cells(df: DataFrame, value: str, score: str) -> DataFrame:
             F.col("__tcube").cast("double").alias("tie_cube_sum"),
         )
     )
+
+
+def _type2_pick(cum, v, n, num: int, den: int):
+    """(lo, hi) conditional-min pair for the doubled type-2 sample
+    quantile at p = num/den over a prefix-summed value axis: with
+    j = n*num // den and r = n*num % den, the doubled quantile is
+    lo + hi when r == 0 (average the two straddling order statistics)
+    else 2*hi — the mood_median_cells doubled-median convention
+    generalized to any rational p (p = 1/2 reproduces it exactly)."""
+    j = F.floor((n * num) / den)
+    return (
+        F.min(F.when(cum >= j, v)),
+        F.min(F.when(cum >= j + 1, v)),
+    )
+
+
+def _e2(lo, hi, n, num: int, den: int):
+    """Compose a _type2_pick pair into the doubled quantile."""
+    r = (n * num) % den
+    return F.when(
+        r == 0, lo.cast(_D38) + hi.cast(_D38)
+    ).otherwise(F.lit(2).cast(_D38) * hi.cast(_D38)).cast(_D38)
+
+
+def robust_shape_cells(df: DataFrame, value: str) -> DataFrame:
+    """Quantile-based shape cells — Bowley's quartile skewness and
+    Moors' octile kurtosis, the ROBUST companions to
+    :func:`moments_jb_cells` (whose moment-based g1/b2 a single wild
+    day can saturate; the octile versions have positive breakdown and
+    agree with the moment story only when the tails are honest —
+    disagreement between the two faces IS the finding).
+
+    Exactness: all seven doubled octiles e1_2..e7_2 (p = i/8, type-2
+    averaging convention — ``_type2_pick``; e4_2 is exactly the
+    mood_median_cells doubled median) are exact integers picked off
+    the bounded bucket prefix; the doubling cancels in both ratios, so
+    ``bowley = (e6_2 + e2_2 - 2*e4_2) / (e6_2 - e2_2)`` and
+    ``moors = ((e7_2 - e5_2) + (e3_2 - e1_2)) / (e6_2 - e2_2)`` are
+    each ONE fixed IEEE expression on exact-int-valued doubles.
+
+    Shape: one value-axis collapse + the bucket prefix + a 1-row
+    totals broadcast; ONE fold computes all 14 conditional mins.
+
+    1-row output: n_rows, e1_2 .. e7_2 (exact-int doubles), bowley,
+    moors (NULL when the octile IQR e6_2 - e2_2 is 0).
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(F.col(value).alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    vals = g.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    pri = _with_prior_sums(vals, "__x", ("__c",))
+    cum = F.col("__prior___c") + F.col("__c")
+    tot = vals.agg(F.sum("__c").alias("__n"))
+    n = F.col("__n")
+    aggs = [F.max("__n").alias("__nn")]
+    for i in range(1, 8):
+        lo, hi = _type2_pick(cum, F.col("__x"), n, i, 8)
+        aggs += [lo.alias(f"__lo{i}"), hi.alias(f"__hi{i}")]
+    picks = pri.crossJoin(F.broadcast(tot)).agg(*aggs)
+    nn = F.col("__nn")
+    es = {
+        i: _e2(F.col(f"__lo{i}"), F.col(f"__hi{i}"), nn, i, 8)
+        for i in range(1, 8)
+    }
+    staged = picks.select(
+        nn.cast("long").alias("n_rows"),
+        *[es[i].cast("double").alias(f"e{i}_2") for i in range(1, 8)],
+    )
+    e = {i: F.col(f"e{i}_2") for i in range(1, 8)}
+    iqr = e[6] - e[2]
+    return staged.select(
+        "n_rows",
+        *[f"e{i}_2" for i in range(1, 8)],
+        F.when(
+            iqr > 0, (e[6] + e[2] - F.lit(2.0) * e[4]) / (e[6] - e[2])
+        ).alias("bowley"),
+        F.when(
+            iqr > 0,
+            ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2]),
+        ).alias("moors"),
+    )
+
+
+def tukey_fence_cells(df: DataFrame, value: str) -> DataFrame:
+    """Tukey boxplot-fence outlier census — the quartile-rule
+    companion to the z-score (q_zscore_outliers) and MAD
+    (q_mad_outliers) gates: how many rows fall outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR]?  The rule every boxplot draws,
+    assumption-free and 25%-breakdown.
+
+    Exactness: doubled type-2 quartiles q1_2/med2/q3_2 off the bucket
+    prefix (``_type2_pick``), then the fences stay exact integers on
+    the x4 scale — ``lo_fence_x4 = 5*q1_2 - 3*q3_2`` and
+    ``hi_fence_x4 = 5*q3_2 - 3*q1_2`` (= 4*(Q1 - 1.5*IQR) and
+    4*(Q3 + 1.5*IQR)) — so the census comparison ``4*x < lo_fence_x4``
+    is pure integer arithmetic; out_rate is ONE division.
+
+    Shape: one value-axis collapse + bucket prefix + 1-row quartile
+    fold broadcast back onto the rows for the census fold.
+
+    1-row output: n_rows, q1_2, med2, q3_2, lo_fence_x4, hi_fence_x4
+    (exact-int doubles), n_low_out, n_high_out, out_rate.
+    """
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(F.col(value).alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    vals = g.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    pri = _with_prior_sums(vals, "__x", ("__c",))
+    cum = F.col("__prior___c") + F.col("__c")
+    tot = vals.agg(F.sum("__c").alias("__n"))
+    n = F.col("__n")
+    aggs = [F.max("__n").alias("__nn")]
+    for i in (1, 2, 3):
+        lo, hi = _type2_pick(cum, F.col("__x"), n, i, 4)
+        aggs += [lo.alias(f"__lo{i}"), hi.alias(f"__hi{i}")]
+    picks = pri.crossJoin(F.broadcast(tot)).agg(*aggs)
+    nn = F.col("__nn")
+    q1 = _e2(F.col("__lo1"), F.col("__hi1"), nn, 1, 4)
+    q2 = _e2(F.col("__lo2"), F.col("__hi2"), nn, 2, 4)
+    q3 = _e2(F.col("__lo3"), F.col("__hi3"), nn, 3, 4)
+    quart = picks.select(
+        q1.alias("__q1"),
+        q2.alias("__q2"),
+        q3.alias("__q3"),
+        (F.lit(5).cast(_D38) * q1 - F.lit(3).cast(_D38) * q3)
+        .cast(_D38)
+        .alias("__lo4"),
+        (F.lit(5).cast(_D38) * q3 - F.lit(3).cast(_D38) * q1)
+        .cast(_D38)
+        .alias("__hi4"),
+    )
+    x4 = F.lit(4).cast(_D38) * F.col("__x").cast(_D38)
+    census = g.crossJoin(F.broadcast(quart)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col("__q1").cast("double")).alias("q1_2"),
+        F.max(F.col("__q2").cast("double")).alias("med2"),
+        F.max(F.col("__q3").cast("double")).alias("q3_2"),
+        F.max(F.col("__lo4").cast("double")).alias("lo_fence_x4"),
+        F.max(F.col("__hi4").cast("double")).alias("hi_fence_x4"),
+        F.sum(F.when(x4 < F.col("__lo4"), 1).otherwise(0)).alias(
+            "n_low_out"
+        ),
+        F.sum(F.when(x4 > F.col("__hi4"), 1).otherwise(0)).alias(
+            "n_high_out"
+        ),
+    )
+    return census.select(
+        "n_rows",
+        "q1_2",
+        "med2",
+        "q3_2",
+        "lo_fence_x4",
+        "hi_fence_x4",
+        "n_low_out",
+        "n_high_out",
+        F.when(
+            F.col("n_rows") > 0,
+            (F.col("n_low_out") + F.col("n_high_out")).cast("double")
+            / F.col("n_rows").cast("double"),
+        ).alias("out_rate"),
+    )
+
+
+def trimmed_cells(
+    df: DataFrame,
+    value: str,
+    in_a: Column,
+    trim_num: int = 1,
+    trim_den: int = 5,
+) -> DataFrame:
+    """Per-group trimmed / winsorized sums for Yuen-style robust mean
+    comparison — the heavy-tail-proof reading of the location question
+    :func:`rank_sum_test` answers ordinally and welch_t answers
+    parametrically: trim g = floor(n * trim_num/trim_den) rows off
+    EACH end of each group, report exact trimmed and winsorized sums
+    so Yuen's t (trimmed-mean difference over winsorized variance) is
+    a consumer one-liner (it ends in sqrt).
+
+    Exactness — no row ever materializes a rank: on the per-group
+    value axis, rows of value v occupy ranks [prior+1, prior+cnt], so
+    the trimmed overlap ``o_v = max(0, min(prior+cnt, n-g) -
+    max(prior, g))`` is exact integer arithmetic, the trimmed sums
+    fold as DECIMAL(38,0), and the winsorized sums add the clamped
+    end contributions g*(v_(g+1) + v_(n-g)) from two order-statistic
+    picks.  trim_mean is ONE division.
+
+    Shape: one (group, value) collapse, a per-group bounded window
+    over the value axis (partitioned by group — parallel), one equi
+    join on group for totals, one fold per group — bounded 2-row
+    output, no BNLJ.
+
+    Output per group: in_a, n_i, g_trim, trim_n, trim_sum,
+    win_sum, win_sumsq (exact-int doubles), trim_mean.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(value).alias("__x"),
+        F.coalesce(in_a, F.lit(False)).alias("__a"),
+    ).filter(F.col("__x").isNotNull())
+    gv = g.groupBy("__a", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__a").orderBy("__x")
+    pri = gv.select(
+        "__a",
+        "__x",
+        "__c",
+        F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__p"),
+    )
+    tot = gv.groupBy("__a").agg(F.sum("__c").alias("__n"))
+    j = pri.join(tot, "__a")
+    gtrim = F.floor((F.col("__n") * trim_num) / trim_den)
+    lo_rank = gtrim + 1
+    hi_rank = F.col("__n") - gtrim
+    cum = F.col("__p") + F.col("__c")
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(cum, hi_rank) - F.greatest(F.col("__p"), gtrim),
+    )
+    xd = F.col("__x").cast(_D38)
+    per = j.groupBy("__a").agg(
+        F.max("__n").alias("n_i"),
+        F.max(gtrim).alias("g_trim"),
+        F.coalesce(
+            F.sum((ov.cast(_D38) * xd).cast(_D38)).cast(_D38),
+            F.lit(0).cast(_D38),
+        ).alias("__ts"),
+        F.coalesce(
+            F.sum((ov.cast(_D38) * xd * xd).cast(_D38)).cast(_D38),
+            F.lit(0).cast(_D38),
+        ).alias("__tq"),
+        F.min(F.when(cum >= lo_rank, F.col("__x"))).alias("__vlo"),
+        F.min(F.when(cum >= hi_rank, F.col("__x"))).alias("__vhi"),
+    )
+    gt = F.col("g_trim").cast(_D38)
+    vlo = F.col("__vlo").cast(_D38)
+    vhi = F.col("__vhi").cast(_D38)
+    trim_n = (F.col("n_i") - 2 * F.col("g_trim")).cast("long")
+    win_sum = (F.col("__ts") + gt * (vlo + vhi)).cast(_D38)
+    win_sumsq = (F.col("__tq") + gt * (vlo * vlo + vhi * vhi)).cast(_D38)
+    return (
+        per.select(
+            F.col("__a").alias("in_a"),
+            "n_i",
+            "g_trim",
+            trim_n.alias("trim_n"),
+            F.col("__ts").cast("double").alias("trim_sum"),
+            win_sum.cast("double").alias("win_sum"),
+            win_sumsq.cast("double").alias("win_sumsq"),
+            F.when(
+                trim_n > 0,
+                F.col("__ts").cast("double") / trim_n.cast("double"),
+            ).alias("trim_mean"),
+        )
+        .orderBy("in_a")
+    )
+
+
+def aligned_ranks_cells(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Friedman aligned-ranks cells (Hodges & Lehmann 1962) — the
+    blocked comparison that keeps CROSS-block magnitude information
+    :func:`friedman_cells` throws away: align each block by its mean
+    (exactly: ``a = k*x - block_sum``, the k-scaled deviation), rank
+    ALL aligned values in one pooled ranking, then compare per-
+    treatment rank sums.  More powerful than Friedman for small k.
+
+    Same complete-block gate as friedman_cells (blocks with exactly
+    one row per global treatment); doubled pooled midranks off the
+    bounded bucket prefix over the aligned-value axis.  All emitted
+    sums exact: per-treatment ``r_x2`` (Sigma mr2), global
+    ``total_sq_x4`` (Sigma mr2^2) and ``block_sq_sum_x4``
+    (Sigma_i B_i_x2^2) — the aligned-ranks statistic
+    T = (k-1) * Sigma_j (R_j - (N+1)*n/2)^2 / (A - C) with
+    A = Sigma r^2, C = Sigma_i B_i^2 / k is the consumer one-liner
+    over these exact pieces (every term a ratio of the x2/x4 scales).
+
+    Output per treatment: treatment, n_blocks, k_treatments, r_x2,
+    total_sq_x4, block_sq_sum_x4 — ordered by treatment.
+    """
+    from pyspark.sql import Window
+
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    g = df.select(
+        F.col(block).alias("__b"),
+        F.col(treatment).alias("__t"),
+        F.col(value).alias("__x"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    kf = g.select(F.countDistinct("__t").alias("__k"))
+    per_b = g.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.countDistinct("__t").alias("__nt"),
+        F.sum(F.col("__x").cast(_D38)).cast(_D38).alias("__bs"),
+    )
+    complete = (
+        per_b.crossJoin(F.broadcast(kf))
+        .where(
+            (F.col("__nr") == F.col("__k")) & (F.col("__nt") == F.col("__k"))
+        )
+        .select("__b", "__bs", "__k")
+    )
+    aligned = g.join(complete, "__b").select(
+        "__b",
+        "__t",
+        (F.col("__k").cast(_D38) * F.col("__x").cast(_D38) - F.col("__bs"))
+        .cast(_D38)
+        .alias("__a"),
+    )
+    vals = aligned.groupBy("__a").agg(F.count(F.lit(1)).alias("__c"))
+    pri = _with_prior_sums(vals, "__a", ("__c",))
+    mr2 = (
+        F.lit(2).cast(_D38) * F.col("__prior___c").cast(_D38)
+        + F.col("__c").cast(_D38)
+        + F.lit(1).cast(_D38)
+    ).cast(_D38)
+    ranked = aligned.join(
+        pri.select("__a", mr2.alias("__mr2")), on="__a"
+    )
+    per_t = ranked.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("__mr2").cast(_D38).alias("__r2"),
+    )
+    meta = ranked.agg(
+        F.sum((F.col("__mr2") * F.col("__mr2")).cast(_D38))
+        .cast(_D38)
+        .alias("__tsq"),
+    )
+    per_b_rank = ranked.groupBy("__b").agg(
+        F.sum("__mr2").cast(_D38).alias("__bsum")
+    )
+    bsq = per_b_rank.agg(
+        F.sum((F.col("__bsum") * F.col("__bsum")).cast(_D38))
+        .cast(_D38)
+        .alias("__bsq")
+    )
+    kmeta = aligned.agg(F.countDistinct("__t").alias("k_treatments"))
+    return (
+        per_t.crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(bsq))
+        .crossJoin(F.broadcast(kmeta))
+        .select(
+            F.col("__t").alias(treatment),
+            "n_blocks",
+            "k_treatments",
+            F.col("__r2").cast("double").alias("r_x2"),
+            F.col("__tsq").cast("double").alias("total_sq_x4"),
+            F.col("__bsq").cast("double").alias("block_sq_sum_x4"),
+        )
+        .orderBy(treatment)
+    )

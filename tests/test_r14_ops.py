@@ -284,3 +284,221 @@ def test_morans_perfect_weekly_season_is_positive(spark):
     r = morans_lag_cells(df, "d", "x", lag_days=7).collect()[0]
     assert r["gearys_c"] == 0.0
     assert r["morans_i"] > 0.9
+
+
+# ===================== r16-staged wave (second r14 batch) ==============
+
+
+def test_cronbach_perfect_and_partial(spark):
+    """Two perfectly-correlated items: alpha = 1.  Swapping one pair
+    (B = 1,2,4,3): item vars 20+20, total var 72 -> alpha = 8/9."""
+    from npm_mirror_spark.operators.checks import cronbach_alpha_cells
+
+    perfect = [(u, i, v) for u, v in enumerate([1, 2, 3, 4])
+               for i in ("A", "B")]
+    df = spark.createDataFrame(perfect, "u long, i string, v long")
+    r = cronbach_alpha_cells(df, "u", "i", "v").collect()[0]
+    assert (r["n_subjects"], r["k_items"], r["n_dropped"]) == (4, 2, 0)
+    assert (r["item_var_sum_xn2"], r["total_var_xn2"]) == (40.0, 80.0)
+    assert r["alpha"] == 1.0
+    rows = [(u, "A", v) for u, v in enumerate([1, 2, 3, 4])]
+    rows += [(u, "B", v) for u, v in enumerate([1, 2, 4, 3])]
+    df = spark.createDataFrame(rows, "u long, i string, v long")
+    r = cronbach_alpha_cells(df, "u", "i", "v").collect()[0]
+    assert (r["item_var_sum_xn2"], r["total_var_xn2"]) == (40.0, 72.0)
+    assert r["alpha"] == 2.0 / 1.0 * (1.0 - 40.0 / 72.0)
+
+
+def test_cronbach_zero_total_variance_and_drops(spark):
+    from npm_mirror_spark.operators.checks import cronbach_alpha_cells
+
+    rows = [(u, "A", v) for u, v in enumerate([1, 2, 3, 4])]
+    rows += [(u, "B", 5 - v) for u, v in enumerate([1, 2, 3, 4])]
+    rows += [(9, "A", 7)]  # incomplete subject -> dropped
+    df = spark.createDataFrame(rows, "u long, i string, v long")
+    r = cronbach_alpha_cells(df, "u", "i", "v").collect()[0]
+    assert (r["n_subjects"], r["n_dropped"]) == (4, 1)
+    assert r["total_var_xn2"] == 0.0 and r["alpha"] is None
+
+
+def test_gwet_ac1_hand_example(spark):
+    """4 units x 2 raters: (a,a),(a,a),(a,b),(b,b): agree=6, margins
+    (5,3) -> pa = 0.75, pe = 30/64, AC1 = 9/17."""
+    from npm_mirror_spark.operators.checks import gwet_ac1_cells
+
+    rows = [
+        ("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"),
+        ("u3", "a"), ("u3", "b"), ("u4", "b"), ("u4", "b"),
+    ]
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = gwet_ac1_cells(df, "u", "v", 2).collect()[0]
+    assert (r["n_units"], r["n_dropped"], r["k_categories"]) == (4, 0, 2)
+    assert (r["agree_pairs"], r["margin_sq_sum"]) == (6.0, 34.0)
+    assert r["pa"] == 0.75
+    assert r["pe"] == 30.0 / 64.0
+    assert r["ac1"] == (0.75 - 30.0 / 64.0) / (1.0 - 30.0 / 64.0)
+
+
+def test_gwet_ac1_prevalence_robustness_vs_fleiss_shape(spark):
+    """The kappa-paradox fixture: near-unanimous single category.
+    AC1 stays high where margin-based chance correction collapses."""
+    from npm_mirror_spark.operators.checks import gwet_ac1_cells
+
+    rows = []
+    for u in range(9):
+        rows += [(f"u{u}", "a"), (f"u{u}", "a")]
+    rows += [("u9", "a"), ("u9", "b")]
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = gwet_ac1_cells(df, "u", "v", 2).collect()[0]
+    assert r["ac1"] > 0.85
+
+
+def test_footrule_hand_example(spark):
+    from npm_mirror_spark.operators.checks import footrule_cells
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2)], "x long, y long"
+    )
+    r = footrule_cells(df, "x", "y").collect()[0]
+    assert (r["n_rows"], r["footrule_x2"], r["sq_diff_x4"]) == (3, 4.0, 8.0)
+
+
+def test_footrule_identical_rankings_zero(spark):
+    from npm_mirror_spark.operators.checks import footrule_cells
+
+    df = spark.createDataFrame(
+        [(v, 10 * v) for v in (4, 1, 3, 2, 2)], "x long, y long"
+    )
+    r = footrule_cells(df, "x", "y").collect()[0]
+    assert (r["footrule_x2"], r["sq_diff_x4"]) == (0.0, 0.0)
+
+
+def test_partial_tau_perfect_through_confounder(spark):
+    """y == x and z coarsens x: tau_xy = 1 and tau_xz = tau_yz, so
+    the partial is exactly 1 (the radicand is a perfect square)."""
+    from npm_mirror_spark.operators.checks import partial_tau_cells
+
+    rows = [(1, 1, 1), (2, 2, 1), (3, 3, 2), (4, 4, 2)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_tau_cells(df, "x", "y", "z").collect()[0]
+    assert r["n_rows"] == 4
+    assert r["tau_xy"] == 1.0
+    assert r["tau_xz"] == r["tau_yz"]
+    assert r["tau_partial"] == 1.0
+
+
+def test_partial_tau_null_when_z_saturates(spark):
+    """z == x: tau_xz = 1, radicand 0 -> NULL partial."""
+    from npm_mirror_spark.operators.checks import partial_tau_cells
+
+    rows = [(v, 5 - v, v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_tau_cells(df, "x", "y", "z").collect()[0]
+    assert r["tau_xz"] == 1.0 and r["tau_partial"] is None
+
+
+def test_robust_shape_hand_examples(spark):
+    from npm_mirror_spark.operators.stats import robust_shape_cells
+
+    df = spark.createDataFrame([(v,) for v in range(1, 9)], "x long")
+    r = robust_shape_cells(df, "x").collect()[0]
+    assert [r[f"e{i}_2"] for i in range(1, 8)] == [
+        3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0,
+    ]
+    assert r["bowley"] == 0.0 and r["moors"] == 1.0
+    df = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 4, 5, 6, 7, 100)], "x long"
+    )
+    r = robust_shape_cells(df, "x").collect()[0]
+    assert r["e7_2"] == 107.0
+    assert r["bowley"] == 0.0
+    assert r["moors"] == ((107.0 - 11.0) + (7.0 - 3.0)) / (13.0 - 5.0)
+
+
+def test_robust_shape_constant_series_null_ratios(spark):
+    from npm_mirror_spark.operators.stats import robust_shape_cells
+
+    df = spark.createDataFrame([(7,)] * 10, "x long")
+    r = robust_shape_cells(df, "x").collect()[0]
+    assert r["e1_2"] == 14.0 and r["e7_2"] == 14.0
+    assert r["bowley"] is None and r["moors"] is None
+
+
+def test_tukey_fences_hand_examples(spark):
+    from npm_mirror_spark.operators.stats import tukey_fence_cells
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4, 100)], "x long")
+    r = tukey_fence_cells(df, "x").collect()[0]
+    assert (r["q1_2"], r["med2"], r["q3_2"]) == (4.0, 6.0, 8.0)
+    assert (r["lo_fence_x4"], r["hi_fence_x4"]) == (-4.0, 28.0)
+    assert (r["n_low_out"], r["n_high_out"]) == (0, 1)
+    assert r["out_rate"] == 1.0 / 5.0
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "x long")
+    r = tukey_fence_cells(df, "x").collect()[0]
+    assert (r["q1_2"], r["med2"], r["q3_2"]) == (3.0, 5.0, 7.0)
+    assert (r["n_low_out"], r["n_high_out"]) == (0, 0)
+
+
+def test_trimmed_cells_hand_example(spark):
+    """A = [1..5], 20% trim -> g=1: trimmed [2,3,4], winsorized
+    [2,2,3,4,4]; B = [10,20,30] -> g=0: untouched."""
+    from npm_mirror_spark.operators.stats import trimmed_cells
+
+    rows = [(v, True) for v in (1, 2, 3, 4, 5)]
+    rows += [(v, False) for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    out = {
+        r["in_a"]: r
+        for r in trimmed_cells(df, "v", F.col("a")).collect()
+    }
+    ra = out[True]
+    assert (ra["n_i"], ra["g_trim"], ra["trim_n"]) == (5, 1, 3)
+    assert (ra["trim_sum"], ra["win_sum"], ra["win_sumsq"]) == (
+        9.0, 15.0, 49.0,
+    )
+    assert ra["trim_mean"] == 3.0
+    rb = out[False]
+    assert (rb["g_trim"], rb["trim_sum"], rb["win_sum"]) == (0, 60.0, 60.0)
+
+
+def test_trimmed_cells_tie_spanning_cut(spark):
+    """[1,1,1,1,5] with g=1: the trim cut falls INSIDE the tied run of
+    1s — overlap arithmetic must take exactly 3 of the 4 ones."""
+    from npm_mirror_spark.operators.stats import trimmed_cells
+
+    rows = [(v, True) for v in (1, 1, 1, 1, 5)]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    r = trimmed_cells(df, "v", F.col("a")).collect()[0]
+    assert (r["g_trim"], r["trim_n"]) == (1, 3)
+    # ranks [2,4] -> values 1,1,1 (ranks 2,3,4)
+    assert r["trim_sum"] == 3.0
+    # v_(2) = 1, v_(4) = 1 -> winsorized [1,1,1,1,1]... wait v_(n-g)=v_(4)=1
+    assert r["win_sum"] == 3.0 + 1.0 * (1.0 + 1.0)
+
+
+def test_aligned_ranks_hand_example(spark):
+    """b1: t1=1, t2=3; b2: t1=2, t2=10: aligned (-2,2,-8,8) -> mr2
+    (4,6,2,8); R_t1_x2 = 6, R_t2_x2 = 14; A_x4 = 120, B-sq = 200."""
+    from npm_mirror_spark.operators.stats import aligned_ranks_cells
+
+    rows = [("b1", "t1", 1), ("b1", "t2", 3),
+            ("b2", "t1", 2), ("b2", "t2", 10)]
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    out = {r["t"]: r for r in aligned_ranks_cells(df, "b", "t", "v").collect()}
+    assert out["t1"]["r_x2"] == 6.0 and out["t2"]["r_x2"] == 14.0
+    for r in out.values():
+        assert (r["n_blocks"], r["k_treatments"]) == (2, 2)
+        assert r["total_sq_x4"] == 120.0
+        assert r["block_sq_sum_x4"] == 200.0
+
+
+def test_aligned_ranks_drops_incomplete_blocks(spark):
+    from npm_mirror_spark.operators.stats import aligned_ranks_cells
+
+    rows = [("b1", "t1", 1), ("b1", "t2", 3),
+            ("b2", "t1", 2), ("b2", "t2", 10),
+            ("b3", "t1", 9)]
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    out = {r["t"]: r for r in aligned_ranks_cells(df, "b", "t", "v").collect()}
+    assert out["t1"]["n_blocks"] == 2  # b3 dropped
+    assert out["t1"]["r_x2"] == 6.0
