@@ -502,3 +502,46 @@ def test_aligned_ranks_drops_incomplete_blocks(spark):
     out = {r["t"]: r for r in aligned_ranks_cells(df, "b", "t", "v").collect()}
     assert out["t1"]["n_blocks"] == 2  # b3 dropped
     assert out["t1"]["r_x2"] == 6.0
+
+
+# ------------------------------- staged r16 faces (staging_r16)
+
+
+def test_r16_staged_faces_match_oracles(spark, sf_dir):
+    """Every staged r16 face clears the registry-identical harness
+    bar, stays out of the registry, and plans BNLJ only in the
+    1-row-fold / bounded-grid faces the staging module pre-documents
+    for the r16 registration."""
+    from npm_mirror_spark import plans
+    from npm_mirror_spark.queries import QUERIES
+    from npm_mirror_spark.staging_r16 import STAGED_ORACLES as O16
+    from npm_mirror_spark.staging_r16 import STAGED_QUERIES as Q16
+    from tests.oracle_harness import compare, duckdb_con
+
+    documented_bnlj = {
+        "q_cronbach", "q_gwet_ac1", "q_tau_partial", "q_aligned_ranks",
+        "q_robust_shape", "q_tukey_fences", "q_footrule",
+    }
+    assert set(Q16) == set(O16) and not set(Q16) & set(QUERIES)
+    con = duckdb_con(sf_dir)
+    for name, q in Q16.items():
+        df = q(spark, sf_dir)
+        problems = compare(df, con, O16[name])
+        assert not problems, f"{name}: {problems}"
+        text = plans.explain_str(df, "simple")
+        assert "CartesianProduct" not in text, name
+        if name not in documented_bnlj:
+            assert "BroadcastNestedLoopJoin" not in text, name
+
+
+def test_r16_staged_faces_driver_hashable_types(spark, sf_dir):
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    from npm_mirror_spark.staging_r16 import STAGED_QUERIES as Q16
+
+    offenders = []
+    for name, q in Q16.items():
+        for f in q(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (DecimalType, ArrayType, MapType)):
+                offenders.append(f"{name}.{f.name}")
+    assert offenders == [], offenders
