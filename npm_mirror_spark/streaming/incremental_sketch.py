@@ -406,3 +406,110 @@ class StreamingDigitPreference:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingMoments:
+    """Incremental power-sum moment sketch — the streaming twin of
+    :func:`~npm_mirror_spark.operators.stats.moments_jb_cells` (the
+    StreamingDigitPreference shape): per micro-batch, ONE bounded job
+    folds the batch to a single (n, S1, S2, S3, S4) row, which adds
+    into five driver-held python ints (arbitrary precision — the
+    stream state is EXACTER than the batch DECIMAL(38,0) fold, never
+    less exact; both agree whenever the batch contract's 1e38 range
+    bound holds).  '+' on exact integers is batching-independent, so
+    the read-time Jarque-Bera report is BIT-EQUAL to the batch
+    operator over the concatenated input under any split.  Like the
+    other additive sketches, '+' is not idempotent, so a
+    checkpoint-replayed micro-batch is skipped by its batch_id (the
+    transactional-sink contract).
+
+    State: exactly five integers — nothing corpus-sized.
+    """
+
+    def __init__(self, value_col: str):
+        self.value_col = value_col
+        self.n = 0
+        self.s = [0, 0, 0, 0]  # S1..S4
+        self.n_batches = 0
+        self._last_batch: int | None = None
+
+    def update_batch(
+        self, batch_df: DataFrame, batch_id: int | None = None
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id is not None and batch_id == self._last_batch:
+            return
+        d38 = "decimal(38,0)"
+        x = F.col(self.value_col).cast(d38)
+        row = (
+            batch_df.filter(F.col(self.value_col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(x).cast(d38).alias("s1"),
+                F.sum((x * x).cast(d38)).cast(d38).alias("s2"),
+                F.sum((x * x * x).cast(d38)).cast(d38).alias("s3"),
+                F.sum((x * x * x * x).cast(d38)).cast(d38).alias("s4"),
+            )
+            .collect()[0]
+        )
+        self.n += int(row["n"])
+        for i, c in enumerate(("s1", "s2", "s3", "s4")):
+            if row[c] is not None:
+                self.s[i] += int(row[c])
+        self.n_batches += 1
+        self._last_batch = batch_id
+
+    def result_df(self, spark) -> DataFrame:
+        """The moments_jb_cells-shaped 1-row report, replaying the
+        batch operator's EXACT op order: integer central-moment
+        combinations, then the same fixed IEEE expression sequence
+        (python doubles round identically to Spark's decimal->double
+        cast and double arithmetic)."""
+        n, (s1, s2, s3, s4) = self.n, self.s
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        m4 = (
+            n**3 * s4
+            - 4 * n * n * s1 * s3
+            + 6 * n * s1 * s1 * s2
+            - 3 * s1**4
+        )
+        if m2 > 0:
+            m2d, m3d, m4d = float(m2), float(m3), float(m4)
+            skew_sq = (m3d * m3d) / (m2d * m2d * m2d)
+            kurt = m4d / (m2d * m2d)
+            jb = float(n) / 6.0 * (
+                (m3d * m3d) / (m2d * m2d * m2d)
+                + (m4d / (m2d * m2d) - 3.0)
+                * (m4d / (m2d * m2d) - 3.0)
+                / 4.0
+            )
+        else:
+            skew_sq = kurt = jb = None
+        return spark.createDataFrame(
+            [
+                (
+                    n,
+                    float(s1),
+                    float(m2),
+                    float(m3),
+                    float(m4),
+                    skew_sq,
+                    kurt,
+                    jb,
+                )
+            ],
+            "n_rows long, s1 double, m2_xn double, m3_xn2 double, "
+            "m4_xn3 double, skew_sq double, kurt_b2 double, jb double",
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.update_batch(df, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,86 @@
+"""StreamingMoments: stream/batch bit-parity for the power-sum moment
+sketch (the StreamingDigitPreference discipline — additive exact
+integer state, redelivery no-op, split invariance, and a real
+availableNow drain through attach())."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.tables import load_table
+
+
+def test_moments_stream_equals_batch_bit_for_bit(spark, sf_dir):
+    from npm_mirror_spark.operators.stats import moments_jb_cells
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingMoments
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_id"
+    ).filter(F.col("day").isNotNull())
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    sk = StreamingMoments("n")
+    # deterministic predicate split on the day axis
+    for mod in (0, 1, 2):
+        sk.update_batch(
+            daily.where(F.dayofmonth("day") % 3 == mod), batch_id=mod
+        )
+    # at-least-once redelivery of the last batch: must be a no-op
+    sk.update_batch(daily.where(F.dayofmonth("day") % 3 == 2), batch_id=2)
+    want = moments_jb_cells(daily, "n").collect()[0]
+    got = sk.result_df(spark).collect()[0]
+    assert tuple(got) == tuple(want)  # bit-equal, including jb
+
+
+def test_moments_split_invariance(spark):
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingMoments
+
+    rows = [(i * i % 37 - 11,) for i in range(61)]
+    df = spark.createDataFrame(rows, "v long")
+    a = StreamingMoments("v")
+    a.update_batch(df, batch_id=0)
+    b = StreamingMoments("v")
+    b.update_batch(df.where(F.col("v") < 5), batch_id=0)
+    b.update_batch(df.where(F.col("v") >= 5), batch_id=1)
+    assert (a.n, a.s) == (b.n, b.s)
+
+
+def test_moments_empty_and_null_batches(spark):
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingMoments
+
+    sk = StreamingMoments("v")
+    sk.update_batch(spark.createDataFrame([], "v long"), batch_id=0)
+    sk.update_batch(
+        spark.createDataFrame([(None,), (3,)], "v long"), batch_id=1
+    )
+    assert (sk.n, sk.s) == (1, [3, 9, 27, 81])
+    r = sk.result_df(spark).collect()[0]
+    assert r["n_rows"] == 1 and r["jb"] is None  # m2 = 0 for one row
+
+
+def test_moments_available_now_drain(spark, tmp_path):
+    """A real readStream -> attach() drain over a rate-limited file
+    source equals the batch fold of the same files."""
+    from npm_mirror_spark.operators.stats import moments_jb_cells
+    from npm_mirror_spark.streaming.incremental_sketch import StreamingMoments
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [(i % 13,) for i in range(200)], "v long"
+    )
+    batch.coalesce(2).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sk = StreamingMoments("v")
+    q = sk.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert sk.n_batches >= 2  # maxFilesPerTrigger forced multiple batches
+    want = moments_jb_cells(
+        spark.read.parquet(str(src)), "v"
+    ).collect()[0]
+    got = sk.result_df(spark).collect()[0]
+    assert tuple(got) == tuple(want)
