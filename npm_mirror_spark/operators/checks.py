@@ -1148,7 +1148,9 @@ def hoeffding_d_cells(df: DataFrame, x: str, y: str) -> DataFrame:
     )
 
 
-def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+def ordinal_assoc_cells(
+    df: DataFrame, x: str, y: str, weight: str | None = None
+) -> DataFrame:
     """The full concordance family between two ORDINAL columns in one
     pass — Somers' D (both directions), Kendall's tau-b, Stuart's
     tau-c and gamma — from the same exact pair decomposition
@@ -1176,6 +1178,14 @@ def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
     (P - Tx)*(P - Ty) <= (n^2/2)^2 needs n <~ 2e9 to stay inside
     DECIMAL(38,0); beyond that, pre-aggregate.
 
+    ``weight``: optional pre-aggregation count column — pass a frame
+    already collapsed to (x, y, weight) cells (or any coarser grid)
+    and the operator sums weights instead of counting rows, producing
+    IDENTICAL output to the raw-row form.  This is the 100 TB lever
+    for multi-pass compositions (:func:`partial_tau_cells` collapses
+    the corpus to its 3-D grid ONCE and derives all three pairwise
+    analyses from it — one corpus shuffle instead of three).
+
     Output (one row): n_rows, n_cells, dx, dy, pairs_total,
     concordant, discordant, tied_x_only, tied_y_only, tied_xy,
     gamma, somers_dyx (y dependent), somers_dxy, tau_b, tau_c.
@@ -1184,9 +1194,13 @@ def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
 
     d38 = "decimal(38,0)"
     zero = F.lit(0).cast(d38)
-    g = df.select(F.col(x).alias("__x"), F.col(y).alias("__y")).filter(
+    cols = [F.col(x).alias("__x"), F.col(y).alias("__y")]
+    if weight is not None:
+        cols.append(F.col(weight).alias("__w"))
+    g = df.select(*cols).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
+    cnt = F.count(F.lit(1)) if weight is None else F.sum("__w")
     # the cell table is consumed by FIVE independent fold branches
     # (dominance grid, both tie margins, the both-tied fold, the dims
     # fold) and Spark does not dedupe the shared subplan across them
@@ -1196,7 +1210,7 @@ def ordinal_assoc_cells(df: DataFrame, x: str, y: str) -> DataFrame:
     # from the cells (sum of counts), not the raw rows.
     cells = (
         g.groupBy("__x", "__y")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(cnt.alias("__c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
         # no paired unpersist by policy: docs/SCALE.md 'Persist policy'
     )
@@ -2190,9 +2204,13 @@ def partial_tau_cells(df: DataFrame, x: str, y: str, z: str) -> DataFrame:
     tau_xy that vanishes partially is the Simpson's-paradox tell the
     stratified q_mantel_haenszel reads for binary outcomes).
 
-    Composition operator: three ordinal_assoc_cells folds (each the
+    Composition operator, 100 TB-shaped: the corpus collapses to its
+    3-D (x, y, z) cell grid ONCE (one shuffle, bounded by the
+    ordinal-domain contract, persisted — the grid-bounded class), and
+    the three pairwise ordinal_assoc_cells folds run in WEIGHTED mode
+    off that grid — no second or third corpus scan.  Each fold is the
     documented exact pair decomposition ending in the
-    correctly-rounded IEEE sqrt), cross-joined broadcast; the partial
+    correctly-rounded IEEE sqrt, cross-joined broadcast; the partial
     is ONE further fixed IEEE sequence on the three tau_b doubles
     in the documented order.  Rows with a NULL in ANY of the three
     columns are dropped up front (listwise completeness, so all three
@@ -2201,22 +2219,31 @@ def partial_tau_cells(df: DataFrame, x: str, y: str, z: str) -> DataFrame:
     1-row output: n_rows, tau_xy, tau_xz, tau_yz, tau_partial (NULL
     when any tau is NULL or a radicand factor is <= 0).
     """
-    g = df.select(
-        F.col(x).alias("__px"),
-        F.col(y).alias("__py"),
-        F.col(z).alias("__pz"),
-    ).filter(
-        F.col("__px").isNotNull()
-        & F.col("__py").isNotNull()
-        & F.col("__pz").isNotNull()
+    from pyspark import StorageLevel
+
+    grid = (
+        df.select(
+            F.col(x).alias("__px"),
+            F.col(y).alias("__py"),
+            F.col(z).alias("__pz"),
+        )
+        .filter(
+            F.col("__px").isNotNull()
+            & F.col("__py").isNotNull()
+            & F.col("__pz").isNotNull()
+        )
+        .groupBy("__px", "__py", "__pz")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        # no paired unpersist by policy: docs/SCALE.md 'Persist policy'
     )
-    xy = ordinal_assoc_cells(g, "__px", "__py").select(
+    xy = ordinal_assoc_cells(grid, "__px", "__py", weight="__w").select(
         "n_rows", F.col("tau_b").alias("tau_xy")
     )
-    xz = ordinal_assoc_cells(g, "__px", "__pz").select(
+    xz = ordinal_assoc_cells(grid, "__px", "__pz", weight="__w").select(
         F.col("tau_b").alias("tau_xz")
     )
-    yz = ordinal_assoc_cells(g, "__py", "__pz").select(
+    yz = ordinal_assoc_cells(grid, "__py", "__pz", weight="__w").select(
         F.col("tau_b").alias("tau_yz")
     )
     one = xy.crossJoin(F.broadcast(xz)).crossJoin(F.broadcast(yz))

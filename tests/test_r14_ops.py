@@ -545,3 +545,16 @@ def test_r16_staged_faces_driver_hashable_types(spark, sf_dir):
             if isinstance(f.dataType, (DecimalType, ArrayType, MapType)):
                 offenders.append(f"{name}.{f.name}")
     assert offenders == [], offenders
+
+
+def test_ordinal_assoc_weighted_equals_raw(spark):
+    """Weighted mode over a pre-collapsed grid must reproduce the
+    raw-row output column-for-column (the partial_tau 100TB path)."""
+    from npm_mirror_spark.operators.checks import ordinal_assoc_cells
+
+    rows = [(1, 1)] * 3 + [(1, 2)] * 2 + [(2, 1)] + [(2, 2)] * 4
+    raw = spark.createDataFrame(rows, "x long, y long")
+    grid = raw.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
+    a = ordinal_assoc_cells(raw, "x", "y").collect()[0]
+    b = ordinal_assoc_cells(grid, "x", "y", weight="w").collect()[0]
+    assert tuple(a) == tuple(b)
