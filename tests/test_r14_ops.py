@@ -558,3 +558,47 @@ def test_ordinal_assoc_weighted_equals_raw(spark):
     a = ordinal_assoc_cells(raw, "x", "y").collect()[0]
     b = ordinal_assoc_cells(grid, "x", "y", weight="w").collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# ------------------------------- staged r17 faces (staging_r17)
+
+
+def test_r17_staged_faces_match_oracles(spark, sf_dir):
+    """The late-r14 staged batch (currently q_ndcg) clears the
+    registry-identical harness bar; its composed oracle builds against
+    the registry dict (the q_mrr deferral pattern)."""
+    from npm_mirror_spark import plans
+    from npm_mirror_spark.queries import ORACLES, QUERIES
+    from npm_mirror_spark.staging_r17 import (
+        STAGED_QUERIES as Q17,
+        build_oracles,
+    )
+    from tests.oracle_harness import compare, duckdb_con
+
+    O17 = build_oracles(ORACLES)
+    assert set(Q17) == set(O17) and not set(Q17) & set(QUERIES)
+    con = duckdb_con(sf_dir)
+    for name, q in Q17.items():
+        df = q(spark, sf_dir)
+        problems = compare(df, con, O17[name])
+        assert not problems, f"{name}: {problems}"
+        text = plans.explain_str(df, "simple")
+        assert "CartesianProduct" not in text, name
+        # q_ndcg inherits the allowlisted q_cosine_topk / q_ann_ivf
+        # broadcast-probe shapes (pre-documented in the module doc)
+
+
+def test_ndcg_bounds_and_perfect_prefix(spark, sf_dir):
+    """Structure: every ndcg in [0, 1]; a probe whose IVF list equals
+    the exact list position-for-position scores exactly 1.0; rel
+    columns only take values {0, 1, 2, 3}."""
+    from npm_mirror_spark.staging_r17 import STAGED_QUERIES as Q17
+
+    rows = Q17["q_ndcg"](spark, sf_dir).collect()
+    assert rows, "no probes"
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0
+        for i in (1, 2, 3):
+            assert r[f"rel{i}"] in (0, 1, 2, 3)
+        if (r["rel1"], r["rel2"], r["rel3"]) == (3, 2, 1):
+            assert r["ndcg"] == 1.0

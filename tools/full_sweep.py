@@ -44,6 +44,9 @@ def main() -> None:
             mod = importlib.import_module(f"npm_mirror_spark.{mod_name}")
         except ImportError:
             continue
+        if hasattr(mod, "build_oracles"):
+            # compose-deferred staged oracles (q_mrr/q_ndcg pattern)
+            mod.build_oracles(ORACLES)
         staged = {
             n: q
             for n, q in mod.STAGED_QUERIES.items()
