@@ -852,3 +852,160 @@ def test_jpeg_fill_bytes_before_markers_are_skipped():
         want = mm.decode_jpeg(raw)
         got = mm.decode_jpeg(_pad_jpeg_markers(raw))
         assert np.array_equal(want, got), label
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def _rng_palette_frame(h, w, ncolors, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.randint(0, ncolors, size=(h, w))
+    return pal[idx]
+
+
+def test_gif_roundtrip_exact(spark):
+    from npm_mirror_spark.operators.multimodal import decode_gif, encode_gif
+
+    img = _rng_palette_frame(23, 17, 13, seed=7)
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_roundtrip_interlaced(spark):
+    from npm_mirror_spark.operators.multimodal import decode_gif, encode_gif
+
+    img = _rng_palette_frame(31, 9, 5, seed=3)
+    assert (decode_gif(encode_gif(img, interlaced=True)) == img).all()
+
+
+def test_gif_lzw_width_growth_and_reset(spark):
+    """Enough distinct pixel transitions to push the LZW table past
+    several width bumps (and with a tiny palette, past the 12-bit
+    clear/reset handshake on a big enough image)."""
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(120, 100))
+    img = pal[idx]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_animation_frames_and_info(spark):
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import (
+        decode_gif_frame,
+        encode_gif,
+        gif_info,
+    )
+
+    f0 = np.zeros((8, 8, 3), dtype=np.uint8)
+    f1 = f0.copy()
+    f1[2:5, 2:5] = (255, 0, 0)
+    f2 = f1.copy()
+    f2[0, :] = (0, 255, 0)
+    blob = encode_gif([f0, f1, f2])
+    info = gif_info(blob)
+    assert (info["version"], info["n_frames"]) == ("89a", 3)
+    assert (info["width"], info["height"]) == (8, 8)
+    assert (decode_gif_frame(blob, 0) == f0).all()
+    assert (decode_gif_frame(blob, 1) == f1).all()
+    assert (decode_gif_frame(blob, 2) == f2).all()
+
+
+def test_gif_transparency_composites_over_prior_frame(spark):
+    """Frame 2's transparent pixels must show frame 1 underneath."""
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import (
+        decode_gif_frame,
+        encode_gif,
+    )
+
+    base = np.full((6, 6, 3), (10, 20, 30), dtype=np.uint8)
+    overlay = np.full((6, 6, 3), (1, 1, 1), dtype=np.uint8)  # transparent key
+    overlay[3, 3] = (200, 100, 50)
+    blob = encode_gif([base, overlay], transparent_rgb=(1, 1, 1))
+    got = decode_gif_frame(blob, 1)
+    assert tuple(got[3, 3]) == (200, 100, 50)
+    assert tuple(got[0, 0]) == (10, 20, 30)  # shows through
+
+
+def test_gif_error_routes(spark):
+    import pytest as _pytest
+
+    from npm_mirror_spark.operators.multimodal import decode_gif, encode_gif
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    blob = encode_gif(_rng_palette_frame(5, 5, 3, seed=1))
+    with _pytest.raises(ValueError):
+        decode_gif(blob[:-10])  # truncated
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    too_many = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # 1024 pixels of random 24-bit color: certainly > 256 distinct
+    with _pytest.raises(ValueError, match="distinct colors"):
+        encode_gif(too_many)
+
+
+def test_gif_image_features_kernel(spark):
+    """The mapInPandas feature kernel over real GIF blobs: true canvas
+    dims come back; a None row follows the None-content convention."""
+    import hashlib
+
+    from npm_mirror_spark.operators.multimodal import (
+        encode_gif,
+        gif_image_features,
+    )
+
+    blob = encode_gif(_rng_palette_frame(12, 34, 7, seed=9))
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, None)],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in gif_image_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (34, 12)
+    assert rows[1]["sha256"] == hashlib.sha256(blob).hexdigest()
+    assert rows[2]["sha256"] is None and rows[2]["width"] == 0
+
+
+def test_gif_lzw_roundtrip_property(spark):
+    """Hypothesis adversary for the LZW pair — constant runs, ramps
+    and random mixes, including inputs long enough to cross several
+    code-width bumps (the final-flush width desync this caught once)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from npm_mirror_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    @given(
+        st.one_of(
+            st.builds(
+                lambda sym, n: bytes([sym]) * n,
+                st.integers(0, 3),
+                st.integers(1, 400),
+            ),
+            st.binary(min_size=1, max_size=400).map(
+                lambda b: bytes(x % 4 for x in b)
+            ),
+        )
+    )
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(data):
+        assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
+
+    check()
