@@ -1009,3 +1009,84 @@ def test_gif_lzw_roundtrip_property(spark):
         assert _gif_lzw_decode(_gif_lzw_encode(data, 2), 2, len(data)) == data
 
     check()
+
+
+def test_gif_subrect_frame_with_local_palette(spark):
+    """Decoder paths the exact-palette encoder never emits: a second
+    frame covering only a sub-rectangle, carrying its own LOCAL color
+    table — hand-assembled from the codec's own building blocks."""
+    import struct
+
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_frame,
+        gif_info,
+    )
+
+    # canvas 6x6, global palette: [blue, white]
+    gct = bytes([0, 0, 255, 255, 255, 255]) + bytes(6)  # padded to 4
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 6, 6, 0x80 | 0x01, 0, 0) + gct
+    # frame 1: full canvas, all index 0 (blue), global palette
+    idx1 = bytes(36 * [0])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 6, 0)
+    lzw = _gif_lzw_encode(idx1, 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 2: 2x2 sub-rect at (3, 1) with a LOCAL palette [red, green]
+    lct = bytes([255, 0, 0, 0, 255, 0]) + bytes(6)
+    out += b"\x2c" + struct.pack("<HHHHB", 3, 1, 2, 2, 0x80 | 0x01) + lct
+    idx2 = bytes([0, 1, 1, 0])
+    lzw = _gif_lzw_encode(idx2, 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    blob = bytes(out)
+    assert gif_info(blob)["n_frames"] == 2
+    f0 = decode_gif_frame(blob, 0)
+    assert (f0 == np.array([0, 0, 255], np.uint8)).all()
+    f1 = decode_gif_frame(blob, 1)
+    # sub-rect columns 3-4, rows 1-2 use the LOCAL palette
+    assert tuple(f1[1, 3]) == (255, 0, 0)
+    assert tuple(f1[1, 4]) == (0, 255, 0)
+    assert tuple(f1[2, 3]) == (0, 255, 0)
+    assert tuple(f1[2, 4]) == (255, 0, 0)
+    # everything outside the rect still shows frame 1's blue
+    assert tuple(f1[0, 0]) == (0, 0, 255)
+    assert tuple(f1[5, 5]) == (0, 0, 255)
+
+
+def test_gif_disposal_2_restores_background(spark):
+    """A frame with disposal 2 is wiped back to the background color
+    before the next frame composites."""
+    import struct
+
+    import numpy as np
+
+    from npm_mirror_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_frame,
+    )
+
+    # palette: [black(bg), red, green]; canvas 4x4, bg index 0
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0]) + bytes(3)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0) + gct
+    # frame 1: all red, disposal 2 (restore to background)
+    out += b"\x21\xf9\x04" + bytes([2 << 2]) + struct.pack("<H", 4) + b"\x00\x00"
+    lzw = _gif_lzw_encode(bytes(16 * [1]), 2)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 2: single green pixel sub-rect at (1, 1)
+    lzw = _gif_lzw_encode(bytes([2]), 2)
+    out += b"\x2c" + struct.pack("<HHHHB", 1, 1, 1, 1, 0)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    blob = bytes(out)
+    f0 = decode_gif_frame(blob, 0)
+    assert (f0 == np.array([255, 0, 0], np.uint8)).all()
+    f1 = decode_gif_frame(blob, 1)
+    assert tuple(f1[1, 1]) == (0, 255, 0)
+    # the red frame was DISPOSED to background, not left underneath
+    assert tuple(f1[0, 0]) == (0, 0, 0)
+    assert tuple(f1[3, 3]) == (0, 0, 0)
