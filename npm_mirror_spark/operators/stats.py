@@ -2813,3 +2813,90 @@ def aligned_ranks_cells(
         )
         .orderBy(treatment)
     )
+
+
+def shift_function_cells(
+    df: DataFrame, value: str, in_a: Column
+) -> DataFrame:
+    """Doksum shift-function cells at the octiles — WHERE does a
+    two-sample difference live?  :func:`hodges_lehmann_2samp` reports
+    ONE shift number and :func:`kuiper_2samp_cells` one dual-tail gap;
+    the shift function reads the quantile-by-quantile difference, so a
+    pair of groups that agree in the middle but diverge in the upper
+    tail (the classic contaminated-corpus signature) shows a flat
+    center and a growing tail row instead of averaging away.
+
+    Exactness: each group's seven doubled type-2 octiles come off its
+    OWN bounded value-axis prefix (``_type2_pick``, windows
+    partitioned by group — parallel), and the per-octile difference
+    ``diff_x2 = qa_2 - qb_2`` stays an exact integer on the doubled
+    scale.  No division anywhere.
+
+    Shape: one (group, value) collapse, per-group bounded windows, one
+    conditional-pivot fold to a single row, exploded to the 7-row
+    octile axis — the whole fold runs once (no per-octile re-scan).
+
+    Output: octile (1-7), qa_2, qb_2, diff_x2 — ordered by octile;
+    qa/qb NULL when that group is empty.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(value).alias("__x"),
+        F.coalesce(in_a, F.lit(False)).alias("__a"),
+    ).filter(F.col("__x").isNotNull())
+    gv = g.groupBy("__a", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__a").orderBy("__x")
+    pri = gv.select(
+        "__a",
+        "__x",
+        "__c",
+        F.coalesce(
+            F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__p"),
+    )
+    tot = gv.groupBy("__a").agg(F.sum("__c").alias("__n"))
+    j = pri.join(tot, "__a")
+    cum = F.col("__p") + F.col("__c")
+    aggs = [F.max("__n").alias("__nn")]
+    for i in range(1, 8):
+        lo, hi = _type2_pick(cum, F.col("__x"), F.col("__n"), i, 8)
+        aggs += [lo.alias(f"__lo{i}"), hi.alias(f"__hi{i}")]
+    per = j.groupBy("__a").agg(*aggs)
+    es = {
+        i: _e2(F.col(f"__lo{i}"), F.col(f"__hi{i}"), F.col("__nn"), i, 8)
+        for i in range(1, 8)
+    }
+    staged = per.select(
+        "__a", *[es[i].alias(f"__e{i}") for i in range(1, 8)]
+    )
+    one = staged.agg(
+        *[
+            F.max(F.when(F.col("__a"), F.col(f"__e{i}"))).alias(f"__a{i}")
+            for i in range(1, 8)
+        ],
+        *[
+            F.max(F.when(~F.col("__a"), F.col(f"__e{i}"))).alias(f"__b{i}")
+            for i in range(1, 8)
+        ],
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("octile"),
+                F.col(f"__a{i}").cast("double").alias("qa_2"),
+                F.col(f"__b{i}").cast("double").alias("qb_2"),
+                (F.col(f"__a{i}") - F.col(f"__b{i}"))
+                .cast(_D38)
+                .cast("double")
+                .alias("diff_x2"),
+            )
+            for i in range(1, 8)
+        ]
+    )
+    return (
+        one.select(F.explode(arr).alias("__o"))
+        .select("__o.octile", "__o.qa_2", "__o.qb_2", "__o.diff_x2")
+        .orderBy("octile")
+    )

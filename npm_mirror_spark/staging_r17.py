@@ -427,3 +427,175 @@ STAGED_QUERIES.update(
 )
 
 STAGED_ORACLES["q_weekday_anova"] = _WEEKDAY_ANOVA_SQL
+
+
+def q_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doksum shift function at the octiles between returned-line and
+    kept-line quantities — WHERE the shift q_hodges_lehmann summarizes
+    as one number actually lives (flat center + divergent tail = the
+    contaminated-corpus signature).  (operators/stats.py
+    shift_function_cells.)"""
+    from npm_mirror_spark.operators.stats import shift_function_cells
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    return shift_function_cells(li, "qty", F.col("ret"))
+
+
+def _octile_case(side: str) -> str:
+    return " ".join(
+        f"WHEN {i} THEN {side}{i}" for i in range(1, 8)
+    )
+
+
+_SHIFT_SQL = f"""
+WITH src AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+    coalesce(l_returnflag = 'R', FALSE) AS a
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+gv AS (SELECT a, v, count(*) AS c FROM src GROUP BY a, v),
+pri AS (
+  SELECT a, v, c,
+    coalesce(sum(c) OVER (PARTITION BY a ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+    sum(c) OVER (PARTITION BY a) AS n
+  FROM gv
+),
+per AS (
+  SELECT a,
+{",".join(
+    f'''    CASE WHEN (n * {i}) % 8 = 0
+         THEN min(CASE WHEN p + c >= (n * {i}) // 8 THEN v END)
+              + min(CASE WHEN p + c >= (n * {i}) // 8 + 1 THEN v END)
+         ELSE 2 * min(CASE WHEN p + c >= (n * {i}) // 8 + 1 THEN v END)
+    END AS e{i}''' for i in range(1, 8)
+)}
+  FROM pri GROUP BY a, n
+),
+one AS (
+  SELECT
+{",".join(
+    f"    max(CASE WHEN a THEN e{i} END) AS a{i},"
+    f" max(CASE WHEN NOT a THEN e{i} END) AS b{i}" for i in range(1, 8)
+)}
+  FROM per
+)
+SELECT o.i AS octile,
+  CAST(CASE o.i {_octile_case("a")} END AS DOUBLE) AS qa_2,
+  CAST(CASE o.i {_octile_case("b")} END AS DOUBLE) AS qb_2,
+  CAST(CASE o.i {_octile_case("a")} END
+       - CASE o.i {_octile_case("b")} END AS DOUBLE) AS diff_x2
+FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) o(i) CROSS JOIN one
+ORDER BY octile
+"""
+
+
+def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half rank stability of user activity: Spearman rho
+    between each user's even-event-id and odd-event-id counts — the
+    reliability question for any per-user ranking signal (a ranking
+    that can't agree with itself across a random half-split can't be
+    trusted against tomorrow's data).  Registered spearman_rho
+    machinery on the deterministic parity split.  (operators/stats.py
+    spearman_rho.)"""
+    from npm_mirror_spark.operators.stats import spearman_rho
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    d = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias(
+            "h_even"
+        ),
+        F.sum(F.when(F.col("event_id") % 2 != 0, 1).otherwise(0)).alias(
+            "h_odd"
+        ),
+    )
+    out = spearman_rho(d, "h_even", "h_odd")
+    # driver-hashable contract: decimal accumulators stay internal,
+    # the face reports correctly-rounded doubles (the q_spearman
+    # _nodec convention, paired with the oracle's VARCHAR route)
+    from pyspark.sql.types import DecimalType
+
+    return out.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in out.schema.fields
+        ]
+    )
+
+
+def _rank_stability_oracle() -> str:
+    head = """
+WITH r0 AS (
+  SELECT
+    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS x,
+    sum(CASE WHEN event_id % 2 != 0 THEN 1 ELSE 0 END) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+  GROUP BY user_id
+),"""
+    tail = """
+vx AS (SELECT x, count(*) AS c FROM r0 GROUP BY 1),
+px AS (
+  SELECT x,
+         2 * coalesce(sum(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rx
+  FROM vx),
+vy AS (SELECT y, count(*) AS c FROM r0 GROUP BY 1),
+py AS (
+  SELECT y,
+         2 * coalesce(sum(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS ry
+  FROM vy),
+j AS (SELECT px.rx, py.ry FROM r0 JOIN px USING (x) JOIN py USING (y)),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         sum(CAST(rx AS HUGEINT)) AS s_rx,
+         sum(CAST(ry AS HUGEINT)) AS s_ry,
+         sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS s_rxx,
+         sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS s_ryy,
+         sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS s_rxy
+  FROM j),
+r AS (
+  SELECT *,
+         CAST(n_rows AS HUGEINT) * s_rxy - s_rx * s_ry AS rho_num,
+         CAST(n_rows AS HUGEINT) * s_rxx - s_rx * s_rx AS rho_d1,
+         CAST(n_rows AS HUGEINT) * s_ryy - s_ry * s_ry AS rho_d2
+  FROM m)
+SELECT n_rows,
+       CAST(CAST(s_rx AS VARCHAR) AS DOUBLE) AS s_rx,
+       CAST(CAST(s_ry AS VARCHAR) AS DOUBLE) AS s_ry,
+       CAST(CAST(s_rxx AS VARCHAR) AS DOUBLE) AS s_rxx,
+       CAST(CAST(s_ryy AS VARCHAR) AS DOUBLE) AS s_ryy,
+       CAST(CAST(s_rxy AS VARCHAR) AS DOUBLE) AS s_rxy,
+       CAST(CAST(rho_num AS VARCHAR) AS DOUBLE) AS rho_num,
+       CAST(CAST(rho_d1 AS VARCHAR) AS DOUBLE) AS rho_d1,
+       CAST(CAST(rho_d2 AS VARCHAR) AS DOUBLE) AS rho_d2,
+       (CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(rho_d1 AS VARCHAR) AS DOUBLE))
+         * (CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(rho_d2 AS VARCHAR) AS DOUBLE)) AS rho2,
+       CAST(sign(CAST(CAST(rho_num AS VARCHAR) AS DOUBLE)) AS INTEGER)
+         AS rho_sign
+FROM r
+"""
+    return head + tail
+
+
+STAGED_QUERIES.update(
+    {
+        "q_shift_function": q_shift_function,
+        "q_rank_stability": q_rank_stability,
+    }
+)
+
+STAGED_ORACLES["q_shift_function"] = _SHIFT_SQL
+STAGED_ORACLES["q_rank_stability"] = _rank_stability_oracle()

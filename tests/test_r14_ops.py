@@ -602,3 +602,33 @@ def test_ndcg_bounds_and_perfect_prefix(spark, sf_dir):
             assert r[f"rel{i}"] in (0, 1, 2, 3)
         if (r["rel1"], r["rel2"], r["rel3"]) == (3, 2, 1):
             assert r["ndcg"] == 1.0
+
+
+def test_shift_function_hand_example(spark):
+    """A = [1..8], B = A + 10 except the top octile stretched: the
+    shift function is flat (-20) through e6 and wider at e7."""
+    from npm_mirror_spark.operators.stats import shift_function_cells
+
+    a = [(v, True) for v in range(1, 9)]
+    b = [(v + 10, False) for v in range(1, 8)] + [(100, False)]
+    df = spark.createDataFrame(a + b, "v long, a boolean")
+    rows = {r["octile"]: r for r in
+            shift_function_cells(df, "v", F.col("a")).collect()}
+    assert len(rows) == 7
+    # octiles of 1..8: e_i_2 = 2i+1; of B: +20 through e6, e7 = 17+100
+    for i in range(1, 7):
+        assert rows[i]["qa_2"] == 2 * i + 1.0
+        assert rows[i]["diff_x2"] == -20.0
+    assert rows[7]["qb_2"] == 117.0
+    assert rows[7]["diff_x2"] == 15.0 - 117.0
+
+
+def test_shift_function_empty_group_nulls(spark):
+    from npm_mirror_spark.operators.stats import shift_function_cells
+
+    df = spark.createDataFrame([(v, True) for v in (1, 2, 3)],
+                               "v long, a boolean")
+    rows = shift_function_cells(df, "v", F.col("a")).collect()
+    assert len(rows) == 7
+    assert all(r["qb_2"] is None and r["diff_x2"] is None for r in rows)
+    assert rows[3]["qa_2"] == 4.0  # doubled median of 1,2,3

@@ -594,3 +594,36 @@ def test_partial_tau_bit_exact_vs_brute(spark, xyz):
             assert r["tau_partial"] is None
     else:
         assert r["tau_partial"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-15, 15), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_shift_function_bit_exact_vs_brute(spark, rows):
+    from npm_mirror_spark.operators.stats import shift_function_cells
+
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    got = {r["octile"]: r for r in
+           shift_function_cells(df, "v", F.col("a")).collect()}
+    assert sorted(got) == list(range(1, 8))
+    for flag, col in ((True, "qa_2"), (False, "qb_2")):
+        vs = sorted(v for v, a in rows if a == flag)
+        for i in range(1, 8):
+            if not vs:
+                assert got[i][col] is None
+                continue
+            assert got[i][col] == float(_q2_type2(vs, i, 8)), (flag, i)
+    a_vals = sorted(v for v, a in rows if a)
+    b_vals = sorted(v for v, a in rows if not a)
+    for i in range(1, 8):
+        if a_vals and b_vals:
+            assert got[i]["diff_x2"] == float(
+                _q2_type2(a_vals, i, 8) - _q2_type2(b_vals, i, 8)
+            )
+        else:
+            assert got[i]["diff_x2"] is None
