@@ -15,9 +15,12 @@ ALLOWED_BNLJ entries to add at the r17 registration:
         the same q_cosine_topk / q_ann_ivf inherited shape",
     "q_weekday_anova": "1-row (n_total, grand-sum) totals broadcast
         onto the 7 weekday groups (the q_anova_cells shape)",
+    "q_rank_stability": "_with_prior_sums' (min,max) stats rows, one
+        per axis (the q_spearman shape)",
 
-(q_dup_token_share plans a hash-keyed equi join + per-source fold —
-no BNLJ.)
+(q_dup_token_share plans a hash-keyed equi join + per-source fold;
+q_shift_function per-group windows + a conditional-pivot fold — no
+BNLJ in either.)
 """
 
 from __future__ import annotations

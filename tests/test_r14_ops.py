@@ -577,6 +577,11 @@ def test_r17_staged_faces_match_oracles(spark, sf_dir):
 
     O17 = build_oracles(ORACLES)
     assert set(Q17) == set(O17) and not set(Q17) & set(QUERIES)
+    # BNLJ only in the faces whose shapes the module doc pre-documents
+    # (broadcast probes, 1-row folds, _with_prior_sums stats rows)
+    documented_bnlj = {
+        "q_ndcg", "q_rbo", "q_weekday_anova", "q_rank_stability",
+    }
     con = duckdb_con(sf_dir)
     for name, q in Q17.items():
         df = q(spark, sf_dir)
@@ -584,8 +589,8 @@ def test_r17_staged_faces_match_oracles(spark, sf_dir):
         assert not problems, f"{name}: {problems}"
         text = plans.explain_str(df, "simple")
         assert "CartesianProduct" not in text, name
-        # q_ndcg inherits the allowlisted q_cosine_topk / q_ann_ivf
-        # broadcast-probe shapes (pre-documented in the module doc)
+        if name not in documented_bnlj:
+            assert "BroadcastNestedLoopJoin" not in text, name
 
 
 def test_ndcg_bounds_and_perfect_prefix(spark, sf_dir):
