@@ -30,6 +30,23 @@ registration:
         q_quantile_norm shape)",
     "q_gk_lambda": "four 1-row margin/meta folds broadcast (the
         q_kappa shape)",
+
+(the r14-staged additions' six further entries are pre-documented in
+the module comment before q_jarque_bera below.)
+
+The r15 WINDOW_TAIL to paste at rotation (the 15 staged in this
+module, registration order, + the 8 oldest r04-era ledger rows —
+docs/DRIVER_WINDOW.md pre-plan)::
+
+    WINDOW_TAIL: tuple[str, ...] = (
+        "q_turning_point", "q_bartels_rvn", "q_kendall_w", "q_icc",
+        "q_dixon", "q_grubbs", "q_rank_scale", "q_gk_lambda",
+        "q_jarque_bera", "q_morans_i", "q_blomqvist_beta", "q_kuiper",
+        "q_krippendorff", "q_hodges_lehmann", "q_cuzick",
+        "q_user_event_history", "q_sessionize", "q_range_join",
+        "q_gopher_rules", "q_decontaminate", "q_redact_pii",
+        "q_pack_sequences", "q_gap_fill",
+    )
 """
 
 from __future__ import annotations
