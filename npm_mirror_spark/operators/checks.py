@@ -2262,3 +2262,246 @@ def partial_tau_cells(df: DataFrame, x: str, y: str, z: str) -> DataFrame:
             (txy - txz * tyz) / F.sqrt(rad),
         ).alias("tau_partial"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame, quasi_cols: list[str], sensitive: str
+) -> DataFrame:
+    """t-closeness audit over a quasi-identifier set — the third leg of
+    the privacy tier after :func:`kanonymity_report`'s k-anonymity and
+    l-diversity columns: a class can be large (k ok) and diverse
+    (l ok) yet still leak when its SENSITIVE distribution differs
+    sharply from the table-wide one (Li, Li & Venkatasubramanian '07).
+    For a categorical sensitive attribute the prescribed distance is
+    variational: tvd_g = Sigma_v |P_g(v) - P(v)| / 2.
+
+    Exactness: the numerator clears denominators —
+    ``tvd_num = Sigma_v |n_gv * N - n_v * n_g|`` is an exact integer
+    (DECIMAL(38,0) accumulation), and ``tvd = tvd_num / (2 * n_g * N)``
+    is ONE IEEE division on exact-cast doubles.  Missing (class,
+    value) combinations MUST contribute |0 - n_v * n_g|, so the class
+    axis is expanded against the full sensitive domain before the
+    fold.
+
+    Shape: one (quasi, sensitive) groupBy to the class-value cells —
+    bounded by the identifier x sensitive domain, the caller's
+    generalization contract — then a bounded-domain grid (classes
+    crossJoin the |V|-row sensitive-domain frame, broadcast) with the
+    observed cells LEFT-joined on, and one per-class re-aggregate.
+    No window, no self-join.
+
+    Output per class: *quasi_cols, n_class, tvd_num, tvd — ordered by
+    the quasi columns.
+    """
+    cv = (
+        df.filter(F.col(sensitive).isNotNull())
+        .groupBy(*quasi_cols, F.col(sensitive).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__ngv"))
+    )
+    classes = cv.groupBy(*quasi_cols).agg(F.sum("__ngv").alias("__ng"))
+    vals = cv.groupBy("__v").agg(F.sum("__ngv").alias("__nv"))
+    tot = vals.agg(F.sum("__nv").alias("__nn"))
+    dom = vals.crossJoin(F.broadcast(tot))
+    grid = classes.crossJoin(F.broadcast(dom))
+    filled = grid.join(cv, [*quasi_cols, "__v"], "left").select(
+        *quasi_cols,
+        "__ng",
+        "__nv",
+        "__nn",
+        F.coalesce("__ngv", F.lit(0)).alias("__ngv"),
+    )
+    dev = F.abs(
+        F.col("__ngv").cast("decimal(38,0)") * F.col("__nn")
+        - F.col("__nv").cast("decimal(38,0)") * F.col("__ng")
+    )
+    return (
+        filled.groupBy(*quasi_cols)
+        .agg(
+            F.max("__ng").cast("long").alias("n_class"),
+            F.sum(dev).cast("double").alias("tvd_num"),
+            (
+                F.sum(dev).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.max("__ng").cast("double")
+                    * F.max("__nn").cast("double")
+                )
+            ).alias("tvd"),
+        )
+        .orderBy(*quasi_cols)
+    )
+
+
+def ari_cells(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Adjusted Rand Index cells between two partitions of the same
+    rows (columns ``a`` and ``b`` hold the two cluster/label ids) —
+    the chance-corrected pair-counting agreement the clustering tier
+    (q_kmeans / q_cluster_split) has no verdict for: raw accuracy is
+    meaningless across arbitrary label permutations; ARI is
+    permutation-invariant and 0 in expectation under independent
+    labelings (Hubert & Arabie '85).
+
+    Exactness: every cell is a DOUBLED pair count — ``pairs2 =
+    Sigma n*(n-1)`` over contingency / row-margin / column-margin
+    counts and the total — so no halving ever happens and the
+    identity ARI = 2*(C2*S2ij - S2a*S2b) / (C2*(S2a+S2b) - 2*S2a*S2b)
+    (the halved form with all /2 factors cancelled) evaluates with
+    ONE final IEEE division on exact-cast doubles.  Products exceed
+    2^53 only beyond ~1e8 items; above that the doubles round
+    identically in both engines (the q_corr_moments class).
+
+    Shape: one (a, b) groupBy to the contingency cells — bounded by
+    the label-domain product — then three 1-row aggregates (cells,
+    row margins, column margins) combined by broadcast 1-row folds.
+    No window, no self-join.
+
+    1-row output: n_items, n_a_classes, n_b_classes, pairs2_cells,
+    pairs2_a, pairs2_b, pairs2_total, ari.
+    """
+    cont = (
+        df.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .groupBy(F.col(a).alias("__a"), F.col(b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    p2 = lambda c: F.sum(
+        (c * (c - F.lit(1))).cast("decimal(38,0)")
+    ).cast("double")
+    cells = cont.agg(
+        F.sum("__n").cast("long").alias("n_items"),
+        p2(F.col("__n")).alias("pairs2_cells"),
+    )
+    ra = (
+        cont.groupBy("__a")
+        .agg(F.sum("__n").alias("__na"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_a_classes"),
+            p2(F.col("__na")).alias("pairs2_a"),
+        )
+    )
+    rb = (
+        cont.groupBy("__b")
+        .agg(F.sum("__n").alias("__nb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b_classes"),
+            p2(F.col("__nb")).alias("pairs2_b"),
+        )
+    )
+    one = cells.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+    c2 = F.col("n_items").cast("double") * (
+        F.col("n_items").cast("double") - F.lit(1.0)
+    )
+    num = F.lit(2.0) * (
+        c2 * F.col("pairs2_cells") - F.col("pairs2_a") * F.col("pairs2_b")
+    )
+    den = c2 * (F.col("pairs2_a") + F.col("pairs2_b")) - F.lit(2.0) * F.col(
+        "pairs2_a"
+    ) * F.col("pairs2_b")
+    return one.select(
+        "n_items",
+        "n_a_classes",
+        "n_b_classes",
+        "pairs2_cells",
+        "pairs2_a",
+        "pairs2_b",
+        c2.alias("pairs2_total"),
+        F.when(den != 0, num / den).alias("ari"),
+    )
+
+
+def lin_ccc_cells(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Lin's concordance correlation coefficient from exact integer
+    moment cells — agreement of two measurements of the SAME quantity
+    on the 45-degree line, the reconciliation verdict Pearson r cannot
+    give (r is scale/shift-blind; CCC penalizes both).  Unlike r, CCC
+    needs NO square root: multiplying through by n^2,
+    ``ccc = 2*(n*sxy - sx*sy) / ((n*sxx - sx^2) + (n*syy - sy^2)
+    + (sx - sy)^2)`` (Lin '89) — ONE IEEE division on exact-cast
+    doubles, the sqrt-free sibling of q_corr_moments.
+
+    Callers pass exact-integer Columns (e.g. cents-scaled money); the
+    five sums accumulate in DECIMAL(38,0), fully order-independent.
+    The n* products round above 2^53 identically in both engines (the
+    q_corr_moments determinism class, documented there).
+
+    Shape: ONE global aggregate — map-side combined, one shuffle of
+    six numbers.  1-row output: n_pairs, sx, sy, sxx, syy, sxy,
+    ccc_num, ccc_den, ccc.
+    """
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    m = df.select(x.alias("__x"), y.alias("__y")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_pairs"),
+        d38(F.col("__x")).alias("sx"),
+        d38(F.col("__y")).alias("sy"),
+        d38(F.col("__x") * F.col("__x")).alias("sxx"),
+        d38(F.col("__y") * F.col("__y")).alias("syy"),
+        d38(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    num = F.lit(2.0) * (
+        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    den = (
+        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        + (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+        + (F.col("sx") - F.col("sy")) * (F.col("sx") - F.col("sy"))
+    )
+    return m.select(
+        "n_pairs",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        num.alias("ccc_num"),
+        den.alias("ccc_den"),
+        F.when(den != 0, num / den).alias("ccc"),
+    )
+
+
+def hoover_cells(df: DataFrame, value: Column) -> DataFrame:
+    """Hoover (Robin Hood) index over one-row-per-unit exact-integer
+    values: the fraction of the total that would have to move between
+    units to equalize them — ``H = Sigma_i |n*x_i - T| / (2*n*T)``.
+    The L1 inequality verdict beside the L2-flavored Gini faces
+    (q_source_gini) and the share-concentration q_hhi: Hoover reads
+    ONE number straight off the Lorenz diagram (its maximum vertical
+    gap), so a transfer between two units on the same side of the
+    mean provably cannot move it, which Gini cannot promise.
+
+    Exactness: with ``n`` and the total ``T`` broadcast as a 1-row
+    fold, ``|n*x_i - T|`` is an exact integer per unit (DECIMAL(38,0)
+    products — no bigint overflow at any realistic scale) and the
+    deviation sum accumulates in DECIMAL(38,0); the index is ONE IEEE
+    division on exact-cast doubles (2*n*T rounds above 2^53
+    identically in both engines — the q_corr_moments class).
+
+    Shape: one global 1-row aggregate, one broadcast 1-row fold over
+    the units, one deviation re-aggregate.  The units frame is
+    already aggregated by the caller (e.g. per-customer revenue), so
+    both scans are over the unit axis, not the raw corpus.
+
+    1-row output: n_units, total_value, abs_dev_sum, hoover.
+    """
+    u = df.select(value.cast("decimal(38,0)").alias("__x"))
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__t"),
+    )
+    dev = F.abs(
+        F.col("__x") * F.col("__n").cast("decimal(38,0)") - F.col("__t")
+    )
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n_units"),
+            F.max("__t").cast("double").alias("total_value"),
+            F.sum(dev).cast("double").alias("abs_dev_sum"),
+            (
+                F.sum(dev).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.max("__n").cast("double")
+                    * F.max("__t").cast("double")
+                )
+            ).alias("hoover"),
+        )
+    )

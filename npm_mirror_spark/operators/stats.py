@@ -2900,3 +2900,296 @@ def shift_function_cells(
         .select("__o.octile", "__o.qa_2", "__o.qb_2", "__o.diff_x2")
         .orderBy("octile")
     )
+
+
+def foster_stuart_cells(
+    daily: DataFrame, group: str, day: str, cnt: str
+) -> DataFrame:
+    """Foster–Stuart records test for trend, per group: count the days
+    whose value strictly exceeds every earlier day (upper records) and
+    the days strictly below every earlier day (lower records); a
+    trendless exchangeable series has E[U] = E[L] = H_n - 1 (harmonic),
+    so d = U - L signals monotone trend and s = U + L signals widening
+    range (Foster & Stuart '54).  The record-counting complement to
+    q_mann_kendall (pairwise dominance) and q_cox_stuart (paired
+    halves): records read only the running extremes, so a single
+    late-series spike flips d by at most 1.
+
+    All cells are exact integers: a day is an upper record iff
+    ``cnt > max(cnt) OVER (PARTITION BY group ORDER BY day ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING)`` — strict, so ties never
+    count, and the first day is no record by convention (t >= 2).
+
+    Shape: ONE window pair per group over the bounded calendar-day
+    axis (the q_drift_weekly contract — days per group are bounded by
+    the retention horizon, not the corpus), then a per-group
+    aggregate.  No self-join, no sort beyond the windows' own.
+
+    Output per group: n_days, upper_records, lower_records,
+    d_stat = U - L, s_stat = U + L — ordered by group.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group)
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = daily.select(
+        F.col(group).alias("__g"),
+        F.col(cnt).alias("__x"),
+        F.max(cnt).over(w).alias("__pmax"),
+        F.min(cnt).over(w).alias("__pmin"),
+    ).select(
+        "__g",
+        F.when(
+            F.col("__pmax").isNotNull() & (F.col("__x") > F.col("__pmax")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__up"),
+        F.when(
+            F.col("__pmin").isNotNull() & (F.col("__x") < F.col("__pmin")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__lo"),
+    )
+    return (
+        flagged.groupBy(F.col("__g").alias(group))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("__up").cast("long").alias("upper_records"),
+            F.sum("__lo").cast("long").alias("lower_records"),
+            (F.sum("__up") - F.sum("__lo")).cast("long").alias("d_stat"),
+            (F.sum("__up") + F.sum("__lo")).cast("long").alias("s_stat"),
+        )
+        .orderBy(group)
+    )
+
+
+def longest_run_cells(
+    daily: DataFrame, group: str, day: str, cnt: str
+) -> DataFrame:
+    """Longest same-sign run census per group — the extreme-value twin
+    of :func:`runs_test_daily` (which counts runs; a series can have
+    the expected NUMBER of runs yet hide one pathological streak).
+    Each group's daily values are signed against that group's exact
+    lower median (rank ceil(n/2) off the distinct-value prefix — no
+    sort), exact-median days are dropped (the runs-test convention),
+    and maximal same-sign streaks become gaps-and-islands groups:
+    ``row_number() - row_number() PARTITION BY sign`` is constant
+    exactly within a streak.
+
+    All cells are exact integers; there is nothing to divide.
+
+    Shape: one (group, value) groupBy for the per-group median (prior
+    sums via a group-partitioned window over the distinct-value axis),
+    an equi join of the median back onto the days (no broadcast fold —
+    the median frame is keyed by group), then two row_number windows
+    over the bounded calendar-day axis and one (group, sign, island)
+    groupBy.  No self-join.
+
+    Output per group: n_signed (days off the median), n_runs,
+    longest_run, longest_plus, longest_minus — ordered by group.
+    """
+    from pyspark.sql import Window
+
+    g = daily.select(
+        F.col(group).alias("__g"),
+        F.col(day).alias("__d"),
+        F.col(cnt).alias("__x"),
+    )
+    vals = g.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.partitionBy("__g").orderBy("__x")
+    pri = vals.select(
+        "__g",
+        "__x",
+        "__c",
+        F.coalesce(
+            F.sum("__c").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__p"),
+    )
+    tot = vals.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    med = (
+        pri.join(tot, "__g")
+        .filter(
+            (F.col("__p") + F.col("__c"))
+            >= F.ceil(F.col("__n") / 2).cast("long")
+        )
+        .groupBy("__g")
+        .agg(F.min("__x").alias("__med"))
+    )
+    signed = (
+        g.join(med, "__g")
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__g",
+            "__d",
+            F.when(F.col("__x") > F.col("__med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("__s"),
+        )
+    )
+    wall = Window.partitionBy("__g").orderBy("__d")
+    wsgn = Window.partitionBy("__g", "__s").orderBy("__d")
+    islands = signed.select(
+        "__g",
+        "__s",
+        (F.row_number().over(wall) - F.row_number().over(wsgn)).alias(
+            "__i"
+        ),
+    )
+    runs = islands.groupBy("__g", "__s", "__i").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return (
+        runs.groupBy(F.col("__g").alias(group))
+        .agg(
+            F.sum("__len").cast("long").alias("n_signed"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("__len").cast("long").alias("longest_run"),
+            F.coalesce(
+                F.max(F.when(F.col("__s") == 1, F.col("__len"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("longest_plus"),
+            F.coalesce(
+                F.max(F.when(F.col("__s") == -1, F.col("__len"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("longest_minus"),
+        )
+        .orderBy(group)
+    )
+
+
+def gk_tau_cells(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Goodman–Kruskal tau cells — the variation-based PRE companion to
+    the error-based :func:`~npm_mirror_spark.operators.checks.gk_lambda`
+    (modal guessing) and the ordinal gamma: how much of the Gini
+    variation of the column variable ``y`` is explained by knowing the
+    row variable ``x``?  tau = (N * Sigma_x q_x / n_x - Sigma_y n_y^2)
+    / (N^2 - Sigma_y n_y^2) with q_x = Sigma_y n_xy^2 (Goodman &
+    Kruskal '54).
+
+    One row per x-category with exact integer cells (n_x, q_x, and the
+    flat-repeated N / Sigma_y n_y^2) plus ``pre_term = (N * q_x) /
+    n_x`` — ONE IEEE division per row on exact-cast doubles.  The
+    scalar tau is the consumer one-liner this face refuses: summing
+    the per-category terms is a float sum in data-dependent order
+    (exact only when the caller fixes the bounded category order, as
+    the oracle-facing faces do by emitting the rows themselves).
+    Products stay exact below 2^53 (N * q_x here is ~1e14 at sf0.1;
+    at larger scales the doubles round identically in both engines —
+    the q_corr_moments determinism class).
+
+    Shape: one (x, y) groupBy to the contingency cells — bounded by
+    the category domain, the caller's contract — a per-x re-aggregate,
+    a per-y re-aggregate collapsed to ONE row, and a broadcast 1-row
+    fold (the q_anova_cells shape).
+    """
+    cont = (
+        df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(F.col(x).alias("__x"), F.col(y).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_x = cont.groupBy("__x").agg(
+        F.sum("__n").cast("long").alias("n_x"),
+        F.sum((F.col("__n") * F.col("__n")).cast(_D38))
+        .cast("double")
+        .alias("q_x"),
+    )
+    per_y = cont.groupBy("__y").agg(F.sum("__n").alias("__ny"))
+    glob = per_y.agg(
+        F.sum("__ny").cast("double").alias("n_total"),
+        F.sum((F.col("__ny") * F.col("__ny")).cast(_D38))
+        .cast("double")
+        .alias("sum_col_sq"),
+    )
+    return (
+        per_x.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("__x").alias(x),
+            "n_x",
+            "q_x",
+            "n_total",
+            "sum_col_sq",
+            (
+                (F.col("n_total") * F.col("q_x"))
+                / F.col("n_x").cast("double")
+            ).alias("pre_term"),
+        )
+        .orderBy(x)
+    )
+
+
+def variance_ratio_cells(
+    df: DataFrame, group: str, value: str
+) -> DataFrame:
+    """Variance-homogeneity census across groups — Hartley's Fmax
+    (max s^2 / min s^2, Hartley '50) over per-group sample variances
+    computed from EXACT integer moment cells: 2-dp inputs scale x100
+    to integers (floor(v*100+0.5) — exact, tie-free), the three sums
+    accumulate in DECIMAL(38,0), and each group's variance is ONE
+    division ``(n*sumsq - sum^2) / (n*(n-1))`` on exact-cast doubles
+    (the q_corr_moments determinism class).  The rank-free parametric
+    complement to q_conover_scale / q_rank_scale (rank dispersion) and
+    q_brown_forsythe (median deviations): those resist outliers, Fmax
+    reads raw second moments, so disagreement between the two families
+    localizes heavy tails.
+
+    Fmax repeats flat on every row (the kanonymity_report pattern):
+    max/min over the per-group s^2 doubles are order-independent
+    aggregates, then one more division.  Cochran's C (max s^2 /
+    SUM s^2) is the consumer one-liner this face refuses — its
+    denominator is a float sum in data-dependent group order.
+
+    Shape: one groupBy to the per-group moment cells — bounded by the
+    group domain, the caller's contract — then a 1-row (s2_max,
+    s2_min) broadcast fold.
+    """
+    cents = F.floor(F.col(value) * 100 + 0.5).cast("bigint")
+    m = (
+        df.select(F.col(group).alias("__g"), cents.alias("__v"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col("__v").cast(_D38)).cast("double").alias("sum_c"),
+            F.sum((F.col("__v") * F.col("__v")).cast(_D38))
+            .cast("double")
+            .alias("sumsq_c"),
+        )
+    )
+    s2 = F.when(
+        F.col("n_g") >= 2,
+        (
+            F.col("n_g").cast("double") * F.col("sumsq_c")
+            - F.col("sum_c") * F.col("sum_c")
+        )
+        / (
+            F.col("n_g").cast("double")
+            * (F.col("n_g").cast("double") - F.lit(1.0))
+        ),
+    )
+    cells = m.select("__g", "n_g", "sum_c", "sumsq_c", s2.alias("s2"))
+    fold = cells.agg(
+        F.max("s2").alias("s2_max"), F.min("s2").alias("s2_min")
+    )
+    return (
+        cells.crossJoin(F.broadcast(fold))
+        .select(
+            F.col("__g").alias(group),
+            "n_g",
+            "sum_c",
+            "sumsq_c",
+            "s2",
+            "s2_max",
+            "s2_min",
+            F.when(
+                F.col("s2_min") > 0, F.col("s2_max") / F.col("s2_min")
+            ).alias("fmax"),
+        )
+        .orderBy(group)
+    )
