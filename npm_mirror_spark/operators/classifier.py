@@ -650,3 +650,55 @@ def gini_best_split(df: DataFrame, value: str, label) -> DataFrame:
         F.col("b.n_total").alias("n_total"),
         F.col("b.pos_total").alias("pos_total"),
     )
+
+
+def mcc_cells(df: DataFrame, label, pred) -> DataFrame:
+    """Matthews correlation cells from the exact confusion counts —
+    the single-number binary verdict :func:`binary_metrics` stops
+    short of (it reports the counts and AUC; MCC balances all four
+    cells at once, the property accuracy and F1 lack on skewed
+    labels).  The coefficient itself needs a sqrt, so the face emits
+    the SIGNED SQUARE instead: ``mcc_signed_sq = (num * |num|) /
+    den_sq`` with ``num = tp*tn - fp*fn`` and ``den_sq =
+    (tp+fp)(tp+fn)(tn+fp)(tn+fn)`` — both exact DECIMAL(38,0)
+    integers cast once to double, ONE IEEE division, and
+    ``sign(mcc_signed_sq) = sign(mcc)`` with ``|mcc| =
+    sqrt(|mcc_signed_sq|)`` as the consumer one-liner.  Degenerate
+    margins (any factor 0) yield NULL, the standard convention.
+
+    Shape: ONE map-side-combined aggregate over (label, pred) — four
+    conditional counts, nothing else moves.
+
+    1-row output: n_rows, tp, fp, tn, fn, mcc_num, mcc_den_sq,
+    mcc_signed_sq.
+    """
+    l_ = label.cast("boolean")
+    p_ = pred.cast("boolean")
+    m = df.select(l_.alias("__l"), p_.alias("__p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("__l") & F.col("__p")).cast("long")).alias("tp"),
+        F.sum((~F.col("__l") & F.col("__p")).cast("long")).alias("fp"),
+        F.sum((~F.col("__l") & ~F.col("__p")).cast("long")).alias("tn"),
+        F.sum((F.col("__l") & ~F.col("__p")).cast("long")).alias("fn"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    num = (
+        d38(F.col("tp")) * d38(F.col("tn"))
+        - d38(F.col("fp")) * d38(F.col("fn"))
+    ).cast("double")
+    den = (
+        d38(F.col("tp") + F.col("fp"))
+        * d38(F.col("tp") + F.col("fn"))
+        * d38(F.col("tn") + F.col("fp"))
+        * d38(F.col("tn") + F.col("fn"))
+    ).cast("double")
+    return m.select(
+        "n_rows",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        num.alias("mcc_num"),
+        den.alias("mcc_den_sq"),
+        F.when(den > 0, (num * F.abs(num)) / den).alias("mcc_signed_sq"),
+    )

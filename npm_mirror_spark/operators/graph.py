@@ -955,3 +955,100 @@ def degree_assortativity(
             den.cast("double") != 0.0, num.cast("double") / den.cast("double")
         ).alias("r"),
     )
+
+
+def transitivity_cells(node_stats: DataFrame) -> DataFrame:
+    """Global transitivity from the per-node :func:`triangle_counts`
+    output — the ONE number the per-node local coefficients don't
+    give: ``transitivity = 3T / W`` where W counts wedges (paths of
+    length two).  Since the per-node ``triangles`` column sums to 3T
+    and ``Sigma deg*(deg-1)`` is exactly 2W, the ratio is
+    ``2 * Sigma triangles / Sigma deg*(deg-1)`` — all exact
+    DECIMAL(38,0) integers, ONE IEEE division.  Unlike the average of
+    local coefficients (which over-weights low-degree nodes — the
+    Watts-Strogatz vs Newman discrepancy), transitivity weights every
+    wedge equally, so the two disagreeing flags hub-centered
+    clustering.
+
+    Shape: one 1-row aggregate over the node-stats frame (already
+    O(nodes)); nothing else moves.
+
+    1-row output: n_nodes, deg_sum, wedges_x2, tri_x3, transitivity.
+    """
+    agg = node_stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("deg").cast(_D38)).cast("double").alias("deg_sum"),
+        F.sum((F.col("deg") * (F.col("deg") - F.lit(1))).cast(_D38))
+        .cast("double")
+        .alias("wedges_x2"),
+        F.sum(F.col("triangles").cast(_D38))
+        .cast("double")
+        .alias("tri_x3"),
+    )
+    return agg.select(
+        "n_nodes",
+        "deg_sum",
+        "wedges_x2",
+        "tri_x3",
+        F.when(
+            F.col("wedges_x2") > 0,
+            (F.lit(2.0) * F.col("tri_x3")) / F.col("wedges_x2"),
+        ).alias("transitivity"),
+    )
+
+
+def reciprocity_cells(
+    arcs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Directed-graph reciprocity over a weighted arc list — how often
+    is an arc answered by its reverse?  Two verdicts in one row: the
+    unweighted arc fraction ``n_reciprocated / n_arcs`` and the
+    flow-weighted ``Sigma min(w_ab, w_ba) / Sigma w_ab``
+    (Garlaschelli & Loffredo '04's reciprocated-weight share) — the
+    asymmetric-flow signal a symmetric co-occurrence graph cannot
+    carry (e.g. event-type transitions: VIEW->BUY >> BUY->VIEW).
+
+    Exactness: arcs are re-aggregated to one row per (src, dst) with
+    integer weights, self-loops dropped; the reverse is the SAME
+    frame equi-joined on the swapped key (no second scan of the raw
+    data); min/sums accumulate in DECIMAL(38,0); each verdict is ONE
+    IEEE division on exact-cast doubles.
+
+    Shape: one (src, dst) groupBy — bounded by the arc-type domain —
+    one self equi-join on the swapped key, one 1-row fold.
+
+    1-row output: n_arcs, n_reciprocated, sum_w, sum_w_min,
+    reciprocity, w_reciprocity.
+    """
+    a = (
+        arcs.filter(F.col(src) != F.col(dst))
+        .groupBy(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .agg(F.sum(w).cast("long").alias("__w"))
+    )
+    rev = a.select(
+        F.col("__d").alias("__s"),
+        F.col("__s").alias("__d"),
+        F.col("__w").alias("__wr"),
+    )
+    j = a.join(rev, ["__s", "__d"], "left").select(
+        "__w", F.coalesce("__wr", F.lit(0)).alias("__wr")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arcs"),
+        F.sum((F.col("__wr") > 0).cast("long")).alias("n_reciprocated"),
+        F.sum(F.col("__w").cast(_D38)).cast("double").alias("sum_w"),
+        F.sum(F.least("__w", "__wr").cast(_D38))
+        .cast("double")
+        .alias("sum_w_min"),
+        (
+            F.sum((F.col("__wr") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("reciprocity"),
+        (
+            F.sum(F.least("__w", "__wr").cast(_D38)).cast("double")
+            / F.sum(F.col("__w").cast(_D38)).cast("double")
+        ).alias("w_reciprocity"),
+    )

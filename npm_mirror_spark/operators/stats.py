@@ -3193,3 +3193,137 @@ def variance_ratio_cells(
         )
         .orderBy(group)
     )
+
+
+def dunn_pairs_cells(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Dunn's post-hoc pairwise mean-rank comparison — the follow-up
+    :func:`kruskal_cells` points at but cannot answer: WHICH groups
+    differ once the omnibus H flags the family (Dunn '64)?  Reuses the
+    pooled doubled midrank sums kruskal_cells already emits, so the
+    pairwise layer adds NO new rank pass: for each ordered group pair
+    (a < b), ``mean_rank_diff = R̄_a - R̄_b = (r2_a*n_b - r2_b*n_a)
+    / (2*n_a*n_b)`` — the numerator is an exact-int-valued double
+    (doubled rank sums times counts), the division is ONE IEEE op.
+    The z denominator (needs a sqrt of N(N+1)/12 terms) is
+    deliberately not computed, matching :func:`rank_sum_test`.
+
+    Shape: the k-row kruskal_cells frame self-paired on a bounded
+    inequality grid (k groups -> k(k-1)/2 rows; broadcast, the
+    caller's bounded-domain contract) — no second pass over the data.
+
+    Output per pair: {group}_a, {group}_b, n_a, n_b, r2_a, r2_b,
+    diff_num_x2, mean_rank_diff — ordered by the pair.
+    """
+    k = kruskal_cells(df, value, group).select(
+        F.col(group), "n_i", "rank_sum_x2"
+    )
+    a = k.select(
+        F.col(group).alias(f"{group}_a"),
+        F.col("n_i").alias("n_a"),
+        F.col("rank_sum_x2").alias("r2_a"),
+    )
+    b = k.select(
+        F.col(group).alias(f"{group}_b"),
+        F.col("n_i").alias("n_b"),
+        F.col("rank_sum_x2").alias("r2_b"),
+    )
+    p = a.join(
+        F.broadcast(b), F.col(f"{group}_a") < F.col(f"{group}_b")
+    )
+    diff = F.col("r2_a") * F.col("n_b").cast("double") - F.col(
+        "r2_b"
+    ) * F.col("n_a").cast("double")
+    return p.select(
+        f"{group}_a",
+        f"{group}_b",
+        "n_a",
+        "n_b",
+        "r2_a",
+        "r2_b",
+        diff.alias("diff_num_x2"),
+        (
+            diff
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            )
+        ).alias("mean_rank_diff"),
+    ).orderBy(f"{group}_a", f"{group}_b")
+
+
+def durbin_rank_cells(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Incomplete-block rank deviation cells (the Durbin '51 /
+    Skillings–Mack family) — :func:`friedman_cells` without the
+    complete-block gate: treatments are ranked WITHIN each block they
+    appear in (doubled midranks off the per-block distinct-value
+    collapse, the friedman idiom), and each treatment reports its
+    doubled rank sum against its own null mean ``Sigma_{b∋j}(k_b+1)``
+    (the doubled expectation of a within-block rank when block b holds
+    k_b rows).  ``dev_x2 = rank_sum_x2 - null_mean_x2`` is therefore
+    an EXACT integer-valued double with no division anywhere — the
+    chi-square normalization (which needs per-block variance weights,
+    and in the unequal-block general case sqrt weights) is the
+    consumer's affair.
+
+    Shape: one (block, value) collapse + ROW-framed prior window
+    partitioned by block (bounded by the per-block treatment domain),
+    one block-size aggregate joined back by block (equi), one
+    per-treatment fold.  No completeness semi-join, no broadcast.
+
+    Output per treatment: treatment, blocks_present, rank_sum_x2,
+    null_mean_x2, dev_x2 — ordered by treatment.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(block).alias("__b"),
+        F.col(treatment).alias("__t"),
+        F.col(value).alias("__x"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    vb = g.groupBy("__b", "__x").agg(F.count(F.lit(1)).alias("__cx"))
+    wv = Window.partitionBy("__b").orderBy("__x")
+    pri = vb.select(
+        "__b",
+        "__x",
+        "__cx",
+        F.coalesce(
+            F.sum("__cx").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__prior"),
+    )
+    sizes = g.groupBy("__b").agg(F.count(F.lit(1)).alias("__kb"))
+    ranked = (
+        g.join(pri, ["__b", "__x"])
+        .join(sizes, "__b")
+        .select(
+            "__t",
+            (
+                F.lit(2) * F.col("__prior") + F.col("__cx") + F.lit(1)
+            ).alias("__r2"),
+            (F.col("__kb") + F.lit(1)).alias("__kb1"),
+        )
+    )
+    return (
+        ranked.groupBy(F.col("__t").alias(treatment))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("blocks_present"),
+            F.sum(F.col("__r2").cast(_D38)).cast("double").alias(
+                "rank_sum_x2"
+            ),
+            F.sum(F.col("__kb1").cast(_D38)).cast("double").alias(
+                "null_mean_x2"
+            ),
+            (
+                F.sum(F.col("__r2").cast(_D38)).cast("double")
+                - F.sum(F.col("__kb1").cast(_D38)).cast("double")
+            ).alias("dev_x2"),
+        )
+        .orderBy(treatment)
+    )

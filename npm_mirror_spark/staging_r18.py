@@ -23,9 +23,15 @@ ALLOWED_BNLJ entries to add at the r18 registration:
     "q_hoover_index": "1-row (n, T) totals broadcast onto the
         per-customer unit rows (the runs_test_daily median-fold
         shape)",
+    "q_dunn_pairs": "the k-row kruskal_cells frame self-paired on a
+        bounded inequality grid (k(k-1)/2 rows, broadcast) — plus the
+        kruskal_cells singleton-fold it inherits",
 
 (q_foster_stuart and q_longest_run are window/equi-join only;
-q_lin_ccc is one global aggregate — no BNLJ in those three.)
+q_lin_ccc / q_mcc are one global aggregate; q_transitivity is a 1-row
+aggregate over the q_triangles node stats; q_reciprocity is a bounded
+self equi-join on the swapped arc key; q_durbin_rank is
+collapse+window+equi-joins — no BNLJ in those seven.)
 """
 
 from __future__ import annotations
@@ -417,6 +423,225 @@ FROM cells CROSS JOIN ra CROSS JOIN rb
 """
 
 
+def q_dunn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc pairwise mean-rank comparison (operators/
+    stats.py:dunn_pairs_cells) over document lengths by language —
+    the follow-up q_kruskal's omnibus H points at but cannot answer
+    (WHICH languages differ).  Reuses the pooled doubled midrank sums
+    kruskal_cells emits, so no second rank pass; per ordered pair the
+    mean-rank difference is one IEEE division on an exact-int-valued
+    numerator.  The oracle COMPOSES the registered q_kruskal SQL."""
+    from npm_mirror_spark.operators.stats import dunn_pairs_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return dunn_pairs_cells(d, "n_chars", "lang")
+
+
+def _dunn_pairs_oracle(ORACLES: dict[str, str]) -> str:
+    """Compose the verified q_kruskal oracle SQL into the pairwise
+    replay.  Deferred to ``build_oracles``."""
+    return f"""
+WITH k AS ({ORACLES["q_kruskal"]}),
+a AS (SELECT lang AS lang_a, n_i AS n_a, rank_sum_x2 AS r2_a FROM k),
+b AS (SELECT lang AS lang_b, n_i AS n_b, rank_sum_x2 AS r2_b FROM k)
+SELECT lang_a, lang_b, n_a, n_b, r2_a, r2_b,
+  r2_a * CAST(n_b AS DOUBLE) - r2_b * CAST(n_a AS DOUBLE)
+    AS diff_num_x2,
+  (r2_a * CAST(n_b AS DOUBLE) - r2_b * CAST(n_a AS DOUBLE))
+    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+    AS mean_rank_diff
+FROM a JOIN b ON lang_a < lang_b
+ORDER BY lang_a, lang_b
+"""
+
+
+def q_durbin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incomplete-block rank deviation census (operators/stats.py:
+    durbin_rank_cells — the Durbin/Skillings-Mack family): event
+    types ranked WITHIN each epoch-day by daily count, each type's
+    doubled rank sum against its own null mean Sigma(k_b+1) — the
+    friedman complement for blocks where not every treatment shows
+    up.  dev_x2 is an exact integer-valued double; NO division
+    anywhere in the face."""
+    from npm_mirror_spark.operators.stats import durbin_rank_cells
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400)
+        .cast("bigint")
+        .alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return durbin_rank_cells(daily, "d", "event_type", "n")
+
+
+_DURBIN_RANK_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b,
+         event_type AS t, count(*) AS x
+  FROM events GROUP BY 1, 2),
+vb AS (SELECT b, x, count(*) AS cx FROM daily GROUP BY 1, 2),
+pri AS (
+  SELECT b, x, cx,
+    coalesce(sum(cx) OVER (PARTITION BY b ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS prior
+  FROM vb),
+sizes AS (SELECT b, count(*) AS kb FROM daily GROUP BY 1),
+ranked AS (
+  SELECT daily.t, 2 * prior + cx + 1 AS r2, kb + 1 AS kb1
+  FROM daily
+  JOIN pri ON daily.b = pri.b AND daily.x = pri.x
+  JOIN sizes ON daily.b = sizes.b)
+SELECT t AS event_type,
+  CAST(count(*) AS BIGINT) AS blocks_present,
+  CAST(sum(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE) AS rank_sum_x2,
+  CAST(sum(CAST(kb1 AS DECIMAL(38,0))) AS DOUBLE) AS null_mean_x2,
+  CAST(sum(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE)
+    - CAST(sum(CAST(kb1 AS DECIMAL(38,0))) AS DOUBLE) AS dev_x2
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation cells (operators/classifier.py:mcc_cells)
+    for the q_classifier_eval scorer (doc length >= 500 chars) against
+    the keyword label — the balanced single-number verdict the
+    confusion counts + AUC face stops short of.  MCC needs a sqrt, so
+    the face emits the SIGNED SQUARE (num*|num|/den_sq, one division
+    on exact-integer cells); |mcc| = sqrt(|mcc_signed_sq|) is the
+    consumer one-liner."""
+    from npm_mirror_spark.operators.classifier import mcc_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return mcc_cells(
+        d,
+        F.col("text").contains("spark"),
+        F.col("n_chars") >= 500,
+    )
+
+
+_MCC_SQL = """
+WITH s AS (
+  SELECT (text LIKE '%spark%') AS l, (n_chars >= 500) AS p
+  FROM documents),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN l AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN NOT l AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT l AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn,
+    CAST(sum(CASE WHEN l AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM s),
+m AS (
+  SELECT n_rows, tp, fp, tn, fn,
+    CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+         - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+      AS mcc_num,
+    CAST(CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT)
+         * CAST(tn + fp AS HUGEINT) * CAST(tn + fn AS HUGEINT)
+         AS DOUBLE) AS mcc_den_sq
+  FROM c)
+SELECT n_rows, tp, fp, tn, fn, mcc_num, mcc_den_sq,
+  CASE WHEN mcc_den_sq > 0
+    THEN (mcc_num * abs(mcc_num)) / mcc_den_sq END AS mcc_signed_sq
+FROM m
+"""
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (operators/graph.py:transitivity_cells)
+    of the q_triangles co-purchase slice: 3T / wedges as ONE exact
+    division — the hub-weighted global verdict the per-node local
+    coefficients (q_triangles' lcc) don't give, and the two
+    disagreeing flags hub-centered clustering.  The oracle COMPOSES
+    the registered q_triangles SQL and just sums it."""
+    from npm_mirror_spark.operators.graph import (
+        basket_pairs,
+        transitivity_cells,
+        triangle_counts,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+    return transitivity_cells(triangle_counts(edges))
+
+
+def _transitivity_oracle(ORACLES: dict[str, str]) -> str:
+    """Compose the verified q_triangles oracle SQL into the global
+    transitivity fold.  Deferred to ``build_oracles``."""
+    return f"""
+WITH t AS ({ORACLES["q_triangles"]})
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(sum(CAST(deg AS DECIMAL(38,0))) AS DOUBLE) AS deg_sum,
+  CAST(sum(CAST(deg * (deg - 1) AS DECIMAL(38,0))) AS DOUBLE)
+    AS wedges_x2,
+  CAST(sum(CAST(triangles AS DECIMAL(38,0))) AS DOUBLE) AS tri_x3,
+  CASE WHEN CAST(sum(CAST(deg * (deg - 1) AS DECIMAL(38,0)))
+             AS DOUBLE) > 0
+    THEN (2.0 * CAST(sum(CAST(triangles AS DECIMAL(38,0))) AS DOUBLE))
+         / CAST(sum(CAST(deg * (deg - 1) AS DECIMAL(38,0))) AS DOUBLE)
+  END AS transitivity
+FROM t
+"""
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity (operators/graph.py:reciprocity_cells)
+    of the event-type transition graph (the q_event_transitions arcs,
+    self-loops dropped): what share of arcs — and of transition FLOW
+    (Garlaschelli-Loffredo min-weight share) — is answered in the
+    reverse direction?  The asymmetry verdict the symmetric
+    co-occurrence graphs can't carry; exact counts, two single
+    divisions."""
+    from pyspark.sql import Window
+
+    from npm_mirror_spark.operators.graph import reciprocity_cells
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arcs = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return reciprocity_cells(arcs)
+
+
+_RECIPROCITY_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS s,
+         event_type AS d
+  FROM events),
+tr AS (
+  SELECT s, d, count(*) AS w FROM seq
+  WHERE s IS NOT NULL AND s <> d GROUP BY 1, 2),
+j AS (
+  SELECT t.w, coalesce(r.w, 0) AS wr
+  FROM tr t LEFT JOIN tr r ON t.s = r.d AND t.d = r.s)
+SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+  CAST(sum(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_reciprocated,
+  CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS sum_w,
+  CAST(sum(CAST(least(w, wr) AS DECIMAL(38,0))) AS DOUBLE)
+    AS sum_w_min,
+  CAST(sum(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS reciprocity,
+  CAST(sum(CAST(least(w, wr) AS DECIMAL(38,0))) AS DOUBLE)
+    / CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS w_reciprocity
+FROM j
+"""
+
+
 STAGED_QUERIES = {
     "q_foster_stuart": q_foster_stuart,
     "q_longest_run": q_longest_run,
@@ -426,6 +651,11 @@ STAGED_QUERIES = {
     "q_lin_ccc": q_lin_ccc,
     "q_hoover_index": q_hoover_index,
     "q_rand_index": q_rand_index,
+    "q_dunn_pairs": q_dunn_pairs,
+    "q_durbin_rank": q_durbin_rank,
+    "q_mcc": q_mcc,
+    "q_transitivity": q_transitivity,
+    "q_reciprocity": q_reciprocity,
 }
 
 STAGED_ORACLES: dict[str, str] = {
@@ -436,12 +666,20 @@ STAGED_ORACLES: dict[str, str] = {
     "q_t_closeness": _T_CLOSENESS_SQL,
     "q_lin_ccc": _LIN_CCC_SQL,
     "q_hoover_index": _HOOVER_SQL,
+    "q_durbin_rank": _DURBIN_RANK_SQL,
+    "q_mcc": _MCC_SQL,
+    "q_reciprocity": _RECIPROCITY_SQL,
 }
 
 
 def build_oracles(registry_oracles: dict[str, str]) -> dict[str, str]:
     """Complete ``STAGED_ORACLES`` against the registry (q_rand_index
-    nests the q_kmeans oracle SQL) and return it — the
+    nests the q_kmeans oracle SQL; q_dunn_pairs nests q_kruskal;
+    q_transitivity nests q_triangles) and return it — the
     staging_r13/staging_r17 build_oracles pattern; idempotent."""
     STAGED_ORACLES["q_rand_index"] = _rand_index_oracle(registry_oracles)
+    STAGED_ORACLES["q_dunn_pairs"] = _dunn_pairs_oracle(registry_oracles)
+    STAGED_ORACLES["q_transitivity"] = _transitivity_oracle(
+        registry_oracles
+    )
     return STAGED_ORACLES
