@@ -470,6 +470,283 @@ def test_hoover_brute(spark, xs):
     assert 0.0 <= r["hoover"] < 1.0
 
 
+# ------------------------------------------------------ dunn_pairs_cells
+
+
+def test_dunn_pairs_hand_example(spark):
+    """a=[1,2], b=[3,4]: pooled doubled midranks 2,4,6,8 -> r2_a=6,
+    r2_b=14; mean ranks 1.5 vs 3.5 -> diff -2."""
+    from npm_mirror_spark.operators.stats import dunn_pairs_cells
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "g string, x long"
+    )
+    r = dunn_pairs_cells(df, "x", "g").collect()[0]
+    assert (r["g_a"], r["g_b"], r["n_a"], r["n_b"]) == ("a", "b", 2, 2)
+    assert (r["r2_a"], r["r2_b"]) == (6.0, 14.0)
+    assert (r["diff_num_x2"], r["mean_rank_diff"]) == (-16.0, -2.0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda xs: len({g for g, _ in xs}) >= 2)
+)
+@settings(**_SETTINGS)
+def test_dunn_pairs_brute(spark, pairs):
+    from npm_mirror_spark.operators.stats import dunn_pairs_cells
+
+    df = spark.createDataFrame(pairs, "g long, x long")
+    out = {(r["g_a"], r["g_b"]): r for r in dunn_pairs_cells(df, "x", "g").collect()}
+    vals = sorted(x for _, x in pairs)
+
+    def r2(v):  # doubled pooled midrank of value v
+        less = sum(1 for u in vals if u < v)
+        ties = sum(1 for u in vals if u == v)
+        return 2 * less + ties + 1
+
+    groups = sorted({g for g, _ in pairs})
+    assert len(out) == len(groups) * (len(groups) - 1) // 2
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            xa = [x for g, x in pairs if g == ga]
+            xb = [x for g, x in pairs if g == gb]
+            r2a = float(sum(r2(v) for v in xa))
+            r2b = float(sum(r2(v) for v in xb))
+            r = out[(ga, gb)]
+            assert (r["n_a"], r["n_b"]) == (len(xa), len(xb))
+            assert (r["r2_a"], r["r2_b"]) == (r2a, r2b)
+            diff = r2a * float(len(xb)) - r2b * float(len(xa))
+            assert r["diff_num_x2"] == diff
+            assert r["mean_rank_diff"] == diff / (
+                2.0 * float(len(xa)) * float(len(xb))
+            )
+
+
+# ---------------------------------------------------- durbin_rank_cells
+
+
+def test_durbin_rank_hand_example(spark):
+    """b1={t1:5, t2:3}, b2={t1:1, t2:2, t3:3}: within-block doubled
+    midranks t1: 4+2, t2: 2+4, t3: 6; null means 3+4, 3+4, 4."""
+    from npm_mirror_spark.operators.stats import durbin_rank_cells
+
+    rows = [("b1", "t1", 5), ("b1", "t2", 3), ("b2", "t1", 1),
+            ("b2", "t2", 2), ("b2", "t3", 3)]
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    out = {r["t"]: r for r in durbin_rank_cells(df, "b", "t", "x").collect()}
+    assert (out["t1"]["rank_sum_x2"], out["t1"]["null_mean_x2"]) == (6.0, 7.0)
+    assert (out["t2"]["rank_sum_x2"], out["t2"]["dev_x2"]) == (6.0, -1.0)
+    assert (out["t3"]["blocks_present"], out["t3"]["dev_x2"]) == (1, 2.0)
+    # doubled deviations always sum to zero across treatments
+    assert sum(r["dev_x2"] for r in out.values()) == 0.0
+
+
+def test_durbin_rank_ties_within_block(spark):
+    """A block where every value ties gives each treatment the same
+    doubled midrank k+1 — dev contributions all zero."""
+    from npm_mirror_spark.operators.stats import durbin_rank_cells
+
+    rows = [("b", t, 7) for t in ("t1", "t2", "t3")]
+    df = spark.createDataFrame(rows, "b string, t string, x long")
+    for r in durbin_rank_cells(df, "b", "t", "x").collect():
+        assert (r["rank_sum_x2"], r["null_mean_x2"], r["dev_x2"]) == (
+            4.0, 4.0, 0.0,
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.integers(0, 4)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_durbin_rank_brute(spark, rows):
+    from npm_mirror_spark.operators.stats import durbin_rank_cells
+
+    df = spark.createDataFrame(rows, "b long, t long, x long")
+    out = {r["t"]: r for r in durbin_rank_cells(df, "b", "t", "x").collect()}
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for b, t, x in rows:
+        blocks[b].append((t, x))
+    r2sum = collections.defaultdict(float)
+    nullm = collections.defaultdict(float)
+    pres = collections.defaultdict(int)
+    for b, members in blocks.items():
+        vals = sorted(x for _, x in members)
+        for t, x in members:
+            less = sum(1 for u in vals if u < x)
+            ties = sum(1 for u in vals if u == x)
+            r2sum[t] += 2 * less + ties + 1
+            nullm[t] += len(members) + 1
+            pres[t] += 1
+    for t in pres:
+        r = out[t]
+        assert r["blocks_present"] == pres[t]
+        assert (r["rank_sum_x2"], r["null_mean_x2"]) == (r2sum[t], nullm[t])
+        assert r["dev_x2"] == r2sum[t] - nullm[t]
+
+
+# ------------------------------------------------------------- mcc_cells
+
+
+def test_mcc_perfect_inverse_and_degenerate(spark):
+    from npm_mirror_spark.operators.classifier import mcc_cells
+
+    perfect = spark.createDataFrame(
+        [(True, True), (True, True), (False, False), (False, False)],
+        "l boolean, p boolean",
+    )
+    r = mcc_cells(perfect, F.col("l"), F.col("p")).collect()[0]
+    assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (2, 2, 0, 0)
+    assert r["mcc_signed_sq"] == 1.0
+    inverse = spark.createDataFrame(
+        [(True, False), (True, False), (False, True), (False, True)],
+        "l boolean, p boolean",
+    )
+    assert mcc_cells(
+        inverse, F.col("l"), F.col("p")
+    ).collect()[0]["mcc_signed_sq"] == -1.0
+    # all-positive labels: two margins are 0 -> NULL (undefined MCC)
+    degen = spark.createDataFrame(
+        [(True, True), (True, False)], "l boolean, p boolean"
+    )
+    r = mcc_cells(degen, F.col("l"), F.col("p")).collect()[0]
+    assert r["mcc_signed_sq"] is None and r["mcc_den_sq"] == 0.0
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_mcc_bit_exact_vs_brute(spark, rows):
+    from npm_mirror_spark.operators.classifier import mcc_cells
+
+    df = spark.createDataFrame(rows, "l boolean, p boolean")
+    r = mcc_cells(df, F.col("l"), F.col("p")).collect()[0]
+    tp = sum(1 for l, p in rows if l and p)
+    fp = sum(1 for l, p in rows if not l and p)
+    tn = sum(1 for l, p in rows if not l and not p)
+    fn = sum(1 for l, p in rows if l and not p)
+    num = float(tp * tn - fp * fn)
+    den = float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+    assert (r["mcc_num"], r["mcc_den_sq"]) == (num, den)
+    assert r["mcc_signed_sq"] == (
+        (num * abs(num)) / den if den > 0 else None
+    )
+
+
+# ----------------------------------------------------- transitivity_cells
+
+
+def test_transitivity_triangle_path_star(spark):
+    """K3 -> 1; a 2-path -> 0 (one wedge, no closure); a 3-star -> 0
+    with three wedges."""
+    from npm_mirror_spark.operators.graph import (
+        transitivity_cells,
+        triangle_counts,
+    )
+
+    k3 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    r = transitivity_cells(triangle_counts(k3)).collect()[0]
+    assert (r["n_nodes"], r["wedges_x2"], r["tri_x3"]) == (3, 6.0, 3.0)
+    assert r["transitivity"] == 1.0
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = transitivity_cells(triangle_counts(star)).collect()[0]
+    assert (r["wedges_x2"], r["transitivity"]) == (6.0, 0.0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(**_SETTINGS)
+def test_transitivity_brute(spark, raw):
+    from npm_mirror_spark.operators.graph import (
+        transitivity_cells,
+        triangle_counts,
+    )
+    import itertools
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    r = transitivity_cells(triangle_counts(df)).collect()[0]
+    nodes = sorted({v for e in edges for v in e})
+    deg = {v: sum(1 for e in edges if v in e) for v in nodes}
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    wedges_x2 = float(sum(d * (d - 1) for d in deg.values()))
+    assert (r["n_nodes"], r["deg_sum"]) == (len(nodes), float(2 * len(edges)))
+    assert (r["wedges_x2"], r["tri_x3"]) == (wedges_x2, float(3 * tri))
+    if wedges_x2 > 0:
+        assert r["transitivity"] == (2.0 * float(3 * tri)) / wedges_x2
+    else:
+        assert r["transitivity"] is None
+
+
+# ----------------------------------------------------- reciprocity_cells
+
+
+def test_reciprocity_hand_example(spark):
+    """a->b(2), b->a(1), a->c(3): 2/3 of arcs reciprocated; min-flow
+    share 2/6; self-loops dropped."""
+    from npm_mirror_spark.operators.graph import reciprocity_cells
+
+    arcs = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 1), ("a", "c", 3), ("c", "c", 9)],
+        "src string, dst string, w long",
+    )
+    r = reciprocity_cells(arcs).collect()[0]
+    assert (r["n_arcs"], r["n_reciprocated"]) == (3, 2)
+    assert (r["sum_w"], r["sum_w_min"]) == (6.0, 2.0)
+    assert r["reciprocity"] == 2.0 / 3.0
+    assert r["w_reciprocity"] == 2.0 / 6.0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(1, 5)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b, _ in es))
+)
+@settings(**_SETTINGS)
+def test_reciprocity_brute(spark, raw):
+    from npm_mirror_spark.operators.graph import reciprocity_cells
+    import collections
+
+    df = spark.createDataFrame(raw, "src long, dst long, w long")
+    r = reciprocity_cells(df).collect()[0]
+    w = collections.Counter()
+    for a, b, c in raw:
+        if a != b:
+            w[(a, b)] += c
+    n_arcs = len(w)
+    n_rec = sum(1 for (a, b) in w if (b, a) in w)
+    sum_w = float(sum(w.values()))
+    sum_min = float(sum(min(c, w.get((b, a), 0)) for (a, b), c in w.items()))
+    assert (r["n_arcs"], r["n_reciprocated"]) == (n_arcs, n_rec)
+    assert (r["sum_w"], r["sum_w_min"]) == (sum_w, sum_min)
+    assert r["reciprocity"] == float(n_rec) / float(n_arcs)
+    assert r["w_reciprocity"] == sum_min / sum_w
+
+
 # ------------------------------- staged r18 faces (staging_r18)
 
 
@@ -491,7 +768,7 @@ def test_r18_staged_faces_match_oracles(spark, sf_dir):
     # (1-row folds, bounded sensitive-domain grid)
     documented_bnlj = {
         "q_rand_index", "q_gk_tau", "q_variance_ratio", "q_t_closeness",
-        "q_hoover_index",
+        "q_hoover_index", "q_dunn_pairs",
     }
     con = duckdb_con(sf_dir)
     for name, q in Q18.items():
