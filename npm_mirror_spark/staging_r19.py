@@ -1,0 +1,237 @@
+"""Early-staged registry faces for the r19 driver-window tail.
+
+The r15–r18 tails are already fully pre-planned (staging_r15/16/17/18
+— docs/DRIVER_WINDOW.md), so this late-r14 wave stages four windows
+out: the graph-partition QUALITY tier — the verdicts the structural
+faces (q_communities, q_triangles, q_kcore) compute partitions for
+but never score.  Same contracts as every staged batch; the
+q_modularity / q_conductance oracles COMPOSE the registered
+q_communities SQL (labels) around the q_triangles edge CTE, deferred
+to ``build_oracles``.
+
+ALLOWED_BNLJ entries to add at the r19 registration:
+
+    "q_modularity": "1-row m fold + 1-row term-sum fold broadcast
+        onto the community rows (the q_anova_cells shape, twice)",
+    "q_conductance": "1-row m fold broadcast onto the community
+        rows",
+    "q_attr_assortativity": "three 1-row aggregates (edge/same
+        counts, category masses) broadcast-combined",
+
+(All three otherwise equi-join on node id / attribute key.)
+
+Edge parity note: the oracles rebuild the q_triangles ``raw`` CTE
+(DISTINCT co-purchase pairs on the 1/5 order slice) WITHOUT the
+operator's max_basket=64 guard — identical on TPC-H-shaped baskets
+(<= 7 items; the q_triangles precedent, documented there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from npm_mirror_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_RAW_EDGES = """raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  WHERE x.l_orderkey % 5 = 2)"""
+
+
+def _sliced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from npm_mirror_spark.operators.graph import basket_pairs
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey") % 5 == 2)
+    )
+    return basket_pairs(li, "l_orderkey", "l_partkey", max_basket=64)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (operators/graph.py:modularity_cells) of the
+    q_communities label-propagation partition over the sliced
+    co-purchase graph — the quality verdict the partition face itself
+    never reports.  q_term_x4m2 is an exact integer per community and
+    the flat modularity is ONE division of the exact integer term sum
+    by 4m^2.  The oracle COMPOSES the registered q_communities SQL."""
+    from npm_mirror_spark.operators.graph import (
+        label_propagation,
+        modularity_cells,
+    )
+
+    edges = _sliced_edges(spark, sf_dir)
+    labels = label_propagation(edges, n_rounds=2)
+    return modularity_cells(edges, labels)
+
+
+def _modularity_oracle(ORACLES: dict[str, str]) -> str:
+    """Compose the verified q_communities oracle SQL (labels) around
+    the q_triangles edge CTE.  Deferred to ``build_oracles``."""
+    return f"""
+WITH {_RAW_EDGES},
+lab AS ({ORACLES["q_communities"]}),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM raw UNION ALL SELECT b FROM raw) GROUP BY id),
+vol AS (
+  SELECT lab.label AS l, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+  FROM lab JOIN deg ON deg.id = lab.id GROUP BY 1),
+ee AS (
+  SELECT la.label AS ca, lb.label AS cb
+  FROM raw JOIN lab la ON la.id = raw.a
+           JOIN lab lb ON lb.id = raw.b),
+intr AS (
+  SELECT ca AS l, CAST(count(*) AS BIGINT) AS internal
+  FROM ee WHERE ca = cb GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM raw),
+cells AS (
+  SELECT vol.l, vol.n_nodes,
+         CAST(coalesce(intr.internal, 0) AS BIGINT) AS internal_edges,
+         vol.degree_sum, m.m_edges,
+         CAST(CAST(4 * m.m_edges * coalesce(intr.internal, 0)
+                   - vol.degree_sum * vol.degree_sum
+              AS DECIMAL(38,0)) AS DOUBLE) AS q_term_x4m2
+  FROM vol LEFT JOIN intr ON intr.l = vol.l CROSS JOIN m),
+tot AS (
+  SELECT CAST(sum(CAST(q_term_x4m2 AS DECIMAL(38,0))) AS DOUBLE) AS qs
+  FROM cells)
+SELECT l AS label, n_nodes, internal_edges, degree_sum, m_edges,
+  q_term_x4m2,
+  qs / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE))
+    AS modularity
+FROM cells CROSS JOIN tot ORDER BY label
+"""
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (operators/graph.py:
+    conductance_cells) of the q_communities partition — the boundary
+    verdict beside q_modularity's internal-density one: cut / min(vol,
+    2m - vol), each cut edge credited to both sides.  Exact integer
+    cells, one division per community.  The oracle COMPOSES the
+    registered q_communities SQL."""
+    from npm_mirror_spark.operators.graph import (
+        conductance_cells,
+        label_propagation,
+    )
+
+    edges = _sliced_edges(spark, sf_dir)
+    labels = label_propagation(edges, n_rounds=2)
+    return conductance_cells(edges, labels)
+
+
+def _conductance_oracle(ORACLES: dict[str, str]) -> str:
+    """Compose the verified q_communities oracle SQL (labels) around
+    the q_triangles edge CTE.  Deferred to ``build_oracles``."""
+    return f"""
+WITH {_RAW_EDGES},
+lab AS ({ORACLES["q_communities"]}),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM raw UNION ALL SELECT b FROM raw) GROUP BY id),
+vol AS (
+  SELECT lab.label AS l, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+  FROM lab JOIN deg ON deg.id = lab.id GROUP BY 1),
+ee AS (
+  SELECT la.label AS ca, lb.label AS cb
+  FROM raw JOIN lab la ON la.id = raw.a
+           JOIN lab lb ON lb.id = raw.b),
+cr AS (SELECT ca, cb FROM ee WHERE ca <> cb),
+cut AS (
+  SELECT l, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+    SELECT ca AS l FROM cr UNION ALL SELECT cb FROM cr) GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM raw)
+SELECT vol.l AS label, vol.n_nodes, vol.degree_sum,
+  CAST(coalesce(cut.cut_edges, 0) AS BIGINT) AS cut_edges, m.m_edges,
+  CASE WHEN least(vol.degree_sum, 2 * m.m_edges - vol.degree_sum) > 0
+    THEN CAST(coalesce(cut.cut_edges, 0) AS DOUBLE)
+         / CAST(least(vol.degree_sum,
+                      2 * m.m_edges - vol.degree_sum) AS DOUBLE)
+  END AS conductance
+FROM vol LEFT JOIN cut ON cut.l = vol.l CROSS JOIN m
+ORDER BY label
+"""
+
+
+def q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical assortativity (operators/graph.py:
+    attr_assortativity_cells) of the co-purchase graph by part BRAND —
+    do baskets mix brands or stick to them, beyond what brand degree
+    mass predicts?  The homophily verdict beside the structural degree
+    assortativity face; exact mixing-matrix cells with denominators
+    cleared, one division."""
+    from npm_mirror_spark.operators.graph import attr_assortativity_cells
+
+    edges = _sliced_edges(spark, sf_dir)
+    attrs = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("cat")
+    )
+    return attr_assortativity_cells(edges, attrs)
+
+
+_ATTR_ASSORTATIVITY_SQL = f"""
+WITH {_RAW_EDGES},
+ee AS (
+  SELECT pa.p_brand AS cx, pb.p_brand AS cy
+  FROM raw JOIN part pa ON pa.p_partkey = raw.a
+           JOIN part pb ON pb.p_partkey = raw.b),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges,
+         CAST(2 * sum(CASE WHEN cx = cy THEN 1 ELSE 0 END) AS BIGINT)
+           AS same_x2
+  FROM ee),
+mass AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cats,
+         CAST(sum(CAST(mm * mm AS DECIMAL(38,0))) AS DOUBLE)
+           AS sum_cat_mass_sq
+  FROM (SELECT c, count(*) AS mm FROM (
+          SELECT cx AS c FROM ee UNION ALL SELECT cy FROM ee)
+        GROUP BY 1))
+SELECT m_edges, n_cats, same_x2, sum_cat_mass_sq,
+  2.0 * CAST(m_edges AS DOUBLE) * CAST(same_x2 AS DOUBLE)
+    - sum_cat_mass_sq AS assort_num,
+  (2.0 * CAST(m_edges AS DOUBLE)) * (2.0 * CAST(m_edges AS DOUBLE))
+    - sum_cat_mass_sq AS assort_den,
+  CASE WHEN (2.0 * CAST(m_edges AS DOUBLE))
+            * (2.0 * CAST(m_edges AS DOUBLE))
+            - sum_cat_mass_sq <> 0
+    THEN (2.0 * CAST(m_edges AS DOUBLE) * CAST(same_x2 AS DOUBLE)
+          - sum_cat_mass_sq)
+         / ((2.0 * CAST(m_edges AS DOUBLE))
+            * (2.0 * CAST(m_edges AS DOUBLE)) - sum_cat_mass_sq)
+  END AS assortativity
+FROM m CROSS JOIN mass
+"""
+
+
+STAGED_QUERIES = {
+    "q_modularity": q_modularity,
+    "q_conductance": q_conductance,
+    "q_attr_assortativity": q_attr_assortativity,
+}
+
+STAGED_ORACLES: dict[str, str] = {
+    "q_attr_assortativity": _ATTR_ASSORTATIVITY_SQL,
+}
+
+
+def build_oracles(registry_oracles: dict[str, str]) -> dict[str, str]:
+    """Complete ``STAGED_ORACLES`` against the registry (q_modularity
+    and q_conductance nest the q_communities oracle SQL) and return
+    it — the staging_r17/r18 build_oracles pattern; idempotent."""
+    STAGED_ORACLES["q_modularity"] = _modularity_oracle(registry_oracles)
+    STAGED_ORACLES["q_conductance"] = _conductance_oracle(
+        registry_oracles
+    )
+    return STAGED_ORACLES
