@@ -747,6 +747,217 @@ def test_reciprocity_brute(spark, raw):
     assert r["w_reciprocity"] == sum_min / sum_w
 
 
+# ------------------------------------------------- modularity_cells
+
+
+def test_modularity_hand_example(spark):
+    """K3 + isolated edge, communities = components: q_terms 12 and
+    12, Q = 24/64 = 0.375 (the Newman-Girvan hand case)."""
+    from npm_mirror_spark.operators.graph import modularity_cells
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "src long, dst long"
+    )
+    lab = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)], "id long, label long"
+    )
+    out = {r["label"]: r for r in modularity_cells(e, lab).collect()}
+    assert (out[10]["internal_edges"], out[10]["degree_sum"]) == (3, 6)
+    assert (out[10]["q_term_x4m2"], out[40]["q_term_x4m2"]) == (12.0, 12.0)
+    for r in out.values():
+        assert (r["m_edges"], r["modularity"]) == (4, 0.375)
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: e_c = m and d_c = 2m, so
+    q_term = 4m^2 - 4m^2 = 0 -> Q = 0."""
+    from npm_mirror_spark.operators.graph import modularity_cells
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    lab = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "id long, label long"
+    )
+    r = modularity_cells(e, lab).collect()[0]
+    assert (r["q_term_x4m2"], r["modularity"]) == (0.0, 0.0)
+
+
+def test_graph_quality_canonicalization(spark):
+    """Self-loops, duplicates and reversed edges must not move any
+    cell (the triangle_counts contract, applied here too)."""
+    from npm_mirror_spark.operators.graph import (
+        attr_assortativity_cells,
+        conductance_cells,
+        modularity_cells,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "src long, dst long"
+    )
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (4, 5), (4, 4), (1, 2)],
+        "src long, dst long",
+    )
+    lab = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)], "id long, label long"
+    )
+    at = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "Y"), (5, "Y")],
+        "id long, cat string",
+    )
+    assert (
+        modularity_cells(clean, lab).collect()
+        == modularity_cells(messy, lab).collect()
+    )
+    assert (
+        conductance_cells(clean, lab).collect()
+        == conductance_cells(messy, lab).collect()
+    )
+    assert (
+        attr_assortativity_cells(clean, at).collect()
+        == attr_assortativity_cells(messy, at).collect()
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=15,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.lists(st.integers(0, 2), min_size=6, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_modularity_and_conductance_brute(spark, raw, labels):
+    from npm_mirror_spark.operators.graph import (
+        conductance_cells,
+        modularity_cells,
+    )
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nodes = sorted({v for e in edges for v in e})
+    lab = {v: labels[v] for v in nodes}
+    e_df = spark.createDataFrame(list(edges), "src long, dst long")
+    l_df = spark.createDataFrame(
+        [(v, lab[v]) for v in nodes], "id long, label long"
+    )
+    m = len(edges)
+    deg = {v: sum(1 for e in edges if v in e) for v in nodes}
+    comms = sorted(set(lab.values()))
+    mod = {r["label"]: r for r in modularity_cells(e_df, l_df).collect()}
+    con = {r["label"]: r for r in conductance_cells(e_df, l_df).collect()}
+    assert set(mod) == set(comms) and set(con) == set(comms)
+    qsum = 0.0
+    for c in comms:
+        members = {v for v in nodes if lab[v] == c}
+        internal = sum(1 for a, b in edges if a in members and b in members)
+        cut = sum(1 for a, b in edges if (a in members) != (b in members))
+        vol = sum(deg[v] for v in members)
+        q_term = float(4 * m * internal - vol * vol)
+        qsum += q_term
+        r = mod[c]
+        assert (r["n_nodes"], r["internal_edges"], r["degree_sum"]) == (
+            len(members), internal, vol,
+        )
+        assert r["q_term_x4m2"] == q_term
+        rc = con[c]
+        assert (rc["degree_sum"], rc["cut_edges"]) == (vol, cut)
+        dn = min(vol, 2 * m - vol)
+        assert rc["conductance"] == (
+            float(cut) / float(dn) if dn > 0 else None
+        )
+    for c in comms:
+        assert mod[c]["modularity"] == qsum / (4.0 * float(m) * float(m))
+
+
+# ------------------------------------------- attr_assortativity_cells
+
+
+def test_attr_assortativity_hand_examples(spark):
+    from npm_mirror_spark.operators.graph import attr_assortativity_cells
+
+    homo = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    at = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "Y")], "id long, cat string"
+    )
+    r = attr_assortativity_cells(homo, at).collect()[0]
+    assert (r["same_x2"], r["assortativity"]) == (4, 1.0)
+    hetero = spark.createDataFrame([(1, 3)], "src long, dst long")
+    at2 = spark.createDataFrame(
+        [(1, "X"), (3, "Y")], "id long, cat string"
+    )
+    r = attr_assortativity_cells(hetero, at2).collect()[0]
+    assert r["assortativity"] == -1.0
+    # single category: denominator 0 -> NULL
+    mono = spark.createDataFrame([(1, 2)], "src long, dst long")
+    at3 = spark.createDataFrame(
+        [(1, "X"), (2, "X")], "id long, cat string"
+    )
+    r = attr_assortativity_cells(mono, at3).collect()[0]
+    assert r["assortativity"] is None and r["n_cats"] == 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=15,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.lists(st.integers(0, 1), min_size=6, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_attr_assortativity_brute(spark, raw, cats):
+    from npm_mirror_spark.operators.graph import attr_assortativity_cells
+    import collections
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nodes = sorted({v for e in edges for v in e})
+    cat = {v: cats[v] for v in nodes}
+    e_df = spark.createDataFrame(list(edges), "src long, dst long")
+    a_df = spark.createDataFrame(
+        [(v, str(cat[v])) for v in nodes], "id long, cat string"
+    )
+    r = attr_assortativity_cells(e_df, a_df).collect()[0]
+    m = len(edges)
+    same_x2 = 2 * sum(1 for a, b in edges if cat[a] == cat[b])
+    mass = collections.Counter()
+    for a, b in edges:
+        mass[cat[a]] += 1
+        mass[cat[b]] += 1
+    smass = float(sum(v * v for v in mass.values()))
+    assert (r["m_edges"], r["same_x2"]) == (m, same_x2)
+    assert (r["n_cats"], r["sum_cat_mass_sq"]) == (len(mass), smass)
+    num = 2.0 * float(m) * float(same_x2) - smass
+    den = (2.0 * float(m)) * (2.0 * float(m)) - smass
+    assert (r["assort_num"], r["assort_den"]) == (num, den)
+    assert r["assortativity"] == (num / den if den != 0 else None)
+
+
+# ------------------------------- staged r19 faces (staging_r19)
+
+
+def test_r19_staged_faces_match_oracles(spark, sf_dir):
+    """The graph-quality staged batch clears the registry-identical
+    harness bar; the q_modularity / q_conductance oracles compose the
+    registry q_communities SQL (the build_oracles deferral)."""
+    from npm_mirror_spark import plans
+    from npm_mirror_spark.queries import ORACLES, QUERIES
+    from npm_mirror_spark.staging_r19 import (
+        STAGED_QUERIES as Q19,
+        build_oracles,
+    )
+    from tests.oracle_harness import compare, duckdb_con
+
+    O19 = build_oracles(ORACLES)
+    assert set(Q19) == set(O19) and not set(Q19) & set(QUERIES)
+    con = duckdb_con(sf_dir)
+    for name, q in Q19.items():
+        df = q(spark, sf_dir)
+        problems = compare(df, con, O19[name])
+        assert not problems, f"{name}: {problems}"
+        text = plans.explain_str(df, "simple")
+        assert "CartesianProduct" not in text, name
+
+
 # ------------------------------- staged r18 faces (staging_r18)
 
 
