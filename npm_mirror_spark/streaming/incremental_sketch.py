@@ -513,3 +513,101 @@ class StreamingMoments:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingRecords:
+    """Incremental running-extreme record counter — the streaming twin
+    of :func:`~npm_mirror_spark.operators.stats.foster_stuart_cells`
+    (the StreamingMoments shape, but ORDER-DEPENDENT state): per
+    group it holds exactly five scalars (n, running max, running min,
+    upper records U, lower records L), so a new day updates in O(1)
+    and the read-time report is BIT-EQUAL to the batch operator over
+    the concatenated ordered input.
+
+    Unlike the additive sketches, records do not commute: the class
+    therefore enforces the ORDERED-REPLAY contract — each batch's
+    days must all be strictly later than every day already absorbed
+    for that group (the availableNow event-time-ordered drain;
+    violations raise instead of silently corrupting U/L).  Within a
+    batch, rows are folded in ascending day order.  A
+    checkpoint-redelivered micro-batch is skipped by its batch_id
+    (the transactional-sink contract).
+
+    Per batch, ONE bounded job collects the batch's (group, day,
+    value) rows — bounded by the calendar x group domain (the
+    q_drift_weekly contract), never the raw corpus.
+    """
+
+    def __init__(self, group_col: str, day_col: str, value_col: str):
+        self.group_col = group_col
+        self.day_col = day_col
+        self.value_col = value_col
+        #: group -> [n, running_max, running_min, upper, lower, last_day]
+        self.state: dict = {}
+        self.n_batches = 0
+        self._last_batch: int | None = None
+
+    def update_batch(
+        self, batch_df, batch_id: int | None = None
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id is not None and batch_id == self._last_batch:
+            return
+        rows = (
+            batch_df.select(
+                F.col(self.group_col).alias("g"),
+                F.col(self.day_col).alias("d"),
+                F.col(self.value_col).alias("v"),
+            )
+            .filter(F.col("d").isNotNull() & F.col("v").isNotNull())
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (str(r["g"]), r["d"])):
+            g, d, v = r["g"], r["d"], r["v"]
+            st = self.state.get(g)
+            if st is None:
+                self.state[g] = [1, v, v, 0, 0, d]
+                continue
+            if d <= st[5]:
+                raise ValueError(
+                    f"ordered-replay violation for group {g!r}: day {d}"
+                    f" not after {st[5]} (records state is order-"
+                    "dependent; drain in event-time order)"
+                )
+            st[0] += 1
+            if v > st[1]:
+                st[3] += 1
+                st[1] = v
+            if v < st[2]:
+                st[4] += 1
+                st[2] = v
+            st[5] = d
+        self.n_batches += 1
+        self._last_batch = batch_id
+
+    def result_df(self, spark):
+        """The foster_stuart_cells-shaped report: per group n_days,
+        upper_records, lower_records, d_stat, s_stat — identical
+        integer arithmetic to the batch operator, ordered by group.
+        Group keys are reported as STRINGS (the state-dict keys);
+        callers with non-string groups compare after a cast."""
+        out = [
+            (str(g), st[0], st[3], st[4], st[3] - st[4], st[3] + st[4])
+            for g, st in sorted(self.state.items(), key=lambda kv: str(kv[0]))
+        ]
+        return spark.createDataFrame(
+            out,
+            f"{self.group_col} string, n_days long, upper_records long,"
+            " lower_records long, d_stat long, s_stat long",
+        )
+
+    def attach(self, stream, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.update_batch(df, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -84,3 +84,98 @@ def test_moments_available_now_drain(spark, tmp_path):
     ).collect()[0]
     got = sk.result_df(spark).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+# --------------------------------------------------- StreamingRecords
+
+
+def test_records_stream_equals_batch_bit_for_bit(spark, sf_dir):
+    """Ordered day-range batches over the per-priority daily order
+    counts reproduce foster_stuart_cells exactly (order-dependent
+    state under the ordered-replay contract)."""
+    from npm_mirror_spark.operators.stats import foster_stuart_cells
+    from npm_mirror_spark.streaming.incremental_sketch import (
+        StreamingRecords,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cuts = ["1993-01-01", "1995-01-01", "1997-01-01"]
+    sk = StreamingRecords("o_orderpriority", "day", "n")
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        b = daily
+        if lo is not None:
+            b = b.where(F.col("day") >= lo)
+        if hi is not None:
+            b = b.where(F.col("day") < hi)
+        sk.update_batch(b, batch_id=i)
+        lo = hi
+    # at-least-once redelivery of the final batch: no-op
+    sk.update_batch(daily.where(F.col("day") >= cuts[-1]), batch_id=3)
+    want = foster_stuart_cells(daily, "o_orderpriority", "day", "n").collect()
+    got = sk.result_df(spark).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_records_out_of_order_batch_raises(spark):
+    import datetime as dt
+
+    from npm_mirror_spark.streaming.incremental_sketch import (
+        StreamingRecords,
+    )
+
+    D = dt.date
+    sk = StreamingRecords("g", "d", "v")
+    early = spark.createDataFrame(
+        [("A", D(2024, 1, 5), 3)], "g string, d date, v long"
+    )
+    sk.update_batch(early, batch_id=0)
+    late = spark.createDataFrame(
+        [("A", D(2024, 1, 2), 9)], "g string, d date, v long"
+    )
+    with pytest.raises(ValueError, match="ordered-replay"):
+        sk.update_batch(late, batch_id=1)
+
+
+def test_records_available_now_drain(spark, tmp_path):
+    """A real readStream -> attach() drain over two sequentially
+    written files (oldest-first file source order) equals the batch
+    operator over their union."""
+    import datetime as dt
+
+    from npm_mirror_spark.operators.stats import foster_stuart_cells
+    from npm_mirror_spark.streaming.incremental_sketch import (
+        StreamingRecords,
+    )
+
+    D = dt.date
+    src = tmp_path / "src"
+    src.mkdir()
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    rows = [("G", D(2024, 1, i + 1), v) for i, v in enumerate(vals)]
+    schema = "g string, d date, v long"
+    spark.createDataFrame(rows[:10], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(rows[10:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    sk = StreamingRecords("g", "d", "v")
+    q = sk.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert sk.n_batches >= 2
+    want = foster_stuart_cells(
+        spark.createDataFrame(rows, schema), "g", "d", "v"
+    ).collect()
+    got = sk.result_df(spark).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
