@@ -1077,6 +1077,11 @@ def modularity_cells(
     Output per community: label, n_nodes, internal_edges, degree_sum,
     m_edges, q_term_x4m2, modularity (flat) — ordered by label.
     """
+    # A/B-measured (r14 continuation, BENCH_NOTES): persisting this
+    # canonical frame DOUBLED the warm wall at sf0.1 — the rebuild is
+    # cheaper than the materialization barrier, so unlike
+    # triangle_counts' pairs (reused by a quadratic wedge join) it
+    # stays unpersisted.
     e = _canonical_pairs(edges, "src", "dst").select(
         F.col("a").alias("__a"), F.col("b").alias("__b")
     )
@@ -1177,6 +1182,11 @@ def conductance_cells(
     Output per community: label, n_nodes, degree_sum, cut_edges,
     m_edges, conductance — ordered by label.
     """
+    # A/B-measured (r14 continuation, BENCH_NOTES): persisting this
+    # canonical frame DOUBLED the warm wall at sf0.1 — the rebuild is
+    # cheaper than the materialization barrier, so unlike
+    # triangle_counts' pairs (reused by a quadratic wedge join) it
+    # stays unpersisted.
     e = _canonical_pairs(edges, "src", "dst").select(
         F.col("a").alias("__a"), F.col("b").alias("__b")
     )

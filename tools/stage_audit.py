@@ -39,7 +39,7 @@ def main() -> None:
         # fall back to unregistered staged batches
         import importlib
 
-        for mod_name in ("staging_r14", "staging_r15", "staging_r16"):
+        for mod_name in (f"staging_r{i}" for i in range(14, 30)):
             try:
                 mod = importlib.import_module(f"npm_mirror_spark.{mod_name}")
             except ImportError:
