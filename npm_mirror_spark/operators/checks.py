@@ -2505,3 +2505,85 @@ def hoover_cells(df: DataFrame, value: Column) -> DataFrame:
             ).alias("hoover"),
         )
     )
+
+
+def lorenz_cells(df: DataFrame, value: Column, k: int = 10) -> DataFrame:
+    """Lorenz-curve decile points over one-row-per-unit exact-integer
+    values — the WHOLE concentration curve whose single numbers the
+    inequality faces already report (:func:`hoover_cells` reads its
+    maximum vertical gap, the Gini faces twice the area under it):
+    after the poorest d/k of units, what share of the total do they
+    hold?
+
+    Tie-safe deterministic bucketing on the ASCENDING distinct-value
+    axis (the :func:`lift_gains_cells` mirror image): strictly-prior
+    unit counts from the bucketed two-level prefix, whole tie-groups
+    into ``bucket = (prior * k) DIV N`` — pure integer arithmetic,
+    never splitting ties, so buckets can be uneven and n_u says so.
+    Value masses accumulate as DECIMAL(38,0) (value * count per
+    distinct value), the cumulative window runs over the <= k bucket
+    rows, and each share is ONE IEEE division on exact-cast doubles.
+
+    Output per bucket: bucket, n_u, v_sum, cum_n, cum_v, n_total,
+    v_total, pop_share, value_share — ordered by bucket (0 = poorest).
+    """
+    from pyspark.sql import Window
+
+    from npm_mirror_spark.operators.classifier import _with_prior_sums
+
+    u = df.select(value.cast("long").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    vals = u.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    masses = vals.withColumn(
+        "__m",
+        (F.col("__x").cast("decimal(38,0)") * F.col("__c")).cast(
+            "decimal(38,0)"
+        ),
+    )
+    pri = _with_prior_sums(masses, "__x", ("__c",))
+    tot = masses.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__m").cast("decimal(38,0)").alias("__t"),
+    )
+    bucketed = (
+        pri.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__bk",
+            F.expr(f"CAST(__prior___c * {int(k)} AS BIGINT) DIV __n"),
+        )
+        .groupBy("__bk")
+        .agg(
+            F.sum("__c").cast("long").alias("n_u"),
+            F.sum("__m").cast("decimal(38,0)").alias("__vs"),
+            F.max("__n").alias("n_total"),
+            F.max("__t").alias("__tt"),
+        )
+    )
+    w = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bucketed.select(
+        F.col("__bk").alias("bucket"),
+        "n_u",
+        F.col("__vs").cast("double").alias("v_sum"),
+        F.sum("n_u").over(w).cast("long").alias("cum_n"),
+        F.sum("__vs").over(w).cast("decimal(38,0)").cast("double").alias(
+            "cum_v"
+        ),
+        "n_total",
+        F.col("__tt").cast("double").alias("v_total"),
+    )
+    return cum.select(
+        "bucket",
+        "n_u",
+        "v_sum",
+        "cum_n",
+        "cum_v",
+        "n_total",
+        "v_total",
+        (F.col("cum_n").cast("double") / F.col("n_total").cast("double")).alias(
+            "pop_share"
+        ),
+        F.when(
+            F.col("v_total") != 0, F.col("cum_v") / F.col("v_total")
+        ).alias("value_share"),
+    ).orderBy("bucket")

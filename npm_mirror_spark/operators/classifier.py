@@ -702,3 +702,91 @@ def mcc_cells(df: DataFrame, label, pred) -> DataFrame:
         den.alias("mcc_den_sq"),
         F.when(den > 0, (num * F.abs(num)) / den).alias("mcc_signed_sq"),
     )
+
+
+def lift_gains_cells(
+    df: DataFrame, score: str, label, k: int = 10
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the targeting verdict
+    beside the threshold confusion counts (:func:`binary_metrics`),
+    the rank AUC, and the equi-width reliability bins
+    (:func:`calibration_bins`): if we act on the TOP score decile,
+    how many times the base positive rate do we capture, and how much
+    of all positives have we swept after d deciles (the marketing /
+    data-curation gains curve)?
+
+    Tie-safe deterministic bucketing: rows collapse to the distinct-
+    score axis, strictly-prior counts come from the bucketed two-level
+    prefix (:func:`_with_prior_sums`, DESCENDING — no single-reducer
+    window), and a whole tie-group lands in the bucket of its FIRST
+    rank: ``bucket = (prior * k) DIV N`` — pure integer arithmetic,
+    identical in any engine, never splitting tied scores.  Buckets
+    can therefore be uneven under heavy ties; n_d says so.
+
+    Cells are exact integers; the cumulative window runs over the
+    <= k bucket rows (bounded by construction).  Each report column
+    is ONE IEEE division on exact-cast doubles: ``lift = (pos_d * N)
+    / (n_d * P)``, ``gain = cum_pos / P``, ``depth = cum_n / N``.
+
+    Output per bucket: bucket, n_d, pos_d, cum_n, cum_pos, n_total,
+    pos_total, lift, gain, depth — ordered by bucket (0 = top
+    scores).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(score).alias("__x"), label.cast("long").alias("__y")
+    ).filter(F.col("__x").isNotNull())
+    vals = g.groupBy("__x").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
+    )
+    pri = _with_prior_sums(vals, "__x", ("__c",), descending=True)
+    tot = vals.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum("__p").cast("long").alias("__pp"),
+    )
+    bucketed = (
+        pri.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__bk",
+            F.expr(f"CAST(__prior___c * {int(k)} AS BIGINT) DIV __n"),
+        )
+        .groupBy("__bk")
+        .agg(
+            F.sum("__c").cast("long").alias("n_d"),
+            F.sum("__p").cast("long").alias("pos_d"),
+            F.max("__n").alias("n_total"),
+            F.max("__pp").alias("pos_total"),
+        )
+    )
+    w = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bucketed.select(
+        F.col("__bk").alias("bucket"),
+        "n_d",
+        "pos_d",
+        F.sum("n_d").over(w).cast("long").alias("cum_n"),
+        F.sum("pos_d").over(w).cast("long").alias("cum_pos"),
+        "n_total",
+        "pos_total",
+    )
+    return cum.select(
+        "bucket",
+        "n_d",
+        "pos_d",
+        "cum_n",
+        "cum_pos",
+        "n_total",
+        "pos_total",
+        F.when(
+            (F.col("pos_total") > 0) & (F.col("n_d") > 0),
+            (F.col("pos_d").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("n_d").cast("double") * F.col("pos_total").cast("double")),
+        ).alias("lift"),
+        F.when(
+            F.col("pos_total") > 0,
+            F.col("cum_pos").cast("double") / F.col("pos_total").cast("double"),
+        ).alias("gain"),
+        (F.col("cum_n").cast("double") / F.col("n_total").cast("double")).alias(
+            "depth"
+        ),
+    ).orderBy("bucket")

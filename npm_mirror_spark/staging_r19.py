@@ -17,8 +17,14 @@ ALLOWED_BNLJ entries to add at the r19 registration:
         rows",
     "q_attr_assortativity": "three 1-row aggregates (edge/same
         counts, category masses) broadcast-combined",
+    "q_lift_gains": "1-row (N, P) totals broadcast onto the
+        distinct-score prefix rows, plus _with_prior_sums' (min,max)
+        stats row (the q_spearman shape)",
+    "q_lorenz": "1-row (N, T) totals broadcast onto the
+        distinct-value prefix rows, plus the same prior-sums stats
+        row",
 
-(All three otherwise equi-join on node id / attribute key.)
+(The graph three otherwise equi-join on node id / attribute key.)
 
 Edge parity note: the oracles rebuild the q_triangles ``raw`` CTE
 (DISTINCT co-purchase pairs on the 1/5 order slice) WITHOUT the
@@ -215,14 +221,143 @@ FROM m CROSS JOIN mass
 """
 
 
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table (operators/classifier.py:
+    lift_gains_cells) for the q_classifier_eval fixture (n_chars
+    score, keyword label) — the targeting verdict beside the
+    threshold confusion counts, the rank AUC and the reliability
+    bins: acting on the top score decile, how many times the base
+    rate do we capture?  Tie-safe integer bucketing off the
+    descending bucketed prefix; every report column one division."""
+    from npm_mirror_spark.operators.classifier import lift_gains_cells
+
+    d = _t(spark, sf_dir, "documents")
+    return lift_gains_cells(
+        d, "n_chars", F.col("text").contains("spark"), k=10
+    )
+
+
+_LIFT_GAINS_SQL = """
+WITH vals AS (
+  SELECT n_chars AS x, count(*) AS c,
+         sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS p
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+pri AS (
+  SELECT x, c, p,
+    coalesce(sum(c) OVER (ORDER BY x DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS prior
+  FROM vals),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pp
+  FROM vals),
+b AS (
+  SELECT CAST(prior * 10 AS BIGINT) // n AS bk, c, p, n, pp
+  FROM pri CROSS JOIN tot),
+gb AS (
+  SELECT bk, CAST(sum(c) AS BIGINT) AS n_d,
+         CAST(sum(p) AS BIGINT) AS pos_d,
+         CAST(max(n) AS BIGINT) AS n_total,
+         CAST(max(pp) AS BIGINT) AS pos_total
+  FROM b GROUP BY 1),
+cm AS (
+  SELECT bk, n_d, pos_d,
+    CAST(sum(n_d) OVER (ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_n,
+    CAST(sum(pos_d) OVER (ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_pos,
+    n_total, pos_total
+  FROM gb)
+SELECT bk AS bucket, n_d, pos_d, cum_n, cum_pos, n_total, pos_total,
+  CASE WHEN pos_total > 0 AND n_d > 0
+    THEN (CAST(pos_d AS DOUBLE) * CAST(n_total AS DOUBLE))
+         / (CAST(n_d AS DOUBLE) * CAST(pos_total AS DOUBLE)) END
+    AS lift,
+  CASE WHEN pos_total > 0
+    THEN CAST(cum_pos AS DOUBLE) / CAST(pos_total AS DOUBLE) END
+    AS gain,
+  CAST(cum_n AS DOUBLE) / CAST(n_total AS DOUBLE) AS depth
+FROM cm ORDER BY bucket
+"""
+
+
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points (operators/checks.py:lorenz_cells)
+    over per-customer revenue — the whole concentration curve whose
+    single numbers q_hoover_index (max vertical gap) and the Gini
+    faces (area) already report.  Tie-safe ascending integer
+    bucketing; decimal value masses; one division per share."""
+    from npm_mirror_spark.operators.checks import lorenz_cells
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("rev_c")
+    )
+    return lorenz_cells(per_cust, F.col("rev_c"), k=10)
+
+
+_LORENZ_SQL = """
+WITH u AS (
+  SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey),
+vals AS (SELECT x, count(*) AS c FROM u GROUP BY 1),
+mass AS (
+  SELECT x, c,
+         CAST(CAST(x AS DECIMAL(38,0)) * c AS DECIMAL(38,0)) AS m
+  FROM vals),
+pri AS (
+  SELECT x, c, m,
+    coalesce(sum(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS prior
+  FROM mass),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(m) AS DECIMAL(38,0)) AS t
+  FROM mass),
+b AS (
+  SELECT CAST(prior * 10 AS BIGINT) // n AS bk, c, m, n, t
+  FROM pri CROSS JOIN tot),
+gb AS (
+  SELECT bk, CAST(sum(c) AS BIGINT) AS n_u,
+         CAST(sum(m) AS DECIMAL(38,0)) AS vs,
+         CAST(max(n) AS BIGINT) AS n_total,
+         CAST(max(t) AS DECIMAL(38,0)) AS tt
+  FROM b GROUP BY 1),
+cm AS (
+  SELECT bk, n_u, CAST(vs AS DOUBLE) AS v_sum,
+    CAST(sum(n_u) OVER (ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_n,
+    CAST(CAST(sum(vs) OVER (ORDER BY bk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DECIMAL(38,0)) AS DOUBLE) AS cum_v,
+    n_total, CAST(tt AS DOUBLE) AS v_total
+  FROM gb)
+SELECT bk AS bucket, n_u, v_sum, cum_n, cum_v, n_total, v_total,
+  CAST(cum_n AS DOUBLE) / CAST(n_total AS DOUBLE) AS pop_share,
+  CASE WHEN v_total <> 0 THEN cum_v / v_total END AS value_share
+FROM cm ORDER BY bucket
+"""
+
+
 STAGED_QUERIES = {
     "q_modularity": q_modularity,
     "q_conductance": q_conductance,
     "q_attr_assortativity": q_attr_assortativity,
+    "q_lift_gains": q_lift_gains,
+    "q_lorenz": q_lorenz,
 }
 
 STAGED_ORACLES: dict[str, str] = {
     "q_attr_assortativity": _ATTR_ASSORTATIVITY_SQL,
+    "q_lift_gains": _LIFT_GAINS_SQL,
+    "q_lorenz": _LORENZ_SQL,
 }
 
 
