@@ -932,6 +932,145 @@ def test_attr_assortativity_brute(spark, raw, cats):
     assert r["assortativity"] == (num / den if den != 0 else None)
 
 
+# ------------------------------------------------- lift_gains_cells
+
+
+def test_lift_gains_hand_example(spark):
+    """scores [10,10,9,8] desc, labels [1,0,1,0], k=2: tie-group 10
+    lands whole in bucket 0; both buckets lift 1.0 (no skill)."""
+    from npm_mirror_spark.operators.classifier import lift_gains_cells
+
+    df = spark.createDataFrame(
+        [(10, 1), (10, 0), (9, 1), (8, 0)], "s long, l long"
+    )
+    out = lift_gains_cells(df, "s", F.col("l"), k=2).collect()
+    assert [(r["bucket"], r["n_d"], r["pos_d"]) for r in out] == [
+        (0, 2, 1), (1, 2, 1),
+    ]
+    assert out[0]["lift"] == 1.0 and out[0]["gain"] == 0.5
+    assert out[1]["gain"] == 1.0 and out[1]["depth"] == 1.0
+
+
+def test_lift_gains_perfect_ranker(spark):
+    """All positives in the top half: top bucket lift = 2, gain 1.0
+    already at depth 0.5."""
+    from npm_mirror_spark.operators.classifier import lift_gains_cells
+
+    rows = [(9, 1), (8, 1), (2, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "s long, l long")
+    out = lift_gains_cells(df, "s", F.col("l"), k=2).collect()
+    assert out[0]["lift"] == 2.0 and out[0]["gain"] == 1.0
+    assert out[1]["pos_d"] == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_lift_gains_brute(spark, rows):
+    from npm_mirror_spark.operators.classifier import lift_gains_cells
+
+    k = 4
+    df = spark.createDataFrame(
+        [(s, 1 if l else 0) for s, l in rows], "s long, l long"
+    )
+    out = lift_gains_cells(df, "s", F.col("l"), k=k).collect()
+    import collections
+
+    cnt = collections.Counter(s for s, _ in rows)
+    pos = collections.Counter(s for s, l in rows if l)
+    n, p = len(rows), sum(1 for _, l in rows if l)
+    scores = sorted(cnt, reverse=True)
+    want = collections.defaultdict(lambda: [0, 0])
+    prior = 0
+    for s in scores:
+        bk = prior * k // n
+        want[bk][0] += cnt[s]
+        want[bk][1] += pos.get(s, 0)
+        prior += cnt[s]
+    assert [(r["bucket"], r["n_d"], r["pos_d"]) for r in out] == [
+        (bk, c[0], c[1]) for bk, c in sorted(want.items())
+    ]
+    cum_n = cum_p = 0
+    for r in out:
+        cum_n += r["n_d"]
+        cum_p += r["pos_d"]
+        assert (r["cum_n"], r["cum_pos"]) == (cum_n, cum_p)
+        assert (r["n_total"], r["pos_total"]) == (n, p)
+        if p > 0:
+            assert r["lift"] == (float(r["pos_d"]) * float(n)) / (
+                float(r["n_d"]) * float(p)
+            )
+            assert r["gain"] == float(cum_p) / float(p)
+        else:
+            assert r["lift"] is None and r["gain"] is None
+        assert r["depth"] == float(cum_n) / float(n)
+
+
+# ------------------------------------------------------- lorenz_cells
+
+
+def test_lorenz_hand_example(spark):
+    """[1,1,2,4], k=2: poorest half holds 2/8 of the mass."""
+    from npm_mirror_spark.operators.checks import lorenz_cells
+
+    df = spark.createDataFrame([(1,), (1,), (2,), (4,)], "x long")
+    out = lorenz_cells(df, F.col("x"), k=2).collect()
+    assert [(r["bucket"], r["n_u"], r["v_sum"]) for r in out] == [
+        (0, 2, 2.0), (1, 2, 6.0),
+    ]
+    assert out[0]["value_share"] == 0.25 and out[0]["pop_share"] == 0.5
+    assert out[1]["value_share"] == 1.0
+
+
+def test_lorenz_equal_values_is_diagonal(spark):
+    """Perfect equality: every point sits on the diagonal
+    (value_share == pop_share)."""
+    from npm_mirror_spark.operators.checks import lorenz_cells
+
+    df = spark.createDataFrame([(7,)] * 12, "x long")
+    for r in lorenz_cells(df, F.col("x"), k=4).collect():
+        assert r["value_share"] == r["pop_share"]
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=40).filter(sum))
+@settings(**_SETTINGS)
+def test_lorenz_brute(spark, xs):
+    from npm_mirror_spark.operators.checks import lorenz_cells
+
+    k = 4
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    out = lorenz_cells(df, F.col("x"), k=k).collect()
+    import collections
+
+    cnt = collections.Counter(xs)
+    n, t = len(xs), sum(xs)
+    want = collections.defaultdict(lambda: [0, 0])
+    prior = 0
+    for v in sorted(cnt):
+        bk = prior * k // n
+        want[bk][0] += cnt[v]
+        want[bk][1] += v * cnt[v]
+        prior += cnt[v]
+    assert [(r["bucket"], r["n_u"], r["v_sum"]) for r in out] == [
+        (bk, c[0], float(c[1])) for bk, c in sorted(want.items())
+    ]
+    cum_n = cum_v = 0
+    for r in out:
+        bk = r["bucket"]
+        cum_n += want[bk][0]
+        cum_v += want[bk][1]
+        assert (r["cum_n"], r["cum_v"]) == (cum_n, float(cum_v))
+        assert r["pop_share"] == float(cum_n) / float(n)
+        assert r["value_share"] == float(cum_v) / float(t)
+    # monotone convexity: shares never decrease, last point is (1,1)
+    assert out[-1]["pop_share"] == 1.0 and out[-1]["value_share"] == 1.0
+
+
 # ------------------------------- staged r19 faces (staging_r19)
 
 
