@@ -2364,7 +2364,7 @@ def ari_cells(df: DataFrame, a: str, b: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     p2 = lambda c: F.sum(
-        (c * (c - F.lit(1))).cast("decimal(38,0)")
+        c.cast("decimal(38,0)") * (c - F.lit(1))
     ).cast("double")
     cells = cont.agg(
         F.sum("__n").cast("long").alias("n_items"),
@@ -2428,13 +2428,15 @@ def lin_ccc_cells(df: DataFrame, x: Column, y: Column) -> DataFrame:
     ccc_num, ccc_den, ccc.
     """
     d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    dx = F.col("__x").cast("decimal(38,0)")
+    dy = F.col("__y").cast("decimal(38,0)")
     m = df.select(x.alias("__x"), y.alias("__y")).agg(
         F.count(F.lit(1)).cast("double").alias("n_pairs"),
         d38(F.col("__x")).alias("sx"),
         d38(F.col("__y")).alias("sy"),
-        d38(F.col("__x") * F.col("__x")).alias("sxx"),
-        d38(F.col("__y") * F.col("__y")).alias("syy"),
-        d38(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(dx * F.col("__x")).cast("double").alias("sxx"),
+        F.sum(dy * F.col("__y")).cast("double").alias("syy"),
+        F.sum(dx * F.col("__y")).cast("double").alias("sxy"),
     )
     num = F.lit(2.0) * (
         F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")

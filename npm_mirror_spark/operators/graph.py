@@ -978,7 +978,7 @@ def transitivity_cells(node_stats: DataFrame) -> DataFrame:
     agg = node_stats.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.col("deg").cast(_D38)).cast("double").alias("deg_sum"),
-        F.sum((F.col("deg") * (F.col("deg") - F.lit(1))).cast(_D38))
+        F.sum(F.col("deg").cast(_D38) * (F.col("deg") - F.lit(1)))
         .cast("double")
         .alias("wedges_x2"),
         F.sum(F.col("triangles").cast(_D38))
@@ -1054,6 +1054,41 @@ def reciprocity_cells(
     )
 
 
+def _partition_frames(edges, labels):
+    """Shared prelude of the partition-quality tier: canonical edge
+    frame, (id, label) frame, degrees, per-community (n_nodes,
+    degree_sum) volumes, the per-edge endpoint-labeled frame and the
+    1-row m fold — factored so modularity_cells and conductance_cells
+    cannot silently diverge.  A/B-measured (r14 continuation,
+    BENCH_NOTES): persisting the canonical frame DOUBLED the warm wall
+    at sf0.1 — the rebuild is cheaper than the materialization
+    barrier, so unlike triangle_counts' pairs (reused by a quadratic
+    wedge join) it stays unpersisted."""
+    e = _canonical_pairs(edges, "src", "dst").select(
+        F.col("a").alias("__a"), F.col("b").alias("__b")
+    )
+    lab = labels.select(F.col("id").alias("__id"), F.col("label").alias("__l"))
+    deg = (
+        e.select(F.col("__a").alias("__id"))
+        .unionAll(e.select(F.col("__b").alias("__id")))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    vol = (
+        lab.join(deg, "__id")
+        .groupBy("__l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("__deg").cast("long").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("__id").alias("__a"), F.col("__l").alias("__ca"))
+    lb = lab.select(F.col("__id").alias("__b"), F.col("__l").alias("__cb"))
+    ee = e.join(la, "__a").join(lb, "__b")
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    return e, vol, ee, m
+
+
 def modularity_cells(
     edges: DataFrame, labels: DataFrame
 ) -> DataFrame:
@@ -1077,38 +1112,12 @@ def modularity_cells(
     Output per community: label, n_nodes, internal_edges, degree_sum,
     m_edges, q_term_x4m2, modularity (flat) — ordered by label.
     """
-    # A/B-measured (r14 continuation, BENCH_NOTES): persisting this
-    # canonical frame DOUBLED the warm wall at sf0.1 — the rebuild is
-    # cheaper than the materialization barrier, so unlike
-    # triangle_counts' pairs (reused by a quadratic wedge join) it
-    # stays unpersisted.
-    e = _canonical_pairs(edges, "src", "dst").select(
-        F.col("a").alias("__a"), F.col("b").alias("__b")
-    )
-    lab = labels.select(F.col("id").alias("__id"), F.col("label").alias("__l"))
-    deg = (
-        e.select(F.col("__a").alias("__id"))
-        .unionAll(e.select(F.col("__b").alias("__id")))
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__deg"))
-    )
-    vol = (
-        lab.join(deg, "__id")
-        .groupBy("__l")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("__deg").cast("long").alias("degree_sum"),
-        )
-    )
-    la = lab.select(F.col("__id").alias("__a"), F.col("__l").alias("__ca"))
-    lb = lab.select(F.col("__id").alias("__b"), F.col("__l").alias("__cb"))
-    ee = e.join(la, "__a").join(lb, "__b")
+    e, vol, ee, m = _partition_frames(edges, labels)
     intern = (
         ee.filter(F.col("__ca") == F.col("__cb"))
         .groupBy(F.col("__ca").alias("__l"))
         .agg(F.count(F.lit(1)).cast("long").alias("__int"))
     )
-    m = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
     cells = (
         vol.join(intern, "__l", "left")
         .select(
@@ -1182,32 +1191,7 @@ def conductance_cells(
     Output per community: label, n_nodes, degree_sum, cut_edges,
     m_edges, conductance — ordered by label.
     """
-    # A/B-measured (r14 continuation, BENCH_NOTES): persisting this
-    # canonical frame DOUBLED the warm wall at sf0.1 — the rebuild is
-    # cheaper than the materialization barrier, so unlike
-    # triangle_counts' pairs (reused by a quadratic wedge join) it
-    # stays unpersisted.
-    e = _canonical_pairs(edges, "src", "dst").select(
-        F.col("a").alias("__a"), F.col("b").alias("__b")
-    )
-    lab = labels.select(F.col("id").alias("__id"), F.col("label").alias("__l"))
-    deg = (
-        e.select(F.col("__a").alias("__id"))
-        .unionAll(e.select(F.col("__b").alias("__id")))
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__deg"))
-    )
-    vol = (
-        lab.join(deg, "__id")
-        .groupBy("__l")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("__deg").cast("long").alias("degree_sum"),
-        )
-    )
-    la = lab.select(F.col("__id").alias("__a"), F.col("__l").alias("__ca"))
-    lb = lab.select(F.col("__id").alias("__b"), F.col("__l").alias("__cb"))
-    ee = e.join(la, "__a").join(lb, "__b")
+    e, vol, ee, m = _partition_frames(edges, labels)
     cross = ee.filter(F.col("__ca") != F.col("__cb"))
     cut = (
         cross.select(F.col("__ca").alias("__l"))
@@ -1215,7 +1199,6 @@ def conductance_cells(
         .groupBy("__l")
         .agg(F.count(F.lit(1)).cast("long").alias("__cut"))
     )
-    m = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
     denom = F.least(
         F.col("degree_sum"),
         F.lit(2) * F.col("m_edges") - F.col("degree_sum"),
@@ -1292,7 +1275,7 @@ def attr_assortativity_cells(
         .agg(F.count(F.lit(1)).alias("__m"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cats"),
-            F.sum((F.col("__m") * F.col("__m")).cast(_D38))
+            F.sum(F.col("__m").cast(_D38) * F.col("__m"))
             .cast("double")
             .alias("sum_cat_mass_sq"),
         )

@@ -2935,12 +2935,15 @@ def foster_stuart_cells(
         .orderBy(day)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    flagged = daily.select(
-        F.col(group).alias("__g"),
-        F.col(cnt).alias("__x"),
-        F.max(cnt).over(w).alias("__pmax"),
-        F.min(cnt).over(w).alias("__pmin"),
-    ).select(
+    flagged = (
+        daily.filter(F.col(day).isNotNull() & F.col(cnt).isNotNull())
+        .select(
+            F.col(group).alias("__g"),
+            F.col(cnt).alias("__x"),
+            F.max(cnt).over(w).alias("__pmax"),
+            F.min(cnt).over(w).alias("__pmin"),
+        )
+        .select(
         "__g",
         F.when(
             F.col("__pmax").isNotNull() & (F.col("__x") > F.col("__pmax")),
@@ -2954,6 +2957,7 @@ def foster_stuart_cells(
         )
         .otherwise(F.lit(0))
         .alias("__lo"),
+        )
     )
     return (
         flagged.groupBy(F.col("__g").alias(group))
@@ -2995,7 +2999,9 @@ def longest_run_cells(
     """
     from pyspark.sql import Window
 
-    g = daily.select(
+    g = daily.filter(
+        F.col(day).isNotNull() & F.col(cnt).isNotNull()
+    ).select(
         F.col(group).alias("__g"),
         F.col(day).alias("__d"),
         F.col(cnt).alias("__x"),
@@ -3097,14 +3103,14 @@ def gk_tau_cells(df: DataFrame, x: str, y: str) -> DataFrame:
     )
     per_x = cont.groupBy("__x").agg(
         F.sum("__n").cast("long").alias("n_x"),
-        F.sum((F.col("__n") * F.col("__n")).cast(_D38))
+        F.sum(F.col("__n").cast(_D38) * F.col("__n"))
         .cast("double")
         .alias("q_x"),
     )
     per_y = cont.groupBy("__y").agg(F.sum("__n").alias("__ny"))
     glob = per_y.agg(
         F.sum("__ny").cast("double").alias("n_total"),
-        F.sum((F.col("__ny") * F.col("__ny")).cast(_D38))
+        F.sum(F.col("__ny").cast(_D38) * F.col("__ny"))
         .cast("double")
         .alias("sum_col_sq"),
     )
@@ -3157,7 +3163,7 @@ def variance_ratio_cells(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_g"),
             F.sum(F.col("__v").cast(_D38)).cast("double").alias("sum_c"),
-            F.sum((F.col("__v") * F.col("__v")).cast(_D38))
+            F.sum(F.col("__v").cast(_D38) * F.col("__v"))
             .cast("double")
             .alias("sumsq_c"),
         )
@@ -3273,6 +3279,11 @@ def durbin_rank_cells(
     one block-size aggregate joined back by block (equi), one
     per-treatment fold.  No completeness semi-join, no broadcast.
 
+    Caller contract: ONE row per (block, treatment) — duplicate
+    observations of a treatment inside a block would inflate k_b and
+    the within-block midranks (collapse upstream, as the daily-count
+    faces do); blocks_present counts DISTINCT blocks either way.
+
     Output per treatment: treatment, blocks_present, rank_sum_x2,
     null_mean_x2, dev_x2 — ordered by treatment.
     """
@@ -3303,6 +3314,7 @@ def durbin_rank_cells(
         g.join(pri, ["__b", "__x"])
         .join(sizes, "__b")
         .select(
+            "__b",
             "__t",
             (
                 F.lit(2) * F.col("__prior") + F.col("__cx") + F.lit(1)
@@ -3313,7 +3325,7 @@ def durbin_rank_cells(
     return (
         ranked.groupBy(F.col("__t").alias(treatment))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("blocks_present"),
+            F.countDistinct("__b").cast("long").alias("blocks_present"),
             F.sum(F.col("__r2").cast(_D38)).cast("double").alias(
                 "rank_sum_x2"
             ),

@@ -563,18 +563,30 @@ class StreamingRecords:
             .filter(F.col("d").isNotNull() & F.col("v").isNotNull())
             .collect()
         )
-        for r in sorted(rows, key=lambda r: (str(r["g"]), r["d"])):
+        ordered = sorted(rows, key=lambda r: (str(r["g"]), r["d"]))
+        # validate the WHOLE batch before touching any state: a
+        # mid-batch raise after partial mutation would wedge the
+        # sketch (the corrected resubmission then re-collides with
+        # the half-applied groups)
+        seen: dict = {}
+        for r in ordered:
+            g, d = r["g"], r["d"]
+            floor_d = seen.get(g)
+            if floor_d is None and g in self.state:
+                floor_d = self.state[g][5]
+            if floor_d is not None and d <= floor_d:
+                raise ValueError(
+                    f"ordered-replay violation for group {g!r}: day {d}"
+                    f" not after {floor_d} (records state is order-"
+                    "dependent; drain in event-time order)"
+                )
+            seen[g] = d
+        for r in ordered:
             g, d, v = r["g"], r["d"], r["v"]
             st = self.state.get(g)
             if st is None:
                 self.state[g] = [1, v, v, 0, 0, d]
                 continue
-            if d <= st[5]:
-                raise ValueError(
-                    f"ordered-replay violation for group {g!r}: day {d}"
-                    f" not after {st[5]} (records state is order-"
-                    "dependent; drain in event-time order)"
-                )
             st[0] += 1
             if v > st[1]:
                 st[3] += 1

@@ -161,9 +161,23 @@ def test_records_available_now_drain(spark, tmp_path):
     spark.createDataFrame(rows[:10], schema).coalesce(1).write.mode(
         "append"
     ).parquet(str(src))
+    first_files = {p for p in src.iterdir() if p.suffix == ".parquet"}
     spark.createDataFrame(rows[10:], schema).coalesce(1).write.mode(
         "append"
     ).parquet(str(src))
+    second_files = {
+        p for p in src.iterdir() if p.suffix == ".parquet"
+    } - first_files
+    # the file source orders by modification time: pin distinct mtimes
+    # explicitly so coarse-mtime filesystems can't flip the two files
+    # (StreamingRecords would raise its ordered-replay error)
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, group in enumerate((first_files, second_files)):
+        for part in group:
+            os.utime(part, (now - 10 + i, now - 10 + i))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
