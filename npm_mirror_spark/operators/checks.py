@@ -2589,3 +2589,48 @@ def lorenz_cells(df: DataFrame, value: Column, k: int = 10) -> DataFrame:
             F.col("v_total") != 0, F.col("cum_v") / F.col("v_total")
         ).alias("value_share"),
     ).orderBy("bucket")
+
+
+def ess_cells(df: DataFrame, group: str, weight: Column) -> DataFrame:
+    """Kish effective sample size per group over one-row-per-unit
+    integer weights — the weighted-sampling audit the mix faces
+    (q_temperature_mix / q_temperature_sample) point at: when units
+    are drawn proportionally to ``weight``, how many EQUALLY-weighted
+    units is the sample actually worth?  ``ess = (Sigma w)^2 /
+    Sigma w^2`` (Kish '65) — n for uniform weights, 1 when one unit
+    carries all the mass; ``ess_ratio = ess / n_units`` is the
+    design-effect inverse (1 = no efficiency loss).
+
+    Exactness: the two sums accumulate in DECIMAL(38,0) with the
+    square's operand cast FIRST (no bigint overflow before the
+    decimal); ess is ONE IEEE division of the fixed (s*s)/s2 sequence
+    on exact-cast doubles, and ess_ratio one more on the already-
+    reported ess.
+
+    Shape: ONE map-side-combined aggregate per group — nothing else
+    moves.  Output per group: n_units, sum_w, sum_w2, ess, ess_ratio
+    — ordered by group.
+    """
+    d38 = "decimal(38,0)"
+    g = df.select(
+        F.col(group).alias("__g"), weight.cast("long").alias("__w")
+    ).filter(F.col("__w").isNotNull())
+    m = g.groupBy(F.col("__g").alias(group)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.col("__w").cast(d38)).cast("double").alias("sum_w"),
+        F.sum(F.col("__w").cast(d38) * F.col("__w"))
+        .cast("double")
+        .alias("sum_w2"),
+    )
+    ess = F.when(
+        F.col("sum_w2") > 0,
+        (F.col("sum_w") * F.col("sum_w")) / F.col("sum_w2"),
+    )
+    return m.select(
+        group,
+        "n_units",
+        "sum_w",
+        "sum_w2",
+        ess.alias("ess"),
+        (ess / F.col("n_units").cast("double")).alias("ess_ratio"),
+    ).orderBy(group)

@@ -23,6 +23,9 @@ ALLOWED_BNLJ entries to add at the r19 registration:
     "q_lorenz": "1-row (N, T) totals broadcast onto the
         distinct-value prefix rows, plus the same prior-sums stats
         row",
+    "q_rich_club": "two 1-row conditional aggregates (per-k edge and
+        node counts over the literal threshold grid)
+        broadcast-combined",
 
 (The graph three otherwise equi-join on node id / attribute key.)
 
@@ -346,18 +349,99 @@ FROM cm ORDER BY bucket
 """
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient census (operators/graph.py:
+    rich_club_cells) of the co-purchase slice — do the high-degree
+    parts preferentially co-occur with EACH OTHER, beyond what the
+    assortativity scalar can see?  phi(k) over the literal threshold
+    grid k in (1,2,4,8,16); exact integer cells, one division per
+    bounded row."""
+    from npm_mirror_spark.operators.graph import rich_club_cells
+
+    return rich_club_cells(_sliced_edges(spark, sf_dir))
+
+
+_RICH_CLUB_SQL = f"""
+WITH {_RAW_EDGES},
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM raw UNION ALL SELECT b FROM raw) GROUP BY id),
+emin AS (
+  SELECT least(da.deg, db.deg) AS md
+  FROM raw JOIN deg da ON da.id = raw.a
+           JOIN deg db ON db.id = raw.b),
+ks AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) t(k)),
+cells AS (
+  SELECT ks.k,
+    (SELECT CAST(coalesce(sum(CASE WHEN deg > ks.k THEN 1 ELSE 0 END),
+                          0) AS BIGINT) FROM deg) AS n_rich,
+    (SELECT CAST(coalesce(sum(CASE WHEN md > ks.k THEN 1 ELSE 0 END),
+                          0) AS BIGINT) FROM emin) AS e_rich
+  FROM ks)
+SELECT k, n_rich, e_rich,
+  CASE WHEN n_rich >= 2
+    THEN (2.0 * CAST(e_rich AS DOUBLE))
+         / (CAST(n_rich AS DOUBLE) * (CAST(n_rich AS DOUBLE) - 1.0))
+  END AS phi
+FROM cells ORDER BY k
+"""
+
+
+def q_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective-sample-size audit (operators/checks.py:
+    ess_cells) of activity-weighted users per event type — if users
+    are sampled proportionally to their event count (the
+    activity-mass sampling a naive event-level split implies), how
+    many equally-weighted users is each type's sample worth?  The
+    design-effect verdict beside the mix faces (q_temperature_mix
+    reweights sources; this measures what a weighting COSTS)."""
+    from npm_mirror_spark.operators.checks import ess_cells
+
+    e = _t(spark, sf_dir, "events")
+    units = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    return ess_cells(units, "event_type", F.col("w"))
+
+
+_ESS_AUDIT_SQL = """
+WITH u AS (
+  SELECT event_type AS g, user_id, count(*) AS w
+  FROM events GROUP BY 1, 2)
+SELECT g AS event_type,
+  CAST(count(*) AS BIGINT) AS n_units,
+  CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS sum_w,
+  CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) AS sum_w2,
+  CASE WHEN CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) > 0
+    THEN (CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE)
+          * CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE))
+         / CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) END
+    AS ess,
+  (CASE WHEN CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) > 0
+    THEN (CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE)
+          * CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE))
+         / CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) END)
+    / CAST(count(*) AS DOUBLE) AS ess_ratio
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
 STAGED_QUERIES = {
     "q_modularity": q_modularity,
     "q_conductance": q_conductance,
     "q_attr_assortativity": q_attr_assortativity,
     "q_lift_gains": q_lift_gains,
     "q_lorenz": q_lorenz,
+    "q_rich_club": q_rich_club,
+    "q_ess_audit": q_ess_audit,
 }
 
 STAGED_ORACLES: dict[str, str] = {
     "q_attr_assortativity": _ATTR_ASSORTATIVITY_SQL,
     "q_lift_gains": _LIFT_GAINS_SQL,
     "q_lorenz": _LORENZ_SQL,
+    "q_rich_club": _RICH_CLUB_SQL,
+    "q_ess_audit": _ESS_AUDIT_SQL,
 }
 
 
