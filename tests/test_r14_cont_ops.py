@@ -1071,6 +1071,91 @@ def test_lorenz_brute(spark, xs):
     assert out[-1]["pop_share"] == 1.0 and out[-1]["value_share"] == 1.0
 
 
+# ------------------------------------------------- rich_club_cells
+
+
+def test_rich_club_complete_and_star(spark):
+    """K4: every node deg 3, so phi(1)=phi(2)=1 and k=4 empties the
+    club; a 3-star has one rich node (phi undefined) and no rich
+    edge."""
+    from npm_mirror_spark.operators.graph import rich_club_cells
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    out = {r["k"]: r for r in rich_club_cells(k4, ks=(1, 2, 4)).collect()}
+    assert (out[1]["n_rich"], out[1]["e_rich"], out[1]["phi"]) == (4, 6, 1.0)
+    assert out[2]["phi"] == 1.0
+    assert out[4]["n_rich"] == 0 and out[4]["phi"] is None
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = {r["k"]: r for r in rich_club_cells(star, ks=(1,)).collect()}[1]
+    assert (r["n_rich"], r["e_rich"], r["phi"]) == (1, 0, None)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=18,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(**_SETTINGS)
+def test_rich_club_brute(spark, raw):
+    from npm_mirror_spark.operators.graph import rich_club_cells
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    ks = (1, 2, 3)
+    out = {r["k"]: r for r in rich_club_cells(df, ks=ks).collect()}
+    nodes = sorted({v for e in edges for v in e})
+    deg = {v: sum(1 for e in edges if v in e) for v in nodes}
+    for k in ks:
+        rich = {v for v in nodes if deg[v] > k}
+        e_rich = sum(1 for a, b in edges if a in rich and b in rich)
+        r = out[k]
+        assert (r["n_rich"], r["e_rich"]) == (len(rich), e_rich)
+        if len(rich) >= 2:
+            assert r["phi"] == (2.0 * float(e_rich)) / (
+                float(len(rich)) * (float(len(rich)) - 1.0)
+            )
+        else:
+            assert r["phi"] is None
+
+
+# ------------------------------------------------------- ess_cells
+
+
+def test_ess_uniform_and_concentrated(spark):
+    """Uniform weights: ess == n (ratio 1); one unit holding all the
+    mass: ess -> 1."""
+    from npm_mirror_spark.operators.checks import ess_cells
+
+    rows = [("U", 2), ("U", 2), ("U", 2), ("C", 9), ("C", 0), ("C", 0)]
+    df = spark.createDataFrame(rows, "g string, w long")
+    out = {r["g"]: r for r in ess_cells(df, "g", F.col("w")).collect()}
+    assert (out["U"]["ess"], out["U"]["ess_ratio"]) == (3.0, 1.0)
+    assert out["C"]["ess"] == 1.0
+    assert out["C"]["ess_ratio"] == 1.0 / 3.0
+
+
+@given(st.lists(st.integers(0, 20), min_size=1, max_size=40).filter(sum))
+@settings(**_SETTINGS)
+def test_ess_brute_and_bounds(spark, ws):
+    from npm_mirror_spark.operators.checks import ess_cells
+
+    df = spark.createDataFrame([("G", w) for w in ws], "g string, w long")
+    r = ess_cells(df, "g", F.col("w")).collect()[0]
+    n = len(ws)
+    s = float(sum(ws))
+    s2 = float(sum(w * w for w in ws))
+    assert (r["n_units"], r["sum_w"], r["sum_w2"]) == (n, s, s2)
+    assert r["ess"] == (s * s) / s2
+    assert r["ess_ratio"] == ((s * s) / s2) / float(n)
+    # Kish bounds: 1 <= ess <= n (Cauchy-Schwarz)
+    assert 1.0 <= r["ess"] <= float(n) + 1e-9
+
+
 # ------------------------------- staged r19 faces (staging_r19)
 
 
