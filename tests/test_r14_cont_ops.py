@@ -1173,6 +1173,12 @@ def test_r19_staged_faces_match_oracles(spark, sf_dir):
 
     O19 = build_oracles(ORACLES)
     assert set(Q19) == set(O19) and not set(Q19) & set(QUERIES)
+    # BNLJ only in the faces whose shapes the module doc pre-documents
+    # (1-row folds, literal-grid folds, prior-sums stats rows)
+    documented_bnlj = {
+        "q_modularity", "q_conductance", "q_attr_assortativity",
+        "q_lift_gains", "q_lorenz", "q_rich_club",
+    }
     con = duckdb_con(sf_dir)
     for name, q in Q19.items():
         df = q(spark, sf_dir)
@@ -1180,6 +1186,8 @@ def test_r19_staged_faces_match_oracles(spark, sf_dir):
         assert not problems, f"{name}: {problems}"
         text = plans.explain_str(df, "simple")
         assert "CartesianProduct" not in text, name
+        if name not in documented_bnlj:
+            assert "BroadcastNestedLoopJoin" not in text, name
 
 
 # ------------------------------- staged r18 faces (staging_r18)
