@@ -1475,3 +1475,141 @@ def morans_lag_cells(
             ),
         ).alias("gearys_c"),
     )
+
+
+def pacf_cells(
+    daily: DataFrame, day: str, cnt: str, lags: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """Autocorrelation + partial autocorrelation cells to lag 3 — the
+    AR-order diagnostic beside :func:`autocorr1_daily` (which reports
+    the lag-1 signal only, as a squared dodge): ACF says HOW FAR
+    memory reaches, PACF says how much lag k explains once lags < k
+    are regressed away (the Box–Jenkins order-picking pair).
+
+    No sqrt anywhere: the ACF here is the covariance RATIO r_k =
+    C_k / C_0 with denominators cleared to exact integers —
+    ``C_k = n^2*Sigma x_a x_b - n*S*(A_k + B_k) + m_k*S^2`` over the
+    calendar-pairwise lag pairs (an equi join on day+k, so gap days
+    simply contribute no pair — the autocorr1_daily semantics), and
+    ``C_0 = n^2*Sxx - n*S^2``.  PACF is the UNROLLED Durbin–Levinson
+    recursion on r_1..r_3: phi11 = r1; phi22 = (r2 - r1*r1)/(1 -
+    r1*r1); phi21 = r1*(1 - phi22); phi33 = (r3 - phi21*r2 -
+    phi22*r1)/(1 - phi21*r1 - phi22*r2) — a FIXED IEEE sequence on
+    the already-reported ratios, identical in any engine.  Cells stay
+    exact below 2^53 (n^2*Sigma x_a x_b at daily-count scale); above
+    that both engines round the same decimal→double cast (the
+    q_corr_moments class).
+
+    Shape: one (lag-literal explode) equi self-join of the bounded
+    calendar frame, one per-lag fold, a conditional pivot over the
+    literal lag axis to ONE row, and a broadcast 1-row totals fold.
+
+    1-row output: n_days, c0, c1, c2, c3, r1, r2, r3, pacf1, pacf2,
+    pacf3.
+    """
+    d38 = "decimal(38,0)"
+    g = daily.filter(
+        F.col(day).isNotNull() & F.col(cnt).isNotNull()
+    ).select(
+        F.datediff(F.col(day).cast("date"), F.lit("1970-01-01")).alias(
+            "__d"
+        ),
+        F.col(cnt).cast("long").alias("__x"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast(d38)).cast("double").alias("__s"),
+        F.sum(F.col("__x").cast(d38) * F.col("__x"))
+        .cast("double")
+        .alias("__sxx"),
+    )
+    ks = g.sparkSession.createDataFrame(
+        [(int(k),) for k in lags], "k int"
+    )
+    left = g.crossJoin(F.broadcast(ks)).select(
+        "k",
+        (F.col("__d") + F.col("k")).alias("__dk"),
+        F.col("__x").alias("__xa"),
+    )
+    right = g.select(F.col("__d").alias("__dk"), F.col("__x").alias("__xb"))
+    per = (
+        left.join(right, "__dk")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__m"),
+            F.sum(F.col("__xa").cast(d38) * F.col("__xb"))
+            .cast("double")
+            .alias("__sab"),
+            F.sum(F.col("__xa").cast(d38)).cast("double").alias("__a"),
+            F.sum(F.col("__xb").cast(d38)).cast("double").alias("__b"),
+        )
+    )
+    ck = (
+        F.col("__nn") * F.col("__nn") * F.col("__sab")
+        - F.col("__nn") * F.col("__ss") * (F.col("__a") + F.col("__b"))
+        + F.col("__m").cast("double") * F.col("__ss") * F.col("__ss")
+    )
+    cells = per.crossJoin(
+        F.broadcast(
+            tot.select(
+                F.col("__n").alias("__n0"),
+                F.col("__n").cast("double").alias("__nn"),
+                F.col("__s").alias("__ss"),
+                F.col("__sxx").alias("__sxx"),
+            )
+        )
+    ).select("k", "__n0", "__nn", "__ss", "__sxx", ck.alias("__ck"))
+    one = cells.groupBy().agg(
+        F.max("__n0").alias("n_days"),
+        F.max("__nn").alias("__nn"),
+        F.max("__ss").alias("__ss"),
+        F.max("__sxx").alias("__sxx"),
+        *[
+            F.max(F.when(F.col("k") == k, F.col("__ck"))).alias(f"__c{k}")
+            for k in lags
+        ],
+    )
+    c0 = F.col("__nn") * F.col("__nn") * F.col("__sxx") - F.col(
+        "__nn"
+    ) * F.col("__ss") * F.col("__ss")
+    staged = one.select(
+        "n_days",
+        c0.alias("c0"),
+        *[
+            F.coalesce(F.col(f"__c{k}"), F.lit(0.0)).alias(f"c{k}")
+            for k in lags
+        ],
+    )
+    r = {
+        k: F.when(F.col("c0") > 0, F.col(f"c{k}") / F.col("c0"))
+        for k in lags
+    }
+    staged2 = staged.select(
+        "n_days",
+        "c0",
+        *[F.col(f"c{k}") for k in lags],
+        *[r[k].alias(f"r{k}") for k in lags],
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1.0) - F.col("r1") * F.col("r1")
+    )
+    staged3 = staged2.select(
+        "*",
+        F.col("r1").alias("pacf1"),
+        F.when(
+            F.lit(1.0) - F.col("r1") * F.col("r1") != 0, phi22
+        ).alias("pacf2"),
+    )
+    phi21 = F.col("r1") * (F.lit(1.0) - F.col("pacf2"))
+    den3 = (
+        F.lit(1.0)
+        - phi21 * F.col("r1")
+        - F.col("pacf2") * F.col("r2")
+    )
+    phi33 = (
+        F.col("r3") - phi21 * F.col("r2") - F.col("pacf2") * F.col("r1")
+    ) / den3
+    return staged3.select(
+        "*",
+        F.when(den3 != 0, phi33).alias("pacf3"),
+    )

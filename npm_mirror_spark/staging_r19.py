@@ -26,6 +26,8 @@ ALLOWED_BNLJ entries to add at the r19 registration:
     "q_rich_club": "two 1-row conditional aggregates (per-k edge and
         node counts over the literal threshold grid)
         broadcast-combined",
+    "q_pacf": "the 3-row lag-literal frame broadcast onto the daily
+        series for the pair join, plus the 1-row totals fold",
 
 (The graph three otherwise equi-join on node id / attribute key.)
 
@@ -426,6 +428,84 @@ FROM u GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF/PACF cells to lag 3 (operators/temporal.py:pacf_cells) over
+    daily order counts — the Box-Jenkins order diagnostic beside
+    q_autocorr's lag-1 squared dodge: covariance-RATIO ACF (no sqrt,
+    denominators cleared to exact integers) and the unrolled
+    Durbin-Levinson PACF as a fixed IEEE sequence on the reported
+    ratios."""
+    from npm_mirror_spark.operators.temporal import pacf_cells
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pacf_cells(daily, "day", "n")
+
+
+_PACF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(x AS BIGINT) AS x
+  FROM daily),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS ss,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+  FROM g),
+ks AS (SELECT * FROM (VALUES (1), (2), (3)) t(k)),
+pairs AS (
+  SELECT ks.k, a.x AS xa, b.x AS xb
+  FROM g a CROSS JOIN ks JOIN g b ON b.d = a.d + ks.k),
+per AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(xa AS DECIMAL(38,0)) * xb) AS DOUBLE) AS sab,
+         CAST(sum(CAST(xa AS DECIMAL(38,0))) AS DOUBLE) AS a,
+         CAST(sum(CAST(xb AS DECIMAL(38,0))) AS DOUBLE) AS b
+  FROM pairs GROUP BY 1),
+cells AS (
+  SELECT k,
+         nn * nn * sab - nn * ss * (a + b)
+           + CAST(m AS DOUBLE) * ss * ss AS ck,
+         n0, nn, ss, sxx
+  FROM per CROSS JOIN tot),
+one AS (
+  SELECT max(n0) AS n_days, max(nn) AS nn, max(ss) AS ss,
+         max(sxx) AS sxx,
+         max(CASE WHEN k = 1 THEN ck END) AS c1x,
+         max(CASE WHEN k = 2 THEN ck END) AS c2x,
+         max(CASE WHEN k = 3 THEN ck END) AS c3x
+  FROM cells),
+staged AS (
+  SELECT n_days, nn * nn * sxx - nn * ss * ss AS c0,
+         coalesce(c1x, 0.0) AS c1, coalesce(c2x, 0.0) AS c2,
+         coalesce(c3x, 0.0) AS c3
+  FROM one),
+rr AS (
+  SELECT n_days, c0, c1, c2, c3,
+         CASE WHEN c0 > 0 THEN c1 / c0 END AS r1,
+         CASE WHEN c0 > 0 THEN c2 / c0 END AS r2,
+         CASE WHEN c0 > 0 THEN c3 / c0 END AS r3
+  FROM staged),
+p2 AS (
+  SELECT rr.*, r1 AS pacf1,
+         CASE WHEN 1.0 - r1 * r1 <> 0
+           THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS pacf2
+  FROM rr)
+SELECT n_days, c0, c1, c2, c3, r1, r2, r3, pacf1, pacf2,
+  CASE WHEN 1.0 - (r1 * (1.0 - pacf2)) * r1 - pacf2 * r2 <> 0
+    THEN (r3 - (r1 * (1.0 - pacf2)) * r2 - pacf2 * r1)
+         / (1.0 - (r1 * (1.0 - pacf2)) * r1 - pacf2 * r2)
+  END AS pacf3
+FROM p2
+"""
+
+
 STAGED_QUERIES = {
     "q_modularity": q_modularity,
     "q_conductance": q_conductance,
@@ -434,6 +514,7 @@ STAGED_QUERIES = {
     "q_lorenz": q_lorenz,
     "q_rich_club": q_rich_club,
     "q_ess_audit": q_ess_audit,
+    "q_pacf": q_pacf,
 }
 
 STAGED_ORACLES: dict[str, str] = {
@@ -442,6 +523,7 @@ STAGED_ORACLES: dict[str, str] = {
     "q_lorenz": _LORENZ_SQL,
     "q_rich_club": _RICH_CLUB_SQL,
     "q_ess_audit": _ESS_AUDIT_SQL,
+    "q_pacf": _PACF_SQL,
 }
 
 
