@@ -1544,31 +1544,47 @@ def pacf_cells(
             F.sum(F.col("__xb").cast(d38)).cast("double").alias("__b"),
         )
     )
-    ck = (
-        F.col("__nn") * F.col("__nn") * F.col("__sab")
-        - F.col("__nn") * F.col("__ss") * (F.col("__a") + F.col("__b"))
-        + F.col("__m").cast("double") * F.col("__ss") * F.col("__ss")
-    )
-    cells = per.crossJoin(
-        F.broadcast(
-            tot.select(
-                F.col("__n").alias("__n0"),
-                F.col("__n").cast("double").alias("__nn"),
-                F.col("__s").alias("__ss"),
-                F.col("__sxx").alias("__sxx"),
-            )
-        )
-    ).select("k", "__n0", "__nn", "__ss", "__sxx", ck.alias("__ck"))
-    one = cells.groupBy().agg(
-        F.max("__n0").alias("n_days"),
-        F.max("__nn").alias("__nn"),
-        F.max("__ss").alias("__ss"),
-        F.max("__sxx").alias("__sxx"),
+    # pivot the per-lag rows FIRST (a global agg always yields one
+    # row, even when no lag has any pair — e.g. all days > max(lags)
+    # apart), then fold the totals on: anchoring on `per` would
+    # return an all-NULL row for pair-free series
+    pvt = per.groupBy().agg(
         *[
-            F.max(F.when(F.col("k") == k, F.col("__ck"))).alias(f"__c{k}")
+            F.max(F.when(F.col("k") == k, F.col("__m"))).alias(f"__m{k}")
+            for k in lags
+        ],
+        *[
+            F.max(F.when(F.col("k") == k, F.col("__sab"))).alias(
+                f"__sab{k}"
+            )
+            for k in lags
+        ],
+        *[
+            F.max(F.when(F.col("k") == k, F.col("__a"))).alias(f"__a{k}")
+            for k in lags
+        ],
+        *[
+            F.max(F.when(F.col("k") == k, F.col("__b"))).alias(f"__b{k}")
             for k in lags
         ],
     )
+    one = tot.select(
+        F.col("__n").alias("n_days"),
+        F.col("__n").cast("double").alias("__nn"),
+        F.col("__s").alias("__ss"),
+        F.col("__sxx").alias("__sxx"),
+    ).crossJoin(F.broadcast(pvt))
+    for k in lags:
+        ck_k = (
+            F.col("__nn") * F.col("__nn") * F.col(f"__sab{k}")
+            - F.col("__nn")
+            * F.col("__ss")
+            * (F.col(f"__a{k}") + F.col(f"__b{k}"))
+            + F.col(f"__m{k}").cast("double")
+            * F.col("__ss")
+            * F.col("__ss")
+        )
+        one = one.withColumn(f"__c{k}", ck_k)
     c0 = F.col("__nn") * F.col("__nn") * F.col("__sxx") - F.col(
         "__nn"
     ) * F.col("__ss") * F.col("__ss")

@@ -468,19 +468,30 @@ per AS (
          CAST(sum(CAST(xa AS DECIMAL(38,0))) AS DOUBLE) AS a,
          CAST(sum(CAST(xb AS DECIMAL(38,0))) AS DOUBLE) AS b
   FROM pairs GROUP BY 1),
-cells AS (
-  SELECT k,
-         nn * nn * sab - nn * ss * (a + b)
-           + CAST(m AS DOUBLE) * ss * ss AS ck,
-         n0, nn, ss, sxx
-  FROM per CROSS JOIN tot),
+pvt AS (
+  SELECT max(CASE WHEN k = 1 THEN m END) AS m1,
+         max(CASE WHEN k = 2 THEN m END) AS m2,
+         max(CASE WHEN k = 3 THEN m END) AS m3,
+         max(CASE WHEN k = 1 THEN sab END) AS sab1,
+         max(CASE WHEN k = 2 THEN sab END) AS sab2,
+         max(CASE WHEN k = 3 THEN sab END) AS sab3,
+         max(CASE WHEN k = 1 THEN a END) AS a1,
+         max(CASE WHEN k = 2 THEN a END) AS a2,
+         max(CASE WHEN k = 3 THEN a END) AS a3,
+         max(CASE WHEN k = 1 THEN b END) AS b1,
+         max(CASE WHEN k = 2 THEN b END) AS b2,
+         max(CASE WHEN k = 3 THEN b END) AS b3
+  FROM per),
 one AS (
-  SELECT max(n0) AS n_days, max(nn) AS nn, max(ss) AS ss,
-         max(sxx) AS sxx,
-         max(CASE WHEN k = 1 THEN ck END) AS c1x,
-         max(CASE WHEN k = 2 THEN ck END) AS c2x,
-         max(CASE WHEN k = 3 THEN ck END) AS c3x
-  FROM cells),
+  SELECT tot.n0 AS n_days, tot.nn AS nn, tot.ss AS ss,
+         tot.sxx AS sxx,
+         nn * nn * sab1 - nn * ss * (a1 + b1)
+           + CAST(m1 AS DOUBLE) * ss * ss AS c1x,
+         nn * nn * sab2 - nn * ss * (a2 + b2)
+           + CAST(m2 AS DOUBLE) * ss * ss AS c2x,
+         nn * nn * sab3 - nn * ss * (a3 + b3)
+           + CAST(m3 AS DOUBLE) * ss * ss AS c3x
+  FROM tot CROSS JOIN pvt),
 staged AS (
   SELECT n_days, nn * nn * sxx - nn * ss * ss AS c0,
          coalesce(c1x, 0.0) AS c1, coalesce(c2x, 0.0) AS c2,

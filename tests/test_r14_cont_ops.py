@@ -1156,6 +1156,83 @@ def test_ess_brute_and_bounds(spark, ws):
     assert 1.0 <= r["ess"] <= float(n) + 1e-9
 
 
+# ------------------------------------------------------- pacf_cells
+
+
+def test_pacf_hand_example(spark):
+    """[1..6] on consecutive days: C0=630, C1=315, C2=36, C3=-171;
+    the pacf chain replays the documented fixed IEEE sequence."""
+    from npm_mirror_spark.operators.temporal import pacf_cells
+
+    rows = [(D(2024, 1, i + 1), i + 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = pacf_cells(df, "d", "x").collect()[0]
+    assert (r["c0"], r["c1"], r["c2"], r["c3"]) == (630.0, 315.0, 36.0, -171.0)
+    r1, r2, r3 = 315.0 / 630.0, 36.0 / 630.0, -171.0 / 630.0
+    assert (r["r1"], r["r2"], r["r3"]) == (r1, r2, r3)
+    p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = r1 * (1.0 - p2)
+    p3 = (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)
+    assert (r["pacf1"], r["pacf2"], r["pacf3"]) == (r1, p2, p3)
+
+
+def test_pacf_constant_series_undefined(spark):
+    """A constant series has C0 = 0: every ratio (and pacf) is NULL."""
+    from npm_mirror_spark.operators.temporal import pacf_cells
+
+    rows = [(D(2024, 1, i + 1), 7) for i in range(8)]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = pacf_cells(df, "d", "x").collect()[0]
+    assert r["c0"] == 0.0
+    assert r["r1"] is None and r["pacf2"] is None and r["pacf3"] is None
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 9)),
+        min_size=4,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_pacf_bit_exact_vs_brute(spark, pts):
+    """Random day/value series WITH GAPS: the calendar-pairwise cells
+    and the full pacf chain replay bit-for-bit in python floats."""
+    from npm_mirror_spark.operators.temporal import pacf_cells
+
+    rows = [(D(2020, 1, 1) + dt.timedelta(days=d), v) for d, v in pts]
+    df = spark.createDataFrame(rows, "d date, x long")
+    r = pacf_cells(df, "d", "x").collect()[0]
+    vals = dict(pts)
+    n = float(len(pts))
+    s = float(sum(v for _, v in pts))
+    sxx = float(sum(v * v for _, v in pts))
+    c0 = n * n * sxx - n * s * s
+    assert (r["n_days"], r["c0"]) == (len(pts), c0)
+    cs = {}
+    for k in (1, 2, 3):
+        prs = [(vals[d], vals[d + k]) for d in vals if d + k in vals]
+        m = float(len(prs))
+        sab = float(sum(a * b for a, b in prs))
+        a = float(sum(a for a, _ in prs))
+        b = float(sum(b for _, b in prs))
+        cs[k] = n * n * sab - n * s * (a + b) + m * s * s
+        assert r[f"c{k}"] == cs[k]
+    if c0 > 0:
+        r1, r2, r3 = cs[1] / c0, cs[2] / c0, cs[3] / c0
+        assert (r["r1"], r["r2"], r["r3"]) == (r1, r2, r3)
+        if 1.0 - r1 * r1 != 0:
+            p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+            assert r["pacf2"] == p2
+            p21 = r1 * (1.0 - p2)
+            den3 = 1.0 - p21 * r1 - p2 * r2
+            if den3 != 0:
+                assert r["pacf3"] == (r3 - p21 * r2 - p2 * r1) / den3
+    else:
+        assert r["r1"] is None
+
+
 # ------------------------------- staged r19 faces (staging_r19)
 
 
@@ -1177,7 +1254,7 @@ def test_r19_staged_faces_match_oracles(spark, sf_dir):
     # (1-row folds, literal-grid folds, prior-sums stats rows)
     documented_bnlj = {
         "q_modularity", "q_conductance", "q_attr_assortativity",
-        "q_lift_gains", "q_lorenz", "q_rich_club",
+        "q_lift_gains", "q_lorenz", "q_rich_club", "q_pacf",
     }
     con = duckdb_con(sf_dir)
     for name, q in Q19.items():
