@@ -274,8 +274,18 @@ def minhash_candidate_pairs(
     b = b.repartition("band", "band_hash")
     left = b.withColumnRenamed(id_col, "id_a")
     right = b.withColumnRenamed(id_col, "id_b")
+    # SHUFFLE_HASH pin (r14): without it the planner BROADCASTS the
+    # narrow (id, band, band_hash) index whenever its size estimate is
+    # under the auto-broadcast threshold — and the broadcast build side
+    # is its own subtree, so the exchange-reuse above silently dies and
+    # the signature pass runs twice (profiled: the executed bench-scale
+    # plan showed BroadcastHashJoin + two full signature evaluations).
+    # At 100 TB a corpus-sized LSH index can never broadcast, so the
+    # shuffled-hash pin is also the only scale-truthful plan; bucket
+    # partitions are small by construction (hash collisions), so the
+    # per-partition hash build is bounded and sort-free (guide §3.1).
     return (
-        left.join(right, ["band", "band_hash"])
+        left.join(right.hint("shuffle_hash"), ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -410,12 +420,18 @@ def simhash16(col: Column | str) -> Column:
     tok_vals = F.transform(
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
     )
-    bit_contrib = lambda v: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda j: F.when(
-            (F.floor(v / F.pow(F.lit(2.0), j.cast("double"))).cast("int") % 2) == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+    # (v >> j) & 1 — value-identical to the floor(v / 2^j) % 2 form for
+    # the non-negative 16-bit hash values, but pure integer ops: this is
+    # the hottest expression of the signature pass (16 evals per TOKEN),
+    # and the double pow/floor/mod chain it replaces dominated its
+    # per-task CPU (guide §1.2 step 2: per-task work after plan shape)
+    bit_contrib = lambda v: F.array(  # noqa: E731
+        *[
+            F.when(
+                F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            for j in range(16)
+        ]
     )
     sums = F.aggregate(
         tok_vals,
@@ -439,25 +455,62 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Scale path: block on the top byte of the signature (pigeonhole — for
-    16-bit sigs and distance <=3, near-dups almost always share one half),
-    so the self-join is bucketed, not all-pairs.
+    Scale path: block on the two halves of the signature (pigeonhole —
+    for 16-bit sigs and distance <=3, near-dups almost always share one
+    half), so the self-join is bucketed, not all-pairs.
+
+    Physical shape (r14): the signature pass runs ONCE — each doc's two
+    (leg, block) keys posexplode out of a single signature row, and the
+    pre-partitioned (leg, block) index feeds BOTH self-join sides
+    through one reused exchange (the minhash_candidate_pairs
+    discipline).  The previous two-leg union evaluated the corpus-wide
+    simhash16 expression once per leg on the scan's natural (narrow)
+    partitioning — a profiled 2x signature cost plus a 3-task
+    serialization at bench scale (guide §2.4 remove shuffles/share
+    subplans, §2.5 input skew).  The leg key keeps the candidate set
+    byte-identical to the old lo/hi-leg union (a lo half may equal
+    another doc's hi half; without the leg those cross-leg collisions
+    would join — harmlessly, the hamming filter + distinct make the
+    OUTPUT equal either way, but keeping the leg also keeps the join
+    volume identical).  Widened before the signature kernel like
+    minhash_bands: the per-token md5 pass is the expensive part and
+    runs before the exchange.
     """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     sigs = df.select(F.col(id_col), simhash16(text_col).alias("__sig"))
-    lo = (F.col("__sig") % 256).alias("__blk")
-    hi = F.floor(F.col("__sig") / 256).cast("int").alias("__blk")
-    half_pairs = []
-    for blk in (lo, hi):
-        a = sigs.select(
-            F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"), blk
-        )
-        b = sigs.select(
-            F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"), blk
-        )
-        half_pairs.append(
-            a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b")).drop("__blk")
-        )
-    pairs = half_pairs[0].unionByName(half_pairs[1]).distinct()
+    keyed = sigs.select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.posexplode(
+            F.array(
+                (F.col("__sig") % 256).cast("int"),
+                F.floor(F.col("__sig") / 256).cast("int"),
+            )
+        ).alias("__leg", "__blk"),
+    ).repartition("__leg", "__blk")
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sig").alias("__sig_a"),
+        "__leg",
+        "__blk",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sig").alias("__sig_b"),
+        "__leg",
+        "__blk",
+    )
+    # same SHUFFLE_HASH pin as minhash_candidate_pairs: keeps the
+    # planner off the broadcast path that would duplicate the signature
+    # subtree instead of reusing the one (leg, block) exchange
+    pairs = (
+        a.join(b.hint("shuffle_hash"), ["__leg", "__blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("__leg", "__blk")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")

@@ -1139,6 +1139,14 @@ def train_kmeans(
             [int(math.floor(x * _SRP_SCALE)) for x in c] for c in init
         ]
     shifts: list[float] = []
+    # quantize ONCE and cache the integer vectors for the round loop:
+    # every Lloyd round (and only the rounds — the cache is released
+    # below once the loop's collects have consumed it) re-reads the
+    # cached arrays instead of re-scanning the source and re-running the
+    # per-component quantize transform n_iter times (guide §5: reuse +
+    # recompute-cost justify the persist; exact integer values, so the
+    # cached path is bit-identical to the re-scan it replaces)
+    q = df.select(_quantize(vec_col).alias("__q")).persist()
     it = 0
     for it in range(1, n_iter + 1):
         # assignment + component explode in ONE projection of one scan —
@@ -1148,9 +1156,9 @@ def train_kmeans(
         # node strips struct-field names from sibling expressions, so the
         # argmin struct must resolve in its own projection first)
         comp = (
-            df.select(
-                _nearest_centroid(_quantize(vec_col), cents).alias("cluster"),
-                _quantize(vec_col).alias("__q"),
+            q.select(
+                _nearest_centroid(F.col("__q"), cents).alias("cluster"),
+                "__q",
             )
             .select("cluster", F.posexplode("__q").alias("pos", "qc"))
             .groupBy("cluster", "pos")
@@ -1171,5 +1179,8 @@ def train_kmeans(
         shifts.append(shift)
         if tol > 0.0 and shift < tol:
             break
+    # fully consumed by the per-round collects above — release eagerly
+    # rather than leaking a CacheManager entry for the session lifetime
+    q.unpersist()
     return {"centroids_q": cents, "n_iter": it, "shifts": shifts}
 

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # long-lived sessions (the 200-face bench, multi-hour streaming)
+        # accumulate RDD/shuffle/broadcast state that ContextCleaner only
+        # reclaims after a JVM GC notices the weak refs; the default
+        # periodic-GC interval (30 min) never fires inside a typical
+        # bench run, so localCheckpoint blocks from iterative operators
+        # pile up.  5 min is a no-op for short jobs and bounds the pile
+        # for long ones (same setting a cluster deployment would want).
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # local-mode niceties; harmless on a cluster
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
