@@ -168,7 +168,15 @@ def basket_pairs(
     # narrow upstream scan — with a single-file input the planner
     # otherwise broadcasts one side and squares every basket in one task
     # (the r10 q_edit_join stage-audit pathology, same cure)
-    x, y = guarded.alias("x"), guarded.alias("y")
+    # SHUFFLE_HASH pin (r14): without it the planner broadcasts one side
+    # whenever the basket frame's size estimate clears the threshold —
+    # and the broadcast build side re-computes the guard + repartition
+    # lineage instead of reading the shared exchange (profiled on
+    # q_triangle_est: BroadcastHashJoin + a duplicated guard subtree).
+    # Per-basket groups are <= max_basket rows by the guard, so the
+    # per-partition hash build is bounded (guide §3.1), and at 100 TB a
+    # corpus-sized basket frame could never broadcast anyway.
+    x, y = guarded.alias("x"), guarded.hint("shuffle_hash").alias("y")
     return x.join(
         y,
         (F.col(f"x.{basket_col}") == F.col(f"y.{basket_col}"))

@@ -3886,11 +3886,20 @@ def q_assoc_rules(spark, sf_dir):
         "l_orderkey",
         max_basket=64,
     )
+    # ONE basket-key exchange feeds every consumer (r14): n, item and
+    # BOTH pair-join sides read the same repartition exchange via
+    # ReuseExchange, so the guard pipeline (distinct + size aggregate +
+    # anti join) evaluates once instead of four times; the shuffle-hash
+    # pin keeps the planner off the broadcast path that would rebuild
+    # the lineage on the build side (the basket_pairs rationale —
+    # guide §2.4, §3.1).  Values are unchanged: same rows, same
+    # aggregates, only the exchange placement moves.
+    li = li.repartition("l_orderkey")
     n = li.agg(F.count_distinct("l_orderkey").alias("__n"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     # pair join inline on the ALREADY-guarded set (basket_pairs would
     # re-run the guard aggregate for nothing)
-    x, y = li.alias("x"), li.alias("y")
+    x, y = li.alias("x"), li.hint("shuffle_hash").alias("y")
     pair = (
         x.join(
             y,
