@@ -3998,9 +3998,15 @@ def q_pagerank_seeded(spark, sf_dir):
     unrolled-iteration oracle."""
     from npm_mirror_spark.operators.graph import pagerank_personalized
 
+    # lazily checkpointed (r14): the seed lineage below and the
+    # operator's internal edge persist otherwise EACH evaluate the full
+    # LSH candidate pipeline from parquet — one truncation point makes
+    # both consumers read the same materialized arc blocks (guide §2.4)
     arcs = dedup_ops.minhash_candidate_pairs(
         _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8, bands=4
-    ).select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         arcs.select(F.col("src").alias("id"))
         .unionByName(arcs.select(F.col("dst").alias("id")))
