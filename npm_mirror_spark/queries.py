@@ -4414,7 +4414,16 @@ def q_release_cut(spark, sf_dir):
         .where(F.col("keep"))
         .select("doc_id")
     )
-    gated = corpus.join(keep_ids, "doc_id", "left_semi")
+    # lazily checkpointed (r14, guide §3.3 plan truncation): the cut
+    # machinery consumes the gated corpus three times (span explode,
+    # rebuild join, rewrite join) and each consumer carried the gopher
+    # HOF gate + semi join subtree into its analyzed plan — the
+    # measured wall was driver planning over the duplicated tree, so
+    # truncation (not a cache) is the fix; one materialization feeds
+    # every consumer
+    gated = corpus.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     clean = cut_decontaminate(gated, bench, "text", "doc_id", 5)
     return cur_ops.token_budget_select(
         clean.withColumn("n_tokens", text_ops.ws_token_count("text")),

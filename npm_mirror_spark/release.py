@@ -56,7 +56,19 @@ def cut_decontaminate(
     lost a span carry ``clean_text`` rebuilt from NORMALIZED tokens
     (lowercased, whitespace-collapsed); untouched docs keep their
     byte-exact original — ``was_cut`` marks the rewritten rows so a
-    consumer can distinguish them (the r6 advice finding)."""
+    consumer can distinguish them (the r6 advice finding).
+
+    ``rewritten`` is lazily localCheckpoint-ed (r14, guide §3.3 plan
+    truncation / §5): it is consumed three times — twice inside the
+    seam-guard recheck and once as the left side of the final anti join
+    — and each unpersisted consumer carried the ENTIRE upstream lineage
+    (gate, shingle explode, span islands, rebuild join) into its own
+    analyzed plan.  The measured wall here was ~95% driver time chewing
+    the duplicated 88-scan tree (executor task-time 5.06 s vs 6.9 s
+    wall, tools/profile_face.py), so a cache alone (which keeps the
+    lineage in every consumer's plan) did not move it; truncation makes
+    every consumer read `Scan ExistingRDD`.  Values are deterministic
+    text algebra, so the materialized path is bit-identical."""
     from npm_mirror_spark.operators.curation import cut_contaminated_spans
 
     cut = cut_contaminated_spans(docs, bench, text_col, id_col, n).select(
@@ -75,6 +87,7 @@ def cut_decontaminate(
         .drop("__orig", "clean_text")
         # a doc whose whole text was benchmark quote carries nothing
         .where(F.length(F.col(text_col)) > 0)
+        .localCheckpoint(eager=False)
     )
     # seam-guard scope: only CUT documents can mint new n-grams —
     # an untouched doc had zero bench-overlapping grams by construction
