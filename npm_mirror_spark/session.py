@@ -40,6 +40,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deliberate join strategy (guide §3.1/§9): let the planner pick
+        # shuffled-hash over sort-merge when the build side fits its
+        # size conditions, and let AQE rewrite SMJ->SHJ at runtime when
+        # every post-shuffle partition is under the advisory size — the
+        # key-collapsed frames these operators join never justify a
+        # per-partition sort.  Measured r14 (ABAB same-session, sf0.1):
+        # q_jaccard_exact 4.25->3.13 s, q_triangle_est 8.24->5.97 s,
+        # q_capture_recapture 5.04->4.01 s, replicated both phases.
+        # (The companion coalescePartitions.parallelismFirst=false +
+        # advisory-size experiment REGRESSED iterative faces 1.7-10x and
+        # was rejected — see OPTIMIZATION_r14.md.)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # long-lived sessions (the 200-face bench, multi-hour streaming)
