@@ -38,12 +38,29 @@ def _cms_bucket(key: F.Column, r: F.Column, width: int) -> F.Column:
     return F.pmod(md5_key64(key, r), F.lit(int(width))).cast("int")
 
 
+def _cms_bucket_fast(key: F.Column, r: F.Column, width: int) -> F.Column:
+    """h_r(key) = xxhash64(key, seed=r) mod width — the cheap JVM hash
+    for sketch uses whose OUTPUT does not expose the sketch (r14, guide
+    §1.2 step 2 per-task work): md5 goes through string rendering +
+    a cryptographic digest per (key, row) pair and was the dominant
+    stage of q_hh_twopass; xxhash64 is a codegen'd primitive.  Only
+    valid where the sketch PRUNES (heavy_hitters_twopass: any
+    pairwise-independent-ish family keeps the one-sided superset
+    property and the verified output is the exact HAVING answer) —
+    faces that REPORT sketch cells (q_count_min) keep the md5 oracle
+    contract."""
+    return F.pmod(
+        F.xxhash64(key, r.cast("long")), F.lit(int(width))
+    ).cast("int")
+
+
 def count_min_sketch(
     df: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 64,
     weight_col: str | None = None,
+    bucket=_cms_bucket,
 ) -> DataFrame:
     """Build a depth x width CMS over ``key_col``: rows (r, b, c).
 
@@ -66,7 +83,7 @@ def count_min_sketch(
     )
     return (
         rows.groupBy(
-            "r", _cms_bucket(F.col("__k"), F.col("r"), width).alias("b")
+            "r", bucket(F.col("__k"), F.col("r"), width).alias("b")
         )
         .agg(F.sum("__w").alias("c"))
     )
@@ -350,6 +367,7 @@ def count_min_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 64,
+    bucket=_cms_bucket,
 ) -> DataFrame:
     """Point-query the sketch for each probe key: (key, est).
 
@@ -363,7 +381,7 @@ def count_min_estimate(
     lookups = pr.select(
         key_col,
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
-    ).withColumn("b", _cms_bucket(F.col(key_col), F.col("r"), width))
+    ).withColumn("b", bucket(F.col(key_col), F.col("r"), width))
     return (
         lookups.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy(key_col)
@@ -674,9 +692,21 @@ def heavy_hitters_twopass(
     """
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
-    sketch = count_min_sketch(df, key_col, depth=depth, width=width)
+    # prune pass hashes with the cheap codegen'd xxhash64 family (r14):
+    # the md5 contract exists so sketch-REPORTING faces replay in the
+    # oracle, but here the sketch only prunes — one-sided error holds
+    # for any seeded hash family, the candidate set stays a superset,
+    # and the verified output is the exact HAVING answer either way
+    sketch = count_min_sketch(
+        df, key_col, depth=depth, width=width, bucket=_cms_bucket_fast
+    )
     ests = count_min_estimate(
-        sketch, df.select(key_col), key_col, depth=depth, width=width
+        sketch,
+        df.select(key_col),
+        key_col,
+        depth=depth,
+        width=width,
+        bucket=_cms_bucket_fast,
     )
     cands = ests.filter(F.col("est") >= threshold).select(key_col)
     return (
