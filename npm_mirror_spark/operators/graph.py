@@ -30,6 +30,28 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12  # rank unit = 1e-12; n * SCALE and rank * 85 stay << 2^63
 
 
+def _symmetrize(
+    pairs: DataFrame, a_col: str, b_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Emit both directions of every pair IN ONE PASS: an in-row
+    explode of the two orientations (r14, guide §2.4).  The former
+    two-leg ``unionByName`` evaluated the pair lineage once per leg —
+    for edges minted by the MinHash-LSH self-join that meant running
+    the whole signature+banding pipeline twice at the symmetrized
+    frame's materialization (measured: one of the two dominant stages
+    of q_pagerank).  Same row multiset, so every downstream integer
+    aggregate/distinct is unchanged."""
+    a, b = F.col(a_col), F.col(b_col)
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(a.alias(out_a), b.alias(out_b)),
+                F.struct(b.alias(out_a), a.alias(out_b)),
+            )
+        ).alias("__e")
+    ).select(F.col(f"__e.{out_a}").alias(out_a), F.col(f"__e.{out_b}").alias(out_b))
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
@@ -73,9 +95,18 @@ def pagerank(
     pairs = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    und = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # one-pass symmetrize + src partitioning BEFORE the persist (r14):
+    # deg's groupBy and every round's contribution join are keyed by
+    # src, so one exchange establishes the layout all consumers reuse,
+    # and the cached relation can never be re-broadcast per round (the
+    # in-memory size estimate made the planner do exactly that — see
+    # bfs_hops).  The shuffle_hash hints below keep the node-sized
+    # frames as per-partition build sides against the streamed cache.
+    und = (
+        _symmetrize(pairs, "src", "dst", "src", "dst")
+        .repartition("src")
+        .persist()
+    )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
     if n == 0:
@@ -91,11 +122,15 @@ def pagerank(
         F.lit(PR_SCALE // n).cast("long").alias("rank"),
     )
     for _ in range(n_iter):
-        rates = ranks.join(deg, ranks["id"] == deg["src"]).select(
+        rates = ranks.join(
+            deg.hint("shuffle_hash"), ranks["id"] == deg["src"]
+        ).select(
             "id",
             F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),
         )
-        contrib = und.join(rates, und["src"] == rates["id"]).select("dst", "c")
+        contrib = und.join(
+            rates.hint("shuffle_hash"), und["src"] == rates["id"]
+        ).select("dst", "c")
         ranks = contrib.groupBy("dst").agg(
             (F.sum("c") + F.lit(teleport).cast("long")).alias("rank")
         ).select(F.col("dst").alias("id"), "rank")
@@ -315,10 +350,15 @@ def label_propagation(
                 "ids first (the min-label tie-break negates labels)"
             )
     pairs = _canonical_pairs(edges, src_col, dst_col)
-    adj = pairs.select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    ).unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    nodes = adj.select(F.col("u").alias("id")).distinct()
+    # symmetrized in one pass and persisted (r14): adj is consumed by
+    # every round's message join AND the node derivation — unpersisted,
+    # each consumer re-ran the canonical-pair lineage twice (two union
+    # legs); the iterative-lineage discipline the other loop operators
+    # already follow
+    adj = (
+        _symmetrize(pairs, "a", "b", "u", "v").repartition("v").persist()
+    )
+    nodes = adj.select(F.col("u").alias("id")).distinct().persist()
     labels = nodes.select("id", F.col("id").alias("label"))
     for _ in range(n_rounds):
         msgs = adj.join(
@@ -554,9 +594,15 @@ def pagerank_directed(
     in one 3-round plan over LSH-derived edges).  All cached tables
     are node- or edge-sized, MEMORY_AND_DISK.
     """
-    pairs = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    # partitioned by src before the persist (r14): outdeg's groupBy and
+    # every round's contribution join are src-keyed, so one exchange
+    # serves all consumers and the cached edge relation is never picked
+    # as a per-round broadcast build (see pagerank/bfs_hops)
+    pairs = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -576,9 +622,9 @@ def pagerank_directed(
         # persisted: rd feeds BOTH rates and dangling below — uncached,
         # each round would re-evaluate the entire prior-round lineage
         # twice (2^rounds blowup, see docstring)
-        rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left").select(
-            "id", "rank", "deg"
-        ).persist()
+        rd = ranks.join(
+            outdeg.hint("shuffle_hash"), ranks["id"] == outdeg["src"], "left"
+        ).select("id", "rank", "deg").persist()
         rates = rd.where(F.col("deg").isNotNull()).select(
             "id",
             F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),
@@ -586,9 +632,9 @@ def pagerank_directed(
         dangling = rd.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dm")
         )
-        contrib = pairs.join(rates, pairs["src"] == rates["id"]).select(
-            "dst", "c"
-        )
+        contrib = pairs.join(
+            rates.hint("shuffle_hash"), pairs["src"] == rates["id"]
+        ).select("dst", "c")
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("__s"))
         ranks = (
             nodes.join(sums, nodes["id"] == sums["dst"], "left")
@@ -639,9 +685,15 @@ def pagerank_personalized(
     per-round twice-consumed ``rd`` are persisted, keeping the
     evaluated lineage linear in rounds instead of 2^rounds.
     """
-    pairs = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    # partitioned by src before the persist (r14): outdeg's groupBy and
+    # every round's contribution join are src-keyed, so one exchange
+    # serves all consumers and the cached edge relation is never picked
+    # as a per-round broadcast build (see pagerank/bfs_hops)
+    pairs = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -672,9 +724,9 @@ def pagerank_personalized(
     )
     for _ in range(n_iter):
         # persisted: consumed by both rates and dangling (see directed)
-        rd = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left").select(
-            "id", "rank", "deg"
-        ).persist()
+        rd = ranks.join(
+            outdeg.hint("shuffle_hash"), ranks["id"] == outdeg["src"], "left"
+        ).select("id", "rank", "deg").persist()
         rates = rd.where(F.col("deg").isNotNull()).select(
             "id",
             F.expr(f"(rank * {damp_num}) div ({damp_den} * deg)").alias("c"),
@@ -682,9 +734,9 @@ def pagerank_personalized(
         dangling = rd.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dm")
         )
-        contrib = pairs.join(rates, pairs["src"] == rates["id"]).select(
-            "dst", "c"
-        )
+        contrib = pairs.join(
+            rates.hint("shuffle_hash"), pairs["src"] == rates["id"]
+        ).select("dst", "c")
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("__s"))
         ranks = (
             flagged.join(sums, flagged["id"] == sums["dst"], "left")
@@ -765,13 +817,13 @@ def hits(
     hub = nodes.select("id", F.lit(0).cast(_D38).alias("hub"))
     for _ in range(n_iter):
         hub = (
-            arcs.join(auth, arcs["dst"] == auth["id"])
+            arcs.join(auth.hint("shuffle_hash"), arcs["dst"] == auth["id"])
             .groupBy("src")
             .agg(F.sum("auth").cast(_D38).alias("hub"))
             .select(F.col("src").alias("id"), "hub")
         )
         auth = (
-            arcs.join(hub, arcs["src"] == hub["id"])
+            arcs.join(hub.hint("shuffle_hash"), arcs["src"] == hub["id"])
             .groupBy("dst")
             .agg(F.sum("hub").cast(_D38).alias("auth"))
             .select(F.col("dst").alias("id"), "auth")
@@ -817,11 +869,18 @@ def bfs_hops(
     Output: (id, hop) for every node within ``max_hops`` of a seed.
     """
     pairs = _canonical_pairs(edges, src_col, dst_col)
-    und = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    # partitioned by the join key BEFORE the persist (r14, guide §2.4 /
+    # §3.1): every round's frontier expansion joins on src, so one
+    # exchange establishes the edge partitioning for all rounds and the
+    # cached blocks are already co-partitioned.  Without this the
+    # planner BROADCAST the cached edge relation (its in-memory size
+    # estimate undercuts the frontier's conservative aggregate
+    # estimate), paying a full edge-relation broadcast build per round
+    # — measured as the three dominant stages of q_bfs_hops (12-14 s
+    # task time each, one per hop).  At real scale the edge table could
+    # never broadcast; the shuffled-hash pin below with the bounded,
+    # shrinking frontier as build side is the shape that survives.
+    und = _symmetrize(pairs, "a", "b", "src", "dst").repartition("src").persist()
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -831,7 +890,10 @@ def bfs_hops(
     frontier = visited.select("id")
     for h in range(1, max_hops + 1):
         nxt = (
-            und.join(frontier, und["src"] == frontier["id"])
+            und.join(
+                frontier.hint("shuffle_hash"),
+                und["src"] == frontier["id"],
+            )
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
