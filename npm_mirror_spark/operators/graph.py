@@ -932,13 +932,15 @@ def common_neighbor_scores(
     ``common >= min_common``.
     """
     pairs = _canonical_pairs(edges, src_col, dst_col).persist()
+    # eager materialization (r14): the degree and anti-join consumers
+    # below become CONCURRENT broadcast-build jobs at execution; racing
+    # an unmaterialized cache, each re-evaluated the full edge lineage
+    # from the source (profiled: three identical parquet-scanning build
+    # stages in one q_link_pred run).  One count pins the cache first;
+    # every later consumer reads blocks.
+    pairs.count()
     deg = _degrees(pairs)
-    adj = (
-        pairs.select(F.col("a").alias("c"), F.col("b").alias("n"))
-        .unionByName(pairs.select(F.col("b").alias("c"), F.col("a").alias("n")))
-        .repartition("c")
-        .persist()
-    )
+    adj = _symmetrize(pairs, "a", "b", "c", "n").repartition("c").persist()
     x, y = adj.alias("x"), adj.alias("y")
     wedges = x.join(
         y, (F.col("x.c") == F.col("y.c")) & (F.col("x.n") < F.col("y.n"))

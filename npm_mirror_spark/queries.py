@@ -2993,9 +2993,18 @@ def q_quality_classifier(spark, sf_dir):
     from npm_mirror_spark.operators import classifier as clf_ops
 
     docs = _t(spark, sf_dir, "documents")
+    # labels persisted (r14, guide §5 persist-on-reuse): consumed by the
+    # trainer's count, every GD round's residual join and the final
+    # report join — 7 evaluations of the documents scan + contains
+    # otherwise, for a (doc_id, int) frame.  feats deliberately NOT
+    # persisted: the trainer already caches the bias-augmented table
+    # internally, so a face-level cache would only save the scoring
+    # pass's single re-tokenize — measured flat at sf0.1 and a
+    # corpus-sized cache entry at real scale (the capture-recapture
+    # corpus-persist rejection, r13).
     labels = docs.select(
         "doc_id", F.col("text").contains("spark").cast("int").alias("label")
-    )
+    ).persist()
     feats = clf_ops.hashed_features(docs, dim=256)
     model = clf_ops.train_logreg(feats, labels, dim=256, iters=5, lr=1.0)
     return clf_ops.score_logreg(feats, model).join(labels, "doc_id")
