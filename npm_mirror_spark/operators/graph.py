@@ -474,6 +474,12 @@ def triangle_count_sampled(
     pairs = _canonical_pairs(edges, src_col, dst_col).persist()
     deg = _degrees(pairs).persist()
     oriented = _orient(pairs, deg).persist()
+    # eager materialization (r14): the wedge legs and the closure
+    # semi-join become concurrent jobs at execution and raced the
+    # unmaterialized cache chain, re-running the edge-source lineage
+    # per consumer (the q_link_pred profile finding); one count pins
+    # oriented (and, transitively, pairs/deg) first
+    oriented.count()
     centers = oriented.where(
         F.pmod(md5_key64(F.col("src"), seed), F.lit(int(rate_den))) == 0
     )
@@ -523,10 +529,12 @@ def triangle_counts(
     0.0 for deg < 2.
     """
     # same persist rationale as triangle_count_sampled (deg additionally
-    # anchors the final per-node credit join)
+    # anchors the final per-node credit join); same eager pin — the
+    # wedge legs + closure semi-join race the lazy cache otherwise
     pairs = _canonical_pairs(edges, src_col, dst_col).persist()
     deg = _degrees(pairs).persist()
     oriented = _orient(pairs, deg).persist()
+    oriented.count()
     tris = _closed_wedges(oriented, oriented)
     credit = (
         tris.select(F.col("u").alias("id"))
