@@ -358,19 +358,31 @@ def ivf_assign(
     sim = dot(_to_double(F.col(vec_col)), F.col("__cvec")) / (
         F.col("__n") * F.col("__cnorm")
     )
-    scored = c.join(cent).withColumn(
-        "__sc", F.struct(sim.alias("s"), (-F.col("__cid")).alias("nc"))
+    # r14 (guide §2.3 shuffle fewer bytes / §1.2 step 1): the former
+    # ``max(struct(sim, -cid))`` argmax has a struct aggregation buffer,
+    # which cannot hash-aggregate — the plan paid Sort + SortAggregate +
+    # Exchange + SortAggregate over the corpus x K fan-out WITH the full
+    # embedding array carried through (``first(embedding)`` rode the
+    # same aggregate).  Two-pass hash-aggregable argmax on NARROW rows
+    # instead: max(sim) per id (double buffer), tie-break to min cid
+    # among rows equal to the max (Spark's NaN semantics make NaN = NaN
+    # true and NaN the greatest double, so an all-NaN vector keeps its
+    # min-cid winner exactly as the struct ordering did), then ONE
+    # narrow (id, cluster) join attaches the winner back to the corpus
+    # row.  Same argmax total order => bit-identical assignments; the
+    # shuffles now carry (id, cid, sim) and (id, cluster) only.
+    scored = c.join(cent).select(
+        F.col(id_col), F.col("__cid"), sim.alias("__s")
     )
-    others = [x for x in corpus.columns if x != id_col]
-    agged = scored.groupBy(id_col).agg(
-        F.max("__sc").alias("__m"),
-        *[F.first(x).alias(x) for x in others],
+    winner = (
+        scored.join(
+            scored.groupBy(id_col).agg(F.max("__s").alias("__bs")), id_col
+        )
+        .where(F.col("__s") == F.col("__bs"))
+        .groupBy(id_col)
+        .agg(F.min("__cid").alias("cluster"))
     )
-    return (
-        agged.withColumn("cluster", -F.col("__m")["nc"])
-        .drop("__m")
-        .select(*corpus.columns, "cluster")
-    )
+    return corpus.join(winner, id_col).select(*corpus.columns, "cluster")
 
 
 def ivf_topk(
