@@ -11,6 +11,7 @@ numbers reflect steady-state execution, not JIT noise.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -425,6 +426,21 @@ def main() -> None:
                 "pipeline_corrected": round(pipeline_rate * pipe_ratio, 1)
                 if pipe_ratio
                 else None,
+                # scaling-contract observability (r14 verdict item 2,
+                # additions-only): echo the core count the run actually
+                # honored so a driver re-run at lower $SPARK_GRAFT_CPUS can
+                # verify the contract from the output alone, plus a content
+                # hash of this harness so any future bench.py drift is
+                # self-reporting instead of relying on an external diff.
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "bench_rev": hashlib.sha256(
+                    open(__file__, "rb").read()
+                ).hexdigest()[:12],
                 "sf": sf,
             }
         )

@@ -86,6 +86,9 @@ def _with_bias(feats: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
     return feats.select(id_col, "bucket", "v").unionByName(bias_rows)
 
 
+_MARGIN_LITERAL_MAX_DIM = 4096
+
+
 def _margins(
     feats_b: DataFrame,
     weights: list[float],
@@ -93,6 +96,30 @@ def _margins(
     spark: SparkSession,
     id_col: str,
 ) -> DataFrame:
+    # Literal-array weight lookup (r15, guide §1.2 step 2 / §5 driver
+    # latency): the former createDataFrame + broadcast-join path paid a
+    # driver->JVM table ship and a broadcast build JOB per call — and
+    # gd_step calls this once per GD round, so a 5-round trainer ran 5
+    # extra broadcast jobs whose wall is pure scheduler latency at any
+    # scale.  A constant-foldable array literal indexed by the bucket is
+    # the same per-row double w[bucket] (buckets are pmod-bounded to
+    # [0, dim) and BIAS_BUCKET rows take the bias scalar), the same
+    # v*w products into the same groupBy — row-identical, so the
+    # streaming/batch parity twins (both route through here) move
+    # together.  Guard: a plan-bloating dim falls back to the join
+    # (literal arrays scale the plan linearly with dim; the r14 IVF
+    # literal-centroid revert is the cautionary measurement).
+    if len(weights) <= _MARGIN_LITERAL_MAX_DIM:
+        w_arr = F.array(*[F.lit(float(x)) for x in weights])
+        w_expr = F.when(
+            F.col("bucket") == F.lit(int(BIAS_BUCKET)), F.lit(float(bias))
+        ).otherwise(
+            F.element_at(w_arr, (F.col("bucket") + F.lit(1)).cast("int"))
+        )
+        return (
+            feats_b.groupBy(id_col)
+            .agg(F.sum(F.col("v") * w_expr).alias("margin"))
+        )
     w = spark.createDataFrame(
         [(BIAS_BUCKET, float(bias))]
         + [(b, float(x)) for b, x in enumerate(weights)],

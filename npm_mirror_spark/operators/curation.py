@@ -56,6 +56,7 @@ def decontaminate(
     text_col: str,
     id_col: str,
     n: int = 3,
+    bench_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document benchmark-overlap: (id, n_hits, contaminated).
 
@@ -66,11 +67,20 @@ def decontaminate(
     final left join back onto the corpus ids is a plain shuffle-free
     map-side null-fill only if hits are broadcast; hits are small
     (contamination is rare), so broadcast them.
+
+    ``bench_sh`` (r15): a caller that runs SEVERAL decontamination
+    stages over the same suite (release.py::cut_decontaminate — gate
+    and seam-guard) can pass the :func:`benchmark_shingles` frame it
+    already built (persisted), so the suite's scan + shingle explode +
+    distinct runs once instead of once per stage.  Must be exactly
+    ``benchmark_shingles(bench, text_col, n)`` — same values, so the
+    output is unchanged by construction.
     """
     sh = corpus.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
-    bench_sh = benchmark_shingles(bench, text_col, n)
+    if bench_sh is None:
+        bench_sh = benchmark_shingles(bench, text_col, n)
     hits = (
         sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
@@ -142,6 +152,7 @@ def cut_contaminated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    bench_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Span-level decontamination — the surgical sibling of
     :func:`decontaminate`: instead of killing every document that
@@ -167,7 +178,10 @@ def cut_contaminated_spans(
     )
 
     words = F.split(normalize_text(text_col), " ")
-    bench_sh = benchmark_shingles(bench, text_col, n)
+    if bench_sh is None:
+        # (callers sharing the suite vocabulary across stages pass it
+        # prebuilt — see decontaminate's ``bench_sh`` contract)
+        bench_sh = benchmark_shingles(bench, text_col, n)
     base = corpus.select(
         F.col(id_col),
         F.size(words).alias("n_tokens"),

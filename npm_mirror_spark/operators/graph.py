@@ -483,8 +483,41 @@ def triangle_count_sampled(
     centers = oriented.where(
         F.pmod(md5_key64(F.col("src"), seed), F.lit(int(rate_den))) == 0
     )
-    tris = _closed_wedges(centers, oriented)
-    return tris.agg(
+    # narrowed closure (r15, guide §2.3 project before the exchange):
+    # the estimator only needs the NUMBER of closed wedges, never their
+    # center identity, so the center column is dropped from the wedge
+    # rows before they cross the closure exchange — the r14 profile put
+    # the face's largest shuffle (73.5 MB at sf0.1) on the (u, v, w)
+    # wedge rows feeding the closure semi-join.  A left-semi join
+    # preserves left-side multiplicity, so counting (v, w) wedge rows
+    # with a matching oriented edge is the same exact integer the
+    # (u, v, w) form counted.  (The full pre-aggregation to
+    # (v, w, count) was tried and REVERTED: (v, w) wedge keys are
+    # near-unique on this graph, so the extra hash-aggregate exchange
+    # cost 0.8-1.0 s without reducing rows — see OPTIMIZATION_r15.md.
+    # triangle_counts keeps the row-per-wedge form: its per-node
+    # credit needs the center column.)
+    wedge_vw = (
+        centers.alias("x")
+        .join(
+            centers.alias("y"),
+            (F.col("x.src") == F.col("y.src"))
+            & (
+                (F.col("x.sd") < F.col("y.sd"))
+                | (
+                    (F.col("x.sd") == F.col("y.sd"))
+                    & (F.col("x.dst") < F.col("y.dst"))
+                )
+            ),
+        )
+        .select(F.col("x.dst").alias("v"), F.col("y.dst").alias("w"))
+    )
+    closed = wedge_vw.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    return closed.agg(
         F.lit(int(rate_den)).cast("long").alias("rate_den"),
         F.count(F.lit(1)).alias("sampled_triangles"),
         (F.count(F.lit(1)) * F.lit(int(rate_den))).alias("est_triangles"),

@@ -69,9 +69,22 @@ def cut_decontaminate(
     lineage in every consumer's plan) did not move it; truncation makes
     every consumer read `Scan ExistingRDD`.  Values are deterministic
     text algebra, so the materialized path is bit-identical."""
-    from npm_mirror_spark.operators.curation import cut_contaminated_spans
+    from npm_mirror_spark.operators.curation import (
+        benchmark_shingles,
+        cut_contaminated_spans,
+    )
 
-    cut = cut_contaminated_spans(docs, bench, text_col, id_col, n).select(
+    # Build the suite's shingle vocabulary ONCE and persist it (r15,
+    # r14 verdict item 6 / guide §3.2): the cut and the seam-guard
+    # recheck each broadcast this frame, and unpersisted each build
+    # re-ran the suite scan + shingle explode + distinct from source.
+    # The persist is released by the session's cache hygiene (bounded:
+    # suite vocabulary, not corpus); values identical by construction,
+    # so both consumers see exactly what they computed before.
+    bench_sh = benchmark_shingles(bench, text_col, n).persist()
+    cut = cut_contaminated_spans(
+        docs, bench, text_col, id_col, n, bench_sh=bench_sh
+    ).select(
         id_col, "clean_text",
         (F.col("kept_tokens") < F.col("n_tokens")).alias("was_cut"),
     )
@@ -95,7 +108,8 @@ def cut_decontaminate(
     # restricting the recheck shrinks the second shingle explode to the
     # cut sliver (normally tiny)
     residual_bad = decontaminate(
-        rewritten.where(F.col("was_cut")), bench, text_col, id_col, n
+        rewritten.where(F.col("was_cut")), bench, text_col, id_col, n,
+        bench_sh=bench_sh,
     ).where(F.col("contaminated")).select(id_col)
     return rewritten.join(residual_bad, id_col, "left_anti")
 

@@ -122,7 +122,11 @@ def test_gradient_is_cluster_aggregated(spark, sf_dir):
     fb = _with_bias(feats, labels, "doc_id")
     m = _margins(fb, [0.0] * DIM, 0.0, spark, "doc_id")
     plan = m._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # r15: the weight attach is a constant-folded literal-array lookup
+    # (element_at on the bucket) — no per-round weight table, no
+    # broadcast build job, no join of any kind in the margin plan
+    assert "element_at" in plan
+    assert "Join" not in plan
     n_docs = labels.count()
     grad_rows = (
         fb.join(
