@@ -6,6 +6,14 @@
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+# slow tier (r15, r14 verdict item 1): algorithm re-derivation /
+# brute-force sweep suite — guards development-time regressions,
+# not per-round results.  Runs with --runslow / SPARK_GRAFT_SLOW_TESTS=1.
+pytestmark = _pytest.mark.slow
+
+
 from pyspark.sql import functions as F
 
 from npm_mirror_spark.queries import q_approx_stats, q_sessionize

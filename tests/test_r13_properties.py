@@ -7,6 +7,14 @@ integer must equal the literal brute-force definition."""
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+# slow tier (r15, r14 verdict item 1): algorithm re-derivation /
+# brute-force sweep suite — guards development-time regressions,
+# not per-round results.  Runs with --runslow / SPARK_GRAFT_SLOW_TESTS=1.
+pytestmark = _pytest.mark.slow
+
+
 import datetime as dt
 import math
 from collections import Counter
